@@ -1,13 +1,24 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{OlapQueries, PipelineQueries, StreamQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry implements. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    OlapQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    StreamQueries.queries ++ OlapQueries.queries ++ PipelineQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q_approx_distinct, q_ann_lsh) → weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    StreamQueries.oracles ++ OlapQueries.oracles ++ PipelineQueries.oracles
 }

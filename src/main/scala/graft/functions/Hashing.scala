@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hash family.
+  *
+  * All near-dup / sketch operators (minhash, simhash, fingerprints) hash
+  * through md5 so the DuckDB correctness oracle can reproduce values
+  * bit-for-bit: Spark `conv(substring(md5(x),1,15),16,10)` ==
+  * DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`.
+  *
+  * 15 hex chars = 60 bits, so results are non-negative int64 and xor/bit
+  * arithmetic behaves identically in both engines.
+  */
+object Hashing {
+
+  /** 60-bit non-negative hash of a string column. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: h_i(x) = md5Long(i ~ ":" ~ x). Used as the minhash
+    * permutation family. */
+  def md5LongSeeded(seed: Int, c: Column): Column =
+    md5Long(concat(lit(seed.toString), lit(":"), c))
+
+  /** DuckDB SQL fragment equivalent to [[md5Long]], for oracle authors. */
+  def duckMd5Long(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  def duckMd5LongSeeded(seed: Int, expr: String): String =
+    duckMd5Long(s"'$seed' || ':' || $expr")
+}

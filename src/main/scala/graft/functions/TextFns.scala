@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline:
+  * tokenization, shingling, language-ID heuristics, quality ratios.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs) and has an exact DuckDB-SQL equivalent so results are
+  * oracle-verifiable.
+  */
+object TextFns {
+
+  /** Whitespace tokens, empties dropped (split on single space — the
+    * synthetic corpus is single-space separated; matches DuckDB
+    * `string_split(text, ' ')`). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > lit(0))
+
+  /** Distinct word k-shingles: contiguous k-grams joined by one space.
+    * Guarded for < k tokens (Spark `sequence(1, 0)` counts *down*). */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(1), size(toks) - lit(k - 1)),
+            i =>
+              concat_ws(
+                " ",
+                (0 until k).map(j => element_at(toks, i + lit(j))): _*))))
+
+  /** BPE-ish token count: words, single digits, and punctuation runs. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
+
+  // --- language-ID marker sets (disjoint across languages) ---
+  val EnMarkers = Seq("the", "and", "is", "of", "to")
+  val DeMarkers = Seq("und", "der", "die", "das", "nicht")
+  val FrMarkers = Seq("le", "les", "des", "est", "une")
+  val EsMarkers = Seq("el", "los", "las", "es", "una")
+  val CjkPattern = "[\\u4e00-\\u9fff]"
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
+
+  /** N-gram/stopword heuristic language ID. CJK chars force `zh`;
+    * otherwise the marker-set with the highest hit count wins, ties
+    * resolved en > de > fr > es, no hits at all → `und` (undetermined). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = markerCount(toks, EnMarkers)
+    val de = markerCount(toks, DeMarkers)
+    val fr = markerCount(toks, FrMarkers)
+    val es = markerCount(toks, EsMarkers)
+    val top = greatest(en, de, fr, es)
+    when(regexp_count(text, lit(CjkPattern)) > 0, lit("zh"))
+      .when(top === 0, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(fr === top, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Stopword ratio against the combined marker sets. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val all = EnMarkers ++ DeMarkers ++ FrMarkers ++ EsMarkers
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(markerCount(toks, all).cast("double") / size(toks))
+  }
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+          .cast("double") / length(text))
+
+  /** Distinct-token / total-token ratio (1.0 = no repetition). */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks))
+  }
+}

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** OLAP / analytics operators around the log (SURVEY §2b).
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - every floating aggregate is `round(x, 4)` (inputs have ≤4 exact
+  *    decimal digits, so rounding is engine-stable),
+  *  - timestamps are emitted as µs-since-epoch BIGINTs,
+  *  - every query has a total deterministic ORDER BY.
+  *
+  * Scale notes: dimension sides of joins are `broadcast()`; windows
+  * partition by high-cardinality keys; no driver-side loops anywhere.
+  */
+object OlapQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def revenue: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(revenue), 4).as("sum_disc_price"),
+        round(sum(revenue * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q3Join(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        round(sum(revenue), 4).as("revenue"),
+        max(Tables.tsUsOf(col("o_orderdate"))).as("o_orderdate_us"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by nation, suppliers and customers
+    * co-national, one region. All dims broadcast — lineitem never moves
+    * except for the final small aggregation. */
+  def q5Join(s: SparkSession, d: String): DataFrame = {
+    val nation = t(s, d, "nation")
+    val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+    val nr = broadcast(
+      nation.join(region, col("n_regionkey") === col("r_regionkey")))
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        broadcast(t(s, d, "customer")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(nr, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def qTopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, d, "part")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rank")
+  }
+
+  def qRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running", round(sum("value").over(w), 2))
+      .select("event_id", "user_id", "running")
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization: a >30 min silence starts a new session.
+    * Classic lag + cumulative-sum-of-boundaries — two windows over the
+    * same (user_id, ts) partitioning, so a single shuffle. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn(
+        "boundary",
+        when(
+          col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum("boundary").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Tumbling 1-hour windows, expressed as epoch-µs bucket arithmetic so
+    * it is identical over both physical ts encodings and in the oracle. */
+  def qWindowTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn(
+        "window_start_us",
+        expr("(ts_us DIV 3600000000) * 3600000000"))
+      .groupBy("window_start_us", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("window_start_us", "event_type")
+
+  /** As-of join: each click is matched with the user's most recent
+    * strictly-prior view. Expressed as a union + last(ignoreNulls) window
+    * instead of a join — one shuffle, no range-join blowup. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn(
+        "view_value",
+        when(col("event_type") === "view", col("value")))
+      .withColumn("last_view_value", last("view_value", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        col("value").as("click_value"),
+        col("last_view_value"))
+      .orderBy("event_id")
+  }
+
+  def qDistinctUsers(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** HLL sketch distinct — approximate by design, so no SQL oracle
+    * (driver records a rows-only check). */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Orders with no line shipped after mid-2000 (anti join against a
+    * filtered fact subset — non-empty at every SF, unlike raw-key antis
+    * on this dense star schema). */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("2000-06-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_anti")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q3_join" -> q3Join _,
+    "q5_join" -> q5Join _,
+    "q_topk_per_group" -> qTopkPerGroup _,
+    "q_running_sum" -> qRunningSum _,
+    "q_sessionize" -> qSessionize _,
+    "q_window_tumbling" -> qWindowTumbling _,
+    "q_asof_join" -> qAsofJoin _,
+    "q_distinct_users" -> qDistinctUsers _,
+    "q_approx_distinct" -> qApproxDistinct _,
+    "q_semi_join" -> qSemiJoin _,
+    "q_anti_join" -> qAntiJoin _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       max(epoch_us(o_orderdate)) AS o_orderdate_us
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT p_brand,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rank,
+        |       p_partkey, p_name, p_retailprice
+        |FROM part
+        |QUALIFY rank <= 3
+        |ORDER BY p_brand, rank""".stripMargin,
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |       round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |         CASE WHEN event_type = 'view' THEN value END AS view_value
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |filled AS (
+        |  SELECT *, LAST_VALUE(view_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value
+        |  FROM ev)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS click_value, last_view_value
+        |FROM filled WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2000-06-01 00:00:00')
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
