@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.log.EventLog
+
+/** Streaming-side of the engine: the reference's live produce/subscribe
+  * surface (reference: client.go:188-206, consumer_context.go) mapped
+  * onto Structured Streaming.
+  *
+  *  - '''segmentStatuses''' ≡ SubscribeToSpace/Segment: a continuously
+  *    updated stream of per-segment SegmentStatus (the reference pushes
+  *    one per produce chunk; here each micro-batch updates the aggregate),
+  *  - '''windowedCounts''' ≡ streaming analytics over a space with event
+  *    -time windows + watermark-bounded state,
+  *  - '''sequenceMonitor''' ≡ the produce-side contiguity guarantee
+  *    (pebble/service.go:349) run continuously:
+  *    `flatMapGroupsWithState` keeps last-seen sequence per segment and
+  *    emits one gap report per violation,
+  *  - '''appendSink''' ≡ the produce pipeline: `foreachBatch` appending
+  *    each micro-batch to an [[EventLog]].
+  *
+  * Inputs are entry-shaped streaming DataFrames
+  * `(space, segment, sequence, timestamp µs, payload)`.
+  */
+object StreamLog {
+
+  /** Continuously-maintained SegmentStatus per (space, segment).
+    * Use OutputMode.Update (or Complete) on the sink. */
+  def segmentStatuses(entries: DataFrame): DataFrame =
+    entries
+      .groupBy("space", "segment")
+      .agg(
+        min("sequence").as("firstSequence"),
+        min("timestamp").as("firstTimestamp"),
+        max("sequence").as("lastSequence"),
+        max("timestamp").as("lastTimestamp"))
+
+  /** Subscription filter — the notification feed for one space
+    * (reference: SubcribeToSpace). */
+  def subscribeToSpace(statuses: DataFrame, space: String): DataFrame =
+    statuses.filter(col("space") === space)
+
+  def subscribeToSegment(
+      statuses: DataFrame,
+      space: String,
+      segment: String): DataFrame =
+    statuses.filter(col("space") === space && col("segment") === segment)
+
+  /** Event-time tumbling-window counts with watermark-bounded state.
+    * `timestamp` (µs) is converted to a timestamp column for Spark's
+    * native window/watermark machinery. */
+  def windowedCounts(
+      entries: DataFrame,
+      watermark: String = "1 minute",
+      windowLen: String = "1 hour"): DataFrame =
+    entries
+      .withColumn("event_time", timestamp_micros(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("space"))
+      .agg(count(lit(1)).as("n_entries"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("space"),
+        col("n_entries"))
+
+  final case class SeqState(lastSequence: Long)
+  final case class SeqGap(
+      space: String,
+      segment: String,
+      expected: Long,
+      actual: Long)
+  final case class InEntry(
+      space: String,
+      segment: String,
+      sequence: Long,
+      timestamp: Long,
+      payload: String)
+
+  /** Continuous sequence-contiguity monitor: per (space, segment), track
+    * the last sequence across micro-batches and emit a [[SeqGap]] for
+    * every record that does not extend the segment contiguously.
+    * State is one Long per segment — bounded, no timeout needed. */
+  def sequenceMonitor(entries: Dataset[InEntry]): Dataset[SeqGap] = {
+    import entries.sparkSession.implicits._
+    entries
+      .groupByKey(e => (e.space, e.segment))
+      .flatMapGroupsWithState[SeqState, SeqGap](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case ((space, segment), rows, state: GroupState[SeqState]) =>
+          var last = state.getOption.map(_.lastSequence).getOrElse(0L)
+          val gaps = Seq.newBuilder[SeqGap]
+          rows.toSeq.sortBy(e => (e.timestamp, e.sequence)).foreach { e =>
+            if (e.sequence != last + 1)
+              gaps += SeqGap(space, segment, last + 1, e.sequence)
+            last = math.max(last, e.sequence)
+          }
+          state.update(SeqState(last))
+          gaps.result().iterator
+      }
+  }
+
+  /** Produce pipeline: append each micro-batch of entry rows to the
+    * parquet-backed log (partitioned by space, same layout as
+    * [[EventLog]]). Returns a started query writing to `log.path/data`. */
+  def appendSink(
+      entries: DataFrame,
+      log: EventLog,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entries.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("append")
+          .partitionBy("space")
+          .parquet(s"${log.path}/data")
+      }
+      .start()
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.log.{EventLog, TxnLog}
+import graft.model.Record
+
+/** Produce / peek / publish / transaction round-trips on a scratch log —
+  * the write-side behaviors of the reference store (reference:
+  * test/streams_test.go TestProduce/TestPeek + pebble 2PC). */
+class EventLogSpec extends SparkSpec {
+
+  private def freshLog(): EventLog =
+    new EventLog(
+      spark,
+      Files.createTempDirectory("graft-log").toString)
+
+  private def records(from: Long, n: Long): org.apache.spark.sql.Dataset[Record] = {
+    import spark.implicits._
+    spark.createDataset((from until from + n).map(i => Record(i, s"payload $i")))
+  }
+
+  test("produce appends, chunks into transactions, and reports statuses") {
+    val log = freshLog()
+    val statuses = log.produce("s0", "seg0", records(1, 253), 1000L, chunkSize = 100)
+    assert(statuses.map(s => (s.firstSequence, s.lastSequence)) ==
+      Seq((1L, 100L), (101L, 200L), (201L, 253L)))
+    assert(log.peek("s0", "seg0").get.sequence == 253L)
+    assert(log.consumeSegment("s0", "seg0").count() == 253L)
+  }
+
+  test("produce rejects non-contiguous sequences") {
+    val log = freshLog()
+    log.produce("s0", "seg0", records(1, 5), 1000L)
+    intercept[IllegalArgumentException] {
+      log.produce("s0", "seg0", records(7, 3), 2000L) // gap: expected 6
+    }
+    intercept[IllegalArgumentException] {
+      log.produce("s0", "seg0", records(3, 3), 2000L) // replay: expected 6
+    }
+    assert(log.peek("s0", "seg0").get.sequence == 5L)
+  }
+
+  test("publish appends a single record at peek+1") {
+    val log = freshLog()
+    log.produce("s0", "seg0", records(1, 3), 1000L)
+    val st = log.publish("s0", "seg0", "one-off", 2000L)
+    assert(st.firstSequence == 4L && st.lastSequence == 4L)
+    assert(log.peek("s0", "seg0").get.payload == "one-off")
+  }
+
+  test("multi-space consume interleaves all produced spaces") {
+    val log = freshLog()
+    for (i <- 0 until 3; j <- 0 until 2)
+      log.produce(s"space$i", s"seg$j", records(1, 10), 1000L + i)
+    assert(log.getSpaces().count() == 3)
+    assert(log.getSegments("space0").count() == 2)
+    val all = log.consume(
+      Map("space0" -> None, "space1" -> None, "space2" -> None))
+    assert(all.count() == 60)
+  }
+
+  test("TxnLog: staged writes are invisible until commit; rollback drops them") {
+    val log = freshLog()
+    val txn = new TxnLog(log)
+    log.produce("s0", "seg0", records(1, 5), 1000L)
+
+    txn.write("trx-a", "s0", "seg0", records(6, 5), 2000L, trxNumber = 2L)
+    assert(log.consumeSegment("s0", "seg0").count() == 5) // still staged
+    txn.commit("trx-a")
+    assert(log.consumeSegment("s0", "seg0").count() == 10)
+    assert(log.peek("s0", "seg0").get.trxNumber == 2L)
+
+    txn.write("trx-b", "s0", "seg0", records(11, 5), 3000L, trxNumber = 3L)
+    txn.rollback("trx-b")
+    assert(log.consumeSegment("s0", "seg0").count() == 10)
+    assert(txn.staged().isEmpty)
+  }
+
+  test("TxnLog rejects wrong transaction numbers") {
+    val log = freshLog()
+    val txn = new TxnLog(log)
+    log.produce("s0", "seg0", records(1, 5), 1000L)
+    intercept[IllegalArgumentException] {
+      txn.write("trx-x", "s0", "seg0", records(6, 5), 2000L, trxNumber = 7L)
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFns, VectorFns}
+
+class FunctionsSpec extends SparkSpec {
+
+  private def eval(c: org.apache.spark.sql.Column): Any = {
+    spark.range(1).select(c).collect().head.get(0)
+  }
+
+  test("md5Long is the top-60-bit md5 prefix (DuckDB-portable)") {
+    // md5('hello') = 5d41402abc4b2a76... ; first 15 hex chars as int64
+    assert(eval(Hashing.md5Long(lit("hello"))) ==
+      java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+    assert(eval(Hashing.md5Long(lit("hello"))).asInstanceOf[Long] >= 0L)
+  }
+
+  test("wordShingles handles short and normal docs") {
+    val sh = eval(
+      TextFns.wordShingles(split(lit("a b c d"), " "), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSeq == Seq("a b c", "b c d"))
+    assert(eval(TextFns.wordShingles(split(lit("a b"), " "), 3))
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+  }
+
+  test("langId marker heuristic with CJK override") {
+    assert(eval(TextFns.langId(lit("the cat and the dog is of to"))) == "en")
+    assert(eval(TextFns.langId(lit("der hund und die katze nicht"))) == "de")
+    assert(eval(TextFns.langId(lit("le chat est une les des"))) == "fr")
+    assert(eval(TextFns.langId(lit("el gato es una los las"))) == "es")
+    assert(eval(TextFns.langId(lit("你好世界"))) == "zh")
+    assert(eval(TextFns.langId(lit("xyzzy plugh"))) == "und")
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val a = array(lit(1.0), lit(2.0), lit(2.0))
+    val b = array(lit(0.0), lit(0.0), lit(0.0)) // degenerate
+    assert(math.abs(eval(VectorFns.cosine(a, a)).asInstanceOf[Double] - 1.0) < 1e-12)
+    val x = array(lit(1.0), lit(0.0))
+    val y = array(lit(0.0), lit(1.0))
+    assert(eval(VectorFns.cosine(x, y)).asInstanceOf[Double] == 0.0)
+    assert(eval(VectorFns.dot(x, y)).asInstanceOf[Double] == 0.0)
+  }
+
+  test("punct/stopword/distinct ratios") {
+    assert(eval(TextFns.punctRatio(lit("ab,c!"))).asInstanceOf[Double] == 0.4)
+    assert(eval(TextFns.distinctTokenRatio(lit("a a b b"))).asInstanceOf[Double] == 0.5)
+    assert(eval(TextFns.meanTokenLen(lit("ab abcd"))).asInstanceOf[Double] == 3.0)
+  }
+}

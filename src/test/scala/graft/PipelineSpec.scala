@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQueries
+
+/** Cross-validates the sketch-based near-dup operators against their
+  * exact counterparts on sf0.001 — LSH candidate generation must not
+  * lose any pair the exact computation confirms. */
+class PipelineSpec extends SparkSpec {
+
+  test("minhash-LSH finds every ngram-Jaccard pair at threshold 0.8") {
+    val exact = PipelineQueries.qDedupNgram(spark, SfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = PipelineQueries.qDedupMinhash(spark, SfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both verify with exact Jaccard >= 0.8; LSH may only differ by
+    // missing candidates — with 8 bands of 2 over sig-16 at j>=0.8 the
+    // miss probability is ~(1-(1-0.8^2)^8) -> negligible
+    assert(lsh == exact)
+  }
+
+  test("simhash near-dups overlap ngram near-dups") {
+    val ngram = PipelineQueries.qDedupNgram(spark, SfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = PipelineQueries.qDedupSimhash(spark, SfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming<=6 on 60-bit simhash is a coarser net: it should catch
+    // most >=0.8-Jaccard pairs
+    if (ngram.nonEmpty)
+      assert(ngram.intersect(sim).size.toDouble / ngram.size >= 0.5)
+  }
+
+  test("brute-force ANN returns 5 ranked neighbors per query, no self-matches") {
+    val rows = PipelineQueries.qAnnTopk(spark, SfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rs.forall(_.getLong(2) >= 10)) // corpus only
+      // ranks ordered by descending cosine
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates with correct ranks") {
+    val lsh = PipelineQueries.qAnnLsh(spark, SfDir).collect()
+    assert(lsh.nonEmpty)
+    // within each query, ranks are 1..n and cosines descend
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("exact dedup keeps one id per distinct text") {
+    val out = PipelineQueries.qDedupExact(spark, SfDir)
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    assert(out.count() == docs.select(md5(col("text"))).distinct().count())
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.log.EventLog
+import graft.streaming.StreamLog
+import graft.streaming.StreamLog.{InEntry, SeqGap}
+
+/** Structured-Streaming behaviors: live statuses, windowed aggregation,
+  * the stateful sequence monitor, and the produce pipeline sink. */
+class StreamLogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def entryStream(): MemoryStream[InEntry] =
+    MemoryStream[InEntry](spark)
+
+  test("segmentStatuses tracks first/last per segment across batches") {
+    val mem = entryStream()
+    val q = StreamLog
+      .segmentStatuses(mem.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("statuses")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData(InEntry("s0", "a", 1, 1000, "p1"), InEntry("s0", "a", 2, 2000, "p2"))
+      q.processAllAvailable()
+      mem.addData(InEntry("s0", "a", 3, 3000, "p3"), InEntry("s0", "b", 1, 500, "q1"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM statuses ORDER BY space, segment").collect()
+      assert(rows.length == 2)
+      val a = rows(0)
+      assert(a.getString(1) == "a" && a.getLong(2) == 1 && a.getLong(4) == 3 &&
+        a.getLong(5) == 3000)
+    } finally q.stop()
+  }
+
+  test("subscribeToSpace filters the status feed") {
+    val statuses = Seq(
+      ("s0", "a", 1L, 1L, 1L, 1L),
+      ("s1", "b", 1L, 1L, 1L, 1L))
+      .toDF("space", "segment", "firstSequence", "firstTimestamp", "lastSequence", "lastTimestamp")
+    assert(StreamLog.subscribeToSpace(statuses, "s0").count() == 1)
+    assert(StreamLog.subscribeToSegment(statuses, "s1", "b").count() == 1)
+  }
+
+  test("windowedCounts buckets by event-time hour") {
+    val mem = entryStream()
+    val q = StreamLog
+      .windowedCounts(mem.toDF(), watermark = "0 seconds", windowLen = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("wincounts")
+      .outputMode("complete")
+      .start()
+    try {
+      val h = 3600L * 1000000L
+      mem.addData(
+        InEntry("s0", "a", 1, 100, "p"),
+        InEntry("s0", "a", 2, 200, "p"),
+        InEntry("s0", "a", 3, h + 100, "p"))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT window_start_us, n_entries FROM wincounts ORDER BY 1")
+        .collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((0L, 2L), (h, 1L)))
+    } finally q.stop()
+  }
+
+  test("sequenceMonitor reports gaps across micro-batches") {
+    val mem = entryStream()
+    val q = StreamLog
+      .sequenceMonitor(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("gaps")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(InEntry("s0", "a", 1, 1000, "p"), InEntry("s0", "a", 2, 2000, "p"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM gaps").count() == 0)
+      // batch 2: gap (expected 3, got 5) in segment a; fresh segment b ok
+      mem.addData(InEntry("s0", "a", 5, 3000, "p"), InEntry("s0", "b", 1, 100, "p"))
+      q.processAllAvailable()
+      val gaps = spark.sql("SELECT * FROM gaps").as[SeqGap].collect()
+      assert(gaps.toSeq == Seq(SeqGap("s0", "a", 3, 5)))
+    } finally q.stop()
+  }
+
+  test("appendSink lands micro-batches in the EventLog layout") {
+    val dir = Files.createTempDirectory("graft-streamlog").toString
+    val log = new EventLog(spark, dir)
+    val mem = entryStream()
+    val entries = mem
+      .toDF()
+      .withColumn("trxNumber", lit(1L))
+      .withColumn("metadata", map().cast("map<string,string>"))
+    val q = StreamLog.appendSink(entries, log, s"$dir/ckpt")
+    try {
+      mem.addData(InEntry("s0", "a", 1, 1000, "p1"), InEntry("s0", "a", 2, 2000, "p2"))
+      q.processAllAvailable()
+      assert(log.consumeSegment("s0", "a").count() == 2)
+      assert(log.peek("s0", "a").get.sequence == 2L)
+    } finally q.stop()
+  }
+}
