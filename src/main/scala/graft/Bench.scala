@@ -1,26 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"queries":{...}}. Each query is
+  * executed to completion through the noop sink (full plan, no driver
+  * collect, no disk write skew). */
 object Bench {
+
+  /** Headline set: one per operator family (SURVEY §6). */
+  val Headline: Seq[String] = Seq(
+    "q1_agg", "q3_join", "q5_join",
+    "q_consume_space", "q_peek", "q_offsets", "q_trx_chunks",
+    "q_sessionize", "q_window_tumbling", "q_asof_join", "q_running_sum",
+    "q_topk_per_group", "q_semi_join", "q_anti_join", "q_distinct_users",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
+    "q_dedup_embed", "q_ann_topk", "q_ann_lsh",
+    "q_lang_id", "q_text_quality", "q_token_count", "q_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JVM/codegen warmup on the smallest table so the first measured
+    // query does not pay one-time session costs.
+    spark.read.parquet(s"$sfDir/region.parquet").write
+      .format("noop").mode("overwrite").save()
+
+    val results = Headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

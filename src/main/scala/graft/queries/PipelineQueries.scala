@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, TextFns, VectorFns}
+import graft.functions.expressions.DotProduct
 
 /** Training-data pipeline operators (SURVEY §2c): dedup, similarity
   * search, text analysis — each with a DuckDB oracle built on the shared
@@ -79,13 +80,23 @@ object PipelineQueries {
   val MinhashSeeds = 16
   val MinhashBands = 8 // 2 rows per band
 
-  /** MinHash signature columns mh0..mh15 per doc. */
+  /** MinHash signature columns mh0..mh15 per doc. The md5 family is
+    * evaluated once per *distinct* shingle (md5 is the dominant cost:
+    * corpus shingles repeat across docs), then joined back — same values
+    * as hashing in place, ~5× fewer digest evaluations. */
   private def minhashed(s: SparkSession, dir: String): DataFrame = {
-    val sigs = (0 until MinhashSeeds).map { i =>
-      array_min(transform(col("s"), x => Hashing.md5LongSeeded(i, x)))
-        .as(s"mh$i")
-    }
-    shingled(s, dir).select(col("doc_id") +: sigs: _*)
+    val ex = shingleRows(s, dir)
+    val hashes = ex
+      .select("shingle")
+      .distinct()
+      .select(
+        col("shingle") +:
+          (0 until MinhashSeeds).map(i =>
+            Hashing.md5LongSeeded(i, col("shingle")).as(s"h$i")): _*)
+    val mins = (0 until MinhashSeeds).map(i => min(s"h$i").as(s"mh$i"))
+    ex.join(hashes, "shingle")
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup: band buckets generate candidates; exact
@@ -163,14 +174,26 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Embeddings with per-vector norm precomputed once (the norm inside
+    * the pair loop would otherwise be recomputed N times per vector).
+    * Uses the codegen'd [[DotProduct]] expression — same sequential fold
+    * as the oracle's list_dot_product, so bit-identical cosines. */
+  private def normedEmbs(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
+    embs(s, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
+
   def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val e = embs(s, d).select(
-      col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
-    e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+    val e = normedEmbs(s, d)
+    e.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm"))
       .join(
-        e.select(col("vec_id").as("b_id"), col("v").as("b_v")),
+        e.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm")),
         col("a_id") < col("b_id"))
-      .withColumn("cos", round(VectorFns.cosine(col("a_v"), col("b_v")), 6))
+      .withColumn(
+        "cos",
+        round(expr("graft_dot(a_v, b_v)") / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cos") >= 0.45)
       .select("a_id", "b_id", "cos")
       .orderBy("a_id", "b_id")
@@ -181,18 +204,19 @@ object PipelineQueries {
   /** Brute-force cosine top-k: first 10 vectors are the query set, the
     * rest the corpus. Query side broadcast; rank via per-query window. */
   def qAnnTopk(s: SparkSession, d: String): DataFrame = {
-    val e = embs(s, d).select(
-      col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val e = normedEmbs(s, d)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("q_v"))
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
     val c = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
     val w = Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q)
       .join(c)
-      .withColumn("cos", round(VectorFns.cosine(col("q_v"), col("c_v")), 6))
+      .withColumn(
+        "cos",
+        round(expr("graft_dot(q_v, c_v)") / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -204,20 +228,20 @@ object PipelineQueries {
     * oracle (rows-only check). */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val nBits = 4
-    val e = embs(s, d).select(
-      col("vec_id"),
-      VectorFns.asDouble(col("embedding")).as("v"))
+    val e = normedEmbs(s, d)
       .withColumn("bucket", VectorFns.hyperplaneSignature(col("v"), nBits))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"), col("bucket"))
     val c = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("bucket"))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"), col("bucket"))
     val w = Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q)
       .join(c, "bucket")
-      .withColumn("cos", round(VectorFns.cosine(col("q_v"), col("c_v")), 6))
+      .withColumn(
+        "cos",
+        round(expr("graft_dot(q_v, c_v)") / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
