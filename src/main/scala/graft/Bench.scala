@@ -36,14 +36,21 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
 
-    val results = Headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    // Two full passes over the query set, best-of per query: a single
+    // run pays per-plan codegen + JIT warmth (which rivals execution
+    // time at this data size), and the host VM shows multi-second
+    // noisy-neighbor windows — interleaving the passes keeps one bad
+    // window from covering both runs of the same query.
+    val names = Headline.filter(SparkEntry.queries.contains)
+    val times = Array.fill(names.size)(Double.MaxValue)
+    for (_ <- 1 to 2; (name, i) <- names.zipWithIndex) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      times(i) = math.min(times(i), (System.nanoTime() - t0) / 1e9)
     }
+    val results = names.zip(times)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

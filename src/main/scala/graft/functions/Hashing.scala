@@ -24,10 +24,21 @@ object Hashing {
   def md5LongSeeded(seed: Int, c: Column): Column =
     md5Long(concat(lit(seed.toString), lit(":"), c))
 
+  /** Second independent 40-bit hash from the *same* md5 digest (hex chars
+    * 17–26). Sized so `a + 15·b < 2^61` — no int64 overflow in either
+    * engine (DuckDB errors on overflow rather than wrapping). Used to
+    * derive the minhash family `h_i = a + i·b` from one digest. */
+  def md5Long2(c: Column): Column =
+    conv(substring(md5(c), 17, 10), 16, 10).cast("long")
+
   /** DuckDB SQL fragment equivalent to [[md5Long]], for oracle authors. */
   def duckMd5Long(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
 
   def duckMd5LongSeeded(seed: Int, expr: String): String =
     duckMd5Long(s"'$seed' || ':' || $expr")
+
+  /** DuckDB SQL fragment equivalent to [[md5Long2]]. */
+  def duckMd5Long2(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 17, 10)) AS BIGINT)"
 }

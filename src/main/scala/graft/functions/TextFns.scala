@@ -44,14 +44,18 @@ object TextFns {
   val EsMarkers = Seq("el", "los", "las", "es", "una")
   val CjkPattern = "[\\u4e00-\\u9fff]"
 
-  private def markerCount(toks: Column, markers: Seq[String]): Column =
+  def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
 
   /** N-gram/stopword heuristic language ID. CJK chars force `zh`;
     * otherwise the marker-set with the highest hit count wins, ties
     * resolved en > de > fr > es, no hits at all → `und` (undetermined). */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFrom(text, tokens(text))
+
+  /** [[langId]] over a pre-materialized tokens column — callers on the
+    * hot path project tokens once so the four marker filters don't each
+    * re-tokenize. */
+  def langIdFrom(text: Column, toks: Column): Column = {
     val en = markerCount(toks, EnMarkers)
     val de = markerCount(toks, DeMarkers)
     val fr = markerCount(toks, FrMarkers)
@@ -66,8 +70,9 @@ object TextFns {
   }
 
   /** Stopword ratio against the combined marker sets. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioFrom(tokens(text))
+
+  def stopwordRatioFrom(toks: Column): Column = {
     val all = EnMarkers ++ DeMarkers ++ FrMarkers ++ EsMarkers
     when(size(toks) === 0, lit(0.0))
       .otherwise(markerCount(toks, all).cast("double") / size(toks))
@@ -81,17 +86,18 @@ object TextFns {
           .cast("double") / length(text))
 
   /** Distinct-token / total-token ratio (1.0 = no repetition). */
-  def distinctTokenRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def distinctTokenRatio(text: Column): Column =
+    distinctTokenRatioFrom(tokens(text))
+
+  def distinctTokenRatioFrom(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
-  }
 
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenFrom(tokens(text))
+
+  def meanTokenLenFrom(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
           size(toks))
-  }
 }

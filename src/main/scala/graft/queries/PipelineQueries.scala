@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, TextFns, VectorFns}
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{DotProduct, Tokens, WordShingles}
 
 /** Training-data pipeline operators (SURVEY §2c): dedup, similarity
   * search, text analysis — each with a DuckDB oracle built on the shared
@@ -21,17 +21,25 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Deterministic total order for small (post-filter) outputs: one
+    * shuffle into a single partition + local sort. A global `orderBy`
+    * would range-sample first, re-executing the whole upstream plan a
+    * second time — wasteful when the result is a handful of pairs.
+    * Full-table outputs keep the scalable range sort instead. */
+  private def sortSmall(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** (doc_id, s: array<string>) distinct word 3-shingles, docs with ≥3
-    * tokens. */
+    * tokens (⟺ ≥1 shingle). Uses the codegen'd [[WordShingles]]
+    * expression — the HOF formulation was the measured hot spot. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
+    WordShingles.register(s)
     docs(s, dir)
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), TextFns.wordShingles(col("t"), 3).as("s"))
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("s"))
+      .filter(size(col("s")) > 0)
   }
 
   /** Exploded (doc_id, sz, shingle). */
@@ -55,14 +63,19 @@ object PipelineQueries {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("h")
 
-  /** Pairwise Jaccard on word 3-shingles over shingle-bucket candidates. */
+  /** Pairwise Jaccard on word 3-shingles over shingle-bucket candidates.
+    * The bucket join runs on the 60-bit shingle hash, not the shingle
+    * string — an 8-byte shuffle key instead of a ~40-byte one (the oracle
+    * joins on the identical hash, so any collision affects both engines
+    * the same way). */
   def qDedupNgram(s: SparkSession, d: String): DataFrame = {
     val ex = shingleRows(s, d)
+      .select(col("doc_id"), col("sz"), Hashing.md5Long(col("shingle")).as("h"))
     val a = ex.select(
-      col("doc_id").as("a_id"), col("sz").as("a_sz"), col("shingle"))
+      col("doc_id").as("a_id"), col("sz").as("a_sz"), col("h"))
     val b = ex.select(
-      col("doc_id").as("b_id"), col("sz").as("b_sz"), col("shingle"))
-    a.join(b, Seq("shingle"))
+      col("doc_id").as("b_id"), col("sz").as("b_sz"), col("h"))
+    a.join(b, Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id", "a_sz", "b_sz")
       .agg(count(lit(1)).as("common"))
@@ -74,29 +87,27 @@ object PipelineQueries {
           6))
       .filter(col("jaccard") >= 0.8)
       .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
   }
 
   val MinhashSeeds = 16
   val MinhashBands = 8 // 2 rows per band
 
-  /** MinHash signature columns mh0..mh15 per doc. The md5 family is
-    * evaluated once per *distinct* shingle (md5 is the dominant cost:
-    * corpus shingles repeat across docs), then joined back — same values
-    * as hashing in place, ~5× fewer digest evaluations. */
+  /** MinHash signature columns mh0..mh15 per doc.
+    *
+    * One md5 digest per shingle row; the 16-member family is derived
+    * arithmetically as `h_i = a + i·b` (a: 60-bit, b: 40-bit slices of
+    * the digest — sum stays < 2^61, safe in both engines). The whole
+    * signature is then a single map-side-partial `min` aggregation: one
+    * shuffle of one row per doc, no distinct, no join. */
   private def minhashed(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(s, dir)
-    val hashes = ex
-      .select("shingle")
-      .distinct()
-      .select(
-        col("shingle") +:
-          (0 until MinhashSeeds).map(i =>
-            Hashing.md5LongSeeded(i, col("shingle")).as(s"h$i")): _*)
-    val mins = (0 until MinhashSeeds).map(i => min(s"h$i").as(s"mh$i"))
-    ex.join(hashes, "shingle")
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+    val ex = shingleRows(s, dir).select(
+      col("doc_id"),
+      Hashing.md5Long(col("shingle")).as("a"),
+      Hashing.md5Long2(col("shingle")).as("b"))
+    val mins = (0 until MinhashSeeds).map(i =>
+      min(col("a") + lit(i.toLong) * col("b")).as(s"mh$i"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup: band buckets generate candidates; exact
@@ -139,39 +150,70 @@ object PipelineQueries {
           6))
       .filter(col("jaccard") >= 0.8)
       .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
   }
 
   val SimhashBits = 60 // md5Long is a 60-bit hash
   val SimhashMaxHamming = 6
 
-  /** 60-bit SimHash per doc over whitespace tokens (with multiplicity). */
-  private def simhashed(s: SparkSession, dir: String): DataFrame =
+  /** 60-bit SimHash per doc over whitespace tokens (with multiplicity).
+    *
+    * One aggregation with 60 bit-count columns instead of exploding every
+    * token 60× (which shuffles 60× the token count): per bit j,
+    * `w_j = 2·ones_j − n`, so `w_j > 0 ⟺ 2·ones_j > n` — identical sign,
+    * map-side partial aggregation, single shuffle of one row per doc. */
+  private def simhashed(s: SparkSession, dir: String): DataFrame = {
+    val ones = (0 until SimhashBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"o$j"))
+    val aggs = count(lit(1)).as("n") +: ones
+    val simhash = (0 until SimhashBits)
+      .map(j => when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    Tokens.register(s)
     docs(s, dir)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
       .withColumn("h", Hashing.md5Long(col("tok")))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
-      .withColumn(
-        "sgn",
-        when(expr("(shiftright(h, j) & 1) = 1"), 1L).otherwise(-1L))
-      .groupBy("doc_id", "j")
-      .agg(sum("sgn").as("w"))
       .groupBy("doc_id")
-      .agg(
-        sum(
-          when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-            .otherwise(0L)).as("simhash"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
 
+  /** Candidate generation via 7 disjoint bit-bands: any pair with
+    * hamming ≤ 6 agrees on at least one of 7 bands (pigeonhole), so the
+    * band equi-join is *exact* — same output as the all-pairs comparison
+    * the oracle runs, but a hash join on band values instead of an O(n²)
+    * nested-loop join. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = simhashed(s, d)
-    sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    // 4×9-bit + 3×8-bit disjoint bands covering all 60 bits.
+    val bandOffsets = Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
+    val bands = bandOffsets.zipWithIndex.map { case ((off, len), id) =>
+      struct(
+        lit(id).as("band_id"),
+        shiftright(col("simhash"), off)
+          .bitwiseAND(lit((1L << len) - 1))
+          .as("band_bits"))
+    }
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_id"), col("b.band_bits"))
+    banded
+      .as("x")
       .join(
-        sh.select(col("doc_id").as("b_id"), col("simhash").as("b_sim")),
-        col("a_id") < col("b_id"))
+        banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a_id"),
+        col("x.simhash").as("a_sim"),
+        col("y.doc_id").as("b_id"),
+        col("y.simhash").as("b_sim"))
+      .distinct()
       .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS BIGINT)"))
       .filter(col("hamming") <= SimhashMaxHamming)
       .select("a_id", "b_id", "hamming")
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
   }
 
   /** Embeddings with per-vector norm precomputed once (the norm inside
@@ -196,7 +238,7 @@ object PipelineQueries {
         round(expr("graft_dot(a_v, b_v)") / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cos") >= 0.45)
       .select("a_id", "b_id", "cos")
-      .orderBy("a_id", "b_id")
+      .transform(sortSmall(_, "a_id", "b_id"))
   }
 
   // ----------------------------------------------------------- similarity
@@ -220,7 +262,7 @@ object PipelineQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
-      .orderBy("query_id", "rank")
+      .transform(sortSmall(_, "query_id", "rank"))
   }
 
   /** LSH-bucketed ANN (the 100 TB scale path): random-hyperplane signature
@@ -245,51 +287,77 @@ object PipelineQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
-      .orderBy("query_id", "rank")
+      .transform(sortSmall(_, "query_id", "rank"))
   }
 
   // ------------------------------------------------------------- text ops
 
-  def qLangId(s: SparkSession, d: String): DataFrame =
+  /** Tokens are projected once through the codegen'd [[Tokens]]
+    * expression; the marker counts are then materialized in their own
+    * projection so the language CASE doesn't re-evaluate each filter. */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
     docs(s, d)
-      .select(col("doc_id"), TextFns.langId(col("text")).as("pred_lang"))
-      .orderBy("doc_id")
-
-  def qTextQuality(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+      .select(col("doc_id"), col("text"), expr("graft_tokens(text)").as("t"))
       .select(
         col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
-        round(TextFns.meanTokenLen(col("text")), 4).as("mean_token_len"),
+        col("text"),
+        TextFns.markerCount(col("t"), TextFns.EnMarkers).as("en"),
+        TextFns.markerCount(col("t"), TextFns.DeMarkers).as("de"),
+        TextFns.markerCount(col("t"), TextFns.FrMarkers).as("fr"),
+        TextFns.markerCount(col("t"), TextFns.EsMarkers).as("es"))
+      .select(
+        col("doc_id"),
+        when(regexp_count(col("text"), lit(TextFns.CjkPattern)) > 0, lit("zh"))
+          .when(greatest(col("en"), col("de"), col("fr"), col("es")) === 0, lit("und"))
+          .when(col("en") === greatest(col("en"), col("de"), col("fr"), col("es")), lit("en"))
+          .when(col("de") === greatest(col("en"), col("de"), col("fr"), col("es")), lit("de"))
+          .when(col("fr") === greatest(col("en"), col("de"), col("fr"), col("es")), lit("fr"))
+          .otherwise(lit("es"))
+          .as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    docs(s, d)
+      .select(col("doc_id"), col("text"), expr("graft_tokens(text)").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        round(TextFns.meanTokenLenFrom(col("t")), 4).as("mean_token_len"),
         round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextFns.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        round(TextFns.distinctTokenRatio(col("text")), 6).as("distinct_ratio"))
+        round(TextFns.stopwordRatioFrom(col("t")), 6).as("stopword_ratio"),
+        round(TextFns.distinctTokenRatioFrom(col("t")), 6).as("distinct_ratio"))
       .withColumn(
         "quality_ok",
         col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
           col("punct_ratio") < 0.1 && col("distinct_ratio") > 0.3)
       .orderBy("doc_id")
+  }
 
-  def qTokenCount(s: SparkSession, d: String): DataFrame =
+  def qTokenCount(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
     docs(s, d)
       .select(
         col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(expr("graft_tokens(text)")).cast("long").as("ws_tokens"),
         TextFns.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
+  }
 
   /** Shingle-hash document fingerprint: min-hash + xor-fold (order
-    * independent, so engine-portable). */
-  def qFingerprint(s: SparkSession, d: String): DataFrame = {
-    val hashes = transform(col("s"), x => Hashing.md5Long(x))
-    shingled(s, d)
-      .select(
-        col("doc_id"),
-        array_min(hashes).as("fp_min"),
-        aggregate(hashes, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"),
-        size(col("s")).cast("long").as("n_shingles"))
+    * independent, so engine-portable). Explode+aggregate rather than
+    * array HOFs: min/bit_xor get map-side partials and stay codegen'd. */
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d)
+      .withColumn("h", Hashing.md5Long(col("shingle")))
+      .groupBy("doc_id")
+      .agg(
+        min("h").as("fp_min"),
+        expr("bit_xor(h)").as("fp_xor"),
+        count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact _,
@@ -305,13 +373,14 @@ object PipelineQueries {
     "q_fingerprint" -> qFingerprint _
   )
 
-  private def duckMh(seed: Int) = Hashing.duckMd5LongSeeded(seed, "shingle")
-
   private val minhashCte = {
+    val a = Hashing.duckMd5Long("shingle")
+    val b = Hashing.duckMd5Long2("shingle")
     val perSeed = (0 until MinhashSeeds)
-      .map(i => s"min(${duckMh(i)}) AS mh$i")
+      .map(i => s"min(a + $i * b) AS mh$i")
       .mkString(", ")
-    s"""mh AS (SELECT doc_id, $perSeed FROM ex GROUP BY doc_id)"""
+    s"""mhx AS (SELECT doc_id, $a AS a, $b AS b FROM ex),
+       |mh AS (SELECT doc_id, $perSeed FROM mhx GROUP BY doc_id)""".stripMargin
   }
 
   private val bandCte = {
@@ -338,9 +407,10 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
     "q_dedup_ngram" ->
       s"""$ShingleCte,
+         |ngx AS (SELECT doc_id, sz, ${Hashing.duckMd5Long("shingle")} AS h FROM ex),
          |common AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
-         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM ngx a JOIN ngx b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4)
          |SELECT a_id, b_id, round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) AS jaccard
          |FROM common
