@@ -31,15 +31,27 @@ object EventOps {
     * per-segment row_number by (ts_us, event_id), timestamp := µs since
     * epoch. */
   def fromEvents(events: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy(col("event_type"), col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    events.select(
+    // Cast segment BEFORE the window: the window's hash partitioning on
+    // (space, segment) then satisfies every downstream
+    // groupBy(space, segment), so peek/status/chunks aggregate without a
+    // second exchange. (Windowing on the raw int user_id would partition
+    // on a different key than the string the aggregates group on.)
+    val base = events.select(
       col("event_type").as("space"),
       col("user_id").cast("string").as("segment"),
+      col("ts_us"),
+      col("event_id"),
+      col("props").as("payload"),
+      col("value"))
+    val w = Window
+      .partitionBy(col("space"), col("segment"))
+      .orderBy(col("ts_us"), col("event_id"))
+    base.select(
+      col("space"),
+      col("segment"),
       row_number().over(w).cast("long").as("sequence"),
       col("ts_us").as("timestamp"),
-      col("props").as("payload"),
+      col("payload"),
       col("value"))
   }
 
@@ -152,20 +164,18 @@ object EventOps {
   }
 
   /** Latest `(timestamp, segment, sequence)` position per space
-    * (reference GetSpaceOffset, pebble/service.go:152). */
-  def spaceOffsets(log: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy("space")
-      .orderBy(
-        col("timestamp").desc,
-        col("segment").desc,
-        col("sequence").desc)
+    * (reference GetSpaceOffset, pebble/service.go:152).
+    *
+    * `max(struct(...))` is lexicographic over the offset tuple — the same
+    * total order as the reference's space key — and runs as an
+    * aggregation with map-side partials: one row per space crosses the
+    * wire, vs. a full per-space window sort. */
+  def spaceOffsets(log: DataFrame): DataFrame =
     log
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("space", "timestamp", "segment", "sequence")
+      .groupBy("space")
+      .agg(max(struct(col("timestamp"), col("segment"), col("sequence"))).as("o"))
+      .select(col("space"), col("o.timestamp"), col("o.segment"), col("o.sequence"))
       .orderBy("space")
-  }
 
   /** Produce-side sequence-contiguity audit (the reference rejects any
     * record whose sequence != last+1, pebble/service.go:349): per segment,
