@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.{DotProduct, Tokens, WordShingles}
+
+/** Session-wide registration of graft's native Catalyst expressions —
+  * the standard library entry point:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * or programmatically
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Every function is also self-registered lazily by the operators that
+  * use it (see e.g. [[graft.functions.expressions.DotProduct.register]]),
+  * so the extension is a convenience for SQL users, not a hard
+  * dependency.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_dot"),
+        info(
+          "graft_dot",
+          "graft_dot(a, b) - dot product of two array<double> columns"),
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_tokens"),
+        info(
+          "graft_tokens",
+          "graft_tokens(text) - whitespace tokens, empties dropped"),
+        (exprs: Seq[Expression]) => Tokens(exprs(0))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_shingles"),
+        info(
+          "graft_shingles",
+          "graft_shingles(text, k) - distinct word k-shingles"),
+        (exprs: Seq[Expression]) =>
+          WordShingles(
+            exprs(0),
+            exprs(1).eval(null).asInstanceOf[Number].intValue())))
+  }
+}
