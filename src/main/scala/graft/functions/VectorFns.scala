@@ -2,42 +2,57 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.expressions.DotProduct
 
 /** Dense-vector column functions over `array<float>` embedding columns.
   *
-  * Implemented with `zip_with`/`aggregate` higher-order functions: the
-  * fold is sequential in array order, so double-precision results are
-  * bit-reproducible (and match a same-order DuckDB list fold).
+  * All dot products route through the codegen'd [[DotProduct]]
+  * expression. Its fold is sequential in array order, so double-precision
+  * results are bit-reproducible and match a same-order DuckDB list fold
+  * (`list_dot_product`).
   */
 object VectorFns {
 
-  /** Cast an array<float> to array<double> before arithmetic. */
-  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Widen an array<float> to array<double> (native element-wise cast —
+    * stays inside whole-stage codegen, unlike a `transform` lambda). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Codegen'd sequential-fold dot product. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** JVM twin of [[Hashing.md5Long]] for driver-side constants. */
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Component j of deterministic pseudo-random hyperplane i, in [-1, 1].
+    * Identical to the value the in-plan formulation derives from Spark's
+    * `md5("hp:i:j")`. */
+  private def hpComponent(i: Int, j: Int): Double =
+    md5Long(s"hp:$i:$j").toDouble / 5.764607523034235e17 - 1.0
+
   /** Signed random-hyperplane LSH bucket from `nBits` deterministic
-    * pseudo-random hyperplanes. Component j of plane i is derived from the
-    * portable hash family, mapped into [-1, 1]. */
-  def hyperplaneSignature(v: Column, nBits: Int): Column = {
+    * hyperplanes of dimension `dim`. The planes are *literal* arrays
+    * baked into the plan — per row the bucket costs nBits codegen'd dot
+    * products, instead of re-deriving every plane component from md5 on
+    * every row. */
+  def hyperplaneSignature(v: Column, nBits: Int, dim: Int = 64): Column = {
     val comps = (0 until nBits).map { i =>
-      val proj = aggregate(
-        zip_with(
-          v,
-          sequence(lit(0), size(v) - 1),
-          (x, j) =>
-            x * (Hashing
-              .md5Long(concat(lit(s"hp:$i:"), j.cast("string")))
-              .cast("double") / lit(5.764607523034235e17) - lit(1.0))),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      val plane = typedLit((0 until dim).map(j => hpComponent(i, j)))
+      when(dot(v, plane) > 0, lit(1L << i)).otherwise(0L)
     }
-    comps.reduce((a, b) => a + b)
+    comps.reduce(_ + _)
   }
 }

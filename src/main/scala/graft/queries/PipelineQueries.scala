@@ -220,12 +220,10 @@ object PipelineQueries {
     * the pair loop would otherwise be recomputed N times per vector).
     * Uses the codegen'd [[DotProduct]] expression — same sequential fold
     * as the oracle's list_dot_product, so bit-identical cosines. */
-  private def normedEmbs(s: SparkSession, dir: String): DataFrame = {
-    DotProduct.register(s)
+  private def normedEmbs(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-  }
+      .withColumn("nrm", VectorFns.norm(col("v")))
 
   def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
     val e = normedEmbs(s, d)
@@ -235,7 +233,7 @@ object PipelineQueries {
         col("a_id") < col("b_id"))
       .withColumn(
         "cos",
-        round(expr("graft_dot(a_v, b_v)") / (col("a_nrm") * col("b_nrm")), 6))
+        round(VectorFns.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cos") >= 0.45)
       .select("a_id", "b_id", "cos")
       .transform(sortSmall(_, "a_id", "b_id"))
@@ -258,7 +256,7 @@ object PipelineQueries {
       .join(c)
       .withColumn(
         "cos",
-        round(expr("graft_dot(q_v, c_v)") / (col("q_nrm") * col("c_nrm")), 6))
+        round(VectorFns.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -283,7 +281,7 @@ object PipelineQueries {
       .join(c, "bucket")
       .withColumn(
         "cos",
-        round(expr("graft_dot(q_v, c_v)") / (col("q_nrm") * col("c_nrm")), 6))
+        round(VectorFns.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
