@@ -288,6 +288,56 @@ object PipelineQueries {
       .transform(sortSmall(_, "query_id", "rank"))
   }
 
+  /** IVF ANN (the other 100 TB scale path): a broadcast coarse quantizer
+    * of `IvfCentroids` deterministic centroids (the first corpus
+    * vectors); every corpus vector is assigned to its argmax-cosine
+    * centroid once, queries probe their `IvfProbes` nearest centroid
+    * lists. Corpus cost is linear (corpus × K broadcast, no pair
+    * blowup); at cluster scale the assignment is the partitioning key.
+    * Approximate → no SQL oracle (rows-only check). */
+  val IvfCentroids = 8
+  val IvfProbes = 2
+
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = normedEmbs(s, d)
+    val cents = broadcast(
+      e.filter(col("vec_id") >= 10 && col("vec_id") < lit(10 + IvfCentroids))
+        .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm")))
+
+    def nearestCentroids(df: DataFrame, idCol: String, vCol: String, nrmCol: String, keep: Int) = {
+      val w = Window.partitionBy(idCol).orderBy(col("cent_sim").desc, col("cent_id"))
+      df.join(cents)
+        .withColumn(
+          "cent_sim",
+          VectorFns.dot(col(vCol), col("cent_v")) / (col(nrmCol) * col("cent_nrm")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= keep)
+        .drop("cent_v", "cent_nrm", "cent_sim", "cent_rank")
+    }
+
+    val q = nearestCentroids(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm")),
+      "query_id", "q_v", "q_nrm", IvfProbes)
+    val c = nearestCentroids(
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm")),
+      "neighbor_id", "c_v", "c_nrm", 1)
+
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(c, "cent_id")
+      .withColumn(
+        "cos",
+        round(VectorFns.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .transform(sortSmall(_, "query_id", "rank"))
+  }
+
   // ------------------------------------------------------------- text ops
 
   /** Tokens are projected once through the codegen'd [[Tokens]]
@@ -365,6 +415,7 @@ object PipelineQueries {
     "q_dedup_embed" -> qDedupEmbed _,
     "q_ann_topk" -> qAnnTopk _,
     "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_ivf" -> qAnnIvf _,
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,

@@ -56,6 +56,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN returns well-formed ranked lists whose cosines match brute force") {
+    val ivf = PipelineQueries.qAnnIvf(spark, SfDir).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(_.getLong(2) >= 10)) // no query returned as neighbor
+    }
+    // cosines agree with the brute-force query for the same (q, n) pairs
+    val bf = PipelineQueries
+      .qAnnTopk(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
   test("exact dedup keeps one id per distinct text") {
     val out = PipelineQueries.qDedupExact(spark, SfDir)
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
