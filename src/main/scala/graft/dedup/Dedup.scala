@@ -1,0 +1,242 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, VectorFns}
+import graft.functions.expressions.WordShingles
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Deduplication operators for document corpora — the parameterized
+  * library surface behind the `q_dedup_*` queries.
+  *
+  * Input contract: a DataFrame with an id column and a text column
+  * (embedding variants take an id + `array<float|double>` vector column).
+  * Every operator returns candidate duplicate pairs `(a_id, b_id, score)`
+  * with `a_id < b_id`, un-sorted — callers choose their own output order.
+  *
+  * Scale: candidate generation is always bounded (shingle-hash buckets,
+  * MinHash bands, SimHash bit-bands); nothing here is all-pairs except
+  * [[embeddingCosine]], which is the oracle-verifiable baseline — use
+  * [[graft.similarity.Ann]] buckets at corpus scale.
+  */
+object Dedup {
+
+  /** Distinct word k-shingles per doc: `(id, s array<string>)`, docs with
+    * ≥ 1 shingle. */
+  def shingled(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    docs
+      .select(
+        col(id),
+        ColumnBridge
+          .column(WordShingles(ColumnBridge.expression(col(text)), k))
+          .as("s"))
+      .filter(size(col("s")) > 0)
+
+  /** Exploded `(id, sz, shingle)` — sz is the doc's distinct-shingle
+    * count, carried for Jaccard denominators. */
+  def shingleRows(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    shingled(docs, id, text, k)
+      .select(
+        col(id),
+        size(col("s")).cast("long").as("sz"),
+        explode(col("s")).as("shingle"))
+
+  /** Exact duplicate groups by content hash: one row per distinct text
+    * with the kept (minimum) id and the group size. */
+  def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(text)).as("h"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Pairwise n-gram Jaccard ≥ `threshold` over shingle-bucket candidate
+    * pairs. The bucket join runs on the 60-bit shingle hash — an 8-byte
+    * shuffle key instead of the shingle string. */
+  def ngramJaccard(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val ex = shingleRows(docs, id, text, k)
+      .select(col(id), col("sz"), Hashing.md5Long(col("shingle")).as("h"))
+    val a = ex.select(col(id).as("a_id"), col("sz").as("a_sz"), col("h"))
+    val b = ex.select(col(id).as("b_id"), col("sz").as("b_sz"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("common"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("common").cast("double") /
+            (col("a_sz") + col("b_sz") - col("common")),
+          6))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash signatures `mh0..mh{numHashes-1}` per doc. One md5 digest
+    * per shingle row; the family is derived arithmetically as
+    * `h_i = a + i·b` (a 60-bit, b 40-bit digest slices — the sum stays
+    * < 2^61, overflow-safe in any int64 engine), then min-aggregated with
+    * map-side partials: one shuffle of one row per doc. `numHashes` ≤ 16
+    * keeps `i·b` < 2^44·16. */
+  def minhashSignatures(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      numHashes: Int): DataFrame = {
+    val ex = shingleRows(docs, id, text, k).select(
+      col(id),
+      Hashing.md5Long(col("shingle")).as("a"),
+      Hashing.md5Long2(col("shingle")).as("b"))
+    val mins = (0 until numHashes).map(i =>
+      min(col("a") + lit(i.toLong) * col("b")).as(s"mh$i"))
+    ex.groupBy(id).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup: `bands` band buckets (signature split evenly)
+    * generate candidates, exact Jaccard over the shingle sets verifies
+    * against `threshold`. */
+  def minhashLsh(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { j =>
+      val sig = (0 until rowsPerBand)
+        .map(r => col(s"mh${rowsPerBand * j + r}").cast("string"))
+      struct(
+        lit(j).as("band_id"),
+        Hashing
+          .md5Long(concat_ws(":", sig: _*))
+          .as("band_hash"))
+    }
+    val banded = minhashSignatures(docs, id, text, k, numHashes)
+      .select(col(id), explode(array(bandCols: _*)).as("b"))
+      .select(col(id), col("b.band_id"), col("b.band_hash"))
+    val cands = banded
+      .as("x")
+      .join(
+        banded.as("y"),
+        col(s"x.band_id") === col(s"y.band_id") &&
+          col(s"x.band_hash") === col(s"y.band_hash") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
+      .distinct()
+    val sh = shingled(docs, id, text, k)
+    cands
+      .join(sh.select(col(id).as("a_id"), col("s").as("a_s")), "a_id")
+      .join(sh.select(col(id).as("b_id"), col("s").as("b_s")), "b_id")
+      .withColumn(
+        "common",
+        size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("common").cast("double") /
+            (size(col("a_s")) + size(col("b_s")) - col("common")),
+          6))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Per-doc SimHash over whitespace tokens (with multiplicity), `bits`
+    * wide. One aggregation with `bits` bit-count columns instead of a
+    * bits× token explode: per bit j, `w_j = 2·ones_j − n`, so
+    * `w_j > 0 ⟺ 2·ones_j > n` — identical sign, single shuffle. */
+  def simhashSignatures(
+      tokens: DataFrame,
+      id: String,
+      tok: String,
+      bits: Int): DataFrame = {
+    val h = Hashing.md5Long(col(tok))
+    val ones = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"o$j"))
+    val aggs = count(lit(1)).as("n") +: ones
+    val simhash = (0 until bits)
+      .map(j => when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    tokens
+      .withColumn("h", h)
+      .groupBy(id)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(id), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup: pairs within `maxHamming`. Candidates come from
+    * `maxHamming + 1` disjoint bit-bands — by pigeonhole any pair within
+    * the radius agrees on at least one band, so the band equi-join is
+    * *exact*, replacing the O(n²) pair scan with a hash join. */
+  def simhashPairs(
+      simhashes: DataFrame,
+      id: String = "doc_id",
+      bits: Int = 60,
+      maxHamming: Int = 6): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = bits / nBands
+    val extra = bits % nBands // first `extra` bands get one more bit
+    val offsets = (0 until nBands).scanLeft(0) { (off, j) =>
+      off + base + (if (j < extra) 1 else 0)
+    }
+    val bands = (0 until nBands).map { j =>
+      val off = offsets(j)
+      val len = base + (if (j < extra) 1 else 0)
+      struct(
+        lit(j).as("band_id"),
+        shiftright(col("simhash"), off)
+          .bitwiseAND(lit((1L << len) - 1))
+          .as("band_bits"))
+    }
+    val banded = simhashes
+      .select(col(id), col("simhash"), explode(array(bands: _*)).as("b"))
+      .select(col(id), col("simhash"), col("b.band_id"), col("b.band_bits"))
+    banded
+      .as("x")
+      .join(
+        banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(
+        col(s"x.$id").as("a_id"),
+        col("x.simhash").as("a_sim"),
+        col(s"y.$id").as("b_id"),
+        col("y.simhash").as("b_sim"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** All-pairs embedding cosine ≥ `threshold` — the oracle-verifiable
+    * baseline. Vectors are normed once; the pair loop is the codegen'd
+    * dot product. Quadratic by construction: at corpus scale route
+    * through [[graft.similarity.Ann]] buckets instead. */
+  def embeddingCosine(
+      embs: DataFrame,
+      id: String = "vec_id",
+      vec: String = "v",
+      nrm: String = "nrm",
+      threshold: Double = 0.45): DataFrame =
+    embs
+      .select(col(id).as("a_id"), col(vec).as("a_v"), col(nrm).as("a_nrm"))
+      .join(
+        embs.select(col(id).as("b_id"), col(vec).as("b_v"), col(nrm).as("b_nrm")),
+        col("a_id") < col("b_id"))
+      .withColumn(
+        "cos",
+        round(
+          VectorFns.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")),
+          6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+}

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.functions.{Hashing, TextFns, VectorFns}
-import graft.functions.expressions.{DotProduct, Tokens, WordShingles}
+import graft.functions.expressions.Tokens
+import graft.similarity.Ann
 
 /** Training-data pipeline operators (SURVEY §2c): dedup, similarity
   * search, text analysis — each with a DuckDB oracle built on the shared
@@ -32,21 +34,6 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** (doc_id, s: array<string>) distinct word 3-shingles, docs with ≥3
-    * tokens (⟺ ≥1 shingle). Uses the codegen'd [[WordShingles]]
-    * expression — the HOF formulation was the measured hot spot. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    WordShingles.register(s)
-    docs(s, dir)
-      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("s"))
-      .filter(size(col("s")) > 0)
-  }
-
-  /** Exploded (doc_id, sz, shingle). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir)
-      .select(col("doc_id"), size(col("s")).cast("long").as("sz"), explode(col("s")).as("shingle"))
-
   private val ShingleCte =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents),
@@ -56,285 +43,95 @@ object PipelineQueries {
       |ex AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS shingle FROM sh)""".stripMargin
 
   // ---------------------------------------------------------------- dedup
+  // Thin bindings of graft.dedup.Dedup / graft.similarity.Ann to the
+  // driver's test tables — parameters fixed to the oracle's values, plus
+  // a deterministic output order. The operator logic lives in the
+  // library modules.
 
   def qDedupExact(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
-      .orderBy("h")
+    Dedup.exact(docs(s, d)).orderBy("h")
 
-  /** Pairwise Jaccard on word 3-shingles over shingle-bucket candidates.
-    * The bucket join runs on the 60-bit shingle hash, not the shingle
-    * string — an 8-byte shuffle key instead of a ~40-byte one (the oracle
-    * joins on the identical hash, so any collision affects both engines
-    * the same way). */
-  def qDedupNgram(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(s, d)
-      .select(col("doc_id"), col("sz"), Hashing.md5Long(col("shingle")).as("h"))
-    val a = ex.select(
-      col("doc_id").as("a_id"), col("sz").as("a_sz"), col("h"))
-    val b = ex.select(
-      col("doc_id").as("b_id"), col("sz").as("b_sz"), col("h"))
-    a.join(b, Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_sz", "b_sz")
-      .agg(count(lit(1)).as("common"))
-      .withColumn(
-        "jaccard",
-        round(
-          col("common").cast("double") /
-            (col("a_sz") + col("b_sz") - col("common")),
-          6))
-      .filter(col("jaccard") >= 0.8)
-      .select("a_id", "b_id", "jaccard")
+  def qDedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .ngramJaccard(docs(s, d), k = 3, threshold = 0.8)
       .transform(sortSmall(_, "a_id", "b_id"))
-  }
 
   val MinhashSeeds = 16
   val MinhashBands = 8 // 2 rows per band
 
-  /** MinHash signature columns mh0..mh15 per doc.
-    *
-    * One md5 digest per shingle row; the 16-member family is derived
-    * arithmetically as `h_i = a + i·b` (a: 60-bit, b: 40-bit slices of
-    * the digest — sum stays < 2^61, safe in both engines). The whole
-    * signature is then a single map-side-partial `min` aggregation: one
-    * shuffle of one row per doc, no distinct, no join. */
-  private def minhashed(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(s, dir).select(
-      col("doc_id"),
-      Hashing.md5Long(col("shingle")).as("a"),
-      Hashing.md5Long2(col("shingle")).as("b"))
-    val mins = (0 until MinhashSeeds).map(i =>
-      min(col("a") + lit(i.toLong) * col("b")).as(s"mh$i"))
-    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
-
-  /** MinHash + LSH near-dup: band buckets generate candidates; exact
-    * Jaccard verifies. The bucket join is the 100 TB path — candidates
-    * are bounded by band collisions, never all-pairs. */
-  def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val bands = (0 until MinhashBands).map { j =>
-      struct(
-        lit(j).as("band_id"),
-        Hashing
-          .md5Long(
-            concat(
-              col(s"mh${2 * j}").cast("string"),
-              lit(":"),
-              col(s"mh${2 * j + 1}").cast("string")))
-          .as("band_hash"))
-    }
-    val banded = minhashed(s, d)
-      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-    val cands = banded
-      .as("x")
-      .join(
-        banded.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val sh = shingled(s, d)
-    cands
-      .join(sh.select(col("doc_id").as("a_id"), col("s").as("a_s")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
-      .withColumn("common", size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        round(
-          col("common").cast("double") /
-            (size(col("a_s")) + size(col("b_s")) - col("common")),
-          6))
-      .filter(col("jaccard") >= 0.8)
-      .select("a_id", "b_id", "jaccard")
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .minhashLsh(
+        docs(s, d),
+        k = 3,
+        numHashes = MinhashSeeds,
+        bands = MinhashBands,
+        threshold = 0.8)
       .transform(sortSmall(_, "a_id", "b_id"))
-  }
 
   val SimhashBits = 60 // md5Long is a 60-bit hash
   val SimhashMaxHamming = 6
 
-  /** 60-bit SimHash per doc over whitespace tokens (with multiplicity).
-    *
-    * One aggregation with 60 bit-count columns instead of exploding every
-    * token 60× (which shuffles 60× the token count): per bit j,
-    * `w_j = 2·ones_j − n`, so `w_j > 0 ⟺ 2·ones_j > n` — identical sign,
-    * map-side partial aggregation, single shuffle of one row per doc. */
-  private def simhashed(s: SparkSession, dir: String): DataFrame = {
-    val ones = (0 until SimhashBits).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"o$j"))
-    val aggs = count(lit(1)).as("n") +: ones
-    val simhash = (0 until SimhashBits)
-      .map(j => when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    Tokens.register(s)
-    docs(s, dir)
-      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
-      .withColumn("h", Hashing.md5Long(col("tok")))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
-  }
-
-  /** Candidate generation via 7 disjoint bit-bands: any pair with
-    * hamming ≤ 6 agrees on at least one of 7 bands (pigeonhole), so the
-    * band equi-join is *exact* — same output as the all-pairs comparison
-    * the oracle runs, but a hash join on band values instead of an O(n²)
-    * nested-loop join. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sh = simhashed(s, d)
-    // 4×9-bit + 3×8-bit disjoint bands covering all 60 bits.
-    val bandOffsets = Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
-    val bands = bandOffsets.zipWithIndex.map { case ((off, len), id) =>
-      struct(
-        lit(id).as("band_id"),
-        shiftright(col("simhash"), off)
-          .bitwiseAND(lit((1L << len) - 1))
-          .as("band_bits"))
-    }
-    val banded = sh
-      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band_id"), col("b.band_bits"))
-    banded
-      .as("x")
-      .join(
-        banded.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_bits") === col("y.band_bits") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("a_id"),
-        col("x.simhash").as("a_sim"),
-        col("y.doc_id").as("b_id"),
-        col("y.simhash").as("b_sim"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS BIGINT)"))
-      .filter(col("hamming") <= SimhashMaxHamming)
-      .select("a_id", "b_id", "hamming")
+    Tokens.register(s)
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+    Dedup
+      .simhashPairs(
+        Dedup.simhashSignatures(toks, "doc_id", "tok", SimhashBits),
+        bits = SimhashBits,
+        maxHamming = SimhashMaxHamming)
       .transform(sortSmall(_, "a_id", "b_id"))
   }
 
-  /** Embeddings with per-vector norm precomputed once (the norm inside
-    * the pair loop would otherwise be recomputed N times per vector).
-    * Uses the codegen'd [[DotProduct]] expression — same sequential fold
-    * as the oracle's list_dot_product, so bit-identical cosines. */
+  /** Embeddings with per-vector norm precomputed once. */
   private def normedEmbs(s: SparkSession, dir: String): DataFrame =
-    embs(s, dir)
-      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorFns.norm(col("v")))
+    Ann.withNorm(
+      embs(s, dir)
+        .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v")),
+      "v")
 
-  def qDedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val e = normedEmbs(s, d)
-    e.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm"))
-      .join(
-        e.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm")),
-        col("a_id") < col("b_id"))
-      .withColumn(
-        "cos",
-        round(VectorFns.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")), 6))
-      .filter(col("cos") >= 0.45)
-      .select("a_id", "b_id", "cos")
+  def qDedupEmbed(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .embeddingCosine(normedEmbs(s, d), threshold = 0.45)
       .transform(sortSmall(_, "a_id", "b_id"))
-  }
 
   // ----------------------------------------------------------- similarity
 
-  /** Brute-force cosine top-k: first 10 vectors are the query set, the
-    * rest the corpus. Query side broadcast; rank via per-query window. */
-  def qAnnTopk(s: SparkSession, d: String): DataFrame = {
-    val e = normedEmbs(s, d)
-    val q = e.filter(col("vec_id") < 10)
+  private def querySide(s: SparkSession, d: String): DataFrame =
+    normedEmbs(s, d)
+      .filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
-    val c = e.filter(col("vec_id") >= 10)
+
+  private def corpusSide(s: SparkSession, d: String): DataFrame =
+    normedEmbs(s, d)
+      .filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q)
-      .join(c)
-      .withColumn(
-        "cos",
-        round(VectorFns.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id", "cos")
-      .transform(sortSmall(_, "query_id", "rank"))
-  }
 
-  /** LSH-bucketed ANN (the 100 TB scale path): random-hyperplane signature
-    * buckets, search within the query's bucket only. Approximate → no SQL
-    * oracle (rows-only check). */
-  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val nBits = 4
-    val e = normedEmbs(s, d)
-      .withColumn("bucket", VectorFns.hyperplaneSignature(col("v"), nBits))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"), col("bucket"))
-    val c = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"), col("bucket"))
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q)
-      .join(c, "bucket")
-      .withColumn(
-        "cos",
-        round(VectorFns.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id", "cos")
+  /** Brute-force cosine top-k: first 10 vectors are the query set, the
+    * rest the corpus. */
+  def qAnnTopk(s: SparkSession, d: String): DataFrame =
+    Ann
+      .bruteForceTopK(querySide(s, d), corpusSide(s, d), k = 5)
       .transform(sortSmall(_, "query_id", "rank"))
-  }
 
-  /** IVF ANN (the other 100 TB scale path): a broadcast coarse quantizer
-    * of `IvfCentroids` deterministic centroids (the first corpus
-    * vectors); every corpus vector is assigned to its argmax-cosine
-    * centroid once, queries probe their `IvfProbes` nearest centroid
-    * lists. Corpus cost is linear (corpus × K broadcast, no pair
-    * blowup); at cluster scale the assignment is the partitioning key.
-    * Approximate → no SQL oracle (rows-only check). */
+  /** LSH-bucketed ANN (scale path) — approximate, rows-only check. */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame =
+    Ann
+      .lshTopK(querySide(s, d), corpusSide(s, d), k = 5, nBits = 4)
+      .transform(sortSmall(_, "query_id", "rank"))
+
   val IvfCentroids = 8
   val IvfProbes = 2
 
+  /** IVF ANN (the other scale path) — approximate, rows-only check.
+    * Centroids: the first `IvfCentroids` corpus vectors. */
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = normedEmbs(s, d)
-    val cents = broadcast(
-      e.filter(col("vec_id") >= 10 && col("vec_id") < lit(10 + IvfCentroids))
-        .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm")))
-
-    def nearestCentroids(df: DataFrame, idCol: String, vCol: String, nrmCol: String, keep: Int) = {
-      val w = Window.partitionBy(idCol).orderBy(col("cent_sim").desc, col("cent_id"))
-      df.join(cents)
-        .withColumn(
-          "cent_sim",
-          VectorFns.dot(col(vCol), col("cent_v")) / (col(nrmCol) * col("cent_nrm")))
-        .withColumn("cent_rank", row_number().over(w))
-        .filter(col("cent_rank") <= keep)
-        .drop("cent_v", "cent_nrm", "cent_sim", "cent_rank")
-    }
-
-    val q = nearestCentroids(
-      e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm")),
-      "query_id", "q_v", "q_nrm", IvfProbes)
-    val c = nearestCentroids(
-      e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm")),
-      "neighbor_id", "c_v", "c_nrm", 1)
-
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q)
-      .join(c, "cent_id")
-      .withColumn(
-        "cos",
-        round(VectorFns.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    val cents = normedEmbs(s, d)
+      .filter(col("vec_id") >= 10 && col("vec_id") < lit(10 + IvfCentroids))
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+    Ann
+      .ivfTopK(querySide(s, d), corpusSide(s, d), cents, k = 5, nProbe = IvfProbes)
       .transform(sortSmall(_, "query_id", "rank"))
   }
 
@@ -398,7 +195,7 @@ object PipelineQueries {
     * independent, so engine-portable). Explode+aggregate rather than
     * array HOFs: min/bit_xor get map-side partials and stay codegen'd. */
   def qFingerprint(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
+    Dedup.shingleRows(docs(s, d), "doc_id", "text", 3)
       .withColumn("h", Hashing.md5Long(col("shingle")))
       .groupBy("doc_id")
       .agg(
