@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.VectorFns
+import graft.similarity.Ann
+
+/** The parameterized library API (graft.dedup / graft.similarity) under
+  * non-default parameters — the oracle-bound defaults are covered by
+  * PipelineSpec + the DuckDB gate. */
+class DedupAnnApiSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+  private lazy val embs = Ann.withNorm(
+    spark.read
+      .parquet(s"$SfDir/embeddings.parquet")
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v")),
+    "v")
+
+  test("ngramJaccard at k=2 finds at least the k=3 pairs at equal threshold") {
+    val k3 = Dedup.ngramJaccard(docs, k = 3, threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k2 = Dedup.ngramJaccard(docs, k = 2, threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shorter shingles are more permissive on near-identical docs
+    assert(k3.subsetOf(k2), s"missing: ${k3 diff k2}")
+    assert(k2.nonEmpty)
+  }
+
+  test("minhashLsh with 4 bands of 4 rows is a subset of 8 bands of 2") {
+    val loose = Dedup.minhashLsh(docs, numHashes = 16, bands = 8, threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strict = Dedup.minhashLsh(docs, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fewer, wider bands -> stricter candidate generation; verification
+    // keeps both ⊆ true-Jaccard pairs, so strict ⊆ loose
+    assert(strict.subsetOf(loose))
+  }
+
+  test("minhashLsh rejects bands that do not divide numHashes") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, numHashes = 16, bands = 5).collect()
+    }
+  }
+
+  test("simhashPairs banding is exact at a smaller radius") {
+    val toks = docs.select(
+      col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+    val sigs = Dedup.simhashSignatures(toks, "doc_id", "tok", bits = 60)
+    val r6 = Dedup.simhashPairs(sigs, bits = 60, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r3 = Dedup.simhashPairs(sigs, bits = 60, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(r3.toSet == r6.filter(_._3 <= 3).toSet)
+  }
+
+  test("embeddingCosine threshold is monotone") {
+    val lo = Dedup.embeddingCosine(embs, threshold = 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hi = Dedup.embeddingCosine(embs, threshold = 0.6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.subsetOf(lo))
+  }
+
+  test("bruteForceTopK k=3 is the prefix of k=5 per query") {
+    val q = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val c = embs.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val top5 = Ann.bruteForceTopK(q, c, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val top3 = Ann.bruteForceTopK(q, c, k = 3).collect()
+    assert(top3.nonEmpty)
+    top3.foreach { r =>
+      assert(top5((r.getLong(0), r.getLong(1))) == r.getLong(2))
+    }
+  }
+
+  test("ivfTopK with nProbe = all centroids equals brute force over assigned buckets") {
+    val q = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val c = embs.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cents = embs.filter(col("vec_id") >= 5 && col("vec_id") < 9)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+    // probing every centroid makes IVF exhaustive -> must equal brute force
+    val ivf = Ann.ivfTopK(q, c, cents, k = 5, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val bf = Ann.bruteForceTopK(q, c, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivf == bf)
+  }
+}
