@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the cases AQE's skew-join split does not
+  * cover: broadcast-infeasible joins against a hot-keyed build side, and
+  * aggregation state that map-side partials cannot shrink
+  * (`count_distinct` over a hot group).
+  *
+  * For algebraic aggregates (sum/count/min/max) salting is *not* needed —
+  * hash-aggregate partials already combine per input partition before the
+  * shuffle. Reach for these only when the shuffled state itself is the
+  * skew.
+  */
+object Skew {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Equi-join where `big` has hot keys and `small` is too large to
+    * broadcast: the big side is salted into `buckets` sub-keys (spreading
+    * each hot key over `buckets` reducers), the small side replicated
+    * `buckets`× so every sub-key finds its match. Result is identical to
+    * `big.join(small, keys, joinType)`.
+    *
+    * Supported joinType: inner / left (right/full would need the salt on
+    * the preserved side's null rows). */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(
+      Seq("inner", "left", "left_outer").contains(joinType),
+      s"unsupported salted join type: $joinType")
+    // Deterministic per-row salt from the input partition: rows of a hot
+    // key arriving on different input partitions land on different
+    // reducers. No data column needed, no rand() non-determinism.
+    val salted = big.withColumn(SaltCol, pmod(spark_partition_id(), lit(buckets)))
+    val replicated = small.withColumn(
+      SaltCol,
+      explode(array((0 until buckets).map(lit(_)): _*)))
+    salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+
+  /** `groupBy(keys).agg(count_distinct(value))` without a hot-group
+    * state: phase 1 distincts (keys, value) pairs — partials shrink the
+    * duplicates map-side — phase 2 counts per key. Identical result,
+    * skew spread over the (keys, value) space. */
+  def countDistinct(
+      df: DataFrame,
+      keys: Seq[String],
+      value: String,
+      resultName: String = "n_distinct"): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select((keyCols :+ col(value)): _*)
+      .distinct()
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as(resultName))
+  }
+}

@@ -103,6 +103,20 @@ object StreamLog {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries with the same content
+    * digest within the watermark horizon. State is one digest per unique
+    * payload, evicted as the watermark advances — bounded, unlike a
+    * naive `dropDuplicates` whose state grows forever. */
+  def dedupStream(
+      entries: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    entries
+      .withColumn("event_time", timestamp_micros(col("timestamp")))
+      .withColumn("content_hash", md5(col("payload")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("event_time", "content_hash")
+
   /** Produce pipeline: append each micro-batch of entry rows to the
     * parquet-backed log (partitioned by space, same layout as
     * [[EventLog]]). Returns a started query writing to `log.path/data`. */

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a hot-keyed fact") {
+    // hot key: 90% of rows share l_key = 1
+    val big = spark
+      .range(0, 10000)
+      .select(
+        when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val small = Seq((1L, "hot"), (11L, "a"), (23L, "b"), (999999L, "absent"))
+      .toDF("k", "name")
+
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), buckets = 8)
+      .select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedJoin left join preserves unmatched big-side rows") {
+    val big = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val small = Seq((1L, "m")).toDF("k", "w")
+    val out = Skew.saltedJoin(big, small, Seq("k"), buckets = 4, joinType = "left")
+    assert(out.count() == 2)
+    assert(out.filter(col("k") === 2 && col("w").isNull).count() == 1)
+  }
+
+  test("saltedJoin rejects right joins") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, Seq("k"), 4, joinType = "right")
+    }
+  }
+
+  test("two-phase countDistinct equals count_distinct") {
+    val df = spark
+      .range(0, 5000)
+      .select(
+        (col("id") % 7).as("g"),
+        (col("id") % 131).as("v"))
+    val expected = df
+      .groupBy("g")
+      .agg(count_distinct(col("v")).as("n_distinct"))
+    val actual = Skew.countDistinct(df, Seq("g"), "v")
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
+  }
+}

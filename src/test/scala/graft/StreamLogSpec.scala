@@ -94,6 +94,33 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered payloads within the watermark") {
+    val mem = entryStream()
+    val q = StreamLog
+      .dedupStream(mem.toDF(), watermark = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("deduped")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        InEntry("s0", "a", 1, 1000, "payload-A"),
+        InEntry("s0", "a", 2, 2000, "payload-A"), // duplicate content
+        InEntry("s0", "a", 3, 3000, "payload-B"))
+      q.processAllAvailable()
+      // same micro-batch duplicate dropped
+      assert(spark.sql("SELECT * FROM deduped").count() == 2)
+      // cross-batch duplicate within the watermark also dropped
+      mem.addData(InEntry("s0", "b", 1, 4000, "payload-B"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM deduped").count() == 2)
+      mem.addData(InEntry("s0", "b", 2, 5000, "payload-C"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM deduped").count() == 3)
+    } finally q.stop()
+  }
+
   test("appendSink lands micro-batches in the EventLog layout") {
     val dir = Files.createTempDirectory("graft-streamlog").toString
     val log = new EventLog(spark, dir)
