@@ -103,6 +103,38 @@ object StreamLog {
       }
   }
 
+  final case class ConsumerOffset(
+      space: String,
+      segment: String,
+      timestamp: Long,
+      sequence: Long)
+
+  /** Continuously-maintained consumer resume positions (the reference's
+    * ConsumerContext offset map, consumer_context.go): per (space,
+    * segment), the highest `(timestamp, sequence)` consumed so far.
+    * State is one offset per segment; each micro-batch emits the updated
+    * position (use OutputMode.Update). Feeding a stored position into
+    * [[graft.operators.EventOps.consumeSpaceFromOffset]] resumes the
+    * scan exactly after the last consumed entry. */
+  def consumerProgress(entries: Dataset[InEntry]): Dataset[ConsumerOffset] = {
+    import entries.sparkSession.implicits._
+    entries
+      .groupByKey(e => (e.space, e.segment))
+      .mapGroupsWithState[ConsumerOffset, ConsumerOffset](
+        GroupStateTimeout.NoTimeout()) {
+        case ((space, segment), rows, state: GroupState[ConsumerOffset]) =>
+          var cur = state.getOption
+            .getOrElse(ConsumerOffset(space, segment, 0L, 0L))
+          rows.foreach { e =>
+            if (e.timestamp > cur.timestamp ||
+              (e.timestamp == cur.timestamp && e.sequence > cur.sequence))
+              cur = ConsumerOffset(space, segment, e.timestamp, e.sequence)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries with the same content
     * digest within the watermark horizon. State is one digest per unique
     * payload, evicted as the watermark advances — bounded, unlike a

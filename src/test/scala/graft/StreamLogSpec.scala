@@ -94,6 +94,32 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("consumerProgress tracks resume offsets across micro-batches") {
+    import StreamLog.ConsumerOffset
+    val mem = entryStream()
+    val q = StreamLog
+      .consumerProgress(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("progress")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(InEntry("s0", "a", 1, 1000, "p"), InEntry("s0", "a", 2, 2000, "p"))
+      q.processAllAvailable()
+      mem.addData(
+        InEntry("s0", "a", 3, 2000, "p"), // same ts, higher seq
+        InEntry("s0", "b", 1, 500, "p"))
+      q.processAllAvailable()
+      val last = spark
+        .sql("""SELECT space, segment, max(timestamp) AS ts, max(sequence) AS seq
+               |FROM progress GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(last.toSeq == Seq(("s0", "a", 2000L, 3L), ("s0", "b", 500L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-delivered payloads within the watermark") {
     val mem = entryStream()
     val q = StreamLog
