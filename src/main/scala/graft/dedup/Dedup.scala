@@ -120,9 +120,15 @@ object Dedup {
           .md5Long(concat_ws(":", sig: _*))
           .as("band_hash"))
     }
+    // shuffle_hash: a broadcast band join would recompute the signature
+    // aggregation for the build side (Broadcast- and ShuffleExchange
+    // cannot reuse each other); shuffling both sides on the band key is
+    // also the only shape that survives when n_docs is too big to
+    // broadcast.
     val banded = minhashSignatures(docs, id, text, k, numHashes)
       .select(col(id), explode(array(bandCols: _*)).as("b"))
       .select(col(id), col("b.band_id"), col("b.band_hash"))
+      .hint("shuffle_hash")
     val cands = banded
       .as("x")
       .join(
@@ -196,9 +202,12 @@ object Dedup {
           .bitwiseAND(lit((1L << len) - 1))
           .as("band_bits"))
     }
+    // shuffle_hash for the same reason as in minhashLsh: no broadcast of
+    // a per-doc table, and both sides shuffle on the band key.
     val banded = simhashes
       .select(col(id), col("simhash"), explode(array(bands: _*)).as("b"))
       .select(col(id), col("simhash"), col("b.band_id"), col("b.band_bits"))
+      .hint("shuffle_hash")
     banded
       .as("x")
       .join(
