@@ -50,28 +50,54 @@ object Dedup {
       .groupBy(md5(col(text)).as("h"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Pairwise n-gram Jaccard ≥ `threshold` over shingle-bucket candidate
-    * pairs. The bucket join runs on the 60-bit shingle hash — an 8-byte
-    * shuffle key instead of the shingle string. */
+  /** Pairwise n-gram Jaccard ≥ `threshold` with prefix filtering
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07):
+    * under a global shingle order, any pair with `J(A,B) ≥ t` shares a
+    * shingle within the first `|A| − ⌈t·|A|⌉ + 1` shingles of each side —
+    * so only those *prefix* rows enter the candidate join (~(1−t) of the
+    * corpus per side, squaring the saving on the pair count), and exact
+    * Jaccard over the full shingle sets verifies. Exact, not
+    * approximate. The join key is the 60-bit shingle hash (8-byte
+    * shuffle key), which also serves as the global order. */
   def ngramJaccard(
       docs: DataFrame,
       id: String = "doc_id",
       text: String = "text",
       k: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val ex = shingleRows(docs, id, text, k)
-      .select(col(id), col("sz"), Hashing.md5Long(col("shingle")).as("h"))
-    val a = ex.select(col(id).as("a_id"), col("sz").as("a_sz"), col("h"))
-    val b = ex.select(col(id).as("b_id"), col("sz").as("b_sz"), col("h"))
-    a.join(b, Seq("h"))
+    val sh = shingled(docs, id, text, k)
+    val ex = sh
+      .select(col(id), size(col("s")).as("sz"), explode(col("s")).as("shingle"))
+      .select(
+        col(id),
+        col("sz"),
+        col("shingle"),
+        Hashing.md5Long(col("shingle")).as("h"))
+    // prefix length: sz - ceil(t*sz) + 1 smallest shingles of each doc.
+    // The order must be one consistent global order across docs, so ties
+    // on h (possible only under a 60-bit collision) break on the string.
+    val w = Window.partitionBy(id).orderBy("h", "shingle")
+    val prefix = ex
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col(id), col("h"))
+    val cands = prefix
+      .select(col(id).as("a_id"), col("h"))
+      .join(prefix.select(col(id).as("b_id"), col("h")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_sz", "b_sz")
-      .agg(count(lit(1)).as("common"))
+      .select("a_id", "b_id")
+      .distinct()
+    cands
+      .join(sh.select(col(id).as("a_id"), col("s").as("a_s")), "a_id")
+      .join(sh.select(col(id).as("b_id"), col("s").as("b_s")), "b_id")
+      .withColumn(
+        "common",
+        size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
       .withColumn(
         "jaccard",
         round(
           col("common").cast("double") /
-            (col("a_sz") + col("b_sz") - col("common")),
+            (size(col("a_s")) + size(col("b_s")) - col("common")),
           6))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
