@@ -25,6 +25,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // local single-file tables: smaller splits so the scan stage uses
+      // the cores (the 128m default gives these files 1-3 tasks). A real
+      // cluster against TB-scale inputs keeps the default.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
