@@ -103,6 +103,29 @@ object StreamLog {
       }
   }
 
+  /** Event-time sessionization with a gap timeout — the streaming twin
+    * of the batch gap-sessionize operator, on Spark's native
+    * `session_window` (state merges adjacent windows and closes a
+    * session `gap` after its last event, bounded by the watermark). */
+  def sessionWindows(
+      entries: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 minute"): DataFrame =
+    entries
+      .withColumn("event_time", timestamp_micros(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        session_window(col("event_time"), gap),
+        col("space"),
+        col("segment"))
+      .agg(count(lit(1)).as("n_entries"))
+      .select(
+        col("space"),
+        col("segment"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_entries"))
+
   final case class ConsumerOffset(
       space: String,
       segment: String,

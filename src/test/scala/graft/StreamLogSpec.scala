@@ -94,6 +94,30 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows closes a session after the gap") {
+    val mem = entryStream()
+    val q = StreamLog
+      .sessionWindows(mem.toDF(), gap = "30 minutes", watermark = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("complete")
+      .start()
+    try {
+      val m = 60L * 1000000L // one minute in µs
+      mem.addData(
+        InEntry("s0", "a", 1, 0, "p"),
+        InEntry("s0", "a", 2, 10 * m, "p"), // same session (10 < 30 min gap)
+        InEntry("s0", "a", 3, 50 * m, "p")) // new session (40 min gap)
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT session_start_us, n_entries FROM sessions ORDER BY 1")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((0L, 2L), (50 * m, 1L)))
+    } finally q.stop()
+  }
+
   test("consumerProgress tracks resume offsets across micro-batches") {
     import StreamLog.ConsumerOffset
     val mem = entryStream()
