@@ -58,6 +58,20 @@ object Multimodal {
       val n = 1 + (a.content.length / math.max(everyN, 1)).toInt.min(16)
       (0 until n).iterator.map(i => Frame(a.asset_id, i, s"$d:$i"))
     }
+
+    /** ??? real resampler goes here; the stub deterministically
+      * truncates the payload proportionally to the target area and
+      * stamps the new dimensions into the metadata. */
+    def resizeImage(a: Asset, w: Int, h: Int): Asset = {
+      val src = decodeImage(a)
+      val ratio = math.min(
+        1.0,
+        (w.toLong * h).toDouble / (src.width.toLong * src.height))
+      val n = math.max(1, (a.content.length * ratio).toInt)
+      a.copy(
+        content = java.util.Arrays.copyOf(a.content, n),
+        meta = a.meta ++ Map("width" -> w.toString, "height" -> h.toString))
+    }
   }
 
   /** Build a demo asset table from the documents corpus (text bytes as
@@ -97,6 +111,15 @@ object Multimodal {
     assets
       .filter(_.kind == "video")
       .mapPartitions(it => it.flatMap(StubCodec.sampleFrames(_, everyN)))
+  }
+
+  /** Partition-local image resize: binary in, binary out, metadata
+    * updated — the asset stays an opaque payload through the plan. */
+  def resizeImages(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(_.kind == "image")
+      .mapPartitions(it => it.map(StubCodec.resizeImage(_, w, h)))
   }
 
   /** Column-only metadata path (no codec): digest + size per asset —

@@ -28,6 +28,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_index >= 0))
   }
 
+  test("resizeImages keeps payloads opaque and stamps target dimensions") {
+    val resized = Multimodal.resizeImages(assets, 32, 32).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.kind == "image"))
+    assert(resized.forall(a =>
+      a.meta("width") == "32" && a.meta("height") == "32"))
+    assert(resized.forall(_.content.nonEmpty))
+    // deterministic: same input -> same output bytes
+    val again = Multimodal.resizeImages(assets, 32, 32).collect()
+    def canon(as: Array[Multimodal.Asset]) =
+      as.map(a => (a.asset_id, a.content.toSeq)).sortBy(_._1).toSeq
+    assert(canon(resized) == canon(again))
+  }
+
   test("assetStats aggregates per kind without leaving codegen") {
     val stats = Multimodal.assetStats(assets.toDF()).collect()
     assert(stats.map(_.getString(0)).toSet == Set("image", "audio", "video"))
