@@ -40,14 +40,15 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
 
-    // Two full passes over the query set, best-of per query: a single
+    // Three full passes over the query set, best-of per query: a single
     // run pays per-plan codegen + JIT warmth (which rivals execution
     // time at this data size), and the host VM shows multi-second
     // noisy-neighbor windows — interleaving the passes keeps one bad
-    // window from covering both runs of the same query.
+    // window from covering every run of the same query.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = Headline.filter(SparkEntry.queries.contains)
     val times = Array.fill(names.size)(Double.MaxValue)
-    for (_ <- 1 to 2; (name, i) <- names.zipWithIndex) {
+    for (_ <- 1 to passes; (name, i) <- names.zipWithIndex) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
