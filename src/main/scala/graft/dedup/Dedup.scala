@@ -73,11 +73,15 @@ object Dedup {
         col("sz"),
         col("shingle"),
         Hashing.md5Long(col("shingle")).as("h"))
-    // prefix length: sz - ceil(t*sz) + 1 smallest shingles of each doc.
-    // The order must be one consistent global order across docs, so ties
-    // on h (possible only under a 60-bit collision) break on the string.
-    val w = Window.partitionBy(id).orderBy("h", "shingle")
+    // prefix length: the sz - ceil(t*sz) + 1 globally-RAREST shingles of
+    // each doc (AllPairs' document-frequency order): rare shingles make
+    // small candidate buckets, so the prefix join output stays minimal.
+    // (f, h, shingle) is a consistent global order across docs — f and h
+    // are functions of the shingle; ties break on the string.
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(id).orderBy("f", "h", "shingle")
     val prefix = ex
+      .join(freq, "h")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col(id), col("h"))
