@@ -139,6 +139,30 @@ object EventOps {
               (col("segment") === seg && col("sequence") > seq))))
       .orderBy("timestamp", "segment", "sequence")
 
+  /** Offset-resume combined with time bounds — the reference's
+    * EnumerateSpace (pebble/service.go:165): scan one space strictly
+    * after `(ts, seg, seq)` and within `(minTimestamp, maxTimestamp]`.
+    * (EnumerateSegment is [[consumeSegment]] — it already composes
+    * sequence and time bounds.) */
+  def enumerateSpace(
+      log: DataFrame,
+      space: String,
+      offset: Option[(Long, String, Long)],
+      minTimestamp: Long = 0L,
+      maxTimestamp: Long = 0L): DataFrame = {
+    var df = log.filter(col("space") === space)
+    offset.foreach { case (ts, seg, seq) =>
+      df = df.filter(
+        col("timestamp") > ts ||
+          (col("timestamp") === ts &&
+            (col("segment") > seg ||
+              (col("segment") === seg && col("sequence") > seq))))
+    }
+    if (minTimestamp > 0) df = df.filter(col("timestamp") > minTimestamp)
+    if (maxTimestamp > 0) df = df.filter(col("timestamp") <= maxTimestamp)
+    df.orderBy("timestamp", "segment", "sequence")
+  }
+
   /** Multi-space interleave with independent per-space offsets (reference
     * Consume, pebble/service.go:397). Offsets are exclusive; `None` means
     * from the beginning. Deterministic global order `(timestamp, space,

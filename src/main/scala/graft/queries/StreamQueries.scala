@@ -52,6 +52,12 @@ object StreamQueries {
           "click" -> Some((T1, "50", 3)),
           "view" -> None,
           "error" -> None))),
+    "q_enumerate_space" -> ((s, d) =>
+      EventOps.enumerateSpace(
+        log(s, d),
+        "view",
+        offset = Some((T1, "50", 3)),
+        maxTimestamp = T2)),
     "q_offsets" -> ((s, d) => EventOps.spaceOffsets(log(s, d))),
     "q_produce_validate" -> ((s, d) =>
       EventOps.sequenceViolations(
@@ -100,6 +106,11 @@ object StreamQueries {
          |SELECT * FROM log
          |WHERE (space = 'click' AND $offsetPredicate) OR space IN ('view', 'error')
          |ORDER BY "timestamp", space, segment, sequence""".stripMargin,
+    "q_enumerate_space" ->
+      s"""$LogCte
+         |SELECT * FROM log
+         |WHERE space = 'view' AND $offsetPredicate AND "timestamp" <= $T2
+         |ORDER BY "timestamp", segment, sequence""".stripMargin,
     "q_offsets" ->
       s"""$LogCte
          |SELECT space, "timestamp", segment, sequence FROM log
