@@ -163,4 +163,46 @@ final class EventLog(val spark: SparkSession, val path: String) {
     EventOps.consume(load(), offsets)
 
   def spaceOffsets(): DataFrame = EventOps.spaceOffsets(load())
+
+  /** Anti-entropy catch-up from a peer log (reference: Synchronize /
+    * SynchronizeSpace / SynchronizeSegment, pebble/service.go:532):
+    * append every entry the peer holds beyond this log's per-segment
+    * high-water marks. Runs as one distributed plan — the peer's
+    * entries join (broadcast) against this log's per-segment max
+    * sequences; only the missing tail is written. Returns the number of
+    * entries pulled. Idempotent: a second call pulls 0. */
+  def synchronize(remote: EventLog, space: Option[String] = None, segment: Option[String] = None): Long = {
+    var remoteDf = remote.load()
+    space.foreach(sp => remoteDf = remoteDf.filter(col("space") === sp))
+    segment.foreach(sg => remoteDf = remoteDf.filter(col("segment") === sg))
+    if (remoteDf.isEmpty) return 0L
+
+    val localHw =
+      if (isEmpty) null
+      else
+        load()
+          .groupBy(col("space").as("hw_space"), col("segment").as("hw_segment"))
+          .agg(max("sequence").as("hw_seq"))
+    val missing =
+      if (localHw == null) remoteDf
+      else
+        remoteDf
+          .join(
+            broadcast(localHw),
+            col("space") === col("hw_space") && col("segment") === col("hw_segment"),
+            "left")
+          .filter(col("hw_seq").isNull || col("sequence") > col("hw_seq"))
+          .drop("hw_space", "hw_segment", "hw_seq")
+
+    val toWrite = missing.cache()
+    try {
+      val n = toWrite.count()
+      if (n > 0)
+        toWrite.write
+          .mode(SaveMode.Append)
+          .partitionBy("space")
+          .parquet(dataDir)
+      n
+    } finally toWrite.unpersist()
+  }
 }

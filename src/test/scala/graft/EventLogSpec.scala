@@ -60,6 +60,22 @@ class EventLogSpec extends SparkSpec {
     assert(all.count() == 60)
   }
 
+  test("synchronize pulls only the missing tail from a peer, idempotently") {
+    val a = freshLog()
+    val b = freshLog()
+    a.produce("s0", "seg0", records(1, 10), 1000L)
+    a.produce("s1", "segX", records(1, 4), 1000L)
+    b.produce("s0", "seg0", records(1, 6), 1000L) // prefix of a
+    assert(b.synchronize(a) == 8L) // 4 tail entries of s0/seg0 + all 4 of s1
+    assert(b.consumeSegment("s0", "seg0").count() == 10L)
+    assert(b.peek("s1", "segX").get.sequence == 4L)
+    assert(b.synchronize(a) == 0L) // idempotent
+    // scoped variant: only one space
+    val c = freshLog()
+    assert(c.synchronize(a, space = Some("s1")) == 4L)
+    assert(c.getSpaces().collect().map(_.getString(0)).toSeq == Seq("s1"))
+  }
+
   test("TxnLog: staged writes are invisible until commit; rollback drops them") {
     val log = freshLog()
     val txn = new TxnLog(log)
