@@ -41,3 +41,8 @@ final case class SpaceOffset(timestamp: Long, segment: String, sequence: Long)
 
 /** A position in a single segment (reference: server/messages.go:76-78). */
 final case class SegmentOffset(sequence: Long)
+
+/** Execution-cluster health (reference GetClusterStatus,
+  * pebble/service.go:139 — active node count; on Spark the execution
+  * nodes are the executors). */
+final case class ClusterStatus(activeNodes: Int, defaultParallelism: Int)

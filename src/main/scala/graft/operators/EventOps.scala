@@ -223,6 +223,14 @@ object EventOps {
       .orderBy("space", "segment")
   }
 
+  /** Active execution nodes + parallelism (reference GetClusterStatus,
+    * pebble/service.go:139). Executor block managers minus the driver;
+    * local mode reports 1. */
+  def clusterStatus(spark: SparkSession): graft.model.ClusterStatus = {
+    val n = math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1)
+    graft.model.ClusterStatus(n, spark.sparkContext.defaultParallelism)
+  }
+
   /** Chunk each segment into fixed-size transactions and emit one
     * SegmentStatus per chunk — the reference's 10k-entry produce chunking
     * (pebble/service.go:307). */

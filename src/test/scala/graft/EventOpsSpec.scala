@@ -24,6 +24,12 @@ class EventOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("clusterStatus reports at least one active node and the parallelism") {
+    val cs = EventOps.clusterStatus(spark)
+    assert(cs.activeNodes >= 1)
+    assert(cs.defaultParallelism >= 1)
+  }
+
   test("getSpaces returns sorted distinct spaces") {
     val spaces = EventOps.getSpaces(log).collect().map(_.getString(0))
     assert(spaces.sorted.sameElements(spaces))
