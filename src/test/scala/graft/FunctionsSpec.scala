@@ -26,6 +26,31 @@ class FunctionsSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[String]].isEmpty)
   }
 
+  test("native Tokens/WordShingles expressions handle edge inputs") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.expressions.{Tokens, WordShingles}
+    def toks(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(Tokens(ColumnBridge.expression(c)))
+    def shingles(c: org.apache.spark.sql.Column, k: Int) =
+      ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
+
+    assert(eval(toks(lit(""))).asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(eval(toks(lit("   "))).asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(eval(toks(lit(" a  b "))).asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("a", "b"))
+    assert(eval(toks(lit(null).cast("string"))) == null)
+
+    assert(eval(shingles(lit(""), 3)).asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(eval(shingles(lit("a b"), 3)).asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(eval(shingles(lit("x y x y x"), 2)).asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("x y", "y x")) // first-occurrence distinct
+    assert(eval(shingles(lit(null).cast("string"), 3)) == null)
+    // matches the HOF formulation on a normal doc
+    assert(eval(shingles(lit("a b c d"), 3)).asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      eval(TextFns.wordShingles(split(lit("a b c d"), " "), 3))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq)
+  }
+
   test("langId marker heuristic with CJK override") {
     assert(eval(TextFns.langId(lit("the cat and the dog is of to"))) == "en")
     assert(eval(TextFns.langId(lit("der hund und die katze nicht"))) == "de")
