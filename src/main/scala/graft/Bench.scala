@@ -55,7 +55,42 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       times(i) = math.min(times(i), (System.nanoTime() - t0) / 1e9)
     }
-    val results = names.zip(times)
+    // Storage-layer throughput (the reference is an event store — its
+    // core metric is produce/consume, not just the query layer): produce
+    // 100k records into a fresh space-partitioned log, then consume the
+    // segment and the space back. Fresh directory per pass (produce is
+    // stateful), best-of reported like the queries.
+    val storeNames = Seq("store_produce_100k", "store_consume_segment", "store_consume_space")
+    val storeTimes = Array.fill(storeNames.size)(Double.MaxValue)
+    for (_ <- 1 to passes) {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-log").toString
+      val log = new graft.log.EventLog(spark, dir)
+      val recs = spark
+        .range(1, 100001)
+        .select(
+          org.apache.spark.sql.functions.col("id").as("sequence"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("payload-"),
+            org.apache.spark.sql.functions.col("id")).as("payload"),
+          org.apache.spark.sql.functions.typedLit(Map.empty[String, String]).as("metadata"))
+        .as[graft.model.Record]
+      val t0 = System.nanoTime()
+      log.produce("bench", "seg0", recs, 1000000L)
+      storeTimes(0) = math.min(storeTimes(0), (System.nanoTime() - t0) / 1e9)
+      val t1 = System.nanoTime()
+      log.consumeSegment("bench", "seg0").write.format("noop").mode("overwrite").save()
+      storeTimes(1) = math.min(storeTimes(1), (System.nanoTime() - t1) / 1e9)
+      val t2 = System.nanoTime()
+      log.consumeSpace("bench").write.format("noop").mode("overwrite").save()
+      storeTimes(2) = math.min(storeTimes(2), (System.nanoTime() - t2) / 1e9)
+      java.nio.file.Files
+        .walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+
+    val results = names.zip(times) ++ storeNames.zip(storeTimes)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
