@@ -85,9 +85,9 @@ final class EventLog(val spark: SparkSession, val path: String) {
       .partitionBy("space")
       .parquet(dataDir)
 
-    load()
-      .filter(col("space") === space && col("segment") === segment &&
-        col("sequence") >= lo)
+    // Per-chunk statuses from the batch plan itself — never from a log
+    // readback: a produce must stay O(batch), not O(segment history).
+    entries
       .groupBy("trxNumber")
       .agg(
         min("sequence").as("firstSequence"),
