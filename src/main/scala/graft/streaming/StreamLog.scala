@@ -172,6 +172,21 @@ object StreamLog {
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("event_time", "content_hash")
 
+  /** Live subscription to a stored [[EventLog]]: a streaming DataFrame
+    * of entries as they are committed (file-based tailing of the
+    * space-partitioned log directory — the reference's
+    * SubscribeToSpace/Segment push model re-expressed as a readStream;
+    * feed it into [[segmentStatuses]] for the notification feed, or
+    * filter by space/segment for a scoped subscription). */
+  def follow(spark: SparkSession, log: EventLog): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val dataDir = s"${log.path}/data"
+    spark.readStream
+      .schema(Encoders.product[graft.model.Entry].schema)
+      .option("basePath", dataDir)
+      .parquet(dataDir)
+  }
+
   /** Produce pipeline: append each micro-batch of entry rows to the
     * parquet-backed log (partitioned by space, same layout as
     * [[EventLog]]). Returns a started query writing to `log.path/data`. */

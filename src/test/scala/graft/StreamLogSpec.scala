@@ -171,6 +171,32 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("follow tails a stored log as entries are produced") {
+    import graft.model.Record
+    val dir = Files.createTempDirectory("graft-follow").toString
+    val log = new EventLog(spark, dir)
+    log.produce("s0", "a", spark.createDataset(Seq(Record(1, "p1"), Record(2, "p2"))), 1000L)
+    val q = StreamLog
+      .follow(spark, log)
+      .writeStream
+      .format("memory")
+      .queryName("followed")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM followed").count() == 2)
+      // live tail: a later produce shows up without restarting the query
+      log.produce("s0", "a", spark.createDataset(Seq(Record(3, "p3"))), 2000L)
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT space, segment, sequence FROM followed ORDER BY sequence")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(("s0", "a", 1L), ("s0", "a", 2L), ("s0", "a", 3L)))
+    } finally q.stop()
+  }
+
   test("appendSink lands micro-batches in the EventLog layout") {
     val dir = Files.createTempDirectory("graft-streamlog").toString
     val log = new EventLog(spark, dir)
