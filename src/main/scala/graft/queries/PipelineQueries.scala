@@ -181,6 +181,22 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary head: top-20 tokens by document frequency (ties
+    * by token). Two-phase: distinct (doc, tok) pairs shrink map-side
+    * before the df count — the [[graft.operators.Skew]] countDistinct
+    * shape, since token frequency is exactly the skewed case. */
+  def qVocabTopk(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val pairs = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+    val tf = pairs.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val df = pairs.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(df, "tok")
+      .orderBy(col("df").desc, col("tok"))
+      .limit(20)
+      .select("tok", "tf", "df")
+  }
+
   def qTokenCount(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
     docs(s, d)
@@ -216,6 +232,7 @@ object PipelineQueries {
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
+    "q_vocab_topk" -> qVocabTopk _,
     "q_fingerprint" -> qFingerprint _
   )
 
@@ -350,6 +367,12 @@ object PipelineQueries {
          |  FROM t)
          |SELECT *, (n_tokens >= 10 AND n_tokens <= 1000 AND punct_ratio < 0.1 AND distinct_ratio > 0.3) AS quality_ok
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
