@@ -1,0 +1,69 @@
+package graft
+
+/** Plan-shape regression guards: the structural properties SURVEY §5
+  * promises, asserted on the optimized physical plans. These catch
+  * silent regressions (an extra shuffle, a lost pushdown, a lost
+  * broadcast) that row-level correctness tests cannot see. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry
+      .queries(name)(spark, SfDir)
+      .queryExecution
+      .executedPlan
+      .toString
+
+  private def count(p: String, token: String): Int =
+    p.sliding(token.length).count(_ == token)
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q3_join broadcasts both dimension sides") {
+    val p = plan("q3_join")
+    assert(count(p, "BroadcastHashJoin") == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q5_join broadcasts every dimension (five broadcast joins)") {
+    val p = plan("q5_join")
+    assert(count(p, "BroadcastHashJoin") == 5)
+  }
+
+  test("q_peek aggregates off the sequence window's partitioning (2 exchanges total)") {
+    val p = plan("q_peek")
+    // one exchange for the (space, segment) window, one for the output
+    // order — the aggregate must NOT add a third
+    assert(count(p, "+- Exchange") + count(p, "- Exchange hash") <= 3)
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_segment_status adds no exchange beyond the window + output sort") {
+    val p = plan("q_segment_status")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_topk_per_group gets WindowGroupLimit pushdown") {
+    val p = plan("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q_consume_segment pushes the space filter to the scan") {
+    val p = plan("q_consume_segment")
+    assert(p.contains("EqualTo(event_type,click)"))
+  }
+
+  test("q_ann_topk broadcasts the query side, never the corpus") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // corpus side read with the vec_id >= 10 filter pushed
+    assert(p.contains("GreaterThanOrEqual(vec_id,10)"))
+  }
+
+  test("dedup band joins are shuffle-hash, not broadcast") {
+    val p = plan("q_dedup_simhash")
+    assert(p.contains("ShuffledHashJoin"))
+  }
+}
