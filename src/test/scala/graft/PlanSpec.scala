@@ -6,12 +6,16 @@ package graft
   * broadcast) that row-level correctness tests cannot see. */
 class PlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // other suites cache intermediate DataFrames; a cached subtree would
+    // replace the scans these assertions inspect
+    spark.catalog.clearCache()
     SparkEntry
       .queries(name)(spark, SfDir)
       .queryExecution
       .executedPlan
       .toString
+  }
 
   private def count(p: String, token: String): Int =
     p.sliding(token.length).count(_ == token)
