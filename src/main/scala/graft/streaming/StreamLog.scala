@@ -103,6 +103,42 @@ object StreamLog {
       }
   }
 
+  /** Stream-stream interval join: correlate the entries of two spaces
+    * on `segment`, pairing each left entry with right entries whose
+    * event time falls within `[left - within, left + within]`. Both
+    * sides carry watermarks so Spark bounds the join state (the
+    * streaming analog of the batch as-of/range join). */
+  def correlate(
+      left: DataFrame,
+      right: DataFrame,
+      within: String = "30 minutes",
+      watermark: String = "1 minute"): DataFrame = {
+    val l = left
+      .withColumn("l_time", timestamp_micros(col("timestamp")))
+      .withWatermark("l_time", watermark)
+      .select(
+        col("space").as("l_space"),
+        col("segment"),
+        col("sequence").as("l_sequence"),
+        col("l_time"),
+        col("payload").as("l_payload"))
+    val r = right
+      .withColumn("r_time", timestamp_micros(col("timestamp")))
+      .withWatermark("r_time", watermark)
+      .select(
+        col("space").as("r_space"),
+        col("segment").as("r_segment"),
+        col("sequence").as("r_sequence"),
+        col("r_time"),
+        col("payload").as("r_payload"))
+    l.join(
+      r,
+      col("segment") === col("r_segment") &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $within") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $within"))
+      .drop("r_segment")
+  }
+
   /** Event-time sessionization with a gap timeout — the streaming twin
     * of the batch gap-sessionize operator, on Spark's native
     * `session_window` (state merges adjacent windows and closes a

@@ -94,6 +94,32 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlate joins two streams within the time interval, state bounded by watermarks") {
+    val clicks = entryStream()
+    val views = entryStream()
+    val q = StreamLog
+      .correlate(clicks.toDF(), views.toDF(), within = "30 minutes", watermark = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("correlated")
+      .outputMode("append")
+      .start()
+    try {
+      val m = 60L * 1000000L
+      views.addData(
+        InEntry("view", "u1", 1, 10 * m, "v1"),
+        InEntry("view", "u1", 2, 100 * m, "v2"), // outside ±30min of the click
+        InEntry("view", "u2", 1, 12 * m, "v3")) // other segment
+      clicks.addData(InEntry("click", "u1", 1, 20 * m, "c1"))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT l_payload, r_payload FROM correlated ORDER BY r_payload")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(rows.toSeq == Seq(("c1", "v1")))
+    } finally q.stop()
+  }
+
   test("sessionWindows closes a session after the gap") {
     val mem = entryStream()
     val q = StreamLog
