@@ -132,6 +132,26 @@ object OlapQueries {
         round(sum("value"), 2).as("sum_value"))
       .orderBy("window_start_us", "event_type")
 
+  /** Sliding 1-hour windows every 15 minutes, as explicit bucket
+    * arithmetic (each event belongs to 4 overlapping windows — the
+    * explode-then-aggregate shape Spark's own `window(ts, len, slide)`
+    * compiles to, but engine-portable µs arithmetic for the oracle). */
+  def qWindowSliding(s: SparkSession, d: String): DataFrame = {
+    val slide = 900000000L // 15 min in µs
+    val len = 3600000000L // 1 h
+    val k = len / slide // 4 overlapping windows per event
+    Tables.events(s, d)
+      .withColumn("k", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn(
+        "window_start_us",
+        expr(s"(ts_us DIV $slide) * $slide") - col("k") * slide)
+      .groupBy("window_start_us", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("window_start_us", "event_type")
+  }
+
   /** As-of join: each click is matched with the user's most recent
     * strictly-prior view. Expressed as a union + last(ignoreNulls) window
     * instead of a join — one shuffle, no range-join blowup. */
@@ -197,6 +217,7 @@ object OlapQueries {
     "q_running_sum" -> qRunningSum _,
     "q_sessionize" -> qSessionize _,
     "q_window_tumbling" -> qWindowTumbling _,
+    "q_window_sliding" -> qWindowSliding _,
     "q_asof_join" -> qAsofJoin _,
     "q_distinct_users" -> qDistinctUsers _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -274,6 +295,13 @@ object OlapQueries {
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |w AS (SELECT event_type, value,
+        |             (ts_us // 900000000) * 900000000 - k * 900000000 AS window_start_us
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+        |SELECT window_start_us, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, ts, value, event_type,
