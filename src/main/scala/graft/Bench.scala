@@ -14,6 +14,7 @@ object Bench {
     "q_consume_space", "q_peek", "q_offsets", "q_trx_chunks",
     "q_sessionize", "q_window_tumbling", "q_window_sliding", "q_asof_join", "q_running_sum",
     "q_topk_per_group", "q_semi_join", "q_anti_join", "q_distinct_users",
+    "q_percentiles", "q_rollup", "q_pivot",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_lang_id", "q_text_quality", "q_token_count", "q_vocab_topk", "q_fingerprint")

@@ -176,6 +176,37 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** Exact interpolated percentiles per group (both engines implement
+    * the same lo + (hi−lo)·frac linear interpolation over sorted
+    * doubles, so values match bit-for-bit before rounding). */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** ROLLUP over the Q1 grouping — subtotal + grand-total rows. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Pivot event types into columns (explicit value list, so the plan —
+    * and the oracle — is a fixed set of conditional aggregates). */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   def qDistinctUsers(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy("event_type")
@@ -220,6 +251,9 @@ object OlapQueries {
     "q_window_sliding" -> qWindowSliding _,
     "q_asof_join" -> qAsofJoin _,
     "q_distinct_users" -> qDistinctUsers _,
+    "q_percentiles" -> qPercentiles _,
+    "q_rollup" -> qRollup _,
+    "q_pivot" -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_semi_join" -> qSemiJoin _,
     "q_anti_join" -> qAntiJoin _
@@ -316,6 +350,26 @@ object OlapQueries {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
