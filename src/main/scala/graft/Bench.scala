@@ -12,7 +12,8 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join",
     "q_consume_space", "q_peek", "q_offsets", "q_trx_chunks",
-    "q_sessionize", "q_window_tumbling", "q_window_sliding", "q_asof_join", "q_running_sum",
+    "q_sessionize", "q_window_tumbling", "q_window_sliding", "q_asof_join",
+    "q_range_join", "q_running_sum",
     "q_topk_per_group", "q_semi_join", "q_anti_join", "q_distinct_users",
     "q_percentiles", "q_rollup", "q_pivot",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",

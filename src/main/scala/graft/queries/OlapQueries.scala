@@ -176,6 +176,40 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join: every error paired with the same user's
+    * purchases within ±1 h. Implemented as a time-bucket equi-join —
+    * the probe side explodes to its three adjacent hour buckets, the
+    * build side keeps one — so candidates are bounded per (user, hour)
+    * instead of a nested-loop range predicate; the exact |Δt| filter
+    * runs on candidates only. Each true pair matches in exactly one
+    * bucket (the build row's own), so no dedup is needed. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val h = 3600000000L
+    val ev = Tables.events(s, d)
+    val e = ev
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts_us").as("e_ts"))
+      .withColumn(
+        "bucket",
+        explode(
+          array(
+            expr(s"e_ts DIV $h - 1"),
+            expr(s"e_ts DIV $h"),
+            expr(s"e_ts DIV $h + 1"))))
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      .withColumn("bucket", expr(s"p_ts DIV $h"))
+    e.join(p, Seq("user_id", "bucket"))
+      .filter(abs(col("p_ts") - col("e_ts")) <= h)
+      .select(
+        col("user_id"),
+        col("error_id"),
+        col("purchase_id"),
+        (col("p_ts") - col("e_ts")).as("delta_us"))
+      .orderBy("user_id", "error_id", "purchase_id")
+  }
+
   /** Exact interpolated percentiles per group (both engines implement
     * the same lo + (hi−lo)·frac linear interpolation over sorted
     * doubles, so values match bit-for-bit before rounding). */
@@ -251,6 +285,7 @@ object OlapQueries {
     "q_window_sliding" -> qWindowSliding _,
     "q_asof_join" -> qAsofJoin _,
     "q_distinct_users" -> qDistinctUsers _,
+    "q_range_join" -> qRangeJoin _,
     "q_percentiles" -> qPercentiles _,
     "q_rollup" -> qRollup _,
     "q_pivot" -> qPivot _,
@@ -350,6 +385,14 @@ object OlapQueries {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_ts
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.user_id, error_id, purchase_id, p_ts - e_ts AS delta_us
+        |FROM e JOIN p ON e.user_id = p.user_id AND abs(p_ts - e_ts) <= 3600000000
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,
