@@ -8,14 +8,17 @@ import org.apache.spark.sql.SparkSession
   * collect, no disk write skew). */
 object Bench {
 
-  /** Headline set: one per operator family (SURVEY §6). */
+  /** Every registered query, streams-core first (SURVEY §6). */
   val Headline: Seq[String] = Seq(
+    "q_get_spaces", "q_get_segments", "q_peek", "q_segment_status",
+    "q_consume_segment", "q_consume_space", "q_consume_space_offset",
+    "q_enumerate_space", "q_consume_multi", "q_offsets",
+    "q_produce_validate", "q_trx_chunks",
     "q1_agg", "q3_join", "q5_join",
-    "q_consume_space", "q_peek", "q_offsets", "q_trx_chunks",
     "q_sessionize", "q_window_tumbling", "q_window_sliding", "q_asof_join",
     "q_range_join", "q_running_sum",
     "q_topk_per_group", "q_semi_join", "q_anti_join", "q_distinct_users",
-    "q_percentiles", "q_rollup", "q_pivot",
+    "q_approx_distinct", "q_percentiles", "q_rollup", "q_pivot",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_lang_id", "q_text_quality", "q_token_count", "q_vocab_topk", "q_fingerprint")
