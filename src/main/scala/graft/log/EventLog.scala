@@ -164,6 +164,57 @@ final class EventLog(val spark: SparkSession, val path: String) {
 
   def spaceOffsets(): DataFrame = EventOps.spaceOffsets(load())
 
+  /** Compact one space's partition into ~`targetFileBytes` files. Every
+    * produce/commit appends files, so a hot segment accumulates small
+    * parquet files — the classic log-store compaction (the reference's
+    * LSM store compacts in Pebble; a parquet log does it by rewrite).
+    * Rewrites into a staging dir, then swaps atomically-per-file;
+    * single-writer-per-segment is assumed, as everywhere else. Returns
+    * the resulting file count (0 if the space does not exist). */
+  def compact(space: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val partPath = Paths.get(dataDir, s"space=$space")
+    if (!Files.exists(partPath)) return 0
+    val bytes = Files
+      .walk(partPath)
+      .filter(p => Files.isRegularFile(p))
+      .mapToLong(p => Files.size(p))
+      .sum()
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staging = Paths.get(s"$path/compacting-$space")
+    spark.read
+      .parquet(partPath.toString)
+      .repartition(nFiles)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(staging.toString)
+    // swap: move compacted files in, then drop the replaced originals
+    val originals = {
+      val s = Files.list(partPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+    val stagedFiles = {
+      val s = Files.list(staging)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+    stagedFiles.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, partPath.resolve(s"compacted-$i-${p.getFileName}"))
+    }
+    originals.foreach { p =>
+      Files.delete(p)
+      // drop the local-FS checksum sidecar too, or it lingers orphaned
+      Files.deleteIfExists(p.getParent.resolve(s".${p.getFileName}.crc"))
+    }
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    nFiles
+  }
+
   /** Anti-entropy catch-up from a peer log (reference: Synchronize /
     * SynchronizeSpace / SynchronizeSegment, pebble/service.go:532):
     * append every entry the peer holds beyond this log's per-segment

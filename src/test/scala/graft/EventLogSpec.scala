@@ -60,6 +60,27 @@ class EventLogSpec extends SparkSpec {
     assert(all.count() == 60)
   }
 
+  test("compact collapses a space's small files without changing its rows") {
+    val log = freshLog()
+    for (i <- 0 until 5)
+      log.produce("s0", "seg0", records(1 + i * 10, 10), 1000L * (i + 1))
+    val part = java.nio.file.Paths.get(s"${log.path}/data/space=s0")
+    def fileCount = {
+      val s = java.nio.file.Files.list(part)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    val before = log.consumeSegment("s0", "seg0").collect().map(_.toSeq).toSet
+    assert(fileCount >= 5)
+    assert(log.compact("s0") == 1)
+    assert(fileCount == 1)
+    val after = log.consumeSegment("s0", "seg0").collect().map(_.toSeq).toSet
+    assert(after == before && after.size == 50)
+    assert(log.compact("missing-space") == 0)
+  }
+
   test("synchronize pulls only the missing tail from a peer, idempotently") {
     val a = freshLog()
     val b = freshLog()
