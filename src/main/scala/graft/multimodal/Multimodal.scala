@@ -36,6 +36,14 @@ object Multimodal {
       frame_index: Int,
       frame_digest: String)
 
+  final case class AudioFeatures(
+      asset_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      duration_ms: Long,
+      bytes_len: Long,
+      content_digest: String)
+
   /** STUB codec: derives deterministic pseudo-metadata from the bytes.
     * Everything downstream of this object would be identical with a real
     * decoder — only `decodeImage`/`sampleFrames` bodies change. */
@@ -57,6 +65,21 @@ object Multimodal {
       val d = digest(a.content)
       val n = 1 + (a.content.length / math.max(everyN, 1)).toInt.min(16)
       (0 until n).iterator.map(i => Frame(a.asset_id, i, s"$d:$i"))
+    }
+
+    def decodeAudio(a: Asset): AudioFeatures = {
+      val d = digest(a.content)
+      // ??? real decoder goes here; stub derives stable fake parameters.
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      val rate = rates((java.lang.Long.parseLong(d.substring(0, 4), 16) % rates.length).toInt)
+      val channels = 1 + (java.lang.Long.parseLong(d.substring(4, 6), 16) % 2).toInt
+      AudioFeatures(
+        a.asset_id,
+        rate,
+        channels,
+        duration_ms = a.content.length.toLong * 1000 / (rate.toLong * channels * 2),
+        bytes_len = a.content.length.toLong,
+        content_digest = d)
     }
 
     /** ??? real resampler goes here; the stub deterministically
@@ -103,6 +126,14 @@ object Multimodal {
         // per-partition codec init would go here
         it.map(StubCodec.decodeImage)
       }
+  }
+
+  /** Partition-local audio decode — same shape as [[decodeImages]]. */
+  def decodeAudio(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(_.kind == "audio")
+      .mapPartitions(it => it.map(StubCodec.decodeAudio))
   }
 
   /** Frame sampling for video assets: flatMap each asset into frames. */

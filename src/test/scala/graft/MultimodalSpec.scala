@@ -28,6 +28,15 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_index >= 0))
   }
 
+  test("decodeAudio runs the partition-local codec over audio assets only") {
+    val feats = Multimodal.decodeAudio(assets).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.sample_rate >= 8000 && f.channels >= 1))
+    assert(feats.forall(_.duration_ms >= 0))
+    val expected = assets.filter(_.kind == "audio").count()
+    assert(feats.length == expected)
+  }
+
   test("resizeImages keeps payloads opaque and stamps target dimensions") {
     val resized = Multimodal.resizeImages(assets, 32, 32).collect()
     assert(resized.nonEmpty)
