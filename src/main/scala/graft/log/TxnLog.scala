@@ -3,7 +3,7 @@ package graft.log
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.model.Record
