@@ -256,6 +256,44 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Connected components over duplicate pairs — the step that turns
+    * near-dup PAIRS into dedup DECISIONS (keep one id per component).
+    * Min-label propagation: each round every node adopts the smallest
+    * component label among itself and its neighbours, converging in
+    * O(diameter) rounds ≤ O(log n) for near-dup cliques. The driver loop
+    * is over ROUNDS, not data; each round is one distributed join +
+    * aggregate, lineage cut with localCheckpoint so plans stay flat.
+    * Returns `(id, comp)` where `comp` is the component's minimum id —
+    * `filter(id === comp)` yields the canonical survivors. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("comp").as("nbr_comp"))
+      val updated = labels
+        .join(propagated, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("comp")).count()
+      labels = updated.select(col("id"), col("next").as("comp"))
+    }
+    labels
+  }
+
   /** All-pairs embedding cosine ≥ `threshold` — the oracle-verifiable
     * baseline. Vectors are normed once; the pair loop is the codegen'd
     * dot product. Quadratic by construction: at corpus scale route

@@ -56,6 +56,28 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(r3.toSet == r6.filter(_._3 <= 3).toSet)
   }
 
+  test("duplicateClusters finds connected components and canonical survivors") {
+    import spark.implicits._
+    // two chains (1-2-3-4 transitively, 7-8) and an isolated pair 5-6
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    val comps = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("duplicateClusters on real ngram pairs keeps one survivor per clique") {
+    val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.8)
+    val comps = Dedup.duplicateClusters(pairs)
+    val survivors = comps.filter(col("id") === col("comp")).count()
+    val members = comps.count()
+    assert(members > survivors && survivors > 0)
+    // every component label is itself a member id
+    assert(comps.select("comp").distinct().count() == survivors)
+  }
+
   test("embeddingCosine threshold is monotone") {
     val lo = Dedup.embeddingCosine(embs, threshold = 0.4)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
