@@ -90,6 +90,21 @@ object PipelineQueries {
         .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v")),
       "v")
 
+  /** Duplicate clusters over the minhash near-dup pairs: (id, comp)
+    * with comp = the component's canonical (minimum) id. Iterative
+    * fixpoint → no SQL oracle (rows-only check); the spec asserts the
+    * component semantics. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .duplicateClusters(
+        Dedup.minhashLsh(
+          docs(s, d),
+          k = 3,
+          numHashes = MinhashSeeds,
+          bands = MinhashBands,
+          threshold = 0.8))
+      .transform(sortSmall(_, "id", "comp"))
+
   def qDedupEmbed(s: SparkSession, d: String): DataFrame =
     Dedup
       .embeddingCosine(normedEmbs(s, d), threshold = 0.45)
@@ -225,6 +240,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_dedup_embed" -> qDedupEmbed _,
+    "q_dedup_clusters" -> qDedupClusters _,
     "q_ann_topk" -> qAnnTopk _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
