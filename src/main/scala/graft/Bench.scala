@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * collect, no disk write skew). */
 object Bench {
 
-  /** Every registered query, streams-core first (SURVEY §6). */
+  /** Every registered query, streams-core first (SURVEY §6).
+    * (q_dedup_clusters is intentionally absent: its iterative fixpoint
+    * re-runs the whole minhash pipeline per round, which would dominate
+    * the bench without measuring anything the other entries don't.) */
   val Headline: Seq[String] = Seq(
     "q_get_spaces", "q_get_segments", "q_peek", "q_segment_status",
     "q_consume_segment", "q_consume_space", "q_consume_space_offset",
