@@ -39,8 +39,9 @@ object VectorFns {
 
   /** Component j of deterministic pseudo-random hyperplane i, in [-1, 1].
     * Identical to the value the in-plan formulation derives from Spark's
-    * `md5("hp:i:j")`. */
-  private def hpComponent(i: Int, j: Int): Double =
+    * `md5("hp:i:j")`. Exposed package-wide so the DuckDB oracle can bake
+    * the SAME doubles as SQL literals (Double.toString round-trips). */
+  private[graft] def hpComponent(i: Int, j: Int): Double =
     md5Long(s"hp:$i:$j").toDouble / 5.764607523034235e17 - 1.0
 
   /** Signed random-hyperplane LSH bucket from `nBits` deterministic

@@ -129,10 +129,15 @@ object PipelineQueries {
       .bruteForceTopK(querySide(s, d), corpusSide(s, d), k = 5)
       .transform(sortSmall(_, "query_id", "rank"))
 
-  /** LSH-bucketed ANN (scale path) — approximate, rows-only check. */
+  val LshBits = 4
+  val EmbDim = 64
+
+  /** LSH-bucketed ANN (scale path). Deterministic end to end — the
+    * hyperplanes are md5-derived literals — so it gets a full DuckDB
+    * oracle, not just a rows-only check. */
   def qAnnLsh(s: SparkSession, d: String): DataFrame =
     Ann
-      .lshTopK(querySide(s, d), corpusSide(s, d), k = 5, nBits = 4)
+      .lshTopK(querySide(s, d), corpusSide(s, d), k = 5, nBits = LshBits, dim = EmbDim)
       .transform(sortSmall(_, "query_id", "rank"))
 
   val IvfCentroids = 8
@@ -272,12 +277,43 @@ object PipelineQueries {
     s"""bands AS ($bands)"""
   }
 
+  /** The full minhash near-dup pipeline as CTEs ending in
+    * `mpairs(a_id, b_id, jaccard)` — shared by the q_dedup_minhash and
+    * q_dedup_clusters oracles. */
+  private val minhashPairsCtes =
+    s"""$ShingleCte,
+       |$minhashCte,
+       |$bandCte,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |mpairs AS (
+       |  SELECT cand.a_id AS a_id, cand.b_id AS b_id,
+       |         round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) AS jaccard
+       |  FROM cand JOIN common ON cand.a_id = common.a_id AND cand.b_id = common.b_id
+       |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8)""".stripMargin
+
   private val enL = TextFns.EnMarkers.map(m => s"'$m'").mkString(", ")
   private val deL = TextFns.DeMarkers.map(m => s"'$m'").mkString(", ")
   private val frL = TextFns.FrMarkers.map(m => s"'$m'").mkString(", ")
   private val esL = TextFns.EsMarkers.map(m => s"'$m'").mkString(", ")
   private val allL = (TextFns.EnMarkers ++ TextFns.DeMarkers ++
     TextFns.FrMarkers ++ TextFns.EsMarkers).map(m => s"'$m'").mkString(", ")
+
+  /** DuckDB literal array for hyperplane i — the exact doubles the Spark
+    * plan bakes in via typedLit (Double.toString round-trips). */
+  private def planeLit(i: Int): String =
+    (0 until EmbDim).map(j => VectorFns.hpComponent(i, j)).mkString("[", ", ", "]")
+
+  private val lshBucketSql = (0 until LshBits)
+    .map(i =>
+      s"CASE WHEN list_dot_product(v, ${planeLit(i)}) > 0 THEN ${1L << i} ELSE 0 END")
+    .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -295,22 +331,23 @@ object PipelineQueries {
          |WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_minhash" ->
-      s"""$ShingleCte,
-         |$minhashCte,
-         |$bandCte,
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y
-         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
-         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT cand.a_id, cand.b_id,
-         |       round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) AS jaccard
-         |FROM cand JOIN common ON cand.a_id = common.a_id AND cand.b_id = common.b_id
-         |WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8
-         |ORDER BY cand.a_id, cand.b_id""".stripMargin,
+      s"""$minhashPairsCtes
+         |SELECT a_id, b_id, jaccard FROM mpairs ORDER BY a_id, b_id""".stripMargin,
+    // Connected components over the minhash pairs: min-label closure as
+    // a recursive reachability walk — comp = min id reachable over the
+    // undirected pair edges, which in a connected component is the
+    // component's minimum id (mirrors Dedup.duplicateClusters).
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mpairs
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM mpairs),
+         |walk(id, comp) AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "q_dedup_simhash" -> {
       val h = Hashing.duckMd5Long("tok")
       s"""WITH toksx AS (
@@ -349,6 +386,50 @@ object PipelineQueries {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |             ($lshBucketSql) AS bucket
+         |      FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10 AND q.bucket = c.bucket)
+         |SELECT query_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |       neighbor_id, cos
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |cents AS (SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_nrm
+         |          FROM n WHERE vec_id >= 10 AND vec_id < ${10 + IvfCentroids}),
+         |qn AS (
+         |  SELECT query_id, q_v, q_nrm, cent_id FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS q_v, q.nrm AS q_nrm, c.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_dot_product(q.v, c.cent_v) / (q.nrm * c.cent_nrm) DESC, c.cent_id) AS cent_rank
+         |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
+         |  WHERE cent_rank <= $IvfProbes),
+         |cn AS (
+         |  SELECT neighbor_id, c_v, c_nrm, cent_id FROM (
+         |    SELECT x.vec_id AS neighbor_id, x.v AS c_v, x.nrm AS c_nrm, c.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+         |             ORDER BY list_dot_product(x.v, c.cent_v) / (x.nrm * c.cent_nrm) DESC, c.cent_id) AS cent_rank
+         |    FROM n x CROSS JOIN cents c WHERE x.vec_id >= 10)
+         |  WHERE cent_rank <= 1),
+         |scored AS (
+         |  SELECT qn.query_id, cn.neighbor_id,
+         |         round(list_dot_product(qn.q_v, cn.c_v) / (qn.q_nrm * cn.c_nrm), 6) AS cos
+         |  FROM qn JOIN cn USING (cent_id))
+         |SELECT query_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |       neighbor_id, cos
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
