@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * payloads travel as opaque `binary` columns with typed metadata, and
   * decode / feature-extraction runs as partition-local codecs.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape, codec
-  * signature) is real and tested; the codec bodies are '''deterministic
-  * STUBS''' (this container ships no image/audio libraries) — swap
-  * [[StubCodec]] for a real decoder (e.g. a JNI/FFI codec) in
-  * production. The `mapPartitions` boundary is where a vectorized
-  * Arrow/pandas-style batch codec would sit on a real cluster.
+  * Two codecs sit behind the [[MediaCodec]] seam:
+  *   - [[JvmCodec]] — a REAL decoder built only on JVM built-ins:
+  *     `javax.imageio` (PNG/JPEG/GIF decode, Graphics2D resize,
+  *     animated-GIF frame sampling) and `javax.sound.sampled` (WAV/AIFF
+  *     headers). No external dependency.
+  *   - [[StubCodec]] — deterministic pseudo-metadata from the payload
+  *     bytes, for corpora whose "media" columns are synthetic (the test
+  *     tables carry text bytes). Also documents the seam a JNI/FFI codec
+  *     (e.g. ffmpeg) would fill for formats the JVM cannot read.
+  *
+  * The `mapPartitions` boundary is where a vectorized Arrow/pandas-style
+  * batch codec would sit on a real cluster: one codec instance per
+  * partition, rows streamed through it, no driver involvement.
   */
 object Multimodal {
 
@@ -44,18 +51,126 @@ object Multimodal {
       bytes_len: Long,
       content_digest: String)
 
-  /** STUB codec: derives deterministic pseudo-metadata from the bytes.
-    * Everything downstream of this object would be identical with a real
-    * decoder — only `decodeImage`/`sampleFrames` bodies change. */
-  object StubCodec {
-    def digest(bytes: Array[Byte]): String = {
+  /** The codec seam: everything downstream is identical whichever
+    * implementation sits here. Must be Serializable — instances are
+    * closed over by `mapPartitions` tasks. */
+  trait MediaCodec extends Serializable {
+    def decodeImage(a: Asset): ImageFeatures
+    def sampleFrames(a: Asset, everyN: Int): Iterator[Frame]
+    def decodeAudio(a: Asset): AudioFeatures
+    def resizeImage(a: Asset, w: Int, h: Int): Asset
+
+    protected def digest(bytes: Array[Byte]): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(bytes).map("%02x".format(_)).mkString
     }
+  }
+
+  /** Real decoder on JVM built-ins only. Throws IllegalArgumentException
+    * on undecodable payloads — at pipeline scale wrap the Dataset ops in
+    * a Try and route failures to a dead-letter output instead of failing
+    * the stage. */
+  object JvmCodec extends MediaCodec {
+    import java.io.ByteArrayInputStream
+
+    private def readImage(a: Asset): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(a.content))
+      require(img != null, s"asset ${a.asset_id}: undecodable image payload")
+      img
+    }
+
+    /** Digest of the decoded pixels (dimensions + ARGB raster), so two
+      * encodings of the same image agree. */
+    private def digestPixels(img: java.awt.image.BufferedImage): String = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bb = java.nio.ByteBuffer.allocate(8 + w * h * 4)
+      bb.putInt(w).putInt(h)
+      img.getRGB(0, 0, w, h, null, 0, w).foreach(bb.putInt)
+      digest(bb.array())
+    }
+
+    def decodeImage(a: Asset): ImageFeatures = {
+      val img = readImage(a)
+      ImageFeatures(
+        a.asset_id,
+        img.getWidth,
+        img.getHeight,
+        img.getColorModel.getNumComponents,
+        a.content.length.toLong,
+        digestPixels(img))
+    }
+
+    /** Every `everyN`-th frame of a multi-frame container (animated GIF
+      * is what javax.imageio can read; video proper needs an FFI codec
+      * behind this same seam). */
+    def sampleFrames(a: Asset, everyN: Int): Iterator[Frame] = {
+      val iis = javax.imageio.ImageIO
+        .createImageInputStream(new ByteArrayInputStream(a.content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"asset ${a.asset_id}: no image reader for payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n by math.max(everyN, 1))
+          .map(i => Frame(a.asset_id, i, digestPixels(reader.read(i))))
+          .iterator
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+
+    def decodeAudio(a: Asset): AudioFeatures = {
+      val ais =
+        try javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(a.content))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"asset ${a.asset_id}: undecodable audio payload", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        AudioFeatures(
+          a.asset_id,
+          fmt.getSampleRate.toInt,
+          fmt.getChannels,
+          duration_ms = (ais.getFrameLength * 1000.0 / fmt.getFrameRate).toLong,
+          bytes_len = a.content.length.toLong,
+          content_digest = digest(a.content))
+      } finally ais.close()
+    }
+
+    /** Bilinear resize via Graphics2D, re-encoded as PNG. */
+    def resizeImage(a: Asset, w: Int, h: Int): Asset = {
+      val src = readImage(a)
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      a.copy(
+        content = out.toByteArray,
+        meta = a.meta ++ Map("width" -> w.toString, "height" -> h.toString))
+    }
+  }
+
+  /** STUB codec: derives deterministic pseudo-metadata from the bytes —
+    * for synthetic corpora and as the seam documentation for formats
+    * that need an external (JNI/FFI) decoder. */
+  object StubCodec extends MediaCodec {
 
     def decodeImage(a: Asset): ImageFeatures = {
       val d = digest(a.content)
-      // ??? real decoder goes here; stub derives stable fake dimensions.
+      // a real decoder sits here in JvmCodec; the stub derives stable
+      // fake dimensions so plumbing stays testable on text payloads.
       val w = 64 + (java.lang.Long.parseLong(d.substring(0, 4), 16) % 1024).toInt
       val h = 64 + (java.lang.Long.parseLong(d.substring(4, 8), 16) % 1024).toInt
       ImageFeatures(a.asset_id, w, h, 3, a.content.length.toLong, d)
@@ -69,7 +184,6 @@ object Multimodal {
 
     def decodeAudio(a: Asset): AudioFeatures = {
       val d = digest(a.content)
-      // ??? real decoder goes here; stub derives stable fake parameters.
       val rates = Array(8000, 16000, 22050, 44100, 48000)
       val rate = rates((java.lang.Long.parseLong(d.substring(0, 4), 16) % rates.length).toInt)
       val channels = 1 + (java.lang.Long.parseLong(d.substring(4, 6), 16) % 2).toInt
@@ -82,9 +196,8 @@ object Multimodal {
         content_digest = d)
     }
 
-    /** ??? real resampler goes here; the stub deterministically
-      * truncates the payload proportionally to the target area and
-      * stamps the new dimensions into the metadata. */
+    /** Deterministically truncates the payload proportionally to the
+      * target area and stamps the new dimensions into the metadata. */
     def resizeImage(a: Asset, w: Int, h: Int): Asset = {
       val src = decodeImage(a)
       val ratio = math.min(
@@ -118,39 +231,50 @@ object Multimodal {
   /** Partition-local image decode: one codec instance per partition, rows
     * streamed through it (the shape a JNI decoder or Arrow batch codec
     * needs — no per-row setup, no driver involvement). */
-  def decodeImages(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+  def decodeImages(
+      assets: Dataset[Asset],
+      codec: MediaCodec = StubCodec): Dataset[ImageFeatures] = {
     import assets.sparkSession.implicits._
     assets
       .filter(_.kind == "image")
       .mapPartitions { it =>
         // per-partition codec init would go here
-        it.map(StubCodec.decodeImage)
+        it.map(codec.decodeImage)
       }
   }
 
   /** Partition-local audio decode — same shape as [[decodeImages]]. */
-  def decodeAudio(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+  def decodeAudio(
+      assets: Dataset[Asset],
+      codec: MediaCodec = StubCodec): Dataset[AudioFeatures] = {
     import assets.sparkSession.implicits._
     assets
       .filter(_.kind == "audio")
-      .mapPartitions(it => it.map(StubCodec.decodeAudio))
+      .mapPartitions(it => it.map(codec.decodeAudio))
   }
 
   /** Frame sampling for video assets: flatMap each asset into frames. */
-  def sampleFrames(assets: Dataset[Asset], everyN: Int): Dataset[Frame] = {
+  def sampleFrames(
+      assets: Dataset[Asset],
+      everyN: Int,
+      codec: MediaCodec = StubCodec): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets
       .filter(_.kind == "video")
-      .mapPartitions(it => it.flatMap(StubCodec.sampleFrames(_, everyN)))
+      .mapPartitions(it => it.flatMap(codec.sampleFrames(_, everyN)))
   }
 
   /** Partition-local image resize: binary in, binary out, metadata
     * updated — the asset stays an opaque payload through the plan. */
-  def resizeImages(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+  def resizeImages(
+      assets: Dataset[Asset],
+      w: Int,
+      h: Int,
+      codec: MediaCodec = StubCodec): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets
       .filter(_.kind == "image")
-      .mapPartitions(it => it.map(StubCodec.resizeImage(_, w, h)))
+      .mapPartitions(it => it.map(codec.resizeImage(_, w, h)))
   }
 
   /** Column-only metadata path (no codec): digest + size per asset —

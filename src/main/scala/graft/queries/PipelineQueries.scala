@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.functions.{Hashing, TextFns, VectorFns}
 import graft.functions.expressions.Tokens
 import graft.similarity.Ann
@@ -239,7 +240,15 @@ object PipelineQueries {
         count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
 
+  /** Multimodal metadata rollup over the asset table (the codec-free
+    * column path — digest/size stay in codegen; see
+    * [[graft.multimodal.Multimodal.assetStats]]). */
+  def qAssetStats(s: SparkSession, d: String): DataFrame =
+    Multimodal.assetStats(
+      Multimodal.assetsFromDocuments(s, d).toDF())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asset_stats" -> qAssetStats _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_minhash" -> qDedupMinhash _,
@@ -482,6 +491,17 @@ object PipelineQueries {
          |       CAST(bit_xor(h) AS BIGINT) AS fp_xor,
          |       count(*) AS n_shingles
          |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    },
+    // duckdb md5(VARCHAR) hashes the UTF-8 bytes = Spark md5 of the
+    // UTF-8-encoded binary payload; octet_length(encode(..)) = Spark
+    // length(binary).
+    "q_asset_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       count(*) AS n_assets,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT md5(text)) AS distinct_contents
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
   )
 }
