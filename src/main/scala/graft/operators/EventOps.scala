@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Deterministic total order for small (group-bounded) outputs: one
+    * shuffle into a single partition + local sort. A trailing global
+    * `orderBy` range-samples its child first, re-executing the
+    * post-shuffle aggregate a second time — pure waste when the output
+    * is one row per space/segment. If segment cardinality ever reaches
+    * tens of millions, switch the affected head back to `orderBy`. */
+  private def sortSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Project the driver's `events` table (pre-normalized with a `ts_us`
     * column, see [[graft.sources.Tables.events]]) into the canonical log
     * schema: space := event_type, segment := user_id, sequence :=
@@ -58,12 +67,13 @@ object EventOps {
 
   /** Sorted space inventory (reference: pebble/service.go:146). */
   def getSpaces(log: DataFrame): DataFrame =
-    log.select("space").distinct().orderBy("space")
+    sortSmall(log.select("space").distinct(), col("space"))
 
   /** Sorted segment inventory of one space (pebble/service.go:205). */
   def getSegments(log: DataFrame, space: String): DataFrame =
-    log.filter(col("space") === space)
-      .select("segment").distinct().orderBy("segment")
+    sortSmall(
+      log.filter(col("space") === space).select("segment").distinct(),
+      col("segment"))
 
   /** Last entry of every segment (reference Peek, pebble/service.go:224),
     * computed as one hash aggregate — no global sort at any scale. */
@@ -74,7 +84,7 @@ object EventOps {
         max("sequence").as("sequence"),
         max_by(col("timestamp"), col("sequence")).as("timestamp"),
         max_by(col("payload"), col("sequence")).as("payload"))
-      .orderBy("space", "segment")
+      .transform(sortSmall(_, col("space"), col("segment")))
 
   /** First/last sequence + timestamp per segment (SegmentStatus,
     * reference: server/messages.go:38). */
@@ -86,7 +96,7 @@ object EventOps {
         min("timestamp").as("first_timestamp"),
         max("sequence").as("last_sequence"),
         max("timestamp").as("last_timestamp"))
-      .orderBy("space", "segment")
+      .transform(sortSmall(_, col("space"), col("segment")))
 
   /** Bounded, sequence-ordered scan of one segment (reference
     * ConsumeSegment, pebble/service.go:231). Min bounds exclusive, max
@@ -199,7 +209,7 @@ object EventOps {
       .groupBy("space")
       .agg(max(struct(col("timestamp"), col("segment"), col("sequence"))).as("o"))
       .select(col("space"), col("o.timestamp"), col("o.segment"), col("o.sequence"))
-      .orderBy("space")
+      .transform(sortSmall(_, col("space")))
 
   /** Produce-side sequence-contiguity audit (the reference rejects any
     * record whose sequence != last+1, pebble/service.go:349): per segment,
@@ -220,7 +230,7 @@ object EventOps {
         sum(
           when(col("prev").isNotNull && col("cand") =!= col("prev") + 1, 1L)
             .otherwise(0L)).as("violations"))
-      .orderBy("space", "segment")
+      .transform(sortSmall(_, col("space"), col("segment")))
   }
 
   /** Active execution nodes + parallelism (reference GetClusterStatus,
@@ -245,5 +255,5 @@ object EventOps {
         min("timestamp").as("first_timestamp"),
         max("sequence").as("last_sequence"),
         max("timestamp").as("last_timestamp"))
-      .orderBy("space", "segment", "trx_number")
+      .transform(sortSmall(_, col("space"), col("segment"), col("trx_number")))
 }

@@ -19,6 +19,15 @@ import graft.sources.Tables
   */
 object OlapQueries {
 
+  /** Deterministic total order for small (group-bounded) outputs —
+    * repartition(1) + local sort instead of a global orderBy, whose
+    * range-sampling pass re-executes the upstream aggregate. Applied
+    * only where output cardinality is a fixed small set (return flags,
+    * nations, event types, brands); per-user/full-table outputs keep
+    * the scalable range sort. */
+  private def sortSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -37,7 +46,7 @@ object OlapQueries {
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(sortSmall(_, col("l_returnflag"), col("l_linestatus")))
 
   def q3Join(s: SparkSession, d: String): DataFrame = {
     val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -70,7 +79,7 @@ object OlapQueries {
       .join(nr, col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(revenue), 4).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .transform(sortSmall(_, col("revenue").desc, col("n_name")))
   }
 
   def qTopkPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -81,7 +90,7 @@ object OlapQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
-      .orderBy("p_brand", "rank")
+      .transform(sortSmall(_, col("p_brand"), col("rank")))
   }
 
   def qRunningSum(s: SparkSession, d: String): DataFrame = {
@@ -220,7 +229,7 @@ object OlapQueries {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
-      .orderBy("event_type")
+      .transform(sortSmall(_, col("event_type")))
 
   /** ROLLUP over the Q1 grouping — subtotal + grand-total rows. */
   def qRollup(s: SparkSession, d: String): DataFrame =
@@ -229,7 +238,7 @@ object OlapQueries {
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(sortSmall(_, col("l_returnflag"), col("l_linestatus")))
 
   /** Pivot event types into columns (explicit value list, so the plan —
     * and the oracle — is a fixed set of conditional aggregates). */
@@ -245,7 +254,7 @@ object OlapQueries {
     t(s, d, "events")
       .groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_users"))
-      .orderBy("event_type")
+      .transform(sortSmall(_, col("event_type")))
 
   /** HLL sketch distinct — approximate by design, so no SQL oracle
     * (driver records a rows-only check). */
@@ -253,7 +262,7 @@ object OlapQueries {
     t(s, d, "events")
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
-      .orderBy("event_type")
+      .transform(sortSmall(_, col("event_type")))
 
   def qSemiJoin(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
