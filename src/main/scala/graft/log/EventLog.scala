@@ -168,10 +168,24 @@ final class EventLog(val spark: SparkSession, val path: String) {
     * produce/commit appends files, so a hot segment accumulates small
     * parquet files — the classic log-store compaction (the reference's
     * LSM store compacts in Pebble; a parquet log does it by rewrite).
-    * Rewrites into a staging dir, then swaps atomically-per-file;
-    * single-writer-per-segment is assumed, as everywhere else. Returns
-    * the resulting file count (0 if the space does not exist). */
+    *
+    * Crash-safe swap protocol: the compacted generation is written to a
+    * staging dir, a `_compact.manifest` (originals + target names) is
+    * recorded BEFORE any move, and a `_compact.commit` marker separates
+    * the two generations — a crash anywhere leaves enough state for
+    * [[recoverCompaction]] to roll back (no marker: originals are all
+    * intact, drop the partial new generation) or roll forward (marker:
+    * the new generation is fully in place, drop leftover originals).
+    * Every compact() first recovers any interrupted predecessor.
+    * Single-writer-per-segment is assumed, as everywhere else; a
+    * concurrent reader can still observe both generations during the
+    * brief move window (the leading-underscore control files themselves
+    * are ignored by Spark's file listing) — readers that must never
+    * double-read should snapshot before compaction, or the log should
+    * live on a store with atomic multi-file commit.
+    * Returns the resulting file count (0 if the space does not exist). */
   def compact(space: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    recoverCompaction(space)
     val partPath = Paths.get(dataDir, s"space=$space")
     if (!Files.exists(partPath)) return 0
     val bytes = Files
@@ -187,33 +201,92 @@ final class EventLog(val spark: SparkSession, val path: String) {
       .write
       .mode(SaveMode.Overwrite)
       .parquet(staging.toString)
-    // swap: move compacted files in, then drop the replaced originals
-    val originals = {
-      val s = Files.list(partPath)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
-      } finally s.close()
+    val originals = listParquet(partPath)
+    val stagedFiles = listParquet(staging)
+    val targetNames = stagedFiles.zipWithIndex.map { case (p, i) =>
+      s"compacted-$i-${p.getFileName}"
     }
-    val stagedFiles = {
-      val s = Files.list(staging)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
-      } finally s.close()
+    // manifest first: from here a crash is recoverable in both directions
+    val manifestLines =
+      staging.toString +:
+        (originals.map(p => s"O ${p.getFileName}") ++ targetNames.map(n => s"S $n"))
+    Files.write(
+      manifestPath(partPath),
+      String.join("\n", manifestLines: _*).getBytes("UTF-8"))
+    stagedFiles.zip(targetNames).foreach { case (p, name) =>
+      Files.move(p, partPath.resolve(name))
     }
-    stagedFiles.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, partPath.resolve(s"compacted-$i-${p.getFileName}"))
-    }
-    originals.foreach { p =>
-      Files.delete(p)
-      // drop the local-FS checksum sidecar too, or it lingers orphaned
-      Files.deleteIfExists(p.getParent.resolve(s".${p.getFileName}.crc"))
-    }
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.delete(p))
+    failpoint("after-moves")
+    // commit point: the compacted generation is complete — recovery now
+    // rolls forward instead of back
+    Files.createFile(commitMarkerPath(partPath))
+    failpoint("after-marker")
+    originals.foreach(deleteWithSidecar)
+    deleteRecursively(staging)
+    Files.delete(commitMarkerPath(partPath))
+    Files.delete(manifestPath(partPath))
     nFiles
   }
+
+  /** Complete or undo a compaction swap interrupted by a crash (see
+    * [[compact]]). No-op when no manifest is present. Safe to call on
+    * restart for every known space; NOT safe concurrently with an
+    * in-flight compact() of the same space (single-writer rule). */
+  def recoverCompaction(space: String): Unit = {
+    val partPath = Paths.get(dataDir, s"space=$space")
+    val mf = manifestPath(partPath)
+    if (!Files.exists(mf)) return
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(mf).asScala.toList
+    val staging = Paths.get(lines.head)
+    val originals = lines.tail.collect { case l if l.startsWith("O ") => l.drop(2) }
+    val staged = lines.tail.collect { case l if l.startsWith("S ") => l.drop(2) }
+    if (Files.exists(commitMarkerPath(partPath))) {
+      // roll forward: every compacted file was moved in before the
+      // marker appeared; only original deletion / cleanup can be pending
+      originals.foreach(n => deleteWithSidecar(partPath.resolve(n)))
+      if (Files.exists(staging)) deleteRecursively(staging)
+      Files.delete(commitMarkerPath(partPath))
+    } else {
+      // roll back: no original was deleted yet — drop whatever part of
+      // the new generation made it in, and the staging dir
+      staged.foreach(n => deleteWithSidecar(partPath.resolve(n)))
+      if (Files.exists(staging)) deleteRecursively(staging)
+    }
+    Files.delete(mf)
+  }
+
+  /** Test hook: crash-point name ("after-moves" | "after-marker") at
+    * which [[compact]] throws, simulating a mid-swap crash. */
+  private[graft] var compactFailpoint: Option[String] = None
+
+  private def failpoint(name: String): Unit =
+    if (compactFailpoint.contains(name))
+      throw new IllegalStateException(s"injected compaction crash at $name")
+
+  private def manifestPath(partPath: java.nio.file.Path) =
+    partPath.resolve("_compact.manifest")
+
+  private def commitMarkerPath(partPath: java.nio.file.Path) =
+    partPath.resolve("_compact.commit")
+
+  private def listParquet(dir: java.nio.file.Path): List[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+    } finally s.close()
+  }
+
+  private def deleteWithSidecar(p: java.nio.file.Path): Unit = {
+    Files.deleteIfExists(p)
+    // drop the local-FS checksum sidecar too, or it lingers orphaned
+    Files.deleteIfExists(p.getParent.resolve(s".${p.getFileName}.crc"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => Files.delete(q))
 
   /** Anti-entropy catch-up from a peer log (reference: Synchronize /
     * SynchronizeSpace / SynchronizeSegment, pebble/service.go:532):

@@ -13,10 +13,18 @@ import graft.model.Record
   * 414-530) mapped onto directory-staged parquet:
   *
   *  - `write` stages a validated batch under `path/staged/<trxId>/`
-  *    (invisible to readers — `EventLog.load` only reads `path/data`),
-  *  - `commit` atomically publishes the staged files into the data dir
-  *    (rename, no rewrite) — mirrors the reference applying the staged
-  *    transaction batch,
+  *    (invisible to readers — `EventLog.load` only reads `path/data`)
+  *    and rejects a trxId that is already staged (the reference's
+  *    checkExistingTransaction),
+  *  - `commit` publishes the staged files into the data dir by renames
+  *    (no rewrite). Each rename is atomic, but the batch as a whole is
+  *    not: a reader between renames can see a prefix of the
+  *    transaction, and a crash leaves one — re-calling `commit` with
+  *    the same trxId resumes where it stopped (target names are
+  *    deterministic), so the publish is idempotent and recoverable.
+  *    The reference applies the whole batch atomically inside Pebble;
+  *    matching that on a filesystem log would need an fs/object store
+  *    with multi-file atomic commit or a manifest-based reader.
   *  - `rollback` deletes the staged directory — mirrors the reference
   *    deleting the staged transaction key.
   *
@@ -38,6 +46,9 @@ final class TxnLog(val log: EventLog) {
       records: Dataset[Record],
       timestampUs: Long,
       trxNumber: Long): Unit = {
+    require(
+      !Files.exists(Paths.get(s"$stagedRoot/$trxId")),
+      s"transaction already staged: $trxId")
     val last = log.peek(space, segment)
     val lastSeq = last.map(_.sequence).getOrElse(0L)
     val lastTrx = last.map(_.trxNumber).getOrElse(0L)
@@ -72,8 +83,11 @@ final class TxnLog(val log: EventLog) {
   }
 
   /** Publish a staged transaction: move its parquet files under the data
-    * dir. File moves are atomic per file on a POSIX fs; readers only ever
-    * see complete parquet files. */
+    * dir. Each move is atomic (readers only ever see complete files) and
+    * target names are deterministic, so an interrupted commit is resumed
+    * by calling commit(trxId) again — already-moved files are skipped,
+    * the rest move, and the staged dir is dropped last. See the class
+    * doc for the visibility caveat during the move window. */
   def commit(trxId: String): Unit = {
     val staged = Paths.get(s"$stagedRoot/$trxId")
     require(Files.exists(staged), s"transaction not found: $trxId")
@@ -85,7 +99,9 @@ final class TxnLog(val log: EventLog) {
         val rel = staged.relativize(p.getParent).toString
         val target = Paths.get(dataDir, rel)
         Files.createDirectories(target)
-        Files.move(p, target.resolve(s"trx-$trxId-${p.getFileName}"))
+        val dest = target.resolve(s"trx-$trxId-${p.getFileName}")
+        if (Files.exists(dest)) Files.delete(p) // resumed commit: already published
+        else Files.move(p, dest)
       }
     deleteRecursively(staged)
   }

@@ -181,6 +181,12 @@ object EventOps {
   def consume(
       log: DataFrame,
       offsets: Map[String, Option[(Long, String, Long)]]): DataFrame = {
+    // zero subscriptions = empty result in canonical schema (the
+    // reference's Consume interleaves zero enumerators fine)
+    if (offsets.isEmpty)
+      return log
+        .limit(0)
+        .orderBy("timestamp", "space", "segment", "sequence")
     val parts = offsets.toSeq.sortBy(_._1).map {
       case (space, None) => log.filter(col("space") === space)
       case (space, Some((ts, seg, seq))) =>

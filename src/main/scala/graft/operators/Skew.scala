@@ -35,10 +35,16 @@ object Skew {
     require(
       Seq("inner", "left", "left_outer").contains(joinType),
       s"unsupported salted join type: $joinType")
-    // Deterministic per-row salt from the input partition: rows of a hot
-    // key arriving on different input partitions land on different
-    // reducers. No data column needed, no rand() non-determinism.
-    val salted = big.withColumn(SaltCol, pmod(spark_partition_id(), lit(buckets)))
+    // Deterministic PER-ROW salt (hash of the per-row monotonic id):
+    // consecutive rows of a hot key spread over all buckets even when
+    // the big side arrives clustered by the join key (e.g. read back
+    // from a key-partitioned write) — a per-partition salt would give
+    // such a key a single salt value and spread nothing, while the
+    // small side still paid the full buckets× replication. No data
+    // column needed, no rand() non-determinism within a run.
+    val salted = big.withColumn(
+      SaltCol,
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
     val replicated = small.withColumn(
       SaltCol,
       explode(array((0 until buckets).map(lit(_)): _*)))

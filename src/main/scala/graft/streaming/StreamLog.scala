@@ -225,7 +225,18 @@ object StreamLog {
 
   /** Produce pipeline: append each micro-batch of entry rows to the
     * parquet-backed log (partitioned by space, same layout as
-    * [[EventLog]]). Returns a started query writing to `log.path/data`. */
+    * [[EventLog]]). Returns a started query writing to `log.path/data`.
+    *
+    * foreachBatch is at-least-once — after a failure Structured
+    * Streaming replays the last micro-batch — so the write is made
+    * idempotent on `batchId`: each batch is staged, published under
+    * deterministic `batch-<id>-` file names, and sealed with a marker in
+    * `log.path/stream-commits/`. A replayed batch whose marker exists is
+    * skipped outright; a replay of a half-published batch first deletes
+    * that batch's partial files (recognizable by prefix) and publishes
+    * cleanly. Net effect: each micro-batch lands in the log exactly
+    * once, preserving the per-segment contiguous-sequence invariant
+    * produce/peek rely on. */
   def appendSink(
       entries: DataFrame,
       log: EventLog,
@@ -233,11 +244,43 @@ object StreamLog {
     entries.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write
-          .mode("append")
-          .partitionBy("space")
-          .parquet(s"${log.path}/data")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        val dataDir = Paths.get(s"${log.path}/data")
+        val marker = Paths.get(s"${log.path}/stream-commits/batch-$batchId.done")
+        if (!Files.exists(marker)) {
+          // clean any partial publish from a failed previous attempt
+          if (Files.exists(dataDir)) {
+            val partial = Files.walk(dataDir)
+            try partial
+              .filter(p => p.getFileName.toString.startsWith(s"batch-$batchId-"))
+              .forEach(p => Files.deleteIfExists(p))
+            finally partial.close()
+          }
+          val staging = Paths.get(s"${log.path}/stream-staging/batch-$batchId")
+          batch.write
+            .mode("overwrite")
+            .partitionBy("space")
+            .parquet(staging.toString)
+          val staged = Files.walk(staging)
+          try staged
+            .filter(p =>
+              p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+            .forEach { p =>
+              val rel = staging.relativize(p.getParent).toString
+              val target = dataDir.resolve(rel)
+              Files.createDirectories(target)
+              Files.move(p, target.resolve(s"batch-$batchId-${p.getFileName}"))
+            }
+          finally staged.close()
+          Files.createDirectories(marker.getParent)
+          Files.createFile(marker)
+          val cleanup = Files.walk(staging)
+          try cleanup
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally cleanup.close()
+        }
       }
       .start()
 }

@@ -122,4 +122,79 @@ class EventLogSpec extends SparkSpec {
       txn.write("trx-x", "s0", "seg0", records(6, 5), 2000L, trxNumber = 7L)
     }
   }
+
+  test("TxnLog rejects re-staging an existing trxId") {
+    val log = freshLog()
+    val txn = new TxnLog(log)
+    txn.write("trx-dup", "s0", "seg0", records(1, 5), 1000L, trxNumber = 1L)
+    val e = intercept[IllegalArgumentException] {
+      txn.write("trx-dup", "s0", "seg0", records(1, 5), 1000L, trxNumber = 1L)
+    }
+    assert(e.getMessage.contains("already staged"))
+    txn.commit("trx-dup")
+    assert(log.consumeSegment("s0", "seg0").count() == 5)
+  }
+
+  test("TxnLog commit resumes after a partial publish without duplicating") {
+    val log = freshLog()
+    val txn = new TxnLog(log)
+    txn.write("trx-r", "s0", "seg0", records(1, 5), 1000L, trxNumber = 1L)
+    // simulate a crash mid-commit: one staged file already moved to its
+    // deterministic target name, the staged copy left behind is what a
+    // re-run must not double-publish
+    val staged = java.nio.file.Paths.get(s"${log.path}/staged/trx-r/space=s0")
+    val first = {
+      val s = java.nio.file.Files.list(staged)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList.head
+      } finally s.close()
+    }
+    val target = java.nio.file.Paths.get(s"${log.path}/data/space=s0")
+    java.nio.file.Files.createDirectories(target)
+    java.nio.file.Files.copy(first, target.resolve(s"trx-trx-r-${first.getFileName}"))
+    txn.commit("trx-r") // resumed: skips the already-published file
+    assert(log.consumeSegment("s0", "seg0").count() == 5)
+    assert(txn.staged().isEmpty)
+  }
+
+  test("interrupted compaction before the commit marker rolls back") {
+    val log = freshLog()
+    for (i <- 0 until 3)
+      log.produce("s0", "seg0", records(1 + i * 10, 10), 1000L * (i + 1))
+    val before = log.consumeSegment("s0", "seg0").collect().map(_.toSeq).toSet
+    log.compactFailpoint = Some("after-moves")
+    intercept[IllegalStateException](log.compact("s0"))
+    log.compactFailpoint = None
+    // both generations are on disk right now; recovery must restore
+    // exactly the original rows
+    log.recoverCompaction("s0")
+    val after = log.consumeSegment("s0", "seg0").collect().map(_.toSeq).toSet
+    assert(after == before && after.size == 30)
+    // and a fresh compact over the recovered space succeeds
+    assert(log.compact("s0") == 1)
+    assert(log.consumeSegment("s0", "seg0").count() == 30)
+  }
+
+  test("interrupted compaction after the commit marker rolls forward") {
+    val log = freshLog()
+    for (i <- 0 until 3)
+      log.produce("s0", "seg0", records(1 + i * 10, 10), 1000L * (i + 1))
+    val before = log.consumeSegment("s0", "seg0").collect().map(_.toSeq).toSet
+    log.compactFailpoint = Some("after-marker")
+    intercept[IllegalStateException](log.compact("s0"))
+    log.compactFailpoint = None
+    // recovery happens implicitly on the next compact() of the space
+    assert(log.compact("s0") == 1)
+    val after = log.consumeSegment("s0", "seg0").collect().map(_.toSeq).toSet
+    assert(after == before && after.size == 30)
+  }
+
+  test("consume with zero subscriptions returns an empty canonical frame") {
+    val log = freshLog()
+    log.produce("s0", "seg0", records(1, 5), 1000L)
+    val out = log.consume(Map.empty)
+    assert(out.count() == 0)
+    assert(out.columns.contains("space") && out.columns.contains("sequence"))
+  }
 }

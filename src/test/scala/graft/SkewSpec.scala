@@ -25,6 +25,23 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin spreads a hot key even when the big side is key-clustered") {
+    // big side pre-shuffled BY THE JOIN KEY — the layout where a
+    // per-partition salt would collapse to one value per hot key
+    val big = spark
+      .range(0, 10000)
+      .select(
+        when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      .repartition(col("k"))
+    val small = Seq((1L, "hot"), (11L, "a"), (23L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), buckets = 8)
+      .select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("saltedJoin left join preserves unmatched big-side rows") {
     val big = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     val small = Seq((1L, "m")).toDF("k", "w")

@@ -239,4 +239,44 @@ class StreamLogSpec extends SparkSpec {
       assert(log.peek("s0", "a").get.sequence == 2L)
     } finally q.stop()
   }
+
+  test("appendSink batch replay after a lost commit does not duplicate") {
+    import graft.model.Record
+    val dirA = Files.createTempDirectory("graft-replay-src").toString
+    val dirB = Files.createTempDirectory("graft-replay-dst").toString
+    val logA = new EventLog(spark, dirA)
+    val logB = new EventLog(spark, dirB)
+    logA.produce("s0", "a", spark.createDataset(Seq(Record(1, "p1"), Record(2, "p2"))), 1000L)
+    val ckpt = s"$dirB/ckpt"
+    val q = StreamLog.appendSink(StreamLog.follow(spark, logA), logB, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(logB.consumeSegment("s0", "a").count() == 2)
+    // crash simulation: the sink ran, but the streaming commit record
+    // was lost — on restart Structured Streaming REPLAYS batch 0
+    // (foreachBatch is at-least-once). The checkpoint is cloned to a
+    // fresh path (same JVM re-use of a mutated checkpoint trips Spark's
+    // concurrent-use guard; a real restart would reuse the path).
+    val ckpt2 = s"$dirB/ckpt-replayed"
+    val src = java.nio.file.Paths.get(ckpt)
+    val dst = java.nio.file.Paths.get(ckpt2)
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      // skip Hadoop checksum sidecars: a stale .crc under the clone makes
+      // the checksum FS reject the re-written commit record
+      else if (!p.getFileName.toString.endsWith(".crc")) Files.copy(p, t)
+    } finally walk.close()
+    val commit0 = dst.resolve("commits").resolve("0")
+    assert(Files.exists(commit0))
+    Files.delete(commit0)
+    val q2 = StreamLog.appendSink(StreamLog.follow(spark, logA), logB, ckpt2)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    // batch-id marker made the replay a no-op: still exactly 2 entries,
+    // contiguous sequences intact
+    assert(logB.consumeSegment("s0", "a").count() == 2)
+    assert(logB.peek("s0", "a").get.sequence == 2L)
+  }
 }
