@@ -300,32 +300,44 @@ object Dedup {
     * component label among itself and its neighbours, converging in
     * O(diameter) rounds ≤ O(log n) for near-dup cliques. The driver loop
     * is over ROUNDS, not data; each round is one distributed join +
-    * aggregate, lineage cut with localCheckpoint so plans stay flat.
+    * aggregate, lineage cut per round so plans stay flat.
     * Returns `(id, comp)` where `comp` is the component's minimum id —
-    * `filter(id === comp)` yields the canonical survivors. */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    var labels = edges
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    * `filter(id === comp)` yields the canonical survivors.
+    *
+    * Lineage cuts default to `localCheckpoint` (executor-local blocks —
+    * fast, but an executor loss kills the cached partitions). On a real
+    * cluster pass `checkpointDir` (HDFS/object-store path): rounds then
+    * cut lineage with RELIABLE `checkpoint()`, surviving executor loss —
+    * the right 100 TB setting, at the price of one distributed write per
+    * round. */
+  def duplicateClusters(
+      pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = cut(
+      pairs
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    var labels = cut(
+      edges
+        .select(col("src").as("id"))
+        .distinct()
+        .withColumn("comp", col("id")))
     var changed = 1L
     while (changed > 0) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("comp").as("nbr_comp"))
-      val updated = labels
-        .join(propagated, Seq("id"), "left")
-        .select(
-          col("id"),
-          col("comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next"))
-        .localCheckpoint()
+      val updated = cut(
+        labels
+          .join(propagated, Seq("id"), "left")
+          .select(
+            col("id"),
+            col("comp"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next")))
       changed = updated.filter(col("next") < col("comp")).count()
       labels = updated.select(col("id"), col("next").as("comp"))
     }

@@ -61,9 +61,17 @@ object Tokens {
   }
 
   /** Register `graft_tokens(text) -> array<string>`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_tokens",
-      exprs => Tokens(exprs(0)),
-      "built-in")
+  /** Register `graft_tokens` once per session — re-registering an
+    * existing name makes the SimpleFunctionRegistry log a "replaced"
+    * warning on every query that calls register, so check first. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val name =
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokens")
+    if (!registry.functionExists(name))
+      registry.createOrReplaceTempFunction(
+        "graft_tokens",
+        exprs => Tokens(exprs(0)),
+        "built-in")
+  }
 }

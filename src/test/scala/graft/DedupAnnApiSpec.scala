@@ -68,6 +68,26 @@ class DedupAnnApiSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("duplicateClusters reliable-checkpoint mode matches local mode") {
+    import spark.implicits._
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.duplicateClusters(pairs))
+    val reliable = asMap(Dedup.duplicateClusters(pairs, Some(ckptDir)))
+    assert(reliable == local)
+    // the reliable mode really wrote cluster-durable round snapshots
+    val wrote = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      try s.filter(p => java.nio.file.Files.isRegularFile(p)).count() > 0
+      finally s.close()
+    }
+    assert(wrote)
+  }
+
   test("duplicateClusters on real ngram pairs keeps one survivor per clique") {
     val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.8)
     val comps = Dedup.duplicateClusters(pairs)

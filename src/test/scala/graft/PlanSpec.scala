@@ -70,4 +70,23 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_dedup_simhash")
     assert(p.contains("ShuffledHashJoin"))
   }
+
+  test("q_approx_distinct lands within 5% of the exact distinct counts") {
+    // rows-only in the driver contract (HLL sketches are engine-specific)
+    // — this is the quantitative guard instead: rsd is configured at 1%,
+    // assert a 5x margin against the exact counts
+    def byType(name: String): Map[String, Long] =
+      SparkEntry
+        .queries(name)(spark, SfDir)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+    val approx = byType("q_approx_distinct")
+    val exact = byType("q_distinct_users")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (eventType, n) =>
+      val err = math.abs(approx(eventType) - n).toDouble / n
+      assert(err <= 0.05, s"$eventType: approx=${approx(eventType)} exact=$n err=$err")
+    }
+  }
 }

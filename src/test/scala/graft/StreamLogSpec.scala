@@ -240,6 +240,64 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observer loop: notifications drive offset re-polls, no loss, no dups") {
+    // The reference's push model is a tickle, not a data channel: the
+    // server notifies (observer.go), the client re-polls from its own
+    // offset (client.go:188-206). Same loop here: `follow` +
+    // `segmentStatuses` is the notification feed; on each tickle the
+    // consumer re-polls the STORE via consumeSpaceFromOffset and
+    // advances its offset to the last entry it saw.
+    import graft.model.Record
+    import graft.operators.EventOps
+    val dir = Files.createTempDirectory("graft-observer").toString
+    val log = new EventLog(spark, dir)
+    def recs(from: Long, n: Long) =
+      spark.createDataset((from until from + n).map(i => Record(i, s"p$i")))
+    log.produce("s0", "a", recs(1, 3), 1000L)
+    val q = StreamLog
+      .segmentStatuses(StreamLog.follow(spark, log).toDF())
+      .writeStream
+      .format("memory")
+      .queryName("observer_notify")
+      .outputMode("complete")
+      .start()
+    try {
+      var offset = (0L, "", 0L)
+      val consumed = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      def notifiedSegments(): Long =
+        spark.sql("SELECT count(*) FROM observer_notify").head().getLong(0)
+      def tickleAndPoll(): Int = {
+        q.processAllAvailable() // wait for the tickle
+        val fresh = EventOps
+          .consumeSpaceFromOffset(log.load(), "s0", offset._1, offset._2, offset._3)
+          .select("timestamp", "segment", "sequence")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        consumed ++= fresh
+        if (fresh.nonEmpty) offset = fresh.last
+        fresh.length
+      }
+      assert(tickleAndPoll() == 3)
+      assert(notifiedSegments() == 1)
+      // two more produces, one to a brand-new segment with an EARLIER
+      // timestamp than the other — the offset resume must pick up both
+      log.produce("s0", "b", recs(1, 2), 1500L)
+      log.produce("s0", "a", recs(4, 2), 2000L)
+      assert(tickleAndPoll() == 4)
+      assert(notifiedSegments() == 2)
+      // idle tickle: nothing new, nothing re-delivered
+      assert(tickleAndPoll() == 0)
+      assert(consumed.size == 7 && consumed.distinct.size == 7)
+      // incremental consumption ≡ one from-scratch space scan
+      val full = EventOps
+        .consumeSpace(log.load(), "s0")
+        .select("timestamp", "segment", "sequence")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(consumed.toSeq == full.toSeq)
+    } finally q.stop()
+  }
+
   test("appendSink batch replay after a lost commit does not duplicate") {
     import graft.model.Record
     val dirA = Files.createTempDirectory("graft-replay-src").toString
