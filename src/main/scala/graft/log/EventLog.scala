@@ -1,7 +1,6 @@
 package graft.log
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +29,12 @@ final class EventLog(val spark: SparkSession, val path: String) {
 
   private val dataDir = s"$path/data"
 
-  def isEmpty: Boolean = !Files.exists(Paths.get(dataDir))
+  /** All control-plane file ops go through the Hadoop FS of `path`, so
+    * the store runs on file://, hdfs://, abfs://, s3a:// alike (see
+    * [[LogFs]] for the S3 rename caveat). */
+  private[graft] val hfs = LogFs.fs(spark, path)
+
+  def isEmpty: Boolean = !LogFs.exists(hfs, dataDir)
 
   /** The committed log as a DataFrame in canonical schema. */
   def load(): DataFrame =
@@ -186,45 +190,39 @@ final class EventLog(val spark: SparkSession, val path: String) {
     * Returns the resulting file count (0 if the space does not exist). */
   def compact(space: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     recoverCompaction(space)
-    val partPath = Paths.get(dataDir, s"space=$space")
-    if (!Files.exists(partPath)) return 0
-    val bytes = Files
-      .walk(partPath)
-      .filter(p => Files.isRegularFile(p))
-      .mapToLong(p => Files.size(p))
-      .sum()
+    val partPath = s"$dataDir/space=$space"
+    if (!LogFs.exists(hfs, partPath)) return 0
+    val bytes = LogFs.totalBytes(hfs, partPath)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val staging = Paths.get(s"$path/compacting-$space")
+    val staging = s"$path/compacting-$space"
     spark.read
-      .parquet(partPath.toString)
+      .parquet(partPath)
       .repartition(nFiles)
       .write
       .mode(SaveMode.Overwrite)
-      .parquet(staging.toString)
-    val originals = listParquet(partPath)
-    val stagedFiles = listParquet(staging)
+      .parquet(staging)
+    val originals = LogFs.listParquet(hfs, partPath)
+    val stagedFiles = LogFs.listParquet(hfs, staging)
     val targetNames = stagedFiles.zipWithIndex.map { case (p, i) =>
-      s"compacted-$i-${p.getFileName}"
+      s"compacted-$i-${p.getName}"
     }
     // manifest first: from here a crash is recoverable in both directions
     val manifestLines =
-      staging.toString +:
-        (originals.map(p => s"O ${p.getFileName}") ++ targetNames.map(n => s"S $n"))
-    Files.write(
-      manifestPath(partPath),
-      String.join("\n", manifestLines: _*).getBytes("UTF-8"))
+      staging +:
+        (originals.map(p => s"O ${p.getName}") ++ targetNames.map(n => s"S $n"))
+    LogFs.writeText(hfs, manifestPath(partPath), manifestLines.mkString("\n"))
     stagedFiles.zip(targetNames).foreach { case (p, name) =>
-      Files.move(p, partPath.resolve(name))
+      LogFs.move(hfs, p, new HPath(partPath, name))
     }
     failpoint("after-moves")
     // commit point: the compacted generation is complete — recovery now
     // rolls forward instead of back
-    Files.createFile(commitMarkerPath(partPath))
+    LogFs.touch(hfs, commitMarkerPath(partPath))
     failpoint("after-marker")
-    originals.foreach(deleteWithSidecar)
-    deleteRecursively(staging)
-    Files.delete(commitMarkerPath(partPath))
-    Files.delete(manifestPath(partPath))
+    originals.foreach(p => LogFs.deleteFile(hfs, p))
+    LogFs.deleteRecursive(hfs, staging)
+    LogFs.deleteFile(hfs, new HPath(commitMarkerPath(partPath)))
+    LogFs.deleteFile(hfs, new HPath(manifestPath(partPath)))
     nFiles
   }
 
@@ -233,27 +231,26 @@ final class EventLog(val spark: SparkSession, val path: String) {
     * restart for every known space; NOT safe concurrently with an
     * in-flight compact() of the same space (single-writer rule). */
   def recoverCompaction(space: String): Unit = {
-    val partPath = Paths.get(dataDir, s"space=$space")
+    val partPath = s"$dataDir/space=$space"
     val mf = manifestPath(partPath)
-    if (!Files.exists(mf)) return
-    import scala.jdk.CollectionConverters._
-    val lines = Files.readAllLines(mf).asScala.toList
-    val staging = Paths.get(lines.head)
+    if (!LogFs.exists(hfs, mf)) return
+    val lines = LogFs.readLines(hfs, mf)
+    val staging = lines.head
     val originals = lines.tail.collect { case l if l.startsWith("O ") => l.drop(2) }
     val staged = lines.tail.collect { case l if l.startsWith("S ") => l.drop(2) }
-    if (Files.exists(commitMarkerPath(partPath))) {
+    if (LogFs.exists(hfs, commitMarkerPath(partPath))) {
       // roll forward: every compacted file was moved in before the
       // marker appeared; only original deletion / cleanup can be pending
-      originals.foreach(n => deleteWithSidecar(partPath.resolve(n)))
-      if (Files.exists(staging)) deleteRecursively(staging)
-      Files.delete(commitMarkerPath(partPath))
+      originals.foreach(n => LogFs.deleteFile(hfs, new HPath(partPath, n)))
+      LogFs.deleteRecursive(hfs, staging)
+      LogFs.deleteFile(hfs, new HPath(commitMarkerPath(partPath)))
     } else {
       // roll back: no original was deleted yet — drop whatever part of
       // the new generation made it in, and the staging dir
-      staged.foreach(n => deleteWithSidecar(partPath.resolve(n)))
-      if (Files.exists(staging)) deleteRecursively(staging)
+      staged.foreach(n => LogFs.deleteFile(hfs, new HPath(partPath, n)))
+      LogFs.deleteRecursive(hfs, staging)
     }
-    Files.delete(mf)
+    LogFs.deleteFile(hfs, new HPath(mf))
   }
 
   /** Test hook: crash-point name ("after-moves" | "after-marker") at
@@ -264,29 +261,11 @@ final class EventLog(val spark: SparkSession, val path: String) {
     if (compactFailpoint.contains(name))
       throw new IllegalStateException(s"injected compaction crash at $name")
 
-  private def manifestPath(partPath: java.nio.file.Path) =
-    partPath.resolve("_compact.manifest")
+  private def manifestPath(partPath: String) =
+    s"$partPath/_compact.manifest"
 
-  private def commitMarkerPath(partPath: java.nio.file.Path) =
-    partPath.resolve("_compact.commit")
-
-  private def listParquet(dir: java.nio.file.Path): List[java.nio.file.Path] = {
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
-    } finally s.close()
-  }
-
-  private def deleteWithSidecar(p: java.nio.file.Path): Unit = {
-    Files.deleteIfExists(p)
-    // drop the local-FS checksum sidecar too, or it lingers orphaned
-    Files.deleteIfExists(p.getParent.resolve(s".${p.getFileName}.crc"))
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .forEach(q => Files.delete(q))
+  private def commitMarkerPath(partPath: String) =
+    s"$partPath/_compact.commit"
 
   /** Anti-entropy catch-up from a peer log (reference: Synchronize /
     * SynchronizeSpace / SynchronizeSegment, pebble/service.go:532):

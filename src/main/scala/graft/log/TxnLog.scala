@@ -1,8 +1,6 @@
 package graft.log
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -34,6 +32,7 @@ import graft.model.Record
   */
 final class TxnLog(val log: EventLog) {
   private val spark = log.spark
+  private val hfs = log.hfs
   private val stagedRoot = s"${log.path}/staged"
   private val dataDir = s"${log.path}/data"
 
@@ -47,7 +46,7 @@ final class TxnLog(val log: EventLog) {
       timestampUs: Long,
       trxNumber: Long): Unit = {
     require(
-      !Files.exists(Paths.get(s"$stagedRoot/$trxId")),
+      !LogFs.exists(hfs, s"$stagedRoot/$trxId"),
       s"transaction already staged: $trxId")
     val last = log.peek(space, segment)
     val lastSeq = last.map(_.sequence).getOrElse(0L)
@@ -89,42 +88,34 @@ final class TxnLog(val log: EventLog) {
     * the rest move, and the staged dir is dropped last. See the class
     * doc for the visibility caveat during the move window. */
   def commit(trxId: String): Unit = {
-    val staged = Paths.get(s"$stagedRoot/$trxId")
-    require(Files.exists(staged), s"transaction not found: $trxId")
-    Files.createDirectories(Paths.get(dataDir))
-    Files
-      .walk(staged)
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .forEach { p =>
-        val rel = staged.relativize(p.getParent).toString
-        val target = Paths.get(dataDir, rel)
-        Files.createDirectories(target)
-        val dest = target.resolve(s"trx-$trxId-${p.getFileName}")
-        if (Files.exists(dest)) Files.delete(p) // resumed commit: already published
-        else Files.move(p, dest)
-      }
-    deleteRecursively(staged)
+    val stagedDir = s"$stagedRoot/$trxId"
+    require(LogFs.exists(hfs, stagedDir), s"transaction not found: $trxId")
+    val stagedBase = new HPath(stagedDir)
+    LogFs.walkParquet(hfs, stagedDir).foreach { p =>
+      // parent dir relative to the staged root = the partition subpath
+      val rel = p.getParent.toString.stripPrefix(
+        hfs.makeQualified(stagedBase).toString).stripPrefix("/")
+      val dest = new HPath(
+        if (rel.isEmpty) dataDir else s"$dataDir/$rel",
+        s"trx-$trxId-${p.getName}")
+      if (hfs.exists(dest)) LogFs.deleteFile(hfs, p) // resumed: already published
+      else LogFs.move(hfs, p, dest)
+    }
+    LogFs.deleteRecursive(hfs, stagedDir)
   }
 
   /** Drop a staged transaction (reference: Rollback — delete the staged
     * key, no-op if absent). */
-  def rollback(trxId: String): Unit = {
-    val staged = Paths.get(s"$stagedRoot/$trxId")
-    if (Files.exists(staged)) deleteRecursively(staged)
-  }
+  def rollback(trxId: String): Unit =
+    LogFs.deleteRecursive(hfs, s"$stagedRoot/$trxId")
 
-  def staged(): Seq[String] = {
-    val root = Paths.get(stagedRoot)
-    if (!Files.exists(root)) Seq.empty
-    else {
-      val s = Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
-      } finally s.close()
-    }
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder()).forEach(Files.delete(_))
+  def staged(): Seq[String] =
+    if (!LogFs.exists(hfs, stagedRoot)) Seq.empty
+    else
+      hfs
+        .listStatus(new HPath(stagedRoot))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .toSeq
+        .sorted
 }

@@ -245,41 +245,33 @@ object StreamLog {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import java.nio.file.{Files, Paths}
-        val dataDir = Paths.get(s"${log.path}/data")
-        val marker = Paths.get(s"${log.path}/stream-commits/batch-$batchId.done")
-        if (!Files.exists(marker)) {
+        import graft.log.LogFs
+        import org.apache.hadoop.fs.{Path => HPath}
+        val hfs = log.hfs
+        val dataDir = s"${log.path}/data"
+        val marker = s"${log.path}/stream-commits/batch-$batchId.done"
+        if (!LogFs.exists(hfs, marker)) {
           // clean any partial publish from a failed previous attempt
-          if (Files.exists(dataDir)) {
-            val partial = Files.walk(dataDir)
-            try partial
-              .filter(p => p.getFileName.toString.startsWith(s"batch-$batchId-"))
-              .forEach(p => Files.deleteIfExists(p))
-            finally partial.close()
-          }
-          val staging = Paths.get(s"${log.path}/stream-staging/batch-$batchId")
+          if (LogFs.exists(hfs, dataDir))
+            LogFs
+              .walkParquet(hfs, dataDir)
+              .filter(_.getName.startsWith(s"batch-$batchId-"))
+              .foreach(p => LogFs.deleteFile(hfs, p))
+          val staging = s"${log.path}/stream-staging/batch-$batchId"
           batch.write
             .mode("overwrite")
             .partitionBy("space")
-            .parquet(staging.toString)
-          val staged = Files.walk(staging)
-          try staged
-            .filter(p =>
-              p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-            .forEach { p =>
-              val rel = staging.relativize(p.getParent).toString
-              val target = dataDir.resolve(rel)
-              Files.createDirectories(target)
-              Files.move(p, target.resolve(s"batch-$batchId-${p.getFileName}"))
-            }
-          finally staged.close()
-          Files.createDirectories(marker.getParent)
-          Files.createFile(marker)
-          val cleanup = Files.walk(staging)
-          try cleanup
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally cleanup.close()
+            .parquet(staging)
+          val stagedBase = hfs.makeQualified(new HPath(staging)).toString
+          LogFs.walkParquet(hfs, staging).foreach { p =>
+            val rel =
+              p.getParent.toString.stripPrefix(stagedBase).stripPrefix("/")
+            val target = if (rel.isEmpty) dataDir else s"$dataDir/$rel"
+            LogFs.move(
+              hfs, p, new HPath(target, s"batch-$batchId-${p.getName}"))
+          }
+          LogFs.touch(hfs, marker)
+          LogFs.deleteRecursive(hfs, staging)
         }
       }
       .start()
