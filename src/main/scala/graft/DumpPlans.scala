@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump the optimized physical plan of every registered query
+  * (AQE initial plan, SimpleMode) for PLANS.md regeneration:
+  *
+  *   sbt "runMain graft.DumpPlans /root/testdata/sf0.01 /tmp/plans.txt"
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outPath = if (args.length > 1) args(1) else "/tmp/plans.txt"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = new java.io.PrintWriter(outPath)
+    // q_dedup_clusters excluded: its driver loop executes eagerly during
+    // construction; the per-round join plan is the interesting part and
+    // is identical to the propagate join documented in Dedup.scala.
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+        if name != "q_dedup_clusters") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      out.println(s"########## $name")
+      out.println(
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+    }
+    out.close()
+    spark.stop()
+  }
+}
