@@ -156,11 +156,22 @@ object Dedup {
       id: String,
       text: String,
       k: Int,
+      numHashes: Int): DataFrame =
+    minhashSignaturesFromShingled(shingled(docs, id, text, k), id, numHashes)
+
+  /** [[minhashSignatures]] over an already-shingled `(id, s)` table —
+    * lets callers that also need the shingle sets (verification)
+    * materialize them ONCE instead of re-scanning the corpus. */
+  def minhashSignaturesFromShingled(
+      sh: DataFrame,
+      id: String,
       numHashes: Int): DataFrame = {
-    val ex = shingleRows(docs, id, text, k).select(
-      col(id),
-      Hashing.md5Long(col("shingle")).as("a"),
-      Hashing.md5Long2(col("shingle")).as("b"))
+    val ex = sh
+      .select(col(id), explode(col("s")).as("shingle"))
+      .select(
+        col(id),
+        Hashing.md5Long(col("shingle")).as("a"),
+        Hashing.md5Long2(col("shingle")).as("b"))
     val mins = (0 until numHashes).map(i =>
       min(col("a") + lit(i.toLong) * col("b")).as(s"mh$i"))
     ex.groupBy(id).agg(mins.head, mins.tail: _*)
@@ -168,7 +179,10 @@ object Dedup {
 
   /** MinHash + LSH near-dup: `bands` band buckets (signature split evenly)
     * generate candidates, exact Jaccard over the shingle sets verifies
-    * against `threshold`. */
+    * against `threshold`. The shingle table is materialized once
+    * (`localCheckpoint`, same rationale and cluster caveat as
+    * [[ngramJaccard]]) and feeds both the signature aggregation and the
+    * two verification joins — one corpus scan total. */
   def minhashLsh(
       docs: DataFrame,
       id: String = "doc_id",
@@ -188,12 +202,13 @@ object Dedup {
           .md5Long(concat_ws(":", sig: _*))
           .as("band_hash"))
     }
+    val sh = shingled(docs, id, text, k).localCheckpoint()
     // shuffle_hash: a broadcast band join would recompute the signature
     // aggregation for the build side (Broadcast- and ShuffleExchange
     // cannot reuse each other); shuffling both sides on the band key is
     // also the only shape that survives when n_docs is too big to
     // broadcast.
-    val banded = minhashSignatures(docs, id, text, k, numHashes)
+    val banded = minhashSignaturesFromShingled(sh, id, numHashes)
       .select(col(id), explode(array(bandCols: _*)).as("b"))
       .select(col(id), col("b.band_id"), col("b.band_hash"))
       .hint("shuffle_hash")
@@ -206,7 +221,7 @@ object Dedup {
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
       .distinct()
-    val sh = shingled(docs, id, text, k)
+      .localCheckpoint()
     cands
       .join(sh.select(col(id).as("a_id"), col("s").as("a_s")), "a_id")
       .join(sh.select(col(id).as("b_id"), col("s").as("b_s")), "b_id")
