@@ -93,10 +93,14 @@ object StreamLog {
         case ((space, segment), rows, state: GroupState[SeqState]) =>
           var last = state.getOption.map(_.lastSequence).getOrElse(0L)
           val gaps = Seq.newBuilder[SeqGap]
-          rows.toSeq.sortBy(e => (e.timestamp, e.sequence)).foreach { e =>
-            if (e.sequence != last + 1)
-              gaps += SeqGap(space, segment, last + 1, e.sequence)
-            last = math.max(last, e.sequence)
+          // project to (timestamp, sequence) BEFORE materializing for the
+          // sort: a hot segment's micro-batch then buffers 16 bytes per
+          // entry instead of full rows with payloads
+          val order = rows.map(e => (e.timestamp, e.sequence)).toArray.sorted
+          order.foreach { case (_, seq) =>
+            if (seq != last + 1)
+              gaps += SeqGap(space, segment, last + 1, seq)
+            last = math.max(last, seq)
           }
           state.update(SeqState(last))
           gaps.result().iterator
@@ -272,6 +276,21 @@ object StreamLog {
           }
           LogFs.touch(hfs, marker)
           LogFs.deleteRecursive(hfs, staging)
+          // marker GC: replay only ever concerns batches the streaming
+          // checkpoint has not committed past, which trails by at most
+          // one — a deep horizon keeps the dir bounded without racing it
+          val horizon = batchId - 128
+          if (horizon >= 0 && LogFs.exists(hfs, s"${log.path}/stream-commits")) {
+            val Done = raw"batch-(\d+)\.done".r
+            hfs
+              .listStatus(new HPath(s"${log.path}/stream-commits"))
+              .foreach(st =>
+                st.getPath.getName match {
+                  case Done(id) if id.toLong < horizon =>
+                    LogFs.deleteFile(hfs, st.getPath)
+                  case _ => ()
+                })
+          }
         }
       }
       .start()
