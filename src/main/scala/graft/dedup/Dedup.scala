@@ -359,6 +359,22 @@ object Dedup {
     labels
   }
 
+  /** Apply dedup decisions: keep only each component's canonical doc.
+    * `clusters` is [[duplicateClusters]] output `(id, comp)`; documents
+    * never named in any pair are kept unchanged (they are their own
+    * canonical). One broadcast-or-shuffle anti join of the corpus
+    * against the (small) non-canonical id set — the corpus itself never
+    * reshuffles. */
+  def keepCanonical(
+      docs: DataFrame,
+      clusters: DataFrame,
+      id: String = "doc_id"): DataFrame = {
+    val dropIds = clusters
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(id))
+    docs.join(dropIds, Seq(id), "left_anti")
+  }
+
   /** All-pairs embedding cosine ≥ `threshold` — the oracle-verifiable
     * baseline. Vectors are normed once; the pair loop is the codegen'd
     * dot product. Quadratic by construction: at corpus scale route

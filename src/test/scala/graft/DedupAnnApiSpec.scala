@@ -98,6 +98,20 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(comps.select("comp").distinct().count() == survivors)
   }
 
+  test("keepCanonical filters a corpus to cluster survivors plus untouched docs") {
+    import spark.implicits._
+    val corpus = (1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val kept = Dedup
+      .keepCanonical(corpus, Dedup.duplicateClusters(pairs))
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    // 2,3 fold into 1; 8 folds into 7; everything unpaired survives
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
   test("embeddingCosine threshold is monotone") {
     val lo = Dedup.embeddingCosine(embs, threshold = 0.4)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -71,6 +71,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"))
   }
 
+  test("q_dedup_ngram reads the corpus once (all joins off materialized tables)") {
+    // the shingle + prefix tables are localCheckpointed during
+    // construction — the final plan must contain NO parquet scan of
+    // documents (everything reads the materialized RDDs) and the
+    // candidate self-join must stay shuffle-hash
+    val p = plan("q_dedup_ngram")
+    assert(!p.contains("FileScan parquet"), "expected zero parquet scans in the final plan")
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
   test("q_approx_distinct lands within 5% of the exact distinct counts") {
     // rows-only in the driver contract (HLL sketches are engine-specific)
     // — this is the quantitative guard instead: rsd is configured at 1%,
