@@ -93,6 +93,13 @@ object Dedup {
     // broadcast at corpus scale.
     val freq = ex.groupBy("h").agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(id).orderBy("f", "h")
+    // Every derived bound below (prefix length, size ratio, overlap α)
+    // is RELAXED by a small epsilon before flooring/ceiling: double
+    // arithmetic can overshoot an exact rational bound (0.8·35 =
+    // 28.000000000000004, whose ceil prunes a TRUE pair at J exactly
+    // 0.8). Relaxation only admits a few extra candidates — the exact
+    // Jaccard verification stays the arbiter.
+    val eps = 1e-6
     // sz (the doc's distinct-shingle count) is recovered as a count over
     // the same window partition rather than carried through both
     // shuffles. prefix is (1-t)·|shingle rows| of (id, h, pos, sz):
@@ -102,7 +109,7 @@ object Dedup {
       .join(freq.hint("shuffle_hash"), "h")
       .withColumn("pos", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(id)))
-      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
       .select(col(id), col("h"), col("pos"), col("sz"))
       .localCheckpoint()
       .hint("shuffle_hash")
@@ -122,10 +129,10 @@ object Dedup {
         prefix.select(col(id).as("b_id"), col("h"), col("pos").as("b_pos"), col("sz").as("b_sz")),
         Seq("h"))
       .filter(col("a_id") < col("b_id"))
-      .filter(col("a_sz") >= col("b_sz") * threshold &&
-        col("b_sz") >= col("a_sz") * threshold)
+      .filter(col("a_sz") >= col("b_sz") * threshold - eps &&
+        col("b_sz") >= col("a_sz") * threshold - eps)
       .filter(lit(1) + least(col("a_sz") - col("a_pos"), col("b_sz") - col("b_pos")) >=
-        ceil((col("a_sz") + col("b_sz")) * lit(threshold / (1 + threshold))))
+        ceil((col("a_sz") + col("b_sz")) * lit(threshold / (1 + threshold)) - eps))
       .select("a_id", "b_id")
       .distinct()
       .localCheckpoint()
@@ -324,39 +331,50 @@ object Dedup {
     * cluster pass `checkpointDir` (HDFS/object-store path): rounds then
     * cut lineage with RELIABLE `checkpoint()`, surviving executor loss —
     * the right 100 TB setting, at the price of one distributed write per
-    * round. */
+    * round. Reliable mode leaves one label-table snapshot per round in
+    * `checkpointDir` unless `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true` lets Spark GC superseded ones — set it (or
+    * clear the dir after the run) for long jobs. The session's previous
+    * checkpoint dir is restored on exit. */
   def duplicateClusters(
       pairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = cut(
-      pairs
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
-    var labels = cut(
-      edges
-        .select(col("src").as("id"))
-        .distinct()
-        .withColumn("comp", col("id")))
-    var changed = 1L
-    while (changed > 0) {
-      val propagated = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min("comp").as("nbr_comp"))
-      val updated = cut(
-        labels
-          .join(propagated, Seq("id"), "left")
-          .select(
-            col("id"),
-            col("comp"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next")))
-      changed = updated.filter(col("next") < col("comp")).count()
-      labels = updated.select(col("id"), col("next").as("comp"))
+    try {
+      val edges = cut(
+        pairs
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+          .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+      var labels = cut(
+        edges
+          .select(col("src").as("id"))
+          .distinct()
+          .withColumn("comp", col("id")))
+      var changed = 1L
+      while (changed > 0) {
+        val propagated = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min("comp").as("nbr_comp"))
+        val updated = cut(
+          labels
+            .join(propagated, Seq("id"), "left")
+            .select(
+              col("id"),
+              col("comp"),
+              least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next")))
+        changed = updated.filter(col("next") < col("comp")).count()
+        labels = updated.select(col("id"), col("next").as("comp"))
+      }
+      labels
+    } finally {
+      if (checkpointDir.isDefined)
+        prevCheckpointDir.foreach(sc.setCheckpointDir)
     }
-    labels
   }
 
   /** Apply dedup decisions: keep only each component's canonical doc.

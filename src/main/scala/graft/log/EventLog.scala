@@ -221,8 +221,12 @@ final class EventLog(val spark: SparkSession, val path: String) {
     failpoint("after-marker")
     originals.foreach(p => LogFs.deleteFile(hfs, p))
     LogFs.deleteRecursive(hfs, staging)
-    LogFs.deleteFile(hfs, new HPath(commitMarkerPath(partPath)))
+    // manifest BEFORE marker: a crash between the deletes then leaves
+    // marker-only (harmless, swept by recovery) — the reverse order
+    // would leave manifest-only, which recovery reads as "not yet
+    // committed" and rolls back the ONLY remaining generation
     LogFs.deleteFile(hfs, new HPath(manifestPath(partPath)))
+    LogFs.deleteFile(hfs, new HPath(commitMarkerPath(partPath)))
     nFiles
   }
 
@@ -233,7 +237,12 @@ final class EventLog(val spark: SparkSession, val path: String) {
   def recoverCompaction(space: String): Unit = {
     val partPath = s"$dataDir/space=$space"
     val mf = manifestPath(partPath)
-    if (!LogFs.exists(hfs, mf)) return
+    if (!LogFs.exists(hfs, mf)) {
+      // a marker without a manifest = compaction fully applied, crash
+      // fell between the two final deletes — sweep the stale marker
+      LogFs.deleteFile(hfs, new HPath(commitMarkerPath(partPath)))
+      return
+    }
     val lines = LogFs.readLines(hfs, mf)
     val staging = lines.head
     val originals = lines.tail.collect { case l if l.startsWith("O ") => l.drop(2) }
@@ -243,7 +252,9 @@ final class EventLog(val spark: SparkSession, val path: String) {
       // marker appeared; only original deletion / cleanup can be pending
       originals.foreach(n => LogFs.deleteFile(hfs, new HPath(partPath, n)))
       LogFs.deleteRecursive(hfs, staging)
+      LogFs.deleteFile(hfs, new HPath(mf))
       LogFs.deleteFile(hfs, new HPath(commitMarkerPath(partPath)))
+      return
     } else {
       // roll back: no original was deleted yet — drop whatever part of
       // the new generation made it in, and the staging dir

@@ -65,10 +65,19 @@ private[graft] object LogFs {
     fs.create(path, true).close()
   }
 
+  /** Atomic text write: write to a `.tmp` sibling, then rename into
+    * place — a crash mid-write never leaves a truncated file at `p`
+    * (recovery protocols read these files and act on their contents,
+    * so a partial manifest must be impossible to observe). */
   def writeText(fs: FileSystem, p: String, text: String): Unit = {
-    val out = fs.create(new Path(p), true)
+    val target = new Path(p)
+    val tmp = new Path(p + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8"))
     finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename failed: $tmp -> $target")
   }
 
   def readLines(fs: FileSystem, p: String): List[String] = {

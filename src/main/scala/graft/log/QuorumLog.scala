@@ -62,8 +62,28 @@ final class QuorumLog(val participants: Seq[EventLog]) {
       throw new IllegalStateException(
         s"write quorum not reached: $n of ${participants.size} acked, need $majority")
     }
-    txns.zip(acks).foreach { case (t, ok) => if (ok) t.commit(trxId) }
-    n
+    // Decision = commit. A replica whose commit call fails mid-fan-out
+    // must not keep the transaction staged forever (its staged trxId
+    // would NACK every future re-produce): roll its staged copy back —
+    // the committed data reaches it later through [[reconcile]], the
+    // same path a down replica takes. Commit on ≥1 replica is
+    // guaranteed or this throws after rolling everything back.
+    val committed = txns.zip(acks).map {
+      case (t, true) =>
+        try { t.commit(trxId); true }
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            try t.rollback(trxId)
+            catch { case scala.util.control.NonFatal(_) => () }
+            false
+        }
+      case _ => false
+    }
+    val c = committed.count(identity)
+    if (c == 0)
+      throw new IllegalStateException(
+        s"commit failed on every acked replica for $trxId")
+    c
   }
 
   /** Anti-entropy pass: every replica pulls the tail it is missing from

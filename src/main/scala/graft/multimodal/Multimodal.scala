@@ -286,5 +286,5 @@ object Multimodal {
         count(lit(1)).as("n_assets"),
         sum(length(col("content"))).as("total_bytes"),
         count_distinct(md5(col("content"))).as("distinct_contents"))
-      .orderBy("kind")
+      .transform(graft.operators.SortUtil.sortSmall(_, col("kind")))
 }

@@ -25,14 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** Deterministic total order for small (group-bounded) outputs: one
-    * shuffle into a single partition + local sort. A trailing global
-    * `orderBy` range-samples its child first, re-executing the
-    * post-shuffle aggregate a second time — pure waste when the output
-    * is one row per space/segment. If segment cardinality ever reaches
-    * tens of millions, switch the affected head back to `orderBy`. */
-  private def sortSmall(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+  import SortUtil.sortSmall
 
   /** Project the driver's `events` table (pre-normalized with a `ts_us`
     * column, see [[graft.sources.Tables.events]]) into the canonical log

@@ -35,16 +35,19 @@ object Skew {
     require(
       Seq("inner", "left", "left_outer").contains(joinType),
       s"unsupported salted join type: $joinType")
-    // Deterministic PER-ROW salt (hash of the per-row monotonic id):
-    // consecutive rows of a hot key spread over all buckets even when
-    // the big side arrives clustered by the join key (e.g. read back
-    // from a key-partitioned write) — a per-partition salt would give
-    // such a key a single salt value and spread nothing, while the
-    // small side still paid the full buckets× replication. No data
-    // column needed, no rand() non-determinism within a run.
+    // Deterministic PER-ROW salt: hash of the full row CONTENT, so (a)
+    // rows of a hot key spread over all buckets even when the big side
+    // arrives clustered by the join key (a per-partition salt would
+    // give such a key one salt and spread nothing), and (b) the salt is
+    // stable under task/stage retry — a positional id
+    // (monotonically_increasing_id / spark_partition_id) changes when a
+    // recomputed partition reorders, which can duplicate or drop join
+    // rows when only some downstream tasks retry. Rows identical in
+    // EVERY column share a salt; such rows are interchangeable, so the
+    // spread loss is bounded by true full-row duplicates.
     val salted = big.withColumn(
       SaltCol,
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(buckets.toLong)).cast("int"))
     val replicated = small.withColumn(
       SaltCol,
       explode(array((0 until buckets).map(lit(_)): _*)))

@@ -19,14 +19,7 @@ import graft.sources.Tables
   */
 object OlapQueries {
 
-  /** Deterministic total order for small (group-bounded) outputs —
-    * repartition(1) + local sort instead of a global orderBy, whose
-    * range-sampling pass re-executes the upstream aggregate. Applied
-    * only where output cardinality is a fixed small set (return flags,
-    * nations, event types, brands); per-user/full-table outputs keep
-    * the scalable range sort. */
-  private def sortSmall(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+  import graft.operators.SortUtil.sortSmall
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")

@@ -23,13 +23,10 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Deterministic total order for small (post-filter) outputs: one
-    * shuffle into a single partition + local sort. A global `orderBy`
-    * would range-sample first, re-executing the whole upstream plan a
-    * second time — wasteful when the result is a handful of pairs.
-    * Full-table outputs keep the scalable range sort instead. */
+  /** String-column adapter over the shared small-output sort (see
+    * [[graft.operators.SortUtil.sortSmall]] for the rationale). */
   private def sortSmall(df: DataFrame, cols: String*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    graft.operators.SortUtil.sortSmall(df, cols.map(col): _*)
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")

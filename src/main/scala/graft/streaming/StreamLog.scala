@@ -254,14 +254,24 @@ object StreamLog {
         val hfs = log.hfs
         val dataDir = s"${log.path}/data"
         val marker = s"${log.path}/stream-commits/batch-$batchId.done"
-        if (!LogFs.exists(hfs, marker)) {
-          // clean any partial publish from a failed previous attempt
-          if (LogFs.exists(hfs, dataDir))
+        val staging = s"${log.path}/stream-staging/batch-$batchId"
+        if (LogFs.exists(hfs, marker)) {
+          // replayed committed batch: nothing to publish — but a crash
+          // between marker-touch and staging-cleanup leaves the staging
+          // dir behind, so sweep it here or it leaks forever
+          LogFs.deleteRecursive(hfs, staging)
+        } else {
+          // A failed previous attempt can only have left partial files
+          // if it got past the staging write — in which case its staging
+          // dir still exists (it is deleted only after the marker). Gate
+          // the full data-dir sweep on that, so the common path costs
+          // one exists() instead of an O(log-size) recursive listing
+          // per micro-batch.
+          if (LogFs.exists(hfs, staging) && LogFs.exists(hfs, dataDir))
             LogFs
               .walkParquet(hfs, dataDir)
               .filter(_.getName.startsWith(s"batch-$batchId-"))
               .foreach(p => LogFs.deleteFile(hfs, p))
-          val staging = s"${log.path}/stream-staging/batch-$batchId"
           batch.write
             .mode("overwrite")
             .partitionBy("space")

@@ -98,6 +98,21 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(comps.select("comp").distinct().count() == survivors)
   }
 
+  test("ngramJaccard keeps a pair at exactly J = threshold (float-boundary regression)") {
+    import spark.implicits._
+    // |A| = 28 shingles, |B| = 35, overlap 28 -> J = 28/35 = 0.8 exactly.
+    // Unguarded double arithmetic prunes this true pair: 0.8*35 and
+    // 4/9*63 both overshoot their exact values, failing the PPJoin size
+    // and positional filters at the boundary.
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 37).map(i => s"w$i").mkString(" ")
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(two, k = 3, threshold = 0.8).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 0.8)
+  }
+
   test("keepCanonical filters a corpus to cluster survivors plus untouched docs") {
     import spark.implicits._
     val corpus = (1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")

@@ -190,6 +190,21 @@ class EventLogSpec extends SparkSpec {
     assert(after == before && after.size == 30)
   }
 
+  test("a stale commit marker without a manifest is swept, data untouched") {
+    // the final cleanup deletes manifest THEN marker; a crash between
+    // the two leaves marker-only — recovery must treat the compaction
+    // as fully applied (sweeping the marker), never roll anything back
+    val log = freshLog()
+    log.produce("s0", "seg0", records(1, 10), 1000L)
+    assert(log.compact("s0") == 1)
+    val marker = java.nio.file.Paths.get(
+      s"${log.path}/data/space=s0/_compact.commit")
+    java.nio.file.Files.createFile(marker)
+    log.recoverCompaction("s0")
+    assert(!java.nio.file.Files.exists(marker))
+    assert(log.consumeSegment("s0", "seg0").count() == 10)
+  }
+
   test("consume with zero subscriptions returns an empty canonical frame") {
     val log = freshLog()
     log.produce("s0", "seg0", records(1, 5), 1000L)
