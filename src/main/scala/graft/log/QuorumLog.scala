@@ -63,17 +63,19 @@ final class QuorumLog(val participants: Seq[EventLog]) {
         s"write quorum not reached: $n of ${participants.size} acked, need $majority")
     }
     // Decision = commit. A replica whose commit call fails mid-fan-out
-    // must not keep the transaction staged forever (its staged trxId
-    // would NACK every future re-produce): roll its staged copy back —
-    // the committed data reaches it later through [[reconcile]], the
-    // same path a down replica takes. Commit on ≥1 replica is
-    // guaranteed or this throws after rolling everything back.
+    // must not keep the transaction half-applied (a partial publish
+    // would be visible, and a staged leftover would NACK that trxId
+    // forever): abort() purges both the staged remainder and any
+    // already-published trx files, restoring the replica's
+    // pre-transaction state — the committed data reaches it later
+    // through [[reconcile]], the same path a down replica takes. Commit
+    // on ≥1 replica is guaranteed or this throws.
     val committed = txns.zip(acks).map {
       case (t, true) =>
         try { t.commit(trxId); true }
         catch {
           case scala.util.control.NonFatal(_) =>
-            try t.rollback(trxId)
+            try t.abort(trxId)
             catch { case scala.util.control.NonFatal(_) => () }
             false
         }

@@ -109,6 +109,21 @@ final class TxnLog(val log: EventLog) {
   def rollback(trxId: String): Unit =
     LogFs.deleteRecursive(hfs, s"$stagedRoot/$trxId")
 
+  /** Remove every trace of a transaction whose commit failed midway:
+    * the staged remainder AND any `trx-<id>-` files the interrupted
+    * publish already moved into the data dir. Restores the store to its
+    * pre-transaction state so replication can re-pull the committed
+    * data from a peer (the deterministic prefix makes the sweep exact —
+    * `trx-a-` never matches `trx-a2-` files). */
+  def abort(trxId: String): Unit = {
+    rollback(trxId)
+    if (LogFs.exists(hfs, dataDir))
+      LogFs
+        .walkParquet(hfs, dataDir)
+        .filter(_.getName.startsWith(s"trx-$trxId-"))
+        .foreach(p => LogFs.deleteFile(hfs, p))
+  }
+
   def staged(): Seq[String] =
     if (!LogFs.exists(hfs, stagedRoot)) Seq.empty
     else

@@ -35,19 +35,31 @@ object Skew {
     require(
       Seq("inner", "left", "left_outer").contains(joinType),
       s"unsupported salted join type: $joinType")
-    // Deterministic PER-ROW salt: hash of the full row CONTENT, so (a)
-    // rows of a hot key spread over all buckets even when the big side
+    // Deterministic PER-ROW salt: hash of the row CONTENT, so (a) rows
+    // of a hot key spread over all buckets even when the big side
     // arrives clustered by the join key (a per-partition salt would
     // give such a key one salt and spread nothing), and (b) the salt is
     // stable under task/stage retry — a positional id
     // (monotonically_increasing_id / spark_partition_id) changes when a
     // recomputed partition reorders, which can duplicate or drop join
-    // rows when only some downstream tasks retry. Rows identical in
-    // EVERY column share a salt; such rows are interchangeable, so the
-    // spread loss is bounded by true full-row duplicates.
+    // rows when only some downstream tasks retry. Map-typed columns are
+    // excluded (xxhash64 rejects them — map element order is
+    // undefined); rows identical in every hashed column share a salt,
+    // which is harmless: such rows are interchangeable.
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMap(et)
+      case StructType(fs) => fs.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val hashable = big.schema.fields
+      .filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name))
+    val saltInput = if (hashable.nonEmpty) hashable.toSeq else keys.map(col)
     val salted = big.withColumn(
       SaltCol,
-      pmod(xxhash64(big.columns.map(col): _*), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(saltInput: _*), lit(buckets.toLong)).cast("int"))
     val replicated = small.withColumn(
       SaltCol,
       explode(array((0 until buckets).map(lit(_)): _*)))

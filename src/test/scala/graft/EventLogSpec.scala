@@ -190,6 +190,33 @@ class EventLogSpec extends SparkSpec {
     assert(after == before && after.size == 30)
   }
 
+  test("TxnLog abort purges a half-published commit completely") {
+    val log = freshLog()
+    val txn = new TxnLog(log)
+    log.produce("s0", "seg0", records(1, 5), 1000L)
+    txn.write("trx-h", "s0", "seg0", records(6, 5), 2000L, trxNumber = 2L)
+    // simulate a commit that died mid-publish: one staged file moved to
+    // its deterministic target, the rest still staged
+    val staged = java.nio.file.Paths.get(s"${log.path}/staged/trx-h/space=s0")
+    val first = {
+      val s = java.nio.file.Files.list(staged)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList.head
+      } finally s.close()
+    }
+    val target = java.nio.file.Paths.get(s"${log.path}/data/space=s0")
+    java.nio.file.Files.move(first, target.resolve(s"trx-trx-h-${first.getFileName}"))
+    txn.abort("trx-h")
+    // pre-transaction state restored: no staged dir, no published files
+    assert(txn.staged().isEmpty)
+    assert(log.consumeSegment("s0", "seg0").count() == 5)
+    // the same trxId can be staged and committed cleanly afterwards
+    txn.write("trx-h", "s0", "seg0", records(6, 5), 2000L, trxNumber = 2L)
+    txn.commit("trx-h")
+    assert(log.consumeSegment("s0", "seg0").count() == 10)
+  }
+
   test("a stale commit marker without a manifest is swept, data untouched") {
     // the final cleanup deletes manifest THEN marker; a crash between
     // the two leaves marker-only — recovery must treat the compaction

@@ -42,6 +42,18 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin handles map-typed columns on the big side") {
+    val big = spark
+      .range(0, 100)
+      .select(
+        (col("id") % 3).as("k"),
+        col("id").as("payload"),
+        map(lit("m"), col("id").cast("string")).as("meta"))
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val out = Skew.saltedJoin(big, small, Seq("k"), buckets = 4)
+    assert(out.count() == 100)
+  }
+
   test("saltedJoin left join preserves unmatched big-side rows") {
     val big = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     val small = Seq((1L, "m")).toDF("k", "w")
