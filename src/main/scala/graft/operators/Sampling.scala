@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * All selections hash a stable id through the engine-portable
+  * md5-derived family ([[graft.functions.Hashing]]), so a sample is
+  * reproducible across runs, engines (the DuckDB oracle computes the
+  * same buckets), cluster sizes, and data layouts — unlike
+  * `DataFrame.sample`, whose output depends on partitioning and seed
+  * plumbing. Selection is a pushdown-friendly filter: no shuffle, no
+  * state, linear scan.
+  */
+object Sampling {
+
+  private val Buckets = 10000L
+
+  /** Stable bucket 0..9999 from the row's id. */
+  def hashBucket(idCol: Column): Column =
+    pmod(Hashing.md5Long(idCol.cast("string")), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, chosen by id hash — deterministic,
+    * disjoint from [[complement]] of the same fraction. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    df.filter(hashBucket(col(idCol)) < (fraction * Buckets).toLong)
+  }
+
+  /** The other side of [[sampleByHash]]'s split (e.g. train vs held-out). */
+  def complement(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    df.filter(hashBucket(col(idCol)) >= (fraction * Buckets).toLong)
+  }
+}

@@ -244,8 +244,41 @@ object PipelineQueries {
     Multimodal.assetStats(
       Multimodal.assetsFromDocuments(s, d).toDF())
 
+  /** Deterministic 10% held-out split by id hash (see
+    * [[graft.operators.Sampling]]) — reproducible across engines, so it
+    * gets a full DuckDB oracle. */
+  def qDocSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .sampleByHash(docs(s, d), "doc_id", 0.1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val ContaminationMinShared = 5
+
+  /** Benchmark decontamination report: corpus docs sharing ≥ N distinct
+    * 3-shingles with ANY benchmark doc (here: doc_id < 10 stands in for
+    * the benchmark set). The benchmark shingle set is broadcast — the
+    * corpus side stays a linear scan + local hash probe, no corpus
+    * shuffle before the per-doc count. */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val ex = Dedup
+      .shingleRows(docs(s, d), "doc_id", "text", 3)
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+    val bench = ex.filter(col("doc_id") < 10).select("h").distinct()
+    ex.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), "h")
+      // shingleRows emits DISTINCT shingles per doc, so count(*) is the
+      // distinct shared-shingle count
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContaminationMinShared)
+      .transform(sortSmall(_, "doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> qAssetStats _,
+    "q_doc_sample" -> qDocSample _,
+    "q_contamination" -> qContamination _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_minhash" -> qDedupMinhash _,
@@ -492,6 +525,22 @@ object PipelineQueries {
     // duckdb md5(VARCHAR) hashes the UTF-8 bytes = Spark md5 of the
     // UTF-8-encoded binary payload; octet_length(encode(..)) = Spark
     // length(binary).
+    "q_doc_sample" -> {
+      val h = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE $h % 10000 < 1000 ORDER BY doc_id""".stripMargin
+    },
+    "q_contamination" -> {
+      val h = Hashing.duckMd5Long("shingle")
+      s"""$ShingleCte,
+         |hx AS (SELECT doc_id, $h AS h FROM ex),
+         |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id < 10)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM hx JOIN bench USING (h)
+         |WHERE doc_id >= 10
+         |GROUP BY doc_id HAVING count(*) >= $ContaminationMinShared
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_asset_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'

@@ -77,6 +77,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling is deterministic, disjoint, and covering") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val sample = Sampling.sampleByHash(docs, "doc_id", 0.1)
+    val rest = Sampling.complement(docs, "doc_id", 0.1)
+    val n = docs.count()
+    assert(sample.count() + rest.count() == n)
+    // same call → same rows (content-hash determinism)
+    assert(
+      sample.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Sampling.sampleByHash(docs, "doc_id", 0.1)
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a 10% target lands near 10% (hash uniformity; wide tolerance)
+    val frac = sample.count().toDouble / n
+    assert(frac > 0.02 && frac < 0.25, s"sample fraction $frac")
+    // fraction monotonicity: 10% sample ⊂ 20% sample
+    val wider = Sampling.sampleByHash(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sample.select("doc_id").collect().map(_.getLong(0)).forall(wider))
+  }
+
+  test("contamination report only names corpus docs sharing bench shingles") {
+    val rows = PipelineQueries
+      .qContamination(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty) // the synthetic corpus repeats phrases
+    assert(rows.forall { case (id, shared) =>
+      id >= 10 && shared >= PipelineQueries.ContaminationMinShared
+    })
+  }
+
   test("exact dedup keeps one id per distinct text") {
     val out = PipelineQueries.qDedupExact(spark, SfDir)
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
