@@ -35,4 +35,24 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
     df.filter(hashBucket(col(idCol)) >= (fraction * Buckets).toLong)
   }
+
+  /** Source-weighted mixture: keep ~`weights(key)` of each `keyCol`
+    * stratum (keys absent from `weights` are dropped). The weight
+    * lookup compiles to a literal CASE — no join, no shuffle, the
+    * filter reaches the scan. This is the "dataset mixing" step of a
+    * training pipeline (e.g. upweight curated sources, downsample
+    * crawl), deterministic like every selection here. */
+  def weightedMix(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(
+      weights.values.forall(w => w >= 0 && w <= 1),
+      "weights must be in [0, 1]")
+    val cutoff = weights.foldLeft(lit(0L)) { case (acc, (k, w)) =>
+      when(col(keyCol) === k, lit((w * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < cutoff)
+  }
 }

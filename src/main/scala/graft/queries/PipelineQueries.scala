@@ -253,6 +253,21 @@ object PipelineQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Mixture weights for the source-mix query: four strata with
+    * distinct sampling rates, everything else dropped. */
+  val MixWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+
+  /** Source-weighted dataset mixing (see
+    * [[graft.operators.Sampling.weightedMix]]) — deterministic, so
+    * fully oracle-checked. */
+  def qSourceMix(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .weightedMix(docs(s, d), "doc_id", "source", MixWeights.toMap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .transform(sortSmall(_, "source"))
+
   val ContaminationMinShared = 5
 
   /** Benchmark decontamination report: corpus docs sharing ≥ N distinct
@@ -278,6 +293,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> qAssetStats _,
     "q_doc_sample" -> qDocSample _,
+    "q_source_mix" -> qSourceMix _,
     "q_contamination" -> qContamination _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram" -> qDedupNgram _,
@@ -529,6 +545,15 @@ object PipelineQueries {
       val h = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE $h % 10000 < 1000 ORDER BY doc_id""".stripMargin
+    },
+    "q_source_mix" -> {
+      val h = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
+      val cases = MixWeights
+        .map { case (k, w) => s"WHEN source = '$k' THEN ${(w * 10000).toLong}" }
+        .mkString(" ")
+      s"""SELECT source, count(*) AS n_docs FROM documents
+         |WHERE $h % 10000 < (CASE $cases ELSE 0 END)
+         |GROUP BY source ORDER BY source""".stripMargin
     },
     "q_contamination" -> {
       val h = Hashing.duckMd5Long("shingle")

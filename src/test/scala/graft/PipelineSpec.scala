@@ -98,6 +98,26 @@ class PipelineSpec extends SparkSpec {
     assert(sample.select("doc_id").collect().map(_.getLong(0)).forall(wider))
   }
 
+  test("weightedMix keeps listed strata at their rate and drops the rest") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val mixed = Sampling.weightedMix(
+      docs, "doc_id", "source", Map("src0" -> 1.0, "src1" -> 0.0))
+    val bySource = mixed
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(bySource.get("src0").contains(src0Total)) // weight 1.0 keeps all
+    assert(!bySource.contains("src1")) // weight 0.0 drops all
+    assert(bySource.keySet == Set("src0")) // unlisted sources dropped
+    // mixture rows are a subset of a plain hash sample at the same rate
+    val half = Sampling.weightedMix(docs, "doc_id", "source", Map("src0" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sample = Sampling.sampleByHash(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(sample))
+  }
+
   test("contamination report only names corpus docs sharing bench shingles") {
     val rows = PipelineQueries
       .qContamination(spark, SfDir)
