@@ -38,6 +38,11 @@ final class QuorumLog(val participants: Seq[EventLog]) {
     * NACKs without touching the store, like an unreachable node. */
   private[graft] var downReplicas: Set[Int] = Set.empty
 
+  /** Test hook: replica indices whose write phase fails AFTER staging
+    * completes (a node dying mid-ack) — exercises the staged-leftover
+    * cleanup. */
+  private[graft] var failAfterStageReplicas: Set[Int] = Set.empty
+
   /** Two-phase replicated produce. Returns the number of replicas the
     * transaction committed on (≥ [[majority]]); throws — after rolling
     * back every staged copy — if the write quorum is not reached. */
@@ -50,11 +55,25 @@ final class QuorumLog(val participants: Seq[EventLog]) {
       trxNumber: Long): Int = {
     val acks = txns.zipWithIndex.map { case (t, i) =>
       if (downReplicas.contains(i)) false
-      else
+      else {
+        // a failed write may die AFTER creating staged/<trxId> — clean
+        // the partial staged dir or that trxId NACKs on this replica
+        // forever. Only clean what THIS attempt created: a pre-existing
+        // staged dir belongs to someone else and is the NACK reason.
+        val preStaged = t.isStaged(trxId)
         try {
           t.write(trxId, space, segment, records, timestampUs, trxNumber)
+          if (failAfterStageReplicas.contains(i))
+            throw new java.io.IOException(s"injected post-stage failure on replica $i")
           true
-        } catch { case scala.util.control.NonFatal(_) => false }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            if (!preStaged)
+              try t.rollback(trxId)
+              catch { case scala.util.control.NonFatal(_) => () }
+            false
+        }
+      }
     }
     val n = acks.count(identity)
     if (n < majority) {
@@ -70,18 +89,34 @@ final class QuorumLog(val participants: Seq[EventLog]) {
     // pre-transaction state — the committed data reaches it later
     // through [[reconcile]], the same path a down replica takes. Commit
     // on ≥1 replica is guaranteed or this throws.
-    val committed = txns.zip(acks).map {
-      case (t, true) =>
+    var inconsistent = List.empty[(Int, Throwable)]
+    val committed = txns.zipWithIndex.zip(acks).map {
+      case ((t, i), true) =>
         try { t.commit(trxId); true }
         catch {
           case scala.util.control.NonFatal(_) =>
             try t.abort(trxId)
-            catch { case scala.util.control.NonFatal(_) => () }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                // abort ALSO failed: this replica may expose a partial
+                // publish that high-watermark anti-entropy cannot
+                // repair — this must surface, never be swallowed
+                inconsistent ::= (i, e)
+            }
             false
         }
       case _ => false
     }
     val c = committed.count(identity)
+    if (inconsistent.nonEmpty) {
+      val ex = new IllegalStateException(
+        s"commit of $trxId failed AND abort failed on replica(s) " +
+          s"${inconsistent.map(_._1).sorted.mkString(",")} — possible partial " +
+          s"publish; repair with TxnLog.abort('$trxId') on those replicas, " +
+          s"then reconcile() (committed on $c of ${participants.size})")
+      inconsistent.foreach { case (_, e) => ex.addSuppressed(e) }
+      throw ex
+    }
     if (c == 0)
       throw new IllegalStateException(
         s"commit failed on every acked replica for $trxId")

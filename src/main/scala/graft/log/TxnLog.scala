@@ -36,6 +36,22 @@ final class TxnLog(val log: EventLog) {
   private val stagedRoot = s"${log.path}/staged"
   private val dataDir = s"${log.path}/data"
 
+  /** trxIds are restricted to [A-Za-z0-9_-]: they appear in file names
+    * delimited by '.', so excluding '.' makes the `trx-<id>.` prefix
+    * unambiguous — abort("job1") can never match files of "job1-retry"
+    * or of any other id. */
+  private def validateTrxId(trxId: String): Unit =
+    require(
+      trxId.nonEmpty && trxId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"invalid trxId (allowed: letters, digits, _, -): $trxId")
+
+  /** Whether `trxId` currently has a staged directory. */
+  def isStaged(trxId: String): Boolean = {
+    validateTrxId(trxId)
+    LogFs.exists(hfs, s"$stagedRoot/$trxId")
+  }
+
   /** Stage a contiguous batch; returns the staged trx id. Validation is
     * identical to [[EventLog.produce]] but nothing becomes visible. */
   def write(
@@ -45,9 +61,7 @@ final class TxnLog(val log: EventLog) {
       records: Dataset[Record],
       timestampUs: Long,
       trxNumber: Long): Unit = {
-    require(
-      !LogFs.exists(hfs, s"$stagedRoot/$trxId"),
-      s"transaction already staged: $trxId")
+    require(!isStaged(trxId), s"transaction already staged: $trxId")
     val last = log.peek(space, segment)
     val lastSeq = last.map(_.sequence).getOrElse(0L)
     val lastTrx = last.map(_.trxNumber).getOrElse(0L)
@@ -88,6 +102,7 @@ final class TxnLog(val log: EventLog) {
     * the rest move, and the staged dir is dropped last. See the class
     * doc for the visibility caveat during the move window. */
   def commit(trxId: String): Unit = {
+    validateTrxId(trxId)
     val stagedDir = s"$stagedRoot/$trxId"
     require(LogFs.exists(hfs, stagedDir), s"transaction not found: $trxId")
     val stagedBase = new HPath(stagedDir)
@@ -97,7 +112,7 @@ final class TxnLog(val log: EventLog) {
         hfs.makeQualified(stagedBase).toString).stripPrefix("/")
       val dest = new HPath(
         if (rel.isEmpty) dataDir else s"$dataDir/$rel",
-        s"trx-$trxId-${p.getName}")
+        s"trx-$trxId.${p.getName}")
       if (hfs.exists(dest)) LogFs.deleteFile(hfs, p) // resumed: already published
       else LogFs.move(hfs, p, dest)
     }
@@ -106,21 +121,24 @@ final class TxnLog(val log: EventLog) {
 
   /** Drop a staged transaction (reference: Rollback — delete the staged
     * key, no-op if absent). */
-  def rollback(trxId: String): Unit =
+  def rollback(trxId: String): Unit = {
+    validateTrxId(trxId)
     LogFs.deleteRecursive(hfs, s"$stagedRoot/$trxId")
+  }
 
   /** Remove every trace of a transaction whose commit failed midway:
-    * the staged remainder AND any `trx-<id>-` files the interrupted
+    * the staged remainder AND any `trx-<id>.` files the interrupted
     * publish already moved into the data dir. Restores the store to its
     * pre-transaction state so replication can re-pull the committed
-    * data from a peer (the deterministic prefix makes the sweep exact —
-    * `trx-a-` never matches `trx-a2-` files). */
+    * data from a peer. The sweep is exact: the '.' delimiter cannot
+    * appear in a trxId, so `trx-a.` never matches files of `trx-a2` or
+    * `trx-a-retry`. */
   def abort(trxId: String): Unit = {
     rollback(trxId)
     if (LogFs.exists(hfs, dataDir))
       LogFs
         .walkParquet(hfs, dataDir)
-        .filter(_.getName.startsWith(s"trx-$trxId-"))
+        .filter(_.getName.startsWith(s"trx-$trxId."))
         .foreach(p => LogFs.deleteFile(hfs, p))
   }
 

@@ -19,9 +19,14 @@ object Sampling {
 
   private val Buckets = 10000L
 
-  /** Stable bucket 0..9999 from the row's id. */
+  /** Stable bucket 0..9999 from the row's id. Null ids all hash as the
+    * empty string — they land together in one deterministic bucket
+    * instead of silently dropping out of BOTH sides of a split (a null
+    * comparison filters the row everywhere). */
   def hashBucket(idCol: Column): Column =
-    pmod(Hashing.md5Long(idCol.cast("string")), lit(Buckets))
+    pmod(
+      Hashing.md5Long(coalesce(idCol.cast("string"), lit(""))),
+      lit(Buckets))
 
   /** Keep ~`fraction` of rows, chosen by id hash — deterministic,
     * disjoint from [[complement]] of the same fraction. */

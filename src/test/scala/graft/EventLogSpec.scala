@@ -152,7 +152,7 @@ class EventLogSpec extends SparkSpec {
     }
     val target = java.nio.file.Paths.get(s"${log.path}/data/space=s0")
     java.nio.file.Files.createDirectories(target)
-    java.nio.file.Files.copy(first, target.resolve(s"trx-trx-r-${first.getFileName}"))
+    java.nio.file.Files.copy(first, target.resolve(s"trx-trx-r.${first.getFileName}"))
     txn.commit("trx-r") // resumed: skips the already-published file
     assert(log.consumeSegment("s0", "seg0").count() == 5)
     assert(txn.staged().isEmpty)
@@ -190,6 +190,27 @@ class EventLogSpec extends SparkSpec {
     assert(after == before && after.size == 30)
   }
 
+  test("TxnLog rejects trxIds that would make file prefixes ambiguous") {
+    val log = freshLog()
+    val txn = new TxnLog(log)
+    intercept[IllegalArgumentException](txn.rollback("job.1"))
+    intercept[IllegalArgumentException](txn.rollback("a/b"))
+    intercept[IllegalArgumentException](txn.rollback(""))
+    txn.rollback("ok_id-1") // valid charset: no-op, no throw
+  }
+
+  test("TxnLog abort only sweeps its own transaction's files") {
+    val log = freshLog()
+    val txn = new TxnLog(log)
+    // commit trx "job1-retry", then abort "job1": the retry's committed
+    // files must survive (the '.' delimiter makes the prefix exact)
+    txn.write("job1-retry", "s0", "seg0", records(1, 5), 1000L, trxNumber = 1L)
+    txn.commit("job1-retry")
+    assert(log.consumeSegment("s0", "seg0").count() == 5)
+    txn.abort("job1")
+    assert(log.consumeSegment("s0", "seg0").count() == 5)
+  }
+
   test("TxnLog abort purges a half-published commit completely") {
     val log = freshLog()
     val txn = new TxnLog(log)
@@ -206,7 +227,7 @@ class EventLogSpec extends SparkSpec {
       } finally s.close()
     }
     val target = java.nio.file.Paths.get(s"${log.path}/data/space=s0")
-    java.nio.file.Files.move(first, target.resolve(s"trx-trx-h-${first.getFileName}"))
+    java.nio.file.Files.move(first, target.resolve(s"trx-trx-h.${first.getFileName}"))
     txn.abort("trx-h")
     // pre-transaction state restored: no staged dir, no published files
     assert(txn.staged().isEmpty)

@@ -65,6 +65,20 @@ class QuorumLogSpec extends SparkSpec {
       assert(log.consumeSegment("s0", "seg0").count() == 10))
   }
 
+  test("a write that dies after staging is cleaned up, trxId stays usable") {
+    val q = freshQuorum(3)
+    q.failAfterStageReplicas = Set(2)
+    assert(q.produce("t1", "s0", "seg0", records(1, 5), 1000L, 1L) == 2)
+    // the failed replica's partial staged dir was rolled back — the
+    // trxId is not poisoned there and nothing is staged anywhere
+    q.participants.foreach(log =>
+      assert(new graft.log.TxnLog(log).staged().isEmpty))
+    assert(q.participants(2).isEmpty)
+    q.failAfterStageReplicas = Set.empty
+    assert(q.reconcile() == 5L)
+    assert(q.participants(2).consumeSegment("s0", "seg0").count() == 5)
+  }
+
   test("a replica with divergent state NACKs instead of corrupting the quorum") {
     val q = freshQuorum(3)
     // replica 2 has state the coordinator does not know about -> its
