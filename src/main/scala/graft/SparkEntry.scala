@@ -8,9 +8,12 @@ import graft.queries.{OlapQueries, PipelineQueries, StreamQueries}
   * inventory each entry implements. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end corpus-preparation pipeline — every major
+    * subsystem (shingling, dedup clustering, text quality, sampling) in
+    * one oracle-checked plan. */
   def entry(spark: SparkSession): DataFrame =
-    OlapQueries.q1Agg(spark, "/root/testdata/sf0.001")
+    PipelineQueries.qPipelineE2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -31,13 +31,18 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  private val ShingleCte =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      |  FROM toks WHERE len(t) >= 3),
-      |ex AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS shingle FROM sh)""".stripMargin
+  /** Shingle CTEs (`toks<x>`/`sh<x>`/`ex<x>`) over an arbitrary base
+    * relation — parameterized so composed oracles (q_pipeline_e2e) can
+    * shingle an intermediate CTE under non-clashing names. */
+  private def shingleCtes(base: String, x: String): String =
+    s"""toks$x AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM $base),
+       |sh$x AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks$x WHERE len(t) >= 3),
+       |ex$x AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS shingle FROM sh$x)""".stripMargin
+
+  private val ShingleCte = "WITH " + shingleCtes("documents", "").stripMargin
 
   // ---------------------------------------------------------------- dedup
   // Thin bindings of graft.dedup.Dedup / graft.similarity.Ann to the
@@ -270,6 +275,16 @@ object PipelineQueries {
 
   val ContaminationMinShared = 5
 
+  /** The full corpus-preparation pipeline (decontaminate → exact dedup →
+    * near-dup cluster keep-canonical → quality filter → 50% sample) as
+    * ONE oracle-checked query — see
+    * [[graft.pipeline.TrainingPipeline]]. */
+  def qPipelineE2e(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingPipeline
+      .prepare(docs(s, d))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** Benchmark decontamination report: corpus docs sharing ≥ N distinct
     * 3-shingles with ANY benchmark doc (here: doc_id < 10 stands in for
     * the benchmark set). The benchmark shingle set is broadcast — the
@@ -295,6 +310,7 @@ object PipelineQueries {
     "q_doc_sample" -> qDocSample _,
     "q_source_mix" -> qSourceMix _,
     "q_contamination" -> qContamination _,
+    "q_pipeline_e2e" -> qPipelineE2e _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_minhash" -> qDedupMinhash _,
@@ -311,47 +327,49 @@ object PipelineQueries {
     "q_fingerprint" -> qFingerprint _
   )
 
-  private val minhashCte = {
+  private def minhashCtes(x: String): String = {
     val a = Hashing.duckMd5Long("shingle")
     val b = Hashing.duckMd5Long2("shingle")
     val perSeed = (0 until MinhashSeeds)
       .map(i => s"min(a + $i * b) AS mh$i")
       .mkString(", ")
-    s"""mhx AS (SELECT doc_id, $a AS a, $b AS b FROM ex),
-       |mh AS (SELECT doc_id, $perSeed FROM mhx GROUP BY doc_id)""".stripMargin
+    s"""mhx$x AS (SELECT doc_id, $a AS a, $b AS b FROM ex$x),
+       |mh$x AS (SELECT doc_id, $perSeed FROM mhx$x GROUP BY doc_id)""".stripMargin
   }
 
-  private val bandCte = {
+  private def bandCtes(x: String): String = {
     val bands = (0 until MinhashBands)
       .map { j =>
         val h = Hashing.duckMd5Long(
           s"CAST(mh${2 * j} AS VARCHAR) || ':' || CAST(mh${2 * j + 1} AS VARCHAR)")
-        s"SELECT doc_id, $j AS band_id, $h AS band_hash FROM mh"
+        s"SELECT doc_id, $j AS band_id, $h AS band_hash FROM mh$x"
       }
       .mkString(" UNION ALL ")
-    s"""bands AS ($bands)"""
+    s"""bands$x AS ($bands)"""
   }
 
   /** The full minhash near-dup pipeline as CTEs ending in
     * `mpairs(a_id, b_id, jaccard)` — shared by the q_dedup_minhash and
     * q_dedup_clusters oracles. */
-  private val minhashPairsCtes =
-    s"""$ShingleCte,
-       |$minhashCte,
-       |$bandCte,
-       |cand AS (
+  private def minhashPairsCtesFrom(base: String, x: String): String =
+    s"""${shingleCtes(base, x)},
+       |${minhashCtes(x)},
+       |${bandCtes(x)},
+       |cand$x AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |  FROM bands x JOIN bands y
+       |  FROM bands$x x JOIN bands$x y
        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-       |common AS (
+       |common$x AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
-       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM ex$x a JOIN ex$x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4),
-       |mpairs AS (
-       |  SELECT cand.a_id AS a_id, cand.b_id AS b_id,
+       |mpairs$x AS (
+       |  SELECT cand$x.a_id AS a_id, cand$x.b_id AS b_id,
        |         round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) AS jaccard
-       |  FROM cand JOIN common ON cand.a_id = common.a_id AND cand.b_id = common.b_id
+       |  FROM cand$x JOIN common$x ON cand$x.a_id = common$x.a_id AND cand$x.b_id = common$x.b_id
        |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8)""".stripMargin
+
+  private val minhashPairsCtes = "WITH " + minhashPairsCtesFrom("documents", "")
 
   private val enL = TextFns.EnMarkers.map(m => s"'$m'").mkString(", ")
   private val deL = TextFns.DeMarkers.map(m => s"'$m'").mkString(", ")
@@ -554,6 +572,52 @@ object PipelineQueries {
       s"""SELECT source, count(*) AS n_docs FROM documents
          |WHERE $h % 10000 < (CASE $cases ELSE 0 END)
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+    // the whole TrainingPipeline as one composed query: contamination
+    // over the full shingle CTEs, exact-dedup keep set, minhash pairs
+    // re-shingled over the deduped base (suffix 2), recursive min-label
+    // components, quality metrics, hash sample — each stage mirrors its
+    // standalone oracle exactly.
+    "q_pipeline_e2e" -> {
+      val h = Hashing.duckMd5Long("shingle")
+      val idh = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE ${shingleCtes("documents", "")},
+         |hx AS (SELECT doc_id, $h AS h FROM ex),
+         |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id < 10),
+         |contaminated AS (
+         |  SELECT doc_id FROM hx JOIN bench USING (h)
+         |  WHERE doc_id >= 10 GROUP BY doc_id HAVING count(*) >= $ContaminationMinShared),
+         |decon AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM decon GROUP BY md5(text)),
+         |exact_kept AS (SELECT d.* FROM decon d JOIN keep1 USING (doc_id)),
+         |${minhashPairsCtesFrom("exact_kept", "2")},
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mpairs2
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM mpairs2),
+         |walk(id, comp) AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+         |dropn AS (
+         |  SELECT id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+         |  WHERE id != comp),
+         |nd_kept AS (
+         |  SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT id FROM dropn)),
+         |q AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+         |  FROM nd_kept),
+         |quality AS (
+         |  SELECT doc_id, lang, source, n_chars FROM q
+         |  WHERE len(tk) BETWEEN 10 AND 1000
+         |    AND round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6) < 0.1
+         |    AND round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 6) > 0.3)
+         |SELECT doc_id, lang, source, n_chars FROM quality
+         |WHERE $idh % 10000 < 5000
+         |ORDER BY doc_id""".stripMargin
     },
     "q_contamination" -> {
       val h = Hashing.duckMd5Long("shingle")
