@@ -30,12 +30,18 @@ import graft.operators.Sampling
   */
 object TrainingPipeline {
 
+  /** Stage parameters. Defaults are THE values the q_pipeline_e2e
+    * oracle mirrors — the shared dedup constants come from the same
+    * definitions the standalone oracles use, and the oracle builder
+    * reads the quality/sampling defaults from here, so the two sides
+    * cannot drift apart silently. */
   final case class Params(
       benchMaxId: Long = 10, // doc_id < benchMaxId = the benchmark set
-      contaminationMinShared: Int = 5,
+      contaminationMinShared: Int =
+        graft.queries.PipelineQueries.ContaminationMinShared,
       shingleK: Int = 3,
-      minhashHashes: Int = 16,
-      minhashBands: Int = 8,
+      minhashHashes: Int = graft.queries.PipelineQueries.MinhashSeeds,
+      minhashBands: Int = graft.queries.PipelineQueries.MinhashBands,
       nearDupThreshold: Double = 0.8,
       minTokens: Int = 10,
       maxTokens: Int = 1000,
@@ -43,34 +49,57 @@ object TrainingPipeline {
       minDistinctRatio: Double = 0.3,
       sampleFraction: Double = 0.5)
 
+  /** The ids of corpus docs (id ≥ benchMaxId) contaminated by the
+    * benchmark set (id < benchMaxId): ≥ `minShared` distinct shared
+    * shingles. Shared by [[prepare]] and the standalone q_contamination
+    * query — one definition of "contaminated". */
+  def contaminatedIds(
+      docs: DataFrame,
+      benchMaxId: Long,
+      shingleK: Int,
+      minShared: Int): DataFrame = {
+    val ex = Dedup
+      .shingleRows(docs, "doc_id", "text", shingleK)
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+    val bench = ex.filter(col("doc_id") < benchMaxId).select("h").distinct()
+    ex.filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), "h")
+      // shingleRows emits DISTINCT shingles per doc, so count(*) is the
+      // distinct shared-shingle count
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Run the full preparation over a `documents`-shaped frame
     * (doc_id, text, ...). Returns the prepared corpus rows (all input
-    * columns, original content untouched). */
+    * columns, original content untouched).
+    *
+    * The decontaminated and exact-deduped bases are each materialized
+    * (`localCheckpoint` — same rationale and cluster caveat as
+    * [[Dedup.ngramJaccard]]): both feed multiple downstream consumers
+    * (dedup aggregate + semi join; LSH pipeline + keep-canonical), and
+    * without the cut the whole upstream subplan embeds once per
+    * consumer and re-executes per action. */
   def prepare(docs: DataFrame, p: Params = Params()): DataFrame = {
     Tokens.register(docs.sparkSession)
 
     // 1. benchmark decontamination
-    val ex = Dedup
-      .shingleRows(docs, "doc_id", "text", p.shingleK)
-      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
-    val bench = ex.filter(col("doc_id") < p.benchMaxId).select("h").distinct()
-    val contaminated = ex
-      .filter(col("doc_id") >= p.benchMaxId)
-      .join(broadcast(bench), "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= p.contaminationMinShared)
-      .select("doc_id")
     val decon = docs
       .filter(col("doc_id") >= p.benchMaxId)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(
+        contaminatedIds(docs, p.benchMaxId, p.shingleK, p.contaminationMinShared)
+          .select("doc_id"),
+        Seq("doc_id"),
+        "left_anti")
+      .localCheckpoint()
 
     // 2. exact dedup — keep the min id of every content group
-    val keepExact = decon
-      .groupBy(md5(col("text")).as("hh"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val exactKept = decon.join(keepExact, Seq("doc_id"), "left_semi")
+    val keepExact =
+      Dedup.exact(decon).select(col("keep_id").as("doc_id"))
+    val exactKept = decon
+      .join(keepExact, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
 
     // 3. near-dup clustering, keep canonical survivors
     val pairs = Dedup.minhashLsh(
@@ -83,7 +112,10 @@ object TrainingPipeline {
       Dedup.keepCanonical(exactKept, Dedup.duplicateClusters(pairs))
 
     // 4. quality filter — the q_text_quality metrics, same rounding, so
-    // boundary decisions agree with the oracle
+    // boundary decisions agree with the oracle. (The pushed-down filter
+    // re-evaluates graft_tokens per conjunct; it runs once per doc of
+    // the already-materialized base during the single output pass, so
+    // clarity wins over a manual barrier here.)
     val quality = ndKept
       .withColumn("tk", expr("graft_tokens(text)"))
       .filter(

@@ -283,27 +283,27 @@ object PipelineQueries {
     graft.pipeline.TrainingPipeline
       .prepare(docs(s, d))
       .select("doc_id", "lang", "source", "n_chars")
+      // materialize before the global sort: the output is ~half the
+      // corpus (too big for the single-partition sortSmall head), and a
+      // raw orderBy would re-run the whole pipeline for its
+      // range-sampling pass
+      .localCheckpoint()
       .orderBy("doc_id")
 
   /** Benchmark decontamination report: corpus docs sharing ≥ N distinct
     * 3-shingles with ANY benchmark doc (here: doc_id < 10 stands in for
     * the benchmark set). The benchmark shingle set is broadcast — the
     * corpus side stays a linear scan + local hash probe, no corpus
-    * shuffle before the per-doc count. */
-  def qContamination(s: SparkSession, d: String): DataFrame = {
-    val ex = Dedup
-      .shingleRows(docs(s, d), "doc_id", "text", 3)
-      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
-    val bench = ex.filter(col("doc_id") < 10).select("h").distinct()
-    ex.filter(col("doc_id") >= 10)
-      .join(broadcast(bench), "h")
-      // shingleRows emits DISTINCT shingles per doc, so count(*) is the
-      // distinct shared-shingle count
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= ContaminationMinShared)
+    * shuffle before the per-doc count. One shared definition with the
+    * e2e pipeline: [[graft.pipeline.TrainingPipeline.contaminatedIds]]. */
+  def qContamination(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingPipeline
+      .contaminatedIds(
+        docs(s, d),
+        benchMaxId = 10,
+        shingleK = 3,
+        minShared = ContaminationMinShared)
       .transform(sortSmall(_, "doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> qAssetStats _,
@@ -371,6 +371,19 @@ object PipelineQueries {
 
   private val minhashPairsCtes = "WITH " + minhashPairsCtesFrom("documents", "")
 
+  /** Recursive min-label reachability over a `(a_id, b_id)` pair
+    * relation — `edges` + `walk(id, comp)`, shared by the clustering
+    * oracles (requires WITH RECURSIVE in the enclosing query). */
+  private def componentsCtes(pairsRel: String): String =
+    s"""edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM $pairsRel
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM $pairsRel),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON e.src = w.id),""".stripMargin
+
   private val enL = TextFns.EnMarkers.map(m => s"'$m'").mkString(", ")
   private val deL = TextFns.DeMarkers.map(m => s"'$m'").mkString(", ")
   private val frL = TextFns.FrMarkers.map(m => s"'$m'").mkString(", ")
@@ -412,14 +425,7 @@ object PipelineQueries {
     // component's minimum id (mirrors Dedup.duplicateClusters).
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM mpairs
-         |  UNION
-         |  SELECT b_id AS src, a_id AS dst FROM mpairs),
-         |walk(id, comp) AS (
-         |  SELECT DISTINCT src AS id, src AS comp FROM edges
-         |  UNION
-         |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+         |${componentsCtes("mpairs")}
          |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "q_dedup_simhash" -> {
       val h = Hashing.duckMd5Long("tok")
@@ -579,28 +585,22 @@ object PipelineQueries {
     // components, quality metrics, hash sample — each stage mirrors its
     // standalone oracle exactly.
     "q_pipeline_e2e" -> {
+      val p = graft.pipeline.TrainingPipeline.Params() // the Spark side's exact constants
       val h = Hashing.duckMd5Long("shingle")
       val idh = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
       s"""WITH RECURSIVE ${shingleCtes("documents", "")},
          |hx AS (SELECT doc_id, $h AS h FROM ex),
-         |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id < 10),
+         |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id < ${p.benchMaxId}),
          |contaminated AS (
          |  SELECT doc_id FROM hx JOIN bench USING (h)
-         |  WHERE doc_id >= 10 GROUP BY doc_id HAVING count(*) >= $ContaminationMinShared),
+         |  WHERE doc_id >= ${p.benchMaxId} GROUP BY doc_id HAVING count(*) >= ${p.contaminationMinShared}),
          |decon AS (
          |  SELECT * FROM documents
-         |  WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |  WHERE doc_id >= ${p.benchMaxId} AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
          |keep1 AS (SELECT min(doc_id) AS doc_id FROM decon GROUP BY md5(text)),
          |exact_kept AS (SELECT d.* FROM decon d JOIN keep1 USING (doc_id)),
          |${minhashPairsCtesFrom("exact_kept", "2")},
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM mpairs2
-         |  UNION
-         |  SELECT b_id AS src, a_id AS dst FROM mpairs2),
-         |walk(id, comp) AS (
-         |  SELECT DISTINCT src AS id, src AS comp FROM edges
-         |  UNION
-         |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+         |${componentsCtes("mpairs2")}
          |dropn AS (
          |  SELECT id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
          |  WHERE id != comp),
@@ -612,11 +612,11 @@ object PipelineQueries {
          |  FROM nd_kept),
          |quality AS (
          |  SELECT doc_id, lang, source, n_chars FROM q
-         |  WHERE len(tk) BETWEEN 10 AND 1000
-         |    AND round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6) < 0.1
-         |    AND round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 6) > 0.3)
+         |  WHERE len(tk) BETWEEN ${p.minTokens} AND ${p.maxTokens}
+         |    AND round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6) < ${p.maxPunctRatio}
+         |    AND round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 6) > ${p.minDistinctRatio})
          |SELECT doc_id, lang, source, n_chars FROM quality
-         |WHERE $idh % 10000 < 5000
+         |WHERE $idh % 10000 < ${(p.sampleFraction * 10000).toLong}
          |ORDER BY doc_id""".stripMargin
     },
     "q_contamination" -> {
