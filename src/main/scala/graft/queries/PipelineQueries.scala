@@ -373,7 +373,8 @@ object PipelineQueries {
 
   /** Recursive min-label reachability over a `(a_id, b_id)` pair
     * relation — `edges` + `walk(id, comp)`, shared by the clustering
-    * oracles (requires WITH RECURSIVE in the enclosing query). */
+    * oracles (requires WITH RECURSIVE in the enclosing query). No
+    * trailing comma: callers joining further CTEs add their own. */
   private def componentsCtes(pairsRel: String): String =
     s"""edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM $pairsRel
@@ -382,7 +383,7 @@ object PipelineQueries {
        |walk(id, comp) AS (
        |  SELECT DISTINCT src AS id, src AS comp FROM edges
        |  UNION
-       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON e.src = w.id),""".stripMargin
+       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
 
   private val enL = TextFns.EnMarkers.map(m => s"'$m'").mkString(", ")
   private val deL = TextFns.DeMarkers.map(m => s"'$m'").mkString(", ")
@@ -600,7 +601,7 @@ object PipelineQueries {
          |keep1 AS (SELECT min(doc_id) AS doc_id FROM decon GROUP BY md5(text)),
          |exact_kept AS (SELECT d.* FROM decon d JOIN keep1 USING (doc_id)),
          |${minhashPairsCtesFrom("exact_kept", "2")},
-         |${componentsCtes("mpairs2")}
+         |${componentsCtes("mpairs2")},
          |dropn AS (
          |  SELECT id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
          |  WHERE id != comp),
