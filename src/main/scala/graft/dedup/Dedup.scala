@@ -245,6 +245,98 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Per-document duplicate-span report — the span-granular view of
+    * exact substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22): a span (word k-shingle) is
+    * *duplicated* when it appears in ≥ 2 documents. Returns
+    * `(id, n_shingles, n_dup, dup_frac)` per doc with ≥ 1 shingle.
+    *
+    * Shape: shingle rows are hashed to 60-bit keys immediately (8-byte
+    * shuffle rows), one groupBy(h) counts document frequency with
+    * map-side partials, the shuffle_hash join back is corpus-linear (a
+    * broadcast would need the full distinct-shingle table on every
+    * executor), and the final per-doc rollup is a second partial-agg
+    * groupBy. No pair join at all — cost is O(shingle rows), not
+    * O(candidates²). */
+  def duplicateSpans(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      k: Int = 3): DataFrame = {
+    val ex = shingleRows(docs, id, text, k)
+      .select(col(id), col("sz"), Hashing.md5Long(col("shingle")).as("h"))
+      .localCheckpoint() // feeds the freq aggregate AND the join probe side
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("f"))
+    ex.join(freq.hint("shuffle_hash"), "h")
+      .groupBy(col(id))
+      .agg(
+        first(col("sz")).as("n_shingles"),
+        sum(when(col("f") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn(
+        "dup_frac",
+        round(col("n_dup").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Incremental MinHash+LSH near-dup of a (small) `newDocs` batch
+    * AGAINST an existing `corpus` — candidates come only from cross-side
+    * band-bucket matches, never batch×batch or corpus×corpus. Returns
+    * `(new_id, dup_of, jaccard)` with `jaccard ≥ threshold`.
+    *
+    * Scale: the batch's banded signature table is tiny by nature, so it
+    * is BROADCAST against the corpus bands — the corpus is never
+    * shuffled on the band key (contrast the self-join in [[minhashLsh]],
+    * where neither side can broadcast). Per increment the corpus still
+    * pays one scan + one signature aggregation; at 100 TB persist the
+    * corpus signature/shingle tables once (they are id-keyed and
+    * append-only) and each increment's cost drops to the batch scan plus
+    * one bucket probe. */
+  def minhashLshAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def bandCols = (0 until bands).map { j =>
+      val sig = (0 until rowsPerBand)
+        .map(r => col(s"mh${rowsPerBand * j + r}").cast("string"))
+      struct(
+        lit(j).as("band_id"),
+        Hashing.md5Long(concat_ws(":", sig: _*)).as("band_hash"))
+    }
+    def banded(sh: DataFrame) =
+      minhashSignaturesFromShingled(sh, id, numHashes)
+        .select(col(id), explode(array(bandCols: _*)).as("b"))
+        .select(col(id), col("b.band_id"), col("b.band_hash"))
+    val shNew = shingled(newDocs, id, text, k).localCheckpoint()
+    val shCorpus = shingled(corpus, id, text, k).localCheckpoint()
+    val cands = broadcast(banded(shNew).withColumnRenamed(id, "new_id"))
+      .join(
+        banded(shCorpus).withColumnRenamed(id, "dup_of"),
+        Seq("band_id", "band_hash"))
+      .select("new_id", "dup_of")
+      .distinct()
+      .localCheckpoint()
+    cands
+      .join(shNew.select(col(id).as("new_id"), col("s").as("a_s")), "new_id")
+      .join(shCorpus.select(col(id).as("dup_of"), col("s").as("b_s")), "dup_of")
+      .withColumn(
+        "common",
+        size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("common").cast("double") /
+            (size(col("a_s")) + size(col("b_s")) - col("common")),
+          6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "dup_of", "jaccard")
+  }
+
   /** Per-doc SimHash over whitespace tokens (with multiplicity), `bits`
     * wide. One aggregation with `bits` bit-count columns instead of a
     * bits× token explode: per bit j, `w_j = 2·ones_j − n`, so

@@ -233,6 +233,20 @@ object OlapQueries {
         count(lit(1)).as("n"))
       .transform(sortSmall(_, col("l_returnflag"), col("l_linestatus")))
 
+  /** CUBE over return-flag × line-status with an explicit grouping id —
+    * all four grouping sets in ONE pass: Spark expands the input once
+    * (Expand operator) and runs a single partial+final hash aggregate,
+    * instead of four scans. Same measures as qRollup; the operator under
+    * test is the multi-set expansion + grouping-id disambiguation. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .transform(sortSmall(_, col("gid"), col("l_returnflag"), col("l_linestatus")))
+
   /** Pivot event types into columns (explicit value list, so the plan —
     * and the oracle — is a fixed set of conditional aggregates). */
   def qPivot(s: SparkSession, d: String): DataFrame =
@@ -290,6 +304,7 @@ object OlapQueries {
     "q_range_join" -> qRangeJoin _,
     "q_percentiles" -> qPercentiles _,
     "q_rollup" -> qRollup _,
+    "q_cube" -> qCube _,
     "q_pivot" -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_semi_join" -> qSemiJoin _,
@@ -407,6 +422,13 @@ object OlapQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

@@ -273,6 +273,68 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .transform(sortSmall(_, "source"))
 
+  val KmeansK = 10
+  val KmeansIters = 2
+  val SemThreshold = 0.45
+
+  /** Fixed-iteration k-means over the embedding corpus (see
+    * [[graft.clustering.Clustering.kmeansAssign]]) — deterministic
+    * fixed-point centroid math, so the whole Lloyd run gets a full
+    * DuckDB oracle (unrolled per-iteration CTEs). The normed corpus is
+    * materialized once; the k-means rounds re-scan the checkpoint, not
+    * the parquet. */
+  def qKmeans(s: SparkSession, d: String): DataFrame =
+    graft.clustering.Clustering
+      .kmeansAssign(
+        normedEmbs(s, d).localCheckpoint(),
+        k = KmeansK,
+        iters = KmeansIters,
+        dim = EmbDim)
+      .transform(sortSmall(_, "vec_id"))
+
+  /** SemDeDup: cosine near-dup pairs restricted to k-means co-cluster
+    * members (see [[graft.clustering.Clustering.semanticPairs]]) — the
+    * scale path for embedding dedup (quadratic only within clusters;
+    * compare the all-pairs baseline `q_dedup_embed`). */
+  def qSemdedup(s: SparkSession, d: String): DataFrame = {
+    val e = normedEmbs(s, d).localCheckpoint()
+    val assign = graft.clustering.Clustering
+      .kmeansAssign(e, k = KmeansK, iters = KmeansIters, dim = EmbDim)
+    graft.clustering.Clustering
+      .semanticPairs(e, assign, threshold = SemThreshold)
+      .transform(sortSmall(_, "a_id", "b_id"))
+  }
+
+  /** Duplicate-span report: per document, how many of its distinct
+    * 3-shingles occur in at least one OTHER document, and the duplicated
+    * fraction (see [[graft.dedup.Dedup.duplicateSpans]] — the span-level
+    * view of exact substring dedup, Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22). */
+  def qDupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .duplicateSpans(docs(s, d), k = 3)
+      .orderBy("doc_id")
+
+  /** Incremental cross-corpus near-dup: a ~10% hash-selected "new batch"
+    * deduped AGAINST the remaining corpus (never batch×batch or
+    * corpus×corpus) — the shape of admitting a crawl increment into an
+    * existing deduplicated corpus. See
+    * [[graft.dedup.Dedup.minhashLshAgainst]]. */
+  def qDedupIncr(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val batch = graft.operators.Sampling.sampleByHash(all, "doc_id", 0.1)
+    val corpus = graft.operators.Sampling.complement(all, "doc_id", 0.1)
+    Dedup
+      .minhashLshAgainst(
+        batch,
+        corpus,
+        k = 3,
+        numHashes = MinhashSeeds,
+        bands = MinhashBands,
+        threshold = 0.8)
+      .transform(sortSmall(_, "new_id", "dup_of"))
+  }
+
   val ContaminationMinShared = 5
 
   /** The full corpus-preparation pipeline (decontaminate → exact dedup →
@@ -324,7 +386,11 @@ object PipelineQueries {
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
     "q_vocab_topk" -> qVocabTopk _,
-    "q_fingerprint" -> qFingerprint _
+    "q_fingerprint" -> qFingerprint _,
+    "q_kmeans" -> qKmeans _,
+    "q_semdedup" -> qSemdedup _,
+    "q_dup_spans" -> qDupSpans _,
+    "q_dedup_incr" -> qDedupIncr _
   )
 
   private def minhashCtes(x: String): String = {
@@ -370,6 +436,56 @@ object PipelineQueries {
        |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8)""".stripMargin
 
   private val minhashPairsCtes = "WITH " + minhashPairsCtesFrom("documents", "")
+
+  // -------------------------------------------------- k-means oracle CTEs
+  // Mirrors Clustering.kmeansAssign exactly: fixed-point centroid means
+  // (floor(x·10⁷) summed as int64, one double division) make every
+  // centroid component bit-identical across engines, so assignments and
+  // sims replay exactly. Each Lloyd round unrolls to 4 CTEs.
+
+  private def kmeansSumCols: String =
+    (1 to EmbDim)
+      .map(j => s"sum(CAST(floor(v[$j] * 10000000.0) AS BIGINT)) AS s$j")
+      .mkString(", ")
+
+  private def kmeansMeanArr: String =
+    (1 to EmbDim)
+      .map(j => s"CAST(s$j AS DOUBLE) / CAST(cnt * 10000000 AS DOUBLE)")
+      .mkString("[", ", ", "]")
+
+  /** Argmax-cosine assignment CTE `name(vec_id, v, nrm, cluster, sim)`
+    * of the normed corpus `n` against centroid relation `centRel` —
+    * rank ties break toward the lowest cent_id, matching the Spark
+    * side's first-match CASE chain. */
+  private def kmeansAssignCte(name: String, centRel: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cluster, sim FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |           list_dot_product(n.v, c.cent_v) / (n.nrm * c.cent_nrm) AS sim,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.v, c.cent_v) / (n.nrm * c.cent_nrm) DESC, c.cent_id) AS rk
+       |    FROM n CROSS JOIN $centRel c)
+       |  WHERE rk = 1)""".stripMargin
+
+  /** CTE chain `e, n, c0, a0, [s_i, m_i, c_i, a_i]×iters` ending in the
+    * final assignment `a$iters`. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
+         |         v AS cent_v, nrm AS cent_nrm
+         |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT $k)),
+         |${kmeansAssignCte("a0", "c0")}""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT cluster, count(*) AS cnt, $kmeansSumCols FROM a${i - 1} GROUP BY cluster),
+         |m$i AS (SELECT cluster AS cent_id, $kmeansMeanArr AS cent_v FROM s$i),
+         |c$i AS (SELECT cent_id, cent_v, sqrt(list_dot_product(cent_v, cent_v)) AS cent_nrm FROM m$i),
+         |${kmeansAssignCte(s"a$i", s"c$i")}""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
 
   /** Recursive min-label reachability over a `(a_id, b_id)` pair
     * relation — `edges` + `walk(id, comp)`, shared by the clustering
@@ -554,6 +670,54 @@ object PipelineQueries {
          |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
          |       CAST(len(regexp_extract_all(text, '${TextFns.BpePattern}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_kmeans" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(sim, 6) AS sim
+         |FROM a$KmeansIters ORDER BY vec_id""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       CAST(a.cluster AS BIGINT) AS cluster,
+         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         |FROM a$KmeansIters a JOIN a$KmeansIters b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $SemThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dup_spans" -> {
+      val h = Hashing.duckMd5Long("shingle")
+      s"""$ShingleCte,
+         |hx AS (SELECT doc_id, sz, $h AS h FROM ex),
+         |freq AS (SELECT h, count(*) AS f FROM hx GROUP BY h)
+         |SELECT doc_id, min(sz) AS n_shingles,
+         |       CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       round(CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / min(sz), 6) AS dup_frac
+         |FROM hx JOIN freq USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_incr" -> {
+      val idh = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH nb AS (SELECT * FROM documents WHERE $idh % 10000 < 1000),
+         |cb AS (SELECT * FROM documents WHERE $idh % 10000 >= 1000),
+         |${shingleCtes("nb", "n")},
+         |${minhashCtes("n")},
+         |${bandCtes("n")},
+         |${shingleCtes("cb", "c")},
+         |${minhashCtes("c")},
+         |${bandCtes("c")},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS dup_of
+         |  FROM bandsn x JOIN bandsc y
+         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash),
+         |common AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS dup_of, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
+         |  FROM exn a JOIN exc b ON a.shingle = b.shingle
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT cand.new_id AS new_id, cand.dup_of AS dup_of,
+         |       round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) AS jaccard
+         |FROM cand JOIN common ON cand.new_id = common.new_id AND cand.dup_of = common.dup_of
+         |WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8
+         |ORDER BY 1, 2""".stripMargin
+    },
     "q_fingerprint" -> {
       val h = Hashing.duckMd5Long("shingle")
       s"""$ShingleCte,

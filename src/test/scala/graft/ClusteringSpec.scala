@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.clustering.Clustering
+import graft.dedup.Dedup
+import graft.functions.VectorFns
+import graft.similarity.Ann
+
+/** Behavioral guards for k-means + SemDeDup (graft.clustering): Lloyd
+  * monotonicity, assignment shape, and equivalence of the semantic pair
+  * pass to the all-pairs baseline restricted to co-cluster members. */
+class ClusteringSpec extends SparkSpec {
+
+  private lazy val embs = Ann
+    .withNorm(
+      spark.read
+        .parquet(s"$SfDir/embeddings.parquet")
+        .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v")),
+      "v")
+    .localCheckpoint()
+
+  private def avgSim(iters: Int): Double =
+    Clustering
+      .kmeansAssign(embs, k = 10, iters = iters)
+      .agg(avg("sim"))
+      .head()
+      .getDouble(0)
+
+  test("kmeans assigns every vector exactly once, clusters in range") {
+    val a = Clustering.kmeansAssign(embs, k = 10, iters = 2)
+    val n = embs.count()
+    assert(a.count() == n)
+    assert(a.select("vec_id").distinct().count() == n)
+    val mm = a
+      .agg(
+        min("cluster"),
+        max("cluster"),
+        min("sim"),
+        max("sim"))
+      .head()
+    assert(mm.getLong(0) >= 0 && mm.getLong(1) < 10)
+    assert(mm.getDouble(2) >= -1.0 - 1e-9 && mm.getDouble(3) <= 1.0 + 1e-9)
+  }
+
+  test("Lloyd rounds monotonically improve the mean assigned cosine") {
+    // the corpus vectors are unit-norm, so mean-update k-means is
+    // spherical k-means: each assignment and each centroid step cannot
+    // decrease the objective (up to the 1e-7 fixed-point quantization)
+    val j0 = avgSim(0)
+    val j1 = avgSim(1)
+    val j2 = avgSim(2)
+    assert(j1 >= j0 - 1e-6, s"iter 1 regressed: $j1 < $j0")
+    assert(j2 >= j1 - 1e-6, s"iter 2 regressed: $j2 < $j1")
+    assert(j1 > j0 + 1e-4, s"iter 1 should improve from the arbitrary init")
+  }
+
+  test("semanticPairs == all-pairs cosine baseline restricted to co-cluster pairs") {
+    val assign = Clustering.kmeansAssign(embs, k = 10, iters = 2)
+    val sem = Clustering
+      .semanticPairs(embs, assign, threshold = 0.3)
+      .select("a_id", "b_id", "cos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val cluster = assign
+      .select(col("vec_id"), col("cluster"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val expected = Dedup
+      .embeddingCosine(embs, threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => cluster(a) == cluster(b) }
+      .toSet
+    assert(sem == expected)
+    assert(sem.nonEmpty, "threshold 0.3 should catch at least one co-cluster pair")
+  }
+
+  test("duplicateSpans: exact-duplicate docs have dup_frac 1.0, bounds hold") {
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val spans = Dedup.duplicateSpans(docs, k = 3).localCheckpoint()
+    val bad = spans
+      .filter(
+        col("n_dup") > col("n_shingles") || col("n_dup") < 0 ||
+          col("dup_frac") < 0 || col("dup_frac") > 1)
+      .count()
+    assert(bad == 0)
+    // a doc whose full text appears twice duplicates every one of its
+    // spans — craft copies (the synthetic corpus has no exact dups)
+    val withCopies = docs.union(docs.limit(5).withColumn("doc_id", col("doc_id") + 100000))
+    val fracs = Dedup
+      .duplicateSpans(withCopies, k = 3)
+      .filter(col("doc_id") < 5 || col("doc_id") >= 100000)
+      .select("dup_frac")
+      .collect()
+      .map(_.getDouble(0))
+    assert(fracs.length == 10)
+    assert(fracs.forall(_ == 1.0), s"expected 1.0 fracs, got ${fracs.toSeq}")
+  }
+
+  test("minhashLshAgainst == full-corpus minhashLsh restricted to cross-side pairs") {
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val batch = graft.operators.Sampling.sampleByHash(docs, "doc_id", 0.1)
+    val corpus = graft.operators.Sampling.complement(docs, "doc_id", 0.1)
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val incr = Dedup
+      .minhashLshAgainst(batch, corpus, k = 3, numHashes = 16, bands = 8, threshold = 0.8)
+      .select("new_id", "dup_of", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val full = Dedup
+      .minhashLsh(docs, k = 3, numHashes = 16, bands = 8, threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        // orient cross-side pairs as (batch id, corpus id)
+        if (batchIds(a) && !batchIds(b)) Some((a, b, j))
+        else if (batchIds(b) && !batchIds(a)) Some((b, a, j))
+        else None
+      }
+      .toSet
+    assert(incr == full, s"diff: ${(incr diff full) ++ (full diff incr)}")
+    assert(incr.nonEmpty, "the 10% batch should collide with the corpus")
+  }
+}
