@@ -25,8 +25,12 @@ object DumpPlans {
     // q_dedup_clusters excluded: its driver loop executes eagerly during
     // construction; the per-round join plan is the interesting part and
     // is identical to the propagate join documented in Dedup.scala.
-    for (name <- SparkEntry.queries.keys.toSeq.sorted
-        if name != "q_dedup_clusters") {
+    // q_kmeans/q_semdedup excluded: their plans inline k×dim centroid
+    // literal arrays (tens of KB of doubles) — unreadable here; PlanSpec
+    // asserts the shapes (shuffle-free assignment, shuffle-hash pair
+    // join).
+    val skip = Set("q_dedup_clusters", "q_kmeans", "q_semdedup")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       out.println(s"########## $name")
       out.println(

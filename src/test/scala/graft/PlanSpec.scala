@@ -81,6 +81,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"))
   }
 
+  test("q_cube expands all grouping sets through ONE aggregate pass") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"), "expected an Expand for the grouping sets")
+    assert(count(p, "HashAggregate") == 2, "expected exactly partial+final aggregate")
+    assert(count(p, "FileScan") == 1, "expected a single lineitem scan")
+  }
+
+  test("q_kmeans final assignment is a shuffle-free projection over the checkpointed corpus") {
+    // centroids are literals baked into graft_dot calls: the assignment
+    // must introduce NO hash-partition exchange (the only exchange is
+    // the single-partition output sort)
+    val p = plan("q_kmeans")
+    assert(!p.contains("Exchange hashpartitioning"), "assignment must not shuffle the corpus")
+    assert(p.contains("graft_dot"), "expected codegen'd dot products")
+    assert(!p.contains("FileScan parquet"), "expected the checkpointed corpus, not a re-scan")
+  }
+
+  test("q_semdedup pair join is shuffle-hash on the cluster key") {
+    val p = plan("q_semdedup")
+    assert(p.contains("ShuffledHashJoin [cluster"),
+      "co-cluster self-join must shuffle both sides by cluster, not broadcast")
+  }
+
+  test("q_dup_spans probes document frequency with a shuffled hash join, no parquet re-scan") {
+    val p = plan("q_dup_spans")
+    assert(p.contains("ShuffledHashJoin [h"), "df probe must be a shuffle-hash join on the shingle hash")
+    assert(!p.contains("FileScan parquet"), "expected the checkpointed shingle rows, not a re-scan")
+    assert(count(p, "Exchange hashpartitioning") == 3,
+      "expected exactly: ex-by-h, freq agg, per-doc rollup")
+  }
+
+  test("q_dedup_incr verification runs off materialized tables only") {
+    val p = plan("q_dedup_incr")
+    assert(!p.contains("FileScan parquet"), "expected zero parquet scans in the final plan")
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
   test("q_approx_distinct lands within 5% of the exact distinct counts") {
     // rows-only in the driver contract (HLL sketches are engine-specific)
     // — this is the quantitative guard instead: rsd is configured at 1%,
