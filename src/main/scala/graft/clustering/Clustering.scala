@@ -124,6 +124,7 @@ object Clustering {
       .zipWithIndex
       .map { case (r, i) => Centroid(i, r.getAs[Seq[Double]](vec).toArray) }
       .toSeq
+    require(cents.nonEmpty, "kmeansAssign needs a non-empty corpus")
     for (_ <- 0 until iters)
       cents = updateCentroids(assign(embs, id, vec, nrm, cents), vec, dim)
     assign(embs, id, vec, nrm, cents)

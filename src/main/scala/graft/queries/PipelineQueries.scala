@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -273,6 +274,41 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .transform(sortSmall(_, "source"))
 
+  val TfidfTopK = 3
+
+  /** Top-`TfidfTopK` characteristic terms per document by tf·(N/df) —
+    * the log-free tf-idf variant: same "frequent here, rare elsewhere"
+    * ranking, but the score is one correctly-rounded division of exact
+    * integers (tf·N and df), so it is bit-identical across engines
+    * (ln's last ulp is not portable; an integer ratio is).
+    *
+    * Shape at scale: tf is one (doc, tok) aggregate with map-side
+    * partials; df reuses the two-phase distinct shape (token frequency
+    * is the canonical skewed key); the tf⋈df join shuffles on tok
+    * (shuffle_hash — the df table is vocabulary-sized, too big to
+    * broadcast at corpus scale); the per-doc top-k gets Spark's
+    * WindowGroupLimit pushdown, so no doc's full term list crosses the
+    * final shuffle. */
+  def qTfidfTerms(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val base = docs(s, d)
+    val pairs = base
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+    val tf = pairs.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = pairs.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(df.hint("shuffle_hash"), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round((col("tf") * col("n")).cast("double") / col("df"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "rank", "tok", "tf", "df", "tfidf")
+      .transform(sortSmall(_, "doc_id", "rank"))
+  }
+
   val KmeansK = 10
   val KmeansIters = 2
   val SemThreshold = 0.45
@@ -390,7 +426,8 @@ object PipelineQueries {
     "q_kmeans" -> qKmeans _,
     "q_semdedup" -> qSemdedup _,
     "q_dup_spans" -> qDupSpans _,
-    "q_dedup_incr" -> qDedupIncr _
+    "q_dedup_incr" -> qDedupIncr _,
+    "q_tfidf_terms" -> qTfidfTerms _
   )
 
   private def minhashCtes(x: String): String = {
@@ -718,6 +755,23 @@ object PipelineQueries {
          |WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8
          |ORDER BY 1, 2""".stripMargin
     },
+    "q_tfidf_terms" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |         round(CAST(tf.tf * n.n AS DOUBLE) / df.df, 6) AS tfidf
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+         |  FROM s)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df, tfidf
+         |FROM r WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
     "q_fingerprint" -> {
       val h = Hashing.duckMd5Long("shingle")
       s"""$ShingleCte,
