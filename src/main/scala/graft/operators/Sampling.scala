@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -39,6 +40,29 @@ object Sampling {
   def complement(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
     df.filter(hashBucket(col(idCol)) >= (fraction * Buckets).toLong)
+  }
+
+  /** Fixed-size uniform sample per stratum: the `n` rows of each
+    * `keyCol` group whose id-hash ranks lowest. Hash-rank ordering makes
+    * it a uniform draw that is stable across engines and layouts (same
+    * reproducibility argument as [[sampleByHash]]), unlike per-group
+    * reservoir sampling whose result depends on encounter order.
+    *
+    * Scale shape: one shuffle on `keyCol`; `row_number <= n` gets
+    * Spark's WindowGroupLimit pushdown, so every map partition forwards
+    * at most `n` rows per group to the shuffle instead of the whole
+    * stratum. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(Hashing.md5Long(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
   }
 
   /** Source-weighted mixture: keep ~`weights(key)` of each `keyCol`

@@ -212,6 +212,37 @@ object OlapQueries {
       .orderBy("user_id", "error_id", "purchase_id")
   }
 
+  /** Per-user inter-arrival deltas + in-user sequence — the classic
+    * event-stream feature pair. Both window functions share one
+    * (user_id) partitioning, so a single shuffle feeds both; first
+    * event's delta is pinned to -1 (engine-portable, no NULL-ordering
+    * ambiguity in the compare). */
+  def qEventDeltas(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .withColumn(
+        "delta_us",
+        coalesce(col("ts_us") - lag("ts_us", 1).over(w), lit(-1L)))
+      .withColumn("seq_in_user", row_number().over(w).cast("long"))
+      .select("event_id", "user_id", "delta_us", "seq_in_user")
+      .orderBy("event_id")
+  }
+
+  /** Grouped second-moment statistics (corr / covar / stddev) — one
+    * map-side-combinable aggregate over the fact table; both engines
+    * use the same single-pass co-moment recurrences, stable under
+    * round(4). */
+  def qGroupStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4)
+          .as("covar_qty_price"),
+        round(stddev_samp("l_discount"), 4).as("stddev_disc"))
+      .transform(sortSmall(_, col("l_returnflag")))
+
   /** Exact interpolated percentiles per group (both engines implement
     * the same lo + (hi−lo)·frac linear interpolation over sorted
     * doubles, so values match bit-for-bit before rounding). */
@@ -303,6 +334,8 @@ object OlapQueries {
     "q_distinct_users" -> qDistinctUsers _,
     "q_range_join" -> qRangeJoin _,
     "q_percentiles" -> qPercentiles _,
+    "q_event_deltas" -> qEventDeltas _,
+    "q_group_stats" -> qGroupStats _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_pivot" -> qPivot _,
@@ -416,6 +449,19 @@ object OlapQueries {
         |       round(quantile_cont(value, 0.95), 4) AS p95,
         |       round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_event_deltas" ->
+      """SELECT event_id, user_id,
+        |       coalesce(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS delta_us,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq_in_user
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_group_stats" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |       round(stddev_samp(l_discount), 4) AS stddev_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n

@@ -274,6 +274,35 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .transform(sortSmall(_, "source"))
 
+  val StratSampleN = 5
+
+  /** Deterministic fixed-size sample per source stratum — the
+    * train-set curation shape ("n examples from every source, chosen
+    * uniformly, reproducibly"). See
+    * [[graft.operators.Sampling.stratifiedSample]] for the scale
+    * argument (WindowGroupLimit caps shuffle traffic at n per group per
+    * map partition). */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedSample(docs(s, d), "source", "doc_id", StratSampleN)
+      .select("source", "rank", "doc_id")
+      .transform(sortSmall(_, "source", "rank"))
+
+  val HistBucketWidth = 100
+
+  /** Document-length histogram in fixed-width buckets (corpus shape
+    * diagnostics). Integer-division bucketing (`DIV`) keeps the bucket
+    * id engine-exact; one map-side-combinable aggregate, output is
+    * bucket-count-sized. */
+  def qLenHistogram(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(expr(s"n_chars DIV $HistBucketWidth").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .transform(sortSmall(_, "bucket"))
+
   val TfidfTopK = 3
 
   /** Top-`TfidfTopK` characteristic terms per document by tf·(N/df) —
@@ -427,7 +456,9 @@ object PipelineQueries {
     "q_semdedup" -> qSemdedup _,
     "q_dup_spans" -> qDupSpans _,
     "q_dedup_incr" -> qDedupIncr _,
-    "q_tfidf_terms" -> qTfidfTerms _
+    "q_tfidf_terms" -> qTfidfTerms _,
+    "q_stratified_sample" -> qStratifiedSample _,
+    "q_len_histogram" -> qLenHistogram _
   )
 
   private def minhashCtes(x: String): String = {
@@ -755,6 +786,21 @@ object PipelineQueries {
          |WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8
          |ORDER BY 1, 2""".stripMargin
     },
+    "q_stratified_sample" -> {
+      val h = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rank
+         |  FROM documents)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+         |FROM r WHERE rank <= $StratSampleN ORDER BY source, rank""".stripMargin
+    },
+    "q_len_histogram" ->
+      s"""SELECT n_chars // $HistBucketWidth AS bucket,
+         |       count(*) AS n_docs,
+         |       min(n_chars) AS min_chars,
+         |       max(n_chars) AS max_chars
+         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_tfidf_terms" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok

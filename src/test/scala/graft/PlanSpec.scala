@@ -54,6 +54,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q_stratified_sample gets WindowGroupLimit pushdown (≤n rows per group cross the shuffle)") {
+    val p = plan("q_stratified_sample")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q_event_deltas computes both window features off ONE (user_id) exchange") {
+    val p = plan("q_event_deltas")
+    assert(count(p, "hashpartitioning(user_id") == 1)
+    assert(count(p, "Window") >= 1)
+  }
+
+  test("q_tfidf_terms per-doc top-k gets WindowGroupLimit; tf⋈df join is shuffle-hash") {
+    val p = plan("q_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("ShuffledHashJoin"))
+  }
+
   test("q_consume_segment pushes the space filter to the scan") {
     val p = plan("q_consume_segment")
     assert(p.contains("EqualTo(event_type,click)"))
