@@ -158,6 +158,27 @@ object PipelineQueries {
       .transform(sortSmall(_, "query_id", "rank"))
   }
 
+  val PqM = 8
+  val PqKs = 8
+  val PqShortlist = 20
+  val PqK = 5
+
+  /** Product-quantization ANN with exact rerank — the third scale path
+    * (codes are ~16 B/vector; the candidate scan never touches raw
+    * vectors). Deterministic end to end (codebook = fixed corpus rows,
+    * sequential-fold float ops) → full DuckDB oracle. */
+  def qAnnPq(s: SparkSession, d: String): DataFrame =
+    Ann
+      .pqTopK(
+        querySide(s, d),
+        corpusSide(s, d),
+        m = PqM,
+        ks = PqKs,
+        dim = EmbDim,
+        shortlist = PqShortlist,
+        k = PqK)
+      .transform(sortSmall(_, "query_id", "rank"))
+
   // ------------------------------------------------------------- text ops
 
   /** Tokens are projected once through the codegen'd [[Tokens]]
@@ -447,6 +468,7 @@ object PipelineQueries {
     "q_ann_topk" -> qAnnTopk _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
+    "q_ann_pq" -> qAnnPq _,
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
@@ -665,6 +687,69 @@ object PipelineQueries {
          |FROM scored
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_pq" -> {
+      val sd = EmbDim / PqM
+      val cbUnion = (0 until PqM)
+        .map { j =>
+          val lo = j * sd + 1
+          val hi = j * sd + sd
+          s"""SELECT $j AS sub_id, CAST(vec_id - 10 AS INTEGER) AS cent_id,
+             |         list_slice(v, $lo, $hi) AS cent_v,
+             |         list_dot_product(list_slice(v, $lo, $hi), list_slice(v, $lo, $hi)) AS cent_sq
+             |  FROM n WHERE vec_id >= 10 AND vec_id < ${10 + PqKs}""".stripMargin
+        }
+        .mkString("\n  UNION ALL\n  ")
+      val rPivot = (0 until PqM)
+        .map(j => s"max(CASE WHEN sub_id = $j THEN cent_sq END) AS r$j")
+        .mkString(", ")
+      val rSum = (0 until PqM).map(j => s"r$j").mkString(" + ")
+      val dPivot = (0 until PqM)
+        .map(j => s"max(CASE WHEN sub_id = $j THEN d END) AS d$j")
+        .mkString(", ")
+      val dSum = (0 until PqM).map(j => s"d$j").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |cb AS (
+         |  $cbUnion),
+         |corp AS (SELECT vec_id AS neighbor_id, v AS c_v, nrm AS c_nrm FROM n WHERE vec_id >= 10),
+         |qs AS (SELECT vec_id AS query_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT c.neighbor_id, b.sub_id, b.cent_id, b.cent_sq,
+         |         b.cent_sq - 2 * list_dot_product(list_slice(c.c_v, b.sub_id * $sd + 1, b.sub_id * $sd + $sd), b.cent_v) AS score
+         |  FROM corp c CROSS JOIN cb b),
+         |codes AS (
+         |  SELECT neighbor_id, sub_id, cent_id, cent_sq FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id, sub_id ORDER BY score ASC, cent_id ASC) AS rk FROM sc)
+         |  WHERE rk = 1),
+         |rec AS (
+         |  SELECT neighbor_id, sqrt($rSum) AS recon_nrm FROM (
+         |    SELECT neighbor_id, $rPivot FROM codes GROUP BY neighbor_id)),
+         |dparts AS (
+         |  SELECT q.query_id, cd.neighbor_id, cd.sub_id,
+         |         list_dot_product(list_slice(q.q_v, cd.sub_id * $sd + 1, cd.sub_id * $sd + $sd), b.cent_v) AS d
+         |  FROM qs q CROSS JOIN codes cd JOIN cb b ON b.sub_id = cd.sub_id AND b.cent_id = cd.cent_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id, $dSum AS adcdot FROM (
+         |    SELECT query_id, neighbor_id, $dPivot FROM dparts GROUP BY query_id, neighbor_id)),
+         |scored AS (
+         |  SELECT a.query_id, a.neighbor_id, a.adcdot / (q.q_nrm * r.recon_nrm) AS adc
+         |  FROM adc a JOIN qs q USING (query_id) JOIN rec r USING (neighbor_id)),
+         |short AS (
+         |  SELECT query_id, neighbor_id, adc FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS srk FROM scored)
+         |  WHERE srk <= $PqShortlist),
+         |rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.q_v, c.c_v) / (q.q_nrm * c.c_nrm), 6) AS cos,
+         |         round(s.adc, 6) AS adc
+         |  FROM short s JOIN qs q USING (query_id) JOIN corp c ON c.neighbor_id = s.neighbor_id)
+         |SELECT query_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |       neighbor_id, cos, adc
+         |FROM rr
+         |QUALIFY rank <= $PqK
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

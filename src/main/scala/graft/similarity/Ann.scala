@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,6 +58,138 @@ object Ann {
       "bucket",
       VectorFns.hyperplaneSignature(col("c_v"), nBits, dim))
     rankTopK(broadcast(q).join(c, "bucket").withColumn("cos", cos), k)
+  }
+
+  /** Product-quantization codebook: the corpus split into `m` subspaces
+    * of `subDim` dims; per subspace, `ks` centroid subvectors taken from
+    * the `ks` lowest-id corpus rows (training-free deterministic
+    * quantizer, the same convention as [[ivfTopK]]'s coarse centroids —
+    * and the reason the DuckDB oracle can rebuild the identical codebook
+    * from the parquet alone). `centSq(j)(c)` is the centroid's self-dot,
+    * precomputed with the same ascending sequential fold as
+    * [[graft.functions.expressions.DotProduct]] so the driver-baked
+    * literal equals the oracle's `list_dot_product`. */
+  final case class PqCodebook(
+      m: Int,
+      subDim: Int,
+      cents: Vector[Vector[Vector[Double]]]) {
+    val ks: Int = cents.head.size
+    val centSq: Vector[Vector[Double]] =
+      cents.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+  }
+
+  /** Build the codebook from the corpus (one tiny driver-side collect of
+    * `ks` rows — control plane, not a data-path collect). */
+  def pqCodebook(corpus: DataFrame, m: Int, ks: Int, dim: Int): PqCodebook = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val rows = corpus
+      .orderBy("neighbor_id")
+      .limit(ks)
+      .select("c_v")
+      .collect()
+      .map(_.getSeq[Double](0).toVector)
+      .toVector
+    require(rows.size == ks, s"corpus has ${rows.size} rows, need $ks for the codebook")
+    val cents = Vector.tabulate(m)(j =>
+      rows.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    PqCodebook(m, subDim, cents)
+  }
+
+  /** PQ-encode the corpus: `(neighbor_id, k0..k{m-1}, recon_nrm)` — the
+    * 100 TB representation. Codes are `m` small ints + one double
+    * (~16 B/vector vs 512 B raw for 64 dims): the ADC scan reads ONLY
+    * this, a 30× memory-bandwidth cut. Pure projection — no shuffle.
+    *
+    * Code `k_j` = argmin-L2 centroid of subvector j; since the
+    * subvector's own norm is constant across candidates, argmin of
+    * `cent_sq − 2·⟨sub, cent⟩` suffices (fewer float ops = less
+    * cross-engine drift surface). The per-subspace scores land in ONE
+    * array column, so `array_min`/`array_position` evaluate the arms
+    * once; first-minimum ties break toward the lowest code, matching
+    * the oracle's `ORDER BY score, cent_id`. */
+  def pqEncode(corpus: DataFrame, cb: PqCodebook): DataFrame = {
+    val scoreArrs = (0 until cb.m).map { j =>
+      val sub = slice(col("c_v"), j * cb.subDim + 1, cb.subDim)
+      array((0 until cb.ks).map(c =>
+        lit(cb.centSq(j)(c)) -
+          lit(2.0) * VectorFns.dot(sub, typedLit(cb.cents(j)(c)))): _*)
+        .as(s"sc$j")
+    }
+    val withScores =
+      corpus.select(col("neighbor_id") +: scoreArrs: _*)
+    val codeCols = (0 until cb.m).map(j =>
+      (array_position(col(s"sc$j"), array_min(col(s"sc$j"))) - 1)
+        .cast("int")
+        .as(s"k$j"))
+    val withCodes = withScores.select(col("neighbor_id") +: codeCols: _*)
+    val reconSq = (0 until cb.m)
+      .map(j => element_at(typedLit(cb.centSq(j)), col(s"k$j") + 1))
+      .reduceLeft(_ + _) // left-assoc ascending j == the oracle's r0+r1+…
+    withCodes.withColumn("recon_nrm", sqrt(reconSq))
+  }
+
+  /** PQ + asymmetric-distance ANN: score every corpus vector from its
+    * codes alone (per subspace, a literal-CASE lookup of
+    * ⟨query-subvector, centroid⟩ — `m·ks` codegen'd dots per query, zero
+    * corpus-vector reads), keep a per-query `shortlist` by approximate
+    * cosine, then rerank the shortlist EXACTLY against the raw vectors.
+    * Output `(query_id, rank, neighbor_id, cos, adc)`, rank 1..k by
+    * exact cosine.
+    *
+    * Scale: the ADC scan is linear over the 16-byte codes; the
+    * `row_number ≤ shortlist` window gets WindowGroupLimit pushdown
+    * (≤ shortlist rows per query per map partition cross the shuffle);
+    * the rerank join broadcasts shortlist×queries and probes the corpus
+    * in place — raw vectors are touched for shortlist·|Q| rows only. */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      m: Int = 8,
+      ks: Int = 8,
+      dim: Int = 64,
+      shortlist: Int = 20,
+      k: Int = 5): DataFrame = {
+    val cb = pqCodebook(corpus, m, ks, dim)
+    val enc = pqEncode(corpus, cb)
+    val adcDot = (0 until cb.m)
+      .map { j =>
+        val qSub = slice(col("q_v"), j * cb.subDim + 1, cb.subDim)
+        val arms = (0 until cb.ks).map(c =>
+          c -> VectorFns.dot(qSub, typedLit(cb.cents(j)(c))))
+        arms.init
+          .foldLeft(Option.empty[Column]) { case (acc, (c, d)) =>
+            Some(acc.fold(when(col(s"k$j") === c, d))(_.when(col(s"k$j") === c, d)))
+          }
+          .get
+          .otherwise(arms.last._2)
+      }
+      .reduceLeft(_ + _)
+    val ws = Window
+      .partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = broadcast(queries)
+      .join(enc)
+      .withColumn("adc", adcDot / (col("q_nrm") * col("recon_nrm")))
+      // q_v is dropped BEFORE the window: only (query_id, neighbor_id,
+      // adc) rows reach the WindowGroupLimit shuffle
+      .select("query_id", "neighbor_id", "adc")
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "neighbor_id", "adc")
+    corpus
+      .join(broadcast(short.join(queries, "query_id")), "neighbor_id")
+      .withColumn("cos", cos)
+      .withColumn("adc", round(col("adc"), 6))
+      .transform { scored =>
+        val w = Window
+          .partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select("query_id", "rank", "neighbor_id", "cos", "adc")
+      }
   }
 
   /** IVF top-k: a broadcast coarse quantizer of `centroids` rows

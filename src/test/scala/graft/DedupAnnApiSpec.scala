@@ -163,4 +163,36 @@ class DedupAnnApiSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(ivf == bf)
   }
+
+  test("pqTopK with shortlist = whole corpus equals brute force (rerank is exact)") {
+    val q = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val c = embs.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val n = c.count().toInt
+    val pq = Ann.pqTopK(q, c, m = 8, ks = 8, dim = 64, shortlist = n, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val bf = Ann.bruteForceTopK(q, c, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pq == bf)
+  }
+
+  test("pqTopK recall is monotone in shortlist size (true top-k members in the shortlist always survive rerank)") {
+    val q = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val c = embs.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val bf = Ann.bruteForceTopK(q, c, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(shortlist: Int): Double = {
+      val pq = Ann.pqTopK(q, c, shortlist = shortlist, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (pq intersect bf).size.toDouble / bf.size
+    }
+    val r10 = recall(10)
+    val r40 = recall(40)
+    assert(r40 >= r10, s"recall@5 shortlist=40 ($r40) < shortlist=10 ($r10)")
+    assert(r40 > 0, "a 40-deep shortlist should recover at least one true neighbor")
+  }
 }

@@ -54,6 +54,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q_ann_pq: ADC shortlist window gets WindowGroupLimit; rerank joins by broadcast") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("WindowGroupLimit"))
+    assert(count(p, "BroadcastHashJoin") >= 1)
+  }
+
   test("q_stratified_sample gets WindowGroupLimit pushdown (≤n rows per group cross the shuffle)") {
     val p = plan("q_stratified_sample")
     assert(p.contains("WindowGroupLimit"))
