@@ -23,7 +23,7 @@ object Bench {
     "q_range_join", "q_running_sum",
     "q_topk_per_group", "q_semi_join", "q_anti_join", "q_distinct_users",
     "q_approx_distinct", "q_percentiles", "q_event_deltas", "q_group_stats",
-    "q_rollup", "q_pivot",
+    "q_json_extract", "q_funnel", "q_rollup", "q_pivot",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
     "q_lang_id", "q_text_quality", "q_token_count", "q_vocab_topk",

@@ -243,6 +243,58 @@ object OlapQueries {
         round(stddev_samp("l_discount"), 4).as("stddev_disc"))
       .transform(sortSmall(_, col("l_returnflag")))
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate it. `get_json_object` is a codegen'd
+    * path evaluation per row — no UDF, no schema inference pass; at
+    * scale this is the "extract one field from a trillion JSON blobs"
+    * shape, where inferring/parsing full JSON structs would be the
+    * mistake. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_parsed"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .transform(sortSmall(_, col("event_type")))
+
+  /** Order-exact conversion funnel (view → click → purchase): a click
+    * counts only after the user's first view, a purchase only after
+    * that first qualifying click. Three stacked running-min windows
+    * share ONE (user_id) sort; the per-user flag rollup groups on the
+    * same key, so the whole funnel is a single shuffle of the events
+    * table. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flag = (c: Column) => max(when(c.isNotNull, 1).otherwise(0))
+    Tables.events(s, d)
+      .withColumn(
+        "t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn(
+        "t_click",
+        min(when(col("event_type") === "click" && col("t_view").isNotNull, col("ts_us"))).over(w))
+      .withColumn(
+        "t_purchase",
+        min(when(col("event_type") === "purchase" && col("t_click").isNotNull, col("ts_us"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        flag(col("t_view")).as("v"),
+        flag(col("t_click")).as("c"),
+        flag(col("t_purchase")).as("p"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("v").cast("long").as("reached_view"),
+        sum("c").cast("long").as("reached_click"),
+        sum("p").cast("long").as("reached_purchase"))
+  }
+
   /** Exact interpolated percentiles per group (both engines implement
     * the same lo + (hi−lo)·frac linear interpolation over sorted
     * doubles, so values match bit-for-bit before rounding). */
@@ -295,11 +347,15 @@ object OlapQueries {
       .transform(sortSmall(_, col("event_type")))
 
   /** HLL sketch distinct — approximate by design, so no SQL oracle
-    * (driver records a rows-only check). */
+    * (driver records a rows-only check; PlanSpec bounds the error at 5%
+    * vs [[qDistinctUsers]]). rsd 0.023 → 2^12 registers: measured 3×
+    * cheaper than rsd 0.01's 2^14 registers (the merge of
+    * groups×partitions register banks dominates, not the per-row
+    * update) while staying well inside the 5% spec bound. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.023).as("approx_users"))
       .transform(sortSmall(_, col("event_type")))
 
   def qSemiJoin(s: SparkSession, d: String): DataFrame =
@@ -336,6 +392,8 @@ object OlapQueries {
     "q_percentiles" -> qPercentiles _,
     "q_event_deltas" -> qEventDeltas _,
     "q_group_stats" -> qGroupStats _,
+    "q_json_extract" -> qJsonExtract _,
+    "q_funnel" -> qFunnel _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_pivot" -> qPivot _,
@@ -455,6 +513,39 @@ object OlapQueries {
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq_in_user
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       count(CAST(props->>'k' AS BIGINT)) AS n_parsed,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+        |       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |       max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_funnel" ->
+      """WITH st AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, ts,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_view
+        |  FROM events),
+        |st2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND t_view IS NOT NULL THEN ts_us END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_click
+        |  FROM st),
+        |st3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t_click IS NOT NULL THEN ts_us END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_purchase
+        |  FROM st2),
+        |per_user AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS v,
+        |         max(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS c,
+        |         max(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS p
+        |  FROM st3 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |       CAST(sum(v) AS BIGINT) AS reached_view,
+        |       CAST(sum(c) AS BIGINT) AS reached_click,
+        |       CAST(sum(p) AS BIGINT) AS reached_purchase
+        |FROM per_user""".stripMargin,
     "q_group_stats" ->
       """SELECT l_returnflag,
         |       count(*) AS n,

@@ -77,6 +77,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"))
   }
 
+  test("q_funnel: three stacked windows + per-user rollup ride ONE (user_id) exchange") {
+    val p = plan("q_funnel")
+    assert(count(p, "hashpartitioning(user_id") == 1)
+  }
+
   test("q_consume_segment pushes the space filter to the scan") {
     val p = plan("q_consume_segment")
     assert(p.contains("EqualTo(event_type,click)"))
