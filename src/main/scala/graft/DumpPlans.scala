@@ -29,7 +29,10 @@ object DumpPlans {
     // literal arrays (tens of KB of doubles) — unreadable here; PlanSpec
     // asserts the shapes (shuffle-free assignment, shuffle-hash pair
     // join).
-    val skip = Set("q_dedup_clusters", "q_kmeans", "q_semdedup")
+    // q_ann_pq excluded for the same literal-bloat reason (8×8 codebook
+    // baked twice: encode scores + ADC lookup); PlanSpec asserts its
+    // WindowGroupLimit shortlist + broadcast rerank.
+    val skip = Set("q_dedup_clusters", "q_kmeans", "q_semdedup", "q_ann_pq")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       out.println(s"########## $name")

@@ -333,8 +333,12 @@ object PipelineQueries {
     * (ln's last ulp is not portable; an integer ratio is).
     *
     * Shape at scale: tf is one (doc, tok) aggregate with map-side
-    * partials; df reuses the two-phase distinct shape (token frequency
-    * is the canonical skewed key); the tf⋈df join shuffles on tok
+    * partials, materialized ONCE (localCheckpoint — column pruning
+    * makes the two consumers' subplans canonically different, so
+    * exchange reuse alone cannot dedupe them); df is then derived FROM
+    * tf (tf's keys ARE the distinct (doc, tok) pairs — the two-phase
+    * distinct shape for the skewed token key). Net: the corpus is
+    * scanned and tokenized exactly once. The tf⋈df join shuffles on tok
     * (shuffle_hash — the df table is vocabulary-sized, too big to
     * broadcast at corpus scale); the per-doc top-k gets Spark's
     * WindowGroupLimit pushdown, so no doc's full term list crosses the
@@ -344,8 +348,11 @@ object PipelineQueries {
     val base = docs(s, d)
     val pairs = base
       .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
-    val tf = pairs.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = pairs.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val tf = pairs
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = base.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
     tf.join(df.hint("shuffle_hash"), "tok")
