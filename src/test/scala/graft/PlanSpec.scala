@@ -148,8 +148,8 @@ class PlanSpec extends SparkSpec {
 
   test("q_approx_distinct lands within 5% of the exact distinct counts") {
     // rows-only in the driver contract (HLL sketches are engine-specific)
-    // — this is the quantitative guard instead: rsd is configured at 1%,
-    // assert a 5x margin against the exact counts
+    // — this is the quantitative guard instead: rsd is configured at
+    // 2.3%, assert a ~2x margin against the exact counts
     def byType(name: String): Map[String, Long] =
       SparkEntry
         .queries(name)(spark, SfDir)
@@ -163,5 +163,37 @@ class PlanSpec extends SparkSpec {
       val err = math.abs(approx(eventType) - n).toDouble / n
       assert(err <= 0.05, s"$eventType: approx=${approx(eventType)} exact=$n err=$err")
     }
+  }
+
+  test("runtime Bloom filter prunes the fact side of a selective shuffled dim join") {
+    // At 100 TB a selective dim predicate should cut fact-side shuffle
+    // traffic BEFORE the join: Spark injects a bloom_filter_agg on the
+    // dim side and a might_contain guard into the fact scan branch. The
+    // thresholds exist for small inputs only — production defaults
+    // (10 GB application side) make this fire exactly in the big-fact
+    // case this test models.
+    val restore = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = spark.read
+        .parquet(s"$SfDir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0)
+      val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+      val p = li
+        .join(orders, org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .count()
+        .queryExecution
+        .executedPlan
+        .toString
+      assert(p.contains("might_contain"), "expected an injected runtime bloom filter")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }
