@@ -60,7 +60,11 @@ object Clustering {
       cents: Seq[Centroid]): DataFrame = {
     val simCols = cents.map(c => centSim(col(vec), col(nrm), c).as(s"s${c.id}"))
     val withSims = embs.select(col(id) +: col(vec) +: col(nrm) +: simCols: _*)
-    val m = greatest(cents.map(c => col(s"s${c.id}")): _*)
+    // greatest() requires >= 2 children; one centroid (k=1, or cluster
+    // collapse on a duplicate-heavy corpus head) means its sim IS the max
+    val m =
+      if (cents.size == 1) col(s"s${cents.head.id}")
+      else greatest(cents.map(c => col(s"s${c.id}")): _*)
     val cluster = cents.tail
       .foldLeft(when(col(s"s${cents.head.id}") === m, lit(cents.head.id))) {
         (acc, c) => acc.when(col(s"s${c.id}") === m, lit(c.id))
@@ -116,7 +120,7 @@ object Clustering {
       k: Int = 10,
       iters: Int = 2,
       dim: Int = 64): DataFrame = {
-    require(k > 0 && iters >= 0, "k and iters must be positive")
+    require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
     var cents = embs
       .orderBy(col(id))
       .limit(k)
@@ -153,16 +157,12 @@ object Clustering {
       .select(col(id), col(vec), col(nrm))
       .join(assignments.select(col(id), col("cluster")), id)
       .hint("shuffle_hash")
-    member
-      .select(col(id).as("a_id"), col(vec).as("a_v"), col(nrm).as("a_nrm"), col("cluster"))
-      .join(
-        member.select(col(id).as("b_id"), col(vec).as("b_v"), col(nrm).as("b_nrm"), col("cluster")),
-        Seq("cluster"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn(
-        "cos",
-        round(VectorFns.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")), 6))
-      .filter(col("cos") >= threshold)
-      .select("a_id", "b_id", "cluster", "cos")
+    graft.dedup.Dedup.embeddingCosine(
+      member,
+      id,
+      vec,
+      nrm,
+      threshold,
+      restrictKey = Some("cluster"))
   }
 }

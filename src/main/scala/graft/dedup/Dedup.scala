@@ -136,9 +136,26 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
       .localCheckpoint()
+    jaccardVerify(cands, sh, sh, id, "a_id", "b_id", threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs `(aKey, bKey)`
+    * against two shingle tables (the same table twice for self-joins):
+    * keeps pairs with `round(|A∩B| / |A∪B|, 6) ≥ threshold`. One shared
+    * definition for the ngram, minhash, and incremental paths — the
+    * rounding here is load-bearing (it must match the oracle's
+    * `round(c/(a_sz+b_sz-c), 6)` in every consumer). */
+  private def jaccardVerify(
+      cands: DataFrame,
+      shA: DataFrame,
+      shB: DataFrame,
+      id: String,
+      aKey: String,
+      bKey: String,
+      threshold: Double): DataFrame =
     cands
-      .join(sh.select(col(id).as("a_id"), col("s").as("a_s")), "a_id")
-      .join(sh.select(col(id).as("b_id"), col("s").as("b_s")), "b_id")
+      .join(shA.select(col(id).as(aKey), col("s").as("a_s")), aKey)
+      .join(shB.select(col(id).as(bKey), col("s").as("b_s")), bKey)
       .withColumn(
         "common",
         size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
@@ -149,7 +166,28 @@ object Dedup {
             (size(col("a_s")) + size(col("b_s")) - col("common")),
           6))
       .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+      .select(col(aKey), col(bKey), col("jaccard"))
+
+  /** Banded LSH rows `(id, band_id, band_hash)` from a shingled table —
+    * one shared definition for the full-corpus and incremental paths,
+    * mirrored 1:1 by the oracle's band CTEs (band hash = md5Long of the
+    * ':'-joined row signatures). */
+  private def bandedSignatures(
+      sh: DataFrame,
+      id: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { j =>
+      val sig = (0 until rowsPerBand)
+        .map(r => col(s"mh${rowsPerBand * j + r}").cast("string"))
+      struct(
+        lit(j).as("band_id"),
+        Hashing.md5Long(concat_ws(":", sig: _*)).as("band_hash"))
+    }
+    minhashSignaturesFromShingled(sh, id, numHashes)
+      .select(col(id), explode(array(bandCols: _*)).as("b"))
+      .select(col(id), col("b.band_id"), col("b.band_hash"))
   }
 
   /** MinHash signatures `mh0..mh{numHashes-1}` per doc. One md5 digest
@@ -199,26 +237,14 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { j =>
-      val sig = (0 until rowsPerBand)
-        .map(r => col(s"mh${rowsPerBand * j + r}").cast("string"))
-      struct(
-        lit(j).as("band_id"),
-        Hashing
-          .md5Long(concat_ws(":", sig: _*))
-          .as("band_hash"))
-    }
     val sh = shingled(docs, id, text, k).localCheckpoint()
     // shuffle_hash: a broadcast band join would recompute the signature
     // aggregation for the build side (Broadcast- and ShuffleExchange
     // cannot reuse each other); shuffling both sides on the band key is
     // also the only shape that survives when n_docs is too big to
     // broadcast.
-    val banded = minhashSignaturesFromShingled(sh, id, numHashes)
-      .select(col(id), explode(array(bandCols: _*)).as("b"))
-      .select(col(id), col("b.band_id"), col("b.band_hash"))
-      .hint("shuffle_hash")
+    val banded =
+      bandedSignatures(sh, id, numHashes, bands).hint("shuffle_hash")
     val cands = banded
       .as("x")
       .join(
@@ -229,20 +255,7 @@ object Dedup {
       .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
       .distinct()
       .localCheckpoint()
-    cands
-      .join(sh.select(col(id).as("a_id"), col("s").as("a_s")), "a_id")
-      .join(sh.select(col(id).as("b_id"), col("s").as("b_s")), "b_id")
-      .withColumn(
-        "common",
-        size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        round(
-          col("common").cast("double") /
-            (size(col("a_s")) + size(col("b_s")) - col("common")),
-          6))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    jaccardVerify(cands, sh, sh, id, "a_id", "b_id", threshold)
   }
 
   /** Per-document duplicate-span report — the span-granular view of
@@ -300,41 +313,19 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    def bandCols = (0 until bands).map { j =>
-      val sig = (0 until rowsPerBand)
-        .map(r => col(s"mh${rowsPerBand * j + r}").cast("string"))
-      struct(
-        lit(j).as("band_id"),
-        Hashing.md5Long(concat_ws(":", sig: _*)).as("band_hash"))
-    }
-    def banded(sh: DataFrame) =
-      minhashSignaturesFromShingled(sh, id, numHashes)
-        .select(col(id), explode(array(bandCols: _*)).as("b"))
-        .select(col(id), col("b.band_id"), col("b.band_hash"))
     val shNew = shingled(newDocs, id, text, k).localCheckpoint()
     val shCorpus = shingled(corpus, id, text, k).localCheckpoint()
-    val cands = broadcast(banded(shNew).withColumnRenamed(id, "new_id"))
+    val cands = broadcast(
+      bandedSignatures(shNew, id, numHashes, bands)
+        .withColumnRenamed(id, "new_id"))
       .join(
-        banded(shCorpus).withColumnRenamed(id, "dup_of"),
+        bandedSignatures(shCorpus, id, numHashes, bands)
+          .withColumnRenamed(id, "dup_of"),
         Seq("band_id", "band_hash"))
       .select("new_id", "dup_of")
       .distinct()
       .localCheckpoint()
-    cands
-      .join(shNew.select(col(id).as("new_id"), col("s").as("a_s")), "new_id")
-      .join(shCorpus.select(col(id).as("dup_of"), col("s").as("b_s")), "dup_of")
-      .withColumn(
-        "common",
-        size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        round(
-          col("common").cast("double") /
-            (size(col("a_s")) + size(col("b_s")) - col("common")),
-          6))
-      .filter(col("jaccard") >= threshold)
-      .select("new_id", "dup_of", "jaccard")
+    jaccardVerify(cands, shNew, shCorpus, id, "new_id", "dup_of", threshold)
   }
 
   /** Per-doc SimHash over whitespace tokens (with multiplicity), `bits`
@@ -485,26 +476,40 @@ object Dedup {
     docs.join(dropIds, Seq(id), "left_anti")
   }
 
-  /** All-pairs embedding cosine ≥ `threshold` — the oracle-verifiable
-    * baseline. Vectors are normed once; the pair loop is the codegen'd
-    * dot product. Quadratic by construction: at corpus scale route
-    * through [[graft.similarity.Ann]] buckets instead. */
+  /** Pairwise embedding cosine ≥ `threshold`. With `restrictKey = None`
+    * this is the all-pairs oracle-verifiable baseline — quadratic by
+    * construction, route through [[graft.similarity.Ann]] buckets at
+    * corpus scale. With `restrictKey = Some(k)` pairs are restricted to
+    * equal-`k` rows (an equi-join, so the quadratic blow-up is bounded
+    * per key — the SemDeDup shape, see
+    * [[graft.clustering.Clustering.semanticPairs]]) and `k` is carried
+    * in the output. One definition so the score formula (sequential
+    * dot, round 6) cannot drift between the two paths. */
   def embeddingCosine(
       embs: DataFrame,
       id: String = "vec_id",
       vec: String = "v",
       nrm: String = "nrm",
-      threshold: Double = 0.45): DataFrame =
-    embs
-      .select(col(id).as("a_id"), col(vec).as("a_v"), col(nrm).as("a_nrm"))
-      .join(
-        embs.select(col(id).as("b_id"), col(vec).as("b_v"), col(nrm).as("b_nrm")),
-        col("a_id") < col("b_id"))
+      threshold: Double = 0.45,
+      restrictKey: Option[String] = None): DataFrame = {
+    val extra = restrictKey.toSeq
+    val aSide = embs.select(
+      col(id).as("a_id") +: col(vec).as("a_v") +: col(nrm).as("a_nrm") +:
+        extra.map(col): _*)
+    val bSide = embs.select(
+      col(id).as("b_id") +: col(vec).as("b_v") +: col(nrm).as("b_nrm") +:
+        extra.map(col): _*)
+    val pairs = restrictKey match {
+      case Some(k) => aSide.join(bSide, Seq(k)).filter(col("a_id") < col("b_id"))
+      case None    => aSide.join(bSide, col("a_id") < col("b_id"))
+    }
+    pairs
       .withColumn(
         "cos",
         round(
           VectorFns.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")),
           6))
       .filter(col("cos") >= threshold)
-      .select("a_id", "b_id", "cos")
+      .select(("a_id" +: "b_id" +: extra :+ "cos").map(col): _*)
+  }
 }

@@ -25,9 +25,11 @@ object TextScrub {
   val Ipv4Pattern =
     "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   /** +country, separators, 7+ digits total — e.g. +1-555-867-5309,
-    * (555) 867 5309. */
+    * (555) 867 5309. The optional leading `\(?` plus ')' in BOTH
+    * separator classes covers the bare-parenthesized form: a match may
+    * start at '(' and the first separator may be ") ". */
   val PhonePattern =
-    "\\+?[0-9]{1,3}[-. (]{1,2}[0-9]{2,4}[-. )]{1,2}[0-9]{2,4}[-. ]?[0-9]{2,6}"
+    "\\+?\\(?[0-9]{1,3}[-. ()]{1,2}[0-9]{2,4}[-. ()]{1,2}[0-9]{2,4}[-. ]?[0-9]{2,6}"
   /** Bare runs of ≥ 7 digits (account numbers, SSN-ish) left over after
     * the structured patterns. */
   val LongDigitPattern = "[0-9]{7,}"

@@ -348,14 +348,14 @@ object OlapQueries {
 
   /** HLL sketch distinct — approximate by design, so no SQL oracle
     * (driver records a rows-only check; PlanSpec bounds the error at 5%
-    * vs [[qDistinctUsers]]). rsd 0.023 → 2^12 registers: measured 3×
+    * vs [[qDistinctUsers]]). rsd 0.016 → 2^13 registers: measured ~2×
     * cheaper than rsd 0.01's 2^14 registers (the merge of
     * groups×partitions register banks dominates, not the per-row
-    * update) while staying well inside the 5% spec bound. */
+    * update) while keeping a ~3σ margin under the 5% spec bound. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.023).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.016).as("approx_users"))
       .transform(sortSmall(_, col("event_type")))
 
   def qSemiJoin(s: SparkSession, d: String): DataFrame =

@@ -157,12 +157,16 @@ object Ann {
         val qSub = slice(col("q_v"), j * cb.subDim + 1, cb.subDim)
         val arms = (0 until cb.ks).map(c =>
           c -> VectorFns.dot(qSub, typedLit(cb.cents(j)(c))))
-        arms.init
-          .foldLeft(Option.empty[Column]) { case (acc, (c, d)) =>
-            Some(acc.fold(when(col(s"k$j") === c, d))(_.when(col(s"k$j") === c, d)))
-          }
-          .get
-          .otherwise(arms.last._2)
+        // ks=1 degenerates to the single unconditional arm (a CASE
+        // needs at least one WHEN branch)
+        if (arms.size == 1) arms.head._2
+        else
+          arms.init
+            .foldLeft(Option.empty[Column]) { case (acc, (c, d)) =>
+              Some(acc.fold(when(col(s"k$j") === c, d))(_.when(col(s"k$j") === c, d)))
+            }
+            .get
+            .otherwise(arms.last._2)
       }
       .reduceLeft(_ + _)
     val ws = Window

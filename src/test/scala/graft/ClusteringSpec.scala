@@ -89,7 +89,8 @@ class ClusteringSpec extends SparkSpec {
     assert(bad == 0)
     // a doc whose full text appears twice duplicates every one of its
     // spans — craft copies (the synthetic corpus has no exact dups)
-    val withCopies = docs.union(docs.limit(5).withColumn("doc_id", col("doc_id") + 100000))
+    val withCopies = docs.union(
+      docs.orderBy("doc_id").limit(5).withColumn("doc_id", col("doc_id") + 100000))
     val fracs = Dedup
       .duplicateSpans(withCopies, k = 3)
       .filter(col("doc_id") < 5 || col("doc_id") >= 100000)

@@ -149,7 +149,7 @@ class PlanSpec extends SparkSpec {
   test("q_approx_distinct lands within 5% of the exact distinct counts") {
     // rows-only in the driver contract (HLL sketches are engine-specific)
     // — this is the quantitative guard instead: rsd is configured at
-    // 2.3%, assert a ~2x margin against the exact counts
+    // 1.6%, assert a ~3-sigma margin against the exact counts
     def byType(name: String): Map[String, Long] =
       SparkEntry
         .queries(name)(spark, SfDir)

@@ -24,6 +24,10 @@ class TextScrubSpec extends SparkSpec {
     assert(
       scrubOne("call +1-555-867-5309 now") == "call [PHONE] now")
     assert(
+      scrubOne("call (555) 867 5309 now") == "call [PHONE] now")
+    assert(
+      scrubOne("ph: 555.867.5309") == "ph: [PHONE]")
+    assert(
       scrubOne("acct 12345678901 ok") == "acct [NUMBER] ok")
   }
 
