@@ -69,6 +69,56 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle partition when mappers allow it") {
+    // The automatic complement to saltedJoin: AQE detects a reduce
+    // partition exceeding factor×median AND the byte threshold, and
+    // splits it across tasks (duplicating the matching build-side
+    // partition). The split is MAPPER-granular — a skewed partition
+    // whose bytes all come from one map task cannot be split (e.g. a
+    // single-row-group parquet file scans as one mapper no matter how
+    // small maxPartitionBytes is), so the input here is an 8-partition
+    // range. Thresholds are scaled down to test size; defaults
+    // (256MB/5x) are production-correct.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 95% of rows share k=0 → one reduce partition holds ~57k rows
+      // while the median partition is near-empty.
+      val ev = spark
+        .range(0L, 60000L, 1L, 8)
+        .select(
+          when(pmod(col("id"), lit(100)) < 95, 0L).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val dim = ev.select(col("k")).distinct().localCheckpoint()
+      val joined = ev.join(dim.withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      assert(joined.count() == 60000)
+      // collect() again on the same DF: executedPlan now holds the
+      // final adaptive plan (a noop write would execute a clone).
+      joined.collect()
+      val fin = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      assert(fin.toString.contains("skew=true"), s"no skew split in:\n$fin")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("two-phase countDistinct equals count_distinct") {
     val df = spark
       .range(0, 5000)
