@@ -2,6 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.expressions.WordShingles
 
 /** Text-analysis column functions for the training-data pipeline:
   * tokenization, shingling, language-ID heuristics, quality ratios.
@@ -30,6 +33,20 @@ object TextFns {
               concat_ws(
                 " ",
                 (0 until k).map(j => element_at(toks, i + lit(j))): _*))))
+
+  /** Every word k-gram occurrence in text order (NON-distinct — the
+    * shape n-gram counting and repetition metrics need; the distinct
+    * variant for dedup shingling is [[graft.dedup.Dedup.shingled]]).
+    * Codegen'd flat loop, not an interpreted HOF. */
+  def ngramsAll(text: Column, k: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(text), k, distinct = false))
+
+  /** Distinct word k-grams, first-occurrence order (codegen'd twin of
+    * [[ngramsAll]]). */
+  def ngramsDistinct(text: Column, k: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(text), k, distinct = true))
 
   /** BPE-ish token count: words, single digits, and punctuation runs. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"

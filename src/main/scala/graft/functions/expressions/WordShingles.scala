@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * they also break whole-stage codegen. `doGenCode` here emits one static
   * call, so the surrounding stage stays fused.
   */
-case class WordShingles(child: Expression, k: Int)
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
@@ -41,7 +41,7 @@ case class WordShingles(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String], k)
+    WordShingles.compute(input.asInstanceOf[UTF8String], k, distinct)
 
   override protected def doGenCode(
       ctx: CodegenContext,
@@ -49,7 +49,7 @@ case class WordShingles(child: Expression, k: Int)
     defineCodeGen(
       ctx,
       ev,
-      c => s"graft.functions.expressions.WordShingles.compute($c, $k)")
+      c => s"graft.functions.expressions.WordShingles.compute($c, $k, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -59,12 +59,15 @@ case class WordShingles(child: Expression, k: Int)
 
 object WordShingles {
 
-  /** Flat one-pass shingling; called from generated code, once per row. */
-  def compute(text: UTF8String, k: Int): ArrayData = {
+  /** Flat one-pass shingling; called from generated code, once per row.
+    * `distinct = false` keeps every occurrence in text order (the shape
+    * n-gram counting and repetition metrics need). */
+  def compute(text: UTF8String, k: Int, distinct: Boolean): ArrayData = {
     val toks = text.toString.split(" ").filter(_.nonEmpty)
     val n = toks.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new mutable.LinkedHashSet[String]
+    val all = if (distinct) null else new Array[Any](n)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < n) {
@@ -75,22 +78,27 @@ object WordShingles {
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (distinct) seen.add(sb.toString)
+      else all(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Any](seen.size)
     var p = 0
     seen.foreach { s => out(p) = UTF8String.fromString(s); p += 1 }
     new GenericArrayData(out)
   }
 
-  /** Register `graft_shingles(text, k) -> array<string>` (k a literal). */
+  /** Register `graft_shingles(text, k[, distinct]) -> array<string>`
+    * (k and distinct literals; distinct defaults true). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       exprs =>
         WordShingles(
           exprs(0),
-          exprs(1).eval(null).asInstanceOf[Number].intValue()),
+          exprs(1).eval(null).asInstanceOf[Number].intValue(),
+          if (exprs.size > 2) exprs(2).eval(null).asInstanceOf[Boolean]
+          else true),
       "built-in")
 }

@@ -228,6 +228,30 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** Daily cohort retention: cohort = the user's first event day, one
+    * cell per (cohort_day, day_offset) counting distinct returning
+    * users. Shape at scale: the first-day aggregate and the re-join
+    * shuffle on user_id; the cell count uses the two-phase distinct
+    * (distinct (cohort, offset, user) triples shrink map-side before
+    * the count — user activity is the skewed key). */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(
+        col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .transform(sortSmall(_, col("cohort_day"), col("day_offset")))
+  }
+
   /** Grouped second-moment statistics (corr / covar / stddev) — one
     * map-side-combinable aggregate over the fact table; both engines
     * use the same single-pass co-moment recurrences, stable under
@@ -391,6 +415,7 @@ object OlapQueries {
     "q_range_join" -> qRangeJoin _,
     "q_percentiles" -> qPercentiles _,
     "q_event_deltas" -> qEventDeltas _,
+    "q_retention" -> qRetention _,
     "q_group_stats" -> qGroupStats _,
     "q_json_extract" -> qJsonExtract _,
     "q_funnel" -> qFunnel _,
@@ -513,6 +538,17 @@ object OlapQueries {
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq_in_user
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |cells AS (
+        |  SELECT DISTINCT f.cohort_day,
+        |         datediff('day', f.cohort_day, e.day) AS day_offset,
+        |         e.user_id
+        |  FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |       count(CAST(props->>'k' AS BIGINT)) AS n_parsed,

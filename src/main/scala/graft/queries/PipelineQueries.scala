@@ -324,6 +324,86 @@ object PipelineQueries {
         max("n_chars").as("max_chars"))
       .transform(sortSmall(_, "bucket"))
 
+  /** Repetition-flag thresholds (Gopher §A.1.1-style filters, scaled to
+    * the synthetic corpus's ~40-word vocabulary). */
+  val RepTopBigramFrac = 0.04
+  val RepDupTrigramFrac = 0.02
+
+  /** Gopher-style n-gram repetition metrics per document: the share of
+    * bigram slots taken by the single most-repeated bigram, and the
+    * share of trigram occurrences that are repeats of an earlier one.
+    * Documents over either threshold are flagged `repetitive` (the
+    * standard boilerplate/loop filter for LLM training corpora —
+    * word-level duplication is already covered by
+    * [[qTextQuality]]'s `distinct_ratio`).
+    *
+    * Shape at scale: the trigram fractions need NO explode at all —
+    * `size(all k-grams)` vs `size(distinct k-grams)` are two codegen'd
+    * per-row expressions. Only the top-bigram needs per-bigram counts:
+    * one explode into a (doc, bigram) aggregate with map-side partials,
+    * then a per-doc `max(struct(c, bigram))` whose exchange moves only
+    * already-aggregated doc×bigram rows. The per-doc scalars are
+    * carried through the aggregates as `min(...)` rather than
+    * re-joined — a wider shuffle row beats a second corpus-wide join
+    * at any scale. */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(
+        col("doc_id"),
+        TextFns.ngramsAll(col("text"), 2).as("bgs"),
+        size(TextFns.ngramsAll(col("text"), 3)).cast("long").as("n_tri"),
+        size(TextFns.ngramsDistinct(col("text"), 3)).cast("long")
+          .as("n_tri_d"))
+      .filter(size(col("bgs")) > 0)
+    val perBigram = base
+      .select(
+        col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        col("n_tri"),
+        col("n_tri_d"),
+        explode(col("bgs")).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(
+        count(lit(1)).as("c"),
+        min("n_bigrams").as("n_bigrams"),
+        min("n_tri").as("n_tri"),
+        min("n_tri_d").as("n_tri_d"))
+    perBigram
+      .groupBy("doc_id")
+      .agg(
+        max(struct(col("c"), col("bg"))).as("top"),
+        min("n_bigrams").as("n_bigrams"),
+        min("n_tri").as("n_tri"),
+        min("n_tri_d").as("n_tri_d"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("top.bg").as("top_bigram"),
+        col("top.c").as("top_bigram_n"),
+        round(col("top.c") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        when(col("n_tri") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("n_tri_d") / col("n_tri"), 6))
+          .as("dup_trigram_frac"))
+      .withColumn(
+        "repetitive",
+        col("top_bigram_frac") > RepTopBigramFrac ||
+          col("dup_trigram_frac") > RepDupTrigramFrac)
+      .transform(sortSmall(_, "doc_id"))
+  }
+
+  val NgramTopK = 20
+
+  /** Corpus-level bigram count head — the LM n-gram-statistics shape:
+    * one explode into one map-side-combinable aggregate; the global
+    * top-k is a TakeOrderedAndProject (no range-partition sort). */
+  def qNgramCounts(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(TextFns.ngramsAll(col("text"), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(NgramTopK)
+
   val TfidfTopK = 3
 
   /** Top-`TfidfTopK` characteristic terms per document by tf·(N/df) —
@@ -487,7 +567,9 @@ object PipelineQueries {
     "q_dedup_incr" -> qDedupIncr _,
     "q_tfidf_terms" -> qTfidfTerms _,
     "q_stratified_sample" -> qStratifiedSample _,
-    "q_len_histogram" -> qLenHistogram _
+    "q_len_histogram" -> qLenHistogram _,
+    "q_repetition" -> qRepetition _,
+    "q_ngram_counts" -> qNgramCounts _
   )
 
   private def minhashCtes(x: String): String = {
@@ -893,6 +975,42 @@ object PipelineQueries {
          |       min(n_chars) AS min_chars,
          |       max(n_chars) AS max_chars
          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS bgs,
+         |         list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tris
+         |  FROM toks WHERE len(t) >= 2),
+         |ex AS (
+         |  SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         |         CAST(len(tris) AS BIGINT) AS n_tri,
+         |         CAST(len(list_distinct(tris)) AS BIGINT) AS n_tri_d,
+         |         unnest(bgs) AS bg
+         |  FROM g),
+         |bc AS (
+         |  SELECT doc_id, bg, count(*) AS c, min(n_bigrams) AS n_bigrams,
+         |         min(n_tri) AS n_tri, min(n_tri_d) AS n_tri_d
+         |  FROM ex GROUP BY doc_id, bg),
+         |top AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg DESC) AS rn FROM bc),
+         |sel AS (
+         |  SELECT doc_id, n_bigrams, bg AS top_bigram, c AS top_bigram_n,
+         |         round(c / n_bigrams, 6) AS top_bigram_frac,
+         |         CASE WHEN n_tri = 0 THEN 0.0 ELSE round(1.0 - n_tri_d / n_tri, 6) END AS dup_trigram_frac
+         |  FROM top WHERE rn = 1)
+         |SELECT *, (top_bigram_frac > $RepTopBigramFrac OR dup_trigram_frac > $RepDupTrigramFrac) AS repetitive
+         |FROM sel ORDER BY doc_id""".stripMargin,
+    "q_ngram_counts" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents),
+         |g AS (
+         |  SELECT list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS bgs
+         |  FROM toks WHERE len(t) >= 2),
+         |ex AS (SELECT unnest(bgs) AS bigram FROM g)
+         |SELECT bigram, count(*) AS n FROM ex
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $NgramTopK""".stripMargin,
     "q_tfidf_terms" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok

@@ -51,6 +51,21 @@ class FunctionsSpec extends SparkSpec {
         .asInstanceOf[scala.collection.Seq[String]].toSeq)
   }
 
+  test("ngramsAll keeps every occurrence in text order") {
+    def all(s: String, k: Int) =
+      eval(TextFns.ngramsAll(lit(s), k))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(all("x y x y x", 2) == Seq("x y", "y x", "x y", "y x"))
+    assert(all("a b", 3).isEmpty)
+    assert(all(" a  b ", 2) == Seq("a b"))
+    assert(eval(TextFns.ngramsAll(lit(null).cast("string"), 2)) == null)
+    // distinct twin agrees with list_distinct of the full list
+    assert(
+      eval(TextFns.ngramsDistinct(lit("x y x y x"), 2))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq ==
+        all("x y x y x", 2).distinct)
+  }
+
   test("langId marker heuristic with CJK override") {
     assert(eval(TextFns.langId(lit("the cat and the dog is of to"))) == "en")
     assert(eval(TextFns.langId(lit("der hund und die katze nicht"))) == "de")

@@ -118,6 +118,55 @@ class PipelineSpec extends SparkSpec {
     assert(half.subsetOf(sample))
   }
 
+  test("repetition metrics flag a looping doc and pass a varied one") {
+    import graft.queries.PipelineQueries._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    spark
+      .createDataFrame(Seq(
+        // 10× repeated bigram: top_bigram_frac ≈ 0.5, dup trigrams high
+        (1L, ("spam ham " * 10).trim, "en", "src0", 89L),
+        // 30 distinct words: every bigram unique (frac 1/29 < 0.04),
+        // no repeated trigram
+        (2L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "src0", 120L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = qRepetition(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val loop = byId(1L)
+    assert(loop.getAs[String]("top_bigram") == "spam ham")
+    assert(loop.getAs[Long]("top_bigram_n") == 10L)
+    assert(loop.getAs[Boolean]("repetitive"))
+    val varied = byId(2L)
+    assert(varied.getAs[Long]("top_bigram_n") == 1L)
+    assert(varied.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(!varied.getAs[Boolean]("repetitive"))
+    // invariants on the real corpus: fracs in [0,1], flag matches terms
+    val corpus = qRepetition(spark, SfDir).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall { r =>
+      val tb = r.getAs[Double]("top_bigram_frac")
+      val dt = r.getAs[Double]("dup_trigram_frac")
+      tb >= 0 && tb <= 1 && dt >= 0 && dt <= 1 &&
+      r.getAs[Long]("top_bigram_n") <= r.getAs[Long]("n_bigrams") &&
+      r.getAs[Boolean]("repetitive") ==
+        (tb > RepTopBigramFrac || dt > RepDupTrigramFrac)
+    })
+  }
+
+  test("ngram counts sum to total bigram occurrences on a crafted corpus") {
+    import graft.queries.PipelineQueries._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ng").toString
+    spark
+      .createDataFrame(Seq(
+        (1L, "a b a b", "en", "src0", 7L),
+        (2L, "b a", "en", "src0", 3L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val counts = qNgramCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a b" -> 2L, "b a" -> 2L))
+  }
+
   test("contamination report only names corpus docs sharing bench shingles") {
     val rows = PipelineQueries
       .qContamination(spark, SfDir)

@@ -77,6 +77,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"))
   }
 
+  test("q_ngram_counts top-k is a TakeOrderedAndProject off one aggregate") {
+    val p = plan("q_ngram_counts")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_repetition: one corpus scan, trigram stats computed without a second explode") {
+    val p = plan("q_repetition")
+    assert(count(p, "FileScan parquet") + count(p, "Scan parquet") <= 2)
+    // one Generate = the bigram explode; the trigram fractions are
+    // per-row expressions, not a second explode
+    assert(count(p, "Generate explode") == 1)
+  }
+
   test("q_funnel: three stacked windows + per-user rollup ride ONE (user_id) exchange") {
     val p = plan("q_funnel")
     assert(count(p, "hashpartitioning(user_id") == 1)
