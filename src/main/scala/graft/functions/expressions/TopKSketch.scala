@@ -1,0 +1,182 @@
+package graft.functions.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitter summary: at most `k` counters plus the total
+  * decrement applied so far. Counts are LOWER bounds; `decr` bounds the
+  * undercount uniformly: `count ≤ true ≤ count + decr`, and every item
+  * with true frequency > n/(k+1) is guaranteed present (Misra & Gries
+  * 1982). Summaries are mergeable with additive error (Agarwal et al.,
+  * "Mergeable Summaries", SODA'12): sum counts pointwise, subtract the
+  * (k+1)-largest count from every counter, drop the non-positive.
+  */
+final class MgSummary(val k: Int) {
+  val counts = new mutable.HashMap[String, Long]
+  var decr: Long = 0L
+  var n: Long = 0L
+
+  def update(item: String): Unit = {
+    n += 1
+    counts.get(item) match {
+      case Some(c) => counts.update(item, c + 1)
+      case None if counts.size < k => counts.update(item, 1L)
+      case None =>
+        // decrement-all step, dropping zeros (amortized O(1) per item:
+        // each decrement pass pays for k prior increments)
+        decr += 1
+        val dead = mutable.ArrayBuffer.empty[String]
+        counts.foreach { case (i, c) =>
+          if (c == 1L) dead += i else counts.update(i, c - 1)
+        }
+        dead.foreach(counts.remove)
+    }
+  }
+
+  def merge(other: MgSummary): Unit = {
+    n += other.n
+    decr += other.decr
+    other.counts.foreach { case (i, c) =>
+      counts.update(i, counts.getOrElse(i, 0L) + c)
+    }
+    if (counts.size > k) {
+      // subtract the (k+1)-largest count from everything, keep positive
+      val sorted = counts.values.toArray
+      java.util.Arrays.sort(sorted)
+      val cut = sorted(sorted.length - k - 1)
+      decr += cut
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.foreach { case (i, c) =>
+        if (c <= cut) dead += i else counts.update(i, c - cut)
+      }
+      dead.foreach(counts.remove)
+    }
+  }
+}
+
+/** `graft_topk(item, k)`: approximate heavy hitters over a string key in
+  * ONE pass with a fixed-size mergeable state — the 100 TB shape for
+  * "top items by frequency" when the key space is too large to fully
+  * aggregate: each task keeps ≤ k counters, partials merge on the
+  * driver-bound final stage, and nothing proportional to the distinct
+  * count is ever shuffled (contrast the exact `q_vocab_topk`, which
+  * shuffles every distinct key once).
+  *
+  * Returns `array<struct<item, count_lo, count_hi>>` sorted by
+  * (count_lo desc, item): `count_lo ≤ true ≤ count_hi`, and any item
+  * with true count > n·/(k+1) of the aggregated rows is guaranteed to
+  * appear. Result contents are order-sensitive within the guarantees
+  * (like every streaming summary), so the query surface is spec-verified
+  * against the exact counts rather than hash-compared to an oracle.
+  */
+case class TopKSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MgSummary]
+    with UnaryLike[Expression] {
+
+  require(k >= 1, s"graft_topk capacity must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk expects a string column, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("count_lo", LongType, nullable = false),
+      StructField("count_hi", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): MgSummary = new MgSummary(k)
+
+  override def update(buffer: MgSummary, input: InternalRow): MgSummary = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: MgSummary, other: MgSummary): MgSummary = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: MgSummary): Any = {
+    val rows = buffer.counts.toArray
+      .sortBy { case (item, c) => (-c, item) }
+      .map { case (item, c) =>
+        InternalRow(UTF8String.fromString(item), c, c + buffer.decr)
+      }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: MgSummary): Array[Byte] = {
+    val bos = new ByteArrayOutputStream
+    val out = new DataOutputStream(bos)
+    out.writeLong(buffer.n)
+    out.writeLong(buffer.decr)
+    out.writeInt(buffer.counts.size)
+    buffer.counts.foreach { case (i, c) =>
+      out.writeUTF(i)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgSummary = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new MgSummary(k)
+    s.n = in.readLong()
+    s.decr = in.readLong()
+    var left = in.readInt()
+    while (left > 0) {
+      val i = in.readUTF()
+      s.counts.update(i, in.readLong())
+      left -= 1
+    }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): TopKSketch =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_topk"
+}
+
+object TopKSketch {
+
+  /** Register `graft_topk(item, k)` (k a literal). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs =>
+        TopKSketch(
+          exprs(0),
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+          .toAggregateExpression(),
+      "built-in")
+}

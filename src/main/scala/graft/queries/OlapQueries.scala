@@ -382,6 +382,24 @@ object OlapQueries {
       .agg(approx_count_distinct(col("user_id"), 0.016).as("approx_users"))
       .transform(sortSmall(_, col("event_type")))
 
+  /** Rank-error budget for [[qApproxPercentiles]]: accuracy =
+    * 10000 → rank error ≤ 1/10000 of the group (Greenwald–Khanna
+    * sketch). Like [[qApproxDistinct]], the scale complement of an
+    * exact operator ([[qPercentiles]] fully sorts each group's values;
+    * the sketch keeps a bounded summary per task and merges) —
+    * sketch contents are not engine-portable, so the guard is a
+    * rank-error bound spec (PlanSpec) rather than a hash oracle. */
+  val PctAccuracy = 10000
+
+  def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $PctAccuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.95, $PctAccuracy)").as("p95"),
+        expr(s"approx_percentile(value, 0.99, $PctAccuracy)").as("p99"))
+      .transform(sortSmall(_, col("event_type")))
+
   def qSemiJoin(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -423,6 +441,7 @@ object OlapQueries {
     "q_cube" -> qCube _,
     "q_pivot" -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_approx_percentiles" -> qApproxPercentiles _,
     "q_semi_join" -> qSemiJoin _,
     "q_anti_join" -> qAntiJoin _
   )

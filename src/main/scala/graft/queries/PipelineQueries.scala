@@ -391,6 +391,30 @@ object PipelineQueries {
       .transform(sortSmall(_, "doc_id"))
   }
 
+  val HeavyK = 16
+
+  /** Approximate heavy-hitter tokens via the [[TopKSketch]] Misra–Gries
+    * aggregate: one pass, ≤ `HeavyK` counters per task, partials merge —
+    * nothing proportional to the vocabulary is shuffled (the sketch
+    * complement of the exact [[qVocabTopk]], the same way
+    * [[graft.queries.OlapQueries]]'s approx-distinct complements
+    * `q_distinct_users`). Summary contents are stream-order-sensitive
+    * within the MG guarantees, so this is spec-verified against exact
+    * counts (PipelineSpec) rather than hash-compared to an oracle. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    graft.functions.expressions.TopKSketch.register(s)
+    docs(s, d)
+      .select(explode(expr("graft_tokens(text)")).as("tok"))
+      .agg(expr(s"graft_topk(tok, $HeavyK)").as("hh"))
+      .select(posexplode(col("hh")).as(Seq("rank", "e")))
+      .select(
+        (col("rank") + 1).cast("long").as("rank"),
+        col("e.item").as("tok"),
+        col("e.count_lo").as("count_lo"),
+        col("e.count_hi").as("count_hi"))
+  }
+
   val NgramTopK = 20
 
   /** Corpus-level bigram count head — the LM n-gram-statistics shape:
@@ -569,7 +593,8 @@ object PipelineQueries {
     "q_stratified_sample" -> qStratifiedSample _,
     "q_len_histogram" -> qLenHistogram _,
     "q_repetition" -> qRepetition _,
-    "q_ngram_counts" -> qNgramCounts _
+    "q_ngram_counts" -> qNgramCounts _,
+    "q_heavy_hitters" -> qHeavyHitters _
   )
 
   private def minhashCtes(x: String): String = {

@@ -167,6 +167,49 @@ class PipelineSpec extends SparkSpec {
     assert(counts == Map("a b" -> 2L, "b a" -> 2L))
   }
 
+  test("graft_topk heavy hitters honor the Misra-Gries guarantees") {
+    import graft.queries.PipelineQueries._
+    val toks = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val out = qHeavyHitters(spark, SfDir).collect()
+    assert(out.nonEmpty && out.length <= HeavyK)
+    // bounds: count_lo ≤ true ≤ count_hi for every reported item
+    assert(out.forall { r =>
+      val t = exact(r.getAs[String]("tok"))
+      r.getAs[Long]("count_lo") <= t && t <= r.getAs[Long]("count_hi")
+    })
+    // completeness: every item with true count > n/(k+1) is reported
+    val reported = out.map(_.getAs[String]("tok")).toSet
+    val guaranteed = exact.filter(_._2 > n / (HeavyK + 1.0)).keySet
+    assert(guaranteed.subsetOf(reported),
+      s"missing guaranteed heavy hitters: ${guaranteed -- reported}")
+    // ranks are 1..m by descending lower bound
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+    val los = out.map(_.getAs[Long]("count_lo")).toSeq
+    assert(los == los.sorted.reverse)
+  }
+
+  test("graft_topk is exact when capacity covers the key space") {
+    graft.functions.expressions.TopKSketch.register(spark)
+    val df = spark.range(0, 1000)
+      .select(concat(lit("k"), (col("id") % 7)).as("tok"))
+    val out = df.agg(expr("graft_topk(tok, 16)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.count_lo"), col("e.count_hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // no counter ever evicted → decr = 0 → lo = hi = exact
+    assert(out.length == 7)
+    assert(out.forall { case (_, lo, hi) => lo == hi })
+    val exact = df.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (t, lo, _) => exact(t) == lo })
+  }
+
   test("contamination report only names corpus docs sharing bench shingles") {
     val rows = PipelineQueries
       .qContamination(spark, SfDir)

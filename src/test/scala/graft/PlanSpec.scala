@@ -179,6 +179,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_percentiles lands within the sketch's rank-error bound") {
+    // rows-only in the driver contract (GK sketches are engine-specific)
+    // — quantitative guard instead: at accuracy 10000 the rank error is
+    // ≤ 1e-4, so compare each approx quantile against the exact values
+    // at quantile ± a generous 1e-3 rank margin
+    import org.apache.spark.sql.functions._
+    val vals = graft.sources.Tables
+      .events(spark, SfDir)
+      .select(col("event_type"), col("value"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    val approx = SparkEntry
+      .queries("q_approx_percentiles")(spark, SfDir)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(approx.keySet == vals.keySet)
+    for {
+      (t, sorted) <- vals
+      (q, got) <- Seq(0.5, 0.95, 0.99).zip(approx(t))
+    } {
+      val n = sorted.length
+      def at(rank: Double) = sorted(math.max(0, math.min(n - 1, rank.toInt)))
+      val lo = at((q - 1e-3) * n)
+      val hi = at(math.ceil((q + 1e-3) * n))
+      assert(got >= lo && got <= hi, s"$t q=$q got=$got expected [$lo, $hi]")
+    }
+  }
+
   test("runtime Bloom filter prunes the fact side of a selective shuffled dim join") {
     // At 100 TB a selective dim predicate should cut fact-side shuffle
     // traffic BEFORE the join: Spark injects a bloom_filter_agg on the
