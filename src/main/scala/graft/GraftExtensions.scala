@@ -57,10 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_shingles"),
         info(
           "graft_shingles",
-          "graft_shingles(text, k) - distinct word k-shingles"),
+          "graft_shingles(text, k[, distinct]) - word k-shingles"),
         (exprs: Seq[Expression]) =>
           WordShingles(
             exprs(0),
-            exprs(1).eval(null).asInstanceOf[Number].intValue())))
+            exprs(1).eval(null).asInstanceOf[Number].intValue(),
+            if (exprs.size > 2) exprs(2).eval(null).asInstanceOf[Boolean]
+            else true)))
   }
 }

@@ -24,10 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
 final class MgSummary(val k: Int) {
   val counts = new mutable.HashMap[String, Long]
   var decr: Long = 0L
-  var n: Long = 0L
 
   def update(item: String): Unit = {
-    n += 1
     counts.get(item) match {
       case Some(c) => counts.update(item, c + 1)
       case None if counts.size < k => counts.update(item, 1L)
@@ -44,7 +42,6 @@ final class MgSummary(val k: Int) {
   }
 
   def merge(other: MgSummary): Unit = {
-    n += other.n
     decr += other.decr
     other.counts.foreach { case (i, c) =>
       counts.update(i, counts.getOrElse(i, 0L) + c)
@@ -130,11 +127,14 @@ case class TopKSketch(
   override def serialize(buffer: MgSummary): Array[Byte] = {
     val bos = new ByteArrayOutputStream
     val out = new DataOutputStream(bos)
-    out.writeLong(buffer.n)
     out.writeLong(buffer.decr)
     out.writeInt(buffer.counts.size)
     buffer.counts.foreach { case (i, c) =>
-      out.writeUTF(i)
+      // length-prefixed raw UTF-8, not writeUTF: items over 64 KiB
+      // (arbitrary string columns) must round-trip, not throw
+      val bytes = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
       out.writeLong(c)
     }
     out.flush()
@@ -144,11 +144,12 @@ case class TopKSketch(
   override def deserialize(bytes: Array[Byte]): MgSummary = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val s = new MgSummary(k)
-    s.n = in.readLong()
     s.decr = in.readLong()
     var left = in.readInt()
     while (left > 0) {
-      val i = in.readUTF()
+      val ib = new Array[Byte](in.readInt())
+      in.readFully(ib)
+      val i = new String(ib, java.nio.charset.StandardCharsets.UTF_8)
       s.counts.update(i, in.readLong())
       left -= 1
     }
@@ -169,14 +170,20 @@ case class TopKSketch(
 
 object TopKSketch {
 
-  /** Register `graft_topk(item, k)` (k a literal). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk",
-      exprs =>
-        TopKSketch(
-          exprs(0),
-          exprs(1).eval(null).asInstanceOf[Number].intValue())
-          .toAggregateExpression(),
-      "built-in")
+  /** Register `graft_topk(item, k)` (k a literal); register-once to
+    * avoid SimpleFunctionRegistry "replaced" warnings per query. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val name =
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk")
+    if (!registry.functionExists(name))
+      registry.createOrReplaceTempFunction(
+        "graft_topk",
+        exprs =>
+          TopKSketch(
+            exprs(0),
+            exprs(1).eval(null).asInstanceOf[Number].intValue())
+            .toAggregateExpression(),
+        "built-in")
+  }
 }

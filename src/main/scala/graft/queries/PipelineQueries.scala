@@ -358,21 +358,21 @@ object PipelineQueries {
     val perBigram = base
       .select(
         col("doc_id"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
         col("n_tri"),
         col("n_tri_d"),
         explode(col("bgs")).as("bg"))
       .groupBy("doc_id", "bg")
       .agg(
         count(lit(1)).as("c"),
-        min("n_bigrams").as("n_bigrams"),
         min("n_tri").as("n_tri"),
         min("n_tri_d").as("n_tri_d"))
     perBigram
       .groupBy("doc_id")
       .agg(
         max(struct(col("c"), col("bg"))).as("top"),
-        min("n_bigrams").as("n_bigrams"),
+        // n_bigrams = Σ per-bigram counts — derived here instead of
+        // carried through the wider (doc, bigram) exchange
+        sum("c").as("n_bigrams"),
         min("n_tri").as("n_tri"),
         min("n_tri_d").as("n_tri_d"))
       .select(

@@ -85,7 +85,9 @@ class PlanSpec extends SparkSpec {
 
   test("q_repetition: one corpus scan, trigram stats computed without a second explode") {
     val p = plan("q_repetition")
-    assert(count(p, "FileScan parquet") + count(p, "Scan parquet") <= 2)
+    // "Scan parquet" matches both the V1 "FileScan parquet" spelling and
+    // a DSv2 "BatchScan parquet" — exactly one corpus scan either way
+    assert(count(p, "Scan parquet") == 1)
     // one Generate = the bigram explode; the trigram fractions are
     // per-row expressions, not a second explode
     assert(count(p, "Generate explode") == 1)
