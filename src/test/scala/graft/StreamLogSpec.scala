@@ -197,6 +197,40 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters merge sketch state across micro-batches") {
+    // graft_topk's TypedImperativeAggregate buffer lives in the state
+    // store between micro-batches (complete mode); with capacity
+    // covering the key space the merged sketch is exact over ALL
+    // batches seen so far
+    graft.functions.expressions.TopKSketch.register(spark)
+    val mem = MemoryStream[String](spark)
+    val q = mem
+      .toDF()
+      .withColumnRenamed("value", "tok")
+      .agg(expr("graft_topk(tok, 8)").as("hh"))
+      .writeStream
+      .format("memory")
+      .queryName("hh_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData("a", "a", "b")
+      q.processAllAvailable()
+      mem.addData("a", "c", "c", "c")
+      q.processAllAvailable()
+      val hh = spark
+        .sql("SELECT hh FROM hh_stream")
+        .collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(hh == Map(
+        "a" -> (3L, 3L), // 2 in batch 1 + 1 in batch 2
+        "c" -> (3L, 3L),
+        "b" -> (1L, 1L)))
+    } finally q.stop()
+  }
+
   test("follow tails a stored log as entries are produced") {
     import graft.model.Record
     val dir = Files.createTempDirectory("graft-follow").toString
