@@ -32,7 +32,7 @@ object Bench {
     "q_heavy_hitters",
     "q_kmeans", "q_semdedup", "q_dup_spans", "q_dedup_incr",
     "q_asset_stats", "q_doc_sample", "q_stratified_sample", "q_len_histogram",
-    "q_source_mix", "q_contamination",
+    "q_source_mix", "q_contamination", "q_contamination_bloom", "q_zorder",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {

@@ -71,6 +71,57 @@ object TrainingPipeline {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminatedIds]] with a Bloom prefilter — the 100 TB shape.
+    *
+    * The benchmark shingle set is small by construction (a benchmark
+    * suite is MBs of text even when the corpus is 100 TB), so it fits a
+    * driver-built Bloom filter shipped to every task as ONE literal
+    * binary (~1.2 MB at 1M items / 1% fpp). Each corpus shingle probes
+    * the filter through Spark's codegen'd `BloomFilterMightContain`
+    * before anything is shuffled: only true matches plus the fpp
+    * sliver reach the exact broadcast-join confirm, so the join input
+    * shrinks from |corpus shingles| to ≈ |contaminated| + fpp·|corpus|.
+    * False positives are removed by the confirm join — the result is
+    * bit-identical to [[contaminatedIds]] (same oracle).
+    *
+    * Build inserts raw hash longs (`putLong`) and the probe calls
+    * `mightContainLong` on the same values — both sides use the
+    * sketch's internal hashing, so they agree by construction. */
+  def bloomContaminatedIds(
+      docs: DataFrame,
+      benchMaxId: Long,
+      shingleK: Int,
+      minShared: Int,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val ex = Dedup
+      .shingleRows(docs, "doc_id", "text", shingleK)
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+    // materialized once: feeds the filter build (an action) AND the
+    // confirm join, and LogicalRDD's real stats keep it the build side
+    val bench =
+      ex.filter(col("doc_id") < benchMaxId).select("h").distinct().localCheckpoint()
+    val bf = bench.stat.bloomFilter("h", math.max(bench.count(), 1L), fpp)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bfBytes, BinaryType),
+        ColumnBridge.expression(col("h"))))
+    ex.filter(col("doc_id") >= benchMaxId)
+      .filter(mightContain)
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Run the full preparation over a `documents`-shaped frame
     * (doc_id, text, ...). Returns the prepared corpus rows (all input
     * columns, original content untouched).

@@ -419,6 +419,21 @@ object OlapQueries {
       .select("o_orderkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Z-order (Morton) key over (user_id, event_id) — the clustering
+    * key [[graft.sources.Layout.writeZOrdered]] lays files out by, so
+    * the file-level manifest prunes on BOTH dimensions (LayoutSpec
+    * proves the skipping). The first 50 events along the Z-curve;
+    * z is unique because event_id's bits land on the odd positions. */
+  def qZorder(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        graft.sources.Layout.zvalue(col("user_id"), col("event_id")).as("z"))
+      .orderBy("z")
+      .limit(50)
+      .transform(sortSmall(_, col("z")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -443,7 +458,8 @@ object OlapQueries {
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_percentiles" -> qApproxPercentiles _,
     "q_semi_join" -> qSemiJoin _,
-    "q_anti_join" -> qAntiJoin _
+    "q_anti_join" -> qAntiJoin _,
+    "q_zorder" -> qZorder _
   )
 
   val oracles: Map[String, String] = Map(
@@ -637,6 +653,12 @@ object OlapQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2000-06-01 00:00:00')
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // same spread table (Layout.SpreadRounds) interpolated on both
+    // engines — the bitwise formula cannot drift
+    "q_zorder" ->
+      s"""SELECT event_id, user_id,
+         |       ${graft.sources.Layout.zvalueSql("user_id", "event_id")} AS z
+         |FROM events ORDER BY z LIMIT 50""".stripMargin
   )
 }

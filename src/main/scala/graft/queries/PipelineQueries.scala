@@ -564,11 +564,25 @@ object PipelineQueries {
         minShared = ContaminationMinShared)
       .transform(sortSmall(_, "doc_id"))
 
+  /** [[qContamination]] through the Bloom-prefilter scale path: a
+    * driver-built filter over the benchmark shingle hashes probed by
+    * the codegen'd `might_contain` before the exact confirm join.
+    * Same result, same oracle — the plan is what changes. */
+  def qContaminationBloom(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingPipeline
+      .bloomContaminatedIds(
+        docs(s, d),
+        benchMaxId = 10,
+        shingleK = 3,
+        minShared = ContaminationMinShared)
+      .transform(sortSmall(_, "doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> qAssetStats _,
     "q_doc_sample" -> qDocSample _,
     "q_source_mix" -> qSourceMix _,
     "q_contamination" -> qContamination _,
+    "q_contamination_bloom" -> qContaminationBloom _,
     "q_pipeline_e2e" -> qPipelineE2e _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram" -> qDedupNgram _,
@@ -721,6 +735,20 @@ object PipelineQueries {
     .map(i =>
       s"CASE WHEN list_dot_product(v, ${planeLit(i)}) > 0 THEN ${1L << i} ELSE 0 END")
     .mkString(" + ")
+
+  /** Shared by q_contamination and q_contamination_bloom — the Bloom
+    * path's confirm join makes it bit-identical to the exact query. */
+  private val ContaminationSql = {
+    val h = Hashing.duckMd5Long("shingle")
+    s"""$ShingleCte,
+       |hx AS (SELECT doc_id, $h AS h FROM ex),
+       |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id < 10)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM hx JOIN bench USING (h)
+       |WHERE doc_id >= 10
+       |GROUP BY doc_id HAVING count(*) >= $ContaminationMinShared
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1119,17 +1147,9 @@ object PipelineQueries {
          |WHERE $idh % 10000 < ${(p.sampleFraction * 10000).toLong}
          |ORDER BY doc_id""".stripMargin
     },
-    "q_contamination" -> {
-      val h = Hashing.duckMd5Long("shingle")
-      s"""$ShingleCte,
-         |hx AS (SELECT doc_id, $h AS h FROM ex),
-         |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id < 10)
-         |SELECT doc_id, count(*) AS n_shared
-         |FROM hx JOIN bench USING (h)
-         |WHERE doc_id >= 10
-         |GROUP BY doc_id HAVING count(*) >= $ContaminationMinShared
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_contamination" -> ContaminationSql,
+    // the Bloom prefilter is exact after the confirm join — same oracle
+    "q_contamination_bloom" -> ContaminationSql,
     "q_asset_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'

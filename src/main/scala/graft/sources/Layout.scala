@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering plus a
+  * parquet-footer min/max manifest for file-level skipping.
+  *
+  * Spark's parquet reader already skips ROW GROUPS via pushed-down
+  * predicates, but vanilla file listing reads every footer of every
+  * file on every query. At 100 TB the missing piece is FILE-level
+  * skipping from a small manifest — and a layout under which min/max
+  * ranges are actually selective. Linear orders cluster one dimension
+  * perfectly and leave every other dimension's (min, max) spanning the
+  * whole domain; the Z-curve interleaves the dimensions' bits so every
+  * file covers a small hyper-rectangle and a predicate on ANY indexed
+  * dimension prunes.
+  *
+  * The z-value is composed entirely from codegen'd bitwise builtins
+  * (shiftleft / & / |) — no UDF — and the shift/mask spread table is
+  * shared with the DuckDB oracle so the two engines cannot drift.
+  */
+object Layout {
+
+  /** Bit-spread rounds: after masking to 31 bits, bit i of the input
+    * lands at bit 2i. Classic Morton interleave table (the 64-bit
+    * variant of the "Bit Twiddling Hacks" spread). */
+  val SpreadRounds: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL,
+    2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  /** Low 31 bits of a non-negative long, spread to even bit positions
+    * (≤ 60), so two interleaved dims stay inside a positive 64-bit
+    * long. */
+  def spreadBits(c: Column): Column =
+    SpreadRounds.foldLeft(c.bitwiseAND(lit(0x7FFFFFFFL))) {
+      case (x, (shift, mask)) =>
+        x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
+    }
+
+  /** Z-value of two non-negative dimension columns: `a`'s bits on the
+    * even positions, `b`'s on the odd. Total order = the Z-curve. */
+  def zvalue(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** The same spread, as DuckDB SQL over an expression string — built
+    * from [[SpreadRounds]] so oracle and engine share one table. */
+  def spreadSql(e: String): String =
+    SpreadRounds.foldLeft(s"($e & 2147483647)") { case (x, (shift, mask)) =>
+      s"((($x | ($x << $shift)) & $mask))"
+    }
+
+  def zvalueSql(a: String, b: String): String =
+    s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
+
+  /** Bucket id of `c` under the quantile `boundaries` (ascending):
+    * count of boundaries ≤ c, as a codegen'd when-chain — no UDF, no
+    * HOF. ≤ 255 boundaries keeps the generated code small. */
+  def rankBucket(c: Column, boundaries: Seq[Double]): Column =
+    boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(c >= lit(b), 1L).otherwise(0L)
+    }
+
+  /** [[zvalue]] after rank-normalizing both dimensions to `buckets`
+    * quantile buckets — the shape real tables need: raw interleaving
+    * weights dimensions by their absolute bit positions, so a 16-bit id
+    * next to a 40-bit id never prunes on the small one. Quantile
+    * boundaries come from `approxQuantile` (a sampled driver action,
+    * one linear scan for both columns), exactly the sampled
+    * range-boundary approach production Z-order writers use. */
+  def zvalueRanked(
+      df: DataFrame,
+      a: String,
+      b: String,
+      buckets: Int = 64): Column = {
+    require(buckets >= 2 && buckets <= 256, "2 ≤ buckets ≤ 256")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Array(aBounds, bBounds) =
+      df.stat.approxQuantile(Array(a, b), probs, 0.001)
+    zvalue(
+      rankBucket(col(a), aBounds.toSeq),
+      rankBucket(col(b), bBounds.toSeq))
+  }
+
+  /** Write `df` Z-clustered on (a, b) into `numFiles` range-partitioned
+    * files. Each output file then covers one z-range = one small
+    * hyper-rectangle in (a, b) — the layout [[manifest]] pruning needs.
+    * Range partitioning samples the z distribution, so file sizes stay
+    * balanced even when the dimensions are skewed. Dimensions with
+    * incomparable ranges should go through [[zvalueRanked]] (pass
+    * `ranked = true`). */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      a: String,
+      b: String,
+      numFiles: Int,
+      ranked: Boolean = false): Unit =
+    df.withColumn(
+        "__z",
+        if (ranked) zvalueRanked(df, a, b) else zvalue(col(a), col(b)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Per-file (min, max) of one int64 column across all row groups —
+    * read from parquet FOOTERS only (no data pages touched), so
+    * building the manifest over a 100 TB table is a driver/metadata
+    * operation, not a scan. */
+  final case class FileRange(file: String, min: Long, max: Long)
+
+  def manifest(spark: org.apache.spark.sql.SparkSession, path: String, column: String): Seq[FileRange] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val files = fs
+      .listStatus(new Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    files.toSeq.flatMap { st =>
+      val footer = ParquetFileReader.readFooter(
+        conf,
+        st.getPath,
+        ParquetMetadataConverter.NO_FILTER)
+      val ranges = footer.getBlocks
+        .toArray(Array.empty[org.apache.parquet.hadoop.metadata.BlockMetaData])
+        .toSeq
+        .flatMap { block =>
+          block.getColumns
+            .toArray(Array.empty[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+            .toSeq
+            .filter(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+            .map(s =>
+              (s.genericGetMin.asInstanceOf[Number].longValue(),
+               s.genericGetMax.asInstanceOf[Number].longValue()))
+        }
+      if (ranges.isEmpty) None
+      else
+        Some(FileRange(
+          st.getPath.toString,
+          ranges.map(_._1).min,
+          ranges.map(_._2).max))
+    }
+  }
+
+  /** Files whose [min, max] overlaps [lo, hi] — the read set for a
+    * range predicate on the manifested column. Feed the result to
+    * `spark.read.parquet(files: _*)`; parquet row-group pushdown then
+    * finishes the job inside each kept file. */
+  def prune(m: Seq[FileRange], lo: Long, hi: Long): Seq[String] =
+    m.filter(r => r.max >= lo && r.min <= hi).map(_.file)
+}

@@ -221,6 +221,54 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("bloom contamination path matches the exact result and prunes the join") {
+    val exact = PipelineQueries
+      .qContamination(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    val bloomQ = PipelineQueries.qContaminationBloom(spark, SfDir)
+    val bloom = bloomQ.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the confirm join removes false positives → bit-identical result
+    assert(bloom == exact)
+    // the scale shape: the codegen'd bloom probe sits in the plan
+    // before the confirm join
+    assert(bloomQ.queryExecution.executedPlan.toString.contains("might_contain"))
+
+    // measure the prefilter's selectivity with the same construction
+    // (driver-side is fine at spec scale): no false negatives, and the
+    // false-positive rate stays within ~5× the 1% fpp budget
+    import graft.dedup.Dedup
+    import graft.functions.Hashing
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val ex = Dedup
+      .shingleRows(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+      .localCheckpoint()
+    val benchSet = ex
+      .filter(col("doc_id") < 10)
+      .select("h")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val bf = ex
+      .filter(col("doc_id") < 10)
+      .select("h")
+      .distinct()
+      .stat
+      .bloomFilter("h", math.max(benchSet.size, 1).toLong, 0.01)
+    val corpus = ex
+      .filter(col("doc_id") >= 10)
+      .select("h")
+      .collect()
+      .map(_.getLong(0))
+    val trueMatches = corpus.count(benchSet)
+    val kept = corpus.count(bf.mightContainLong)
+    assert(trueMatches < corpus.length, "test corpus should not be fully contaminated")
+    assert(kept >= trueMatches) // Bloom guarantee: no false negatives
+    assert(kept <= trueMatches + (0.05 * corpus.length).toLong + 1)
+  }
+
   test("exact dedup keeps one id per distinct text") {
     val out = PipelineQueries.qDedupExact(spark, SfDir)
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
