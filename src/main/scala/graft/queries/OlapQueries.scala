@@ -121,6 +121,40 @@ object OlapQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Top session journeys — the free-form cousin of [[qFunnel]]: every
+    * 30-min-gap session (same boundary definition as [[qSessionize]])
+    * collapsed to its ordered event-type path, then the 20 most common
+    * paths. The path HOF runs once per SESSION over a short array, not
+    * per event (the interpreted-HOF trap only bites row-hot kernels);
+    * the top-20 head is TakeOrderedAndProject — no global sort. */
+  def qJourneys(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn(
+        "boundary",
+        when(
+          col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum("boundary").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                struct(col("ts_us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(20)
+      .transform(sortSmall(_, desc("n_sessions"), col("path")))
+  }
+
   /** Tumbling 1-hour windows, expressed as epoch-µs bucket arithmetic so
     * it is identical over both physical ts encodings and in the oracle. */
   def qWindowTumbling(s: SparkSession, d: String): DataFrame =
@@ -441,6 +475,7 @@ object OlapQueries {
     "q_topk_per_group" -> qTopkPerGroup _,
     "q_running_sum" -> qRunningSum _,
     "q_sessionize" -> qSessionize _,
+    "q_journeys" -> qJourneys _,
     "q_window_tumbling" -> qWindowTumbling _,
     "q_window_sliding" -> qWindowSliding _,
     "q_asof_join" -> qAsofJoin _,
@@ -527,6 +562,24 @@ object OlapQueries {
         |       round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_journeys" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_window_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -241,6 +241,42 @@ object PipelineQueries {
       .select("tok", "tf", "df")
   }
 
+  /** Inverted-index head: for the 20 highest-df tokens, the document
+    * frequency and the first 10 postings (ascending doc_ids,
+    * comma-joined). Scale shape: df over distinct (doc, tok) pairs
+    * (key includes doc_id — no hot token key), top-20 via
+    * TakeOrderedAndProject, then the posting pass keeps only the
+    * broadcast top tokens and WindowGroupLimit caps each token at 10
+    * rows BEFORE the collect — nothing vocabulary- or
+    * posting-list-sized is materialized per group. The pair table is
+    * localCheckpointed once for its two consumers (df aggregate +
+    * posting scan). */
+  def qInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val pairs = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    val top = pairs
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(20)
+    val w = Window.partitionBy("tok").orderBy("doc_id")
+    pairs
+      .join(broadcast(top), "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .groupBy("tok")
+      .agg(
+        max("df").as("df"),
+        array_join(
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
+      .transform(
+        graft.operators.SortUtil.sortSmall(_, col("df").desc, col("tok")))
+  }
+
   def qTokenCount(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
     docs(s, d)
@@ -598,6 +634,7 @@ object PipelineQueries {
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
     "q_vocab_topk" -> qVocabTopk _,
+    "q_inverted_index" -> qInvertedIndex _,
     "q_fingerprint" -> qFingerprint _,
     "q_kmeans" -> qKmeans _,
     "q_semdedup" -> qSemdedup _,
@@ -960,6 +997,22 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin,
+    "q_inverted_index" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |t AS (SELECT DISTINCT doc_id, tok FROM p0),
+        |dfreq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+        |top AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 20),
+        |r AS (SELECT t.tok, t.doc_id,
+        |             row_number() OVER (PARTITION BY t.tok ORDER BY doc_id) AS rn
+        |      FROM t JOIN top USING (tok))
+        |SELECT r.tok AS tok, top.df AS df,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM r JOIN top ON r.tok = top.tok
+        |WHERE rn <= 10
+        |GROUP BY r.tok, top.df
+        |ORDER BY df DESC, tok""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
