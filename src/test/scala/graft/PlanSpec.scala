@@ -98,6 +98,28 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning(user_id") == 1)
   }
 
+  test("q_journeys: session window + session rollup ride ONE (user_id) exchange") {
+    val p = plan("q_journeys")
+    // HashPartitioning(user_id) satisfies the (user_id, session_id)
+    // aggregate's ClusteredDistribution — the rollup must not re-shuffle
+    assert(count(p, "hashpartitioning(user_id") == 1)
+  }
+
+  test("q_inverted_index: postings capped by WindowGroupLimit, top tokens broadcast") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("WindowGroupLimit"))
+    assert(count(p, "BroadcastHashJoin") >= 1)
+    // both consumers read the checkpointed pair table, not parquet
+    assert(!p.contains("FileScan parquet"))
+  }
+
+  test("q_contamination_bloom: bloom probe precedes the confirm join on the corpus side") {
+    val p = plan("q_contamination_bloom")
+    assert(p.contains("might_contain"))
+    // bench side is the checkpointed LogicalRDD build side
+    assert(count(p, "BroadcastHashJoin") == 1)
+  }
+
   test("q_consume_segment pushes the space filter to the scan") {
     val p = plan("q_consume_segment")
     assert(p.contains("EqualTo(event_type,click)"))
