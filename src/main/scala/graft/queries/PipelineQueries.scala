@@ -225,6 +225,27 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup graph degrees: how many LSH-verified neighbors each doc
+    * has. High degree = template/boilerplate family; organic dups sit
+    * at 1–2 — the complement of [[qDedupClusters]]'s membership view.
+    * One explode pass over the pair table (NOT two selects unioned,
+    * which would embed the whole LSH subplan twice). */
+  def qDupDegree(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .minhashLsh(
+        docs(s, d),
+        k = 3,
+        numHashes = MinhashSeeds,
+        bands = MinhashBands,
+        threshold = 0.8)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("doc_id"))
+      .limit(10)
+      .transform(
+        graft.operators.SortUtil.sortSmall(_, col("degree").desc, col("doc_id")))
+
   /** Corpus vocabulary head: top-20 tokens by document frequency (ties
     * by token). Two-phase: distinct (doc, tok) pairs shrink map-side
     * before the df count — the [[graft.operators.Skew]] countDistinct
@@ -623,6 +644,7 @@ object PipelineQueries {
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dup_degree" -> qDupDegree _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_dedup_embed" -> qDedupEmbed _,
     "q_dedup_clusters" -> qDedupClusters _,
@@ -805,6 +827,11 @@ object PipelineQueries {
     "q_dedup_minhash" ->
       s"""$minhashPairsCtes
          |SELECT a_id, b_id, jaccard FROM mpairs ORDER BY a_id, b_id""".stripMargin,
+    "q_dup_degree" ->
+      s"""$minhashPairsCtes,
+         |ends AS (SELECT a_id AS doc_id FROM mpairs UNION ALL SELECT b_id FROM mpairs)
+         |SELECT doc_id, count(*) AS degree FROM ends
+         |GROUP BY doc_id ORDER BY degree DESC, doc_id LIMIT 10""".stripMargin,
     // Connected components over the minhash pairs: min-label closure as
     // a recursive reachability walk — comp = min id reachable over the
     // undirected pair edges, which in a connected component is the
