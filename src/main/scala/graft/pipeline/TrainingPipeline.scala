@@ -53,22 +53,40 @@ object TrainingPipeline {
     * benchmark set (id < benchMaxId): ≥ `minShared` distinct shared
     * shingles. Shared by [[prepare]] and the standalone q_contamination
     * query — one definition of "contaminated". */
+  /** One definition of the (doc_id, shingle-hash) table and the
+    * benchmark hash set — shared by the exact and bloom contamination
+    * paths so the two can never diverge from their common oracle. */
+  private def shingleHashes(
+      docs: DataFrame,
+      benchMaxId: Long,
+      shingleK: Int): (DataFrame, DataFrame) = {
+    val ex = Dedup
+      .shingleRows(docs, "doc_id", "text", shingleK)
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+    val bench = ex.filter(col("doc_id") < benchMaxId).select("h").distinct()
+    (ex, bench)
+  }
+
+  /** The shared confirm step: corpus shingles joined to the benchmark
+    * set, counted per doc. shingleRows emits DISTINCT shingles per doc,
+    * so count(*) is the distinct shared-shingle count. */
+  private def confirmShared(
+      corpus: DataFrame,
+      bench: DataFrame,
+      minShared: Int): DataFrame =
+    corpus
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   def contaminatedIds(
       docs: DataFrame,
       benchMaxId: Long,
       shingleK: Int,
       minShared: Int): DataFrame = {
-    val ex = Dedup
-      .shingleRows(docs, "doc_id", "text", shingleK)
-      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
-    val bench = ex.filter(col("doc_id") < benchMaxId).select("h").distinct()
-    ex.filter(col("doc_id") >= benchMaxId)
-      .join(broadcast(bench), "h")
-      // shingleRows emits DISTINCT shingles per doc, so count(*) is the
-      // distinct shared-shingle count
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    val (ex, bench) = shingleHashes(docs, benchMaxId, shingleK)
+    confirmShared(ex.filter(col("doc_id") >= benchMaxId), bench, minShared)
   }
 
   /** [[contaminatedIds]] with a Bloom prefilter — the 100 TB shape.
@@ -97,13 +115,10 @@ object TrainingPipeline {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
-    val ex = Dedup
-      .shingleRows(docs, "doc_id", "text", shingleK)
-      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+    val (ex, bench0) = shingleHashes(docs, benchMaxId, shingleK)
     // materialized once: feeds the filter build (an action) AND the
     // confirm join, and LogicalRDD's real stats keep it the build side
-    val bench =
-      ex.filter(col("doc_id") < benchMaxId).select("h").distinct().localCheckpoint()
+    val bench = bench0.localCheckpoint()
     val bf = bench.stat.bloomFilter("h", math.max(bench.count(), 1L), fpp)
     val bfBytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -114,12 +129,10 @@ object TrainingPipeline {
       BloomFilterMightContain(
         Literal(bfBytes, BinaryType),
         ColumnBridge.expression(col("h"))))
-    ex.filter(col("doc_id") >= benchMaxId)
-      .filter(mightContain)
-      .join(broadcast(bench), "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    confirmShared(
+      ex.filter(col("doc_id") >= benchMaxId).filter(mightContain),
+      bench,
+      minShared)
   }
 
   /** Run the full preparation over a `documents`-shaped frame

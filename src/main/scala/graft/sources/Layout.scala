@@ -51,10 +51,14 @@ object Layout {
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
   /** The same spread, as DuckDB SQL over an expression string — built
-    * from [[SpreadRounds]] so oracle and engine share one table. */
+    * from [[SpreadRounds]] so oracle and engine share one table. The
+    * operand is cast to BIGINT first: DuckDB's shift-overflow check
+    * uses the operand's own width, so an INT32 column would raise
+    * "Overflow in left shift" for any value ≥ 2^15. */
   def spreadSql(e: String): String =
-    SpreadRounds.foldLeft(s"($e & 2147483647)") { case (x, (shift, mask)) =>
-      s"((($x | ($x << $shift)) & $mask))"
+    SpreadRounds.foldLeft(s"(CAST($e AS BIGINT) & 2147483647)") {
+      case (x, (shift, mask)) =>
+        s"((($x | ($x << $shift)) & $mask))"
     }
 
   def zvalueSql(a: String, b: String): String =
@@ -115,8 +119,16 @@ object Layout {
 
   /** Per-file (min, max) of one int64 column across all row groups —
     * read from parquet FOOTERS only (no data pages touched), so
-    * building the manifest over a 100 TB table is a driver/metadata
-    * operation, not a scan. */
+    * building the manifest over a 100 TB table is a metadata operation,
+    * not a scan. Footers are fetched with a parallel stream: a serial
+    * loop over tens of thousands of remote footers would take the
+    * driver minutes; the read itself stays per-file independent.
+    *
+    * A skipping index must FAIL OPEN: a row group without statistics
+    * for `column` widens its file's range to (MinValue, MaxValue) so
+    * [[prune]] always keeps it — stats are an optimization, never a
+    * correctness gate. Files with no row groups at all hold no rows
+    * and are safely omitted. */
   final case class FileRange(file: String, min: Long, max: Long)
 
   def manifest(spark: org.apache.spark.sql.SparkSession, path: String, column: String): Seq[FileRange] = {
@@ -125,38 +137,63 @@ object Layout {
     val files = fs
       .listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    files.toSeq.flatMap { st =>
-      val footer = ParquetFileReader.readFooter(
-        conf,
-        st.getPath,
-        ParquetMetadataConverter.NO_FILTER)
-      val ranges = footer.getBlocks
-        .toArray(Array.empty[org.apache.parquet.hadoop.metadata.BlockMetaData])
-        .toSeq
-        .flatMap { block =>
-          block.getColumns
-            .toArray(Array.empty[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
-            .toSeq
-            .filter(_.getPath.toDotString == column)
-            .map(_.getStatistics)
-            .filter(s => s != null && s.hasNonNullValue)
-            .map(s =>
-              (s.genericGetMin.asInstanceOf[Number].longValue(),
-               s.genericGetMax.asInstanceOf[Number].longValue()))
+    java.util.Arrays
+      .stream(files)
+      .parallel()
+      .map[Option[FileRange]] { st =>
+        val footer = ParquetFileReader.readFooter(
+          conf,
+          st.getPath,
+          ParquetMetadataConverter.NO_FILTER)
+        val blocks = footer.getBlocks
+          .toArray(Array.empty[org.apache.parquet.hadoop.metadata.BlockMetaData])
+          .toSeq
+        if (blocks.isEmpty) None // zero row groups = zero rows
+        else {
+          val ranges = blocks.map { block =>
+            block.getColumns
+              .toArray(
+                Array.empty[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+              .find(_.getPath.toDotString == column)
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+              .map(s =>
+                (s.genericGetMin.asInstanceOf[Number].longValue(),
+                 s.genericGetMax.asInstanceOf[Number].longValue()))
+              // fail open: no stats for this row group → unbounded
+              .getOrElse((Long.MinValue, Long.MaxValue))
+          }
+          Some(FileRange(
+            st.getPath.toString,
+            ranges.map(_._1).min,
+            ranges.map(_._2).max))
         }
-      if (ranges.isEmpty) None
-      else
-        Some(FileRange(
-          st.getPath.toString,
-          ranges.map(_._1).min,
-          ranges.map(_._2).max))
-    }
+      }
+      .toArray((n: Int) => new Array[Option[FileRange]](n))
+      .toSeq
+      .flatten
   }
 
   /** Files whose [min, max] overlaps [lo, hi] — the read set for a
-    * range predicate on the manifested column. Feed the result to
-    * `spark.read.parquet(files: _*)`; parquet row-group pushdown then
-    * finishes the job inside each kept file. */
+    * range predicate on the manifested column. May be EMPTY when the
+    * predicate overlaps nothing — consume through [[readPruned]]
+    * (`spark.read.parquet()` with zero paths throws). Parquet
+    * row-group pushdown then finishes the job inside each kept file. */
   def prune(m: Seq[FileRange], lo: Long, hi: Long): Seq[String] =
     m.filter(r => r.max >= lo && r.min <= hi).map(_.file)
+
+  /** Read the pruned file subset for a range predicate on `column` —
+    * the fully-selective case (no file overlaps) correctly yields an
+    * empty DataFrame in the table's schema instead of the
+    * empty-path-list error `spark.read.parquet(files: _*)` raises. */
+  def readPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      column: String,
+      lo: Long,
+      hi: Long): DataFrame = {
+    val files = prune(manifest(spark, path, column), lo, hi)
+    if (files.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files: _*)
+  }
 }

@@ -6,11 +6,21 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Layout
 
-/** Z-order layout + footer-manifest file skipping. Dimensions here
-  * share a 0..255 range — the comparable-bit-width precondition the
-  * Layout docs state (bit interleaving weights dimensions by their raw
-  * bit positions). */
+/** Z-order layout + footer-manifest file skipping. Dimensions in the
+  * raw-interleave tests share a 0..255 range — the comparable-bit-width
+  * precondition the Layout docs state (bit interleaving weights
+  * dimensions by their raw bit positions). */
 class LayoutSpec extends SparkSpec {
+
+  private def withDirs[A](prefixes: String*)(body: Seq[String] => A): A = {
+    val dirs = prefixes.map(p => Files.createTempDirectory(p).toString)
+    try body(dirs)
+    finally dirs.foreach { d =>
+      val root = new java.io.File(d)
+      Option(root.listFiles).foreach(_.foreach(_.delete()))
+      root.delete()
+    }
+  }
 
   // 65k points on a 256×256 grid, row-major — "a" is the natural
   // (linear) order, "b" cycles fast
@@ -33,6 +43,9 @@ class LayoutSpec extends SparkSpec {
     z
   }
 
+  private def kept(dir: String, column: String, lo: Long, hi: Long): Int =
+    Layout.prune(Layout.manifest(spark, dir, column), lo, hi).size
+
   test("zvalue matches the bit-interleave reference, including 31-bit masking") {
     val rows = spark
       .range(0, 1000)
@@ -49,9 +62,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("z-ordered files prune on both dimensions; linear layout prunes only its own") {
-    val zdir = Files.createTempDirectory("graft-zorder").toString
-    val ldir = Files.createTempDirectory("graft-linear").toString
-    try {
+    withDirs("graft-zorder", "graft-linear") { case Seq(zdir, ldir) =>
       Layout.writeZOrdered(grid, zdir, "a", "b", numFiles = 16)
       // the linear counter-layout: perfectly clustered on "a" only
       grid
@@ -60,9 +71,6 @@ class LayoutSpec extends SparkSpec {
         .write
         .mode("overwrite")
         .parquet(ldir)
-
-      def kept(dir: String, column: String, lo: Long, hi: Long): Int =
-        Layout.prune(Layout.manifest(spark, dir, column), lo, hi).size
 
       val zFiles = Layout.manifest(spark, zdir, "a").size
       val lFiles = Layout.manifest(spark, ldir, "a").size
@@ -76,9 +84,8 @@ class LayoutSpec extends SparkSpec {
 
       // pruned read + residual filter ≡ full filter (row-group pushdown
       // finishes inside kept files)
-      val prunedFiles = Layout.prune(Layout.manifest(spark, zdir, "b"), 0, 31)
-      val viaPruned = spark.read
-        .parquet(prunedFiles: _*)
+      val viaPruned = Layout
+        .readPruned(spark, zdir, "b", 0, 31)
         .filter(col("b") <= 31)
         .agg(count(lit(1)), sum("a"), sum("b"))
         .collect()(0)
@@ -89,7 +96,12 @@ class LayoutSpec extends SparkSpec {
         .collect()(0)
       assert(viaPruned == viaFull)
       assert(viaPruned.getLong(0) == 256L * 32)
-    } finally ()
+
+      // the fully-selective case: no file overlaps → empty result in
+      // the table's schema, not an empty-path-list error
+      val none = Layout.readPruned(spark, zdir, "a", 1000, 2000)
+      assert(none.columns.toSeq == Seq("a", "b") && none.count() == 0)
+    }
   }
 
   test("ranked z-order prunes dimensions whose raw ranges are incomparable") {
@@ -102,17 +114,14 @@ class LayoutSpec extends SparkSpec {
       .select(
         (col("id") % 256).cast("long").as("small"),
         ((col("id") / 256).cast("long") * 1000000000L).as("big"))
-    val rdir = Files.createTempDirectory("graft-zrank").toString
-    val wdir = Files.createTempDirectory("graft-zraw").toString
-    Layout.writeZOrdered(df, rdir, "small", "big", numFiles = 16, ranked = true)
-    Layout.writeZOrdered(df, wdir, "small", "big", numFiles = 16)
+    withDirs("graft-zrank", "graft-zraw") { case Seq(rdir, wdir) =>
+      Layout.writeZOrdered(df, rdir, "small", "big", numFiles = 16, ranked = true)
+      Layout.writeZOrdered(df, wdir, "small", "big", numFiles = 16)
 
-    def kept(dir: String, column: String, lo: Long, hi: Long): Int =
-      Layout.prune(Layout.manifest(spark, dir, column), lo, hi).size
-
-    // 1/8-of-domain bands on each dimension
-    assert(kept(rdir, "small", 0, 31) <= 8)
-    assert(kept(rdir, "big", 0, 31L * 1000000000L) <= 8)
-    assert(kept(wdir, "small", 0, 31) >= 12) // raw layout: no skipping
+      // 1/8-of-domain bands on each dimension
+      assert(kept(rdir, "small", 0, 31) <= 8)
+      assert(kept(rdir, "big", 0, 31L * 1000000000L) <= 8)
+      assert(kept(wdir, "small", 0, 31) >= 12) // raw layout: no skipping
+    }
   }
 }
