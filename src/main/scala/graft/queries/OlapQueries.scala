@@ -468,6 +468,123 @@ object OlapQueries {
       .limit(50)
       .transform(sortSmall(_, col("z")))
 
+  /** Per-group decile banding (equi-depth histogram / feature
+    * bucketing): `ntile(10)` over a TOTAL order (value, event_id) so
+    * bucket membership is deterministic in every engine, then one
+    * aggregate per (group, decile). The window's full per-group sort is
+    * inherent to exact equi-depth banding; the scale alternative is the
+    * sketch path ([[qApproxPercentiles]]) when rank error is
+    * acceptable. */
+  def qNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables
+      .events(s, d)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("event_type", "decile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("value"), 4).as("lo"),
+        round(max("value"), 4).as("hi"),
+        round(sum("value"), 2).as("sum_value"))
+      .transform(sortSmall(_, col("event_type"), col("decile")))
+  }
+
+  /** Nearest-event temporal join: each click matched to the CLOSEST
+    * view of the same user in either time direction (as-of is the
+    * backward half of this). Both halves come from the same
+    * (user_id)-partitioned order — last-view-before via a preceding
+    * frame, first-view-after via a following frame — so the whole
+    * operator is ONE shuffle of the filtered events, no join at all.
+    * Ties (equal |Δt|) resolve to the earlier view; Δ is signed
+    * (negative = matched view precedes the click). */
+  def qNearestEvent(s: SparkSession, d: String): DataFrame = {
+    val base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val prevF = base.rowsBetween(Window.unboundedPreceding, -1)
+    val nextF = base.rowsBetween(1, Window.unboundedFollowing)
+    val viewTs = when(col("event_type") === "view", col("ts_us"))
+    val viewId = when(col("event_type") === "view", col("event_id"))
+    val prevOk = col("prev_ts").isNotNull
+    val nextOk = col("next_ts").isNotNull
+    val usePrev =
+      prevOk && (!nextOk || (col("ts_us") - col("prev_ts")) <= (col("next_ts") - col("ts_us")))
+    Tables
+      .events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("prev_ts", last(viewTs, ignoreNulls = true).over(prevF))
+      .withColumn("prev_id", last(viewId, ignoreNulls = true).over(prevF))
+      .withColumn("next_ts", first(viewTs, ignoreNulls = true).over(nextF))
+      .withColumn("next_id", first(viewId, ignoreNulls = true).over(nextF))
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        when(usePrev, col("prev_id")).otherwise(col("next_id")).as("nearest_view_id"),
+        when(usePrev, col("prev_ts") - col("ts_us"))
+          .otherwise(when(nextOk, col("next_ts") - col("ts_us")))
+          .as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Time-grid resample + forward fill (gap-filling): an hourly grid per
+    * user between that user's first and last event, carrying the last
+    * observed value across empty hours. Grid generation is
+    * `sequence`+explode off a per-user min/max aggregate — grid size is
+    * Σ span-hours, never users × global-span — and the fill is one
+    * (user_id)-partitioned window. The (user, hour) join and the fill
+    * window share the user_id key, so AQE keeps the big sides
+    * co-partitioned. */
+  def qResample(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("hour", expr(s"ts_us DIV $HourUs"))
+    val grid = ev
+      .groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val perHour = ev
+      .groupBy("user_id", "hour")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value")
+          .as("v"))
+    val fillW = Window
+      .partitionBy("user_id")
+      .orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(perHour, Seq("user_id", "hour"), "left")
+      .withColumn("last_value", last(col("v"), ignoreNulls = true).over(fillW))
+      .select(
+        col("user_id"),
+        (col("hour") * HourUs).as("hour_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("last_value"))
+      .orderBy("user_id", "hour_us")
+  }
+
+  /** Key-distribution profiler (skew diagnostics): the per-key count
+    * histogram reduced to one summary row — cardinality, max/avg group
+    * size, p50/p99 group size, the heaviest key, and the max/avg skew
+    * ratio that decides whether a downstream join needs
+    * [[graft.operators.Skew]] salting. Two-level aggregate: the first
+    * is map-side combinable on the (possibly skewed) key, the second
+    * sees one row per key. */
+  def qKeyProfile(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"),
+        round(avg("cnt"), 4).as("avg_cnt"),
+        round(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
+        max(struct(col("cnt"), col("user_id"))).getField("user_id").as("top_key"),
+        round(max("cnt") / avg("cnt"), 4).as("skew_ratio"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -494,7 +611,11 @@ object OlapQueries {
     "q_approx_percentiles" -> qApproxPercentiles _,
     "q_semi_join" -> qSemiJoin _,
     "q_anti_join" -> qAntiJoin _,
-    "q_zorder" -> qZorder _
+    "q_zorder" -> qZorder _,
+    "q_ntile" -> qNtile _,
+    "q_nearest_event" -> qNearestEvent _,
+    "q_resample" -> qResample _,
+    "q_key_profile" -> qKeyProfile _
   )
 
   val oracles: Map[String, String] = Map(
@@ -712,6 +833,70 @@ object OlapQueries {
     "q_zorder" ->
       s"""SELECT event_id, user_id,
          |       ${graft.sources.Layout.zvalueSql("user_id", "event_id")} AS z
-         |FROM events ORDER BY z LIMIT 50""".stripMargin
+         |FROM events ORDER BY z LIMIT 50""".stripMargin,
+    "q_ntile" ->
+      """WITH banded AS (
+        |  SELECT event_type, value,
+        |         CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS decile
+        |  FROM events)
+        |SELECT event_type, decile, count(*) AS n,
+        |       round(min(value), 4) AS lo,
+        |       round(max(value), 4) AS hi,
+        |       round(sum(value), 2) AS sum_value
+        |FROM banded GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin,
+    "q_nearest_event" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, ts,
+        |         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts,
+        |         CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |ctx AS (
+        |  SELECT *,
+        |         LAST_VALUE(view_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+        |         LAST_VALUE(view_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+        |         FIRST_VALUE(view_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts,
+        |         FIRST_VALUE(view_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id
+        |  FROM ev)
+        |SELECT event_id, user_id,
+        |       CASE WHEN prev_ts IS NOT NULL AND (next_ts IS NULL OR ts_us - prev_ts <= next_ts - ts_us)
+        |            THEN prev_id ELSE next_id END AS nearest_view_id,
+        |       CASE WHEN prev_ts IS NOT NULL AND (next_ts IS NULL OR ts_us - prev_ts <= next_ts - ts_us)
+        |            THEN prev_ts - ts_us
+        |            ELSE next_ts - ts_us END AS delta_us
+        |FROM ctx WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "q_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) // 3600000000 AS hour
+        |  FROM events),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(hour), max(hour))) AS hour
+        |  FROM ev GROUP BY user_id),
+        |per_hour AS (
+        |  SELECT user_id, hour, count(*) AS n_events,
+        |         (max(struct_pack(t := ts_us, e := event_id, v := value))).v AS v
+        |  FROM ev GROUP BY user_id, hour),
+        |joined AS (
+        |  SELECT g.user_id, g.hour, p.n_events, p.v
+        |  FROM grid g LEFT JOIN per_hour p ON g.user_id = p.user_id AND g.hour = p.hour)
+        |SELECT user_id, hour * 3600000000 AS hour_us,
+        |       coalesce(n_events, 0) AS n_events,
+        |       LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
+        |FROM joined
+        |ORDER BY user_id, hour_us""".stripMargin,
+    "q_key_profile" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_keys,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       max(cnt) AS max_cnt,
+        |       round(avg(cnt), 4) AS avg_cnt,
+        |       round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+        |       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+        |       (max(struct_pack(c := cnt, u := user_id))).u AS top_key,
+        |       round(max(cnt) / avg(cnt), 4) AS skew_ratio
+        |FROM counts""".stripMargin
   )
 }
