@@ -512,4 +512,105 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(("a_id" +: "b_id" +: extra :+ "cos").map(col): _*)
   }
+
+  /** Passage-level exact dedup (the C4 "drop duplicated spans" shape):
+    * each doc is cut into non-overlapping `window`-token passages; every
+    * passage whose exact text appears in ≥ `minDocs` DISTINCT docs is
+    * dropped corpus-wide, and the surviving passages are reassembled in
+    * order. Returns `(id, clean_text, n_kept, n_dropped)` for every
+    * input doc (`clean_text` empty when nothing survives).
+    *
+    * Scale shape: passages ∝ corpus tokens / window. The passage
+    * document-frequency count is two-phase (distinct (passage-hash, doc)
+    * pairs first) because boilerplate passages are exactly the skewed
+    * keys; the df probe joins on the 60-bit passage hash — an 8-byte
+    * shuffle key, never the passage text. Reassembly is one (id)
+    * aggregation: `sort_array` of (pos, passage) structs restores
+    * document order without a per-group window sort. */
+  def passageDedup(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      window: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(
+      col(id),
+      expr(s"filter(split($text, ' '), x -> length(x) > 0)").as("t"))
+    // n_chunks as integer arithmetic; sequence() is guarded because
+    // sequence(0, -1) yields [0, -1] (descending), not an empty array
+    val passages = toks
+      .filter(size(col("t")) > 0)
+      .select(
+        col(id),
+        posexplode(
+          expr(s"""transform(
+                  |  sequence(0, CAST((size(t) + ${window - 1}) DIV $window AS INT) - 1),
+                  |  i -> array_join(slice(t, i * $window + 1, $window), ' '))""".stripMargin))
+          .as(Seq("pos", "passage")))
+      .withColumn("h", Hashing.md5Long(col("passage")))
+    val hot = passages
+      .select(col("h"), col(id))
+      .distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val kept = passages.join(hot, Seq("h"), "left_anti")
+    val reassembled = kept
+      .groupBy(col(id))
+      .agg(
+        array_join(
+          expr("transform(sort_array(collect_list(struct(pos, passage))), x -> x.passage)"),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = toks.select(
+      col(id),
+      expr(s"(size(t) + ${window - 1}) DIV $window").cast("long").as("n_total"))
+    totals
+      .join(reassembled, Seq(id), "left")
+      .select(
+        col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** PageRank over the duplicate-pair graph — centrality-based
+    * canonical selection (the "which copy is the hub" complement of
+    * [[duplicateClusters]]' min-label membership). Undirected: each
+    * pair contributes both directed edges.
+    *
+    * Fixed-point integer arithmetic end to end: ranks live in
+    * micro-units (1.0 → 1,000,000), damping 0.85 is the exact ratio
+    * 17/20 applied as `(rank * 17) DIV (20 * deg)`, and contribution
+    * sums are int64 — addition order cannot change the result, so the
+    * DuckDB oracle reproduces every iteration bit-for-bit (same trick
+    * as the k-means fixed-point centroids). No dangling nodes exist
+    * (every node of an undirected pair graph has degree ≥ 1), so no
+    * teleport-mass correction is needed.
+    *
+    * Per iteration: one join of the edge table with the rank table and
+    * one aggregate — both on the node key. `localCheckpoint` cuts the
+    * lineage each round (same cluster-durability caveat as
+    * [[duplicateClusters]]: prefer a reliable checkpoint dir at 100 TB). */
+  def pairRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var ranks = deg.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, "src")
+        .select(col("dst"), expr("(pr * 17) DIV (20 * deg)").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("in_pr"))
+      ranks = deg
+        .join(contrib, deg("src") === contrib("dst"))
+        .select(col("src"), col("deg"), (lit(150000L) + col("in_pr")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("src").as("doc_id"), col("deg"), col("pr"))
+  }
 }

@@ -246,6 +246,93 @@ object PipelineQueries {
       .transform(
         graft.operators.SortUtil.sortSmall(_, col("degree").desc, col("doc_id")))
 
+  /** Passage-level exact dedup: non-overlapping 10-token spans shared
+    * by ≥ 2 docs are dropped corpus-wide and docs reassembled — see
+    * [[graft.dedup.Dedup.passageDedup]] for the scale shape. */
+  def qPassageDedup(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .passageDedup(docs(s, d), window = 10, minDocs = 2)
+      .localCheckpoint() // full-corpus output; don't re-run the pipeline for the sort's sampling pass
+      .orderBy("doc_id")
+
+  val PagerankIters = 5
+
+  /** PageRank centrality over the minhash near-dup graph (fixed-point
+    * integer iterations — see [[graft.dedup.Dedup.pairRank]]): ranks
+    * duplicate-family members by how central they are, the
+    * graph-analytics complement of [[qDupDegree]]'s raw degrees. */
+  def qDupRank(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .pairRank(
+        Dedup.minhashLsh(
+          docs(s, d),
+          k = 3,
+          numHashes = MinhashSeeds,
+          bands = MinhashBands,
+          threshold = 0.8),
+        iters = PagerankIters)
+      .transform(
+        graft.operators.SortUtil.sortSmall(_, col("pr").desc, col("doc_id")))
+
+  /** Model-based quality filter: a linear scorer with literal weights
+    * over the [[qTextQuality]] feature set (the fasttext-style
+    * "classifier filter" stage of a data pipeline, with the model
+    * weights baked into the plan as literals — scoring is pure
+    * per-row codegen, no shuffle, no model-serving join). Features are
+    * rounded BEFORE weighting and the weighted sum is written in one
+    * fixed association order, so both engines evaluate identical IEEE
+    * arithmetic. */
+  def qQualityModel(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    docs(s, d)
+      .select(col("doc_id"), col("text"), expr("graft_tokens(text)").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        round(TextFns.stopwordRatioFrom(col("t")), 6).as("stopword_ratio"),
+        round(TextFns.distinctTokenRatioFrom(col("t")), 6).as("distinct_ratio"),
+        round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"))
+      .withColumn(
+        "score",
+        round(
+          lit(1.2) * col("stopword_ratio") + lit(0.8) * col("distinct_ratio")
+            - lit(6.0) * col("punct_ratio") + lit(0.002) * col("n_tokens"),
+          4))
+      .withColumn("keep", col("score") >= 0.7)
+      .orderBy("doc_id")
+  }
+
+  val TokenBudget = 800L
+
+  /** Per-source token-budget selection (epoch mixing with hard caps):
+    * docs are hash-ranked within each source and taken until the
+    * source's cumulative token count reaches the budget — a
+    * reproducible, layout-independent draw (same argument as
+    * [[graft.operators.Sampling.sampleByHash]]). One (source) shuffle
+    * for the running-sum window; the running sum cannot be
+    * group-limited (every row's inclusion depends on the full prefix),
+    * which is why the budget is in tokens, not rows — the window input
+    * is one narrow long per doc. */
+  def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val w = Window
+      .partitionBy("source")
+      .orderBy("hrank", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(expr("graft_tokens(text)")).cast("long").as("n_tokens"),
+        Hashing.md5Long(col("doc_id").cast("string")).as("hrank"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .transform(
+        graft.operators.SortUtil
+          .sortSmall(_, col("source"), col("cum_tokens"), col("doc_id")))
+  }
+
   /** Corpus vocabulary head: top-20 tokens by document frequency (ties
     * by token). Two-phase: distinct (doc, tok) pairs shrink map-side
     * before the df count — the [[graft.operators.Skew]] countDistinct
@@ -667,7 +754,11 @@ object PipelineQueries {
     "q_len_histogram" -> qLenHistogram _,
     "q_repetition" -> qRepetition _,
     "q_ngram_counts" -> qNgramCounts _,
-    "q_heavy_hitters" -> qHeavyHitters _
+    "q_heavy_hitters" -> qHeavyHitters _,
+    "q_passage_dedup" -> qPassageDedup _,
+    "q_dup_rank" -> qDupRank _,
+    "q_quality_model" -> qQualityModel _,
+    "q_token_budget" -> qTokenBudget _
   )
 
   private def minhashCtes(x: String): String = {
@@ -1237,6 +1328,87 @@ object PipelineQueries {
         |       count(*) AS n_assets,
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |       count(DISTINCT md5(text)) AS distinct_contents
-        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, CAST((len(t) + 9) // 10 AS INT) - 1)) AS pos
+        |  FROM toks WHERE len(t) > 0),
+        |ps AS (
+        |  SELECT doc_id, pos, array_to_string(t[(pos*10+1):(pos*10+10)], ' ') AS passage
+        |  FROM p),
+        |hot AS (
+        |  SELECT passage FROM (SELECT DISTINCT passage, doc_id FROM ps)
+        |  GROUP BY passage HAVING count(*) >= 2),
+        |kept AS (SELECT ps.* FROM ps ANTI JOIN hot USING (passage)),
+        |re AS (
+        |  SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST((len(t) + 9) // 10 AS BIGINT) AS n_total FROM toks)
+        |SELECT tot.doc_id, coalesce(re.clean_text, '') AS clean_text,
+        |       coalesce(re.n_kept, 0) AS n_kept,
+        |       tot.n_total - coalesce(re.n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // fixed-point integer PageRank over the minhash pair graph: damping
+    // 17/20 as integer floor-div, contributions summed as int64 — every
+    // iteration is bit-identical across engines (kmeans trick)
+    "q_dup_rank" ->
+      s"""$minhashPairsCtes,
+         |${pagerankCtes(PagerankIters)}
+         |SELECT src AS doc_id, deg, pr FROM r$PagerankIters
+         |ORDER BY pr DESC, doc_id""".stripMargin,
+    "q_quality_model" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio,
+         |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS distinct_ratio,
+         |         round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
+         |  FROM t),
+         |scored AS (
+         |  SELECT *, round(1.2 * stopword_ratio + 0.8 * distinct_ratio - 6.0 * punct_ratio + 0.002 * n_tokens, 4) AS score
+         |  FROM m)
+         |SELECT doc_id, n_tokens, stopword_ratio, distinct_ratio, punct_ratio,
+         |       score, score >= 0.7 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |         ${Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")} AS hrank
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY hrank, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin
   )
+
+  /** Unrolled PageRank iteration CTEs over `mpairs` (the shared minhash
+    * pair table): `r0..r<iters>` with `(src, deg, pr)` in micro-units.
+    * Mirrors [[graft.dedup.Dedup.pairRank]] exactly. */
+  private def pagerankCtes(iters: Int): String = {
+    val base =
+      """edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM mpairs
+        |  UNION ALL
+        |  SELECT b_id AS src, a_id AS dst FROM mpairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT src, deg, CAST(1000000 AS BIGINT) AS pr FROM deg)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.src, d.deg, CAST(150000 + sum((r.pr * 17) // (20 * r.deg)) AS BIGINT) AS pr
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.src JOIN deg d ON e.dst = d.src
+         |  GROUP BY d.src, d.deg)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
 }

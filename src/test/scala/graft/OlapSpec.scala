@@ -40,4 +40,75 @@ class OlapSpec extends SparkSpec {
       ("2024-01-02", 0L) -> 1L, // user 2's double event counts once
       ("2024-01-02", 1L) -> 1L))
   }
+
+  private def writeEvents(rows: Seq[(Long, Long, String, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    rows
+      .toDF("event_id", "user_id", "s", "event_type", "value")
+      .select(
+        col("event_id"),
+        to_timestamp(col("s")).as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("resample fills empty hours with the last observed value") {
+    val dir = writeEvents(Seq(
+      (1L, 1L, "2024-01-01 00:10:00", "view", 5.0),
+      (2L, 1L, "2024-01-01 00:50:00", "view", 7.0), // later in hour 0 wins
+      (3L, 1L, "2024-01-01 03:30:00", "view", 9.0)))
+    val rows = OlapQueries
+      .qResample(spark, dir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val hour0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    val h = 3600L * 1000000L
+    assert(rows.toSeq == Seq(
+      (hour0, 2L, 7.0),        // two events; last by (ts, id) carries
+      (hour0 + h, 0L, 7.0),    // empty hour forward-fills
+      (hour0 + 2 * h, 0L, 7.0),
+      (hour0 + 3 * h, 1L, 9.0)))
+  }
+
+  test("nearest event picks the closer view in either direction, ties to the earlier") {
+    val dir = writeEvents(Seq(
+      (1L, 1L, "2024-01-01 00:01:40", "view", 0.0), // t=100s
+      (2L, 1L, "2024-01-01 00:06:40", "view", 0.0), // t=400s
+      (3L, 1L, "2024-01-01 00:02:30", "click", 0.0), // t=150: prev Δ50 < next Δ250
+      (4L, 1L, "2024-01-01 00:06:30", "click", 0.0), // t=390: next Δ10 < prev Δ290
+      (5L, 1L, "2024-01-01 00:04:10", "click", 0.0), // t=250: tie Δ150 → earlier view
+      (6L, 2L, "2024-01-01 00:00:00", "click", 0.0))) // no view at all
+    val rows = OlapQueries
+      .qNearestEvent(spark, dir)
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    assert(rows == Map(
+      3L -> Some((1L, -50000000L)),
+      4L -> Some((2L, 10000000L)),
+      5L -> Some((1L, -150000000L)),
+      6L -> None))
+  }
+
+  test("key profile reports the skew stats of the group-size histogram") {
+    val dir = writeEvents(
+      (1 to 8).map(i => (i.toLong, 1L, "2024-01-01 10:00:00", "view", 0.0)) ++
+        Seq(
+          (9L, 2L, "2024-01-01 10:00:00", "view", 0.0),
+          (10L, 3L, "2024-01-01 10:00:00", "view", 0.0)))
+    val r = OlapQueries.qKeyProfile(spark, dir).collect().head
+    assert(r.getLong(0) == 3) // n_keys
+    assert(r.getLong(1) == 10) // n_rows
+    assert(r.getLong(2) == 8) // max_cnt
+    assert(r.getDouble(3) == 3.3333) // avg
+    assert(r.getDouble(4) == 1.0) // p50 of [1,1,8]
+    assert(r.getDouble(5) == 7.86) // p99: 1 + 0.98·(8−1)
+    assert(r.getLong(6) == 1) // heaviest key
+    assert(r.getDouble(7) == 2.4) // 8 / (10/3)
+  }
 }

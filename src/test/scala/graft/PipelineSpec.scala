@@ -274,4 +274,79 @@ class PipelineSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
     assert(out.count() == docs.select(md5(col("text"))).distinct().count())
   }
+
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    rows.toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("passage dedup drops cross-doc duplicated spans and reassembles in order") {
+    val shared = words("dup", 10) // one exact 10-token passage in 3 docs
+    val dir = writeDocs(Seq(
+      (1L, s"$shared ${words("uniqa", 10)} tail1 tail2 tail3", "s"),
+      (2L, s"$shared ${words("uniqb", 10)}", "s"),
+      (3L, shared, "s"))) // doc that is ONLY the hot passage
+    val out = graft.dedup.Dedup
+      .passageDedup(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((s"${words("uniqa", 10)} tail1 tail2 tail3", 2L, 1L)))
+    assert(out(2L) == ((words("uniqb", 10), 1L, 1L)))
+    assert(out(3L) == (("", 0L, 1L))) // nothing survives, doc still reported
+  }
+
+  test("pairRank: path-graph hub outranks its symmetric leaves") {
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("a_id", "b_id", "jaccard")
+    val pr = graft.dedup.Dedup
+      .pairRank(pairs, iters = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(pr(1L)._1 == 1 && pr(2L)._1 == 2 && pr(3L)._1 == 1) // degrees
+    assert(pr(1L)._2 == pr(3L)._2) // symmetric leaves agree exactly
+    assert(pr(2L)._2 > pr(1L)._2) // the hub is most central
+    // fixed-point arithmetic ⇒ bit-stable across runs
+    val again = graft.dedup.Dedup.pairRank(pairs, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == pr.map { case (k, v) => k -> v._2 })
+  }
+
+  test("quality model scores match the hand-computed linear form") {
+    val dir = writeDocs(Seq(
+      (1L, "the the the", "s"), // stopwords 1.0, distinct 1/3, punct 0
+      (2L, "!!!!!!", "s"))) // one token of pure punctuation
+    val out = PipelineQueries.qQualityModel(spark, dir)
+      .select("doc_id", "score", "keep")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    // 1.2·1.0 + 0.8·round(1/3,6) + 0.002·3 = 1.4726664 → 1.4727
+    assert(out(1L) == ((1.4727, true)))
+    // 0.8·1.0 − 6.0·1.0 + 0.002·1 = −5.198
+    assert(out(2L) == ((-5.198, false)))
+  }
+
+  test("token budget keeps a per-source hash prefix and never exceeds the cap") {
+    val dir = writeDocs(Seq(
+      (1L, words("a", 300), "srcA"),
+      (2L, words("b", 300), "srcA"),
+      (3L, words("c", 300), "srcA"), // any 2 of 3 fit the 800 budget
+      (4L, words("d", 900), "srcB"))) // even the first doc busts the cap
+    val rows = PipelineQueries.qTokenBudget(spark, dir).collect()
+    assert(rows.forall(_.getLong(3) <= PipelineQueries.TokenBudget))
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource("srcA").length == 2)
+    assert(!bySource.contains("srcB"))
+    // the two kept docs are the hash-rank prefix: deterministic repeat
+    val again = PipelineQueries.qTokenBudget(spark, dir).collect()
+    assert(again.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq)
+  }
 }

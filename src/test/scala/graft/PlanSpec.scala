@@ -120,6 +120,23 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") == 1)
   }
 
+  test("q_nearest_event: both as-of directions ride ONE (user_id) exchange, no join") {
+    val p = plan("q_nearest_event")
+    assert(count(p, "hashpartitioning(user_id") == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q_token_budget: running-sum window is the only hash exchange") {
+    val p = plan("q_token_budget")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_resample joins the grid without any nested-loop fallback") {
+    val p = plan("q_resample")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_consume_segment pushes the space filter to the scan") {
     val p = plan("q_consume_segment")
     assert(p.contains("EqualTo(event_type,click)"))
