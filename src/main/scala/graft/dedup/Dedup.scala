@@ -548,31 +548,44 @@ object Dedup {
                   |  i -> array_join(slice(t, i * $window + 1, $window), ' '))""".stripMargin))
           .as(Seq("pos", "passage")))
       .withColumn("h", Hashing.md5Long(col("passage")))
+      // three consumers (df count, anti-join probe, totals-by-doc side
+      // of the reassembly): materialize once or the corpus is re-read
+      // and re-tokenized per consumer (prefer reliable persist/
+      // checkpoint on a real cluster)
+      .localCheckpoint()
     val hot = passages
       .select(col("h"), col(id))
       .distinct()
       .groupBy("h")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("h"))
-    val kept = passages.join(hot, Seq("h"), "left_anti")
-    val reassembled = kept
+      .select(col("h"), lit(true).as("is_hot"))
+    // flag join + ONE aggregate: totals, kept counts, and the ordered
+    // reassembly come out of the same (id) shuffle — collect_list skips
+    // the nulls the `when` leaves on hot passages
+    val rebuilt = passages
+      .join(hot, Seq("h"), "left")
       .groupBy(col(id))
       .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("is_hot").isNull, 1)).as("n_kept"),
         array_join(
-          expr("transform(sort_array(collect_list(struct(pos, passage))), x -> x.passage)"),
-          " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val totals = toks.select(
-      col(id),
-      expr(s"(size(t) + ${window - 1}) DIV $window").cast("long").as("n_total"))
-    totals
-      .join(reassembled, Seq(id), "left")
+          transform(
+            sort_array(
+              collect_list(
+                when(col("is_hot").isNull, struct(col("pos"), col("passage"))))),
+            x => x.getField("passage")),
+          " ").as("clean_text"))
+    // column-pruned id scan so zero-token docs still get a report row
+    docs
+      .select(col(id))
+      .join(rebuilt, Seq(id), "left")
       .select(
         col(id),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        (coalesce(col("n_total"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
   }
 
   /** PageRank over the duplicate-pair graph — centrality-based

@@ -529,18 +529,15 @@ object OlapQueries {
 
   /** Time-grid resample + forward fill (gap-filling): an hourly grid per
     * user between that user's first and last event, carrying the last
-    * observed value across empty hours. Grid generation is
-    * `sequence`+explode off a per-user min/max aggregate — grid size is
-    * Σ span-hours, never users × global-span — and the fill is one
-    * (user_id)-partitioned window. The (user, hour) join and the fill
-    * window share the user_id key, so AQE keeps the big sides
-    * co-partitioned. */
+    * observed value across empty hours. The corpus is scanned ONCE: the
+    * per-(user, hour) aggregate is materialized and both the grid
+    * bounds (a second, per-hour-row aggregate) and the fill join read
+    * it — grid size is Σ span-hours, never users × global-span. The
+    * fill itself is one (user_id)-partitioned window. */
   def qResample(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).withColumn("hour", expr(s"ts_us DIV $HourUs"))
-    val grid = ev
-      .groupBy("user_id")
-      .agg(min("hour").as("h0"), max("hour").as("h1"))
-      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    // ONE corpus scan: the grid's per-user bounds come from the per-hour
+    // aggregate (already tiny), not a second pass over events
     val perHour = ev
       .groupBy("user_id", "hour")
       .agg(
@@ -548,6 +545,11 @@ object OlapQueries {
         max(struct(col("ts_us"), col("event_id"), col("value")))
           .getField("value")
           .as("v"))
+      .localCheckpoint()
+    val grid = perHour
+      .groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
     val fillW = Window
       .partitionBy("user_id")
       .orderBy("hour")
