@@ -26,6 +26,7 @@ object Bench {
     "q_event_deltas", "q_retention", "q_group_stats",
     "q_json_extract", "q_funnel", "q_rollup", "q_cube", "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
+    "q_rolling_count", "q_winsorize",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
     "q_lang_id", "q_text_quality", "q_token_count", "q_vocab_topk",

@@ -565,6 +565,56 @@ object OlapQueries {
       .orderBy("user_id", "hour_us")
   }
 
+  /** Trailing range-frame window (rate monitoring): for every event,
+    * how many events the same user produced in the preceding hour —
+    * a RANGE frame over event-time µs, not a ROWS frame, so ties and
+    * gaps are handled by value. Pure integer counts → exact in every
+    * engine. One (user_id) shuffle; the frame is computed in a single
+    * ordered pass per partition. */
+  def qRollingCount(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts_us")
+      .rangeBetween(-HourUs, 0)
+    Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        count(lit(1)).over(w).as("n_trailing_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Winsorized group stats (robust aggregation): exact p05/p95 fences
+    * per group, then a clamp-and-aggregate pass — outlier counts and
+    * the mean before/after winsorizing. The fence table is tiny →
+    * broadcast; the fact table is scanned twice (exact per-group
+    * percentiles cannot be map-side combined — that is inherent, and
+    * the one-pass scale alternative is `approx_percentile` fences as in
+    * [[qApproxPercentiles]]). */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables
+      .events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    val clamped = least(greatest(col("value"), col("lo")), col("hi"))
+    Tables
+      .events(s, d)
+      .join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(
+        round(min("lo"), 4).as("p05"),
+        round(min("hi"), 4).as("p95"),
+        count(when(col("value") < col("lo"), 1)).as("n_lo"),
+        count(when(col("value") > col("hi"), 1)).as("n_hi"),
+        round(avg("value"), 4).as("avg_raw"),
+        round(avg(clamped), 4).as("avg_winsorized"))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
   /** Key-distribution profiler (skew diagnostics): the per-key count
     * histogram reduced to one summary row — cardinality, max/avg group
     * size, p50/p99 group size, the heaviest key, and the max/avg skew
@@ -617,7 +667,9 @@ object OlapQueries {
     "q_ntile" -> qNtile _,
     "q_nearest_event" -> qNearestEvent _,
     "q_resample" -> qResample _,
-    "q_key_profile" -> qKeyProfile _
+    "q_key_profile" -> qKeyProfile _,
+    "q_rolling_count" -> qRollingCount _,
+    "q_winsorize" -> qWinsorize _
   )
 
   val oracles: Map[String, String] = Map(
@@ -888,6 +940,25 @@ object OlapQueries {
         |       LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
         |FROM joined
         |ORDER BY user_id, hour_us""".stripMargin,
+    "q_rolling_count" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_winsorize" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |       round(min(s.lo), 4) AS p05, round(min(s.hi), 4) AS p95,
+        |       count(CASE WHEN e.value < s.lo THEN 1 END) AS n_lo,
+        |       count(CASE WHEN e.value > s.hi THEN 1 END) AS n_hi,
+        |       round(avg(e.value), 4) AS avg_raw,
+        |       round(avg(least(greatest(e.value, s.lo), s.hi)), 4) AS avg_winsorized
+        |FROM events e JOIN stats s USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_key_profile" ->
       """WITH counts AS (
         |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)

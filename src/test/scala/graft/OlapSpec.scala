@@ -95,6 +95,34 @@ class OlapSpec extends SparkSpec {
       6L -> None))
   }
 
+  test("rolling count honors the trailing one-hour RANGE frame inclusively") {
+    val dir = writeEvents(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view", 0.0),
+      (2L, 1L, "2024-01-01 00:30:00", "view", 0.0), // 0:00 still in range
+      (3L, 1L, "2024-01-01 01:30:00", "view", 0.0), // 0:30 in, 0:00 out (> 1h)
+      (4L, 2L, "2024-01-01 00:30:00", "view", 0.0))) // other user: own frame
+    val counts = OlapQueries
+      .qRollingCount(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    assert(counts == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("winsorize clamps to the exact percentile fences") {
+    // 21 values: 0..19 plus one outlier 100 → p05 = 1, p95 = 19
+    val dir = writeEvents(
+      (0 to 19).map(i => (i.toLong, 1L, "2024-01-01 10:00:00", "view", i.toDouble)) :+
+        (20L, 2L, "2024-01-01 10:00:00", "view", 100.0))
+    val r = OlapQueries.qWinsorize(spark, dir).collect().head
+    assert(r.getDouble(1) == 1.0) // p05
+    assert(r.getDouble(2) == 19.0) // p95
+    assert(r.getLong(3) == 1) // one value below the low fence
+    assert(r.getLong(4) == 1) // the outlier above the high fence
+    assert(r.getDouble(5) == 13.8095) // 290/21
+    assert(r.getDouble(6) == 10.0) // 0→1, 100→19 ⇒ mean settles at 10
+  }
+
   test("key profile reports the skew stats of the group-size histogram") {
     val dir = writeEvents(
       (1 to 8).map(i => (i.toLong, 1L, "2024-01-01 10:00:00", "view", 0.0)) ++

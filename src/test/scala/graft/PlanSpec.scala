@@ -131,6 +131,17 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1)
   }
 
+  test("q_rolling_count: the RANGE window is the only hash exchange") {
+    val p = plan("q_rolling_count")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("q_winsorize broadcasts the percentile fences") {
+    val p = plan("q_winsorize")
+    assert(count(p, "BroadcastHashJoin") == 1)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_resample joins the grid without any nested-loop fallback") {
     val p = plan("q_resample")
     assert(!p.contains("CartesianProduct"))
