@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, Tokens, WordShingles}
+import graft.functions.expressions.{BpeTokens, DotProduct, Tokens, WordShingles}
 
 /** Session-wide registration of graft's native Catalyst expressions —
   * the standard library entry point:
@@ -64,5 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             exprs(1).eval(null).asInstanceOf[Number].intValue(),
             if (exprs.size > 2) exprs(2).eval(null).asInstanceOf[Boolean]
             else true)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe"),
+        info(
+          "graft_bpe",
+          "graft_bpe(text) - greedy BPE tokens over the built-in merge table"),
+        (exprs: Seq[Expression]) => BpeTokens(exprs(0))))
   }
 }

@@ -603,9 +603,13 @@ object Dedup {
     * teleport-mass correction is needed.
     *
     * Per iteration: one join of the edge table with the rank table and
-    * one aggregate — both on the node key. `localCheckpoint` cuts the
-    * lineage each round (same cluster-durability caveat as
-    * [[duplicateClusters]]: prefer a reliable checkpoint dir at 100 TB). */
+    * one aggregate — both on the node key. Only `edges`/`deg` are
+    * materialized (every iteration consumes them; unmaterialized, the
+    * whole upstream pair pipeline would re-run per round). The rank
+    * chain itself is a straight-line DAG each stage of which is
+    * consumed exactly once, so the final action executes it once —
+    * no per-round cut needed for a small fixed `iters` (cut it too if
+    * you push iters high enough for plan depth to bite). */
   def pairRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -622,7 +626,6 @@ object Dedup {
       ranks = deg
         .join(contrib, deg("src") === contrib("dst"))
         .select(col("src"), col("deg"), (lit(150000L) + col("in_pr")).as("pr"))
-        .localCheckpoint()
     }
     ranks.select(col("src").as("doc_id"), col("deg"), col("pr"))
   }

@@ -333,6 +333,27 @@ object PipelineQueries {
           .sortSmall(_, col("source"), col("cum_tokens"), col("doc_id")))
   }
 
+  /** Tokenizer-accurate token counting via the greedy BPE merge loop
+    * ([[graft.functions.expressions.BpeTokens]]): per-doc subword
+    * counts and the chars-per-token compression ratio a token-budget
+    * planner actually needs (the regex count in [[qTokenCount]] is the
+    * cheap approximation; this one is exact for the compiled-in merge
+    * table). Greedy rank-ordered merging is not expressible in
+    * portable SQL → rows-only at the driver gate, semantics pinned by
+    * hand-traced specs. */
+  def qBpeTokens(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.BpeTokens.register(s)
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(expr("graft_bpe(text)")).cast("long").as("bpe_tokens"))
+      .withColumn(
+        "chars_per_token",
+        round(col("n_chars") / col("bpe_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary head: top-20 tokens by document frequency (ties
     * by token). Two-phase: distinct (doc, tok) pairs shrink map-side
     * before the df count — the [[graft.operators.Skew]] countDistinct
@@ -758,7 +779,8 @@ object PipelineQueries {
     "q_passage_dedup" -> qPassageDedup _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
-    "q_token_budget" -> qTokenBudget _
+    "q_token_budget" -> qTokenBudget _,
+    "q_bpe_tokens" -> qBpeTokens _
   )
 
   private def minhashCtes(x: String): String = {

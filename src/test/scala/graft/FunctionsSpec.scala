@@ -51,6 +51,28 @@ class FunctionsSpec extends SparkSpec {
         .asInstanceOf[scala.collection.Seq[String]].toSeq)
   }
 
+  test("graft_bpe merges by rank across all occurrences (hand-traced)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.BpeTokens
+    def bpe(s: String): Seq[String] =
+      BpeTokens
+        .compute(UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+        .toSeq
+    // t h e → (t,h) rank 0 → th e → (th,e) rank 1 → the
+    assert(bpe("the") == Seq("the"))
+    // s c a n: (a,n) wins (rank 3), then (s,c) → sc an
+    assert(bpe("scan") == Seq("sc", "an"))
+    // q u e r y: (e,r) rank 4 first blocks (qu,e); then (q,u) → qu er y
+    assert(bpe("query") == Seq("qu", "er", "y"))
+    // one merge pass rewrites EVERY occurrence: t h e t h e → the the
+    assert(bpe("thethe") == Seq("the", "the"))
+    // words encode independently across spaces
+    assert(bpe("the scan") == Seq("the", "sc", "an"))
+    assert(bpe("") == Seq())
+  }
+
   test("ngramsAll keeps every occurrence in text order") {
     def all(s: String, k: Int) =
       eval(TextFns.ngramsAll(lit(s), k))

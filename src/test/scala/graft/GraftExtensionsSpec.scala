@@ -17,11 +17,13 @@ class GraftExtensionsSpec extends SparkSpec {
       val r = s2
         .sql("""SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
                |       graft_tokens('  a  b c ') AS t,
-               |       graft_shingles('a b c d', 3) AS s""".stripMargin)
+               |       graft_shingles('a b c d', 3) AS s,
+               |       graft_bpe('the scan') AS b""".stripMargin)
         .collect()(0)
       assert(r.getDouble(0) == 11.0)
       assert(r.getSeq[String](1) == Seq("a", "b", "c"))
       assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+      assert(r.getSeq[String](3) == Seq("the", "sc", "an"))
       // DESCRIBE FUNCTION resolves through the injected ExpressionInfo.
       val desc = s2.sql("DESCRIBE FUNCTION graft_dot").collect().mkString
       assert(desc.contains("graft_dot"))

@@ -4,7 +4,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.expressions.{MgSummary, Tokens, WordShingles}
+import graft.functions.expressions.{BpeTokens, MgSummary, Tokens, WordShingles}
 
 /** ScalaCheck properties for the pure expression kernels — these run
   * without a SparkSession, directly against the static `compute`
@@ -34,6 +34,23 @@ class PropertySpec extends AnyFunSuite {
       .toObjectArray(org.apache.spark.sql.types.StringType)
       .map(_.toString)
       .toSeq
+
+  test("BpeTokens.compute is lossless and bounded for arbitrary words") {
+    val genWords: Gen[String] = Gen
+      .listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+      .map(_.mkString(" "))
+    check(
+      Prop.forAll(genWords) { s =>
+        val toks = strings(BpeTokens.compute(UTF8String.fromString(s)))
+        val words = s.split(" ").filter(_.nonEmpty).toSeq
+        // merging never loses or reorders characters …
+        toks.mkString == words.mkString &&
+        // … and the count is between #words (full merge) and #chars
+        toks.size >= words.size &&
+        toks.size <= words.map(_.length).sum
+      },
+      "bpe")
+  }
 
   test("Tokens.compute == split-and-drop-empties for arbitrary spacing") {
     check(
