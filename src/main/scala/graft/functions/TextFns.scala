@@ -117,4 +117,24 @@ object TextFns {
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
           size(toks))
+
+  /** Keep threshold for [[qualityScore]]. */
+  val QualityThreshold = 0.7
+
+  /** Literal-weight linear quality model over the shared feature set —
+    * ONE definition for the batch query (`q_quality_model`) and the
+    * streaming pipeline ([[graft.streaming.StreamLog.prepareStream]]),
+    * so the scoring formula cannot drift between the two paths. Inputs
+    * are the round(6) feature columns; the weighted sum is written in
+    * one fixed association order so every engine evaluates identical
+    * IEEE arithmetic. */
+  def qualityScore(
+      nTokens: Column,
+      stopwordRatio: Column,
+      distinctRatio: Column,
+      punctRatio: Column): Column =
+    round(
+      lit(1.2) * stopwordRatio + lit(0.8) * distinctRatio
+        - lit(6.0) * punctRatio + lit(0.002) * nTokens,
+      4)
 }

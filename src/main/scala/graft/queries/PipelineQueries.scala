@@ -294,11 +294,12 @@ object PipelineQueries {
         round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"))
       .withColumn(
         "score",
-        round(
-          lit(1.2) * col("stopword_ratio") + lit(0.8) * col("distinct_ratio")
-            - lit(6.0) * col("punct_ratio") + lit(0.002) * col("n_tokens"),
-          4))
-      .withColumn("keep", col("score") >= 0.7)
+        TextFns.qualityScore(
+          col("n_tokens"),
+          col("stopword_ratio"),
+          col("distinct_ratio"),
+          col("punct_ratio")))
+      .withColumn("keep", col("score") >= TextFns.QualityThreshold)
       .orderBy("doc_id")
   }
 

@@ -212,6 +212,41 @@ object StreamLog {
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("event_time", "content_hash")
 
+  /** Streaming corpus preparation — the streaming twin of
+    * [[graft.pipeline.TrainingPipeline.prepare]] for live document
+    * ingest: PII-scrub ([[graft.functions.TextScrub.scrub]]), score
+    * with the SAME literal-weight model as the batch `q_quality_model`
+    * ([[graft.functions.TextFns.qualityScore]] — one definition, no
+    * drift), drop failing docs, and exact-dedup the scrubbed content
+    * within the watermark horizon.
+    *
+    * Scrub + score are stateless per-row projections (they fuse into
+    * the micro-batch scan); the only state is the dedup's one digest
+    * per unique content, watermark-evicted. Input:
+    * `(doc_id, text, event_time timestamp)`; output adds
+    * `clean_text`/`score`. */
+  def prepareStream(
+      docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.expressions.Tokens.register(docs.sparkSession)
+    val scored = docs
+      .withColumn("clean_text", graft.functions.TextScrub.scrub(col("text")))
+      .withColumn("t", expr("graft_tokens(clean_text)"))
+      .withColumn(
+        "score",
+        graft.functions.TextFns.qualityScore(
+          size(col("t")).cast("long"),
+          round(graft.functions.TextFns.stopwordRatioFrom(col("t")), 6),
+          round(graft.functions.TextFns.distinctTokenRatioFrom(col("t")), 6),
+          round(graft.functions.TextFns.punctRatio(col("clean_text")), 6)))
+      .filter(col("score") >= graft.functions.TextFns.QualityThreshold)
+    scored
+      .withColumn("content_hash", md5(col("clean_text")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select("doc_id", "event_time", "clean_text", "score")
+  }
+
   /** Live subscription to a stored [[EventLog]]: a streaming DataFrame
     * of entries as they are committed (file-based tailing of the
     * space-partitioned log directory — the reference's

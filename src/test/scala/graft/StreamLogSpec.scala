@@ -197,6 +197,42 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("prepareStream scrubs PII, drops junk, and dedups within the watermark") {
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val q = StreamLog
+      .prepareStream(
+        mem.toDF().toDF("doc_id", "text", "event_time"),
+        watermark = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("prepared")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        // stopword-heavy → survives; phone number must be redacted
+        (1L, "the the the and of call 555-867-5309 now", ts("2024-01-01 00:00:00")),
+        // pure punctuation → quality model rejects
+        (2L, "!!!! ????", ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM prepared").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+      val clean = rows.head.getString(2)
+      assert(clean.contains("[PHONE]") && !clean.contains("5309"))
+      // same content re-delivered in a later batch inside the watermark
+      mem.addData(
+        (3L, "the the the and of call 555-867-5309 now", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM prepared").count() == 1)
+      // different content passes
+      mem.addData(
+        (4L, "the and is of to the and is of to", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM prepared").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters merge sketch state across micro-batches") {
     // graft_topk's TypedImperativeAggregate buffer lives in the state
     // store between micro-batches (complete mode); with capacity
