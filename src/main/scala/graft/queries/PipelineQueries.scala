@@ -594,6 +594,67 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(NgramTopK)
 
+  val PmiMinCount = 5
+  val PmiTopK = 20
+
+  /** PMI collocation mining: the top bigrams by lift
+    * `P(x,y) / (P(x)·P(y))` — "words that occur together far more than
+    * chance", the collocation-extraction complement of the raw
+    * [[qNgramCounts]] head. log-free like tf-idf: lift is one chain of
+    * IEEE ops over exact integer counts, written in one fixed
+    * association order on both engines (ln's last ulp is not portable;
+    * a division chain is).
+    *
+    * Shape at scale: the corpus is tokenized ONCE (checkpointed array
+    * table; bigrams come from the arrays, not a re-scan); unigram and
+    * bigram counts are map-side-combinable aggregates over vocab-sized
+    * keys; the count lookups join the (small) vocab table against the
+    * bigram table on token keys — hot tokens have one vocab row, so no
+    * row explosion; totals are one-row broadcasts. */
+  def qPmiTerms(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val toks = docs(s, d)
+      .select(expr("graft_tokens(text)").as("t"))
+      .localCheckpoint()
+    val uni = toks
+      .select(explode(col("t")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val big = toks
+      .filter(size(col("t")) >= 2) // sequence(1, 0) would be DESCENDING, not empty
+      .select(
+        explode(
+          expr("""transform(
+                 |  sequence(1, size(t) - 1),
+                 |  i -> struct(element_at(t, i) AS x, element_at(t, i + 1) AS y))""".stripMargin))
+          .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    val totals = uni
+      .agg(sum("c").as("nn"))
+      .crossJoin(big.agg(sum("c_xy").as("mm")))
+    big
+      .filter(col("c_xy") >= PmiMinCount)
+      .join(uni.select(col("tok").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("tok").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "lift",
+        round(
+          col("c_xy").cast("double") * col("nn") / col("mm")
+            * col("nn") / col("c_x") / col("c_y"),
+          6))
+      .select("x", "y", "c_xy", "c_x", "c_y", "lift")
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(PmiTopK)
+      .transform(
+        graft.operators.SortUtil
+          .sortSmall(_, col("lift").desc, col("x"), col("y")))
+  }
+
   val TfidfTopK = 3
 
   /** Top-`TfidfTopK` characteristic terms per document by tf·(N/df) —
@@ -781,7 +842,8 @@ object PipelineQueries {
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
     "q_token_budget" -> qTokenBudget _,
-    "q_bpe_tokens" -> qBpeTokens _
+    "q_bpe_tokens" -> qBpeTokens _,
+    "q_pmi_terms" -> qPmiTerms _
   )
 
   private def minhashCtes(x: String): String = {
@@ -1400,6 +1462,26 @@ object PipelineQueries {
          |SELECT doc_id, n_tokens, stopword_ratio, distinct_ratio, punct_ratio,
          |       score, score >= 0.7 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_pmi_terms" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+         |uni AS (
+         |  SELECT tok, count(*) AS c FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+         |p0 AS (
+         |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 2),
+         |big AS (
+         |  SELECT x, y, count(*) AS c_xy
+         |  FROM (SELECT t[i] AS x, t[i+1] AS y FROM p0) GROUP BY x, y),
+         |tot AS (
+         |  SELECT (SELECT sum(c) FROM uni) AS nn, (SELECT sum(c_xy) FROM big) AS mm)
+         |SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+         |       round(CAST(b.c_xy AS DOUBLE) * nn / mm * nn / ux.c / uy.c, 6) AS lift
+         |FROM big b
+         |JOIN uni ux ON b.x = ux.tok
+         |JOIN uni uy ON b.y = uy.tok
+         |CROSS JOIN tot
+         |WHERE b.c_xy >= $PmiMinCount
+         |ORDER BY lift DESC, x, y LIMIT $PmiTopK""".stripMargin,
     "q_token_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

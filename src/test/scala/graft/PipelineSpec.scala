@@ -334,6 +334,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((-5.198, false)))
   }
 
+  test("PMI lift singles out the always-together bigram with hand-checked counts") {
+    val dir = writeDocs(
+      (1 to 5).map(i => (i.toLong, "alpha beta", "s")) :+
+        (6L, "beta alpha beta alpha beta", "s"))
+    // N=15 tokens, M=9 bigrams; (alpha,beta): c_xy=7, c_x=7, c_y=8
+    // (beta,alpha) occurs 2 < PmiMinCount and is filtered
+    val rows = PipelineQueries.qPmiTerms(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == (("alpha", "beta")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((7L, 7L, 8L)))
+    // lift = 7·(15/9)·15/7/8 = 3.125
+    assert(math.abs(r.getDouble(5) - 3.125) < 1e-6)
+  }
+
   test("token budget keeps a per-source hash prefix and never exceeds the cap") {
     val dir = writeDocs(Seq(
       (1L, words("a", 300), "srcA"),
