@@ -10,6 +10,16 @@ object Verify {
     // names — dump just those and their oracles
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // a filtered run overwrites oracle_sql.json with the subset: into a
+    // dir holding a full dump, the downstream gate would go green while
+    // checking almost nothing — demand a fresh outDir instead
+    if (only.isDefined &&
+      Files.exists(Paths.get(s"$outDir/oracle_sql.json"))) {
+      System.err.println(
+        s"[verify] refusing filtered run into non-empty $outDir " +
+          "(stale oracle_sql.json would shrink the gate); use a fresh dir")
+      sys.exit(1)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

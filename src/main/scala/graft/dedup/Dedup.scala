@@ -611,9 +611,16 @@ object Dedup {
     * no per-round cut needed for a small fixed `iters` (cut it too if
     * you push iters high enough for plan depth to bite). */
   def pairRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    // one explode pass, NOT a two-select union — a union embeds (and
+    // the materializing job executes) the whole upstream pair pipeline
+    // once per branch (same reasoning as qDupDegree)
     val edges = pairs
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .select(
+        explode(
+          array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = deg.withColumn("pr", lit(1000000L))

@@ -1422,12 +1422,13 @@ object PipelineQueries {
         |  SELECT doc_id, t, unnest(generate_series(0, CAST((len(t) + 9) // 10 AS INT) - 1)) AS pos
         |  FROM toks WHERE len(t) > 0),
         |ps AS (
-        |  SELECT doc_id, pos, array_to_string(t[(pos*10+1):(pos*10+10)], ' ') AS passage
+        |  SELECT doc_id, pos, array_to_string(t[(pos*10+1):(pos*10+10)], ' ') AS passage,
+        |         CAST(('0x' || substr(md5(array_to_string(t[(pos*10+1):(pos*10+10)], ' ')), 1, 15)) AS BIGINT) AS h
         |  FROM p),
         |hot AS (
-        |  SELECT passage FROM (SELECT DISTINCT passage, doc_id FROM ps)
-        |  GROUP BY passage HAVING count(*) >= 2),
-        |kept AS (SELECT ps.* FROM ps ANTI JOIN hot USING (passage)),
+        |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM ps)
+        |  GROUP BY h HAVING count(*) >= 2),
+        |kept AS (SELECT ps.* FROM ps ANTI JOIN hot USING (h)),
         |re AS (
         |  SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS clean_text,
         |         count(*) AS n_kept

@@ -223,8 +223,10 @@ object StreamLog {
     * Scrub + score are stateless per-row projections (they fuse into
     * the micro-batch scan); the only state is the dedup's one digest
     * per unique content, watermark-evicted. Input:
-    * `(doc_id, text, event_time timestamp)`; output adds
-    * `clean_text`/`score`. */
+    * `(doc_id, text, event_time timestamp)`; output is
+    * `(doc_id, event_time, clean_text, score)` — the raw `text` is
+    * dropped (the scrubbed form is the one a downstream pipeline may
+    * keep). */
   def prepareStream(
       docs: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
