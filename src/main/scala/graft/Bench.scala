@@ -26,14 +26,14 @@ object Bench {
     "q_event_deltas", "q_retention", "q_group_stats",
     "q_json_extract", "q_funnel", "q_rollup", "q_cube", "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
-    "q_rolling_count", "q_winsorize",
+    "q_rolling_count", "q_winsorize", "q_mad",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
     "q_lang_id", "q_text_quality", "q_token_count", "q_vocab_topk",
     "q_inverted_index", "q_journeys",
     "q_tfidf_terms", "q_fingerprint", "q_repetition", "q_ngram_counts",
     "q_heavy_hitters", "q_passage_dedup", "q_dup_rank", "q_quality_model",
-    "q_token_budget", "q_bpe_tokens", "q_pmi_terms",
+    "q_token_budget", "q_bpe_tokens", "q_pmi_terms", "q_compress_ratio",
     "q_kmeans", "q_semdedup", "q_dup_spans", "q_dedup_incr", "q_dup_degree",
     "q_asset_stats", "q_doc_sample", "q_stratified_sample", "q_len_histogram",
     "q_source_mix", "q_contamination", "q_contamination_bloom", "q_zorder",

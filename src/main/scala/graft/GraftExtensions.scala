@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BpeTokens, DotProduct, Tokens, WordShingles}
+import graft.functions.expressions.{BpeTokens, DeflateLen, DotProduct, Tokens, WordShingles}
 
 /** Session-wide registration of graft's native Catalyst expressions —
   * the standard library entry point:
@@ -71,5 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_bpe",
           "graft_bpe(text) - greedy BPE tokens over the built-in merge table"),
         (exprs: Seq[Expression]) => BpeTokens(exprs(0))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_deflate_len"),
+        info(
+          "graft_deflate_len",
+          "graft_deflate_len(text) - DEFLATE-compressed byte length"),
+        (exprs: Seq[Expression]) => DeflateLen(exprs(0))))
   }
 }

@@ -615,6 +615,30 @@ object OlapQueries {
       .transform(sortSmall(_, col("event_type")))
   }
 
+  /** Grouped median absolute deviation (robust dispersion — the
+    * outlier-resistant complement of [[qGroupStats]]' stddev and
+    * [[qWinsorize]]'s trimmed means): per group, the median and the
+    * MAD (median of |x − median|). Same two-pass shape as winsorize —
+    * exact per-group medians cannot be map-side combined, the tiny
+    * median table broadcasts back over the fact scan. (Flagging points
+    * beyond a k·MAD fence is then one more broadcast-clamp pass,
+    * exactly [[qWinsorize]]'s second half.) */
+  def qMad(s: SparkSession, d: String): DataFrame = {
+    val med = Tables
+      .events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    Tables
+      .events(s, d)
+      .join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("med"), 4).as("median"),
+        round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
   /** Key-distribution profiler (skew diagnostics): the per-key count
     * histogram reduced to one summary row — cardinality, max/avg group
     * size, p50/p99 group size, the heaviest key, and the max/avg skew
@@ -669,7 +693,8 @@ object OlapQueries {
     "q_resample" -> qResample _,
     "q_key_profile" -> qKeyProfile _,
     "q_rolling_count" -> qRollingCount _,
-    "q_winsorize" -> qWinsorize _
+    "q_winsorize" -> qWinsorize _,
+    "q_mad" -> qMad _
   )
 
   val oracles: Map[String, String] = Map(
@@ -945,6 +970,15 @@ object OlapQueries {
         |       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_1h
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |       round(min(m.med), 4) AS median,
+        |       round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        |FROM events e JOIN med m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_winsorize" ->
       """WITH stats AS (
         |  SELECT event_type,

@@ -594,6 +594,23 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(NgramTopK)
 
+  /** Compression-ratio quality signal (Gopher/FineWeb-style): DEFLATE
+    * length over raw length per doc — near-0 ratios flag boilerplate /
+    * looping text that token-level heuristics can miss. One codegen'd
+    * pass over the text bytes ([[graft.functions.expressions
+    * .DeflateLen]]); zlib output is not cross-engine portable →
+    * rows-only at the driver gate, invariants spec-asserted. */
+  def qCompressRatio(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.DeflateLen.register(s)
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        expr("graft_deflate_len(text)").as("deflate_len"))
+      .withColumn("ratio", round(col("deflate_len") / col("n_chars"), 4))
+      .orderBy("doc_id")
+  }
+
   val PmiMinCount = 5
   val PmiTopK = 20
 
@@ -843,7 +860,8 @@ object PipelineQueries {
     "q_quality_model" -> qQualityModel _,
     "q_token_budget" -> qTokenBudget _,
     "q_bpe_tokens" -> qBpeTokens _,
-    "q_pmi_terms" -> qPmiTerms _
+    "q_pmi_terms" -> qPmiTerms _,
+    "q_compress_ratio" -> qCompressRatio _
   )
 
   private def minhashCtes(x: String): String = {

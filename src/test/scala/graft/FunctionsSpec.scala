@@ -73,6 +73,18 @@ class FunctionsSpec extends SparkSpec {
     assert(bpe("") == Seq())
   }
 
+  test("deflate length separates repetitive from varied text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.DeflateLen
+    def len(s: String): Long = DeflateLen.compute(UTF8String.fromString(s))
+    val repetitive = "ab" * 500
+    val varied = (0 until 1000).map(i => ('a' + (i * 31 + 7) % 26).toChar).mkString
+    assert(len(repetitive) > 0 && len(varied) > 0)
+    assert(len(repetitive) < len(varied)) // boilerplate compresses far better
+    assert(len(varied) <= varied.length + 64) // deflate overhead is bounded
+    assert(len(repetitive) == len(repetitive)) // deterministic within a JVM
+  }
+
   test("ngramsAll keeps every occurrence in text order") {
     def all(s: String, k: Int) =
       eval(TextFns.ngramsAll(lit(s), k))

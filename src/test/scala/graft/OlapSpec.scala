@@ -123,6 +123,17 @@ class OlapSpec extends SparkSpec {
     assert(r.getDouble(6) == 10.0) // 0→1, 100→19 ⇒ mean settles at 10
   }
 
+  test("MAD shrugs off the outlier that inflates stddev") {
+    // [1..7, 100]: median 4.5; |x−4.5| sorted → MAD (1.5+2.5)/2 = 2.0
+    val dir = writeEvents(
+      ((1 to 7).map(i => (i.toLong, 1L, "2024-01-01 10:00:00", "view", i.toDouble)) :+
+        (8L, 2L, "2024-01-01 10:00:00", "view", 100.0)))
+    val r = OlapQueries.qMad(spark, dir).collect().head
+    assert(r.getLong(1) == 8)
+    assert(r.getDouble(2) == 4.5)
+    assert(r.getDouble(3) == 2.0)
+  }
+
   test("key profile reports the skew stats of the group-size histogram") {
     val dir = writeEvents(
       (1 to 8).map(i => (i.toLong, 1L, "2024-01-01 10:00:00", "view", 0.0)) ++
