@@ -142,6 +142,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_mad broadcasts the median fences like winsorize") {
+    val p = plan("q_mad")
+    assert(count(p, "BroadcastHashJoin") == 1)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_pmi_terms runs entirely off materialized tables (no parquet re-scan)") {
+    val p = plan("q_pmi_terms")
+    assert(!p.contains("FileScan parquet"))
+  }
+
   test("q_resample joins the grid without any nested-loop fallback") {
     val p = plan("q_resample")
     assert(!p.contains("CartesianProduct"))
