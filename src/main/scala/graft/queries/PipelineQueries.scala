@@ -611,6 +611,36 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source curation report — the dashboard a data-curation team
+    * runs before mixing: doc/token volume, mean quality-model score,
+    * and the exact-duplicate fraction, per source. ONE corpus scan into
+    * one (source) aggregate: the duplicate count is
+    * `n_docs − count(distinct md5)` inside the same groupBy (source
+    * cardinality is small, so the distinct-digest state per group is
+    * the dedup cost — for per-source dedup at 100 TB use the two-phase
+    * [[graft.operators.Skew.countDistinct]] shape instead). */
+  def qSourceReport(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    docs(s, d)
+      .select(col("source"), col("text"), expr("graft_tokens(text)").as("t"))
+      .select(
+        col("source"),
+        md5(col("text")).as("h"),
+        size(col("t")).cast("long").as("n_tokens"),
+        TextFns.qualityScore(
+          size(col("t")).cast("long"),
+          round(TextFns.stopwordRatioFrom(col("t")), 6),
+          round(TextFns.distinctTokenRatioFrom(col("t")), 6),
+          round(TextFns.punctRatio(col("text")), 6)).as("score"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("score"), 4).as("avg_score"),
+        (count(lit(1)) - count_distinct(col("h"))).as("n_dup_docs"))
+      .transform(sortSmall(_, "source"))
+  }
+
   val PmiMinCount = 5
   val PmiTopK = 20
 
@@ -861,7 +891,8 @@ object PipelineQueries {
     "q_token_budget" -> qTokenBudget _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_pmi_terms" -> qPmiTerms _,
-    "q_compress_ratio" -> qCompressRatio _
+    "q_compress_ratio" -> qCompressRatio _,
+    "q_source_report" -> qSourceReport _
   )
 
   private def minhashCtes(x: String): String = {
@@ -1481,6 +1512,24 @@ object PipelineQueries {
          |SELECT doc_id, n_tokens, stopword_ratio, distinct_ratio, punct_ratio,
          |       score, score >= 0.7 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_source_report" ->
+      s"""WITH t AS (
+         |  SELECT source, text, md5(text) AS h,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, h,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         round(1.2 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6)
+         |               + 0.8 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+         |               - 6.0 * round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6)
+         |               + 0.002 * CAST(len(toks) AS BIGINT), 4) AS score
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       round(avg(score), 4) AS avg_score,
+         |       count(*) - count(DISTINCT h) AS n_dup_docs
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_pmi_terms" ->
       s"""WITH toks AS (
          |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
