@@ -23,6 +23,7 @@ object Bench {
     "q_range_join", "q_running_sum",
     "q_topk_per_group", "q_semi_join", "q_anti_join", "q_distinct_users",
     "q_approx_distinct", "q_percentiles", "q_approx_percentiles",
+    "q_hll_rollup",
     "q_event_deltas", "q_retention", "q_group_stats",
     "q_json_extract", "q_funnel", "q_rollup", "q_cube", "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",

@@ -425,6 +425,26 @@ object OlapQueries {
     * rank-error bound spec (PlanSpec) rather than a hash oracle. */
   val PctAccuracy = 10000
 
+  /** Sketch-rollup (pre-aggregation) pattern: per-day HLL sketches of
+    * distinct users, merged into a per-type global estimate — the shape
+    * of a 100 TB dashboard, where daily sketch tables are SMALL
+    * mergeable summaries (one pass over each day's partition, stored ∝
+    * days × groups × 2^lgK bytes) and any date-range distinct count is
+    * a union of sketches, never a re-scan of raw data. DataSketches
+    * HLL buffers are not engine-portable → rows-only at the driver
+    * gate; PlanSpec bounds the estimate against the exact count. */
+  def qHllRollup(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .withColumn("day", expr("date_trunc('DAY', timestamp_micros(ts_us))"))
+      .groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .transform(sortSmall(_, col("event_type")))
+
   def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
@@ -694,7 +714,8 @@ object OlapQueries {
     "q_key_profile" -> qKeyProfile _,
     "q_rolling_count" -> qRollingCount _,
     "q_winsorize" -> qWinsorize _,
-    "q_mad" -> qMad _
+    "q_mad" -> qMad _,
+    "q_hll_rollup" -> qHllRollup _
   )
 
   val oracles: Map[String, String] = Map(

@@ -107,6 +107,56 @@ object StreamLog {
       }
   }
 
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+  final case class Anomaly(
+      space: String,
+      timestamp: Long,
+      value: Double,
+      mean: Double,
+      stddev: Double,
+      n: Long)
+
+  /** Minimum observations before [[anomalyMonitor]] starts flagging —
+    * early stddev estimates are too noisy to gate on. */
+  val AnomalyWarmup = 10L
+
+  /** Continuous anomaly monitor: per space, maintain running mean and
+    * variance with Welford's online recurrence and flag any value more
+    * than `k` estimated standard deviations from the running mean
+    * (z-score change detection over an unbounded stream). State is 24
+    * bytes per space — bounded, no timeout needed — and each anomaly is
+    * judged against the statistics of the values that PRECEDED it, so
+    * a level shift is flagged on arrival, then absorbed. Rows within a
+    * micro-batch are processed in (timestamp, value) order for
+    * cross-run determinism. */
+  def anomalyMonitor(
+      points: Dataset[(String, Long, Double)],
+      k: Double = 4.0): Dataset[Anomaly] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WelfordState, Anomaly](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (space, rows, state: GroupState[WelfordState]) =>
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[Anomaly]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (ts, v) =>
+            val stddev =
+              if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            if (st.n >= AnomalyWarmup && stddev > 0 &&
+              math.abs(v - st.mean) > k * stddev)
+              out += Anomaly(space, ts, v, st.mean, stddev, st.n)
+            val n1 = st.n + 1
+            val d = v - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (v - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: correlate the entries of two spaces
     * on `segment`, pairing each left entry with right entries whose
     * event time falls within `[left - within, left + within]`. Both

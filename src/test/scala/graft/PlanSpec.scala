@@ -223,6 +223,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"))
   }
 
+  test("q_hll_rollup: daily-sketch union lands within 5% of exact distinct") {
+    val exact = SparkEntry
+      .queries("q_distinct_users")(spark, SfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val merged = SparkEntry
+      .queries("q_hll_rollup")(spark, SfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(merged.keySet == exact.keySet)
+    exact.foreach { case (eventType, n) =>
+      val err = math.abs(merged(eventType) - n).toDouble / n
+      assert(err <= 0.05, s"$eventType: merged-sketch estimate off by $err")
+    }
+  }
+
   test("q_approx_distinct lands within 5% of the exact distinct counts") {
     // rows-only in the driver contract (HLL sketches are engine-specific)
     // — this is the quantitative guard instead: rsd is configured at

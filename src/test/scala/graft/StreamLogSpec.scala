@@ -233,6 +233,34 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyMonitor flags a spike against statistics from EARLIER batches") {
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamLog
+      .anomalyMonitor(mem.toDS(), k = 4.0)
+      .writeStream
+      .format("memory")
+      .queryName("anomalies")
+      .outputMode("append")
+      .start()
+    try {
+      // 20 well-behaved points: mean ≈ 10.4, stddev ≈ 0.6
+      mem.addData((1 to 20).map(i => ("cpu", i.toLong, 9.5 + (i % 10) * 0.2)): _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM anomalies").count() == 0)
+      mem.addData(
+        ("cpu", 21L, 100.0), // >4σ from the running stats → flagged
+        ("cpu", 22L, 10.1), // normal, judged AFTER the spike is absorbed
+        ("mem", 1L, 50.0)) // fresh space: still warming up, never flagged
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT space, timestamp, value, n FROM anomalies").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == "cpu")
+      assert(rows.head.getLong(1) == 21L)
+      assert(rows.head.getDouble(2) == 100.0)
+      assert(rows.head.getLong(3) == 20L) // judged on exactly the 20 prior points
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters merge sketch state across micro-batches") {
     // graft_topk's TypedImperativeAggregate buffer lives in the state
     // store between micro-batches (complete mode); with capacity
