@@ -123,6 +123,30 @@ class OlapSpec extends SparkSpec {
     assert(r.getDouble(6) == 10.0) // 0→1, 100→19 ⇒ mean settles at 10
   }
 
+  test("native session_window agrees with the portable gap definition") {
+    // Spark's session_window is half-open (a gap of EXACTLY 30 min
+    // starts a new session; the lag-based definition keeps it) — the
+    // µs-resolution test data has no exact-boundary gap, so the two
+    // must produce identical sessions on sf0.001
+    val custom = graft.queries.OlapQueries
+      .qSessionize(spark, SfDir)
+      .select("user_id", "n_events", "session_start_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val native = graft.sources.Tables
+      .events(spark, SfDir)
+      .groupBy(
+        col("user_id"),
+        session_window(timestamp_micros(col("ts_us")), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"))
+      .select("user_id", "n_events", "start_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(native == custom)
+  }
+
   test("MAD shrugs off the outlier that inflates stddev") {
     // [1..7, 100]: median 4.5; |x−4.5| sorted → MAD (1.5+2.5)/2 = 2.0
     val dir = writeEvents(
