@@ -355,6 +355,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  val BpeTrainMerges = 12
+
+  /** BPE vocabulary TRAINING over the corpus — the learning step that
+    * produces the merge table [[qBpeTokens]]' encoder consumes (see
+    * [[graft.functions.BpeTrainer]] for the scale shape and the
+    * bracketed-hex portability encoding). One corpus scan into a
+    * word-frequency table; every round after that is vocabulary-sized.
+    * Fully oracle-backed: the unrolled per-round CTEs replay pair
+    * counting, the (count DESC, pair ASC) argmax, and the plain-string
+    * `replace` merge application bit-for-bit in DuckDB. */
+  def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.functions.BpeTrainer
+      .train(docs(s, d), merges = BpeTrainMerges)
+      .orderBy("rank")
+
   /** Corpus vocabulary head: top-20 tokens by document frequency (ties
     * by token). Two-phase: distinct (doc, tok) pairs shrink map-side
     * before the df count — the [[graft.operators.Skew]] countDistinct
@@ -890,6 +905,7 @@ object PipelineQueries {
     "q_quality_model" -> qQualityModel _,
     "q_token_budget" -> qTokenBudget _,
     "q_bpe_tokens" -> qBpeTokens _,
+    "q_bpe_train" -> qBpeTrain _,
     "q_pmi_terms" -> qPmiTerms _,
     "q_compress_ratio" -> qCompressRatio _,
     "q_source_report" -> qSourceReport _
@@ -1562,8 +1578,42 @@ object PipelineQueries {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= $TokenBudget
-         |ORDER BY source, cum_tokens, doc_id""".stripMargin
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    "q_bpe_train" -> bpeTrainSql(BpeTrainMerges)
   )
+
+  /** BPE-training oracle: unrolled per-round CTEs mirroring
+    * [[graft.functions.BpeTrainer.train]] — `w<r>` is the word table
+    * after r merges (bracketed-hex spelling), `p<r>` the weighted pair
+    * counts, `m<r>` the (count DESC, pair ASC) argmax. MATERIALIZED is
+    * load-bearing: each `w<r>` is referenced twice (pair counting and
+    * the next round's replace), so an inlining CTE planner would go
+    * exponential in rounds. */
+  private def bpeTrainSql(merges: Int): String = {
+    val head =
+      """wf AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+        |    FROM documents) GROUP BY w),
+        |w0 AS MATERIALIZED (
+        |  SELECT '[' || array_to_string(list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> hex(c)), '][') || ']' AS s, cnt
+        |  FROM wf)""".stripMargin
+    val rounds = (1 to merges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l, r, sum(cnt) AS c FROM (
+         |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+         |    FROM (SELECT cnt, string_split(trim(s, '[]'), '][') AS syms FROM w${r - 1}),
+         |         LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) t
+         |  ) GROUP BY l, r),
+         |m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(s, '['||m$r.l||']['||m$r.r||']', '['||m$r.l||m$r.r||']') AS s, cnt FROM w${r - 1}, m$r)""".stripMargin
+    }
+    val sel = (1 to merges)
+      .map(r =>
+        s"SELECT $r AS rank, decode(unhex(l)) AS left_sym, decode(unhex(r)) AS right_sym, decode(unhex(l||r)) AS merged, CAST(c AS BIGINT) AS pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $head,\n${rounds.mkString(",\n")}\n$sel\nORDER BY rank"
+  }
 
   /** Unrolled PageRank iteration CTEs over `mpairs` (the shared minhash
     * pair table): `r0..r<iters>` with `(src, deg, pr)` in micro-units.
