@@ -19,13 +19,15 @@ object Bench {
     "q_enumerate_space", "q_consume_multi", "q_offsets",
     "q_produce_validate", "q_trx_chunks",
     "q1_agg", "q3_join", "q5_join",
-    "q_sessionize", "q_window_tumbling", "q_window_sliding", "q_asof_join",
+    "q_sessionize", "q_debounce", "q_window_tumbling", "q_window_sliding",
+    "q_asof_join",
     "q_range_join", "q_running_sum",
     "q_topk_per_group", "q_semi_join", "q_anti_join", "q_distinct_users",
     "q_approx_distinct", "q_percentiles", "q_approx_percentiles",
     "q_hll_rollup",
     "q_event_deltas", "q_retention", "q_group_stats",
-    "q_json_extract", "q_funnel", "q_rollup", "q_cube", "q_pivot",
+    "q_json_extract", "q_funnel", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
     "q_rolling_count", "q_winsorize", "q_mad",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",

@@ -121,6 +121,32 @@ object OlapQueries {
       .orderBy("user_id", "session_id")
   }
 
+  val DebounceGapUs = 600000000L // 10 min
+
+  /** Burst throttling (debounce): within each (user_id, event_type)
+    * stream, keep an event only if its predecessor is > 10 min older
+    * (or it is the first) — the standard duplicate-click / retry-storm
+    * suppressor. One lag over one (user_id, event_type) partitioning =
+    * a single shuffle; the filter is a narrow post-window predicate.
+    * (This is the previous-occurrence rule, expressible as one window
+    * in any engine; the last-KEPT-occurrence rule is a sequential
+    * recurrence — that variant is the streaming
+    * [[graft.streaming.StreamLog.debounce]], where per-key state makes
+    * it natural.) */
+  def qDebounce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNull || col("ts_us") - col("prev_us") > DebounceGapUs)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("ts_us"),
+        (col("ts_us") - col("prev_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Top session journeys — the free-form cousin of [[qFunnel]]: every
     * 30-min-gap session (same boundary definition as [[qSessionize]])
     * collapsed to its ordered event-type path, then the 20 most common
@@ -387,6 +413,30 @@ object OlapQueries {
         round(sum("l_quantity"), 4).as("sum_qty"),
         count(lit(1)).as("n"))
       .transform(sortSmall(_, col("gid"), col("l_returnflag"), col("l_linestatus")))
+
+  /** Explicit GROUPING SETS — the general form [[qRollup]]/[[qCube]]
+    * are shorthands of: daily type totals, per-type totals, and per-day
+    * totals in ONE Expand + ONE hash aggregate (three grouping sets,
+    * not the cube's four — the empty set is deliberately absent, and
+    * the plan should not pay for it). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_type"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"),
+        col("value"))
+      .groupingSets(
+        Seq(
+          Seq(col("event_type"), col("day")),
+          Seq(col("event_type")),
+          Seq(col("day"))),
+        col("event_type"),
+        col("day"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"))
+      .transform(sortSmall(_, col("gid"), col("event_type"), col("day")))
 
   /** Pivot event types into columns (explicit value list, so the plan —
     * and the oracle — is a fixed set of conditional aggregates). */
@@ -688,6 +738,7 @@ object OlapQueries {
     "q_topk_per_group" -> qTopkPerGroup _,
     "q_running_sum" -> qRunningSum _,
     "q_sessionize" -> qSessionize _,
+    "q_debounce" -> qDebounce _,
     "q_journeys" -> qJourneys _,
     "q_window_tumbling" -> qWindowTumbling _,
     "q_window_sliding" -> qWindowSliding _,
@@ -702,6 +753,7 @@ object OlapQueries {
     "q_funnel" -> qFunnel _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
+    "q_grouping_sets" -> qGroupingSets _,
     "q_pivot" -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_percentiles" -> qApproxPercentiles _,
@@ -911,6 +963,25 @@ object OlapQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |SELECT event_type, day,
+        |       CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+        |ORDER BY gid, event_type, day""".stripMargin,
+    "q_debounce" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+         |  FROM events)
+         |SELECT event_id, user_id, event_type, ts_us, ts_us - prev_us AS gap_us
+         |FROM g
+         |WHERE prev_us IS NULL OR ts_us - prev_us > $DebounceGapUs
+         |ORDER BY event_id""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

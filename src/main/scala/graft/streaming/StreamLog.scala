@@ -157,6 +157,53 @@ object StreamLog {
       }
   }
 
+  final case class DebounceState(lastKeptUs: Long)
+
+  /** True (kept-based) debounce: per key, emit an event only if it
+    * arrives more than `gapUs` after the last EMITTED event of that key
+    * — so a continuous burst collapses to its first event no matter how
+    * long it lasts. This is a sequential recurrence over the kept
+    * sequence, which batch SQL cannot express as a window (the batch
+    * [[graft.queries.OlapQueries.qDebounce]] uses the
+    * previous-occurrence rule instead); per-key streaming state makes
+    * it one comparison per event with 8 bytes of state per key. Rows
+    * within a micro-batch are processed in timestamp order for
+    * cross-run determinism. */
+  def debounce(
+      events: Dataset[(String, Long)],
+      gapUs: Long): Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DebounceState, (String, Long)](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[DebounceState]) =>
+          var last = state.getOption.map(_.lastKeptUs).getOrElse(Long.MinValue)
+          val kept = Seq.newBuilder[(String, Long)]
+          rows.map(_._2).toArray.sorted.foreach { ts =>
+            if (last == Long.MinValue || ts - last > gapUs) {
+              kept += ((key, ts))
+              last = ts
+            }
+          }
+          state.update(DebounceState(last))
+          kept.result().iterator
+      }
+  }
+
+  /** Stream-static enrichment join: each micro-batch of entries joined
+    * to a small static dimension table. The static side is explicitly
+    * broadcast — the stream side never shuffles and the join holds NO
+    * streaming state (unlike [[correlate]], there is nothing to
+    * watermark: the static side is re-planned per batch, so dimension
+    * updates between batches are picked up for free). */
+  def enrich(
+      entries: DataFrame,
+      dim: DataFrame,
+      key: String = "space"): DataFrame =
+    entries.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: correlate the entries of two spaces
     * on `segment`, pairing each left entry with right entries whose
     * event time falls within `[left - within, left + within]`. Both

@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "FileScan") == 1, "expected a single lineitem scan")
   }
 
+  test("q_grouping_sets: three explicit sets, ONE Expand + one aggregate pass") {
+    val p = plan("q_grouping_sets")
+    assert(count(p, "Expand") >= 1, "expected an Expand for the grouping sets")
+    assert(count(p, "HashAggregate") == 2, "expected exactly partial+final aggregate")
+    assert(count(p, "FileScan") == 1, "expected a single events scan")
+  }
+
+  test("q_debounce: lag window and filter ride ONE (user,type) exchange") {
+    val p = plan("q_debounce")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
   test("q_kmeans final assignment is a shuffle-free projection over the checkpointed corpus") {
     // centroids are literals baked into graft_dot calls: the assignment
     // must introduce NO hash-partition exchange (the only exchange is

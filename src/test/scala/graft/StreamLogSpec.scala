@@ -261,6 +261,62 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounce keeps gap-from-last-KEPT semantics across micro-batches") {
+    val mem = MemoryStream[(String, Long)](spark)
+    val q = StreamLog
+      .debounce(mem.toDS(), gapUs = 100L)
+      .writeStream
+      .format("memory")
+      .queryName("debounced")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: 0 kept; 60 and 90 are ≤100 after the kept 0 → dropped
+      mem.addData(("k", 0L), ("k", 60L), ("k", 90L))
+      q.processAllAvailable()
+      // batch 2: 150 is >100 after the last KEPT (0) → kept, even
+      // though it is only 60 after the last SEEN event (90) — exactly
+      // where this rule differs from the batch previous-occurrence
+      // rule, which would drop it; 180 is 30 after the new kept 150 →
+      // dropped; fresh key kept immediately. State carried across
+      // batches: k's last-kept survived the batch boundary.
+      mem.addData(("k", 150L), ("k", 180L), ("j", 5L))
+      q.processAllAvailable()
+      val kept = spark
+        .sql("SELECT _1, _2 FROM debounced")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSet
+      assert(kept == Set(("k", 0L), ("k", 150L), ("j", 5L)))
+    } finally q.stop()
+  }
+
+  test("enrich joins each micro-batch against a broadcast static dimension") {
+    import spark.implicits._
+    val dim = Seq(("s0", "tier-a"), ("s1", "tier-b")).toDF("space", "tier")
+    val mem = MemoryStream[(String, Long)](spark)
+    val q = StreamLog
+      .enrich(mem.toDF().toDF("space", "sequence"), dim)
+      .writeStream
+      .format("memory")
+      .queryName("enriched")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(("s0", 1L), ("s1", 2L), ("s9", 3L))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT space, sequence, tier FROM enriched")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+        .toSet
+      assert(rows == Set(
+        ("s0", 1L, Some("tier-a")),
+        ("s1", 2L, Some("tier-b")),
+        ("s9", 3L, None))) // left join: unknown dims survive unenriched
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters merge sketch state across micro-batches") {
     // graft_topk's TypedImperativeAggregate buffer lives in the state
     // store between micro-batches (complete mode); with capacity
