@@ -32,7 +32,8 @@ object Bench {
     "q_rolling_count", "q_winsorize", "q_mad",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
-    "q_lang_id", "q_text_quality", "q_token_count", "q_vocab_topk",
+    "q_lang_id", "q_text_quality", "q_token_count", "q_normalize",
+    "q_vocab_topk",
     "q_inverted_index", "q_journeys",
     "q_tfidf_terms", "q_fingerprint", "q_repetition", "q_ngram_counts",
     "q_heavy_hitters", "q_passage_dedup", "q_dup_rank", "q_quality_model",

@@ -432,6 +432,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Unicode normalization pass (the fix-encoding stage ahead of every
+    * tokenizer): NFC composition + control/whitespace-run collapse as
+    * ONE codegen'd scan per row
+    * ([[graft.functions.expressions.NormalizeText]]) with a no-copy
+    * fast path for already-clean rows. Pure per-row projection — no
+    * shuffle; `changed` counts how much of the corpus actually needed
+    * fixing. */
+  def qNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.NormalizeText.register(s)
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        expr("graft_normalize(text)").as("norm_text"),
+        (expr("graft_normalize(text)") =!= col("text")).as("changed"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Shingle-hash document fingerprint: min-hash + xor-fold (order
     * independent, so engine-portable). Explode+aggregate rather than
     * array HOFs: min/bit_xor get map-side partials and stay codegen'd. */
@@ -887,6 +905,7 @@ object PipelineQueries {
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
+    "q_normalize" -> qNormalize _,
     "q_vocab_topk" -> qVocabTopk _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_fingerprint" -> qFingerprint _,
@@ -1286,6 +1305,12 @@ object PipelineQueries {
          |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
          |       CAST(len(regexp_extract_all(text, '${TextFns.BpePattern}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(nfc_normalize(text), '[\x00-\x20\x7F]+', ' ', 'g')) AS norm_text,
+        |       trim(regexp_replace(nfc_normalize(text), '[\x00-\x20\x7F]+', ' ', 'g')) <> text AS changed,
+        |       CAST(len(trim(regexp_replace(nfc_normalize(text), '[\x00-\x20\x7F]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_kmeans" ->
       s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(sim, 6) AS sim

@@ -73,6 +73,25 @@ class FunctionsSpec extends SparkSpec {
     assert(bpe("") == Seq())
   }
 
+  test("graft_normalize: NFC composition, control collapse, no-copy clean path") {
+    graft.functions.expressions.NormalizeText.register(spark)
+    def norm(s: String): String = {
+      import spark.implicits._
+      Seq(s).toDF("t").selectExpr("graft_normalize(t)").collect().head.getString(0)
+    }
+    // NFC: e + combining acute (U+0301) composes to é (U+00E9)
+    assert(norm("cafe\u0301") == "caf\u00e9")
+    // control chars + whitespace runs collapse to one space; ends trim
+    assert(norm(" a\tb\u0000c  d\r\n") == "a b c d")
+    // DEL is collapsible too
+    assert(norm("x\u007fy") == "x y")
+    // already-clean text comes back identical (fast path)
+    assert(norm("plain ascii text") == "plain ascii text")
+    // empty and all-junk collapse to empty
+    assert(norm("") == "")
+    assert(norm(" \t\u0001 ") == "")
+  }
+
   test("deflate length separates repetitive from varied text") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.expressions.DeflateLen
