@@ -52,7 +52,7 @@ object BpeTrainer {
     // one corpus scan: word-frequency table, then each word spelled as
     // bracketed hex symbols. Materialized — every round reuses it.
     val words0 = docs
-      .select(explode(expr(s"filter(split($text, ' '), x -> length(x) > 0)")).as("w"))
+      .select(explode(TextFns.tokens(col(text))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("cnt"))
       .select(

@@ -12,11 +12,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * canonical composition, then every run of control/whitespace
   * characters (`U+0000–U+0020`, `U+007F`) collapsed to a single space,
   * ends trimmed. Equivalent to DuckDB
-  * `trim(regexp_replace(nfc_normalize(text), '[\x00-\x20\x7F]+', ' ', 'g'))`
-  * — which is exactly the oracle spelling — but a single imperative
-  * pass behind one static call inside whole-stage codegen, with a
-  * fast path that returns the input UTF8String untouched (no copy)
-  * when it is already normalized, as clean corpora mostly are.
+  * `trim(regexp_replace(nfc_normalize(replace(text, chr(0), ' ')), '[\x00-\x20\x7F]+', ' ', 'g'))`
+  * — which is exactly the oracle spelling; the oracle pre-replaces NUL
+  * with space because DuckDB's utf8proc normalization truncates at an
+  * embedded U+0000 (java.text.Normalizer does not), and NUL blocks
+  * canonical composition exactly like space, so the two pipelines
+  * agree on every input. Here it is a single imperative pass behind
+  * one static call inside whole-stage codegen, with a fast path that
+  * returns the input UTF8String untouched (no copy) when it is
+  * already normalized, as clean corpora mostly are (which also means
+  * the driver-gate parity on the clean synthetic corpus only exercises
+  * the identity path — the transform paths are pinned by
+  * FunctionsSpec).
   *
   * Control characters are all BMP singletons, so the UTF-16 scan never
   * splits a surrogate pair; NFC is java.text.Normalizer, the same

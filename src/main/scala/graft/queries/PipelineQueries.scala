@@ -1305,12 +1305,19 @@ object PipelineQueries {
          |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
          |       CAST(len(regexp_extract_all(text, '${TextFns.BpePattern}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // NUL is pre-replaced with space: DuckDB's nfc_normalize (utf8proc)
+    // truncates at an embedded U+0000 whenever any non-ASCII char makes
+    // the normalization path run. NUL blocks canonical composition
+    // exactly like space does and both are in the collapse class, so
+    // the substitution is semantics-preserving.
     "q_normalize" ->
-      """SELECT doc_id,
-        |       trim(regexp_replace(nfc_normalize(text), '[\x00-\x20\x7F]+', ' ', 'g')) AS norm_text,
-        |       trim(regexp_replace(nfc_normalize(text), '[\x00-\x20\x7F]+', ' ', 'g')) <> text AS changed,
-        |       CAST(len(trim(regexp_replace(nfc_normalize(text), '[\x00-\x20\x7F]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(nfc_normalize(replace(text, chr(0), ' ')), '[\x00-\x20\x7F]+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, norm_text <> text AS changed,
+        |       CAST(len(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_kmeans" ->
       s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(sim, 6) AS sim
