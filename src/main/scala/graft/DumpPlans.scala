@@ -32,7 +32,13 @@ object DumpPlans {
     // q_ann_pq excluded for the same literal-bloat reason (8×8 codebook
     // baked twice: encode scores + ADC lookup); PlanSpec asserts its
     // WindowGroupLimit shortlist + broadcast rerank.
-    val skip = Set("q_dedup_clusters", "q_kmeans", "q_semdedup", "q_ann_pq")
+    // q_bpe_train excluded: its merge loop executes eagerly during
+    // construction (one argmax job per round, like q_dedup_clusters);
+    // the interesting per-round aggregate is documented in
+    // BpeTrainer.scala and the result plan is a LocalTableScan.
+    val skip = Set(
+      "q_dedup_clusters", "q_kmeans", "q_semdedup", "q_ann_pq",
+      "q_bpe_train")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       out.println(s"########## $name")

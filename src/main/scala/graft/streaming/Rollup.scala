@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+import graft.log.LogFs
+
+/** Incrementally-maintained rollup: a streaming sink that keeps a
+  * per-(space, day) aggregate table up to date as entries arrive — the
+  * incremental-view-maintenance twin of the q_hll_rollup
+  * pre-aggregation pattern (dashboards read summaries, never the raw
+  * log).
+  *
+  * Storage layout is a PARTIAL-aggregate table, not a merged one:
+  * every micro-batch lands as one small parquet directory of partial
+  * rows (`parts/part-b<batchId>`), and [[view]] re-aggregates the
+  * partials on read. All maintained statistics are mergeable
+  * (count-sum / min / max), so merge-on-read is exact, and the read
+  * cost is ∝ batches × groups — summary-sized, never log-sized.
+  * [[compact]] folds the accumulated partials into one directory when
+  * the batch count grows.
+  *
+  * Exactly-once without a transaction log:
+  *   - the sink is idempotent on `batchId` (foreachBatch is
+  *     at-least-once): a batch whose `parts/part-b<id>` directory
+  *     exists is skipped, and the directory appears via a SINGLE
+  *     rename of the fully-written staging dir — the commit point is
+  *     one atomic FS operation, so a replay never observes (or
+  *     produces) a half-batch;
+  *   - [[compact]] uses a manifest + the same single-rename commit
+  *     point: a crash before the merged dir's rename rolls BACK (the
+  *     staged merge is discarded, original partials intact); a crash
+  *     after rolls FORWARD (consumed partials are re-deleted). Either
+  *     way [[view]] never double-counts. Single control-plane writer
+  *     assumed, as with [[graft.log.EventLog.compact]].
+  *
+  * Like every store path in this library the control plane goes
+  * through the Hadoop FileSystem API, so `dir` may be file://, hdfs://,
+  * abfs://, s3a:// — note the rename-commit assumes a store with
+  * atomic rename (true of HDFS/ABFS; S3A renames are copies, where a
+  * real deployment would point `dir` at an HDFS/ABFS scratch tier or
+  * swap the commit for a conditional PUT).
+  */
+object Rollup {
+
+  private val DayUs = 86400000000L
+
+  val partialSchema: StructType = StructType(Seq(
+    StructField("space", StringType),
+    StructField("day_us", LongType),
+    StructField("n", LongType),
+    StructField("min_ts", LongType),
+    StructField("max_ts", LongType)))
+
+  /** Partial aggregate of one batch of entries (µs `timestamp`). */
+  def partials(entries: DataFrame): DataFrame =
+    entries
+      .withColumn("day_us", expr(s"(timestamp DIV $DayUs) * $DayUs"))
+      .groupBy("space", "day_us")
+      .agg(
+        count(lit(1)).as("n"),
+        min("timestamp").as("min_ts"),
+        max("timestamp").as("max_ts"))
+
+  /** Idempotent per-batch write (public so a replay is directly
+    * testable): skip if committed, else stage fully and commit with
+    * one rename. */
+  def writeBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    val hfs = LogFs.fs(batch.sparkSession, dir)
+    recover(hfs, dir)
+    val target = s"$dir/parts/part-b$batchId"
+    val staging = s"$dir/staging/part-b$batchId"
+    if (!LogFs.exists(hfs, target)) {
+      LogFs.deleteRecursive(hfs, staging) // half-written previous attempt
+      partials(batch).coalesce(1).write.mode("overwrite").parquet(staging)
+      LogFs.move(hfs, new HPath(staging), new HPath(target)) // commit point
+    }
+  }
+
+  /** Start the maintenance sink. */
+  def sink(
+      entries: DataFrame,
+      dir: String,
+      checkpoint: String): StreamingQuery =
+    entries.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, dir)
+      }
+      .start()
+
+  /** The current rollup: partials re-aggregated (exact — every
+    * statistic is mergeable). */
+  def view(spark: SparkSession, dir: String): DataFrame = {
+    val hfs = LogFs.fs(spark, dir)
+    recover(hfs, dir)
+    val partDirs = listParts(hfs, dir)
+    if (partDirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], partialSchema)
+    else
+      spark.read
+        .parquet(partDirs.map(p => s"$dir/parts/$p"): _*)
+        .groupBy("space", "day_us")
+        .agg(
+          sum("n").as("n"),
+          min("min_ts").as("min_ts"),
+          max("max_ts").as("max_ts"))
+  }
+
+  /** Fold all partial dirs into one. Manifest-guarded: crash-safe in
+    * both directions around the single rename commit point. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val hfs = LogFs.fs(spark, dir)
+    recover(hfs, dir)
+    val parts = listParts(hfs, dir)
+    if (parts.size < 2) return
+    val gen = 1L + parts
+      .filter(_.startsWith("part-c"))
+      .map(_.stripPrefix("part-c").toLong)
+      .foldLeft(-1L)(math.max)
+    val target = s"part-c$gen"
+    val staging = s"$dir/staging/$target"
+    LogFs.deleteRecursive(hfs, staging)
+    spark.read
+      .parquet(parts.map(p => s"$dir/parts/$p"): _*)
+      .groupBy("space", "day_us")
+      .agg(
+        sum("n").as("n"),
+        min("min_ts").as("min_ts"),
+        max("max_ts").as("max_ts"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    // manifest BEFORE the commit rename: first line = target, rest =
+    // consumed partial dirs (atomic write — a truncated manifest is
+    // impossible to observe)
+    LogFs.writeText(hfs, s"$dir/compact-manifest", (target +: parts).mkString("\n"))
+    LogFs.move(hfs, new HPath(staging), new HPath(s"$dir/parts/$target"))
+    parts.foreach(p => LogFs.deleteRecursive(hfs, s"$dir/parts/$p"))
+    LogFs.deleteRecursive(hfs, s"$dir/compact-manifest")
+  }
+
+  /** Manifest recovery: target present → roll forward (finish deleting
+    * consumed partials); absent → roll back (discard the staged
+    * merge). Idempotent; called before every read/write/compact. */
+  private def recover(hfs: FileSystem, dir: String): Unit = {
+    val manifest = s"$dir/compact-manifest"
+    if (!LogFs.exists(hfs, manifest)) return
+    LogFs.readLines(hfs, manifest) match {
+      case target :: consumed =>
+        if (LogFs.exists(hfs, s"$dir/parts/$target"))
+          consumed.foreach(p => LogFs.deleteRecursive(hfs, s"$dir/parts/$p"))
+        else
+          LogFs.deleteRecursive(hfs, s"$dir/staging/$target")
+      case Nil => ()
+    }
+    LogFs.deleteRecursive(hfs, manifest)
+  }
+
+  private def listParts(hfs: FileSystem, dir: String): Seq[String] = {
+    val parts = new HPath(s"$dir/parts")
+    if (!hfs.exists(parts)) Seq.empty
+    else
+      hfs
+        .listStatus(parts)
+        .toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("part-"))
+        .sorted
+  }
+}

@@ -317,9 +317,9 @@ object StreamLog {
     * drift), drop failing docs, and exact-dedup the scrubbed content
     * within the watermark horizon.
     *
-    * Scrub + score are stateless per-row projections (they fuse into
-    * the micro-batch scan); the only state is the dedup's one digest
-    * per unique content, watermark-evicted. Input:
+    * Normalize + scrub + score are stateless per-row projections (they
+    * fuse into the micro-batch scan); the only state is the dedup's one
+    * digest per unique content, watermark-evicted. Input:
     * `(doc_id, text, event_time timestamp)`; output is
     * `(doc_id, event_time, clean_text, score)` — the raw `text` is
     * dropped (the scrubbed form is the one a downstream pipeline may
@@ -328,8 +328,14 @@ object StreamLog {
       docs: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
     graft.functions.expressions.Tokens.register(docs.sparkSession)
+    graft.functions.expressions.NormalizeText.register(docs.sparkSession)
     val scored = docs
-      .withColumn("clean_text", graft.functions.TextScrub.scrub(col("text")))
+      // fix-encoding first (NFC + control collapse, no-copy on clean
+      // rows), THEN the PII scrub — the scrub's regexes assume
+      // canonical composition and real spaces
+      .withColumn(
+        "clean_text",
+        graft.functions.TextScrub.scrub(expr("graft_normalize(text)")))
       .withColumn("t", expr("graft_tokens(clean_text)"))
       .withColumn(
         "score",

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Rollup
+
+/** Incrementally-maintained rollup: exactness vs batch recompute,
+  * batch-replay idempotence, and crash-safe compaction in both
+  * roll-back and roll-forward directions. */
+class RollupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Day = 86400000000L
+
+  private def entryDf(rows: (String, Long)*) =
+    rows.toDF("space", "timestamp")
+
+  test("sink maintains the exact per-(space, day) rollup across batches") {
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    val mem = MemoryStream[(String, Long)](spark)
+    val q = Rollup.sink(
+      mem.toDF().toDF("space", "timestamp"), dir, s"$dir/ckpt")
+    try {
+      mem.addData(("s0", 10L), ("s0", 20L), ("s1", Day + 5L))
+      q.processAllAvailable()
+      mem.addData(("s0", 30L), ("s0", Day + 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Rollup
+      .view(spark, dir)
+      .orderBy("space", "day_us")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("s0", 0L, 3L, 10L, 30L),
+      ("s0", Day, 1L, Day + 1L, Day + 1L),
+      ("s1", Day, 1L, Day + 5L, Day + 5L)))
+  }
+
+  test("a replayed batch id is a no-op (single-rename commit point)") {
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    Rollup.writeBatch(entryDf(("s0", 1L), ("s0", 2L)), 0L, dir)
+    Rollup.writeBatch(entryDf(("s0", 1L), ("s0", 2L)), 0L, dir) // replay
+    Rollup.writeBatch(entryDf(("s0", 3L)), 1L, dir)
+    val got = Rollup.view(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 3L) // not 5: batch 0 counted once
+  }
+
+  test("compact folds partials; view identical before and after") {
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    (0 until 4).foreach(i =>
+      Rollup.writeBatch(entryDf(("s0", 10L * i + 1), ("s1", Day + i)), i.toLong, dir))
+    val before = Rollup.view(spark, dir).orderBy("space").collect().toSeq
+    Rollup.compact(spark, dir)
+    val after = Rollup.view(spark, dir).orderBy("space").collect().toSeq
+    assert(before == after)
+    // folded to one partial dir; a second compact is a no-op
+    val parts = new java.io.File(s"$dir/parts").list().filter(_.startsWith("part-"))
+    assert(parts.length == 1 && parts.head == "part-c0")
+    Rollup.compact(spark, dir)
+    assert(Rollup.view(spark, dir).orderBy("space").collect().toSeq == before)
+  }
+
+  test("compaction crash windows: roll back before the rename, roll forward after") {
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    (0 until 3).foreach(i => Rollup.writeBatch(entryDf(("s0", i.toLong)), i.toLong, dir))
+    val want = Rollup.view(spark, dir).collect().toSeq
+
+    // crash BEFORE the commit rename: staged merge + manifest exist,
+    // target does not → recovery must roll back and keep the partials
+    val hfs = graft.log.LogFs.fs(spark, dir)
+    Rollup.partials(entryDf(("s0", 0L), ("s0", 1L), ("s0", 2L)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/staging/part-c0")
+    graft.log.LogFs.writeText(
+      hfs, s"$dir/compact-manifest",
+      Seq("part-c0", "part-b0", "part-b1", "part-b2").mkString("\n"))
+    assert(Rollup.view(spark, dir).collect().toSeq == want) // view triggers recovery
+    assert(!new java.io.File(s"$dir/staging/part-c0").exists())
+    assert(!new java.io.File(s"$dir/compact-manifest").exists())
+
+    // crash AFTER the rename but before cleanup: target AND consumed
+    // partials both present → recovery must roll forward (delete the
+    // consumed partials), not double-count
+    Rollup.partials(entryDf(("s0", 0L), ("s0", 1L), ("s0", 2L)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/parts/part-c0")
+    graft.log.LogFs.writeText(
+      hfs, s"$dir/compact-manifest",
+      Seq("part-c0", "part-b0", "part-b1", "part-b2").mkString("\n"))
+    assert(Rollup.view(spark, dir).collect().toSeq == want)
+    val parts = new java.io.File(s"$dir/parts").list().filter(_.startsWith("part-"))
+    assert(parts.toSeq == Seq("part-c0"))
+  }
+}
