@@ -334,6 +334,45 @@ object PipelineQueries {
           .sortSmall(_, col("source"), col("cum_tokens"), col("doc_id")))
   }
 
+  val PackSeqLen = 128L
+  val PackBuckets = 8L
+
+  /** Training-sequence packing (concat-and-chunk): documents are
+    * concatenated in a deterministic hash order and cut into
+    * fixed-`PackSeqLen`-token training sequences; each doc reports the
+    * sequence range it lands in and its offset in the first one — the
+    * map a sequence-building writer follows. Docs are first split into
+    * `PackBuckets` hash buckets and sequences never cross buckets, so
+    * packing parallelizes: one (bucket) shuffle for the running-sum
+    * window over one narrow long per doc, everything after is integer
+    * arithmetic. Choose buckets ∝ cluster size at scale (each bucket
+    * packs independently; quality is unaffected because a bucket's
+    * final partial sequence is the only waste, amortized over the
+    * bucket's token mass). All-integer → bit-exact oracle. */
+  def qPack(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val w = Window
+      .partitionBy("bucket")
+      .orderBy("hrank", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        size(expr("graft_tokens(text)")).cast("long").as("n_tokens"),
+        Hashing.md5Long(col("doc_id").cast("string")).as("hrank"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", pmod(col("hrank"), lit(PackBuckets)))
+      .withColumn("cum_end", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        col("n_tokens"),
+        expr(s"(cum_end - n_tokens) DIV $PackSeqLen").as("first_seq"),
+        expr(s"(cum_end - 1) DIV $PackSeqLen").as("last_seq"),
+        expr(s"(cum_end - n_tokens) % $PackSeqLen").as("start_off"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer-accurate token counting via the greedy BPE merge loop
     * ([[graft.functions.expressions.BpeTokens]]): per-doc subword
     * counts and the chars-per-token compression ratio a token-budget
@@ -923,6 +962,7 @@ object PipelineQueries {
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
     "q_token_budget" -> qTokenBudget _,
+    "q_pack" -> qPack _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_bpe_train" -> qBpeTrain _,
     "q_pmi_terms" -> qPmiTerms _,
@@ -1611,7 +1651,22 @@ object PipelineQueries {
          |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= $TokenBudget
          |ORDER BY source, cum_tokens, doc_id""".stripMargin,
-    "q_bpe_train" -> bpeTrainSql(BpeTrainMerges)
+    "q_bpe_train" -> bpeTrainSql(BpeTrainMerges),
+    "q_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |         ${Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")} AS hrank
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, hrank % $PackBuckets AS bucket, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY hrank % $PackBuckets ORDER BY hrank, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+         |       CAST((cum_end - n_tokens) // $PackSeqLen AS BIGINT) AS first_seq,
+         |       CAST((cum_end - 1) // $PackSeqLen AS BIGINT) AS last_seq,
+         |       CAST((cum_end - n_tokens) % $PackSeqLen AS BIGINT) AS start_off
+         |FROM p ORDER BY doc_id""".stripMargin
   )
 
   /** BPE-training oracle: unrolled per-round CTEs mirroring

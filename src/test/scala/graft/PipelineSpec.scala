@@ -167,6 +167,29 @@ class PipelineSpec extends SparkSpec {
     assert(counts == Map("a b" -> 2L, "b a" -> 2L))
   }
 
+  test("sequence packing: dense offsets, straddle math, per-bucket contiguity") {
+    val L = PipelineQueries.PackSeqLen
+    val rows = PipelineQueries.qPack(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, first, last, off) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(off >= 0 && off < L)
+      // the doc occupies tokens [first*L + off, first*L + off + n) —
+      // its last token's sequence must be exactly last_seq
+      assert((first * L + off + n - 1) / L == last)
+      assert(first <= last)
+    }
+    // contiguity per bucket: docs tile the token axis with no gaps, so
+    // the highest sequence index equals (bucket token total - 1) / L
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      assert(rs.map(_.getLong(4)).max == (total - 1) / L)
+    }
+    // multi-sequence straddles exist at sf0.001 (docs can exceed L)
+    assert(rows.exists(r => r.getLong(4) > r.getLong(3)))
+  }
+
   test("graft_topk heavy hitters honor the Misra-Gries guarantees") {
     import graft.queries.PipelineQueries._
     val toks = spark.read.parquet(s"$SfDir/documents.parquet")
