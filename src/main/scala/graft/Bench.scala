@@ -37,7 +37,8 @@ object Bench {
     "q_inverted_index", "q_journeys",
     "q_tfidf_terms", "q_fingerprint", "q_repetition", "q_ngram_counts",
     "q_heavy_hitters", "q_passage_dedup", "q_dup_rank", "q_quality_model",
-    "q_token_budget", "q_pack", "q_bpe_tokens", "q_bpe_train", "q_pmi_terms",
+    "q_token_budget", "q_pack", "q_chunk", "q_bpe_tokens", "q_bpe_train",
+    "q_pmi_terms",
     "q_compress_ratio",
     "q_source_report",
     "q_kmeans", "q_semdedup", "q_dup_spans", "q_dedup_incr", "q_dup_degree",

@@ -373,6 +373,41 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** Overlapping-window document chunking (the embed-long-docs stage):
+    * each doc yields `ChunkLen`-token windows every `ChunkStride`
+    * tokens, the last window pulled back so it ends exactly at the
+    * doc's end (no short tail, standard for embedding models with a
+    * fixed input size; docs ≤ `ChunkLen` yield one full-doc chunk).
+    * Pure per-row explode — no shuffle, output rows ∝ corpus tokens /
+    * stride; the chunk count is closed-form integer arithmetic so both
+    * engines enumerate identical windows. */
+  def qChunk(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    docs(s, d)
+      .select(col("doc_id"), expr("graft_tokens(text)").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        expr(s"""posexplode(transform(
+                |  sequence(0, CASE WHEN size(t) <= $ChunkLen THEN 0
+                |                   ELSE CAST((size(t) - $ChunkLen + $ChunkStride - 1) DIV $ChunkStride AS INT) END),
+                |  k -> named_struct(
+                |    'start_tok', CAST(least(k * $ChunkStride, greatest(size(t) - $ChunkLen, 0)) AS BIGINT),
+                |    'chunk_text', array_join(slice(t, least(k * $ChunkStride, greatest(size(t) - $ChunkLen, 0)) + 1, $ChunkLen), ' '),
+                |    'n_chunk_tokens', CAST(least($ChunkLen, size(t)) AS BIGINT))))""".stripMargin)
+          .as(Seq("chunk_idx", "c")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_tok"),
+        col("c.chunk_text"),
+        col("c.n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Tokenizer-accurate token counting via the greedy BPE merge loop
     * ([[graft.functions.expressions.BpeTokens]]): per-doc subword
     * counts and the chars-per-token compression ratio a token-budget
@@ -963,6 +998,7 @@ object PipelineQueries {
     "q_quality_model" -> qQualityModel _,
     "q_token_budget" -> qTokenBudget _,
     "q_pack" -> qPack _,
+    "q_chunk" -> qChunk _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_bpe_train" -> qBpeTrain _,
     "q_pmi_terms" -> qPmiTerms _,
@@ -1666,7 +1702,25 @@ object PipelineQueries {
          |       CAST((cum_end - n_tokens) // $PackSeqLen AS BIGINT) AS first_seq,
          |       CAST((cum_end - 1) // $PackSeqLen AS BIGINT) AS last_seq,
          |       CAST((cum_end - n_tokens) % $PackSeqLen AS BIGINT) AS start_off
-         |FROM p ORDER BY doc_id""".stripMargin
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_chunk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, t,
+         |         unnest(generate_series(0, CASE WHEN len(t) <= $ChunkLen THEN 0
+         |                                        ELSE (len(t) - $ChunkLen + $ChunkStride - 1) // $ChunkStride END)) AS k
+         |  FROM toks WHERE len(t) > 0),
+         |w AS (
+         |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+         |         least(k * $ChunkStride, greatest(len(t) - $ChunkLen, 0)) AS start_tok,
+         |         t, len(t) AS n
+         |  FROM c)
+         |SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+         |       array_to_string(t[(start_tok + 1):(start_tok + $ChunkLen)], ' ') AS chunk_text,
+         |       CAST(least($ChunkLen, n) AS BIGINT) AS n_chunk_tokens
+         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin
   )
 
   /** BPE-training oracle: unrolled per-round CTEs mirroring

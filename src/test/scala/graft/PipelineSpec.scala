@@ -190,6 +190,36 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(4) > r.getLong(3)))
   }
 
+  test("chunking: full windows, stride spacing, pulled-back tail, total coverage") {
+    val (c, s) = (PipelineQueries.ChunkLen, PipelineQueries.ChunkStride)
+    val byDoc = PipelineQueries
+      .qChunk(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      val n = sorted.head._5 + sorted.last._3 // least(C, n) of first + last start
+      sorted.zipWithIndex.foreach { case ((_, _, start, text, nTok), k) =>
+        // every window is full-size (min(C, doc length)) and starts on
+        // the stride grid except the pulled-back tail
+        assert(nTok == math.min(c.toLong, n))
+        assert(text.split(" ").count(_.nonEmpty) == nTok)
+        if (k < sorted.length - 1) assert(start == k.toLong * s)
+        else assert(start == math.max(n - c, 0L))
+      }
+      // windows cover the whole doc: last window ends at n
+      assert(sorted.last._3 + sorted.last._5 == n)
+      // stride ≤ C ⇒ no gaps between consecutive windows
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 <= a._3 + c)
+        case _           => ()
+      }
+    }
+  }
+
   test("graft_topk heavy hitters honor the Misra-Gries guarantees") {
     import graft.queries.PipelineQueries._
     val toks = spark.read.parquet(s"$SfDir/documents.parquet")

@@ -205,6 +205,13 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1)
   }
 
+  test("q_pack: one (bucket) exchange feeds the cumsum window; q_chunk: zero hash exchanges") {
+    val p = plan("q_pack")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+    val q = plan("q_chunk")
+    assert(!q.contains("Exchange hashpartitioning"), "chunking is a pure per-row explode")
+  }
+
   test("q_kmeans final assignment is a shuffle-free projection over the checkpointed corpus") {
     // centroids are literals baked into graft_dot calls: the assignment
     // must introduce NO hash-partition exchange (the only exchange is
