@@ -188,15 +188,37 @@ final class EventLog(val spark: SparkSession, val path: String) {
     * double-read should snapshot before compaction, or the log should
     * live on a store with atomic multi-file commit.
     * Returns the resulting file count (0 if the space does not exist). */
-  def compact(space: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+  def compact(space: String, targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    rewriteSpace(space, identity, targetFileBytes)
+
+  /** Retention / TTL enforcement: drop every entry of `space` with
+    * `timestamp < minTimestamp` — the third log-lifecycle operation
+    * next to produce and [[compact]], sharing compact's crash-safe
+    * manifest + commit-marker swap (and its failpoints, so the same
+    * roll-back/roll-forward guarantees are tested for both). Remaining
+    * sequences are untouched: retention truncates a PREFIX of each
+    * segment's history (the reference's consumers re-poll from offsets,
+    * which stay valid — sequence numbering never restarts). */
+  def retain(
+      space: String,
+      minTimestamp: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    rewriteSpace(
+      space,
+      _.filter(org.apache.spark.sql.functions.col("timestamp") >= minTimestamp),
+      targetFileBytes)
+
+  private def rewriteSpace(
+      space: String,
+      transform: DataFrame => DataFrame,
+      targetFileBytes: Long): Int = {
     recoverCompaction(space)
     val partPath = s"$dataDir/space=$space"
     if (!LogFs.exists(hfs, partPath)) return 0
     val bytes = LogFs.totalBytes(hfs, partPath)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val staging = s"$path/compacting-$space"
-    spark.read
-      .parquet(partPath)
+    transform(spark.read.parquet(partPath))
       .repartition(nFiles)
       .write
       .mode(SaveMode.Overwrite)

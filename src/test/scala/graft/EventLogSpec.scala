@@ -190,6 +190,35 @@ class EventLogSpec extends SparkSpec {
     assert(after == before && after.size == 30)
   }
 
+  test("retain drops the old prefix, keeps sequences, and survives a mid-swap crash") {
+    val log = freshLog()
+    // three chunks at timestamps 1000/2000/3000, sequences 1..30
+    for (i <- 0 until 3)
+      log.produce("s0", "seg0", records(1 + i * 10, 10), 1000L * (i + 1))
+    log.retain("s0", minTimestamp = 2000L)
+    val kept = log.consumeSegment("s0", "seg0").collect()
+    assert(kept.length == 20)
+    // retention truncates a history PREFIX: surviving sequences are the
+    // original 11..30, numbering never restarts
+    assert(kept.map(_.getAs[Long]("sequence")).sorted.toSeq == (11L to 30L))
+    assert(kept.forall(_.getAs[Long]("timestamp") >= 2000L))
+
+    // crash between the marker and the cleanup: recovery (run by the
+    // next lifecycle op) rolls the swap forward, not double-reads
+    log.compactFailpoint = Some("after-moves")
+    intercept[IllegalStateException](log.retain("s0", minTimestamp = 3000L))
+    log.compactFailpoint = None
+    log.recoverCompaction("s0")
+    val after = log.consumeSegment("s0", "seg0").collect()
+    // rollback direction: nothing was lost — still all 20 rows
+    assert(after.map(_.getAs[Long]("sequence")).sorted.toSeq == (11L to 30L))
+    // and the re-run applies cleanly
+    log.retain("s0", minTimestamp = 3000L)
+    assert(
+      log.consumeSegment("s0", "seg0").collect()
+        .map(_.getAs[Long]("sequence")).sorted.toSeq == (21L to 30L))
+  }
+
   test("TxnLog rejects trxIds that would make file prefixes ambiguous") {
     val log = freshLog()
     val txn = new TxnLog(log)
