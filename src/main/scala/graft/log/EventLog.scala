@@ -195,17 +195,29 @@ final class EventLog(val spark: SparkSession, val path: String) {
     * `timestamp < minTimestamp` — the third log-lifecycle operation
     * next to produce and [[compact]], sharing compact's crash-safe
     * manifest + commit-marker swap (and its failpoints, so the same
-    * roll-back/roll-forward guarantees are tested for both). Remaining
-    * sequences are untouched: retention truncates a PREFIX of each
-    * segment's history (the reference's consumers re-poll from offsets,
-    * which stay valid — sequence numbering never restarts). */
+    * roll-back/roll-forward guarantees are tested for both).
+    *
+    * Each segment's max-sequence entry is ALWAYS kept, even when it is
+    * older than the cutoff: the high-water mark is derived from the
+    * data (peek), so expiring a whole segment would silently restart
+    * its numbering at 1 — re-issuing sequences consumers have already
+    * seen and making stored offsets filter out everything new. Keeping
+    * that one row per segment preserves producer continuity and offset
+    * validity through total expiry (and through caller-supplied
+    * non-monotonic timestamps, where the newest sequence need not be
+    * the newest timestamp). */
   def retain(
       space: String,
       minTimestamp: Long,
       targetFileBytes: Long = 128L * 1024 * 1024): Int =
     rewriteSpace(
       space,
-      _.filter(org.apache.spark.sql.functions.col("timestamp") >= minTimestamp),
+      df => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("segment")
+        df.withColumn("__hwm", max("sequence").over(w))
+          .filter(col("timestamp") >= minTimestamp || col("sequence") === col("__hwm"))
+          .drop("__hwm")
+      },
       targetFileBytes)
 
   private def rewriteSpace(
@@ -216,9 +228,21 @@ final class EventLog(val spark: SparkSession, val path: String) {
     val partPath = s"$dataDir/space=$space"
     if (!LogFs.exists(hfs, partPath)) return 0
     val bytes = LogFs.totalBytes(hfs, partPath)
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val in = spark.read.parquet(partPath)
+    val transformed = transform(in)
+    // size the output from the POST-transform data: a retention pass
+    // that drops most of the space must not shatter the survivors into
+    // pre-transform-many tiny files (row-count ratio × bytes is a fair
+    // size proxy; both counts are cheap next to the rewrite)
+    val keptBytes = {
+      val total = in.count()
+      if (total == 0L) 0L
+      else (bytes * transformed.count()) / total
+    }
+    val nFiles =
+      math.max(1L, (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val staging = s"$path/compacting-$space"
-    transform(spark.read.parquet(partPath))
+    transformed
       .repartition(nFiles)
       .write
       .mode(SaveMode.Overwrite)
@@ -249,7 +273,7 @@ final class EventLog(val spark: SparkSession, val path: String) {
     // committed" and rolls back the ONLY remaining generation
     LogFs.deleteFile(hfs, new HPath(manifestPath(partPath)))
     LogFs.deleteFile(hfs, new HPath(commitMarkerPath(partPath)))
-    nFiles
+    stagedFiles.size
   }
 
   /** Complete or undo a compaction swap interrupted by a crash (see

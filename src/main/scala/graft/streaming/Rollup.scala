@@ -34,8 +34,17 @@ import graft.log.LogFs
   *     point: a crash before the merged dir's rename rolls BACK (the
   *     staged merge is discarded, original partials intact); a crash
   *     after rolls FORWARD (consumed partials are re-deleted). Either
-  *     way [[view]] never double-counts. Single control-plane writer
-  *     assumed, as with [[graft.log.EventLog.compact]].
+  *     way [[view]] never double-counts: it recovers the roll-forward
+  *     direction itself and ignores an uncommitted manifest (whose
+  *     consumed partials are all still present). Roll-back happens
+  *     ONLY inside [[compact]] — the sink and [[view]] run safely
+  *     concurrently with an in-flight compaction, but at most one
+  *     compact() at a time (single maintenance writer, as with
+  *     [[graft.log.EventLog.compact]]). One reader caveat, same as
+  *     EventLog's: a [[view]] plan EXECUTED across a concurrent
+  *     compaction commit can hit deleted partial dirs
+  *     (FileNotFoundException) — collect promptly, or pause
+  *     compaction around long-lived readers.
   *
   * Like every store path in this library the control plane goes
   * through the Hadoop FileSystem API, so `dir` may be file://, hdfs://,
@@ -70,7 +79,11 @@ object Rollup {
     * one rename. */
   def writeBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
     val hfs = LogFs.fs(batch.sparkSession, dir)
-    recover(hfs, dir)
+    // deliberately NO manifest recovery here: the sink's idempotence is
+    // self-contained (its own part-b dir is the marker), and a recover
+    // that rolled back would destroy an IN-FLIGHT compaction's staged
+    // merge from under it (the sink runs concurrently with compact by
+    // design; only compact itself may roll back)
     val target = s"$dir/parts/part-b$batchId"
     val staging = s"$dir/staging/part-b$batchId"
     if (!LogFs.exists(hfs, target)) {
@@ -97,7 +110,7 @@ object Rollup {
     * statistic is mergeable). */
   def view(spark: SparkSession, dir: String): DataFrame = {
     val hfs = LogFs.fs(spark, dir)
-    recover(hfs, dir)
+    recoverForward(hfs, dir)
     val partDirs = listParts(hfs, dir)
     if (partDirs.isEmpty)
       spark.createDataFrame(
@@ -144,9 +157,12 @@ object Rollup {
     LogFs.deleteRecursive(hfs, s"$dir/compact-manifest")
   }
 
-  /** Manifest recovery: target present → roll forward (finish deleting
-    * consumed partials); absent → roll back (discard the staged
-    * merge). Idempotent; called before every read/write/compact. */
+  /** Full manifest recovery — compact() only (it is the single
+    * maintenance writer): target present → roll forward (finish
+    * deleting consumed partials); absent → roll back (discard the
+    * staged merge). Rolling back is safe ONLY here: anywhere else the
+    * manifest-present/target-absent state is indistinguishable from a
+    * compaction that is mid-flight right now. */
   private def recover(hfs: FileSystem, dir: String): Unit = {
     val manifest = s"$dir/compact-manifest"
     if (!LogFs.exists(hfs, manifest)) return
@@ -159,6 +175,25 @@ object Rollup {
       case Nil => ()
     }
     LogFs.deleteRecursive(hfs, manifest)
+  }
+
+  /** Roll-FORWARD-only recovery — safe concurrently with an in-flight
+    * compact(): acts only once the target dir exists (the rename
+    * committed), where deleting the consumed partials and manifest
+    * merely duplicates work compact() is about to do (all deletes are
+    * idempotent). A manifest without a target — crashed OR mid-flight —
+    * is left alone; the consumed partials are all still present, so
+    * [[view]] stays exact either way, and the next compact() resolves
+    * it. */
+  private def recoverForward(hfs: FileSystem, dir: String): Unit = {
+    val manifest = s"$dir/compact-manifest"
+    if (!LogFs.exists(hfs, manifest)) return
+    LogFs.readLines(hfs, manifest) match {
+      case target :: consumed if LogFs.exists(hfs, s"$dir/parts/$target") =>
+        consumed.foreach(p => LogFs.deleteRecursive(hfs, s"$dir/parts/$p"))
+        LogFs.deleteRecursive(hfs, manifest)
+      case _ => ()
+    }
   }
 
   private def listParts(hfs: FileSystem, dir: String): Seq[String] = {

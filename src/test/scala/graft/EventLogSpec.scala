@@ -219,6 +219,23 @@ class EventLogSpec extends SparkSpec {
         .map(_.getAs[Long]("sequence")).sorted.toSeq == (21L to 30L))
   }
 
+  test("retain of a fully-expired segment keeps the high-water entry (no sequence restart)") {
+    val log = freshLog()
+    log.produce("s0", "seg0", records(1, 10), 1000L)
+    log.produce("s0", "segX", records(1, 5), 1000L)
+    // cutoff far past everything: without the high-water guard this
+    // would empty both segments and the next produce would restart at 1
+    log.retain("s0", minTimestamp = 999999L)
+    val kept = log.consumeSegment("s0", "seg0").collect()
+    assert(kept.map(_.getAs[Long]("sequence")).toSeq == Seq(10L))
+    assert(log.peek("s0", "segX").get.sequence == 5L)
+    // producer continuity: the next append continues the old numbering
+    log.produce("s0", "seg0", records(11, 3), 2000L)
+    assert(
+      log.consumeSegment("s0", "seg0").collect()
+        .map(_.getAs[Long]("sequence")).sorted.toSeq == Seq(10L, 11L, 12L, 13L))
+  }
+
   test("TxnLog rejects trxIds that would make file prefixes ambiguous") {
     val log = freshLog()
     val txn = new TxnLog(log)

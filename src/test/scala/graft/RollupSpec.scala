@@ -70,17 +70,32 @@ class RollupSpec extends SparkSpec {
     (0 until 3).foreach(i => Rollup.writeBatch(entryDf(("s0", i.toLong)), i.toLong, dir))
     val want = Rollup.view(spark, dir).collect().toSeq
 
-    // crash BEFORE the commit rename: staged merge + manifest exist,
-    // target does not → recovery must roll back and keep the partials
+    // crash (or in-flight compaction) BEFORE the commit rename: staged
+    // merge + manifest exist, target does not. view must stay exact and
+    // must NOT touch the state — roll-back is compact()'s exclusive
+    // right, because this state is indistinguishable from a compaction
+    // running right now
     val hfs = graft.log.LogFs.fs(spark, dir)
     Rollup.partials(entryDf(("s0", 0L), ("s0", 1L), ("s0", 2L)))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/staging/part-c0")
     graft.log.LogFs.writeText(
       hfs, s"$dir/compact-manifest",
       Seq("part-c0", "part-b0", "part-b1", "part-b2").mkString("\n"))
-    assert(Rollup.view(spark, dir).collect().toSeq == want) // view triggers recovery
-    assert(!new java.io.File(s"$dir/staging/part-c0").exists())
+    assert(Rollup.view(spark, dir).collect().toSeq == want)
+    assert(new java.io.File(s"$dir/staging/part-c0").exists())
+    assert(new java.io.File(s"$dir/compact-manifest").exists())
+    // ... and a batch write is also safe against the same state
+    Rollup.writeBatch(entryDf(("s1", 5L)), 99L, dir)
+    assert(new java.io.File(s"$dir/compact-manifest").exists())
+    // compact() rolls the crashed attempt back, then folds cleanly
+    Rollup.compact(spark, dir)
     assert(!new java.io.File(s"$dir/compact-manifest").exists())
+    val wantPlus = want.map(_.toSeq).toSet + Seq("s1", 0L, 1L, 5L, 5L)
+    assert(Rollup.view(spark, dir).collect().map(_.toSeq).toSet == wantPlus)
+    // remove the extra batch's contribution for the roll-forward half
+    // below by rebuilding the fixture
+    graft.log.LogFs.deleteRecursive(hfs, s"$dir/parts")
+    (0 until 3).foreach(i => Rollup.writeBatch(entryDf(("s0", i.toLong)), i.toLong, dir))
 
     // crash AFTER the rename but before cleanup: target AND consumed
     // partials both present → recovery must roll forward (delete the
