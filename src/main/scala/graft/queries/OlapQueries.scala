@@ -438,6 +438,23 @@ object OlapQueries {
         round(sum("value"), 2).as("sum_value"))
       .transform(sortSmall(_, col("gid"), col("event_type"), col("day")))
 
+  /** Ratio-to-report (percent of total): each event type's share of
+    * its day's traffic. Aggregate FIRST (map-side combinable, output ∝
+    * days × types), then the total-per-day window runs over the tiny
+    * aggregate — never a window over the raw corpus. One division per
+    * output row keeps the float engine-stable. */
+  def qShare(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy("day")
+    Tables.events(s, d)
+      .select(to_date(timestamp_micros(col("ts_us"))).as("day"), col("event_type"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "share",
+        round(col("n").cast("double") / sum("n").over(byDay), 6))
+      .transform(sortSmall(_, col("day"), col("event_type")))
+  }
+
   /** Pivot event types into columns (explicit value list, so the plan —
     * and the oracle — is a fixed set of conditional aggregates). */
   def qPivot(s: SparkSession, d: String): DataFrame =
@@ -754,6 +771,7 @@ object OlapQueries {
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
+    "q_share" -> qShare _,
     "q_pivot" -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_percentiles" -> qApproxPercentiles _,
@@ -973,6 +991,13 @@ object OlapQueries {
         |FROM e
         |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
         |ORDER BY gid, event_type, day""".stripMargin,
+    "q_share" ->
+      """WITH a AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day), 6) AS share
+        |FROM a ORDER BY day, event_type""".stripMargin,
     "q_debounce" ->
       s"""WITH g AS (
          |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,

@@ -50,6 +50,29 @@ class RollupSpec extends SparkSpec {
     assert(got.head.getLong(2) == 3L) // not 5: batch 0 counted once
   }
 
+  test("end-to-end: follow a live EventLog into the rollup; view equals batch recompute") {
+    import graft.model.Record
+    val logDir = Files.createTempDirectory("graft-rollup-log").toString
+    val dir = Files.createTempDirectory("graft-rollup-view").toString
+    val log = new graft.log.EventLog(spark, logDir)
+    def recs(from: Long, n: Int) =
+      spark.createDataset((0 until n).map(i => Record(from + i, s"p${from + i}")))
+    log.produce("s0", "a", recs(1, 3), 1000L)
+    val q = Rollup.sink(
+      graft.streaming.StreamLog.follow(spark, log).select("space", "timestamp"),
+      dir, s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      log.produce("s0", "a", recs(4, 2), Day + 7L)
+      log.produce("s1", "b", recs(1, 4), Day + 9L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Rollup.view(spark, dir).orderBy("space", "day_us").collect().map(_.toSeq).toSeq
+    val want = Rollup.partials(log.load().select("space", "timestamp"))
+      .orderBy("space", "day_us").collect().map(_.toSeq).toSeq
+    assert(got == want && got.size == 3)
+  }
+
   test("compact folds partials; view identical before and after") {
     val dir = Files.createTempDirectory("graft-rollup").toString
     (0 until 4).foreach(i =>
