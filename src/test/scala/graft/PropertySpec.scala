@@ -52,6 +52,38 @@ class PropertySpec extends AnyFunSuite {
       "bpe")
   }
 
+  test("NormalizeText.compute: idempotent, canonical output, no-copy clean path") {
+    import graft.functions.expressions.NormalizeText
+    // text mixing letters, combining marks, controls, and space runs
+    val genDirty: Gen[String] = Gen
+      .listOf(Gen.frequency(
+        6 -> Gen.alphaLowerChar.map(_.toString),
+        1 -> Gen.const("\u0301"), // combining acute
+        1 -> Gen.oneOf("\t", "\n", "\u0000", "\u0007", "\u007f"),
+        2 -> Gen.const(" ")))
+      .map(_.mkString)
+    def norm(s: String): String =
+      NormalizeText.compute(UTF8String.fromString(s)).toString
+    check(
+      Prop.forAll(genDirty) { s =>
+        val n = norm(s)
+        val canonical =
+          // no leading/trailing space, no runs, no control chars left
+          !n.startsWith(" ") && !n.endsWith(" ") && !n.contains("  ") &&
+            n.forall(c => c > ' ' && c != '\u007f' || c == ' ')
+        canonical && norm(n) == n // idempotent
+      },
+      "normalize-idempotent")
+    check(
+      Prop.forAll(Gen.listOf(Gen.alphaLowerChar).map(_.mkString)) { w =>
+        // clean single-word input takes the no-copy fast path: the very
+        // same UTF8String instance comes back
+        val u = UTF8String.fromString(w)
+        NormalizeText.compute(u) eq u
+      },
+      "normalize-no-copy")
+  }
+
   test("Tokens.compute == split-and-drop-empties for arbitrary spacing") {
     check(
       Prop.forAll(genText) { s =>
