@@ -27,7 +27,7 @@ object Bench {
     "q_hll_rollup",
     "q_event_deltas", "q_retention", "q_group_stats",
     "q_json_extract", "q_funnel", "q_rollup", "q_cube", "q_grouping_sets",
-    "q_share", "q_pivot",
+    "q_share", "q_scd2", "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
     "q_rolling_count", "q_winsorize", "q_mad",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",

@@ -438,6 +438,23 @@ object OlapQueries {
         round(sum("value"), 2).as("sum_value"))
       .transform(sortSmall(_, col("gid"), col("event_type"), col("day")))
 
+  /** SCD-2 temporal view of the changelog: each user event's value is
+    * valid from its timestamp until that user's next event (open
+    * interval = still current) — the slowly-changing-dimension shape a
+    * warehouse derives from an event log, and the batch analog of
+    * as-of lookups ([[qAsofJoin]] queries a point; this materializes
+    * every interval). One lead window on one (user_id) exchange. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_us").as("valid_from_us"), col("value"))
+      .withColumn(
+        "valid_to_us",
+        lead("valid_from_us", 1).over(
+          Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("event_id")
+  }
+
   /** Ratio-to-report (percent of total): each event type's share of
     * its day's traffic. Aggregate FIRST (map-side combinable, output ∝
     * days × types), then the total-per-day window runs over the tiny
@@ -772,6 +789,7 @@ object OlapQueries {
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_share" -> qShare _,
+    "q_scd2" -> qScd2 _,
     "q_pivot" -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_percentiles" -> qApproxPercentiles _,
@@ -998,6 +1016,14 @@ object OlapQueries {
         |SELECT day, event_type, n,
         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day), 6) AS share
         |FROM a ORDER BY day, event_type""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS valid_from_us, value,
+        |         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+        |  FROM events)
+        |SELECT event_id, user_id, valid_from_us, value, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM e ORDER BY event_id""".stripMargin,
     "q_debounce" ->
       s"""WITH g AS (
          |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
