@@ -59,6 +59,22 @@ final class EventLog(val spark: SparkSession, val path: String) {
     val lastSeq = last.map(_.sequence).getOrElse(0L)
     val lastTrx = last.map(_.trxNumber).getOrElse(0L)
 
+    // one materialization feeds validation, the write, AND the status
+    // aggregate: uncached, a nondeterministic plan could validate one
+    // set of rows, persist a second, and report statuses of a third
+    val cached = records.cache()
+    try produceValidated(space, segment, cached, timestampUs, chunkSize, lastSeq, lastTrx)
+    finally cached.unpersist(false)
+  }
+
+  private def produceValidated(
+      space: String,
+      segment: String,
+      records: Dataset[Record],
+      timestampUs: Long,
+      chunkSize: Int,
+      lastSeq: Long,
+      lastTrx: Long): Seq[SegmentStatus] = {
     val stats = records
       .agg(
         count(lit(1)).as("n"),
@@ -66,9 +82,9 @@ final class EventLog(val spark: SparkSession, val path: String) {
         max("sequence").as("hi"),
         count_distinct(col("sequence")).as("nd"))
       .head()
-    val (n, lo, hi, nd) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
-    if (n == 0) return Seq.empty
+    val n = stats.getLong(0)
+    if (n == 0) return Seq.empty // before getLong on lo/hi: both null here
+    val (lo, hi, nd) = (stats.getLong(1), stats.getLong(2), stats.getLong(3))
     require(
       lo == lastSeq + 1 && hi == lastSeq + n && nd == n,
       s"sequence mismatch: expected contiguous [${lastSeq + 1}, ${lastSeq + n}], " +
@@ -111,19 +127,25 @@ final class EventLog(val spark: SparkSession, val path: String) {
       .toSeq
   }
 
-  /** One-off append at peek+1 (reference: Publish, client.go:149). */
+  /** One-off append at peek+1 (reference: Publish, client.go:149).
+    * Single peek: the sequence is derived and validated from the same
+    * lookup (produce would otherwise re-peek the segment — two full
+    * log scans for a one-row append). */
   def publish(
       space: String,
       segment: String,
       payload: String,
       timestampUs: Long,
       metadata: Map[String, String] = Map.empty): SegmentStatus = {
-    val next = peek(space, segment).map(_.sequence).getOrElse(0L) + 1
-    produce(
-      space,
-      segment,
-      spark.createDataset(Seq(Record(next, payload, metadata))),
-      timestampUs).head
+    val last = peek(space, segment)
+    val next = last.map(_.sequence).getOrElse(0L) + 1
+    val cached =
+      spark.createDataset(Seq(Record(next, payload, metadata))).cache()
+    try produceValidated(
+      space, segment, cached, timestampUs, chunkSize = 10000,
+      lastSeq = next - 1,
+      lastTrx = last.map(_.trxNumber).getOrElse(0L)).head
+    finally cached.unpersist(false)
   }
 
   /** Last entry of a segment (reference: Peek, pebble/service.go:224). */
@@ -187,6 +209,13 @@ final class EventLog(val spark: SparkSession, val path: String) {
     * are ignored by Spark's file listing) — readers that must never
     * double-read should snapshot before compaction, or the log should
     * live on a store with atomic multi-file commit.
+    *
+    * Operational ordering: repair any partially-published transaction
+    * (`TxnLog.abort(trxId)`) BEFORE compacting or retention-sweeping
+    * the space — the rewrite folds `trx-<id>.`-prefixed files into
+    * `compacted-*` files, after which the abort sweep can no longer
+    * identify that transaction's rows (QuorumLog's inconsistency error
+    * names the replicas needing repair).
     * Returns the resulting file count (0 if the space does not exist). */
   def compact(space: String, targetFileBytes: Long = 128L * 1024 * 1024): Int =
     rewriteSpace(space, identity, targetFileBytes)
@@ -220,12 +249,20 @@ final class EventLog(val spark: SparkSession, val path: String) {
       },
       targetFileBytes)
 
+  /** Partition dir name as Spark's `partitionBy` writes it: partition
+    * VALUES are escaped (`/`, `=`, `%`, `:`, …), so a raw
+    * `space=$space` interpolation would silently miss — and never
+    * compact or retention-sweep — any space whose name needs escaping. */
+  private def spacePartDir(space: String): String =
+    "space=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(space)
+
   private def rewriteSpace(
       space: String,
       transform: DataFrame => DataFrame,
       targetFileBytes: Long): Int = {
     recoverCompaction(space)
-    val partPath = s"$dataDir/space=$space"
+    val partPath = s"$dataDir/${spacePartDir(space)}"
     if (!LogFs.exists(hfs, partPath)) return 0
     val bytes = LogFs.totalBytes(hfs, partPath)
     val in = spark.read.parquet(partPath)
@@ -233,15 +270,16 @@ final class EventLog(val spark: SparkSession, val path: String) {
     // size the output from the POST-transform data: a retention pass
     // that drops most of the space must not shatter the survivors into
     // pre-transform-many tiny files (row-count ratio × bytes is a fair
-    // size proxy; both counts are cheap next to the rewrite)
+    // size proxy; both counts are cheap next to the rewrite). Ratio in
+    // floating point: bytes × rows would overflow Long at TB scale.
     val keptBytes = {
       val total = in.count()
       if (total == 0L) 0L
-      else (bytes * transformed.count()) / total
+      else (bytes * (transformed.count().toDouble / total)).toLong
     }
     val nFiles =
       math.max(1L, (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val staging = s"$path/compacting-$space"
+    val staging = s"$path/compacting-${spacePartDir(space).stripPrefix("space=")}"
     transformed
       .repartition(nFiles)
       .write
@@ -281,7 +319,7 @@ final class EventLog(val spark: SparkSession, val path: String) {
     * restart for every known space; NOT safe concurrently with an
     * in-flight compact() of the same space (single-writer rule). */
   def recoverCompaction(space: String): Unit = {
-    val partPath = s"$dataDir/space=$space"
+    val partPath = s"$dataDir/${spacePartDir(space)}"
     val mf = manifestPath(partPath)
     if (!LogFs.exists(hfs, mf)) {
       // a marker without a manifest = compaction fully applied, crash

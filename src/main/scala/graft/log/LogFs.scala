@@ -65,10 +65,16 @@ private[graft] object LogFs {
     fs.create(path, true).close()
   }
 
-  /** Atomic text write: write to a `.tmp` sibling, then rename into
-    * place — a crash mid-write never leaves a truncated file at `p`
-    * (recovery protocols read these files and act on their contents,
-    * so a partial manifest must be impossible to observe). */
+  /** Torn-write-safe text write: write to a `.tmp` sibling, then rename
+    * into place — a crash mid-write never leaves a truncated file at
+    * `p` (recovery protocols read these files and act on their
+    * contents, so a partial manifest must be impossible to observe).
+    * NOT an atomic replace: overwriting an existing `p` deletes it
+    * first (plain HDFS rename won't clobber), so a crash between the
+    * delete and the rename leaves NO file — every current caller
+    * writes fresh control files whose absence reads as "no operation
+    * in progress", the safe direction. A caller that needs
+    * replace-atomicity must use FileContext rename with OVERWRITE. */
   def writeText(fs: FileSystem, p: String, text: String): Unit = {
     val target = new Path(p)
     val tmp = new Path(p + ".tmp")

@@ -45,8 +45,27 @@ final class QuorumLog(val participants: Seq[EventLog]) {
 
   /** Two-phase replicated produce. Returns the number of replicas the
     * transaction committed on (≥ [[majority]]); throws — after rolling
-    * back every staged copy — if the write quorum is not reached. */
+    * back every staged copy — if the write quorum is not reached, and
+    * throws — after aborting the under-replicated commits — if the
+    * COMMIT quorum is not reached either (the reference gathers
+    * majority ACKs on both phases, supervisor.go:159-221). */
   def produce(
+      trxId: String,
+      space: String,
+      segment: String,
+      records: Dataset[Record],
+      timestampUs: Long,
+      trxNumber: Long): Int = {
+    // one materialization fans out to every replica: an uncached
+    // nondeterministic plan could stage DIFFERENT payloads under the
+    // same sequences on different replicas — a divergence high-water
+    // anti-entropy can never detect (and N× the compute)
+    val cached = records.cache()
+    try produceCached(trxId, space, segment, cached, timestampUs, trxNumber)
+    finally cached.unpersist(false)
+  }
+
+  private def produceCached(
       trxId: String,
       space: String,
       segment: String,
@@ -87,8 +106,9 @@ final class QuorumLog(val participants: Seq[EventLog]) {
     // forever): abort() purges both the staged remainder and any
     // already-published trx files, restoring the replica's
     // pre-transaction state — the committed data reaches it later
-    // through [[reconcile]], the same path a down replica takes. Commit
-    // on ≥1 replica is guaranteed or this throws.
+    // through [[reconcile]], the same path a down replica takes. The
+    // commit phase needs ≥ majority successes or the whole produce is
+    // rolled back and fails (checked below).
     var inconsistent = List.empty[(Int, Throwable)]
     val committed = txns.zipWithIndex.zip(acks).map {
       case ((t, i), true) =>
@@ -112,14 +132,39 @@ final class QuorumLog(val participants: Seq[EventLog]) {
       val ex = new IllegalStateException(
         s"commit of $trxId failed AND abort failed on replica(s) " +
           s"${inconsistent.map(_._1).sorted.mkString(",")} — possible partial " +
-          s"publish; repair with TxnLog.abort('$trxId') on those replicas, " +
-          s"then reconcile() (committed on $c of ${participants.size})")
+          s"publish; repair with TxnLog.abort('$trxId') on those replicas " +
+          s"BEFORE any compact()/retain() there (compaction folds away the " +
+          s"trx file prefix the sweep needs), then reconcile() " +
+          s"(committed on $c of ${participants.size})")
       inconsistent.foreach { case (_, e) => ex.addSuppressed(e) }
       throw ex
     }
-    if (c == 0)
+    if (c < majority) {
+      // the COMMIT quorum failed too: a transaction durable on fewer
+      // than majority replicas could be lost wholesale before
+      // reconcile() runs, so "success" here would be a lie. Restore
+      // the pre-transaction state on the replicas that did commit
+      // (abort purges the published trx files) and fail the produce.
+      var unAborted = List.empty[(Int, Throwable)]
+      txns.zipWithIndex.zip(committed).foreach {
+        case ((t, i), true) =>
+          try t.abort(trxId)
+          catch { case scala.util.control.NonFatal(e) => unAborted ::= (i, e) }
+        case _ => ()
+      }
+      if (unAborted.nonEmpty) {
+        val ex = new IllegalStateException(
+          s"commit quorum not reached for $trxId ($c of ${participants.size}, " +
+            s"need $majority) AND abort failed on replica(s) " +
+            s"${unAborted.map(_._1).sorted.mkString(",")} — repair with " +
+            s"TxnLog.abort('$trxId') there, then reconcile()")
+        unAborted.foreach { case (_, e) => ex.addSuppressed(e) }
+        throw ex
+      }
       throw new IllegalStateException(
-        s"commit failed on every acked replica for $trxId")
+        s"commit quorum not reached: $c of ${participants.size} committed, " +
+          s"need $majority — transaction rolled back everywhere")
+    }
     c
   }
 

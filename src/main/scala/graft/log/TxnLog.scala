@@ -75,10 +75,13 @@ final class TxnLog(val log: EventLog) {
         max("sequence").as("hi"),
         count_distinct(col("sequence")).as("nd"))
       .head()
-    val (n, lo, hi, nd) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    val n = stats.getLong(0)
+    // before reading lo/hi: min/max over zero rows are null, and the
+    // designed diagnostic beats a NullPointerException
+    require(n > 0, s"empty batch staging trx $trxId")
+    val (lo, hi, nd) = (stats.getLong(1), stats.getLong(2), stats.getLong(3))
     require(
-      n > 0 && lo == lastSeq + 1 && hi == lastSeq + n && nd == n,
+      lo == lastSeq + 1 && hi == lastSeq + n && nd == n,
       s"sequence mismatch staging trx $trxId")
     records
       .select(

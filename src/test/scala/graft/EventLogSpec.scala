@@ -236,6 +236,29 @@ class EventLogSpec extends SparkSpec {
         .map(_.getAs[Long]("sequence")).sorted.toSeq == Seq(10L, 11L, 12L, 13L))
   }
 
+  test("empty produce batch is a no-op, not an NPE; empty txn write diagnoses") {
+    import spark.implicits._
+    val log = freshLog()
+    val empty = spark.emptyDataset[graft.model.Record]
+    assert(log.produce("s0", "seg0", empty, 1000L).isEmpty)
+    val txn = new TxnLog(log)
+    val e = intercept[IllegalArgumentException](
+      txn.write("t1", "s0", "seg0", empty, 1000L, 1L))
+    assert(e.getMessage.contains("empty batch"))
+  }
+
+  test("compaction and retention find spaces whose names need path escaping") {
+    val log = freshLog()
+    // '/' and '=' are escaped by partitionBy; raw interpolation would
+    // look up a nonexistent dir and silently no-op
+    log.produce("logs/2026=a", "seg0", records(1, 10), 1000L)
+    log.produce("logs/2026=a", "seg0", records(11, 10), 2000L)
+    assert(log.compact("logs/2026=a") == 1)
+    assert(log.consumeSegment("logs/2026=a", "seg0").count() == 20)
+    log.retain("logs/2026=a", minTimestamp = 2000L)
+    assert(log.consumeSegment("logs/2026=a", "seg0").count() == 10)
+  }
+
   test("TxnLog rejects trxIds that would make file prefixes ambiguous") {
     val log = freshLog()
     val txn = new TxnLog(log)
