@@ -80,13 +80,24 @@ object Multimodal {
     }
 
     /** Digest of the decoded pixels (dimensions + ARGB raster), so two
-      * encodings of the same image agree. */
+      * encodings of the same image agree. Streams the raster through
+      * the digest one ROW at a time: a single `8 + w*h*4` buffer would
+      * overflow Int (and allocate gigabytes) on very large scans —
+      * exactly the assets a metadata pass most needs to survive. */
     private def digestPixels(img: java.awt.image.BufferedImage): String = {
       val (w, h) = (img.getWidth, img.getHeight)
-      val bb = java.nio.ByteBuffer.allocate(8 + w * h * 4)
-      bb.putInt(w).putInt(h)
-      img.getRGB(0, 0, w, h, null, 0, w).foreach(bb.putInt)
-      digest(bb.array())
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val head = java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
+      md.update(head.array())
+      val rowBuf = java.nio.ByteBuffer.allocate(w * 4)
+      var y = 0
+      while (y < h) {
+        rowBuf.clear()
+        img.getRGB(0, y, w, 1, null, 0, w).foreach(rowBuf.putInt)
+        md.update(rowBuf.array())
+        y += 1
+      }
+      md.digest().map("%02x".format(_)).mkString
     }
 
     def decodeImage(a: Asset): ImageFeatures = {
@@ -106,17 +117,22 @@ object Multimodal {
     def sampleFrames(a: Asset, everyN: Int): Iterator[Frame] = {
       val iis = javax.imageio.ImageIO
         .createImageInputStream(new ByteArrayInputStream(a.content))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, s"asset ${a.asset_id}: no image reader for payload")
-      val reader = readers.next()
+      // enter the try BEFORE any validation: an undecodable payload
+      // must not leak the stream (and its ImageIO disk-cache temp
+      // file) — the documented dead-letter pattern catches and keeps
+      // going, so a leak per bad asset compounds at pipeline scale
+      var reader: javax.imageio.ImageReader = null
       try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"asset ${a.asset_id}: no image reader for payload")
+        reader = readers.next()
         reader.setInput(iis)
         val n = reader.getNumImages(true)
         (0 until n by math.max(everyN, 1))
           .map(i => Frame(a.asset_id, i, digestPixels(reader.read(i))))
           .iterator
       } finally {
-        reader.dispose()
+        if (reader != null) reader.dispose()
         iis.close()
       }
     }

@@ -213,13 +213,23 @@ object EventOps {
   /** Produce-side sequence-contiguity audit (the reference rejects any
     * record whose sequence != last+1, pebble/service.go:349): per segment,
     * count the positions where a candidate sequence column breaks
-    * contiguity under the segment's arrival order. */
+    * contiguity under the segment's arrival order. `expectFirst` audits
+    * the segment's FIRST record too (the reference's rule for an empty
+    * segment is first == 1; the streaming twin `sequenceMonitor` always
+    * enforces it from its stored state) — it is opt-in because this
+    * batch audit also runs against candidate columns with no start
+    * contract (q_produce_validate audits event_id gaps). */
   def sequenceViolations(
       events: DataFrame,
-      candidateSeq: Column): DataFrame = {
+      candidateSeq: Column,
+      expectFirst: Option[Long] = None): DataFrame = {
     val w = Window
       .partitionBy(col("event_type"), col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
+    val firstViolation = expectFirst match {
+      case Some(f) => col("prev").isNull && col("cand") =!= f
+      case None    => lit(false)
+    }
     events
       .withColumn("cand", candidateSeq.cast("long"))
       .withColumn("prev", lag(col("cand"), 1).over(w))
@@ -227,8 +237,10 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_records"),
         sum(
-          when(col("prev").isNotNull && col("cand") =!= col("prev") + 1, 1L)
-            .otherwise(0L)).as("violations"))
+          when(
+            (col("prev").isNotNull && col("cand") =!= col("prev") + 1) ||
+              firstViolation,
+            1L).otherwise(0L)).as("violations"))
       .transform(sortSmall(_, col("space"), col("segment")))
   }
 
@@ -243,7 +255,8 @@ object EventOps {
   /** Chunk each segment into fixed-size transactions and emit one
     * SegmentStatus per chunk — the reference's 10k-entry produce chunking
     * (pebble/service.go:307). */
-  def trxChunks(log: DataFrame, chunkSize: Int): DataFrame =
+  def trxChunks(log: DataFrame, chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
     log
       .withColumn(
         "trx_number",
@@ -255,4 +268,5 @@ object EventOps {
         max("sequence").as("last_sequence"),
         max("timestamp").as("last_timestamp"))
       .transform(sortSmall(_, col("space"), col("segment"), col("trx_number")))
+  }
 }

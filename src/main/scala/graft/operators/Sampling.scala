@@ -58,9 +58,13 @@ object Sampling {
       idCol: String,
       n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
+    // NULL ids hash to NULL and would sort NULLS FIRST into the top
+    // ranks nondeterministically (the tiebreaker is NULL too) — the
+    // same coalesce hashBucket applies keeps the draw deterministic
+    val hid = coalesce(col(idCol).cast("string"), lit(""))
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(Hashing.md5Long(col(idCol).cast("string")), col(idCol))
+      .orderBy(Hashing.md5Long(hid), hid)
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }

@@ -68,8 +68,10 @@ object Skew {
 
   /** `groupBy(keys).agg(count_distinct(value))` without a hot-group
     * state: phase 1 distincts (keys, value) pairs — partials shrink the
-    * duplicates map-side — phase 2 counts per key. Identical result,
-    * skew spread over the (keys, value) space. */
+    * duplicates map-side — phase 2 counts per key. Identical result
+    * (`count(value)` in phase 2, because `count_distinct` ignores NULL
+    * values and the distinct pass keeps one (keys, NULL) row), skew
+    * spread over the (keys, value) space. */
   def countDistinct(
       df: DataFrame,
       keys: Seq[String],
@@ -79,6 +81,6 @@ object Skew {
     df.select((keyCols :+ col(value)): _*)
       .distinct()
       .groupBy(keyCols: _*)
-      .agg(count(lit(1)).as(resultName))
+      .agg(count(col(value)).as(resultName))
   }
 }

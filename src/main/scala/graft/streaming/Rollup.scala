@@ -110,8 +110,7 @@ object Rollup {
     * statistic is mergeable). */
   def view(spark: SparkSession, dir: String): DataFrame = {
     val hfs = LogFs.fs(spark, dir)
-    recoverForward(hfs, dir)
-    val partDirs = listParts(hfs, dir)
+    val partDirs = resolveParts(hfs, dir)
     if (partDirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], partialSchema)
@@ -177,23 +176,49 @@ object Rollup {
     LogFs.deleteRecursive(hfs, manifest)
   }
 
-  /** Roll-FORWARD-only recovery — safe concurrently with an in-flight
-    * compact(): acts only once the target dir exists (the rename
-    * committed), where deleting the consumed partials and manifest
-    * merely duplicates work compact() is about to do (all deletes are
-    * idempotent). A manifest without a target — crashed OR mid-flight —
-    * is left alone; the consumed partials are all still present, so
-    * [[view]] stays exact either way, and the next compact() resolves
-    * it. */
-  private def recoverForward(hfs: FileSystem, dir: String): Unit = {
-    val manifest = s"$dir/compact-manifest"
-    if (!LogFs.exists(hfs, manifest)) return
-    LogFs.readLines(hfs, manifest) match {
-      case target :: consumed if LogFs.exists(hfs, s"$dir/parts/$target") =>
-        consumed.foreach(p => LogFs.deleteRecursive(hfs, s"$dir/parts/$p"))
-        LogFs.deleteRecursive(hfs, manifest)
-      case _ => ()
+  /** Read-side part resolution — [[view]] NEVER mutates (every delete
+    * belongs to [[compact]], the single maintenance writer), it only
+    * decides which part dirs constitute one exact copy of the data:
+    *   - manifest with its target present (committed, cleanup maybe
+    *     pending or mid-flight): the target IS the merge of the
+    *     consumed dirs → read the target, exclude the consumed;
+    *   - manifest without its target (crashed before the rename, or a
+    *     compaction mid-flight right now): the consumed dirs are the
+    *     live data → read them, exclude the target name (it could
+    *     appear between this decision and the listing);
+    *   - manifest unreadable/vanished mid-read (compact() just
+    *     finished): its consumed dirs are already deleted → plain
+    *     listing is exact.
+    * Every branch yields exactly-once coverage under any interleaving
+    * with one concurrent compact(). */
+  private def resolveParts(hfs: FileSystem, dir: String): Seq[String] = {
+    def readManifest(): List[String] =
+      try {
+        val m = s"$dir/compact-manifest"
+        if (LogFs.exists(hfs, m)) LogFs.readLines(hfs, m) else Nil
+      } catch { case scala.util.control.NonFatal(_) => Nil } // vanished mid-read
+    // stability loop: a compact cycle RUNNING between these reads
+    // perturbs the manifest or the listing (its deletes precede the
+    // manifest delete, and its rename changes the listing), so an
+    // unchanged (manifest, listing) snapshot is consistent — decide on
+    // it; otherwise re-read (bounded: cleanup windows are short)
+    var attempt = 0
+    while (true) {
+      val m1 = readManifest()
+      val l1 = listParts(hfs, dir)
+      val l2 = listParts(hfs, dir)
+      val m2 = readManifest()
+      if ((m1 == m2 && l1 == l2) || attempt >= 5) {
+        return m1 match {
+          case target :: consumed =>
+            if (l1.contains(target)) l1.filterNot(consumed.toSet)
+            else l1.filterNot(_ == target)
+          case Nil => l1
+        }
+      }
+      attempt += 1
     }
+    Nil // unreachable
   }
 
   private def listParts(hfs: FileSystem, dir: String): Seq[String] = {

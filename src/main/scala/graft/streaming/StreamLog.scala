@@ -144,8 +144,13 @@ object StreamLog {
           rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (ts, v) =>
             val stddev =
               if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
-            if (st.n >= AnomalyWarmup && stddev > 0 &&
-              math.abs(v - st.mean) > k * stddev)
+            // stddev == 0 is a perfectly constant signal — ANY
+            // departure from it is the clearest anomaly there is, not
+            // a reason to stand down
+            val flagged =
+              if (stddev > 0) math.abs(v - st.mean) > k * stddev
+              else v != st.mean
+            if (st.n >= AnomalyWarmup && flagged)
               out += Anomaly(space, ts, v, st.mean, stddev, st.n)
             val n1 = st.n + 1
             val d = v - st.mean
@@ -357,7 +362,15 @@ object StreamLog {
     * space-partitioned log directory — the reference's
     * SubscribeToSpace/Segment push model re-expressed as a readStream;
     * feed it into [[segmentStatuses]] for the notification feed, or
-    * filter by space/segment for a scoped subscription). */
+    * filter by space/segment for a scoped subscription).
+    *
+    * File-tailing caveat: `EventLog.compact`/`retain` REWRITE a
+    * space's files, which a file source sees as brand-new input — a
+    * live follower would re-receive the whole space (and can hit a
+    * deleted original mid-trigger). Run lifecycle rewrites on spaces
+    * no follower is tailing (pause/restart the follower around them),
+    * or give downstream consumers a content-keyed dedup
+    * ([[dedupStream]]) if rewrites under a live tail are required. */
   def follow(spark: SparkSession, log: EventLog): DataFrame = {
     import org.apache.spark.sql.Encoders
     val dataDir = s"${log.path}/data"
@@ -374,17 +387,29 @@ object StreamLog {
     * foreachBatch is at-least-once — after a failure Structured
     * Streaming replays the last micro-batch — so the write is made
     * idempotent on `batchId`: each batch is staged, published under
-    * deterministic `batch-<id>-` file names, and sealed with a marker in
-    * `log.path/stream-commits/`. A replayed batch whose marker exists is
-    * skipped outright; a replay of a half-published batch first deletes
-    * that batch's partial files (recognizable by prefix) and publishes
-    * cleanly. Net effect: each micro-batch lands in the log exactly
-    * once, preserving the per-segment contiguous-sequence invariant
-    * produce/peek rely on. */
+    * deterministic `<sinkId>-batch-<id>-` file names, and sealed with a
+    * marker in `log.path/stream-commits/`. A replayed batch whose marker
+    * exists is skipped outright; a replay of a half-published batch
+    * first deletes that batch's partial files (recognizable by prefix)
+    * and publishes cleanly. Net effect: each micro-batch lands in the
+    * log exactly once, preserving the per-segment contiguous-sequence
+    * invariant produce/peek rely on.
+    *
+    * `sinkId` namespaces the idempotence state: batchIds restart at 0
+    * for every new checkpoint, so WITHOUT a distinct sinkId a second
+    * pipeline pointed at the same log would see the first pipeline's
+    * markers and silently discard its own early batches as "replays".
+    * Contract: a restart of the same logical pipeline reuses the same
+    * (sinkId, checkpoint) pair; a NEW pipeline gets a new sinkId. */
   def appendSink(
       entries: DataFrame,
       log: EventLog,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      sinkId: String = "sink0"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(
+      sinkId.nonEmpty && sinkId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"sinkId must be [A-Za-z0-9_-]+: '$sinkId'")
     entries.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -393,8 +418,8 @@ object StreamLog {
         import org.apache.hadoop.fs.{Path => HPath}
         val hfs = log.hfs
         val dataDir = s"${log.path}/data"
-        val marker = s"${log.path}/stream-commits/batch-$batchId.done"
-        val staging = s"${log.path}/stream-staging/batch-$batchId"
+        val marker = s"${log.path}/stream-commits/$sinkId-batch-$batchId.done"
+        val staging = s"${log.path}/stream-staging/$sinkId-batch-$batchId"
         if (LogFs.exists(hfs, marker)) {
           // replayed committed batch: nothing to publish — but a crash
           // between marker-touch and staging-cleanup leaves the staging
@@ -410,7 +435,7 @@ object StreamLog {
           if (LogFs.exists(hfs, staging) && LogFs.exists(hfs, dataDir))
             LogFs
               .walkParquet(hfs, dataDir)
-              .filter(_.getName.startsWith(s"batch-$batchId-"))
+              .filter(_.getName.startsWith(s"$sinkId-batch-$batchId-"))
               .foreach(p => LogFs.deleteFile(hfs, p))
           batch.write
             .mode("overwrite")
@@ -422,16 +447,17 @@ object StreamLog {
               p.getParent.toString.stripPrefix(stagedBase).stripPrefix("/")
             val target = if (rel.isEmpty) dataDir else s"$dataDir/$rel"
             LogFs.move(
-              hfs, p, new HPath(target, s"batch-$batchId-${p.getName}"))
+              hfs, p, new HPath(target, s"$sinkId-batch-$batchId-${p.getName}"))
           }
           LogFs.touch(hfs, marker)
           LogFs.deleteRecursive(hfs, staging)
-          // marker GC: replay only ever concerns batches the streaming
-          // checkpoint has not committed past, which trails by at most
-          // one — a deep horizon keeps the dir bounded without racing it
+          // marker GC (own sinkId only): replay only ever concerns
+          // batches the streaming checkpoint has not committed past,
+          // which trails by at most one — a deep horizon keeps the dir
+          // bounded without racing it
           val horizon = batchId - 128
           if (horizon >= 0 && LogFs.exists(hfs, s"${log.path}/stream-commits")) {
-            val Done = raw"batch-(\d+)\.done".r
+            val Done = (raw"\Q$sinkId\E-batch-(\d+)\.done").r
             hfs
               .listStatus(new HPath(s"${log.path}/stream-commits"))
               .foreach(st =>
@@ -444,4 +470,5 @@ object StreamLog {
         }
       }
       .start()
+  }
 }

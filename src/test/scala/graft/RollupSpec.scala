@@ -121,15 +121,19 @@ class RollupSpec extends SparkSpec {
     (0 until 3).foreach(i => Rollup.writeBatch(entryDf(("s0", i.toLong)), i.toLong, dir))
 
     // crash AFTER the rename but before cleanup: target AND consumed
-    // partials both present → recovery must roll forward (delete the
-    // consumed partials), not double-count
+    // partials both present. view must read the target and EXCLUDE the
+    // consumed partials (no double count) — but, being a reader, it
+    // deletes nothing; the next compact() rolls the crash forward
     Rollup.partials(entryDf(("s0", 0L), ("s0", 1L), ("s0", 2L)))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/parts/part-c0")
     graft.log.LogFs.writeText(
       hfs, s"$dir/compact-manifest",
       Seq("part-c0", "part-b0", "part-b1", "part-b2").mkString("\n"))
     assert(Rollup.view(spark, dir).collect().toSeq == want)
+    assert(new java.io.File(s"$dir/parts/part-b0").exists()) // reader left state alone
+    Rollup.compact(spark, dir) // maintenance writer finishes the cleanup
     val parts = new java.io.File(s"$dir/parts").list().filter(_.startsWith("part-"))
     assert(parts.toSeq == Seq("part-c0"))
+    assert(Rollup.view(spark, dir).collect().toSeq == want)
   }
 }

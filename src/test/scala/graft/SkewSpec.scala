@@ -131,4 +131,16 @@ class SkewSpec extends SparkSpec {
     val actual = Skew.countDistinct(df, Seq("g"), "v")
     assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
   }
+
+  test("two-phase countDistinct ignores NULL values like count_distinct") {
+    // distinct() keeps a (g, NULL) pair; phase 2 must not count it
+    val df = spark
+      .range(0, 100)
+      .select(
+        (col("id") % 2).as("g"),
+        when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 5).as("v"))
+    val expected = df.groupBy("g").agg(count_distinct(col("v")).as("n_distinct"))
+    val actual = Skew.countDistinct(df, Seq("g"), "v")
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
+  }
 }

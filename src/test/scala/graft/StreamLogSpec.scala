@@ -317,6 +317,30 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyMonitor flags a jump from a perfectly constant signal (stddev 0)") {
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamLog
+      .anomalyMonitor(mem.toDS(), k = 4.0)
+      .writeStream
+      .format("memory")
+      .queryName("anomalies_const")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData((1 to 20).map(i => ("disk", i.toLong, 5.0)): _*)
+      q.processAllAvailable()
+      // stddev is exactly 0 — a departure from a constant signal is the
+      // clearest anomaly there is, not a reason to stand down
+      mem.addData(("disk", 21L, 1000.0), ("disk", 22L, 5.0))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT timestamp, value, stddev FROM anomalies_const")
+        .collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 21L && rows.head.getDouble(2) == 0.0)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters merge sketch state across micro-batches") {
     // graft_topk's TypedImperativeAggregate buffer lives in the state
     // store between micro-batches (complete mode); with capacity
