@@ -45,7 +45,8 @@ object Clustering {
   /** Cosine of `vec`/`nrmCol` against a centroid baked as a literal —
     * stays inside whole-stage codegen ([[VectorFns.dot]]). */
   private def centSim(vec: Column, nrm: Column, c: Centroid): Column =
-    VectorFns.dot(vec, typedLit(c.v.toSeq)) / (nrm * lit(c.nrm))
+    VectorFns.dot(vec, typedLit(c.v.toSeq)) /
+      VectorFns.safeDen(nrm, lit(c.nrm))
 
   /** Project `(id, cluster, sim)` — argmax-cosine assignment against the
     * current centroids. Sims are materialized once in their own

@@ -322,6 +322,11 @@ object Dedup {
         bandedSignatures(shCorpus, id, numHashes, bands)
           .withColumnRenamed(id, "dup_of"),
         Seq("band_id", "band_hash"))
+      // a batch doc whose id ALREADY EXISTS in the corpus (re-crawl of
+      // a known page) would trivially band-match itself and come back
+      // as "duplicate of itself, jaccard 1.0" — the same self-pair
+      // guard every self-join variant applies via a_id < b_id
+      .filter(col("new_id") =!= col("dup_of"))
       .select("new_id", "dup_of")
       .distinct()
       .localCheckpoint()
@@ -507,7 +512,8 @@ object Dedup {
       .withColumn(
         "cos",
         round(
-          VectorFns.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")),
+          VectorFns.dot(col("a_v"), col("b_v")) /
+            VectorFns.safeDen(col("a_nrm"), col("b_nrm")),
           6))
       .filter(col("cos") >= threshold)
       .select(("a_id" +: "b_id" +: extra :+ "cos").map(col): _*)

@@ -95,11 +95,20 @@ object TextFns {
       .otherwise(markerCount(toks, all).cast("double") / size(toks))
   }
 
-  /** Fraction of non-alphanumeric, non-space characters. */
+  /** Characters counted as "punctuation": anything that is not a
+    * Unicode letter, digit, or space. The Unicode classes matter: the
+    * ASCII-only `[^A-Za-z0-9 ]` would count every accented or CJK
+    * LETTER as punctuation, so the quality model (punct weight −6.0)
+    * would silently filter exactly the non-English documents langId
+    * supports. `\p{L}\p{N}` parse identically in Java regex and
+    * DuckDB's RE2 — shared with the SQL oracles. */
+  val PunctClass = "[^\\p{L}\\p{N} ]"
+
+  /** Fraction of punctuation characters (see [[PunctClass]]). */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))
       .otherwise(
-        (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+        (length(text) - length(regexp_replace(text, PunctClass, "")))
           .cast("double") / length(text))
 
   /** Distinct-token / total-token ratio (1.0 = no repetition). */

@@ -39,28 +39,33 @@ object TextScrub {
   val PhoneToken = "[PHONE]"
   val NumberToken = "[NUMBER]"
 
-  /** Redact all PII patterns from a text column (see class doc for why
-    * replacement order is significant). Idempotent: the placeholder
-    * tokens contain no scrubbable characters. */
-  def scrub(text: Column): Column = {
+  /** The redaction pipeline's intermediate stages, in precedence order:
+    * `stages(i)` is the text with the first i categories redacted —
+    * ONE definition of the order-sensitive chain, so the scrub and the
+    * audit can never drift apart. */
+  private def stages(text: Column): Seq[Column] = {
     val noEmail = regexp_replace(text, EmailPattern, EmailToken)
     val noIp = regexp_replace(noEmail, Ipv4Pattern, IpToken)
     val noPhone = regexp_replace(noIp, PhonePattern, PhoneToken)
-    regexp_replace(noPhone, LongDigitPattern, NumberToken)
+    val clean = regexp_replace(noPhone, LongDigitPattern, NumberToken)
+    Seq(text, noEmail, noIp, noPhone, clean)
   }
+
+  /** Redact all PII patterns from a text column (see class doc for why
+    * replacement order is significant). Idempotent: the placeholder
+    * tokens contain no scrubbable characters. */
+  def scrub(text: Column): Column = stages(text).last
 
   /** Per-category PII hit counts `(n_emails, n_ips, n_phones, n_digit_runs)`
     * — the audit/reporting side of the scrub, applied with the same
     * precedence (each count is taken on the text with the
     * higher-precedence categories already redacted). */
   def piiCounts(text: Column): Seq[Column] = {
-    val noEmail = regexp_replace(text, EmailPattern, EmailToken)
-    val noIp = regexp_replace(noEmail, Ipv4Pattern, IpToken)
-    val noPhone = regexp_replace(noIp, PhonePattern, PhoneToken)
+    val st = stages(text)
     Seq(
-      regexp_count(text, lit(EmailPattern)).as("n_emails"),
-      regexp_count(noEmail, lit(Ipv4Pattern)).as("n_ips"),
-      regexp_count(noIp, lit(PhonePattern)).as("n_phones"),
-      regexp_count(noPhone, lit(LongDigitPattern)).as("n_digit_runs"))
+      regexp_count(st(0), lit(EmailPattern)).as("n_emails"),
+      regexp_count(st(1), lit(Ipv4Pattern)).as("n_ips"),
+      regexp_count(st(2), lit(PhonePattern)).as("n_phones"),
+      regexp_count(st(3), lit(LongDigitPattern)).as("n_digit_runs"))
   }
 }

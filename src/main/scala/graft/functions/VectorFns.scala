@@ -26,7 +26,17 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine denominator with a zero floor: a zero-norm vector has dot 0
+    * against everything, so the floor maps its cosine to exactly 0.0
+    * ("no direction" ≈ orthogonal) instead of 0/0 = NaN — which Spark
+    * sorts as the LARGEST double, silently crowning zero vectors rank-1
+    * in every cosine ordering (and poisoning a k-means argmax CASE
+    * chain, where NaN === NaN matches). Identity for every non-zero
+    * product. SQL mirror: `greatest(x * y, 1e-300)`. */
+  def safeDen(a: Column, b: Column): Column = greatest(a * b, lit(1e-300))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / safeDen(norm(a), norm(b))
 
   /** JVM twin of [[Hashing.md5Long]] for driver-side constants. */
   private def md5Long(s: String): Long = {

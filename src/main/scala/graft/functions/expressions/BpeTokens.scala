@@ -82,11 +82,24 @@ object BpeTokens {
   }
 
   /** Encode one word: repeatedly merge every (left-to-right,
-    * non-overlapping) occurrence of the lowest-ranked adjacent pair. */
+    * non-overlapping) occurrence of the lowest-ranked adjacent pair.
+    * Initial symbols are CODE POINTS, not UTF-16 units: a char-level
+    * split would cut an emoji / supplementary-plane character into two
+    * lone surrogates, which UTF8String renders as U+FFFD — corrupted
+    * tokens and counts ([[graft.functions.BpeTrainer]] splits by code
+    * point too, so encoder and trainer agree on any corpus). */
   private def encodeWord(word: String, out: java.util.ArrayList[Any]): Unit = {
-    var syms = new Array[String](word.length)
+    val nCp = word.codePointCount(0, word.length)
+    var syms = new Array[String](nCp)
     var i = 0
-    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var off = 0
+    while (off < word.length) {
+      val cp = word.codePointAt(off)
+      val n = Character.charCount(cp)
+      syms(i) = word.substring(off, off + n)
+      off += n
+      i += 1
+    }
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue

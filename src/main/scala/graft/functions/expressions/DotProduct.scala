@@ -40,7 +40,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    DotProduct.checkLengths(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -60,8 +61,9 @@ case class DotProduct(left: Expression, right: Expression)
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         s"""
-           |int $n = $a.numElements() < $b.numElements()
-           |  ? $a.numElements() : $b.numElements();
+           |graft.functions.expressions.DotProduct.checkLengths(
+           |  $a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
            |${ev.value} = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
@@ -78,11 +80,27 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
 
+  /** A dimension mismatch must throw, not silently truncate to the
+    * shorter vector: a ragged embedding (bad upstream parse, wrong
+    * `dim` parameter) would otherwise produce quietly wrong cosines,
+    * buckets, and codes everywhere downstream. (Null ELEMENTS are
+    * still read as 0.0 — ArrayData.getDouble's contract — which only
+    * well-formed float arrays avoid by construction.) */
+  def checkLengths(a: Int, b: Int): Unit =
+    if (a != b)
+      throw new IllegalArgumentException(
+        s"graft_dot: vector length mismatch ($a vs $b)")
+
   /** Register `graft_dot(array<double>, array<double>) -> double` in the
-    * session's function registry so queries can call it via `expr`. */
-  def register(spark: SparkSession): Unit =
+    * session's function registry so queries can call it via `expr`.
+    * Once per session — re-registering logs a "replaced" warning per
+    * query. */
+  def register(spark: SparkSession): Unit = {
+    val name = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (spark.sessionState.functionRegistry.functionExists(name)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)),
       "built-in")
+  }
 }

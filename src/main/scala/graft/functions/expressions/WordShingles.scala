@@ -66,7 +66,9 @@ object WordShingles {
     val toks = text.toString.split(" ").filter(_.nonEmpty)
     val n = toks.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new mutable.LinkedHashSet[String]
+    // hot path (n-gram counting runs this per row): only the distinct
+    // variant pays for the set
+    val seen = if (distinct) new mutable.LinkedHashSet[String] else null
     val all = if (distinct) null else new Array[Any](n)
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -90,8 +92,12 @@ object WordShingles {
   }
 
   /** Register `graft_shingles(text, k[, distinct]) -> array<string>`
-    * (k and distinct literals; distinct defaults true). */
-  def register(spark: SparkSession): Unit =
+    * (k and distinct literals; distinct defaults true). Once per
+    * session — re-registering logs a "replaced" warning per query. */
+  def register(spark: SparkSession): Unit = {
+    val name =
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles")
+    if (spark.sessionState.functionRegistry.functionExists(name)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       exprs =>
@@ -101,4 +107,5 @@ object WordShingles {
           if (exprs.size > 2) exprs(2).eval(null).asInstanceOf[Boolean]
           else true),
       "built-in")
+  }
 }

@@ -1074,9 +1074,9 @@ object PipelineQueries {
     s"""$name AS (
        |  SELECT vec_id, v, nrm, cent_id AS cluster, sim FROM (
        |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-       |           list_dot_product(n.v, c.cent_v) / (n.nrm * c.cent_nrm) AS sim,
+       |           list_dot_product(n.v, c.cent_v) / greatest(n.nrm * c.cent_nrm, 1e-300) AS sim,
        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-       |             ORDER BY list_dot_product(n.v, c.cent_v) / (n.nrm * c.cent_nrm) DESC, c.cent_id) AS rk
+       |             ORDER BY list_dot_product(n.v, c.cent_v) / greatest(n.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS rk
        |    FROM n CROSS JOIN $centRel c)
        |  WHERE rk = 1)""".stripMargin
 
@@ -1221,7 +1221,7 @@ object PipelineQueries {
          |      FROM e),
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+         |         round(list_dot_product(q.v, c.v) / greatest(q.nrm * c.nrm, 1e-300), 6) AS cos
          |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10 AND q.bucket = c.bucket)
          |SELECT query_id,
          |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
@@ -1274,7 +1274,7 @@ object PipelineQueries {
          |  SELECT query_id, neighbor_id, $dSum AS adcdot FROM (
          |    SELECT query_id, neighbor_id, $dPivot FROM dparts GROUP BY query_id, neighbor_id)),
          |scored AS (
-         |  SELECT a.query_id, a.neighbor_id, a.adcdot / (q.q_nrm * r.recon_nrm) AS adc
+         |  SELECT a.query_id, a.neighbor_id, a.adcdot / greatest(q.q_nrm * r.recon_nrm, 1e-300) AS adc
          |  FROM adc a JOIN qs q USING (query_id) JOIN rec r USING (neighbor_id)),
          |short AS (
          |  SELECT query_id, neighbor_id, adc FROM (
@@ -1282,7 +1282,7 @@ object PipelineQueries {
          |  WHERE srk <= $PqShortlist),
          |rr AS (
          |  SELECT s.query_id, s.neighbor_id,
-         |         round(list_dot_product(q.q_v, c.c_v) / (q.q_nrm * c.c_nrm), 6) AS cos,
+         |         round(list_dot_product(q.q_v, c.c_v) / greatest(q.q_nrm * c.c_nrm, 1e-300), 6) AS cos,
          |         round(s.adc, 6) AS adc
          |  FROM short s JOIN qs q USING (query_id) JOIN corp c ON c.neighbor_id = s.neighbor_id)
          |SELECT query_id,
@@ -1301,19 +1301,19 @@ object PipelineQueries {
          |  SELECT query_id, q_v, q_nrm, cent_id FROM (
          |    SELECT q.vec_id AS query_id, q.v AS q_v, q.nrm AS q_nrm, c.cent_id,
          |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |             ORDER BY list_dot_product(q.v, c.cent_v) / (q.nrm * c.cent_nrm) DESC, c.cent_id) AS cent_rank
+         |             ORDER BY list_dot_product(q.v, c.cent_v) / greatest(q.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
          |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
          |  WHERE cent_rank <= $IvfProbes),
          |cn AS (
          |  SELECT neighbor_id, c_v, c_nrm, cent_id FROM (
          |    SELECT x.vec_id AS neighbor_id, x.v AS c_v, x.nrm AS c_nrm, c.cent_id,
          |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
-         |             ORDER BY list_dot_product(x.v, c.cent_v) / (x.nrm * c.cent_nrm) DESC, c.cent_id) AS cent_rank
+         |             ORDER BY list_dot_product(x.v, c.cent_v) / greatest(x.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
          |    FROM n x CROSS JOIN cents c WHERE x.vec_id >= 10)
          |  WHERE cent_rank <= 1),
          |scored AS (
          |  SELECT qn.query_id, cn.neighbor_id,
-         |         round(list_dot_product(qn.q_v, cn.c_v) / (qn.q_nrm * cn.c_nrm), 6) AS cos
+         |         round(list_dot_product(qn.q_v, cn.c_v) / greatest(qn.q_nrm * cn.c_nrm, 1e-300), 6) AS cos
          |  FROM qn JOIN cn USING (cent_id))
          |SELECT query_id,
          |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
@@ -1348,7 +1348,7 @@ object PipelineQueries {
          |  SELECT doc_id,
          |         CAST(len(toks) AS BIGINT) AS n_tokens,
          |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END, 4) AS mean_token_len,
-         |         round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio,
+         |         round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio,
          |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio,
          |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS distinct_ratio
          |  FROM t)
@@ -1402,10 +1402,10 @@ object PipelineQueries {
       s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |       CAST(a.cluster AS BIGINT) AS cluster,
-         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         |       round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-300), 6) AS cos
          |FROM a$KmeansIters a JOIN a$KmeansIters b
          |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $SemThreshold
+         |WHERE round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-300), 6) >= $SemThreshold
          |ORDER BY a_id, b_id""".stripMargin,
     "q_dup_spans" -> {
       val h = Hashing.duckMd5Long("shingle")
@@ -1570,7 +1570,7 @@ object PipelineQueries {
          |quality AS (
          |  SELECT doc_id, lang, source, n_chars FROM q
          |  WHERE len(tk) BETWEEN ${p.minTokens} AND ${p.maxTokens}
-         |    AND round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6) < ${p.maxPunctRatio}
+         |    AND round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6) < ${p.maxPunctRatio}
          |    AND round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 6) > ${p.minDistinctRatio})
          |SELECT doc_id, lang, source, n_chars FROM quality
          |WHERE $idh % 10000 < ${(p.sampleFraction * 10000).toLong}
@@ -1628,7 +1628,7 @@ object PipelineQueries {
          |         CAST(len(toks) AS BIGINT) AS n_tokens,
          |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio,
          |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS distinct_ratio,
-         |         round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
+         |         round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio
          |  FROM t),
          |scored AS (
          |  SELECT *, round(1.2 * stopword_ratio + 0.8 * distinct_ratio - 6.0 * punct_ratio + 0.002 * n_tokens, 4) AS score
@@ -1646,7 +1646,7 @@ object PipelineQueries {
          |         CAST(len(toks) AS BIGINT) AS n_tokens,
          |         round(1.2 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6)
          |               + 0.8 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
-         |               - 6.0 * round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 6)
+         |               - 6.0 * round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6)
          |               + 0.002 * CAST(len(toks) AS BIGINT), 4) AS score
          |  FROM t)
          |SELECT source, count(*) AS n_docs,

@@ -24,18 +24,27 @@ object Ann {
   def withNorm(embs: DataFrame, vec: String, nrm: String = "nrm"): DataFrame =
     embs.withColumn(nrm, VectorFns.norm(col(vec)))
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  /** Shared top-k ranking (rank 1..k per query by exact cosine, ties to
+    * the lower neighbor id) — ONE definition so every ANN path ranks
+    * identically; `extraCols` lets a variant carry additional output
+    * columns (pq's `adc`) through the same semantics. */
+  private def rankTopK(
+      scored: DataFrame,
+      k: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+      .select(
+        ("query_id" +: "rank" +: "neighbor_id" +: "cos" +: extraCols).map(col): _*)
   }
 
   private def cos = round(
-    VectorFns.dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")),
+    VectorFns.dot(col("q_v"), col("c_v")) /
+      VectorFns.safeDen(col("q_nrm"), col("c_nrm")),
     6)
 
   /** Exact cosine top-k: broadcast queries × full corpus. */
@@ -174,26 +183,20 @@ object Ann {
       .orderBy(col("adc").desc, col("neighbor_id"))
     val short = broadcast(queries)
       .join(enc)
-      .withColumn("adc", adcDot / (col("q_nrm") * col("recon_nrm")))
+      .withColumn("adc", adcDot / VectorFns.safeDen(col("q_nrm"), col("recon_nrm")))
       // q_v is dropped BEFORE the window: only (query_id, neighbor_id,
       // adc) rows reach the WindowGroupLimit shuffle
       .select("query_id", "neighbor_id", "adc")
       .withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= shortlist)
       .select("query_id", "neighbor_id", "adc")
-    corpus
-      .join(broadcast(short.join(queries, "query_id")), "neighbor_id")
-      .withColumn("cos", cos)
-      .withColumn("adc", round(col("adc"), 6))
-      .transform { scored =>
-        val w = Window
-          .partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        scored
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= k)
-          .select("query_id", "rank", "neighbor_id", "cos", "adc")
-      }
+    rankTopK(
+      corpus
+        .join(broadcast(short.join(queries, "query_id")), "neighbor_id")
+        .withColumn("cos", cos)
+        .withColumn("adc", round(col("adc"), 6)),
+      k,
+      extraCols = Seq("adc"))
   }
 
   /** IVF top-k: a broadcast coarse quantizer of `centroids` rows
@@ -213,7 +216,8 @@ object Ann {
       df.join(cents)
         .withColumn(
           "cent_sim",
-          VectorFns.dot(col(vCol), col("cent_v")) / (col(nrmCol) * col("cent_nrm")))
+          VectorFns.dot(col(vCol), col("cent_v")) /
+            VectorFns.safeDen(col(nrmCol), col("cent_nrm")))
         .withColumn("cent_rank", row_number().over(w))
         .filter(col("cent_rank") <= keep)
         .drop("cent_v", "cent_nrm", "cent_sim", "cent_rank")
