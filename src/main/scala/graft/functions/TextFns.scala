@@ -72,11 +72,25 @@ object TextFns {
   /** [[langId]] over a pre-materialized tokens column — callers on the
     * hot path project tokens once so the four marker filters don't each
     * re-tokenize. */
-  def langIdFrom(text: Column, toks: Column): Column = {
-    val en = markerCount(toks, EnMarkers)
-    val de = markerCount(toks, DeMarkers)
-    val fr = markerCount(toks, FrMarkers)
-    val es = markerCount(toks, EsMarkers)
+  def langIdFrom(text: Column, toks: Column): Column =
+    langIdFromCounts(
+      text,
+      markerCount(toks, EnMarkers),
+      markerCount(toks, DeMarkers),
+      markerCount(toks, FrMarkers),
+      markerCount(toks, EsMarkers))
+
+  /** THE language decision chain (CJK override, then marker-count
+    * argmax with en > de > fr > es tie precedence) over pre-computed
+    * marker counts — one definition, so callers that materialize the
+    * counts in their own projection (qLangId) cannot drift from the
+    * direct path. */
+  def langIdFromCounts(
+      text: Column,
+      en: Column,
+      de: Column,
+      fr: Column,
+      es: Column): Column = {
     val top = greatest(en, de, fr, es)
     when(regexp_count(text, lit(CjkPattern)) > 0, lit("zh"))
       .when(top === 0, lit("und"))

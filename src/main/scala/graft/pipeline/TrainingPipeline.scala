@@ -49,10 +49,6 @@ object TrainingPipeline {
       minDistinctRatio: Double = 0.3,
       sampleFraction: Double = 0.5)
 
-  /** The ids of corpus docs (id ≥ benchMaxId) contaminated by the
-    * benchmark set (id < benchMaxId): ≥ `minShared` distinct shared
-    * shingles. Shared by [[prepare]] and the standalone q_contamination
-    * query — one definition of "contaminated". */
   /** One definition of the (doc_id, shingle-hash) table and the
     * benchmark hash set — shared by the exact and bloom contamination
     * paths so the two can never diverge from their common oracle. */
@@ -80,6 +76,10 @@ object TrainingPipeline {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** The ids of corpus docs (id ≥ benchMaxId) contaminated by the
+    * benchmark set (id < benchMaxId): ≥ `minShared` distinct shared
+    * shingles. Shared by [[prepare]] and the standalone q_contamination
+    * query — one definition of "contaminated". */
   def contaminatedIds(
       docs: DataFrame,
       benchMaxId: Long,

@@ -97,21 +97,31 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
-  /** Gap-based sessionization: a >30 min silence starts a new session.
-    * Classic lag + cumulative-sum-of-boundaries — two windows over the
-    * same (user_id, ts) partitioning, so a single shuffle. */
-  def qSessionize(s: SparkSession, d: String): DataFrame = {
+  val SessionGapUs = 1800000000L // 30 min
+
+  /** THE session definition (one place — qSessionize, qJourneys, and
+    * any future session consumer must agree): a > [[SessionGapUs]]
+    * silence starts a new session; lag + cumulative-sum-of-boundaries,
+    * two windows on one (user_id, ts) partitioning = a single
+    * shuffle. Appends `session_id` per (user_id). */
+  private def sessionized(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    events
       .withColumn("prev_us", lag("ts_us", 1).over(byUser))
       .withColumn(
         "boundary",
         when(
           col("prev_us").isNull ||
-            col("ts_us") - col("prev_us") > 1800000000L,
+            col("ts_us") - col("prev_us") > SessionGapUs,
           1L).otherwise(0L))
       .withColumn("session_id", sum("boundary").over(run))
+  }
+
+  /** Gap-based sessionization — see [[sessionized]] for the shared
+    * definition and its single-shuffle shape. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    sessionized(Tables.events(s, d))
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -154,17 +164,7 @@ object OlapQueries {
     * per event (the interpreted-HOF trap only bites row-hot kernels);
     * the top-20 head is TakeOrderedAndProject — no global sort. */
   def qJourneys(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
-      .withColumn(
-        "boundary",
-        when(
-          col("prev_us").isNull ||
-            col("ts_us") - col("prev_us") > 1800000000L,
-          1L).otherwise(0L))
-      .withColumn("session_id", sum("boundary").over(run))
+    sessionized(Tables.events(s, d))
       .groupBy("user_id", "session_id")
       .agg(
         array_join(
@@ -560,17 +560,22 @@ object OlapQueries {
   /** Z-order (Morton) key over (user_id, event_id) — the clustering
     * key [[graft.sources.Layout.writeZOrdered]] lays files out by, so
     * the file-level manifest prunes on BOTH dimensions (LayoutSpec
-    * proves the skipping). The first 50 events along the Z-curve;
-    * z is unique because event_id's bits land on the odd positions. */
+    * proves the skipping). The first 50 events along the Z-curve.
+    * `zvalue` interleaves the LOW 31 bits of each dimension (a 62-bit
+    * long): ids ≥ 2^31 alias, so the head takes an explicit
+    * (z, event_id) tiebreak — deterministic in both engines even where
+    * z collides — and clustering quality above 2^31 degrades gracefully
+    * rather than erroring (the usual fix at that scale is z-ordering on
+    * rank-bucketed dimensions, [[graft.sources.Layout.zvalueRanked]]). */
   def qZorder(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .select(
         col("event_id"),
         col("user_id"),
         graft.sources.Layout.zvalue(col("user_id"), col("event_id")).as("z"))
-      .orderBy("z")
+      .orderBy("z", "event_id")
       .limit(50)
-      .transform(sortSmall(_, col("z")))
+      .transform(sortSmall(_, col("z"), col("event_id")))
 
   /** Per-group decile banding (equi-depth histogram / feature
     * bucketing): `ntile(10)` over a TOTAL order (value, event_id) so
@@ -1055,7 +1060,7 @@ object OlapQueries {
     "q_zorder" ->
       s"""SELECT event_id, user_id,
          |       ${graft.sources.Layout.zvalueSql("user_id", "event_id")} AS z
-         |FROM events ORDER BY z LIMIT 50""".stripMargin,
+         |FROM events ORDER BY z, event_id LIMIT 50""".stripMargin,
     "q_ntile" ->
       """WITH banded AS (
         |  SELECT event_type, value,

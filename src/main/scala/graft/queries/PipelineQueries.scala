@@ -197,12 +197,9 @@ object PipelineQueries {
         TextFns.markerCount(col("t"), TextFns.EsMarkers).as("es"))
       .select(
         col("doc_id"),
-        when(regexp_count(col("text"), lit(TextFns.CjkPattern)) > 0, lit("zh"))
-          .when(greatest(col("en"), col("de"), col("fr"), col("es")) === 0, lit("und"))
-          .when(col("en") === greatest(col("en"), col("de"), col("fr"), col("es")), lit("en"))
-          .when(col("de") === greatest(col("en"), col("de"), col("fr"), col("es")), lit("de"))
-          .when(col("fr") === greatest(col("en"), col("de"), col("fr"), col("es")), lit("fr"))
-          .otherwise(lit("es"))
+        TextFns
+          .langIdFromCounts(
+            col("text"), col("en"), col("de"), col("fr"), col("es"))
           .as("pred_lang"))
       .orderBy("doc_id")
   }
@@ -1017,10 +1014,16 @@ object PipelineQueries {
   }
 
   private def bandCtes(x: String): String = {
+    // rows-per-band DERIVED like Dedup.bandedSignatures derives it, so
+    // retuning MinhashSeeds/MinhashBands re-shapes both engines in
+    // lockstep (a hardcoded 2 here would desync every minhash oracle)
+    val rowsPerBand = MinhashSeeds / MinhashBands
     val bands = (0 until MinhashBands)
       .map { j =>
-        val h = Hashing.duckMd5Long(
-          s"CAST(mh${2 * j} AS VARCHAR) || ':' || CAST(mh${2 * j + 1} AS VARCHAR)")
+        val sig = (0 until rowsPerBand)
+          .map(r => s"CAST(mh${rowsPerBand * j + r} AS VARCHAR)")
+          .mkString(" || ':' || ")
+        val h = Hashing.duckMd5Long(sig)
         s"SELECT doc_id, $j AS band_id, $h AS band_hash FROM mh$x"
       }
       .mkString(" UNION ALL ")

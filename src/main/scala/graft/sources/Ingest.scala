@@ -40,20 +40,34 @@ object Ingest {
     StructField("props", StringType),
     StructField("_corrupt", StringType)))
 
-  def readCsv(s: SparkSession, path: String, schema: StructType = rawEventSchema): DataFrame =
+  /** Custom schemas MUST include a `_corrupt` StringType field — Spark
+    * silently ignores columnNameOfCorruptRecord when the column is
+    * absent, turning malformed rows into unquarantined all-null rows. */
+  private def requireQuarantine(schema: StructType): Unit =
+    require(
+      schema.fieldNames.contains("_corrupt") &&
+        schema("_corrupt").dataType == StringType,
+      "ingest schema must include a `_corrupt` string column (the " +
+        "PERMISSIVE quarantine contract is silently disabled without it)")
+
+  def readCsv(s: SparkSession, path: String, schema: StructType = rawEventSchema): DataFrame = {
+    requireQuarantine(schema)
     s.read
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("header", "true")
       .csv(path)
+  }
 
-  def readJsonl(s: SparkSession, path: String, schema: StructType = rawEventSchema): DataFrame =
+  def readJsonl(s: SparkSession, path: String, schema: StructType = rawEventSchema): DataFrame = {
+    requireQuarantine(schema)
     s.read
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
+  }
 
   /** Rows the permissive parser quarantined: the full row, with the raw
     * line in `_corrupt` and whatever fields DID parse alongside (useful

@@ -133,7 +133,10 @@ object Layout {
 
   def manifest(spark: org.apache.spark.sql.SparkSession, path: String, column: String): Seq[FileRange] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(path), conf)
+    // Path.getFileSystem, NOT FileSystem.get(new URI(path)): a raw URI
+    // parse throws on paths needing encoding (spaces, '%'), which every
+    // surrounding Hadoop/Spark API accepts
+    val fs = new Path(path).getFileSystem(conf)
     val files = fs
       .listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -191,8 +194,21 @@ object Layout {
       path: String,
       column: String,
       lo: Long,
+      hi: Long): DataFrame =
+    readPruned(spark, path, manifest(spark, path, column), lo, hi)
+
+  /** Prebuilt-manifest variant — the shape repeated queries should use:
+    * [[manifest]] is a driver-side footer fetch per file (O(#files)
+    * remote reads), built ONCE per table generation and reused across
+    * every query window; rebuilding it per query would pay the exact
+    * cost the manifest exists to amortize. */
+  def readPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      man: Seq[FileRange],
+      lo: Long,
       hi: Long): DataFrame = {
-    val files = prune(manifest(spark, path, column), lo, hi)
+    val files = prune(man, lo, hi)
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(files: _*)
   }
