@@ -74,7 +74,12 @@ object Bench {
     // noisy-neighbor windows — interleaving the passes keeps one bad
     // window from covering every run of the same query.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val names = Headline.filter(SparkEntry.queries.contains)
+    // Optional regex filter for local iteration on a subset ("store_.*",
+    // "q_dedup_.*"); the driver never sets it, so round benches run all.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    def keep(name: String): Boolean =
+      filter.forall(_.pattern.matcher(name).matches())
+    val names = Headline.filter(SparkEntry.queries.contains).filter(keep)
     val times = Array.fill(names.size)(Double.MaxValue)
     for (_ <- 1 to passes; (name, i) <- names.zipWithIndex) {
       val fn = SparkEntry.queries(name)
@@ -90,7 +95,10 @@ object Bench {
     // stateful), best-of reported like the queries.
     val storeNames = Seq("store_produce_100k", "store_consume_segment", "store_consume_space")
     val storeTimes = Array.fill(storeNames.size)(Double.MaxValue)
-    for (_ <- 1 to passes) {
+    // consume depends on produce, so the block runs whole — the filter
+    // only selects which store metrics are reported (and whether the
+    // block runs at all).
+    for (_ <- 1 to passes; if storeNames.exists(keep)) {
       import spark.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-bench-log").toString
       val log = new graft.log.EventLog(spark, dir)
@@ -118,13 +126,24 @@ object Bench {
         .forEach(p => java.nio.file.Files.delete(p))
     }
 
-    val results = names.zip(times) ++ storeNames.zip(storeTimes)
+    val results =
+      names.zip(times) ++ storeNames.zip(storeTimes).filter(p => keep(p._1))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map goes to a file: with ~100 metrics the one-line
+    // form is several KB and the driver's tail capture truncates its
+    // FRONT, leaving unparseable JSON (BENCH_r03 "parsed": null). The
+    // stdout contract is a SHORT line — and it must be the LAST line.
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_metrics":${results.size},"sf":"$sfDir","queries_file":"$outFile"}""")
   }
 }

@@ -36,6 +36,29 @@ final class EventLog(val spark: SparkSession, val path: String) {
 
   def isEmpty: Boolean = !LogFs.exists(hfs, dataDir)
 
+  /** Driver-side hot-path cache of each segment's last committed entry —
+    * the reference keeps exactly this cache in front of its LSM so Peek
+    * and produce-validation don't scan per call (reference:
+    * server/cache.go:1). Correct under the store's
+    * single-writer-per-segment rule: every mutation issued through THIS
+    * instance maintains it (produce/publish update the key in place from
+    * the batch's own aggregate; synchronize/compact/retain invalidate;
+    * [[TxnLog]] commits and [[graft.streaming.StreamLog.appendSink]]
+    * batches invalidate). A writer outside this instance must call
+    * [[invalidateCache]] — same contract as the reference, whose cache
+    * is only coherent on the segment-leader node. Size is bounded by the
+    * (space, segment) pairs this driver actually touches, one entry
+    * payload each — the reference's LRU envelope. */
+  private val peekCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Option[Entry]]
+
+  /** Drop every cached segment position (all spaces). */
+  def invalidateCache(): Unit = peekCache.clear()
+
+  /** Drop cached positions of one space. */
+  def invalidateCache(space: String): Unit =
+    peekCache.keySet.filter(_._1 == space).foreach(peekCache.remove)
+
   /** The committed log as a DataFrame in canonical schema. */
   def load(): DataFrame =
     if (isEmpty)
@@ -107,24 +130,38 @@ final class EventLog(val spark: SparkSession, val path: String) {
 
     // Per-chunk statuses from the batch plan itself — never from a log
     // readback: a produce must stay O(batch), not O(segment history).
-    entries
+    // The same aggregate also carries the batch's final payload/metadata
+    // so the peek cache can be updated without ever re-reading the log.
+    val statusRows = entries
       .groupBy("trxNumber")
       .agg(
         min("sequence").as("firstSequence"),
         min("timestamp").as("firstTimestamp"),
         max("sequence").as("lastSequence"),
-        max("timestamp").as("lastTimestamp"))
+        max("timestamp").as("lastTimestamp"),
+        max_by(col("payload"), col("sequence")).as("lastPayload"),
+        max_by(col("metadata"), col("sequence")).as("lastMetadata"))
       .orderBy("trxNumber")
-      .select(
-        lit(space).as("space"),
-        lit(segment).as("segment"),
-        col("firstSequence"),
-        col("firstTimestamp"),
-        col("lastSequence"),
-        col("lastTimestamp"))
-      .as[SegmentStatus]
       .collect()
-      .toSeq
+    val lastRow = statusRows.last // n > 0 ⇒ at least one chunk
+    peekCache((space, segment)) = Some(
+      Entry(
+        space = space,
+        segment = segment,
+        sequence = lastRow.getAs[Long]("lastSequence"),
+        timestamp = lastRow.getAs[Long]("lastTimestamp"),
+        trxNumber = lastRow.getAs[Long]("trxNumber"),
+        payload = lastRow.getAs[String]("lastPayload"),
+        metadata =
+          lastRow.getAs[scala.collection.Map[String, String]]("lastMetadata").toMap))
+    statusRows.toSeq.map(r =>
+      SegmentStatus(
+        space = space,
+        segment = segment,
+        firstSequence = r.getAs[Long]("firstSequence"),
+        firstTimestamp = r.getAs[Long]("firstTimestamp"),
+        lastSequence = r.getAs[Long]("lastSequence"),
+        lastTimestamp = r.getAs[Long]("lastTimestamp")))
   }
 
   /** One-off append at peek+1 (reference: Publish, client.go:149).
@@ -148,17 +185,24 @@ final class EventLog(val spark: SparkSession, val path: String) {
     finally cached.unpersist(false)
   }
 
-  /** Last entry of a segment (reference: Peek, pebble/service.go:224). */
+  /** Last entry of a segment (reference: Peek, pebble/service.go:224).
+    * Served from the driver-side cache when warm — a Peek on a hot
+    * segment runs zero Spark jobs, matching the reference's cache-first
+    * read (server/cache.go:1); a cold key costs one partition-pruned
+    * TakeOrdered scan and warms the cache. */
   def peek(space: String, segment: String): Option[Entry] =
-    if (isEmpty) None
-    else
-      load()
-        .filter(col("space") === space && col("segment") === segment)
-        .orderBy(col("sequence").desc)
-        .limit(1)
-        .as[Entry]
-        .collect()
-        .headOption
+    peekCache.getOrElseUpdate(
+      (space, segment), {
+        if (isEmpty) None
+        else
+          load()
+            .filter(col("space") === space && col("segment") === segment)
+            .orderBy(col("sequence").desc)
+            .limit(1)
+            .as[Entry]
+            .collect()
+            .headOption
+      })
 
   def getSpaces(): DataFrame = EventOps.getSpaces(load())
 
@@ -261,6 +305,10 @@ final class EventLog(val spark: SparkSession, val path: String) {
       space: String,
       transform: DataFrame => DataFrame,
       targetFileBytes: Long): Int = {
+    // a rewrite preserves peek semantics (retain keeps each segment's
+    // max-sequence row), but invalidating is free and removes any
+    // dependence of cache coherence on that invariant
+    invalidateCache(space)
     recoverCompaction(space)
     val partPath = s"$dataDir/${spacePartDir(space)}"
     if (!LogFs.exists(hfs, partPath)) return 0
@@ -395,11 +443,17 @@ final class EventLog(val spark: SparkSession, val path: String) {
     val toWrite = missing.cache()
     try {
       val n = toWrite.count()
-      if (n > 0)
+      if (n > 0) {
         toWrite.write
           .mode(SaveMode.Append)
           .partitionBy("space")
           .parquet(dataDir)
+        // the pulled tail may advance any segment's high-water mark
+        space match {
+          case Some(sp) => invalidateCache(sp)
+          case None     => invalidateCache()
+        }
+      }
       n
     } finally toWrite.unpersist()
   }

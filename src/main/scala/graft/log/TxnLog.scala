@@ -120,6 +120,8 @@ final class TxnLog(val log: EventLog) {
       else LogFs.move(hfs, p, dest)
     }
     LogFs.deleteRecursive(hfs, stagedDir)
+    // published outside EventLog.produce → its peek cache is stale
+    log.invalidateCache()
   }
 
   /** Drop a staged transaction (reference: Rollback — delete the staged
@@ -138,11 +140,14 @@ final class TxnLog(val log: EventLog) {
     * `trx-a-retry`. */
   def abort(trxId: String): Unit = {
     rollback(trxId)
-    if (LogFs.exists(hfs, dataDir))
+    if (LogFs.exists(hfs, dataDir)) {
       LogFs
         .walkParquet(hfs, dataDir)
         .filter(_.getName.startsWith(s"trx-$trxId."))
         .foreach(p => LogFs.deleteFile(hfs, p))
+      // deleting published files can move a segment's high-water back
+      log.invalidateCache()
+    }
   }
 
   def staged(): Seq[String] =

@@ -451,6 +451,8 @@ object StreamLog {
           }
           LogFs.touch(hfs, marker)
           LogFs.deleteRecursive(hfs, staging)
+          // published outside EventLog.produce → its peek cache is stale
+          log.invalidateCache()
           // marker GC (own sinkId only): replay only ever concerns
           // batches the streaming checkpoint has not committed past,
           // which trails by at most one — a deep horizon keeps the dir

@@ -322,6 +322,67 @@ class EventLogSpec extends SparkSpec {
     assert(log.consumeSegment("s0", "seg0").count() == 10)
   }
 
+  test("peek is served from the offset cache: zero Spark jobs on a hot segment") {
+    // the reference fronts its LSM with an offset cache so Peek never
+    // scans per call (reference: server/cache.go:1) — produce itself
+    // warms the cache from the batch's own aggregate
+    val log = freshLog()
+    log.produce(
+      "s0", "seg0",
+      spark.createDataset(
+        (1L to 7L).map(i => Record(i, s"payload $i", Map("k" -> s"v$i"))))(
+        org.apache.spark.sql.Encoders.product[Record]),
+      1000L, chunkSize = 3)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // listener events are async: wait until the count stops moving
+    def settled(): Int = {
+      var prev = -1
+      while (jobs != prev) { prev = jobs; Thread.sleep(150) }
+      jobs
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val before = settled()
+      val hot = log.peek("s0", "seg0").get
+      assert(log.peek("s0", "seg0").contains(hot))
+      assert(settled() == before, "hot peek must not launch a Spark job")
+      // the cached entry is exactly what a cold scan reads back
+      val cold = new EventLog(spark, log.path).peek("s0", "seg0").get
+      assert(hot == cold)
+      assert(hot.sequence == 7L && hot.payload == "payload 7" &&
+        hot.trxNumber == 3L && hot.metadata == Map("k" -> "v7"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("peek cache stays coherent across publish, compact, txn commit, and synchronize") {
+    val log = freshLog()
+    log.produce("s0", "seg0", records(1, 5), 1000L)
+    assert(log.peek("s0", "seg0").get.sequence == 5L)
+    // publish updates the cached position in place
+    log.publish("s0", "seg0", "one-off", 2000L)
+    assert(log.peek("s0", "seg0").get.payload == "one-off")
+    // compact invalidates; the re-scan sees the same logical entry
+    log.compact("s0")
+    assert(log.peek("s0", "seg0").get.sequence == 6L)
+    // a TxnLog publish lands outside produce — commit must invalidate
+    val txn = new TxnLog(log)
+    txn.write("trx-c", "s0", "seg0", records(7, 3), 3000L, trxNumber = 3L)
+    assert(log.peek("s0", "seg0").get.sequence == 6L) // staged: invisible
+    txn.commit("trx-c")
+    assert(log.peek("s0", "seg0").get.sequence == 9L)
+    // synchronize appends from a peer — pulled tail invalidates
+    val peer = freshLog()
+    peer.produce("s1", "segX", records(1, 4), 1000L)
+    assert(log.peek("s1", "segX").isEmpty) // caches the miss
+    log.synchronize(peer)
+    assert(log.peek("s1", "segX").get.sequence == 4L)
+  }
+
   test("consume with zero subscriptions returns an empty canonical frame") {
     val log = freshLog()
     log.produce("s0", "seg0", records(1, 5), 1000L)
