@@ -17,9 +17,10 @@ import org.apache.spark.sql.graft.ColumnBridge
   * with `a_id < b_id`, un-sorted — callers choose their own output order.
   *
   * Scale: candidate generation is always bounded (shingle-hash buckets,
-  * MinHash bands, SimHash bit-bands); nothing here is all-pairs except
-  * [[embeddingCosine]], which is the oracle-verifiable baseline — use
-  * [[graft.similarity.Ann]] buckets at corpus scale.
+  * MinHash bands, SimHash bit-bands, cosine-LSH sign bands); nothing
+  * here is all-pairs except [[embeddingCosine]] without a restrict key,
+  * which is the spec-only recall baseline — [[embeddingCosineLsh]] is
+  * the registered embedding-dedup plan at corpus scale.
   */
 object Dedup {
 
@@ -517,6 +518,74 @@ object Dedup {
           6))
       .filter(col("cos") >= threshold)
       .select(("a_id" +: "b_id" +: extra :+ "cos").map(col): _*)
+  }
+
+  /** Banded random-hyperplane cosine LSH near-duplicate pairs — the
+    * scale path for embedding dedup, and the registered `q_dedup_embed`
+    * plan ([[embeddingCosine]] without a restrict key is the all-pairs
+    * recall baseline, spec-only). Candidate pairs are rows sharing at
+    * least one of `bands` sign signatures (`bitsPerBand` deterministic
+    * hyperplanes each, baked into the plan as literals); candidates are
+    * deduplicated on ids alone (8-byte rows through the distinct, never
+    * vectors) and then exactly cosine-verified. Same output columns as
+    * [[embeddingCosine]]: `(a_id, b_id, cos)`.
+    *
+    * Scale shape: the band self-join is an equi-join on
+    * `(band_id, band_sig)` — candidates ∝ Σ bucket², never n² — and it
+    * shuffles both sides (`shuffle_hash`): band tables are
+    * corpus-sized, so a broadcast would ship the corpus. Recall < 1 by
+    * design (a pair at angle θ collides with prob
+    * 1−(1−(1−θ/π)^bits)^bands); the banded candidate set IS the
+    * operator contract, and the DuckDB oracle reproduces the identical
+    * planes/bands bit-for-bit, so the correctness gate checks the whole
+    * pipeline, not just the verify step. */
+  def embeddingCosineLsh(
+      embs: DataFrame,
+      id: String = "vec_id",
+      vec: String = "v",
+      nrm: String = "nrm",
+      threshold: Double = 0.45,
+      bands: Int = 8,
+      bitsPerBand: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val sigs = array((0 until bands).map(b =>
+      struct(
+        lit(b).as("band_id"),
+        VectorFns
+          .hyperplaneSignature(col(vec), bitsPerBand, dim, b * bitsPerBand)
+          .as("band_sig"))): _*)
+    val banded = embs
+      .select(col(id), explode(sigs).as("bs"))
+      .select(col(id), col("bs.band_id").as("band_id"), col("bs.band_sig").as("band_sig"))
+      .hint("shuffle_hash")
+    val cands = banded
+      .as("x")
+      .join(
+        banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
+      .distinct()
+    cands
+      .join(
+        embs
+          .select(col(id).as("a_id"), col(vec).as("a_v"), col(nrm).as("a_nrm"))
+          .hint("shuffle_hash"),
+        "a_id")
+      .join(
+        embs
+          .select(col(id).as("b_id"), col(vec).as("b_v"), col(nrm).as("b_nrm"))
+          .hint("shuffle_hash"),
+        "b_id")
+      .withColumn(
+        "cos",
+        round(
+          VectorFns.dot(col("a_v"), col("b_v")) /
+            VectorFns.safeDen(col("a_nrm"), col("b_nrm")),
+          6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
   }
 
   /** Passage-level exact dedup (the C4 "drop duplicated spans" shape):

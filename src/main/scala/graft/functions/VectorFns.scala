@@ -58,10 +58,17 @@ object VectorFns {
     * hyperplanes of dimension `dim`. The planes are *literal* arrays
     * baked into the plan — per row the bucket costs nBits codegen'd dot
     * products, instead of re-deriving every plane component from md5 on
-    * every row. */
-  def hyperplaneSignature(v: Column, nBits: Int, dim: Int = 64): Column = {
+    * every row. `planeOffset` selects which planes of the shared family
+    * participate (plane index = planeOffset + bit), so banded callers
+    * (one signature per band) draw independent planes from the same
+    * deterministic family the oracle can reproduce. */
+  def hyperplaneSignature(
+      v: Column,
+      nBits: Int,
+      dim: Int = 64,
+      planeOffset: Int = 0): Column = {
     val comps = (0 until nBits).map { i =>
-      val plane = typedLit((0 until dim).map(j => hpComponent(i, j)))
+      val plane = typedLit((0 until dim).map(j => hpComponent(planeOffset + i, j)))
       when(dot(v, plane) > 0, lit(1L << i)).otherwise(0L)
     }
     comps.reduce(_ + _)

@@ -109,9 +109,21 @@ object PipelineQueries {
           threshold = 0.8))
       .transform(sortSmall(_, "id", "comp"))
 
+  val DedupLshBands = 8
+  val DedupLshBitsPerBand = 4
+
+  /** Embedding near-dup pairs via banded cosine LSH — the scale path is
+    * the registered plan (no cartesian anywhere; the all-pairs
+    * [[Dedup.embeddingCosine]] baseline is spec-only, see
+    * DedupAnnApiSpec's recall test). */
   def qDedupEmbed(s: SparkSession, d: String): DataFrame =
     Dedup
-      .embeddingCosine(normedEmbs(s, d), threshold = 0.45)
+      .embeddingCosineLsh(
+        normedEmbs(s, d),
+        threshold = 0.45,
+        bands = DedupLshBands,
+        bitsPerBand = DedupLshBitsPerBand,
+        dim = EmbDim)
       .transform(sortSmall(_, "a_id", "b_id"))
 
   // ----------------------------------------------------------- similarity
@@ -868,9 +880,9 @@ object PipelineQueries {
       .transform(sortSmall(_, "vec_id"))
 
   /** SemDeDup: cosine near-dup pairs restricted to k-means co-cluster
-    * members (see [[graft.clustering.Clustering.semanticPairs]]) — the
-    * scale path for embedding dedup (quadratic only within clusters;
-    * compare the all-pairs baseline `q_dedup_embed`). */
+    * members (see [[graft.clustering.Clustering.semanticPairs]]) — a
+    * second scale path for embedding dedup (quadratic only within
+    * clusters; `q_dedup_embed` buckets by cosine-LSH bands instead). */
   def qSemdedup(s: SparkSession, d: String): DataFrame = {
     val e = normedEmbs(s, d).localCheckpoint()
     val assign = graft.clustering.Clustering
@@ -1134,6 +1146,13 @@ object PipelineQueries {
       s"CASE WHEN list_dot_product(v, ${planeLit(i)}) > 0 THEN ${1L << i} ELSE 0 END")
     .mkString(" + ")
 
+  /** Sign signature of band `b` — planes `b*bitsPerBand + bit`, the same
+    * family/offset [[Dedup.embeddingCosineLsh]] bakes into its plan. */
+  private def bandBucketSql(b: Int): String = (0 until DedupLshBitsPerBand)
+    .map(i =>
+      s"CASE WHEN list_dot_product(v, ${planeLit(b * DedupLshBitsPerBand + i)}) > 0 THEN ${1L << i} ELSE 0 END")
+    .mkString(" + ")
+
   /** Shared by q_contamination and q_contamination_bloom — the Bloom
     * path's confirm join makes it bit-identical to the exact query. */
   private val ContaminationSql = {
@@ -1198,13 +1217,24 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
          |ORDER BY a_id, b_id""".stripMargin
     },
-    "q_dedup_embed" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |         round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.45 ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_embed" -> {
+      val bandUnion = (0 until DedupLshBands)
+        .map(b =>
+          s"SELECT vec_id, $b AS band_id, (${bandBucketSql(b)}) AS band_sig FROM e")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bands AS (
+         |  $bandUnion),
+         |cands AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.band_sig = y.band_sig AND x.vec_id < y.vec_id),
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id,
+         |         round(list_dot_product(a.v, b.v) / greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-300), 6) AS cos
+         |  FROM cands c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id)
+         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.45 ORDER BY a_id, b_id""".stripMargin
+    },
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |scored AS (

@@ -47,7 +47,12 @@ object Ann {
       VectorFns.safeDen(col("q_nrm"), col("c_nrm")),
     6)
 
-  /** Exact cosine top-k: broadcast queries × full corpus. */
+  /** Exact cosine top-k: broadcast queries × full corpus. The product is
+    * a deliberate BroadcastNestedLoopJoin — LINEAR in the corpus (the
+    * build side is the bounded query set), and Catalyst constant-folds
+    * any synthetic equi-key away, so a nested-loop node is the honest
+    * plan for it. PlanSpec's cartesian audit allowlists exactly these
+    * bounded products. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame =
     rankTopK(broadcast(queries).join(corpus).withColumn("cos", cos), k)
 

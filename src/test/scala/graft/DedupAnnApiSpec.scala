@@ -135,6 +135,27 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(hi.subsetOf(lo))
   }
 
+  test("embeddingCosineLsh pairs are a subset of the all-pairs baseline, with decent recall") {
+    // the banded scale path can only MISS pairs (candidate pruning),
+    // never invent or mis-score them: every (a,b,cos) it emits must be
+    // in the all-pairs result verbatim
+    val allPairs = Dedup.embeddingCosine(embs, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.embeddingCosineLsh(embs, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded.subsetOf(allPairs), s"invented pairs: ${banded diff allPairs}")
+    assert(banded.nonEmpty)
+    // 8 bands x 4 bits at cos>=0.45 gives ~0.8 expected recall; require
+    // half to catch a wiring bug (e.g. bands all using the same planes)
+    assert(
+      banded.size * 2 >= allPairs.size,
+      s"recall collapsed: ${banded.size}/${allPairs.size}")
+    // more bands -> strictly more candidates -> recall is monotone
+    val moreBands = Dedup.embeddingCosineLsh(embs, threshold = 0.45, bands = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded.subsetOf(moreBands))
+  }
+
   test("bruteForceTopK k=3 is the prefix of k=5 per query") {
     val q = embs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))

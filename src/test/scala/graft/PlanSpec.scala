@@ -164,6 +164,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(event_type,click)"))
   }
 
+  /** Queries whose plan legitimately contains a nested-loop product —
+    * each is LINEAR in the big side because the build side is bounded
+    * and broadcast: the brute-force ANN baseline (10 query vectors), the
+    * IVF coarse-quantizer assignment (k centroids), and the pmi/tfidf
+    * one-row corpus totals. Catalyst constant-folds any synthetic
+    * equi-key away, so BroadcastNestedLoopJoin IS the honest plan for a
+    * deliberate tiny-side product. Everything else must be equi-join
+    * only — an unlisted nested-loop node is an accidental cartesian. */
+  private val BoundedProductQueries =
+    Set("q_ann_topk", "q_ann_ivf", "q_ann_pq", "q_pmi_terms", "q_tfidf_terms")
+
+  test("no registered query plan contains an unlisted cartesian/nested-loop join") {
+    // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
+    // at plan-build time (Spark jobs inside construction) — expensive
+    // here, and their per-round join shapes are asserted elsewhere.
+    val eagerLoops = Set("q_dedup_clusters", "q_bpe_train")
+    val names = SparkEntry.queries.keys.filterNot(eagerLoops).toSeq.sorted
+    val offenders = names.flatMap { name =>
+      val p = plan(name)
+      val bad =
+        p.contains("CartesianProduct") ||
+          (p.contains("BroadcastNestedLoopJoin") && !BoundedProductQueries(name))
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unlisted cartesians in: $offenders")
+  }
+
   test("q_ann_topk broadcasts the query side, never the corpus") {
     val p = plan("q_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
