@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, VectorFns}
 import graft.functions.expressions.WordShingles
+import graft.operators.Materialize
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** Deduplication operators for document corpora — the parameterized
@@ -61,12 +62,13 @@ object Dedup {
     * approximate. The join key is the 60-bit shingle hash (8-byte
     * shuffle key), which also serves as the global order.
     *
-    * The shingle table is materialized ONCE (`localCheckpoint`) — it
-    * feeds four logical consumers (prefix explode + two verification
-    * sides) and without the cut Spark re-reads and re-shingles the
-    * corpus per consumer. On a real cluster prefer a reliable
-    * `persist(DISK_ONLY)`/`checkpoint` over localCheckpoint (executor
-    * loss would kill the cached blocks). The candidate self-join is
+    * The shingle table is materialized ONCE ([[
+    * graft.operators.Materialize.cut]]) — it feeds four logical
+    * consumers (prefix explode + two verification sides) and without the
+    * cut Spark re-reads and re-shingles the corpus per consumer. On a
+    * real cluster configure a session checkpoint dir so every cut is a
+    * RELIABLE checkpoint (executor loss would kill localCheckpoint
+    * blocks). The candidate self-join is
     * hinted shuffle_hash like [[minhashLsh]]: a broadcast there blocks
     * ShuffleExchange reuse and recomputes the whole prefix pipeline
     * per side. */
@@ -76,7 +78,7 @@ object Dedup {
       text: String = "text",
       k: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(docs, id, text, k).localCheckpoint()
+    val sh = shingled(docs, id, text, k).transform(Materialize.cut)
     // The shingle string is dropped IMMEDIATELY after hashing: both big
     // shuffles below (by h for the freq join, by id for the window) then
     // move 16-byte (id, h) rows instead of full shingle text. The global
@@ -112,7 +114,7 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(id)))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
       .select(col(id), col("h"), col("pos"), col("sz"))
-      .localCheckpoint()
+      .transform(Materialize.cut)
       .hint("shuffle_hash")
     // Candidate pruning beyond the prefix bucket (PPJoin, Xiao et al.,
     // "Efficient Similarity Joins for Near Duplicate Detection", WWW'08):
@@ -136,7 +138,7 @@ object Dedup {
         ceil((col("a_sz") + col("b_sz")) * lit(threshold / (1 + threshold)) - eps))
       .select("a_id", "b_id")
       .distinct()
-      .localCheckpoint()
+      .transform(Materialize.cut)
     jaccardVerify(cands, sh, sh, id, "a_id", "b_id", threshold)
   }
 
@@ -226,9 +228,10 @@ object Dedup {
   /** MinHash + LSH near-dup: `bands` band buckets (signature split evenly)
     * generate candidates, exact Jaccard over the shingle sets verifies
     * against `threshold`. The shingle table is materialized once
-    * (`localCheckpoint`, same rationale and cluster caveat as
-    * [[ngramJaccard]]) and feeds both the signature aggregation and the
-    * two verification joins — one corpus scan total. */
+    * ([[graft.operators.Materialize.cut]], same rationale and cluster
+    * caveat as [[ngramJaccard]]) and feeds both the signature
+    * aggregation and the two verification joins — one corpus scan
+    * total. */
   def minhashLsh(
       docs: DataFrame,
       id: String = "doc_id",
@@ -238,7 +241,7 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = shingled(docs, id, text, k).localCheckpoint()
+    val sh = shingled(docs, id, text, k).transform(Materialize.cut)
     // shuffle_hash: a broadcast band join would recompute the signature
     // aggregation for the build side (Broadcast- and ShuffleExchange
     // cannot reuse each other); shuffling both sides on the band key is
@@ -255,7 +258,7 @@ object Dedup {
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
       .distinct()
-      .localCheckpoint()
+      .transform(Materialize.cut)
     jaccardVerify(cands, sh, sh, id, "a_id", "b_id", threshold)
   }
 
@@ -279,7 +282,7 @@ object Dedup {
       k: Int = 3): DataFrame = {
     val ex = shingleRows(docs, id, text, k)
       .select(col(id), col("sz"), Hashing.md5Long(col("shingle")).as("h"))
-      .localCheckpoint() // feeds the freq aggregate AND the join probe side
+      .transform(Materialize.cut) // feeds the freq aggregate AND the join probe side
     val freq = ex.groupBy("h").agg(count(lit(1)).as("f"))
     ex.join(freq.hint("shuffle_hash"), "h")
       .groupBy(col(id))
@@ -314,8 +317,8 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val shNew = shingled(newDocs, id, text, k).localCheckpoint()
-    val shCorpus = shingled(corpus, id, text, k).localCheckpoint()
+    val shNew = shingled(newDocs, id, text, k).transform(Materialize.cut)
+    val shCorpus = shingled(corpus, id, text, k).transform(Materialize.cut)
     val cands = broadcast(
       bandedSignatures(shNew, id, numHashes, bands)
         .withColumnRenamed(id, "new_id"))
@@ -330,7 +333,7 @@ object Dedup {
       .filter(col("new_id") =!= col("dup_of"))
       .select("new_id", "dup_of")
       .distinct()
-      .localCheckpoint()
+      .transform(Materialize.cut)
     jaccardVerify(cands, shNew, shCorpus, id, "new_id", "dup_of", threshold)
   }
 
@@ -415,10 +418,12 @@ object Dedup {
     * Returns `(id, comp)` where `comp` is the component's minimum id —
     * `filter(id === comp)` yields the canonical survivors.
     *
-    * Lineage cuts default to `localCheckpoint` (executor-local blocks —
-    * fast, but an executor loss kills the cached partitions). On a real
-    * cluster pass `checkpointDir` (HDFS/object-store path): rounds then
-    * cut lineage with RELIABLE `checkpoint()`, surviving executor loss —
+    * Lineage cuts go through [[graft.operators.Materialize.cut]]
+    * (localCheckpoint by default — executor-local blocks, fast, but an
+    * executor loss kills the cached partitions; session checkpoint dir ⇒
+    * reliable). Passing `checkpointDir` here scopes a dir to THIS call:
+    * rounds then cut lineage with RELIABLE `checkpoint()`, surviving
+    * executor loss —
     * the right 100 TB setting, at the price of one distributed write per
     * round. Reliable mode leaves one label-table snapshot per round in
     * `checkpointDir` unless `spark.cleaner.referenceTracking
@@ -432,7 +437,7 @@ object Dedup {
     val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.transform(Materialize.cut)
     try {
       val edges = cut(
         pairs
@@ -627,7 +632,7 @@ object Dedup {
       // of the reassembly): materialize once or the corpus is re-read
       // and re-tokenized per consumer (prefer reliable persist/
       // checkpoint on a real cluster)
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val hot = passages
       .select(col("h"), col(id))
       .distinct()
@@ -696,8 +701,8 @@ object Dedup {
             struct(col("a_id").as("src"), col("b_id").as("dst")),
             struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+      .transform(Materialize.cut)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).transform(Materialize.cut)
     var ranks = deg.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges

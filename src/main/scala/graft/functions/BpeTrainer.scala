@@ -65,7 +65,7 @@ object BpeTrainer {
             "]["),
           lit("]")).as("s"),
         col("cnt"))
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
 
     var words = words0
     val learned = Seq.newBuilder[Row]

@@ -118,7 +118,7 @@ object TrainingPipeline {
     val (ex, bench0) = shingleHashes(docs, benchMaxId, shingleK)
     // materialized once: feeds the filter build (an action) AND the
     // confirm join, and LogicalRDD's real stats keep it the build side
-    val bench = bench0.localCheckpoint()
+    val bench = bench0.transform(graft.operators.Materialize.cut)
     val bf = bench.stat.bloomFilter("h", math.max(bench.count(), 1L), fpp)
     val bfBytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -140,7 +140,7 @@ object TrainingPipeline {
     * columns, original content untouched).
     *
     * The decontaminated and exact-deduped bases are each materialized
-    * (`localCheckpoint` — same rationale and cluster caveat as
+    * (`Materialize.cut` — same rationale and cluster caveat as
     * [[Dedup.ngramJaccard]]): both feed multiple downstream consumers
     * (dedup aggregate + semi join; LSH pipeline + keep-canonical), and
     * without the cut the whole upstream subplan embeds once per
@@ -156,14 +156,14 @@ object TrainingPipeline {
           .select("doc_id"),
         Seq("doc_id"),
         "left_anti")
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
 
     // 2. exact dedup — keep the min id of every content group
     val keepExact =
       Dedup.exact(decon).select(col("keep_id").as("doc_id"))
     val exactKept = decon
       .join(keepExact, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
 
     // 3. near-dup clustering, keep canonical survivors
     val pairs = Dedup.minhashLsh(

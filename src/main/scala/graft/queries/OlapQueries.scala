@@ -654,7 +654,7 @@ object OlapQueries {
         max(struct(col("ts_us"), col("event_id"), col("value")))
           .getField("value")
           .as("v"))
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
     val grid = perHour
       .groupBy("user_id")
       .agg(min("hour").as("h0"), max("hour").as("h1"))

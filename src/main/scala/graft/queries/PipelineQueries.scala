@@ -261,7 +261,7 @@ object PipelineQueries {
   def qPassageDedup(s: SparkSession, d: String): DataFrame =
     Dedup
       .passageDedup(docs(s, d), window = 10, minDocs = 2)
-      .localCheckpoint() // full-corpus output; don't re-run the pipeline for the sort's sampling pass
+      .transform(graft.operators.Materialize.cut) // full-corpus output; don't re-run the pipeline for the sort's sampling pass
       .orderBy("doc_id")
 
   val PagerankIters = 5
@@ -477,14 +477,14 @@ object PipelineQueries {
     * broadcast top tokens and WindowGroupLimit caps each token at 10
     * rows BEFORE the collect — nothing vocabulary- or
     * posting-list-sized is materialized per group. The pair table is
-    * localCheckpointed once for its two consumers (df aggregate +
+    * materialized once (Materialize.cut) for its two consumers (df aggregate +
     * posting scan). */
   def qInvertedIndex(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
     val pairs = docs(s, d)
       .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
     val top = pairs
       .groupBy("tok")
       .agg(count(lit(1)).as("df"))
@@ -778,12 +778,12 @@ object PipelineQueries {
     Tokens.register(s)
     val toks = docs(s, d)
       .select(expr("graft_tokens(text)").as("t"))
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
     val uni = toks
       .select(explode(col("t")).as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
     val big = toks
       .filter(size(col("t")) >= 2) // sequence(1, 0) would be DESCENDING, not empty
       .select(
@@ -795,7 +795,7 @@ object PipelineQueries {
       .select(col("p.x").as("x"), col("p.y").as("y"))
       .groupBy("x", "y")
       .agg(count(lit(1)).as("c_xy"))
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
     val totals = uni
       .agg(sum("c").as("nn"))
       .crossJoin(big.agg(sum("c_xy").as("mm")))
@@ -827,7 +827,7 @@ object PipelineQueries {
     * (ln's last ulp is not portable; an integer ratio is).
     *
     * Shape at scale: tf is one (doc, tok) aggregate with map-side
-    * partials, materialized ONCE (localCheckpoint — column pruning
+    * partials, materialized ONCE (Materialize.cut — column pruning
     * makes the two consumers' subplans canonically different, so
     * exchange reuse alone cannot dedupe them); df is then derived FROM
     * tf (tf's keys ARE the distinct (doc, tok) pairs — the two-phase
@@ -845,7 +845,7 @@ object PipelineQueries {
     val tf = pairs
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = base.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
@@ -873,7 +873,7 @@ object PipelineQueries {
   def qKmeans(s: SparkSession, d: String): DataFrame =
     graft.clustering.Clustering
       .kmeansAssign(
-        normedEmbs(s, d).localCheckpoint(),
+        normedEmbs(s, d).transform(graft.operators.Materialize.cut),
         k = KmeansK,
         iters = KmeansIters,
         dim = EmbDim)
@@ -884,7 +884,7 @@ object PipelineQueries {
     * second scale path for embedding dedup (quadratic only within
     * clusters; `q_dedup_embed` buckets by cosine-LSH bands instead). */
   def qSemdedup(s: SparkSession, d: String): DataFrame = {
-    val e = normedEmbs(s, d).localCheckpoint()
+    val e = normedEmbs(s, d).transform(graft.operators.Materialize.cut)
     val assign = graft.clustering.Clustering
       .kmeansAssign(e, k = KmeansK, iters = KmeansIters, dim = EmbDim)
     graft.clustering.Clustering
@@ -936,7 +936,7 @@ object PipelineQueries {
       // corpus (too big for the single-partition sortSmall head), and a
       // raw orderBy would re-run the whole pipeline for its
       // range-sampling pass
-      .localCheckpoint()
+      .transform(graft.operators.Materialize.cut)
       .orderBy("doc_id")
 
   /** Benchmark decontamination report: corpus docs sharing ≥ N distinct

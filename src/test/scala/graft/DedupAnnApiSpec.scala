@@ -127,6 +127,32 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
   }
 
+  test("Materialize.cut honors a session checkpoint dir (reliable mode) with identical results") {
+    import java.nio.file.Files
+    val local = Dedup.ngramJaccard(docs, k = 3, threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    val dir = Files.createTempDirectory("graft-reliable-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      // reliable mode: same rows, and the cut actually wrote to the dir
+      val reliable = Dedup.ngramJaccard(docs, k = 3, threshold = 0.8)
+        .collect().map(_.toSeq).toSet
+      assert(reliable == local)
+      val wrote = Files.walk(dir).filter(Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode must write checkpoint files")
+      // conf opt-out: dir stays set but cuts go back to localCheckpoint
+      spark.conf.set("spark.graft.reliableMaterialize", "false")
+      val before = Files.walk(dir).filter(Files.isRegularFile(_)).count()
+      val optOut = Dedup.ngramJaccard(docs, k = 3, threshold = 0.8)
+        .collect().map(_.toSeq).toSet
+      assert(optOut == local)
+      assert(Files.walk(dir).filter(Files.isRegularFile(_)).count() == before)
+    } finally {
+      spark.conf.unset("spark.graft.reliableMaterialize")
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("embeddingCosine threshold is monotone") {
     val lo = Dedup.embeddingCosine(embs, threshold = 0.4)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
