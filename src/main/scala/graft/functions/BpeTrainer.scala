@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   * lookaround (RE2 has none), and bracket/hex characters can never
   * collide with symbol content.
   *
+  * Unicode parity contract: input text is NFC-normalized
+  * ([[graft.functions.expressions.NormalizeText]] / DuckDB
+  * `nfc_normalize`) BEFORE tokenization, so decomposed (NFD) corpora
+  * spell identically in both engines. Residual caveat: Spark's
+  * `split(w, '')` divides per CODE POINT while DuckDB's
+  * `string_split(w, '')` divides per grapheme cluster, so a combining
+  * sequence with no precomposed NFC form (e.g. `q` + U+0303) still
+  * spells as two symbols here and one there — bit parity holds for any
+  * corpus whose NFC form carries no combining marks, which NFC makes
+  * the overwhelmingly common case.
+  *
   * Scale shape: the corpus is scanned ONCE, into a word-frequency table
   * (map-side-combinable aggregate, output ∝ vocabulary ≪ corpus). Every
   * training round after that is one explode + one combinable aggregate
@@ -49,10 +60,15 @@ object BpeTrainer {
       text: String = "text",
       merges: Int = 12): DataFrame = {
     val spark = docs.sparkSession
-    // one corpus scan: word-frequency table, then each word spelled as
+    // one corpus scan: NFC-normalize (parity contract, see class doc),
+    // tokenize, word-frequency table, then each word spelled as
     // bracketed hex symbols. Materialized — every round reuses it.
+    import org.apache.spark.sql.graft.ColumnBridge
+    val normed = ColumnBridge.column(
+      graft.functions.expressions.NormalizeText(
+        ColumnBridge.expression(col(text))))
     val words0 = docs
-      .select(explode(TextFns.tokens(col(text))).as("w"))
+      .select(explode(TextFns.tokens(normed)).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("cnt"))
       .select(

@@ -1765,9 +1765,12 @@ object PipelineQueries {
     * exponential in rounds. */
   private def bpeTrainSql(merges: Int): String = {
     val head =
+      // text pre-normalized with graft_normalize's DuckDB twin (same
+      // expression as the q_normalize oracle) — the trainer's Unicode
+      // parity contract, see BpeTrainer's class doc
       """wf AS MATERIALIZED (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |    SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+        |    SELECT unnest(list_filter(string_split(trim(regexp_replace(nfc_normalize(replace(text, chr(0), ' ')), '[\x00-\x20\x7F]+', ' ', 'g')), ' '), x -> len(x) > 0)) AS w
         |    FROM documents) GROUP BY w),
         |w0 AS MATERIALIZED (
         |  SELECT '[' || array_to_string(list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> hex(c)), '][') || ']' AS s, cnt

@@ -84,17 +84,31 @@ object Ingest {
     * µs-since-epoch BIGINT, corrupt column dropped. Rows whose
     * timestamp fails to parse are NOT silently nulled — they land in
     * the returned frame with `ts_us` null so the caller can route them
-    * to the same quarantine as [[badRecords]]. */
-  def canonicalEvents(raw: DataFrame): DataFrame =
+    * to the same quarantine as [[badRecords]].
+    *
+    * Zone-less timestamps are interpreted as UTC — pinned explicitly,
+    * not left to `spark.sql.session.timeZone`: the cast parses the
+    * wall-clock in the session zone (instant = wallclock − offset), and
+    * `from_utc_timestamp(·, session zone)` adds that offset back, so
+    * the composition yields wallclock-as-UTC on EVERY deployment. (A
+    * zoned input like `...Z`/`+02:00` needs a UTC session zone to land
+    * exactly — same requirement as before — and offsets are evaluated
+    * per-timestamp, so inputs inside a DST transition window of an
+    * exotic session zone can land ±1h; pin the session zone to UTC to
+    * eliminate both caveats.) */
+  def canonicalEvents(raw: DataFrame): DataFrame = {
+    val sessionZone = raw.sparkSession.sessionState.conf.sessionLocalTimeZone
     raw
       .filter(col("_corrupt").isNull)
       .select(
         col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        unix_micros(from_utc_timestamp(col("ts").cast("timestamp"), sessionZone))
+          .as("ts_us"),
         col("user_id"),
         col("event_type"),
         col("value"),
         col("props"))
+  }
 
   /** Land a canonical table in ORC (the second columnar tier — same
     * pushdown/pruning class as parquet; useful when the downstream

@@ -16,20 +16,22 @@ import graft.log.LogFs
   *
   * Storage layout is a PARTIAL-aggregate table, not a merged one:
   * every micro-batch lands as one small parquet directory of partial
-  * rows (`parts/part-b<batchId>`), and [[view]] re-aggregates the
-  * partials on read. All maintained statistics are mergeable
+  * rows (`parts/part-<sinkId>-b<batchId>`), and [[view]] re-aggregates
+  * the partials on read. All maintained statistics are mergeable
   * (count-sum / min / max), so merge-on-read is exact, and the read
   * cost is ∝ batches × groups — summary-sized, never log-sized.
   * [[compact]] folds the accumulated partials into one directory when
   * the batch count grows.
   *
   * Exactly-once without a transaction log:
-  *   - the sink is idempotent on `batchId` (foreachBatch is
-  *     at-least-once): a batch whose `parts/part-b<id>` directory
-  *     exists is skipped, and the directory appears via a SINGLE
-  *     rename of the fully-written staging dir — the commit point is
-  *     one atomic FS operation, so a replay never observes (or
-  *     produces) a half-batch;
+  *   - the sink is idempotent on `(sinkId, batchId)` (foreachBatch is
+  *     at-least-once): a batch whose part directory exists is skipped,
+  *     and the directory appears via a SINGLE rename of the
+  *     fully-written staging dir — the commit point is one atomic FS
+  *     operation, so a replay never observes (or produces) a
+  *     half-batch. [[compact]] in turn never consumes a sink's newest
+  *     batch partial (see its doc): a replayed batch always still finds
+  *     its own part dir, so sink ∥ compact cannot double-count;
   *   - [[compact]] uses a manifest + the same single-rename commit
   *     point: a crash before the merged dir's rename rolls BACK (the
   *     staged merge is discarded, original partials intact); a crash
@@ -74,18 +76,39 @@ object Rollup {
         min("timestamp").as("min_ts"),
         max("timestamp").as("max_ts"))
 
+  /** Batch-partial dir name. `sinkId` namespaces the idempotence state:
+    * batchIds restart at 0 for every new checkpoint, so without a
+    * distinct sinkId a SECOND pipeline (fresh checkpoint) pointed at the
+    * same dir would see the first pipeline's part dirs and silently
+    * discard its own early batches as replays — the same contract as
+    * [[StreamLog.appendSink]]. */
+  private[streaming] def partName(sinkId: String, batchId: Long): String =
+    s"part-$sinkId-b$batchId"
+
+  private val PartB = raw"part-(.+)-b(\d+)".r
+
+  private def validateSinkId(sinkId: String): Unit =
+    require(
+      sinkId.nonEmpty && sinkId.forall(c => c.isLetterOrDigit || c == '_'),
+      s"sinkId must be [A-Za-z0-9_]+ (it delimits part dir names): '$sinkId'")
+
   /** Idempotent per-batch write (public so a replay is directly
     * testable): skip if committed, else stage fully and commit with
     * one rename. */
-  def writeBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
+  def writeBatch(
+      batch: DataFrame,
+      batchId: Long,
+      dir: String,
+      sinkId: String = "sink0"): Unit = {
+    validateSinkId(sinkId)
     val hfs = LogFs.fs(batch.sparkSession, dir)
     // deliberately NO manifest recovery here: the sink's idempotence is
-    // self-contained (its own part-b dir is the marker), and a recover
+    // self-contained (its own part dir is the marker), and a recover
     // that rolled back would destroy an IN-FLIGHT compaction's staged
     // merge from under it (the sink runs concurrently with compact by
     // design; only compact itself may roll back)
-    val target = s"$dir/parts/part-b$batchId"
-    val staging = s"$dir/staging/part-b$batchId"
+    val target = s"$dir/parts/${partName(sinkId, batchId)}"
+    val staging = s"$dir/staging/${partName(sinkId, batchId)}"
     if (!LogFs.exists(hfs, target)) {
       LogFs.deleteRecursive(hfs, staging) // half-written previous attempt
       partials(batch).coalesce(1).write.mode("overwrite").parquet(staging)
@@ -93,18 +116,23 @@ object Rollup {
     }
   }
 
-  /** Start the maintenance sink. */
+  /** Start the maintenance sink. A restart of the same logical pipeline
+    * reuses the same (sinkId, checkpoint) pair; a NEW pipeline gets a
+    * new sinkId. */
   def sink(
       entries: DataFrame,
       dir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      sinkId: String = "sink0"): StreamingQuery = {
+    validateSinkId(sinkId)
     entries.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId, dir)
+        writeBatch(batch, batchId, dir, sinkId)
       }
       .start()
+  }
 
   /** The current rollup: partials re-aggregated (exact — every
     * statistic is mergeable). */
@@ -124,12 +152,40 @@ object Rollup {
           max("max_ts").as("max_ts"))
   }
 
-  /** Fold all partial dirs into one. Manifest-guarded: crash-safe in
-    * both directions around the single rename commit point. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  /** Fold partial dirs into one. Manifest-guarded: crash-safe in both
+    * directions around the single rename commit point.
+    *
+    * The NEWEST batch partial of every sink is always left out: the
+    * streaming checkpoint commits AFTER foreachBatch returns, so the
+    * latest batch may be replayed after a crash — if compact() had
+    * already folded (and deleted) its part dir, the replaying sink would
+    * rewrite it and the batch would count twice. Replay only ever
+    * concerns batches the checkpoint has not committed past, which
+    * trails by at most one per sink, so skipping each sink's max batch
+    * keeps sink ∥ compact exactly-once. Callers that know better can
+    * pass `committedHorizons` (sinkId → all batchIds < h are durably in
+    * the checkpoint): then only batches ≥ h are skipped — and a sink
+    * that is STOPPED compacts fully with `Long.MaxValue`. */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      committedHorizons: Map[String, Long] = Map.empty): Unit = {
     val hfs = LogFs.fs(spark, dir)
     recover(hfs, dir)
-    val parts = listParts(hfs, dir)
+    val all = listParts(hfs, dir)
+    val maxBatch: Map[String, Long] = all
+      .collect { case PartB(sinkId, id) => (sinkId, id.toLong) }
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    def uncommitted(p: String): Boolean = p match {
+      case PartB(sinkId, id) =>
+        committedHorizons.get(sinkId) match {
+          case Some(h) => id.toLong >= h
+          case None    => id.toLong == maxBatch(sinkId)
+        }
+      case _ => false
+    }
+    val parts = all.filterNot(uncommitted)
     if (parts.size < 2) return
     val gen = 1L + parts
       .filter(_.startsWith("part-c"))

@@ -31,6 +31,21 @@ class IngestSpec extends SparkSpec {
     assert(clean(1).getLong(1) - clean.head.getLong(1) == 1000000L)
   }
 
+  test("zone-less timestamps canonicalize as UTC under ANY session time zone") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val path = write(dir, "events.csv", Seq(
+      "event_id,ts,user_id,event_type,value,props",
+      "1,2024-01-01 00:00:00,7,click,1.5,{}"))
+    val utcMicros = 1704067200000000L // 2024-01-01T00:00:00Z
+    // the same export must yield the same ts_us on a deployment whose
+    // session zone is not UTC (cast-only parsing would shift by -5h/-4h)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val clean = Ingest.canonicalEvents(Ingest.readCsv(spark, path)).collect()
+      assert(clean.head.getLong(1) == utcMicros)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("JSONL ingest: same contract as CSV, same quarantine") {
     val dir = Files.createTempDirectory("graft-ingest").toString
     val path = write(dir, "events.jsonl", Seq(

@@ -81,11 +81,44 @@ class RollupSpec extends SparkSpec {
     Rollup.compact(spark, dir)
     val after = Rollup.view(spark, dir).orderBy("space").collect().toSeq
     assert(before == after)
-    // folded to one partial dir; a second compact is a no-op
-    val parts = new java.io.File(s"$dir/parts").list().filter(_.startsWith("part-"))
-    assert(parts.length == 1 && parts.head == "part-c0")
+    // folded all but the sink's newest batch (replay protection); a
+    // second compact without new batches is a no-op
+    def parts() =
+      new java.io.File(s"$dir/parts").list().filter(_.startsWith("part-")).sorted.toSeq
+    assert(parts() == Seq("part-c0", "part-sink0-b3"))
     Rollup.compact(spark, dir)
+    assert(parts() == Seq("part-c0", "part-sink0-b3"))
     assert(Rollup.view(spark, dir).orderBy("space").collect().toSeq == before)
+    // sink stopped -> an explicit horizon folds everything
+    Rollup.compact(spark, dir, Map("sink0" -> Long.MaxValue))
+    assert(parts() == Seq("part-c1"))
+    assert(Rollup.view(spark, dir).orderBy("space").collect().toSeq == before)
+  }
+
+  test("compact never consumes a sink's newest batch: a checkpoint-lagged replay stays a no-op") {
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    (0 until 3).foreach(i => Rollup.writeBatch(entryDf(("s0", i.toLong)), i.toLong, dir))
+    val want = Rollup.view(spark, dir).collect().toSeq
+    Rollup.compact(spark, dir)
+    // the newest batch partial must survive compaction...
+    assert(new java.io.File(s"$dir/parts/part-sink0-b2").exists())
+    // ...because a crash BEFORE the streaming checkpoint commits batch 2
+    // makes foreachBatch replay it — the part dir still being present is
+    // exactly what makes the replay a no-op instead of a double count
+    Rollup.writeBatch(entryDf(("s0", 2L)), 2L, dir)
+    assert(Rollup.view(spark, dir).collect().toSeq == want)
+  }
+
+  test("distinct sinkIds namespace batch idempotence (two pipelines, one rollup dir)") {
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    Rollup.writeBatch(entryDf(("s0", 1L)), 0L, dir, "p1")
+    // a NEW pipeline's batchIds restart at 0 — its batch must not be
+    // mistaken for p1's committed batch 0
+    Rollup.writeBatch(entryDf(("s0", 2L)), 0L, dir, "p2")
+    val got = Rollup.view(spark, dir).collect()
+    assert(got.length == 1 && got.head.getLong(2) == 2L)
+    intercept[IllegalArgumentException](
+      Rollup.writeBatch(entryDf(("s0", 1L)), 0L, dir, "bad-id"))
   }
 
   test("compaction crash windows: roll back before the rename, roll forward after") {
@@ -103,7 +136,7 @@ class RollupSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/staging/part-c0")
     graft.log.LogFs.writeText(
       hfs, s"$dir/compact-manifest",
-      Seq("part-c0", "part-b0", "part-b1", "part-b2").mkString("\n"))
+      Seq("part-c0", "part-sink0-b0", "part-sink0-b1", "part-sink0-b2").mkString("\n"))
     assert(Rollup.view(spark, dir).collect().toSeq == want)
     assert(new java.io.File(s"$dir/staging/part-c0").exists())
     assert(new java.io.File(s"$dir/compact-manifest").exists())
@@ -128,9 +161,9 @@ class RollupSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/parts/part-c0")
     graft.log.LogFs.writeText(
       hfs, s"$dir/compact-manifest",
-      Seq("part-c0", "part-b0", "part-b1", "part-b2").mkString("\n"))
+      Seq("part-c0", "part-sink0-b0", "part-sink0-b1", "part-sink0-b2").mkString("\n"))
     assert(Rollup.view(spark, dir).collect().toSeq == want)
-    assert(new java.io.File(s"$dir/parts/part-b0").exists()) // reader left state alone
+    assert(new java.io.File(s"$dir/parts/part-sink0-b0").exists()) // reader left state alone
     Rollup.compact(spark, dir) // maintenance writer finishes the cleanup
     val parts = new java.io.File(s"$dir/parts").list().filter(_.startsWith("part-"))
     assert(parts.toSeq == Seq("part-c0"))
