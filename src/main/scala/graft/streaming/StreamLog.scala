@@ -24,6 +24,34 @@ import graft.log.EventLog
   *
   * Inputs are entry-shaped streaming DataFrames
   * `(space, segment, sequence, timestamp µs, payload)`.
+  *
+  * ==Delivery contract (follow / subscribe)==
+  *
+  * The reference delivers SegmentStatus over a live bidi push bus
+  * (wsstream/bidi_stream.go, broker/bus.go); [[follow]] re-expresses it
+  * as a polling file source. The resulting contract, in one place:
+  *
+  *  - '''at-least-once notification''': every committed entry is
+  *    eventually read by the follower; a crash/restart of the follower
+  *    replays from its streaming checkpoint, so a notification can be
+  *    observed twice but never lost. The tickle→re-poll consumer loop
+  *    (notification drives `consumeSpaceFromOffset` from the consumer's
+  *    OWN offset, exclusive bounds) turns that into exactly-once DATA
+  *    consumption — asserted by the "observer loop" spec (no loss, no
+  *    dups).
+  *  - '''latency is poll-interval-bound''', not push-immediate: an
+  *    entry becomes visible at the follower's next trigger after its
+  *    commit (trigger interval + one listing + one read), where the
+  *    reference's bus tickles in-band. The "follow latency" spec pins
+  *    an end-to-end bound. Size the trigger to the freshness the
+  *    subscription needs.
+  *  - '''lifecycle rewrites re-deliver''': `EventLog.compact`/`retain`
+  *    rewrite a space's files, which a file source sees as brand-new
+  *    input — a live follower re-receives the space (and can hit a
+  *    deleted original mid-trigger). Run rewrites on spaces no follower
+  *    tails, or rely on the re-poll loop's offset (re-notifications of
+  *    an already-consumed position re-poll zero rows) / content dedup
+  *    ([[dedupStream]]) downstream.
   */
 object StreamLog {
 

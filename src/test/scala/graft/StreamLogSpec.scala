@@ -401,6 +401,43 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("follow latency: a committed entry is visible within a few poll intervals") {
+    // the delivery contract (StreamLog doc): latency is bounded by the
+    // trigger interval + one listing/read — poll-interval-bound, not
+    // minutes. 250ms trigger, generous multi-interval bound so a noisy
+    // host cannot flake the suite while a regression to (say) per-batch
+    // full re-reads or a stuck source still fails it.
+    import graft.model.Record
+    val dir = Files.createTempDirectory("graft-follow-latency").toString
+    val log = new EventLog(spark, dir)
+    log.produce("s0", "a", spark.createDataset(Seq(Record(1, "p1"))), 1000L)
+    val q = StreamLog
+      .follow(spark, log)
+      .writeStream
+      .format("memory")
+      .queryName("follow_latency")
+      .outputMode("append")
+      .trigger(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable() // initial load consumed; steady state
+      val t0 = System.nanoTime()
+      log.produce("s0", "a", spark.createDataset(Seq(Record(2, "p2"))), 2000L)
+      val deadlineNs = t0 + 15_000_000_000L
+      var seen = false
+      while (!seen && System.nanoTime() < deadlineNs) {
+        seen = spark
+          .sql("SELECT * FROM follow_latency WHERE sequence = 2")
+          .count() == 1
+        if (!seen) Thread.sleep(50)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(seen, s"entry not delivered within 15s (trigger = 250ms)")
+      info(s"follow end-to-end latency: ${elapsedMs}ms")
+    } finally q.stop()
+  }
+
   test("appendSink lands micro-batches in the EventLog layout") {
     val dir = Files.createTempDirectory("graft-streamlog").toString
     val log = new EventLog(spark, dir)
