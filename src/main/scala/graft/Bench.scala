@@ -93,7 +93,9 @@ object Bench {
     // 100k records into a fresh space-partitioned log, then consume the
     // segment and the space back. Fresh directory per pass (produce is
     // stateful), best-of reported like the queries.
-    val storeNames = Seq("store_produce_100k", "store_consume_segment", "store_consume_space")
+    val storeNames = Seq(
+      "store_produce_100k", "store_consume_segment", "store_consume_space",
+      "store_peek_hot")
     val storeTimes = Array.fill(storeNames.size)(Double.MaxValue)
     // consume depends on produce, so the block runs whole — the filter
     // only selects which store metrics are reported (and whether the
@@ -120,6 +122,13 @@ object Bench {
       val t2 = System.nanoTime()
       log.consumeSpace("bench").write.format("noop").mode("overwrite").save()
       storeTimes(2) = math.min(storeTimes(2), (System.nanoTime() - t2) / 1e9)
+      // hot peek: served from the produce-warmed offset cache — zero
+      // Spark jobs (reference: server/cache.go); 1000 calls timed so the
+      // metric is measurable at all
+      val t3 = System.nanoTime()
+      var i = 0
+      while (i < 1000) { log.peek("bench", "seg0"); i += 1 }
+      storeTimes(3) = math.min(storeTimes(3), (System.nanoTime() - t3) / 1e9)
       java.nio.file.Files
         .walk(java.nio.file.Paths.get(dir))
         .sorted(java.util.Comparator.reverseOrder())
