@@ -26,13 +26,24 @@ import graft.model.Record
   * map). The Spark-side mechanics — staged parquet, atomic-per-file
   * publish, distributed validation — are exactly the production ones.
   */
-final class QuorumLog(val participants: Seq[EventLog]) {
+final class QuorumLog(
+    val participants: Seq[EventLog],
+    val membership: Option[Membership] = None) {
   require(participants.nonEmpty, "quorum needs at least one participant")
 
   private val txns = participants.map(new TxnLog(_))
 
-  /** Write quorum: majority of the replica set (quorum.go:99). */
-  def majority: Int = participants.size / 2 + 1
+  /** Write quorum. Default: majority of the STATIC replica set
+    * (quorum.go:99 arithmetic over a fixed size) — a partition can only
+    * make writes fail, never shrink the bar. With a [[Membership]]
+    * supplied, the majority derives from the LIVE node view exactly
+    * like the reference (supervisor.go:191 GetWriteCount), including
+    * its caveat: a node that sees its peers as dead lowers its own bar
+    * (see Membership's doc; anti-entropy repairs on heal). */
+  def majority: Int = membership match {
+    case Some(m) => m.majority
+    case None    => participants.size / 2 + 1
+  }
 
   /** Test hook: replica indices that are "down" — their write phase
     * NACKs without touching the store, like an unreachable node. */

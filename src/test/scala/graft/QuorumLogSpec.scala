@@ -89,4 +89,24 @@ class QuorumLogSpec extends SparkSpec {
     assert(q.participants(0).consumeSegment("s0", "seg0").count() == 5)
     assert(q.participants(2).consumeSegment("s0", "seg0").count() == 2)
   }
+
+  test("with a Membership the write bar follows the LIVE node view") {
+    var now = 0L
+    val m = new graft.log.Membership("n1", ttlMs = 15000L, clock = () => now)
+    m.heartbeat("n2"); m.heartbeat("n3"); m.heartbeat("n4"); m.heartbeat("n5")
+    val q = new QuorumLog(
+      Seq.fill(5)(new EventLog(
+        spark, Files.createTempDirectory("graft-quorum").toString)),
+      Some(m))
+    assert(q.majority == 3) // 5 live -> same bar as the static arithmetic
+    // two nodes expire (TTL, no sweeper) -> the bar follows the live
+    // view down to 2 — the reference's GetWriteCount semantics; the
+    // split-brain caveat is documented on Membership
+    now = 20000L
+    m.heartbeat("n2"); m.heartbeat("n3")
+    assert(q.majority == 2)
+    q.downReplicas = Set(3, 4) // the expired nodes' replicas are down too
+    assert(q.produce("t1", "s0", "seg0", records(1, 5), 1000L, 1L) == 3)
+    assert(q.participants(0).consumeSegment("s0", "seg0").count() == 5)
+  }
 }
