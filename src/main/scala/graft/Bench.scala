@@ -31,8 +31,10 @@ object Bench {
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
     "q_rolling_count", "q_winsorize", "q_mad",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
-    "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
-    "q_lang_id", "q_text_quality", "q_token_count", "q_normalize",
+    "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf",
+    "q_ann_pq",
+    "q_lang_id", "q_text_quality", "q_gopher_rules", "q_token_count",
+    "q_normalize",
     "q_vocab_topk",
     "q_inverted_index", "q_journeys",
     "q_tfidf_terms", "q_fingerprint", "q_repetition", "q_ngram_counts",

@@ -170,6 +170,26 @@ object PipelineQueries {
       .transform(sortSmall(_, "query_id", "rank"))
   }
 
+  /** Metadata-filtered vector search — the "where label = X" RAG shape:
+    * the predicate restricts the CORPUS before any scoring (filter →
+    * bucket join → rank, so the label filter reaches the parquet scan
+    * and the LSH path stays cartesian-free); top-k is then exact cosine
+    * within the filtered bucket. */
+  val AnnFilterLabel = 1
+
+  def qAnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val corpus = Ann
+      .withNorm(
+        embs(s, d)
+          .filter(col("vec_id") >= 10 && col("label") === AnnFilterLabel)
+          .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v")),
+        "v")
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    Ann
+      .lshTopK(querySide(s, d), corpus, k = 5, nBits = LshBits, dim = EmbDim)
+      .transform(sortSmall(_, "query_id", "rank"))
+  }
+
   val PqM = 8
   val PqKs = 8
   val PqShortlist = 20
@@ -231,6 +251,46 @@ object PipelineQueries {
         "quality_ok",
         col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
           col("punct_ratio") < 0.1 && col("distinct_ratio") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style rule-based quality flags (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 heuristics) — the RULE
+    * complement of the linear [[qQualityModel]]: per doc, word count
+    * bounds, mean word length in [3, 10], ≥ 80% of words containing an
+    * alphabetic character, and ≥ 2 distinct required stopwords present.
+    * Each signal is emitted alongside the combined keep bit so a
+    * curation run can audit WHICH rule fired. One projection pass per
+    * doc (narrow, no shuffle beyond the output sort); arithmetic is
+    * sum/count + round(6) so the DuckDB oracle matches bit-for-bit. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  def qGopherRules(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    docs(s, d)
+      .select(col("doc_id"), expr("graft_tokens(text)").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        round(
+          aggregate(transform(col("t"), w => length(w).cast("long")), lit(0L), _ + _)
+            .cast("double") / size(col("t")),
+          6).as("mean_word_len"),
+        round(
+          size(filter(col("t"), w => w.rlike("[A-Za-z]"))).cast("double") /
+            size(col("t")),
+          6).as("alpha_frac"),
+        size(array_intersect(
+          array_distinct(col("t")),
+          array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits"))
+      .withColumn(
+        "keep",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_frac") >= 0.8 && col("stop_hits") >= 2L)
       .orderBy("doc_id")
   }
 
@@ -983,10 +1043,12 @@ object PipelineQueries {
     "q_dedup_clusters" -> qDedupClusters _,
     "q_ann_topk" -> qAnnTopk _,
     "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_filtered" -> qAnnFiltered _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_pq" -> qAnnPq _,
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
+    "q_gopher_rules" -> qGopherRules _,
     "q_token_count" -> qTokenCount _,
     "q_normalize" -> qNormalize _,
     "q_vocab_topk" -> qVocabTopk _,
@@ -1247,6 +1309,23 @@ object PipelineQueries {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |             ($lshBucketSql) AS bucket
+         |      FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, c.v) / greatest(q.nrm * c.nrm, 1e-300), 6) AS cos
+         |  FROM n q JOIN n c
+         |    ON q.vec_id < 10 AND c.vec_id >= 10 AND c.label = $AnnFilterLabel
+         |   AND q.bucket = c.bucket)
+         |SELECT query_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |       neighbor_id, cos
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
@@ -1373,6 +1452,24 @@ object PipelineQueries {
          |            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
          |            ELSE 'es' END AS pred_lang
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" -> {
+      val stops = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(t) AS BIGINT) AS n_words,
+         |         round(CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t), 6) AS mean_word_len,
+         |         round(CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) AS alpha_frac,
+         |         CAST(len(list_intersect(list_distinct(t), $stops)) AS BIGINT) AS stop_hits
+         |  FROM toks)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+         |       (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "q_text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
