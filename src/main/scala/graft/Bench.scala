@@ -44,7 +44,8 @@ object Bench {
     "q_compress_ratio",
     "q_source_report",
     "q_kmeans", "q_semdedup", "q_dup_spans", "q_dedup_incr", "q_dup_degree",
-    "q_asset_stats", "q_doc_sample", "q_stratified_sample", "q_len_histogram",
+    "q_asset_stats", "q_doc_sample", "q_split_leakage", "q_stratified_sample",
+    "q_len_histogram",
     "q_source_mix", "q_contamination", "q_contamination_bloom", "q_zorder",
     "q_pipeline_e2e")
 

@@ -36,9 +36,11 @@ object DumpPlans {
     // construction (one argmax job per round, like q_dedup_clusters);
     // the interesting per-round aggregate is documented in
     // BpeTrainer.scala and the result plan is a LocalTableScan.
+    // q_split_leakage excluded like q_dedup_clusters: its clustering
+    // fixpoint executes eagerly during construction.
     val skip = Set(
       "q_dedup_clusters", "q_kmeans", "q_semdedup", "q_ann_pq",
-      "q_bpe_train")
+      "q_bpe_train", "q_split_leakage")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       out.println(s"########## $name")

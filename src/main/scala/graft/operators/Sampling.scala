@@ -42,6 +42,36 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) >= (fraction * Buckets).toLong)
   }
 
+  /** Leakage-safe train/held-out split: the split hashes the near-dup
+    * CLUSTER representative, not the doc id, so a near-duplicate pair
+    * can never straddle the boundary — the classic held-out
+    * contamination channel that plain id-hash splitting leaves open.
+    * `clusters` is [[graft.dedup.Dedup.duplicateClusters]] output
+    * `(id, comp)`; docs named in no near-dup pair split on their own
+    * id. Adds `grp` (the hashed representative) and `split`
+    * ('train' | 'heldout').
+    *
+    * Scale shape: one left equi-join of the corpus against the cluster
+    * table (∝ docs that appear in any near-dup pair — usually a small
+    * fraction, broadcast- or shuffle-joined by AQE as its real size
+    * dictates) + the same stateless hash filter as [[sampleByHash]].
+    * Same-cluster cohesion is structural (one `grp` per component), not
+    * probabilistic. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      clusters: DataFrame,
+      idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("grp", coalesce(col("comp"), col(idCol)))
+      .withColumn(
+        "split",
+        when(hashBucket(col("grp")) < (fraction * Buckets).toLong, "train")
+          .otherwise("heldout"))
+      .drop("comp")
+  }
+
   /** Fixed-size uniform sample per stratum: the `n` rows of each
     * `keyCol` group whose id-hash ranks lowest. Hash-rank ordering makes
     * it a uniform draw that is stable across engines and layouts (same

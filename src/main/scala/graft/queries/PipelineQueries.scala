@@ -622,6 +622,27 @@ object PipelineQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Leakage-safe split: near-dup clusters (same minhash parameters as
+    * `q_dedup_clusters`) pin every near-duplicate family to ONE side of
+    * the train/held-out boundary; the oracle replays the clustering
+    * with the recursive-CTE components and the split with the shared
+    * hash family. */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .leakageSafeSplit(
+        docs(s, d),
+        Dedup.duplicateClusters(
+          Dedup.minhashLsh(
+            docs(s, d),
+            k = 3,
+            numHashes = MinhashSeeds,
+            bands = MinhashBands,
+            threshold = 0.8)),
+        "doc_id",
+        fraction = 0.8)
+      .select("doc_id", "grp", "split")
+      .orderBy("doc_id")
+
   /** Mixture weights for the source-mix query: four strata with
     * distinct sampling rates, everything else dropped. */
   val MixWeights: Seq[(String, Double)] = Seq(
@@ -1030,6 +1051,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> qAssetStats _,
     "q_doc_sample" -> qDocSample _,
+    "q_split_leakage" -> qSplitLeakage _,
     "q_source_mix" -> qSourceMix _,
     "q_contamination" -> qContamination _,
     "q_contamination_bloom" -> qContaminationBloom _,
@@ -1260,6 +1282,18 @@ object PipelineQueries {
       s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
          |${componentsCtes("mpairs")}
          |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    "q_split_leakage" -> {
+      val h = graft.functions.Hashing.duckMd5Long("CAST(grp AS VARCHAR)")
+      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+         |${componentsCtes("mpairs")},
+         |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |g AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id)
+         |SELECT doc_id, grp,
+         |       CASE WHEN $h % 10000 < 8000 THEN 'train' ELSE 'heldout' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_simhash" -> {
       val h = Hashing.duckMd5Long("tok")
       s"""WITH toksx AS (

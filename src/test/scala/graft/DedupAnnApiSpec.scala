@@ -127,6 +127,23 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
   }
 
+  test("leakageSafeSplit: no near-dup pair ever straddles the train/held-out boundary") {
+    val pairs = Dedup.minhashLsh(docs, numHashes = 16, bands = 8, threshold = 0.8)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val split = graft.operators.Sampling
+      .leakageSafeSplit(docs, clusters, "doc_id", 0.8)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // total coverage, both sides populated
+    assert(split.size == docs.count())
+    assert(split.values.toSet == Set("train", "heldout"))
+    // the leakage property itself: every near-dup pair lands together
+    val straddling = pairs
+      .select("a_id", "b_id").collect()
+      .filter(r => split(r.getLong(0)) != split(r.getLong(1)))
+    assert(straddling.isEmpty, s"leaked pairs: ${straddling.toSeq}")
+  }
+
   test("Materialize.cut honors a session checkpoint dir (reliable mode) with identical results") {
     import java.nio.file.Files
     val local = Dedup.ngramJaccard(docs, k = 3, threshold = 0.8)

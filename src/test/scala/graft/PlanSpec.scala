@@ -179,7 +179,7 @@ class PlanSpec extends SparkSpec {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
     // at plan-build time (Spark jobs inside construction) — expensive
     // here, and their per-round join shapes are asserted elsewhere.
-    val eagerLoops = Set("q_dedup_clusters", "q_bpe_train")
+    val eagerLoops = Set("q_dedup_clusters", "q_bpe_train", "q_split_leakage")
     val names = SparkEntry.queries.keys.filterNot(eagerLoops).toSeq.sorted
     val offenders = names.flatMap { name =>
       val p = plan(name)
