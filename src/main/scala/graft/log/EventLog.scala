@@ -128,40 +128,55 @@ final class EventLog(val spark: SparkSession, val path: String) {
       .partitionBy("space")
       .parquet(dataDir)
 
+    // From here the data IS durably appended: if ANYTHING below fails
+    // (the status job can die like any Spark job), the cached position
+    // must not stay at the PRE-write value — a later produce validating
+    // against the stale high-water mark would append duplicate
+    // sequences. Dropping the key makes the next peek re-scan.
+    def guarded[A](body: => A): A =
+      try body
+      catch {
+        case t: Throwable => peekCache.remove((space, segment)); throw t
+      }
+
     // Per-chunk statuses from the batch plan itself — never from a log
     // readback: a produce must stay O(batch), not O(segment history).
     // The same aggregate also carries the batch's final payload/metadata
     // so the peek cache can be updated without ever re-reading the log.
-    val statusRows = entries
-      .groupBy("trxNumber")
-      .agg(
-        min("sequence").as("firstSequence"),
-        min("timestamp").as("firstTimestamp"),
-        max("sequence").as("lastSequence"),
-        max("timestamp").as("lastTimestamp"),
-        max_by(col("payload"), col("sequence")).as("lastPayload"),
-        max_by(col("metadata"), col("sequence")).as("lastMetadata"))
-      .orderBy("trxNumber")
-      .collect()
-    val lastRow = statusRows.last // n > 0 ⇒ at least one chunk
-    peekCache((space, segment)) = Some(
-      Entry(
-        space = space,
-        segment = segment,
-        sequence = lastRow.getAs[Long]("lastSequence"),
-        timestamp = lastRow.getAs[Long]("lastTimestamp"),
-        trxNumber = lastRow.getAs[Long]("trxNumber"),
-        payload = lastRow.getAs[String]("lastPayload"),
-        metadata =
-          lastRow.getAs[scala.collection.Map[String, String]]("lastMetadata").toMap))
-    statusRows.toSeq.map(r =>
-      SegmentStatus(
-        space = space,
-        segment = segment,
-        firstSequence = r.getAs[Long]("firstSequence"),
-        firstTimestamp = r.getAs[Long]("firstTimestamp"),
-        lastSequence = r.getAs[Long]("lastSequence"),
-        lastTimestamp = r.getAs[Long]("lastTimestamp")))
+    val statusRows = guarded {
+      entries
+        .groupBy("trxNumber")
+        .agg(
+          min("sequence").as("firstSequence"),
+          min("timestamp").as("firstTimestamp"),
+          max("sequence").as("lastSequence"),
+          max("timestamp").as("lastTimestamp"),
+          max_by(col("payload"), col("sequence")).as("lastPayload"),
+          max_by(col("metadata"), col("sequence")).as("lastMetadata"))
+        .orderBy("trxNumber")
+        .collect()
+    }
+    guarded {
+      val lastRow = statusRows.last // n > 0 ⇒ at least one chunk
+      peekCache((space, segment)) = Some(
+        Entry(
+          space = space,
+          segment = segment,
+          sequence = lastRow.getAs[Long]("lastSequence"),
+          timestamp = lastRow.getAs[Long]("lastTimestamp"),
+          trxNumber = lastRow.getAs[Long]("trxNumber"),
+          payload = lastRow.getAs[String]("lastPayload"),
+          metadata =
+            lastRow.getAs[scala.collection.Map[String, String]]("lastMetadata").toMap))
+      statusRows.toSeq.map(r =>
+        SegmentStatus(
+          space = space,
+          segment = segment,
+          firstSequence = r.getAs[Long]("firstSequence"),
+          firstTimestamp = r.getAs[Long]("firstTimestamp"),
+          lastSequence = r.getAs[Long]("lastSequence"),
+          lastTimestamp = r.getAs[Long]("lastTimestamp")))
+    }
   }
 
   /** One-off append at peek+1 (reference: Publish, client.go:149).

@@ -109,19 +109,23 @@ final class TxnLog(val log: EventLog) {
     val stagedDir = s"$stagedRoot/$trxId"
     require(LogFs.exists(hfs, stagedDir), s"transaction not found: $trxId")
     val stagedBase = new HPath(stagedDir)
-    LogFs.walkParquet(hfs, stagedDir).foreach { p =>
-      // parent dir relative to the staged root = the partition subpath
-      val rel = p.getParent.toString.stripPrefix(
-        hfs.makeQualified(stagedBase).toString).stripPrefix("/")
-      val dest = new HPath(
-        if (rel.isEmpty) dataDir else s"$dataDir/$rel",
-        s"trx-$trxId.${p.getName}")
-      if (hfs.exists(dest)) LogFs.deleteFile(hfs, p) // resumed: already published
-      else LogFs.move(hfs, p, dest)
-    }
-    LogFs.deleteRecursive(hfs, stagedDir)
-    // published outside EventLog.produce → its peek cache is stale
-    log.invalidateCache()
+    // finally, not post-hoc: a commit dying MID-publish has already made
+    // files visible, and a peek cache still holding the pre-commit
+    // position would let a later produce validate against a stale
+    // high-water mark
+    try {
+      LogFs.walkParquet(hfs, stagedDir).foreach { p =>
+        // parent dir relative to the staged root = the partition subpath
+        val rel = p.getParent.toString.stripPrefix(
+          hfs.makeQualified(stagedBase).toString).stripPrefix("/")
+        val dest = new HPath(
+          if (rel.isEmpty) dataDir else s"$dataDir/$rel",
+          s"trx-$trxId.${p.getName}")
+        if (hfs.exists(dest)) LogFs.deleteFile(hfs, p) // resumed: already published
+        else LogFs.move(hfs, p, dest)
+      }
+      LogFs.deleteRecursive(hfs, stagedDir)
+    } finally log.invalidateCache()
   }
 
   /** Drop a staged transaction (reference: Rollback — delete the staged
@@ -141,12 +145,14 @@ final class TxnLog(val log: EventLog) {
   def abort(trxId: String): Unit = {
     rollback(trxId)
     if (LogFs.exists(hfs, dataDir)) {
-      LogFs
-        .walkParquet(hfs, dataDir)
-        .filter(_.getName.startsWith(s"trx-$trxId."))
-        .foreach(p => LogFs.deleteFile(hfs, p))
-      // deleting published files can move a segment's high-water back
-      log.invalidateCache()
+      // finally: deleting published files moves a segment's high-water
+      // back — even a PARTIAL sweep must drop the cached position
+      try
+        LogFs
+          .walkParquet(hfs, dataDir)
+          .filter(_.getName.startsWith(s"trx-$trxId."))
+          .foreach(p => LogFs.deleteFile(hfs, p))
+      finally log.invalidateCache()
     }
   }
 

@@ -465,6 +465,10 @@ object StreamLog {
               .walkParquet(hfs, dataDir)
               .filter(_.getName.startsWith(s"$sinkId-batch-$batchId-"))
               .foreach(p => LogFs.deleteFile(hfs, p))
+          // invalidate BEFORE publishing, not only after: a crash
+          // mid-publish leaves visible files, and a cache entry from
+          // before this batch would under-report the high-water mark
+          log.invalidateCache()
           batch.write
             .mode("overwrite")
             .partitionBy("space")
