@@ -668,6 +668,63 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** Line-level exact dedup (the RefinedWeb "remove duplicated lines"
+    * shape, complementing [[passageDedup]]'s token-window granularity):
+    * each doc is split on newlines, every non-blank line whose exact
+    * text appears in ≥ `minDocs` DISTINCT docs is dropped corpus-wide
+    * (navigation chrome, cookie banners, boilerplate footers), and the
+    * surviving lines are reassembled in order. Blank/whitespace-only
+    * lines are never counted as boilerplate and always survive. Returns
+    * `(id, clean_text, n_kept, n_dropped)` for every input doc.
+    *
+    * Scale shape mirrors [[passageDedup]]: the line document-frequency
+    * count is two-phase (distinct (line-hash, doc) pairs first — the
+    * boilerplate lines ARE the skewed keys), the hot-line probe joins on
+    * the 60-bit hash, and reassembly is one (id) aggregation with a
+    * `sort_array` of (pos, line) structs. */
+  def lineDedup(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", Hashing.md5Long(col("line")))
+      // three consumers (df count, anti probe, reassembly) — same
+      // materialize-once reasoning as passageDedup
+      .transform(Materialize.cut)
+    val hot = lines
+      .filter(trim(col("line")) =!= "")
+      .select(col("h"), col(id))
+      .distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(true).as("is_hot"))
+    val rebuilt = lines
+      .join(hot, Seq("h"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("is_hot").isNull, 1)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(
+              collect_list(
+                when(col("is_hot").isNull, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+    docs
+      .select(col(id))
+      .join(rebuilt, Seq(id), "left")
+      .select(
+        col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_total"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** PageRank over the duplicate-pair graph — centrality-based
     * canonical selection (the "which copy is the hub" complement of
     * [[duplicateClusters]]' min-label membership). Undirected: each

@@ -160,4 +160,34 @@ object TextFns {
       lit(1.2) * stopwordRatio + lit(0.8) * distinctRatio
         - lit(6.0) * punctRatio + lit(0.002) * nTokens,
       4)
+
+  /** HTML → text rules, applied strictly in order: container elements
+    * whose CONTENT must go (script/style), comments, then every
+    * remaining tag, then entity decodes (after tag stripping, so
+    * `&lt;div&gt;` decodes to a literal `<div>` instead of becoming a
+    * strippable tag), then whitespace collapse. One shared rule list so
+    * [[stripHtml]] and the DuckDB oracle compile the identical chain.
+    * RE2-safe subset only (no backreferences, no lookaround) — the
+    * patterns mean the same thing to Java regex and to RE2. */
+  val HtmlRules: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "\\s+" -> " ")
+
+  /** Boilerplate-stripping HTML → plain text (tags, script/style
+    * bodies, comments, the common entities, whitespace collapse). A
+    * linear per-row regexp chain — stateless, pushdown-friendly, no
+    * shuffle; a no-op on text that contains no markup. */
+  def stripHtml(c: Column): Column =
+    trim(HtmlRules.foldLeft(c) { case (acc, (p, r)) =>
+      regexp_replace(acc, p, r)
+    })
 }

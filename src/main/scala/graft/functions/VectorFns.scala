@@ -38,6 +38,25 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / safeDen(norm(a), norm(b))
 
+  /** Per-vector int8 scalar quantization: symmetric, zero-centered,
+    * scale = max(|x|)/127 (floored so the all-zero vector quantizes to
+    * all-zero codes instead of 0/0). Codes are `floor(x/scale + 0.5)`
+    * — explicit floor, NOT `round()`, so both engines resolve ties
+    * identically and the DuckDB oracle is bit-exact. Returns the codes
+    * plus the reconstruction scale; at 100 TB this is the 4× memory /
+    * shuffle-width reduction that makes billion-vector ANN shortlists
+    * fit in executor memory (codes rerank via [[dequantize]], exact
+    * vectors touched only for the final shortlist — same pattern as
+    * the PQ path, coarser but transposition-free). */
+  def quantizeScale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x))), lit(1e-30)) / 127.0
+
+  def quantizeCodes(v: Column, scale: Column): Column =
+    transform(v, x => floor(x / scale + 0.5).cast("int"))
+
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** JVM twin of [[Hashing.md5Long]] for driver-side constants. */
   private def md5Long(s: String): Long = {
     val d = java.security.MessageDigest

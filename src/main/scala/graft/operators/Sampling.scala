@@ -99,6 +99,58 @@ object Sampling {
       .filter(col("rank") <= n)
   }
 
+  /** Deterministic global shuffle order for training reproducibility:
+    * every row gets a stable position `pos` (0-based, dense) in the
+    * md5-of-(id ++ salt) total order, plus the range-aligned `shard` it
+    * falls in. Re-running on any cluster size, layout, or engine yields
+    * the identical order; changing `salt` yields an independent
+    * permutation (epoch reshuffle without rewriting data).
+    *
+    * Scale shape: NO global single-partition sort. The shard is the
+    * leading byte range of the shuffle key, so (shard, key) order equals
+    * global key order; positions come from a per-shard `row_number`
+    * (one shuffle on `shard`) plus a broadcast cumulative-offset table
+    * (≤ 256 rows — the only single-partition step is a window over
+    * that tiny table). This is the standard distributed total-order
+    * rank: sort locally per range, offset by the prefix sums. */
+  def corpusShuffle(
+      df: DataFrame,
+      idCol: String,
+      shards: Int = 16,
+      salt: String = ""): DataFrame = {
+    require(shards >= 1 && shards <= 256, "shards must be in [1, 256]")
+    val keyed = df.select(
+      col(idCol),
+      md5(concat(col(idCol).cast("string"), lit(salt))).as("shuffle_key"))
+    // leading byte of the key, mapped monotonically onto [0, shards):
+    // shard is a function of the byte alone, so (shard, key) ordering
+    // is exactly key ordering
+    val shardCol = expr(
+      s"CAST((CAST(conv(substring(shuffle_key, 1, 2), 16, 10) AS LONG) * $shards) DIV 256 AS INT)")
+    val sharded = keyed.withColumn("shard", shardCol)
+    val offsets = sharded
+      .groupBy("shard")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("cnt").over(
+            Window
+              .orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("shard", "off")
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    sharded
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), Seq("shard"))
+      .select(
+        col(idCol),
+        col("shuffle_key"),
+        col("shard"),
+        (col("off") + col("rn") - 1).as("pos"))
+  }
+
   /** Source-weighted mixture: keep ~`weights(key)` of each `keyCol`
     * stratum (keys absent from `weights` are dropped). The weight
     * lookup compiles to a literal CASE — no join, no shuffle, the

@@ -324,6 +324,139 @@ object PipelineQueries {
       .transform(graft.operators.Materialize.cut) // full-corpus output; don't re-run the pipeline for the sort's sampling pass
       .orderBy("doc_id")
 
+  /** Line-level corpus dedup (RefinedWeb "remove duplicated lines") —
+    * newline-granularity complement of [[qPassageDedup]]'s token
+    * windows. The testdata corpus is single-line documents, so here the
+    * operator degenerates to whole-text df counting (nothing hot at 500
+    * distinct texts); DedupAnnApiSpec drives the multi-line behavior on
+    * crafted docs — this entry pins the cross-engine parity of the
+    * split/count/reassemble machinery. */
+  def qLineDedup(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .lineDedup(docs(s, d), minDocs = 2)
+      .transform(graft.operators.Materialize.cut) // full-corpus output; don't re-run the pipeline for the sort's sampling pass
+      .orderBy("doc_id")
+
+  val ShuffleShards = 16
+  val ShuffleSalt = "ep0"
+
+  /** Deterministic corpus shuffle: stable (shard, pos) for every doc in
+    * the md5(id ++ salt) total order — the reproducible "epoch
+    * permutation" a trainer replays on any cluster size. Range-aligned
+    * shards + broadcast prefix sums; no global single-partition sort
+    * (see [[graft.operators.Sampling.corpusShuffle]]). */
+  def qCorpusShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .corpusShuffle(docs(s, d), "doc_id", shards = ShuffleShards, salt = ShuffleSalt)
+      .orderBy("pos")
+
+  /** Per-vector int8 scalar quantization with reconstruction-error
+    * report (rmse via the three bit-reproducible dot products, cosine
+    * against the dequantized vector). The 4× compression that keeps
+    * billion-vector shortlists in executor memory; codes stay exact
+    * under the explicit floor(x/s + 0.5) tie rule in both engines. */
+  def qQuantizeEmbed(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val q = e
+      .withColumn("scale", VectorFns.quantizeScale(col("v")))
+      .withColumn(
+        "deq",
+        VectorFns.dequantize(
+          VectorFns.quantizeCodes(col("v"), col("scale")),
+          col("scale")))
+    q.select(
+      col("vec_id"),
+      round(col("scale"), 6).as("scale"),
+      size(col("v")).as("n_dims"),
+      round(
+        sqrt(
+          greatest(
+            VectorFns.dot(col("v"), col("v"))
+              - lit(2.0) * VectorFns.dot(col("v"), col("deq"))
+              + VectorFns.dot(col("deq"), col("deq")),
+            lit(0.0)) / size(col("v"))),
+        6).as("rmse"),
+      round(VectorFns.cosine(col("v"), col("deq")), 6).as("cos_deq"))
+      .orderBy("vec_id")
+  }
+
+  /** HTML boilerplate strip over the shared rule chain
+    * ([[TextFns.HtmlRules]]) — tags, script/style bodies, comments,
+    * entity decodes, whitespace collapse. Linear scan, no shuffle; a
+    * near-no-op on this markup-free corpus (the crafted-HTML behavior
+    * lives in TextFnsSpec), so the entry pins the 11-rule regex-chain
+    * parity between engines. */
+  def qHtmlStrip(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextFns.stripHtml(col("text")).as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+      .orderBy("doc_id")
+
+  /** One-pass ANALYZE-style profile of every documents column: row /
+    * null / exact-distinct counts and lexicographic min/max of the
+    * string form. Two-phase over (column, value) so the distinct count
+    * never funnels a column's whole value set through one reducer —
+    * the profile of a 100 TB table is one narrow shuffle. */
+  def qProfile(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(expr(
+        """stack(5,
+          |  'doc_id', CAST(doc_id AS STRING),
+          |  'text', text,
+          |  'lang', lang,
+          |  'source', source,
+          |  'n_chars', CAST(n_chars AS STRING)) AS (column_name, val)""".stripMargin))
+      .groupBy("column_name", "val")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("column_name")
+      .agg(
+        sum("cnt").as("n_rows"),
+        sum(when(col("val").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_nulls"),
+        count(when(col("val").isNotNull, 1)).as("n_distinct"),
+        min("val").as("min_val"),
+        max("val").as("max_val"))
+      .orderBy("column_name")
+
+  /** Pairwise vocabulary Jaccard between sources — the corpus-
+    * comparison view ("how much does crawl A share with crawl B").
+    * Candidates come from a token-key equi-join of the per-source
+    * distinct-token table against itself: cost ∝ Σ_token (sources
+    * containing it)², bounded by |vocab| · |sources|² — never a doc-
+    * level cross product. Set sizes broadcast (|sources| rows). */
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(
+        col("source"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("tok"))
+      .distinct()
+      // three consumers (sizes + both self-join sides)
+      .transform(graft.operators.Materialize.cut)
+    val sizes = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    toks.as("a")
+      .join(
+        toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(
+        broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(
+        broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("inter"),
+        round(
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")),
+          6).as("jaccard"))
+      .transform(sortSmall(_, "src_a", "src_b"))
+  }
+
   val PagerankIters = 5
 
   /** PageRank centrality over the minhash near-dup graph (fixed-point
@@ -1087,6 +1220,12 @@ object PipelineQueries {
     "q_ngram_counts" -> qNgramCounts _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_passage_dedup" -> qPassageDedup _,
+    "q_line_dedup" -> qLineDedup _,
+    "q_corpus_shuffle" -> qCorpusShuffle _,
+    "q_quantize_embed" -> qQuantizeEmbed _,
+    "q_html_strip" -> qHtmlStrip _,
+    "q_profile" -> qProfile _,
+    "q_source_overlap" -> qSourceOverlap _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
     "q_token_budget" -> qTokenBudget _,
@@ -1775,6 +1914,90 @@ object PipelineQueries {
         |       coalesce(re.n_kept, 0) AS n_kept,
         |       tot.n_total - coalesce(re.n_kept, 0) AS n_dropped
         |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // line-granularity sibling of q_passage_dedup: hot = non-blank line
+    // in >= 2 distinct docs; blank lines never count and always survive
+    "q_line_dedup" ->
+      """WITH l AS (
+        |  SELECT doc_id, unnest(ls) AS line, unnest(generate_series(1, len(ls))) AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+        |hot AS (
+        |  SELECT line FROM (SELECT DISTINCT line, doc_id FROM l WHERE trim(line) <> '')
+        |  GROUP BY line HAVING count(*) >= 2),
+        |kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
+        |re AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM l GROUP BY doc_id)
+        |SELECT tot.doc_id, coalesce(re.clean_text, '') AS clean_text,
+        |       CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(tot.n_total - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // global row_number reproduces the distributed rank (range-aligned
+    // shard + per-shard row_number + prefix offsets) exactly
+    "q_corpus_shuffle" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '$ShuffleSalt') AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, shuffle_key,
+         |       CAST((CAST(('0x' || substr(shuffle_key, 1, 2)) AS BIGINT) * $ShuffleShards) // 256 AS INT) AS shard,
+         |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+         |FROM t ORDER BY pos""".stripMargin,
+    // codes are floor(x/s + 0.5) in both engines (explicit tie rule, no
+    // round()); rmse/cosine from the three bit-reproducible dot products
+    "q_quantize_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v,
+        |         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id, v, scale,
+        |         list_transform(v, x -> floor(x / scale + 0.5) * scale) AS deq
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale, CAST(len(v) AS INT) AS n_dims,
+        |       round(sqrt(greatest(list_dot_product(v, v) - 2.0 * list_dot_product(v, deq) + list_dot_product(deq, deq), 0.0) / len(v)), 6) AS rmse,
+        |       round(list_dot_product(v, deq) / greatest(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq)), 1e-300), 6) AS cos_deq
+        |FROM c ORDER BY vec_id""".stripMargin,
+    "q_html_strip" -> {
+      val chain = TextFns.HtmlRules.foldLeft("text") { case (acc, (p, r)) =>
+        s"regexp_replace($acc, '${p.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
+      }
+      s"""SELECT doc_id, trim($chain) AS clean,
+         |       CAST(len(trim($chain)) AS BIGINT) AS n_chars_clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_profile" ->
+      """WITH s AS (
+        |  SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+        |g AS (SELECT column_name, val, count(*) AS cnt FROM s GROUP BY 1, 2)
+        |SELECT column_name,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN val IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       count(CASE WHEN val IS NOT NULL THEN 1 END) AS n_distinct,
+        |       min(val) AS min_val,
+        |       max(val) AS max_val
+        |FROM g GROUP BY column_name ORDER BY column_name""".stripMargin,
+    "q_source_overlap" ->
+      """WITH t AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |    FROM documents)),
+        |s AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+        |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM p JOIN s sa ON sa.source = p.src_a JOIN s sb ON sb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // fixed-point integer PageRank over the minhash pair graph: damping
     // 17/20 as integer floor-div, contributions summed as int64 — every
     // iteration is bit-identical across engines (kmeans trick)

@@ -143,4 +143,20 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(TextFns.distinctTokenRatio(lit("a a b b"))).asInstanceOf[Double] == 0.5)
     assert(eval(TextFns.meanTokenLen(lit("ab abcd"))).asInstanceOf[Double] == 3.0)
   }
+
+  test("stripHtml removes tags/script bodies/comments, decodes entities, collapses whitespace") {
+    def strip(s: String): String =
+      eval(TextFns.stripHtml(lit(s))).asInstanceOf[String]
+    assert(strip("<html><body><p>Hello <b>world</b></p></body></html>") == "Hello world")
+    // script/style CONTENT goes too, across newlines, any case
+    assert(strip("<SCRIPT type=\"x\">\nvar a = 1 < 2;\n</script>after") == "after")
+    assert(strip("<style>p { color: red }</style>text") == "text")
+    assert(strip("a<!-- hidden\ncomment -->b") == "a b")
+    // entities decode AFTER tag stripping: a literal escaped tag survives
+    assert(strip("&lt;div&gt; &amp; more&nbsp;here") == "<div> & more here")
+    assert(strip("it&#39;s &quot;quoted&quot;") == "it's \"quoted\"")
+    // multi-line whitespace collapses; markup-free text is untouched
+    assert(strip("one\n\t two   three") == "one two three")
+    assert(strip("plain text stays") == "plain text stays")
+  }
 }

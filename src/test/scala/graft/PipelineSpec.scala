@@ -417,4 +417,90 @@ class PipelineSpec extends SparkSpec {
     val again = PipelineQueries.qTokenBudget(spark, dir).collect()
     assert(again.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq)
   }
+
+  test("line dedup drops corpus-hot lines, keeps blanks and doc order") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val docsDf = Seq(
+      (1L, s"alpha one\n$boiler\nalpha two"),
+      (2L, s"$boiler\nbeta only\n\nbeta tail"),
+      (3L, "gamma solo")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup
+      .lineDedup(docsDf, minDocs = 2)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getString(1)).toSeq == Seq(
+      "alpha one\nalpha two", // boilerplate line gone, order kept
+      "beta only\n\nbeta tail", // blank line survives (never hot)
+      "gamma solo"))
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((2L, 1L), (3L, 1L), (1L, 0L)))
+  }
+
+  test("corpus shuffle positions are a dense permutation in global key order") {
+    val out = PipelineQueries.qCorpusShuffle(spark, SfDir).collect()
+    val pos = out.map(_.getLong(3))
+    assert(pos.toSeq == (0L until out.length.toLong).toSeq) // dense, 0-based, already pos-ordered
+    val keys = out.map(_.getString(1))
+    assert(keys.toSeq == keys.sorted.toSeq) // pos order IS md5-key order
+    // shard ranges are contiguous: shard is monotone along the order
+    val shards = out.map(_.getInt(2))
+    assert(shards.toSeq == shards.sorted.toSeq)
+    // salt change yields a different permutation of the same ids
+    val docsDf = spark.read.parquet(s"$SfDir/documents.parquet")
+    val other = graft.operators.Sampling
+      .corpusShuffle(docsDf, "doc_id", shards = 16, salt = "ep1")
+      .orderBy("pos").collect().map(_.getLong(0))
+    assert(other.toSeq != out.map(_.getLong(0)).toSeq)
+    assert(other.sorted.toSeq == out.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("int8 quantization reconstructs within one quantum per component") {
+    val rows = PipelineQueries.qQuantizeEmbed(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val rmse = r.getDouble(3)
+      val cos = r.getDouble(4)
+      assert(scale > 0)
+      assert(rmse <= scale / 2 + 1e-9, s"rmse $rmse > half-quantum of $scale") // per-component error <= scale/2
+      assert(cos > 0.99, s"cosine after int8 dequant should be ~1, got $cos")
+    }
+  }
+
+  test("profile counts nulls and distincts per column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    Seq(
+      (1L, "aa", null.asInstanceOf[String], "s1", 2L),
+      (2L, "bb", "en", "s1", 2L),
+      (3L, "aa", "en", null.asInstanceOf[String], 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = PipelineQueries.qProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(m("doc_id") == ((3L, 0L, 3L, "1", "3")))
+    assert(m("text") == ((3L, 0L, 2L, "aa", "bb")))
+    assert(m("lang") == ((3L, 1L, 1L, "en", "en")))
+    assert(m("source") == ((3L, 1L, 1L, "s1", "s1")))
+    assert(m("n_chars") == ((3L, 0L, 1L, "2", "2")))
+  }
+
+  test("source vocabulary overlap computes exact pairwise Jaccard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovl").toString
+    Seq(
+      (1L, "a b c", "s1"),
+      (2L, "b c d", "s2"),
+      (3L, "c d", "s2"), // s2 vocab = {b,c,d}
+      (4L, "x y", "s3")) // disjoint from s1: pair absent from output
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val byPair = PipelineQueries.qSourceOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Double]("jaccard")))).toMap
+    assert(byPair == Map(
+      ("s1", "s2") -> ((2L, 0.5)))) // {b,c} of {a,b,c,d}; s3 disjoint from both -> no rows
+  }
 }
