@@ -52,6 +52,13 @@ final class EventLog(val spark: SparkSession, val path: String) {
   private val peekCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Option[Entry]]
 
+  /** Push-notification fan-out for this log: produce/publish (and
+    * [[TxnLog.commit]]) publish their [[SegmentStatus]] acks here the
+    * moment the write is durably visible — see [[NotificationBus]] for
+    * the delivery contract and the reference mapping
+    * (broker/bus.go, client.go SubscribeToSpace). */
+  val bus = new NotificationBus
+
   /** Drop every cached segment position (all spaces). */
   def invalidateCache(): Unit = peekCache.clear()
 
@@ -156,7 +163,7 @@ final class EventLog(val spark: SparkSession, val path: String) {
         .orderBy("trxNumber")
         .collect()
     }
-    guarded {
+    val statuses = guarded {
       val lastRow = statusRows.last // n > 0 ⇒ at least one chunk
       peekCache((space, segment)) = Some(
         Entry(
@@ -177,6 +184,10 @@ final class EventLog(val spark: SparkSession, val path: String) {
           lastSequence = r.getAs[Long]("lastSequence"),
           lastTimestamp = r.getAs[Long]("lastTimestamp")))
     }
+    // push AFTER the cache reflects the commit, so a subscriber that
+    // peeks from its callback sees the acknowledged position
+    bus.publish(statuses)
+    statuses
   }
 
   /** One-off append at peek+1 (reference: Publish, client.go:149).

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 
-import graft.model.Record
+import graft.model.{Record, SegmentStatus}
 
 /** Two-phase write staging on top of [[EventLog]] — the reference's
   * Write / Commit / Rollback protocol (reference: pebble/service.go:
@@ -96,6 +96,42 @@ final class TxnLog(val log: EventLog) {
       .mode(SaveMode.Overwrite)
       .partitionBy("space")
       .parquet(s"$stagedRoot/$trxId")
+    // status sidecar (non-parquet: the publish walk skips it, the
+    // staged-dir delete removes it): commit() reads it back so the
+    // bus notification carries exact ack bounds without an
+    // O(segment-history) readback. AFTER the parquet write — Overwrite
+    // recreates the directory.
+    LogFs.writeText(
+      hfs,
+      s"$stagedRoot/$trxId/_status",
+      s"${enc(space)} ${enc(segment)} $lo $hi $timestampUs")
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Parse the staged ack sidecar, if present (absent only for dirs
+    * staged by pre-sidecar versions — commit then skips the push). */
+  private def stagedStatus(trxId: String): Option[SegmentStatus] = {
+    val p = s"$stagedRoot/$trxId/_status"
+    if (!LogFs.exists(hfs, p)) None
+    else
+      LogFs.readLines(hfs, p).headOption.flatMap { line =>
+        line.split(' ') match {
+          case Array(sp, seg, lo, hi, ts) =>
+            Some(SegmentStatus(
+              space = dec(sp),
+              segment = dec(seg),
+              firstSequence = lo.toLong,
+              firstTimestamp = ts.toLong,
+              lastSequence = hi.toLong,
+              lastTimestamp = ts.toLong))
+          case _ => None
+        }
+      }
   }
 
   /** Publish a staged transaction: move its parquet files under the data
@@ -109,6 +145,9 @@ final class TxnLog(val log: EventLog) {
     val stagedDir = s"$stagedRoot/$trxId"
     require(LogFs.exists(hfs, stagedDir), s"transaction not found: $trxId")
     val stagedBase = new HPath(stagedDir)
+    // read the ack sidecar BEFORE the move (the staged dir is deleted on
+    // success) — pushed to the bus only after the publish completes
+    val ack = stagedStatus(trxId)
     // finally, not post-hoc: a commit dying MID-publish has already made
     // files visible, and a peek cache still holding the pre-commit
     // position would let a later produce validate against a stale
@@ -126,6 +165,9 @@ final class TxnLog(val log: EventLog) {
       }
       LogFs.deleteRecursive(hfs, stagedDir)
     } finally log.invalidateCache()
+    // after the cache drop: a subscriber peeking from its callback
+    // re-scans and sees the committed position, never the stale cache
+    ack.foreach(st => log.bus.publish(Seq(st)))
   }
 
   /** Drop a staged transaction (reference: Rollback — delete the staged
