@@ -190,4 +190,21 @@ object TextFns {
     trim(HtmlRules.foldLeft(c) { case (acc, (p, r)) =>
       regexp_replace(acc, p, r)
     })
+
+  /** Unicode script classes as (name, Java-regex class, RE2 class):
+    * Java spells a script `\p{IsHan}`, RE2 (DuckDB) spells the same set
+    * `\p{Han}` — two spellings, one meaning, kept side by side so the
+    * oracle can't drift from the Spark column. */
+  val ScriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "[\\p{IsLatin}]", "[\\p{Latin}]"),
+    ("han", "[\\p{IsHan}]", "[\\p{Han}]"),
+    ("cyrillic", "[\\p{IsCyrillic}]", "[\\p{Cyrillic}]"),
+    ("arabic", "[\\p{IsArabic}]", "[\\p{Arabic}]"),
+    ("digit", "[0-9]", "[0-9]"))
+
+  /** Characters of `text` matching a regex character class, by the
+    * strip-and-diff trick (same as [[punctRatio]]) — one linear pass,
+    * no explode. */
+  def classCount(text: Column, pattern: String): Column =
+    (length(text) - length(regexp_replace(text, pattern, ""))).cast("long")
 }

@@ -457,6 +457,69 @@ object PipelineQueries {
       .transform(sortSmall(_, "src_a", "src_b"))
   }
 
+  /** Per-document Unicode script profile: character counts for each
+    * class in [[TextFns.ScriptClasses]] plus the dominant script (ties
+    * break by the fixed class order) — the writing-system complement of
+    * language ID, one linear strip-and-diff pass per class, no
+    * shuffle. */
+  def qScriptProfile(s: SparkSession, d: String): DataFrame = {
+    val counted = docs(s, d).select(
+      col("doc_id") +:
+        length(col("text")).cast("long").as("n_chars") +:
+        TextFns.ScriptClasses.map { case (name, javaP, _) =>
+          TextFns.classCount(col("text"), javaP).as(s"n_$name")
+        }: _*)
+    val m = greatest(
+      col("n_latin"), col("n_han"), col("n_cyrillic"), col("n_arabic"))
+    counted
+      .withColumn(
+        "dominant",
+        when(m === 0, "none")
+          .when(col("n_latin") === m, "latin")
+          .when(col("n_han") === m, "han")
+          .when(col("n_cyrillic") === m, "cyrillic")
+          .otherwise("arabic"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style statistical quality score: a Laplace-smoothed bigram
+    * language model is fit on the corpus itself and every doc is scored
+    * by its mean negative log-likelihood (lower = more typical text —
+    * the filtering signal perplexity-based pipelines threshold on).
+    * p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V), V = distinct-next-token
+    * vocabulary. Docs with < 2 tokens have no bigram and no row.
+    *
+    * Scale shape: bigrams materialized once, counted twice (bigram key,
+    * history key) — both two-phase aggregations; the scoring join is an
+    * equi-join per key; V rides a one-row broadcast cross product (the
+    * same bounded product as the pmi/tfidf totals, allow-listed in
+    * PlanSpec). */
+  def qLmScore(s: SparkSession, d: String): DataFrame = {
+    val bi = docs(s, d)
+      .select(col("doc_id"), explode(TextFns.ngramsAll(col("text"), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      // three consumers: bigram counts, history counts, scoring join
+      .transform(graft.operators.Materialize.cut)
+    val cb = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val cu = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = bi
+      .select(split(col("bg"), " ").getItem(1).as("w2"))
+      .distinct()
+      .agg(count(lit(1)).as("v"))
+    bi.join(cb, Seq("bg"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          -avg(log(
+            (col("c_bg") + 1).cast("double") /
+              (col("c_w1") + col("v")).cast("double"))),
+          4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   val PagerankIters = 5
 
   /** PageRank centrality over the minhash near-dup graph (fixed-point
@@ -1226,6 +1289,8 @@ object PipelineQueries {
     "q_html_strip" -> qHtmlStrip _,
     "q_profile" -> qProfile _,
     "q_source_overlap" -> qSourceOverlap _,
+    "q_script_profile" -> qScriptProfile _,
+    "q_lm_score" -> qLmScore _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
     "q_token_budget" -> qTokenBudget _,
@@ -1998,6 +2063,43 @@ object PipelineQueries {
         |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM p JOIN s sa ON sa.source = p.src_a JOIN s sb ON sb.source = p.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    // RE2 spells script classes \p{Han} where Java spells \p{IsHan} —
+    // the pairs live side by side in TextFns.ScriptClasses
+    "q_script_profile" -> {
+      val counts = TextFns.ScriptClasses
+        .map { case (name, _, re2) =>
+          s"CAST(len(text) - len(regexp_replace(text, '$re2', '', 'g')) AS BIGINT) AS n_$name"
+        }
+        .mkString(",\n         |         ")
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+         |         $counts
+         |  FROM documents),
+         |m AS (SELECT *, greatest(n_latin, n_han, n_cyrillic, n_arabic) AS mx FROM c)
+         |SELECT doc_id, n_chars, n_latin, n_han, n_cyrillic, n_arabic, n_digit,
+         |       CASE WHEN mx = 0 THEN 'none'
+         |            WHEN n_latin = mx THEN 'latin'
+         |            WHEN n_han = mx THEN 'han'
+         |            WHEN n_cyrillic = mx THEN 'cyrillic'
+         |            ELSE 'arabic' END AS dominant
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    // Laplace bigram LM: history counts from the bigram table itself,
+    // V = distinct next tokens; same +1 / (c_w1 + V) arithmetic
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1, t[i+1] AS w2 FROM p0),
+        |cb AS (SELECT bg, count(*) AS c_bg FROM bi GROUP BY bg),
+        |cu AS (SELECT w1, count(*) AS c_w1 FROM bi GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT w2) AS v FROM bi)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(-avg(ln((c_bg + 1) / CAST(c_w1 + v AS DOUBLE))), 4) AS lm_score
+        |FROM bi JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN vv
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // fixed-point integer PageRank over the minhash pair graph: damping
     // 17/20 as integer floor-div, contributions summed as int64 — every
     // iteration is bit-identical across engines (kmeans trick)

@@ -159,4 +159,17 @@ class FunctionsSpec extends SparkSpec {
     assert(strip("one\n\t two   three") == "one two three")
     assert(strip("plain text stays") == "plain text stays")
   }
+
+  test("classCount: Java script classes count the expected characters") {
+    val mixed = "abc Аб 土地 ا 42"
+    def count(name: String): Long = {
+      val p = TextFns.ScriptClasses.find(_._1 == name).get._2
+      eval(TextFns.classCount(lit(mixed), p)).asInstanceOf[Long]
+    }
+    assert(count("latin") == 3) // abc
+    assert(count("cyrillic") == 2) // Аб
+    assert(count("han") == 2) // 土地
+    assert(count("arabic") == 1) // ا
+    assert(count("digit") == 2) // 42
+  }
 }

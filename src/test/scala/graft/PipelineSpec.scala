@@ -503,4 +503,46 @@ class PipelineSpec extends SparkSpec {
     assert(byPair == Map(
       ("s1", "s2") -> ((2L, 0.5)))) // {b,c} of {a,b,c,d}; s3 disjoint from both -> no rows
   }
+
+  test("lm score ranks a doc of corpus-typical bigrams below one of rare bigrams") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    val common = "the cat sat" // bigrams repeated across many docs
+    Seq(
+      (1L, common, "s"), (2L, common, "s"), (3L, common, "s"), (4L, common, "s"),
+      (5L, "the cat sat the cat sat", "s"), // all common bigrams (+ one novel join "sat the")
+      (6L, "zq xv wk", "s"), // bigrams seen nowhere else
+      (7L, "solo", "s")) // < 2 tokens: no row
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = PipelineQueries.qLmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!rows.contains(7L))
+    assert(rows(1L)._1 == 2 && rows(5L)._1 == 5 && rows(6L)._1 == 2)
+    // typical text scores lower (more likely) than unseen-bigram text
+    assert(rows(1L)._2 < rows(6L)._2, s"common ${rows(1L)._2} !< rare ${rows(6L)._2}")
+    // identical docs get identical scores
+    assert(rows(1L)._2 == rows(2L)._2 && rows(2L)._2 == rows(3L)._2)
+  }
+
+  test("script profile counts and dominant-script tie rule on mixed-script docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-script").toString
+    Seq(
+      (1L, "hello world", "s"), // latin only
+      (2L, "土地人 hi", "s"), // 3 han, 2 latin -> han
+      (3L, "Абв ab", "s"), // 3 cyrillic vs 2 latin -> cyrillic
+      (4L, "12 34", "s"), // digits only: no script -> none
+      (5L, "土地 ab", "s")) // 2 han, 2 latin: tie -> latin (class order)
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = PipelineQueries.qScriptProfile(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_latin"), r.getAs[Long]("n_han"),
+        r.getAs[Long]("n_digit"), r.getAs[String]("dominant")))).toMap
+    assert(m(1L) == ((10L, 0L, 0L, "latin")))
+    assert(m(2L) == ((2L, 3L, 0L, "han")))
+    assert(m(3L)._4 == "cyrillic")
+    assert(m(4L) == ((0L, 0L, 4L, "none")))
+    assert(m(5L) == ((2L, 2L, 0L, "latin"))) // tie breaks to the earlier class
+  }
 }

@@ -173,7 +173,9 @@ class PlanSpec extends SparkSpec {
     * deliberate tiny-side product. Everything else must be equi-join
     * only — an unlisted nested-loop node is an accidental cartesian. */
   private val BoundedProductQueries =
-    Set("q_ann_topk", "q_ann_ivf", "q_ann_pq", "q_pmi_terms", "q_tfidf_terms")
+    Set(
+      "q_ann_topk", "q_ann_ivf", "q_ann_pq", "q_pmi_terms", "q_tfidf_terms",
+      "q_lm_score") // one-row vocabulary-size total, like the pmi/tfidf totals
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
