@@ -288,6 +288,59 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** Hourly OHLC bars per event type — the classic market-data rollup
+    * (open/high/low/close/volume) applied to the event stream. Open and
+    * close pick the bucket's first/last row under the total
+    * (ts, event_id) order, derived from two row_number windows that
+    * ride ONE (bucket, type) exchange with the final aggregate; raw
+    * values carry no float arithmetic, so open/high/low/close are
+    * bit-exact across engines. */
+  def qOhlcBars(s: SparkSession, d: String): DataFrame = {
+    val e = Tables
+      .events(s, d)
+      .withColumn("bucket_us", expr("(ts_us DIV 3600000000) * 3600000000"))
+    val wAsc = Window
+      .partitionBy("bucket_us", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    val wDesc = Window
+      .partitionBy("bucket_us", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("bucket_us", "event_type")
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("volume"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("bucket_us", "event_type")
+  }
+
+  /** Per-user time-weighted average value (TWAP): each observation is
+    * weighted by its holding time — the µs until the user's next event;
+    * the last observation has no duration and drops out. The weighting
+    * corrects the bias plain avg() has toward burst periods. One
+    * (user_id) exchange serves both the lead() window and the final
+    * aggregate. Users whose whole history shares one timestamp have
+    * zero span and no row. */
+  def qTwap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables
+      .events(s, d)
+      .withColumn("next_ts", lead("ts_us", 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dt", col("next_ts") - col("ts_us"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum("dt").as("span_us"),
+        round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twap"))
+      .filter(col("span_us") > 0)
+      .orderBy("user_id")
+  }
+
   /** Daily cohort retention: cohort = the user's first event day, one
     * cell per (cohort_day, day_offset) counting distinct returning
     * users. Shape at scale: the first-day aggregate and the re-join
@@ -786,6 +839,8 @@ object OlapQueries {
     "q_range_join" -> qRangeJoin _,
     "q_percentiles" -> qPercentiles _,
     "q_event_deltas" -> qEventDeltas _,
+    "q_ohlc_bars" -> qOhlcBars _,
+    "q_twap" -> qTwap _,
     "q_retention" -> qRetention _,
     "q_group_stats" -> qGroupStats _,
     "q_json_extract" -> qJsonExtract _,
@@ -940,6 +995,36 @@ object OlapQueries {
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq_in_user
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    // open/close via the same total (ts, event_id) order on both
+    // engines; raw values carry no float arithmetic
+    "q_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS ts_us, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |         event_type, value, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY bucket_us, event_type ORDER BY ts_us, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY bucket_us, event_type ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT bucket_us, event_type,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS volume,
+        |       round(sum(value), 2) AS sum_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |l AS (
+        |  SELECT user_id, value,
+        |         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt
+        |  FROM e),
+        |f AS (SELECT * FROM l WHERE dt IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(dt) AS BIGINT) AS span_us,
+        |       round(sum(value * dt) / sum(dt), 4) AS twap
+        |FROM f GROUP BY user_id HAVING sum(dt) > 0 ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),

@@ -174,4 +174,38 @@ class OlapSpec extends SparkSpec {
     assert(r.getLong(6) == 1) // heaviest key
     assert(r.getDouble(7) == 2.4) // 8 / (10/3)
   }
+
+  test("OHLC bars: open/close follow event order, extremes and volume per bucket") {
+    val dir = writeEvents(Seq(
+      (1L, 1L, "2024-01-01 09:05:00", "trade", 10.0), // open of 09:00 bar
+      (2L, 1L, "2024-01-01 09:20:00", "trade", 30.0), // high
+      (3L, 1L, "2024-01-01 09:40:00", "trade", 5.0), // low
+      (4L, 1L, "2024-01-01 09:55:00", "trade", 20.0), // close
+      (5L, 1L, "2024-01-01 10:10:00", "trade", 7.0), // next bar, single event
+      (6L, 1L, "2024-01-01 09:30:00", "view", 99.0))) // other type: own bar
+    val bars = OlapQueries.qOhlcBars(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    val h9 = java.time.Instant.parse("2024-01-01T09:00:00Z").toEpochMilli * 1000
+    val h10 = java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli * 1000
+    assert(bars((h9, "trade")) == ((10.0, 30.0, 5.0, 20.0, 4L)))
+    assert(bars((h10, "trade")) == ((7.0, 7.0, 7.0, 7.0, 1L))) // single event: all four equal
+    assert(bars((h9, "view")) == ((99.0, 99.0, 99.0, 99.0, 1L)))
+  }
+
+  test("TWAP weights by holding time, drops the last observation") {
+    val dir = writeEvents(Seq(
+      // user 1: value 10 held 1h, value 100 held 3h, final 0 dropped
+      (1L, 1L, "2024-01-01 00:00:00", "t", 10.0),
+      (2L, 1L, "2024-01-01 01:00:00", "t", 100.0),
+      (3L, 1L, "2024-01-01 04:00:00", "t", 0.0),
+      // user 2: single event - no interval, no row
+      (4L, 2L, "2024-01-01 00:00:00", "t", 5.0)))
+    val rows = OlapQueries.qTwap(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // (10*1h + 100*3h) / 4h = 310/4 = 77.5 - NOT the plain avg 36.67
+    assert(rows(1L) == ((2L, 4L * 3600L * 1000000L, 77.5)))
+    assert(!rows.contains(2L))
+  }
 }
