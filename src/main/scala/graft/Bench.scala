@@ -41,6 +41,7 @@ object Bench {
     "q_heavy_hitters", "q_passage_dedup", "q_line_dedup", "q_dup_rank",
     "q_quality_model", "q_corpus_shuffle", "q_quantize_embed", "q_html_strip",
     "q_profile", "q_source_overlap", "q_script_profile", "q_lm_score",
+    "q_fix_mojibake",
     "q_token_budget", "q_pack", "q_chunk", "q_bpe_tokens", "q_bpe_train",
     "q_pmi_terms",
     "q_compress_ratio",

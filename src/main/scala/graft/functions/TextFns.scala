@@ -207,4 +207,44 @@ object TextFns {
     * no explode. */
   def classCount(text: Column, pattern: String): Column =
     (length(text) - length(regexp_replace(text, pattern, ""))).cast("long")
+
+  /** The common UTF-8-read-as-Latin-1/Windows-1252 mojibake digraphs →
+    * the character they encode, ORDERED longest-first so three-byte
+    * sequences (â€™) repair before their two-byte prefixes could
+    * mis-match. A fixed literal table rather than a byte-level
+    * re-decode: the repair is then expressible identically in any
+    * engine (the DuckDB oracle replays the same replace chain), covers
+    * the sequences that dominate real crawl corpora, and can never
+    * corrupt text that merely LOOKS like Latin-1 — the failure mode
+    * that makes blind encode-roundtrip repair unsafe to run corpus-wide. */
+  val MojibakeRules: Seq[(String, String)] = Seq(
+    // U+2018/2019/201C/201D quotes, U+2013/2014 dashes, U+2026 ellipsis
+    ("â€˜", "‘"),
+    ("â€™", "’"),
+    ("â€œ", "“"),
+    ("â€", "”"),
+    ("â€“", "–"),
+    ("â€”", "—"),
+    ("â€¦", "…"),
+    // NBSP (C2 A0, normalized to a plain space) and the common C3
+    // accents; every "bad" string is the cp1252 rendering of the
+    // character's UTF-8 bytes (unmapped bytes pass through as controls)
+    ("Â ", " "),
+    ("Ã©", "é"), // é
+    ("Ã¨", "è"), // è
+    ("Ã ", "à"), // à
+    ("Ã§", "ç"), // ç
+    ("Ã±", "ñ"), // ñ
+    ("Ã¶", "ö"), // ö
+    ("Ã¼", "ü"), // ü
+    ("Ã¤", "ä"), // ä
+    ("ÃŸ", "ß")) // ß
+
+  /** Repair the common double-encoding artifacts by the shared literal
+    * table — linear per-row `replace` chain, no regex engine, no
+    * shuffle; identity on clean text. */
+  def fixMojibake(c: Column): Column =
+    MojibakeRules.foldLeft(c) { case (acc, (bad, good)) =>
+      org.apache.spark.sql.functions.replace(acc, lit(bad), lit(good))
+    }
 }

@@ -520,6 +520,22 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Mojibake (double-encoding artifact) repair over the shared
+    * literal table [[TextFns.MojibakeRules]] — a linear `replace`
+    * chain, no regex engine, identity on clean text (this corpus —
+    * the crafted-artifact behavior lives in FunctionsSpec). */
+  def qFixMojibake(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        col("text"),
+        TextFns.fixMojibake(col("text")).as("fixed"))
+      .select(
+        col("doc_id"),
+        col("fixed"),
+        (col("fixed") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+
   val PagerankIters = 5
 
   /** PageRank centrality over the minhash near-dup graph (fixed-point
@@ -1291,6 +1307,7 @@ object PipelineQueries {
     "q_source_overlap" -> qSourceOverlap _,
     "q_script_profile" -> qScriptProfile _,
     "q_lm_score" -> qLmScore _,
+    "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
     "q_token_budget" -> qTokenBudget _,
@@ -2063,6 +2080,15 @@ object PipelineQueries {
         |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM p JOIN s sa ON sa.source = p.src_a JOIN s sb ON sb.source = p.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    // same literal replace chain as TextFns.fixMojibake, rule for rule
+    "q_fix_mojibake" -> {
+      val chain = TextFns.MojibakeRules.foldLeft("text") {
+        case (acc, (bad, good)) =>
+          s"replace($acc, '${bad.replace("'", "''")}', '${good.replace("'", "''")}')"
+      }
+      s"""SELECT doc_id, $chain AS fixed, ($chain <> text) AS changed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // RE2 spells script classes \p{Han} where Java spells \p{IsHan} —
     // the pairs live side by side in TextFns.ScriptClasses
     "q_script_profile" -> {

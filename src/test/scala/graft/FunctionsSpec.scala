@@ -160,6 +160,19 @@ class FunctionsSpec extends SparkSpec {
     assert(strip("plain text stays") == "plain text stays")
   }
 
+  test("fixMojibake repairs the common double-encoding artifacts, identity on clean text") {
+    def fix(s: String): String =
+      eval(TextFns.fixMojibake(lit(s))).asInstanceOf[String]
+    assert(fix("itâ€™s") == "it’s") // â€™ -> right single quote
+    assert(fix("cafÃ©") == "café") // Ã© -> é
+    assert(fix("aâ€“b") == "a–b") // â€“ -> en dash
+    assert(fix("AÃŸB") == "AßB") // ÃŸ -> ß (cp1252: 9F = Ÿ)
+    assert(fix("xÂ y") == "x y") // Â + NBSP -> plain space
+    assert(fix("â€œqâ€") == "“q”") // â€œ / â€<9D> quotes
+    assert(fix("clean text stays") == "clean text stays")
+    assert(fix("grüße") == "grüße") // already-correct umlauts untouched
+  }
+
   test("classCount: Java script classes count the expected characters") {
     val mixed = "abc Аб 土地 ا 42"
     def count(name: String): Long = {
