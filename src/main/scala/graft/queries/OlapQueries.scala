@@ -341,6 +341,65 @@ object OlapQueries {
       .orderBy("user_id")
   }
 
+  /** EMA smoothing factor — an exact binary fraction (1/4), so
+    * `α·x + (1−α)·acc` is the same two IEEE operations in every
+    * engine; α and 1−α both round-trip through decimal literals. */
+  val EmaAlpha = 0.25
+
+  /** Per-user exponential moving average of `value` — the recursive
+    * smoother `ema_i = α·x_i + (1−α)·ema_{i−1}` (seeded with the first
+    * observation), which no fixed-frame window can express. Computed as
+    * a deterministic LEFT FOLD over the user's (ts, event_id)-ordered
+    * value sequence (`aggregate` HOF over a sorted array ≡ DuckDB
+    * `list_reduce` over `list(... ORDER BY ...)`) — identical IEEE
+    * operation order in both engines, so the result is bit-exact
+    * before the final display round. Scale shape: one (user_id)
+    * exchange; state is one array per user, bounded by per-user
+    * history (for unbounded streams the stateful streaming monitor
+    * pattern in StreamLog is the right home — this is the batch
+    * replay). */
+  def qEma(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("value"))))
+          .as("seq"))
+      .select(
+        col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        round(
+          aggregate(
+            expr("slice(seq, 2, size(seq) - 1)"),
+            element_at(col("seq"), 1).getField("value"),
+            (acc, x) =>
+              lit(EmaAlpha) * x.getField("value") + lit(1 - EmaAlpha) * acc),
+          4).as("ema"))
+      .orderBy("user_id")
+
+  /** Session transition matrix (first-order Markov chain over event
+    * types): within-session (event_type → next event_type) counts and
+    * row-normalized probabilities — the session-flow model behind
+    * next-step prediction and funnel discovery. Rides the SAME
+    * (user_id) exchange as [[sessionized]] for both the lead() window
+    * and the boundary windows (lead is computed per (user, session) by
+    * guarding on the session change); the transition aggregate is
+    * type-pair-sized. */
+  def qTransitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val steps = sessionized(Tables.events(s, d))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .withColumn("next_session", lead("session_id", 1).over(byUser))
+      .filter(col("next_type").isNotNull && col("next_session") === col("session_id"))
+    val counts = steps
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy("from_type")
+    counts
+      .withColumn("p", round(col("n").cast("double") / sum("n").over(totals), 6))
+      .transform(sortSmall(_, col("from_type"), col("to_type")))
+  }
+
   /** Daily cohort retention: cohort = the user's first event day, one
     * cell per (cohort_day, day_offset) counting distinct returning
     * users. Shape at scale: the first-day aggregate and the re-join
@@ -630,6 +689,24 @@ object OlapQueries {
       .limit(50)
       .transform(sortSmall(_, col("z"), col("event_id")))
 
+  val HilbertBits = 16
+
+  /** Hilbert curve distance over (user_id, event_id) — [[qZorder]]'s
+    * locality upgrade (consecutive positions are always grid
+    * neighbors); the oracle replays the identical unrolled
+    * quadrant walk as one CTE per bit. */
+  def qHilbert(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        graft.sources.Layout
+          .hilbertValue(col("user_id"), col("event_id"), HilbertBits)
+          .as("h"))
+      .orderBy("h", "event_id")
+      .limit(50)
+      .transform(sortSmall(_, col("h"), col("event_id")))
+
   /** Per-group decile banding (equi-depth histogram / feature
     * bucketing): `ntile(10)` over a TOTAL order (value, event_id) so
     * bucket membership is deterministic in every engine, then one
@@ -841,6 +918,8 @@ object OlapQueries {
     "q_event_deltas" -> qEventDeltas _,
     "q_ohlc_bars" -> qOhlcBars _,
     "q_twap" -> qTwap _,
+    "q_ema" -> qEma _,
+    "q_transitions" -> qTransitions _,
     "q_retention" -> qRetention _,
     "q_group_stats" -> qGroupStats _,
     "q_json_extract" -> qJsonExtract _,
@@ -856,6 +935,7 @@ object OlapQueries {
     "q_semi_join" -> qSemiJoin _,
     "q_anti_join" -> qAntiJoin _,
     "q_zorder" -> qZorder _,
+    "q_hilbert" -> qHilbert _,
     "q_ntile" -> qNtile _,
     "q_nearest_event" -> qNearestEvent _,
     "q_resample" -> qResample _,
@@ -1025,6 +1105,38 @@ object OlapQueries {
         |       CAST(sum(dt) AS BIGINT) AS span_us,
         |       round(sum(value * dt) / sum(dt), 4) AS twap
         |FROM f GROUP BY user_id HAVING sum(dt) > 0 ORDER BY user_id""".stripMargin,
+    "q_ema" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+         |s AS (
+         |  SELECT user_id, list(value ORDER BY ts_us, event_id) AS seq
+         |  FROM e GROUP BY user_id)
+         |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+         |       round(list_reduce(seq, (a, x) -> $EmaAlpha * x + ${1 - EmaAlpha} * a), 4) AS ema
+         |FROM s ORDER BY user_id""".stripMargin,
+    "q_transitions" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |steps AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type,
+        |         LEAD(session_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_session,
+        |         session_id
+        |  FROM sessions),
+        |counts AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM steps WHERE to_type IS NOT NULL AND next_session = session_id
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM counts ORDER BY from_type, to_type""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
@@ -1146,6 +1258,19 @@ object OlapQueries {
       s"""SELECT event_id, user_id,
          |       ${graft.sources.Layout.zvalueSql("user_id", "event_id")} AS z
          |FROM events ORDER BY z, event_id LIMIT 50""".stripMargin,
+    "q_hilbert" -> {
+      val bits = HilbertBits
+      val mask = (1L << bits) - 1
+      s"""WITH hb AS (
+         |  SELECT event_id, user_id,
+         |         CAST(user_id AS BIGINT) & $mask AS hx,
+         |         CAST(event_id AS BIGINT) & $mask AS hy,
+         |         CAST(0 AS BIGINT) AS hd
+         |  FROM events),
+         |${graft.sources.Layout.hilbertCtes("hb", bits, Seq("event_id", "user_id"))}
+         |SELECT event_id, user_id, hd AS h
+         |FROM hr$bits ORDER BY h, event_id LIMIT 50""".stripMargin
+    },
     "q_ntile" ->
       """WITH banded AS (
         |  SELECT event_type, value,

@@ -536,6 +536,165 @@ object PipelineQueries {
         (col("fixed") =!= col("text")).as("changed"))
       .orderBy("doc_id")
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms = Seq("spark", "query", "join")
+  val Bm25TopK = 20
+
+  /** BM25 full-text retrieval scoring (the inverted-index consumer,
+    * row 75's ranking sibling): Okapi BM25 with the Lucene idf
+    * (`ln((N−df+0.5)/(df+0.5)+1)` — never negative) for a fixed query
+    * term set, top-[[Bm25TopK]] docs. Scale shape: the token table is
+    * materialized once for its two consumers (doc lengths + term tf);
+    * the query-term filter cuts tf to |terms|·matching docs BEFORE any
+    * join; df/idf and the corpus totals ride broadcasts; per-doc
+    * summation is a fixed-association column sum over the literal term
+    * list (one slot per term), so the float total is bit-identical in
+    * both engines — no order-nondeterministic double sum. */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val pairs = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+      .transform(graft.operators.Materialize.cut)
+    val dl = pairs.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val tf = pairs
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contribs = tf
+      .join(broadcast(df), "tok")
+      .join(dl.hint("shuffle_hash"), "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+      .withColumn(
+        "idf",
+        log(
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn(
+        "contrib",
+        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+          (col("tf").cast("double") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+    val slots = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("contrib"))).as(s"c$i")
+    }
+    val total = Bm25Terms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val aggs = count(lit(1)).as("n_terms") +: slots
+    contribs
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bm25", round(total, 4))
+      .select("doc_id", "n_terms", "bm25")
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  /** ROC-AUC of the linear quality score as a ranking signal for
+    * English text (label = `lang = 'en'`) — the standard check that a
+    * filtering score actually orders the corpus, by the tie-corrected
+    * rank-sum (Mann–Whitney) formula computed on the GROUPED score
+    * histogram: AUC = Σ_g pos_g·(neg_below_g + neg_g/2) / (P·N),
+    * kept in integers (doubled) until the single final division, so
+    * the statistic is bit-exact. Scale shape: one (score) aggregate
+    * shrinks the corpus to its distinct-score histogram; the ordered
+    * prefix-sum window runs over that statistic-sized table, never the
+    * corpus. */
+  def qScoreAuc(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val scored = docs(s, d)
+      .select(col("lang"), col("text"), expr("graft_tokens(text)").as("t"))
+      .select(
+        (col("lang") === "en").cast("long").as("pos"),
+        TextFns.qualityScore(
+          size(col("t")).cast("long"),
+          round(TextFns.stopwordRatioFrom(col("t")), 6),
+          round(TextFns.distinctTokenRatioFrom(col("t")), 6),
+          round(TextFns.punctRatio(col("text")), 6)).as("score"))
+    val g = scored
+      .groupBy("score")
+      .agg(sum("pos").as("pos"), (count(lit(1)) - sum("pos")).as("neg"))
+    val w = Window
+      .orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_neg", coalesce(sum("neg").over(w), lit(0L)))
+      .agg(
+        sum("pos").as("n_pos"),
+        sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cum_neg") + col("neg"))).as("num2"))
+      .select(
+        col("n_pos"),
+        col("n_neg"),
+        round(
+          col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")),
+          6).as("auc"))
+  }
+
+  /** Per-source unigram-distribution report: token entropy (the
+    * diversity signal) and KL divergence to the corpus-wide mix (the
+    * drift signal — which sources look least like the blend they feed).
+    * KL against the GLOBAL distribution needs no union-vocabulary
+    * gymnastics: every source term exists globally, so one equi-join
+    * scores everything. Scale shape: per-(source, token) counts
+    * materialized once for their two consumers (global rollup +
+    * scoring); source totals are a broadcast; the global total is the
+    * allow-listed one-row product. */
+  def qSourceDivergence(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val st = docs(s, d)
+      .select(col("source"), explode(expr("graft_tokens(text)")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Materialize.cut)
+    val gt = st.groupBy("tok").agg(sum("c").as("gc"))
+    val gtot = gt.agg(sum("gc").as("gtot"))
+    val stot = st.groupBy("source").agg(sum("c").as("tot"))
+    st.join(gt.hint("shuffle_hash"), "tok")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(gtot))
+      .withColumn("p", col("c").cast("double") / col("tot"))
+      .withColumn("g", col("gc").cast("double") / col("gtot"))
+      .groupBy("source")
+      .agg(
+        max("tot").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(-sum(col("p") * log(col("p"))), 4).as("entropy"),
+        round(sum(col("p") * log(col("p") / col("g"))), 4).as("kl_corpus"))
+      .orderBy("source")
+  }
+
+  val RendezvousShards = 8
+
+  /** Rendezvous (highest-random-weight) sharding balance report: every
+    * doc goes to `argmax_shard md5(doc_id:shard)` — the assignment that
+    * moves only 1/S of keys when a shard joins or leaves (consistent
+    * hashing without the ring). The argmax is a `max(struct(h, shard))`
+    * aggregate over an S-way literal explode — S·N narrow rows, one
+    * (doc_id) reduce, deterministic even on hash ties (shard breaks
+    * them). Output is the per-shard doc/char load — the balance numbers
+    * a placement layer actually consumes. */
+  def qShardRendezvous(s: SparkSession, d: String): DataFrame = {
+    val shards = array((0 until RendezvousShards).map(i => lit(i.toLong)): _*)
+    docs(s, d)
+      .select(col("doc_id"), col("n_chars"), explode(shards).as("shard"))
+      .withColumn(
+        "h",
+        Hashing.md5Long(
+          concat(col("doc_id").cast("string"), lit(":"), col("shard").cast("string"))))
+      .groupBy("doc_id")
+      .agg(
+        max(struct(col("h"), col("shard"))).getField("shard").as("shard"),
+        max("n_chars").as("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("shard_chars"))
+      .orderBy("shard")
+  }
+
   val PagerankIters = 5
 
   /** PageRank centrality over the minhash near-dup graph (fixed-point
@@ -1307,6 +1466,10 @@ object PipelineQueries {
     "q_source_overlap" -> qSourceOverlap _,
     "q_script_profile" -> qScriptProfile _,
     "q_lm_score" -> qLmScore _,
+    "q_bm25" -> qBm25 _,
+    "q_score_auc" -> qScoreAuc _,
+    "q_source_divergence" -> qSourceDivergence _,
+    "q_shard_rendezvous" -> qShardRendezvous _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2126,6 +2289,98 @@ object PipelineQueries {
         |       round(-avg(ln((c_bg + 1) / CAST(c_w1 + v AS DOUBLE))), 4) AS lm_score
         |FROM bi JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN vv
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BM25 with the Lucene idf; the per-doc total is a fixed-association
+    // sum over one CASE slot per literal query term (no
+    // order-nondeterministic double sum)
+    "q_bm25" -> {
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val slots = Bm25Terms.zipWithIndex
+        .map { case (t, i) =>
+          s"sum(CASE WHEN tok = '$t' THEN contrib END) AS c$i"
+        }
+        .mkString(",\n         |         ")
+      val total = Bm25Terms.indices
+        .map(i => s"COALESCE(c$i, 0.0)")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM t
+         |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |           * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         |           / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs))) AS contrib
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+         |s AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |         $slots
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_terms, round($total, 4) AS bm25
+         |FROM s ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+    // tie-corrected rank-sum AUC on the grouped score histogram —
+    // integers (doubled) until the one final division
+    "q_score_auc" ->
+      s"""WITH t AS (
+         |  SELECT lang, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+         |         round(1.2 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6)
+         |               + 0.8 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+         |               - 6.0 * round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6)
+         |               + 0.002 * CAST(len(toks) AS BIGINT), 4) AS score
+         |  FROM t),
+         |g AS (
+         |  SELECT score, CAST(sum(pos) AS BIGINT) AS pos,
+         |         CAST(count(*) - sum(pos) AS BIGINT) AS neg
+         |  FROM m GROUP BY score),
+         |cg AS (
+         |  SELECT *, COALESCE(CAST(SUM(neg) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_neg
+         |  FROM g)
+         |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+         |       round(CAST(sum(pos * (2 * cum_neg + neg)) AS DOUBLE) / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6) AS auc
+         |FROM cg""".stripMargin,
+    // entropy + KL-to-corpus per source; KL against the GLOBAL mix needs
+    // no union vocabulary — every source term exists globally
+    "q_source_divergence" ->
+      """WITH t AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+        |gt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM st GROUP BY tok),
+        |gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS gtot FROM gt),
+        |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM st GROUP BY source),
+        |j AS (
+        |  SELECT st.source, tot,
+        |         CAST(c AS DOUBLE) / tot AS p,
+        |         CAST(gc AS DOUBLE) / gtot AS g
+        |  FROM st JOIN gt USING (tok) JOIN stot USING (source) CROSS JOIN gtot)
+        |SELECT source, max(tot) AS n_tokens, count(*) AS vocab,
+        |       round(-sum(p * ln(p)), 4) AS entropy,
+        |       round(sum(p * ln(p / g)), 4) AS kl_corpus
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // rendezvous argmax over the shared md5 family; arg_max ties are
+    // impossible at 60 hash bits over 8 candidates
+    "q_shard_rendezvous" -> {
+      val h = Hashing.duckMd5Long(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR)")
+      s"""WITH c AS (
+         |  SELECT doc_id, n_chars, unnest(generate_series(0, ${RendezvousShards - 1})) AS shard
+         |  FROM documents),
+         |h AS (SELECT doc_id, n_chars, shard, $h AS h FROM c),
+         |a AS (
+         |  SELECT doc_id, CAST(arg_max(shard, h) AS BIGINT) AS shard, max(n_chars) AS n_chars
+         |  FROM h GROUP BY doc_id)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS shard_chars
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+    },
     // fixed-point integer PageRank over the minhash pair graph: damping
     // 17/20 as integer floor-div, contributions summed as int64 — every
     // iteration is bit-identical across engines (kmeans trick)

@@ -64,6 +64,53 @@ object Layout {
   def zvalueSql(a: String, b: String): String =
     s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
 
+  /** Hilbert-curve distance of two `bits`-bit dimensions — the
+    * locality upgrade over [[zvalue]]: consecutive curve positions are
+    * always grid neighbors (the Z-curve jumps across the plane at
+    * quadrant seams), so range-partitioned files cover tighter
+    * hyper-rectangles and the manifest prunes harder on both
+    * dimensions. Delegates to the native
+    * [[graft.functions.expressions.HilbertDistance]] codegen loop — a
+    * Column formulation of the per-bit recurrence grows ~5^bits
+    * expression nodes and is unusable past ~8 bits (see the
+    * expression's Scaladoc). Inputs are masked to `bits`; LayoutSpec
+    * asserts the defining adjacency property over every cell of a
+    * 16×16 grid. */
+  def hilbertValue(aIn: Column, bIn: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 30, "1 <= bits <= 30")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.expressions.HilbertDistance.register)
+    call_function(
+      "graft_hilbert",
+      aIn.cast("long"),
+      bIn.cast("long"),
+      lit(bits))
+  }
+
+  /** The same unrolled walk as DuckDB CTE rounds (one CTE per bit, so
+    * each round's x/y/d are named once — a nested scalar expression
+    * would blow up exponentially). `base` must expose columns `hx`,
+    * `hy` plus whatever `carry` columns the caller needs threaded
+    * through; returns the WITH-clause body whose final relation
+    * `hr$bits` has the curve distance in `hd`. `base` must also expose
+    * `hd` initialized to 0. */
+  def hilbertCtes(base: String, bits: Int, carry: Seq[String]): String = {
+    val n = 1L << bits
+    val cols = carry.mkString(", ")
+    val rounds = (0 until bits).map { r =>
+      val i = bits - 1 - r
+      val s = 1L << i
+      val prev = if (r == 0) base else s"hr$r"
+      s"""hr${r + 1} AS (
+         |  SELECT $cols,
+         |         CASE WHEN (hy & $s) = 0 THEN CASE WHEN (hx & $s) > 0 THEN ${n - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |         CASE WHEN (hy & $s) = 0 THEN CASE WHEN (hx & $s) > 0 THEN ${n - 1} - hx ELSE hx END ELSE hy END AS hy,
+         |         hd + $s * $s * (xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END), CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd
+         |  FROM $prev)""".stripMargin
+    }
+    rounds.mkString(",\n")
+  }
+
   /** Bucket id of `c` under the quantile `boundaries` (ascending):
     * count of boundaries ≤ c, as a codegen'd when-chain — no UDF, no
     * HOF. ≤ 255 boundaries keeps the generated code small. */
@@ -113,6 +160,24 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
+  /** [[writeZOrdered]]'s Hilbert sibling: range-partitioned on the
+    * curve distance, so each file covers one contiguous curve run —
+    * the tightest hyper-rectangles a linear order can give. */
+  def writeHilbertOrdered(
+      df: DataFrame,
+      path: String,
+      a: String,
+      b: String,
+      numFiles: Int,
+      bits: Int = 16): Unit =
+    df.withColumn("__h", hilbertValue(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
       .write
       .mode("overwrite")
       .parquet(path)

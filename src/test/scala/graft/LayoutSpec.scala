@@ -104,6 +104,50 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertValue is a bijection with unit-step adjacency (the defining curve property)") {
+    // every cell of a 16×16 grid: distances must be exactly 0..255 and
+    // consecutive distances must be grid NEIGHBORS (manhattan 1) — the
+    // property the Z-curve fails at every quadrant seam
+    val cells = spark
+      .range(0, 256)
+      .select(
+        (col("id") / 16).cast("long").as("x"),
+        (col("id") % 16).cast("long").as("y"))
+      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), bits = 4).as("h"))
+      .collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 256L).toSeq, "distances must be a bijection")
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (d2, (x2, y2))) =>
+      val manhattan = math.abs(x1 - x2) + math.abs(y1 - y2)
+      assert(manhattan == 1, s"cells at d=${d2 - 1},$d2 are not neighbors: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbert-ordered files prune on both dimensions at least as hard as z-order") {
+    withDirs("graft-hilbert", "graft-zcomp") { case Seq(hdir, zdir) =>
+      Layout.writeHilbertOrdered(grid, hdir, "a", "b", numFiles = 16, bits = 8)
+      Layout.writeZOrdered(grid, zdir, "a", "b", numFiles = 16)
+      assert(Layout.manifest(spark, hdir, "a").size == 16)
+      // 1/8-of-domain bands on each dimension
+      val ha = kept(hdir, "a", 0, 31); val hb = kept(hdir, "b", 0, 31)
+      assert(ha <= 8 && hb <= 8, s"hilbert kept a=$ha b=$hb of 16")
+      assert(ha <= kept(zdir, "a", 0, 31) && hb <= kept(zdir, "b", 0, 31))
+      // pruned read + residual filter ≡ full filter
+      val viaPruned = Layout
+        .readPruned(spark, hdir, "b", 0, 31)
+        .filter(col("b") <= 31)
+        .agg(count(lit(1)), sum("a"), sum("b"))
+        .collect()(0)
+      val viaFull = spark.read
+        .parquet(hdir)
+        .filter(col("b") <= 31)
+        .agg(count(lit(1)), sum("a"), sum("b"))
+        .collect()(0)
+      assert(viaPruned == viaFull)
+    }
+  }
+
   test("ranked z-order prunes dimensions whose raw ranges are incomparable") {
     // "small" is 8-bit, "big" is ~38-bit: raw interleave masks big to
     // 31 bits (wrapping scrambles it) and big's surviving high bits
