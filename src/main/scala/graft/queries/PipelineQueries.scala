@@ -714,6 +714,58 @@ object PipelineQueries {
       .transform(
         graft.operators.SortUtil.sortSmall(_, col("pr").desc, col("doc_id")))
 
+  /** Pairwise cosine similarity between per-label embedding CENTROIDS
+    * — the corpus-drift-in-embedding-space report (which labels/topics
+    * overlap, which are far apart; the input to merge/split curation
+    * decisions). Centroid means use the k-means fixed-point trick
+    * (int64 sums of floor(x·10⁷), one double division) so every
+    * component — and therefore every cosine — is bit-identical across
+    * engines. Scale shape: ONE corpus aggregate down to |labels| rows
+    * (dim int64 sums each, map-side combinable); the pairwise step is
+    * a broadcast self-join of the label-sized table (|labels|²/2 rows
+    * — a statistic, not corpus work). */
+  def qLabelSim(s: SparkSession, d: String): DataFrame = {
+    val Q = 10000000L
+    val sums = (1 to EmbDim).map(j =>
+      sum(floor(element_at(col("v"), j) * lit(Q.toDouble)).cast("long"))
+        .as(s"s$j"))
+    val aggs = count(lit(1)).as("n") +: sums
+    val cents = embs(s, d)
+      .select(col("label"), VectorFns.asDouble(col("embedding")).as("v"))
+      .groupBy("label")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(
+        "cv",
+        array((1 to EmbDim).map(j =>
+          col(s"s$j").cast("double") / (col("n") * lit(Q)).cast("double")): _*))
+      .select(col("label"), col("n"), col("cv"))
+    val a = cents
+      .select(col("label").as("label_a"), col("n").as("n_a"), col("cv").as("va"))
+    val b = cents
+      .select(col("label").as("label_b"), col("n").as("n_b"), col("cv").as("vb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .withColumn("cos", round(VectorFns.cosine(col("va"), col("vb")), 6))
+      .select("label_a", "label_b", "n_a", "n_b", "cos")
+      .transform(sortSmall(_, "label_a", "label_b"))
+  }
+
+  /** Per-node triangle counts over the near-dup pair graph (see
+    * [[Dedup.triangleCounts]] for the degree-orientation scale
+    * argument) — how clique-like each doc's duplicate neighborhood
+    * is. */
+  def qTriangles(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .triangleCounts(
+        Dedup.minhashLsh(
+          docs(s, d),
+          k = 3,
+          numHashes = MinhashSeeds,
+          bands = MinhashBands,
+          threshold = 0.8))
+      .transform(
+        graft.operators.SortUtil
+          .sortSmall(_, col("n_triangles").desc, col("doc_id")))
+
   /** Model-based quality filter: a linear scorer with literal weights
     * over the [[qTextQuality]] feature set (the fasttext-style
     * "classifier filter" stage of a data pipeline, with the model
@@ -1470,6 +1522,8 @@ object PipelineQueries {
     "q_score_auc" -> qScoreAuc _,
     "q_source_divergence" -> qSourceDivergence _,
     "q_shard_rendezvous" -> qShardRendezvous _,
+    "q_triangles" -> qTriangles _,
+    "q_label_sim" -> qLabelSim _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2366,6 +2420,39 @@ object PipelineQueries {
         |       round(-sum(p * ln(p)), 4) AS entropy,
         |       round(sum(p * ln(p / g)), 4) AS kl_corpus
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // per-label fixed-point centroids (kmeans trick) + pairwise cosine
+    "q_label_sim" ->
+      s"""WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s AS (SELECT label, count(*) AS cnt, $kmeansSumCols FROM e GROUP BY label),
+         |c AS (SELECT label, cnt, $kmeansMeanArr AS cv FROM s)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |       CAST(a.cnt AS BIGINT) AS n_a, CAST(b.cnt AS BIGINT) AS n_b,
+         |       round(list_dot_product(a.cv, b.cv) / greatest(sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)), 1e-300), 6) AS cos
+         |FROM c a JOIN c b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
+    // degree-oriented triangle enumeration over the minhash pair graph —
+    // same orientation/wedge/closing-join structure as the Spark plan
+    "q_triangles" ->
+      s"""$minhashPairsCtes,
+         |bedges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mpairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM mpairs),
+         |dg AS (SELECT src AS id, count(*) AS d FROM bedges GROUP BY src),
+         |o AS (
+         |  SELECT e.src, e.dst, dd.d AS dd
+         |  FROM bedges e JOIN dg ds ON ds.id = e.src JOIN dg dd ON dd.id = e.dst
+         |  WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+         |wg AS (
+         |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+         |  WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+         |tri AS (SELECT u, v, w FROM wg JOIN o e3 ON e3.src = wg.v AND e3.dst = wg.w),
+         |nodes AS (
+         |  SELECT u AS doc_id FROM tri
+         |  UNION ALL SELECT v FROM tri
+         |  UNION ALL SELECT w FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM nodes GROUP BY doc_id ORDER BY n_triangles DESC, doc_id""".stripMargin,
     // rendezvous argmax over the shared md5 family; arg_max ties are
     // impossible at 60 hash bits over 8 candidates
     "q_shard_rendezvous" -> {

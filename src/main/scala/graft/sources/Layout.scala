@@ -78,13 +78,12 @@ object Layout {
     * 16×16 grid. */
   def hilbertValue(aIn: Column, bIn: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 30, "1 <= bits <= 30")
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.expressions.HilbertDistance.register)
-    call_function(
-      "graft_hilbert",
-      aIn.cast("long"),
-      bIn.cast("long"),
-      lit(bits))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expressions.HilbertDistance(
+        ColumnBridge.expression(aIn.cast("long")),
+        ColumnBridge.expression(bIn.cast("long")),
+        ColumnBridge.expression(lit(bits))))
   }
 
   /** The same unrolled walk as DuckDB CTE rounds (one CTE per bit, so

@@ -157,6 +157,44 @@ object StreamLog {
     * a level shift is flagged on arrival, then absorbed. Rows within a
     * micro-batch are processed in (timestamp, value) order for
     * cross-run determinism. */
+  final case class EmaState(n: Long, ema: Double)
+  final case class EmaPoint(
+      space: String,
+      timestamp: Long,
+      value: Double,
+      ema: Double,
+      n: Long)
+
+  /** Streaming twin of the batch `q_ema` recursive smoother: per key,
+    * `ema_i = α·x_i + (1−α)·ema_{i−1}` seeded with the first
+    * observation — the unbounded-stream form the batch query's
+    * sorted-array fold cannot cover (its state is the whole history;
+    * this is 16 bytes per key, no timeout needed). Same IEEE operation
+    * order as the batch fold, so on the same ordered data the results
+    * are bit-identical. Rows within a micro-batch are processed in
+    * (timestamp, value) order for cross-run determinism. */
+  def emaStream(
+      points: Dataset[(String, Long, Double)],
+      alpha: Double = 0.25): Dataset[EmaPoint] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EmaState, EmaPoint](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (space, rows, state: GroupState[EmaState]) =>
+          var st = state.getOption.getOrElse(EmaState(0L, 0.0))
+          val out = Seq.newBuilder[EmaPoint]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (ts, v) =>
+            val ema1 = if (st.n == 0L) v else alpha * v + (1 - alpha) * st.ema
+            st = EmaState(st.n + 1, ema1)
+            out += EmaPoint(space, ts, v, ema1, st.n)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def anomalyMonitor(
       points: Dataset[(String, Long, Double)],
       k: Double = 4.0): Dataset[Anomaly] = {

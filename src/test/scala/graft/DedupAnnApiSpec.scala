@@ -68,6 +68,31 @@ class DedupAnnApiSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("triangleCounts: K4 gives every node 3 triangles; paths and stars give none") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in C(3,2)=3), a path
+    // 5-6-7 (wedge, no closing edge), and a star 8-{9,10,11} (hub with
+    // no neighbor-neighbor edges — the case degree orientation must
+    // not explode or miscount)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (8L, 9L), (8L, 10L), (8L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: two triangles sharing an edge count its endpoints twice") {
+    import spark.implicits._
+    // {1,2,3} and {1,2,4} share edge 1-2
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("duplicateClusters reliable-checkpoint mode matches local mode") {
     import spark.implicits._
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))

@@ -177,7 +177,8 @@ class PlanSpec extends SparkSpec {
       "q_ann_topk", "q_ann_ivf", "q_ann_pq", "q_pmi_terms", "q_tfidf_terms",
       "q_lm_score", // one-row vocabulary-size total, like the pmi/tfidf totals
       "q_bm25", // one-row corpus totals (n_docs, total_len)
-      "q_source_divergence") // one-row global token total
+      "q_source_divergence", // one-row global token total
+      "q_label_sim") // label-sized centroid table × itself (|labels|²/2)
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly

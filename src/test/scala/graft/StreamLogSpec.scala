@@ -261,6 +261,41 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("emaStream continues the recursion across micro-batches, bit-equal to a local fold") {
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamLog
+      .emaStream(mem.toDS(), alpha = 0.25)
+      .writeStream
+      .format("memory")
+      .queryName("ema_out")
+      .outputMode("append")
+      .start()
+    try {
+      val batch1 = Seq(1.0, 3.0, 2.0, 8.0)
+      val batch2 = Seq(4.0, 0.5)
+      mem.addData(batch1.zipWithIndex.map { case (v, i) => ("cpu", i.toLong, v) }: _*)
+      q.processAllAvailable()
+      mem.addData(batch2.zipWithIndex.map { case (v, i) => ("cpu", (batch1.size + i).toLong, v) }: _*)
+      mem.addData(("mem", 0L, 7.0)) // independent key: seeded fresh
+      q.processAllAvailable()
+      // the streaming recursion must equal the batch fold exactly —
+      // same seed, same IEEE op order (this is q_ema's contract)
+      val expected = (batch1 ++ batch2).tail
+        .foldLeft(batch1.head)((acc, v) => 0.25 * v + 0.75 * acc)
+      val last = spark
+        .sql("SELECT ema, n FROM ema_out WHERE space = 'cpu' ORDER BY n DESC LIMIT 1")
+        .collect()
+        .head
+      assert(last.getDouble(0) == expected) // bit-equal, not approx
+      assert(last.getLong(1) == (batch1.size + batch2.size).toLong)
+      val memRow = spark
+        .sql("SELECT ema, n FROM ema_out WHERE space = 'mem'")
+        .collect()
+        .head
+      assert(memRow.getDouble(0) == 7.0 && memRow.getLong(1) == 1L)
+    } finally q.stop()
+  }
+
   test("debounce keeps gap-from-last-KEPT semantics across micro-batches") {
     val mem = MemoryStream[(String, Long)](spark)
     val q = StreamLog
