@@ -232,14 +232,15 @@ object Dedup {
     * caveat as [[ngramJaccard]]) and feeds both the signature
     * aggregation and the two verification joins — one corpus scan
     * total. */
-  def minhashLsh(
+  /** Shared minhash front half: the materialized shingle table and the
+    * DISTINCT band-collision candidate pairs. */
+  private def minhashCore(
       docs: DataFrame,
-      id: String = "doc_id",
-      text: String = "text",
-      k: Int = 3,
-      numHashes: Int = 16,
-      bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      id: String,
+      text: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingled(docs, id, text, k).transform(Materialize.cut)
     // shuffle_hash: a broadcast band join would recompute the signature
@@ -259,6 +260,30 @@ object Dedup {
       .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
       .distinct()
       .transform(Materialize.cut)
+    (sh, cands)
+  }
+
+  /** Just the band-collision candidate pairs (no exact-Jaccard verify)
+    * — the raw LSH recall/precision surface a bands/rows tuning pass
+    * evaluates (see `q_lsh_eval`). */
+  def minhashCandidates(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame =
+    minhashCore(docs, id, text, k, numHashes, bands)._2
+
+  def minhashLsh(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val (sh, cands) = minhashCore(docs, id, text, k, numHashes, bands)
     jaccardVerify(cands, sh, sh, id, "a_id", "b_id", threshold)
   }
 

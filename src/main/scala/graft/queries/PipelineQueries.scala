@@ -714,6 +714,45 @@ object PipelineQueries {
       .transform(
         graft.operators.SortUtil.sortSmall(_, col("pr").desc, col("doc_id")))
 
+  /** LSH candidate-quality report: the minhash band-collision pair set
+    * evaluated against the exact n-gram-Jaccard ground truth (the
+    * AllPairs+PPJoin output is lossless, so it IS the truth at the
+    * threshold) — TP/FP/FN plus precision/recall, the numbers a
+    * bands×rows tuning pass actually reads. FN here are genuine LSH
+    * band misses; FP are band collisions below the threshold (the work
+    * the verify step discards). One full-outer join of two
+    * pair-key-sized tables; each side is the already-bounded candidate
+    * generator, never all-pairs. The two pipelines scan the corpus
+    * independently (shared-nothing by design — this query EVALUATES
+    * one against the other). */
+  def qLshEval(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val cand = Dedup
+      .minhashCandidates(base, k = 3, numHashes = MinhashSeeds, bands = MinhashBands)
+      .withColumn("in_cand", lit(true))
+    val exact = Dedup
+      .ngramJaccard(base, k = 3, threshold = 0.8)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_exact", lit(true))
+    cand
+      .join(exact, Seq("a_id", "b_id"), "full_outer")
+      .select(
+        coalesce(col("in_cand"), lit(false)).as("in_cand"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      .agg(
+        sum(when(col("in_cand"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("in_cand") && col("in_exact"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("in_cand") && !col("in_exact"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_exact") && !col("in_cand"), 1L).otherwise(0L)).as("fn"))
+      .withColumn(
+        "cand_precision",
+        round(col("tp").cast("double") / col("n_cand"), 6))
+      .withColumn(
+        "cand_recall",
+        round(col("tp").cast("double") / col("n_exact"), 6))
+  }
+
   /** Pairwise cosine similarity between per-label embedding CENTROIDS
     * — the corpus-drift-in-embedding-space report (which labels/topics
     * overlap, which are far apart; the input to merge/split curation
@@ -1524,6 +1563,7 @@ object PipelineQueries {
     "q_shard_rendezvous" -> qShardRendezvous _,
     "q_triangles" -> qTriangles _,
     "q_label_sim" -> qLabelSim _,
+    "q_lsh_eval" -> qLshEval _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2420,6 +2460,31 @@ object PipelineQueries {
         |       round(-sum(p * ln(p)), 4) AS entropy,
         |       round(sum(p * ln(p / g)), 4) AS kl_corpus
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // band candidates (cand CTE) vs exact PPJoin ground truth (hash-join
+    // common, same shape as the q_dedup_ngram oracle) — full outer join,
+    // confusion counts, two final divisions
+    "q_lsh_eval" ->
+      s"""$minhashPairsCtes,
+         |ngh AS (SELECT doc_id, sz, ${Hashing.duckMd5Long("shingle")} AS h FROM ex),
+         |excommon AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
+         |  FROM ngh a JOIN ngh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |exactp AS (
+         |  SELECT a_id, b_id FROM excommon
+         |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8),
+         |f AS (
+         |  SELECT (c.a_id IS NOT NULL) AS in_cand, (e.a_id IS NOT NULL) AS in_exact
+         |  FROM cand c FULL OUTER JOIN exactp e ON c.a_id = e.a_id AND c.b_id = e.b_id)
+         |SELECT
+         |  CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |  CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN in_cand AND NOT in_exact THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN in_exact AND NOT in_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  round(CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS DOUBLE) / sum(CASE WHEN in_cand THEN 1 ELSE 0 END), 6) AS cand_precision,
+         |  round(CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS DOUBLE) / sum(CASE WHEN in_exact THEN 1 ELSE 0 END), 6) AS cand_recall
+         |FROM f""".stripMargin,
     // per-label fixed-point centroids (kmeans trick) + pairwise cosine
     "q_label_sim" ->
       s"""WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
