@@ -31,13 +31,15 @@ final class MgSummary(val k: Int) {
       case None if counts.size < k => counts.update(item, 1L)
       case None =>
         // decrement-all step, dropping zeros (amortized O(1) per item:
-        // each decrement pass pays for k prior increments)
+        // each decrement pass pays for k prior increments).
+        // SNAPSHOT before mutating: scala 2.13 mutable.HashMap
+        // iteration is undefined under concurrent mutation — even
+        // value-only update() inside foreach can silently TRUNCATE the
+        // iteration (observed: 4 of 11 entries visited), leaving a
+        // corrupt summary that violates every Misra–Gries bound.
         decr += 1
-        val dead = mutable.ArrayBuffer.empty[String]
-        counts.foreach { case (i, c) =>
-          if (c == 1L) dead += i else counts.update(i, c - 1)
-        }
-        dead.foreach(counts.remove)
+        for ((i, c) <- counts.toArray)
+          if (c == 1L) counts.remove(i) else counts.update(i, c - 1)
     }
   }
 
@@ -47,16 +49,14 @@ final class MgSummary(val k: Int) {
       counts.update(i, counts.getOrElse(i, 0L) + c)
     }
     if (counts.size > k) {
-      // subtract the (k+1)-largest count from everything, keep positive
+      // subtract the (k+1)-largest count from everything, keep
+      // positive; snapshot first — same iteration hazard as update()
       val sorted = counts.values.toArray
       java.util.Arrays.sort(sorted)
       val cut = sorted(sorted.length - k - 1)
       decr += cut
-      val dead = mutable.ArrayBuffer.empty[String]
-      counts.foreach { case (i, c) =>
-        if (c <= cut) dead += i else counts.update(i, c - cut)
-      }
-      dead.foreach(counts.remove)
+      for ((i, c) <- counts.toArray)
+        if (c <= cut) counts.remove(i) else counts.update(i, c - cut)
     }
   }
 }

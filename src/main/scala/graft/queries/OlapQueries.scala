@@ -400,6 +400,62 @@ object OlapQueries {
       .transform(sortSmall(_, col("from_type"), col("to_type")))
   }
 
+  /** Marketing attribution: every purchase credited to the user's
+    * FIRST and LAST preceding click (first-touch / last-touch — the
+    * two standard models, emitted side by side), plus the µs lag from
+    * the last click. One (user_id) exchange serves both running
+    * `first/last(..., ignoreNulls)` windows — no self-join of the
+    * event stream against itself, which is the naive O(clicks ×
+    * purchases) shape this window formulation replaces. Purchases with
+    * no prior click drop (nothing to attribute). */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickTs = when(col("event_type") === "click", col("ts_us"))
+    Tables
+      .events(s, d)
+      .withColumn("first_click_id", first(clickId, ignoreNulls = true).over(w))
+      .withColumn("last_click_id", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(clickTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_id").isNotNull)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("first_click_id"),
+        col("last_click_id"),
+        (col("ts_us") - col("last_click_ts")).as("last_click_lag_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** RFM segmentation (recency / frequency / monetary quintiles): one
+    * per-user aggregate, then three ntile(5) rankings under TOTAL
+    * deterministic orders (desc metric, user_id tiebreak) combined
+    * into the classic 3-digit segment code. Recency ranks on the raw
+    * last-event timestamp — monotone in any "days since" definition,
+    * so no corpus-max cross join is needed. The ntile windows run over
+    * the USER-sized aggregate (a statistic table), not the event
+    * stream; monetary is rounded BEFORE ranking so the order is
+    * engine-stable. */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    def nt(order: Column*) = ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(
+        max("ts_us").as("last_ts_us"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("monetary"))
+      .withColumn("r", nt(col("last_ts_us").desc, col("user_id")))
+      .withColumn("f", nt(col("n_events").desc, col("user_id")))
+      .withColumn("m", nt(col("monetary").desc, col("user_id")))
+      .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+      .orderBy("user_id")
+  }
+
   /** Daily cohort retention: cohort = the user's first event day, one
     * cell per (cohort_day, day_offset) counting distinct returning
     * users. Shape at scale: the first-day aggregate and the re-join
@@ -920,6 +976,8 @@ object OlapQueries {
     "q_twap" -> qTwap _,
     "q_ema" -> qEma _,
     "q_transitions" -> qTransitions _,
+    "q_attribution" -> qAttribution _,
+    "q_rfm" -> qRfm _,
     "q_retention" -> qRetention _,
     "q_group_stats" -> qGroupStats _,
     "q_json_extract" -> qJsonExtract _,
@@ -1137,6 +1195,36 @@ object OlapQueries {
         |SELECT from_type, to_type, n,
         |       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM counts ORDER BY from_type, to_type""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w AS (
+        |  SELECT *,
+        |         first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_id,
+        |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+        |         last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+        |       first_click_id, last_click_id, ts_us - last_click_ts AS last_click_lag_us
+        |FROM w WHERE event_type = 'purchase' AND last_click_id IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
+    "q_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |a AS (
+        |  SELECT user_id, max(ts_us) AS last_ts_us, count(*) AS n_events,
+        |         round(sum(value), 2) AS monetary
+        |  FROM e GROUP BY user_id),
+        |t AS (
+        |  SELECT *,
+        |         CAST(ntile(5) OVER (ORDER BY last_ts_us DESC, user_id) AS BIGINT) AS r,
+        |         CAST(ntile(5) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f,
+        |         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m
+        |  FROM a)
+        |SELECT user_id, last_ts_us, CAST(n_events AS BIGINT) AS n_events, monetary,
+        |       r, f, m, r * 100 + f * 10 + m AS segment
+        |FROM t ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
