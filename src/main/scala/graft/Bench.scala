@@ -25,7 +25,8 @@ object Bench {
     "q_topk_per_group", "q_semi_join", "q_anti_join", "q_distinct_users",
     "q_approx_distinct", "q_percentiles", "q_approx_percentiles",
     "q_hll_rollup",
-    "q_event_deltas", "q_ohlc_bars", "q_twap", "q_retention", "q_group_stats",
+    "q_event_deltas", "q_ohlc_bars", "q_twap", "q_ema", "q_transitions",
+    "q_attribution", "q_rfm", "q_retention", "q_group_stats",
     "q_json_extract", "q_funnel", "q_rollup", "q_cube", "q_grouping_sets",
     "q_share", "q_scd2", "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
@@ -36,20 +37,22 @@ object Bench {
     "q_lang_id", "q_text_quality", "q_gopher_rules", "q_token_count",
     "q_normalize",
     "q_vocab_topk",
-    "q_inverted_index", "q_journeys",
+    "q_inverted_index", "q_bm25", "q_journeys",
     "q_tfidf_terms", "q_fingerprint", "q_repetition", "q_ngram_counts",
     "q_heavy_hitters", "q_passage_dedup", "q_line_dedup", "q_dup_rank",
-    "q_quality_model", "q_corpus_shuffle", "q_quantize_embed", "q_html_strip",
-    "q_profile", "q_source_overlap", "q_script_profile", "q_lm_score",
+    "q_quality_model", "q_score_auc", "q_corpus_shuffle", "q_quantize_embed", "q_html_strip",
+    "q_profile", "q_source_overlap", "q_source_divergence", "q_script_profile", "q_lm_score",
     "q_fix_mojibake",
     "q_token_budget", "q_pack", "q_chunk", "q_bpe_tokens", "q_bpe_train",
     "q_pmi_terms",
     "q_compress_ratio",
     "q_source_report",
     "q_kmeans", "q_semdedup", "q_dup_spans", "q_dedup_incr", "q_dup_degree",
+    "q_triangles", "q_lsh_eval", "q_label_sim", "q_shard_rendezvous",
     "q_asset_stats", "q_doc_sample", "q_split_leakage", "q_stratified_sample",
     "q_len_histogram",
     "q_source_mix", "q_contamination", "q_contamination_bloom", "q_zorder",
+    "q_hilbert",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
