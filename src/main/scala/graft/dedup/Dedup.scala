@@ -799,6 +799,64 @@ object Dedup {
     ranks.select(col("src").as("doc_id"), col("deg"), col("pr"))
   }
 
+  /** Asymmetric containment search: pairs where
+    * `|A∩B| / |A| ≥ threshold` — the "small doc swallowed by a big
+    * doc" shape Jaccard-based dedup structurally misses (a 50-shingle
+    * quote inside a 5000-shingle page has J ≈ 0.01 but containment
+    * 1.0; C4 calls these partial duplicates). Both directions are
+    * reported: a row means a_id is contained in b_id.
+    *
+    * Scale shape: prefix filtering applies on the CONTAINED side
+    * alone — pigeonhole over A: if B misses all of A's
+    * ⌊(1−t)·|A|⌋+1 globally-RAREST shingles, the overlap is below
+    * t·|A| — so candidates come from joining only A-prefix rows
+    * against the full shingle table (cost ∝ prefix rows × bucket df,
+    * never all-pairs, and the prefix picks the emptiest buckets).
+    * The filter is lossless: every true pair is a candidate, so the
+    * exact verify keeps the output exact. */
+  def containment(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val eps = 1e-6
+    val sh = shingled(docs, id, text, k).transform(Materialize.cut)
+    val rows = sh
+      .select(
+        col(id),
+        size(col("s")).cast("long").as("sz"),
+        explode(col("s")).as("shingle"))
+      .select(col(id), col("sz"), Hashing.md5Long(col("shingle")).as("h"))
+      .transform(Materialize.cut)
+    val freq = rows.groupBy("h").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(id).orderBy("f", "h")
+    val prefixA = rows
+      .join(freq.hint("shuffle_hash"), "h")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
+      .select(col(id).as("a_id"), col("h"), col("sz").as("a_sz"))
+    val cands = prefixA
+      .join(
+        rows.select(col(id).as("b_id"), col("h")).hint("shuffle_hash"),
+        Seq("h"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+      .transform(Materialize.cut)
+    cands
+      .join(sh.select(col(id).as("a_id"), col("s").as("a_s")), "a_id")
+      .join(sh.select(col(id).as("b_id"), col("s").as("b_s")), "b_id")
+      .withColumn(
+        "common",
+        size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
+      .withColumn(
+        "containment",
+        round(col("common").cast("double") / size(col("a_s")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
   /** Per-node triangle counts over the duplicate-pair graph — the
     * clustering-coefficient numerator (how CLIQUE-LIKE each node's
     * dup neighborhood is; a near-dup cluster that is a path looks very

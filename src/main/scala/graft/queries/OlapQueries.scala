@@ -400,6 +400,31 @@ object OlapQueries {
       .transform(sortSmall(_, col("from_type"), col("to_type")))
   }
 
+  /** Benford's-law digit profile (data-quality / fraud screening):
+    * first-significant-digit distribution of order totals vs the
+    * log10(1+1/d) expectation. The digit is extracted from the DECIMAL
+    * STRING, not via floor(log10) arithmetic — a 1-ulp log10 error at
+    * a power of ten would misbin, while double→string formatting is
+    * shortest-round-trip-identical in both engines. One narrow
+    * aggregate to 9 rows; the share window runs over the 9-row
+    * statistic. */
+  def qBenford(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(
+        regexp_extract(col("o_totalprice").cast("string"), "[1-9]", 0)
+          .cast("long")
+          .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "p",
+        round(col("n").cast("double") / sum("n").over(Window.partitionBy()), 6))
+      .withColumn(
+        "benford_p",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .transform(sortSmall(_, col("digit")))
+
   /** Marketing attribution: every purchase credited to the user's
     * FIRST and LAST preceding click (first-touch / last-touch — the
     * two standard models, emitted side by side), plus the µs lag from
@@ -978,6 +1003,7 @@ object OlapQueries {
     "q_transitions" -> qTransitions _,
     "q_attribution" -> qAttribution _,
     "q_rfm" -> qRfm _,
+    "q_benford" -> qBenford _,
     "q_retention" -> qRetention _,
     "q_group_stats" -> qGroupStats _,
     "q_json_extract" -> qJsonExtract _,
@@ -1225,6 +1251,14 @@ object OlapQueries {
         |SELECT user_id, last_ts_us, CAST(n_events AS BIGINT) AS n_events, monetary,
         |       r, f, m, r * 100 + f * 10 + m AS segment
         |FROM t ORDER BY user_id""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, n, round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS p,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+        |FROM g ORDER BY digit""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),

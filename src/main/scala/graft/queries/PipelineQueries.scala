@@ -714,6 +714,14 @@ object PipelineQueries {
       .transform(
         graft.operators.SortUtil.sortSmall(_, col("pr").desc, col("doc_id")))
 
+  /** Asymmetric containment pairs (see [[Dedup.containment]] — the
+    * partial-duplicate shape Jaccard misses; prefix-filtered on the
+    * contained side only, lossless). */
+  def qContainment(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .containment(docs(s, d), k = 3, threshold = 0.9)
+      .transform(sortSmall(_, "a_id", "b_id"))
+
   /** LSH candidate-quality report: the minhash band-collision pair set
     * evaluated against the exact n-gram-Jaccard ground truth (the
     * AllPairs+PPJoin output is lossless, so it IS the truth at the
@@ -1564,6 +1572,7 @@ object PipelineQueries {
     "q_triangles" -> qTriangles _,
     "q_label_sim" -> qLabelSim _,
     "q_lsh_eval" -> qLshEval _,
+    "q_containment" -> qContainment _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2460,6 +2469,19 @@ object PipelineQueries {
         |       round(-sum(p * ln(p)), 4) AS entropy,
         |       round(sum(p * ln(p / g)), 4) AS kl_corpus
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // containment's prefix filter is lossless, so the oracle needs no
+    // candidate step — the exact overlap filter alone is the result
+    "q_containment" ->
+      s"""$ShingleCte,
+         |chx AS (SELECT doc_id, sz, ${Hashing.duckMd5Long("shingle")} AS h FROM ex),
+         |ccommon AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, count(*) AS c
+         |  FROM chx a JOIN chx b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT a_id, b_id, round(CAST(c AS DOUBLE) / a_sz, 6) AS containment
+         |FROM ccommon
+         |WHERE round(CAST(c AS DOUBLE) / a_sz, 6) >= 0.9
+         |ORDER BY a_id, b_id""".stripMargin,
     // band candidates (cand CTE) vs exact PPJoin ground truth (hash-join
     // common, same shape as the q_dedup_ngram oracle) — full outer join,
     // confusion counts, two final divisions

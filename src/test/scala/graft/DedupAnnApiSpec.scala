@@ -68,6 +68,21 @@ class DedupAnnApiSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("containment finds a small doc swallowed by a big one that Jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ") // 6 shingles at k=3
+    val page = quote + " " + (100 to 160).map(i => s"p$i").mkString(" ")
+    val other = (200 to 220).map(i => s"q$i").mkString(" ")
+    val crafted = Seq((1L, quote), (2L, page), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containment(crafted, k = 3, threshold = 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 is fully inside doc 2 (containment 1.0) but NOT vice versa;
+    // Jaccard at the same threshold sees nothing
+    assert(cont == Set((1L, 2L)))
+    val jac = Dedup.ngramJaccard(crafted, k = 3, threshold = 0.9).count()
+    assert(jac == 0L)
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles; paths and stars give none") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, each node in C(3,2)=3), a path
