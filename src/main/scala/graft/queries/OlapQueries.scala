@@ -400,6 +400,45 @@ object OlapQueries {
       .transform(sortSmall(_, col("from_type"), col("to_type")))
   }
 
+  /** Per-group least-squares trend: slope / intercept / R² of `value`
+    * against time, per event type — the "is this metric drifting"
+    * answer as one aggregate, no ML library. Bit-exact across engines
+    * by the fixed-point pattern: x = whole seconds since the GROUP's
+    * first event (int64 — centering keeps x² sums in range; at ~1e18 /
+    * x² rows per group, recenter per window or coarsen the unit),
+    * y = centi-units via floor(value·100), all five co-moment sums
+    * exact int64, and the final normal-equation arithmetic a fixed
+    * association order of exact-integer doubles. The min(ts) window
+    * and the sum aggregate ride ONE (event_type) exchange. */
+  def qRegression(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val g = Tables
+      .events(s, d)
+      .withColumn("t0", min("ts_us").over(byType))
+      .withColumn("x", expr("(ts_us - t0) DIV 1000000"))
+      .withColumn("y", floor(col("value") * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val dn = col("n").cast("double")
+    val (dsx, dsy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val num = dn * col("sxy").cast("double") - dsx * dsy
+    val denx = dn * col("sxx").cast("double") - dsx * dsx
+    val deny = dn * col("syy").cast("double") - dsy * dsy
+    g.withColumn("slope_per_day", round(num / denx * lit(864.0), 6))
+      .withColumn(
+        "intercept",
+        round((dsy - num / denx * dsx) / dn / lit(100.0), 4))
+      .withColumn("r2", round(num * num / (denx * deny), 6))
+      .select("event_type", "n", "slope_per_day", "intercept", "r2")
+      .transform(sortSmall(_, col("event_type")))
+  }
+
   /** Benford's-law digit profile (data-quality / fraud screening):
     * first-significant-digit distribution of order totals vs the
     * log10(1+1/d) expectation. The digit is extracted from the DECIMAL
@@ -1004,6 +1043,7 @@ object OlapQueries {
     "q_attribution" -> qAttribution _,
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
+    "q_regression" -> qRegression _,
     "q_retention" -> qRetention _,
     "q_group_stats" -> qGroupStats _,
     "q_json_extract" -> qJsonExtract _,
@@ -1259,6 +1299,35 @@ object OlapQueries {
         |SELECT digit, n, round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS p,
         |       round(log10(1.0 + 1.0 / digit), 6) AS benford_p
         |FROM g ORDER BY digit""".stripMargin,
+    "q_regression" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |         (ts_us - min(ts_us) OVER (PARTITION BY event_type)) // 1000000 AS x,
+        |         CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM e),
+        |g AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+        |         CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM w GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+        |         CAST(sxx AS DOUBLE) AS dsxx, CAST(sxy AS DOUBLE) AS dsxy, CAST(syy AS DOUBLE) AS dsyy
+        |  FROM g),
+        |f AS (
+        |  SELECT event_type, n, dn, dsx, dsy,
+        |         dn * dsxy - dsx * dsy AS num,
+        |         dn * dsxx - dsx * dsx AS denx,
+        |         dn * dsyy - dsy * dsy AS deny
+        |  FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       round(num / denx * 864.0, 6) AS slope_per_day,
+        |       round((dsy - num / denx * dsx) / dn / 100.0, 4) AS intercept,
+        |       round(num * num / (denx * deny), 6) AS r2
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),

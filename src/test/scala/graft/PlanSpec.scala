@@ -71,6 +71,42 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Window") >= 1)
   }
 
+  test("q_attribution: all three ignoreNulls windows ride ONE (user_id) exchange, no self-join") {
+    val p = plan("q_attribution")
+    assert(count(p, "hashpartitioning(user_id") == 1)
+    assert(!p.contains("Join"), "attribution must not self-join the event stream")
+  }
+
+  test("q_ema: one (user_id) exchange into the sorted-collect aggregate, no join") {
+    val p = plan("q_ema")
+    assert(count(p, "hashpartitioning(user_id") == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q_transitions: sessionization + lead share ONE (user_id) exchange") {
+    val p = plan("q_transitions")
+    assert(count(p, "hashpartitioning(user_id") == 1)
+  }
+
+  test("q_regression: the min(ts) window and the co-moment aggregate share ONE (event_type) exchange") {
+    val p = plan("q_regression")
+    assert(count(p, "hashpartitioning(event_type") == 1)
+  }
+
+  test("q_hilbert: top-50 via TakeOrderedAndProject off a 2-column scan (no global sort)") {
+    val p = plan("q_hilbert")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("graft_hilbert"))
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"))
+  }
+
+  test("q_containment: verify joins run equi off materialized tables (candidates built in the cut)") {
+    val p = plan("q_containment")
+    assert(!p.contains("FileScan parquet"), "expected zero parquet scans in the final plan")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q_tfidf_terms per-doc top-k gets WindowGroupLimit; tf⋈df join is shuffle-hash") {
     val p = plan("q_tfidf_terms")
     assert(p.contains("WindowGroupLimit"))
