@@ -42,6 +42,33 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) >= (fraction * Buckets).toLong)
   }
 
+  /** Weighted priority sampling (Duffield, Lund & Thorup, JACM'07):
+    * each item gets priority `q = w / u` for a per-item uniform
+    * `u ∈ (0, 1]`, and the sample is the top-k by priority — inclusion
+    * probability ∝ weight (an item twice the weight is twice as likely
+    * to outrank the threshold), reproducible on any cluster layout
+    * because `u` derives from the id hash.
+    *
+    * Engine-exact by construction: `u = (h52 + 1) / 2^52` with a
+    * 52-BIT hash (not the usual 60 — so `h+1` and the numerator
+    * product stay ≤ 2^53 where doubles are exact integers), and the
+    * only float operations are one multiply and one divide, both
+    * IEEE-correctly-rounded everywhere — no ln/pow, whose last-ulp
+    * differences across libm implementations would make top-k
+    * membership engine-dependent. Scale: the top-k is a
+    * TakeOrdered-style selection over one projection pass. */
+  def priorityColumn(idCol: Column, weight: Column): Column = {
+    val h52 = conv(substring(md5(idCol.cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    (weight.cast("double") * lit(4503599627370496.0)) / (h52 + lit(1L))
+  }
+
+  /** DuckDB mirror of [[priorityColumn]] for oracle authors. */
+  def prioritySql(idExpr: String, weightExpr: String): String = {
+    val h = s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 13)) AS BIGINT)"
+    s"(CAST($weightExpr AS DOUBLE) * 4503599627370496.0) / ($h + 1)"
+  }
+
   /** Leakage-safe train/held-out split: the split hashes the near-dup
     * CLUSTER representative, not the doc id, so a near-duplicate pair
     * can never straddle the boundary — the classic held-out

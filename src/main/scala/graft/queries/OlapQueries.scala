@@ -400,6 +400,21 @@ object OlapQueries {
       .transform(sortSmall(_, col("from_type"), col("to_type")))
   }
 
+  /** Percentile-rank normalization: each event's cumulative
+    * distribution position within its type — the feature-scaling
+    * transform that is robust to any value distribution (vs z-scores,
+    * which assume normality). The (value, event_id) tiebreak makes the
+    * order TOTAL, so cume_dist is row_number/n — an exact rational,
+    * identical in both engines. One (event_type) exchange. */
+  def qCumeDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables
+      .events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pct", round(cume_dist().over(w), 6))
+      .orderBy("event_id")
+  }
+
   /** Per-group least-squares trend: slope / intercept / R² of `value`
     * against time, per event type — the "is this metric drifting"
     * answer as one aggregate, no ML library. Bit-exact across engines
@@ -1044,6 +1059,7 @@ object OlapQueries {
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
     "q_regression" -> qRegression _,
+    "q_cume_dist" -> qCumeDist _,
     "q_retention" -> qRetention _,
     "q_group_stats" -> qGroupStats _,
     "q_json_extract" -> qJsonExtract _,
@@ -1299,6 +1315,10 @@ object OlapQueries {
         |SELECT digit, n, round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS p,
         |       round(log10(1.0 + 1.0 / digit), 6) AS benford_p
         |FROM g ORDER BY digit""".stripMargin,
+    "q_cume_dist" ->
+      """SELECT event_id, event_type, value,
+        |       round(cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_regression" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
         |w AS (

@@ -1092,6 +1092,26 @@ object PipelineQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  val WeightedSampleK = 50
+
+  /** Weighted priority sample (see
+    * [[graft.operators.Sampling.priorityColumn]] — Duffield et al.
+    * priority sampling, inclusion probability ∝ n_chars, reproducible
+    * on any layout, engine-exact because the only float ops are an
+    * IEEE multiply and divide). Top-[[WeightedSampleK]] by priority. */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        graft.operators.Sampling
+          .priorityColumn(col("doc_id"), col("n_chars"))
+          .as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WeightedSampleK)
+      .transform(
+        graft.operators.SortUtil.sortSmall(_, col("priority").desc, col("doc_id")))
+
   /** Leakage-safe split: near-dup clusters (same minhash parameters as
     * `q_dedup_clusters`) pin every near-duplicate family to ONE side of
     * the train/held-out boundary; the oracle replays the clustering
@@ -1573,6 +1593,7 @@ object PipelineQueries {
     "q_label_sim" -> qLabelSim _,
     "q_lsh_eval" -> qLshEval _,
     "q_containment" -> qContainment _,
+    "q_weighted_sample" -> qWeightedSample _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2469,6 +2490,11 @@ object PipelineQueries {
         |       round(-sum(p * ln(p)), 4) AS entropy,
         |       round(sum(p * ln(p / g)), 4) AS kl_corpus
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q_weighted_sample" -> {
+      val pr = graft.operators.Sampling.prioritySql("doc_id", "n_chars")
+      s"""SELECT doc_id, n_chars, $pr AS priority
+         |FROM documents ORDER BY priority DESC, doc_id LIMIT $WeightedSampleK""".stripMargin
+    },
     // containment's prefix filter is lossless, so the oracle needs no
     // candidate step — the exact overlap filter alone is the result
     "q_containment" ->
