@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BpeTokens, DeflateLen, DotProduct, Tokens, WordShingles}
+import graft.functions.expressions.{BpeTokens, DeflateLen, DotProduct, HilbertDistance, NormalizeText, Tokens, TopKSketch, WordShingles}
 
 /** Session-wide registration of graft's native Catalyst expressions —
   * the standard library entry point:
@@ -78,5 +78,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_deflate_len",
           "graft_deflate_len(text) - DEFLATE-compressed byte length"),
         (exprs: Seq[Expression]) => DeflateLen(exprs(0))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_normalize"),
+        info(
+          "graft_normalize",
+          "graft_normalize(text) - NFC composition + control/whitespace-run collapse"),
+        (exprs: Seq[Expression]) => NormalizeText(exprs(0))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_hilbert"),
+        info(
+          "graft_hilbert",
+          "graft_hilbert(x, y, bits) - Hilbert-curve distance of a 2-D point"),
+        (exprs: Seq[Expression]) =>
+          HilbertDistance(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_topk"),
+        info(
+          "graft_topk",
+          "graft_topk(item, k) - Misra-Gries heavy-hitter summary (aggregate)"),
+        (exprs: Seq[Expression]) =>
+          TopKSketch(
+            exprs(0),
+            exprs(1).eval(null).asInstanceOf[Number].intValue())
+            .toAggregateExpression()))
   }
 }

@@ -24,6 +24,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getSeq[String](1) == Seq("a", "b", "c"))
       assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
       assert(r.getSeq[String](3) == Seq("the", "sc", "an"))
+      val r2 = s2
+        .sql("""SELECT graft_normalize('a   b') AS n,
+               |       graft_hilbert(3L, 2L, 2) AS h""".stripMargin)
+        .collect()(0)
+      assert(r2.getString(0) == "a b")
+      assert(r2.getLong(1) == 11L) // (3,2) on the 4x4 curve
+      val tk = s2
+        .sql("""SELECT graft_topk(x, 2) AS s FROM VALUES ('a'),('a'),('b') AS t(x)""")
+        .collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(tk.head.getString(0) == "a" && tk.head.getLong(1) == 2L)
       // DESCRIBE FUNCTION resolves through the injected ExpressionInfo.
       val desc = s2.sql("DESCRIBE FUNCTION graft_dot").collect().mkString
       assert(desc.contains("graft_dot"))
