@@ -49,7 +49,7 @@ object Bench {
     "q_source_report",
     "q_kmeans", "q_semdedup", "q_dup_spans", "q_dedup_incr", "q_dup_degree",
     "q_triangles", "q_lsh_eval", "q_containment", "q_label_sim", "q_shard_rendezvous",
-    "q_asset_stats", "q_doc_sample", "q_weighted_sample", "q_split_leakage", "q_stratified_sample",
+    "q_asset_stats", "q_doc_sample", "q_weighted_sample", "q_snapshot_diff", "q_split_leakage", "q_stratified_sample",
     "q_len_histogram",
     "q_source_mix", "q_contamination", "q_contamination_bloom", "q_zorder",
     "q_hilbert",

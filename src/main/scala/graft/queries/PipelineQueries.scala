@@ -1092,6 +1092,54 @@ object PipelineQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Snapshot diff (the table-versioning / CDC audit shape): given two
+    * corpus versions, classify every id as added / removed / changed /
+    * unchanged by comparing content hashes — ONE full-outer equi-join
+    * on the id, with both sides reduced to (id, hash) first so the
+    * join moves 16-byte rows, never documents. The two versions here
+    * are derived deterministically from the corpus (previous is
+    * missing every 7th doc → 'added'; current is missing every 5th →
+    * 'removed'; every 11th is mutated → 'changed') so the oracle can
+    * rebuild both; in production they are real snapshots. Output is the per-class
+    * row count plus a bounded id sample per class (sort_array of a
+    * WindowGroupLimit'd collect — never the full id list). */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val cur = docs(s, d)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val prev = docs(s, d)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(
+        col("doc_id"),
+        md5(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+    val joined = prev
+      .select(col("doc_id"), col("h").as("prev_h"))
+      .join(
+        cur.select(col("doc_id"), col("h").as("cur_h")),
+        Seq("doc_id"),
+        "full_outer")
+      .withColumn(
+        "status",
+        when(col("prev_h").isNull, lit("added"))
+          .when(col("cur_h").isNull, lit("removed"))
+          .when(col("prev_h") === col("cur_h"), lit("unchanged"))
+          .otherwise(lit("changed")))
+    val w = Window.partitionBy("status").orderBy("doc_id")
+    joined
+      .withColumn("rn", row_number().over(w))
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") <= 5, col("doc_id")))),
+            _.cast("string")),
+          ",").as("sample_ids"))
+      .orderBy("status")
+  }
+
   val WeightedSampleK = 50
 
   /** Weighted priority sample (see
@@ -1594,6 +1642,7 @@ object PipelineQueries {
     "q_lsh_eval" -> qLshEval _,
     "q_containment" -> qContainment _,
     "q_weighted_sample" -> qWeightedSample _,
+    "q_snapshot_diff" -> qSnapshotDiff _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2490,6 +2539,26 @@ object PipelineQueries {
         |       round(-sum(p * ln(p)), 4) AS entropy,
         |       round(sum(p * ln(p / g)), 4) AS kl_corpus
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH cur AS (SELECT doc_id, md5(text) AS cur_h FROM documents WHERE doc_id % 5 <> 0),
+        |prev AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS prev_h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (
+        |  SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id, prev_h, cur_h
+        |  FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id),
+        |st AS (
+        |  SELECT doc_id,
+        |         CASE WHEN prev_h IS NULL THEN 'added'
+        |              WHEN cur_h IS NULL THEN 'removed'
+        |              WHEN prev_h = cur_h THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM j),
+        |r AS (SELECT status, doc_id, row_number() OVER (PARTITION BY status ORDER BY doc_id) AS rn FROM st)
+        |SELECT status, count(*) AS n,
+        |       array_to_string(list_transform(list_sort(list(doc_id) FILTER (WHERE rn <= 5)), x -> CAST(x AS VARCHAR)), ',') AS sample_ids
+        |FROM r GROUP BY status ORDER BY status""".stripMargin,
     "q_weighted_sample" -> {
       val pr = graft.operators.Sampling.prioritySql("doc_id", "n_chars")
       s"""SELECT doc_id, n_chars, $pr AS priority
