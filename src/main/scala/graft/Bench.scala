@@ -31,6 +31,8 @@ object Bench {
     "q_share", "q_scd2", "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
     "q_rolling_count", "q_winsorize", "q_mad",
+    "q_streaks", "q_concurrency", "q_autocorr", "q_cusum", "q_spc_days",
+    "q_seasonality",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf",
     "q_ann_pq",

@@ -1035,6 +1035,253 @@ object OlapQueries {
         max(struct(col("cnt"), col("user_id"))).getField("user_id").as("top_key"),
         round(max("cnt") / avg("cnt"), 4).as("skew_ratio"))
 
+  private val DayUs = 86400000000L
+
+  /** Daily-activity streaks per user — the classic gaps-and-islands
+    * rewrite: distinct active days, then `day - row_number()` collapses
+    * each run of consecutive days to one constant group key, so streak
+    * stats fall out of two ordinary aggregates. Everything is integer
+    * arithmetic (engine-exact), and both windows plus both aggregates
+    * ride ONE (user_id) exchange. */
+  def qStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables
+      .events(s, d)
+      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(
+        sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  /** Peak concurrency per hour (capacity planning): sweep-line over
+    * session intervals — +1 at each session start, −1 at each end
+    * (inclusive overlap: starts order before ends at equal µs), running
+    * sum = sessions live at that boundary, then max per hour bucket.
+    *
+    * The sweep is DISTRIBUTED, not a single global sort: the within-hour
+    * prefix runs under a (hour) partitioning, and only the per-hour
+    * delta totals — one row per hour — pass through the tiny carry
+    * window whose cumulative sum seeds each hour. Identical result to
+    * the textbook single-ordered-window formulation (the oracle), with
+    * no all-boundaries-on-one-task stage at any scale. Boundaries are
+    * 2 rows/session, so even the per-hour stage is session-sized, not
+    * event-sized. Hours with no boundary carry no row (concurrency is
+    * constant there). */
+  def qConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(Tables.events(s, d))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    val pts = sess
+      .select(
+        col("user_id"), col("session_id"),
+        col("start_us").as("pt_us"), lit(1L).as("delta"))
+      .unionAll(sess.select(
+        col("user_id"), col("session_id"),
+        col("end_us").as("pt_us"), lit(-1L).as("delta")))
+      .withColumn("hour_us", expr(s"(pt_us DIV $HourUs) * $HourUs"))
+    val inHour = Window
+      .partitionBy("hour_us")
+      .orderBy(col("pt_us"), col("delta").desc, col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perHour = pts
+      .withColumn("prefix", sum("delta").over(inHour))
+      .groupBy("hour_us")
+      .agg(
+        max("prefix").as("max_prefix"),
+        sum("delta").as("hour_delta"),
+        count(lit(1)).as("n_boundaries"))
+    // carry-in = sessions still open when the hour begins: cumulative
+    // delta of all PRIOR hours — a window over the hour-count-sized
+    // aggregate, never the boundary table
+    val carry = Window
+      .orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perHour
+      .withColumn(
+        "max_concurrent",
+        coalesce(sum("hour_delta").over(carry), lit(0L)) + col("max_prefix"))
+      .select("hour_us", "max_concurrent", "n_boundaries")
+      .orderBy("hour_us")
+  }
+
+  /** Hourly-count autocorrelation per event type (lag 1 h and lag 24 h —
+    * burstiness and daily rhythm in one pass). The series is the DENSE
+    * hour grid from the type's first to last active hour (missing hours
+    * count 0 — an autocorrelation over only-active hours would be
+    * biased), built from a per-type `sequence()`, never a cross join.
+    * All six sufficient statistics per lag are integer sums (exact in
+    * both engines); the only float math is the final textbook
+    * `(nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))`, written with the same
+    * association in Spark and the oracle so the IEEE results agree
+    * bit-for-bit before the display round. */
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $HourUs").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val series = counts
+      .groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+      .join(counts, Seq("event_type", "hr"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    // sufficient statistics go through decimal(38,0): the products stay
+    // EXACT (then one double division/sqrt, same association as the
+    // oracle) and n·Σx² cannot silently wrap int64 at petabyte counts
+    def rOf(n0: Column, sx0: Column, sy0: Column, sxy0: Column,
+        sxx0: Column, syy0: Column): Column = {
+      val Seq(n, sx, sy, sxy, sxx, syy) =
+        Seq(n0, sx0, sy0, sxy0, sxx0, syy0).map(_.cast("decimal(38,0)"))
+      val num = (n * sxy - sx * sy).cast("double")
+      val den = sqrt((n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double"))
+      round(num / den, 4)
+    }
+    val lagged = series
+      .withColumn("y1", lead("x", 1).over(w))
+      .withColumn("y24", lead("x", 24).over(w))
+    def stats(y: String): Seq[Column] = Seq(
+      count(col(y)).as(s"n_$y"),
+      sum(when(col(y).isNotNull, col("x"))).as(s"sx_$y"),
+      sum(col(y)).as(s"sy_$y"),
+      sum(col("x") * col(y)).as(s"sxy_$y"),
+      sum(when(col(y).isNotNull, col("x") * col("x"))).as(s"sxx_$y"),
+      sum(col(y) * col(y)).as(s"syy_$y"))
+    lagged
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), stats("y1") ++ stats("y24"): _*)
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        rOf(col("n_y1"), col("sx_y1"), col("sy_y1"),
+          col("sxy_y1"), col("sxx_y1"), col("syy_y1")).as("r_lag1"),
+        rOf(col("n_y24"), col("sx_y24"), col("sy_y24"),
+          col("sxy_y24"), col("sxx_y24"), col("syy_y24")).as("r_lag24"))
+      .orderBy("event_type")
+  }
+
+  /** CUSUM changepoint detection on the daily count series per event
+    * type. The classic statistic S_i = Σ_{j≤i}(x_j − x̄) needs the
+    * fractional mean; scaling by n gives T_i = n·prefix_i − i·total —
+    * INTEGER, argmax-equivalent, and therefore engine-exact: the
+    * reported change day cannot flip on a 1-ulp float difference. Dense
+    * day grid per type (zero days count); ties on |T| break to the
+    * earliest day. Output keeps T and its n-scaled magnitude. */
+  def qCusum(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val series = counts
+      .groupBy("event_type")
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("dy"))
+      .join(counts, Seq("event_type", "dy"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("dy")
+    val scored = series
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn(
+        "prefix",
+        sum("x").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("total", sum("x").over(Window.partitionBy("event_type")))
+      .withColumn("t", col("n_days") * col("prefix") - col("i") * col("total"))
+    val pick = Window
+      .partitionBy("event_type")
+      .orderBy(abs(col("t")).desc, col("dy"))
+    scored
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("total").as("n_events"),
+        (col("dy") * DayUs).as("change_day_us"),
+        col("t").as("t_scaled"),
+        round(abs(col("t")).cast("double") / col("n_days"), 4).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  /** Poisson 2σ warning days (SPC warning limits) per event type: a day
+    * is flagged when (x − x̄)² > 4·x̄, i.e. beyond two Poisson standard
+    * deviations of the type's daily mean. Multiplying through by n²
+    * gives (n·x − total)² > 4·total·n — integer on BOTH sides (128-bit
+    * decimal for the square, which a billion-row day still fits), so
+    * the FLAG ITSELF is engine-exact: no float boundary can flip a
+    * day in or out of the report, the failure mode a naive
+    * float-σ comparison invites. Dense day grid (a zero day CAN flag —
+    * an outage is exactly what SPC must catch). */
+  def qSpcDays(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val series = counts
+      .groupBy("event_type")
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("dy"))
+      .join(counts, Seq("event_type", "dy"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+    val byType = Window.partitionBy("event_type")
+    series
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("total", sum("x").over(byType))
+      .withColumn(
+        "dev",
+        (col("n_days") * col("x") - col("total")).cast("decimal(38,0)"))
+      .filter(
+        col("dev") * col("dev") >
+          lit(4).cast("decimal(38,0)") * col("total") * col("n_days"))
+      .select(
+        col("event_type"),
+        (col("dy") * DayUs).as("day_us"),
+        col("x").as("n_events"),
+        round(col("total").cast("double") / col("n_days"), 4).as("daily_mean"),
+        signum(col("dev").cast("double")).cast("long").as("direction"))
+      .orderBy("event_type", "day_us")
+  }
+
+  /** Day-of-week × hour-of-day seasonality: the 168-cell activity
+    * fingerprint with each cell's χ² contribution against the
+    * independence expectation (row_total·col_total/grand_total).
+    * Observed counts and all three totals are integers riding window
+    * frames over the 168-row AGGREGATE (the raw stream is touched
+    * once); expectation and χ² are the only float steps, same
+    * association both engines. dow 0 = Sunday (epoch day 0 was a
+    * Thursday). */
+  def qSeasonality(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables
+      .events(s, d)
+      .groupBy(
+        expr(s"(ts_us DIV $DayUs + 4) % 7").as("dow"),
+        expr(s"(ts_us DIV $HourUs) % 24").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    // decimal product: exact like the oracle's int128, and no silent
+    // int64 wrap when row×column totals pass 9.2e18 at full scale
+    val exp = (col("row_n").cast("decimal(38,0)") * col("col_n"))
+      .cast("double") / col("grand_n")
+    cells
+      .withColumn("row_n", sum("n").over(Window.partitionBy("dow")))
+      .withColumn("col_n", sum("n").over(Window.partitionBy("hod")))
+      .withColumn("grand_n", sum("n").over(Window.partitionBy()))
+      .select(
+        col("dow"),
+        col("hod"),
+        col("n"),
+        round(exp, 4).as("expected"),
+        round((col("n") - exp) * (col("n") - exp) / exp, 4).as("chi2"))
+      .orderBy("dow", "hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -1083,7 +1330,13 @@ object OlapQueries {
     "q_rolling_count" -> qRollingCount _,
     "q_winsorize" -> qWinsorize _,
     "q_mad" -> qMad _,
-    "q_hll_rollup" -> qHllRollup _
+    "q_hll_rollup" -> qHllRollup _,
+    "q_streaks" -> qStreaks _,
+    "q_concurrency" -> qConcurrency _,
+    "q_autocorr" -> qAutocorr _,
+    "q_cusum" -> qCusum _,
+    "q_spc_days" -> qSpcDays _,
+    "q_seasonality" -> qSeasonality _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1573,6 +1826,137 @@ object OlapQueries {
         |       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
         |       (max(struct_pack(c := cnt, u := user_id))).u AS top_key,
         |       round(max(cnt) / avg(cnt), 4) AS skew_ratio
-        |FROM counts""".stripMargin
+        |FROM counts""".stripMargin,
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       count(*) AS n_streaks, max(len) AS max_streak
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_concurrency" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM sessions GROUP BY user_id, session_id),
+        |pts AS (
+        |  SELECT user_id, session_id, start_us AS pt_us, CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL
+        |  SELECT user_id, session_id, end_us AS pt_us, CAST(-1 AS BIGINT) AS delta FROM sess),
+        |swept AS (
+        |  SELECT pt_us, delta,
+        |         CAST(SUM(delta) OVER (ORDER BY pt_us, delta DESC, user_id, session_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
+        |  FROM pts)
+        |SELECT (pt_us // 3600000000) * 3600000000 AS hour_us,
+        |       max(concurrent) AS max_concurrent, count(*) AS n_boundaries
+        |FROM swept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_autocorr" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM counts GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM bounds),
+        |series AS (
+        |  SELECT g.event_type, g.hr, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+        |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.hr = c.hr),
+        |lagged AS (
+        |  SELECT event_type, x,
+        |         LEAD(x, 1) OVER (PARTITION BY event_type ORDER BY hr) AS y1,
+        |         LEAD(x, 24) OVER (PARTITION BY event_type ORDER BY hr) AS y24
+        |  FROM series),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |         CAST(count(y1) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN y1 IS NOT NULL THEN x END) AS BIGINT) AS sx1,
+        |         CAST(sum(y1) AS BIGINT) AS sy1,
+        |         CAST(sum(x * y1) AS BIGINT) AS sxy1,
+        |         CAST(sum(CASE WHEN y1 IS NOT NULL THEN x * x END) AS BIGINT) AS sxx1,
+        |         CAST(sum(y1 * y1) AS BIGINT) AS syy1,
+        |         CAST(count(y24) AS BIGINT) AS n24,
+        |         CAST(sum(CASE WHEN y24 IS NOT NULL THEN x END) AS BIGINT) AS sx24,
+        |         CAST(sum(y24) AS BIGINT) AS sy24,
+        |         CAST(sum(x * y24) AS BIGINT) AS sxy24,
+        |         CAST(sum(CASE WHEN y24 IS NOT NULL THEN x * x END) AS BIGINT) AS sxx24,
+        |         CAST(sum(y24 * y24) AS BIGINT) AS syy24
+        |  FROM lagged GROUP BY event_type)
+        |SELECT event_type, n_hours,
+        |       round(CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) /
+        |             sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) * CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)), 4) AS r_lag1,
+        |       round(CAST(n24 * sxy24 - sx24 * sy24 AS DOUBLE) /
+        |             sqrt(CAST(n24 * sxx24 - sx24 * sx24 AS DOUBLE) * CAST(n24 * syy24 - sy24 * sy24 AS DOUBLE)), 4) AS r_lag24
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q_cusum" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(dy) AS lo, max(dy) AS hi FROM counts GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS dy FROM bounds),
+        |series AS (
+        |  SELECT g.event_type, g.dy, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+        |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+        |scored AS (
+        |  SELECT event_type, dy, x,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY dy) AS BIGINT) AS i,
+        |         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+        |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM series),
+        |t AS (
+        |  SELECT *, n_days * prefix - i * total AS t,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY abs(n_days * prefix - i * total) DESC, dy) AS rk
+        |  FROM scored)
+        |SELECT event_type, n_days, total AS n_events,
+        |       dy * 86400000000 AS change_day_us, t AS t_scaled,
+        |       round(CAST(abs(t) AS DOUBLE) / n_days, 4) AS max_dev
+        |FROM t WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q_spc_days" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(dy) AS lo, max(dy) AS hi FROM counts GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS dy FROM bounds),
+        |series AS (
+        |  SELECT g.event_type, g.dy, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+        |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+        |stats AS (
+        |  SELECT *, CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+        |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM series),
+        |dev AS (
+        |  SELECT *, CAST(n_days * x - total AS HUGEINT) AS dv FROM stats)
+        |SELECT event_type, dy * 86400000000 AS day_us, x AS n_events,
+        |       round(CAST(total AS DOUBLE) / n_days, 4) AS daily_mean,
+        |       CAST(CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
+        |FROM dev WHERE dv * dv > 4 * CAST(total AS HUGEINT) * n_days
+        |ORDER BY event_type, day_us""".stripMargin,
+    "q_seasonality" ->
+      """WITH cells AS (
+        |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT dow, hod, CAST(n AS BIGINT) AS n,
+        |         CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS row_n,
+        |         CAST(sum(n) OVER (PARTITION BY hod) AS BIGINT) AS col_n,
+        |         CAST(sum(n) OVER () AS BIGINT) AS grand_n
+        |  FROM cells)
+        |SELECT dow, hod, n,
+        |       round(CAST(row_n * col_n AS DOUBLE) / grand_n, 4) AS expected,
+        |       round((n - CAST(row_n * col_n AS DOUBLE) / grand_n) * (n - CAST(row_n * col_n AS DOUBLE) / grand_n) / (CAST(row_n * col_n AS DOUBLE) / grand_n), 4) AS chi2
+        |FROM tot ORDER BY dow, hod""".stripMargin
   )
 }
