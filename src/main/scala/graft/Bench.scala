@@ -32,7 +32,7 @@ object Bench {
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
     "q_rolling_count", "q_winsorize", "q_mad",
     "q_streaks", "q_concurrency", "q_autocorr", "q_cusum", "q_spc_days",
-    "q_seasonality",
+    "q_seasonality", "q_ab_test",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_embed", "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf",
     "q_ann_pq",
@@ -51,7 +51,9 @@ object Bench {
     "q_source_report",
     "q_kmeans", "q_semdedup", "q_dup_spans", "q_dedup_incr", "q_dup_degree",
     "q_triangles", "q_lsh_eval", "q_containment", "q_label_sim", "q_shard_rendezvous",
-    "q_asset_stats", "q_doc_sample", "q_weighted_sample", "q_snapshot_diff", "q_split_leakage", "q_stratified_sample",
+    "q_asset_stats", "q_doc_sample", "q_weighted_sample", "q_snapshot_diff",
+    "q_merge_upsert", "q_vocab_coverage", "q_syllables", "q_embed_stats",
+    "q_split_leakage", "q_stratified_sample",
     "q_len_histogram",
     "q_source_mix", "q_contamination", "q_contamination_bloom", "q_zorder",
     "q_hilbert",

@@ -1282,6 +1282,51 @@ object OlapQueries {
       .orderBy("dow", "hod")
   }
 
+  /** Two-proportion A/B z-test: users hash-split into arms by the
+    * engine-portable md5 hash (assignment is reproducible across
+    * engines AND across reruns — the property a real experiment
+    * assigner needs), conversion = any purchase event. The whole test
+    * reduces to ONE two-level aggregate — per-user conversion flags,
+    * then conditional sums to a single row; no join, no pivot. Counts
+    * are integers; the z statistic is the only float step, written with
+    * the same association as the oracle (and NULL when an arm
+    * saturates to p∈{0,1}, where the pooled variance is 0).
+    *
+    * Conversion = the user's FIRST event (by ts, id) is a purchase —
+    * an activation metric that stays non-degenerate at every scale
+    * factor, picked deterministically via min(struct(...)), the
+    * engine-portable argmin. */
+  def qAbTest(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hashing
+    val users = Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_type"))
+      .withColumn(
+        "converted",
+        when(col("first_type") === "purchase", 1L).otherwise(0L))
+      .withColumn(
+        "arm",
+        Hashing.md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+    val agg = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a")
+    val pB = col("conv_b").cast("double") / col("n_b")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val den = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    agg.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pA, 4).as("rate_a"),
+      round(pB, 4).as("rate_b"),
+      round(when(den =!= 0.0, (pA - pB) / den), 4).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -1336,7 +1381,8 @@ object OlapQueries {
     "q_autocorr" -> qAutocorr _,
     "q_cusum" -> qCusum _,
     "q_spc_days" -> qSpcDays _,
-    "q_seasonality" -> qSeasonality _
+    "q_seasonality" -> qSeasonality _,
+    "q_ab_test" -> qAbTest _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1957,6 +2003,29 @@ object OlapQueries {
         |SELECT dow, hod, n,
         |       round(CAST(row_n * col_n AS DOUBLE) / grand_n, 4) AS expected,
         |       round((n - CAST(row_n * col_n AS DOUBLE) / grand_n) * (n - CAST(row_n * col_n AS DOUBLE) / grand_n) / (CAST(row_n * col_n AS DOUBLE) / grand_n), 4) AS chi2
-        |FROM tot ORDER BY dow, hod""".stripMargin
+        |FROM tot ORDER BY dow, hod""".stripMargin,
+    "q_ab_test" -> {
+      val armHash = graft.functions.Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH users AS (
+        |  SELECT user_id,
+        |         CASE WHEN (min(struct_pack(t := epoch_us(ts), e := event_id, et := event_type))).et = 'purchase' THEN 1 ELSE 0 END AS converted,
+        |         $armHash % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM users),
+        |stats AS (
+        |  SELECT *, sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |                 (1.0 / n_a + 1.0 / n_b)) AS den
+        |  FROM agg)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |       round(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
+        |       round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
+        |       round(CASE WHEN den <> 0 THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / den END, 4) AS z
+        |FROM stats""".stripMargin
+    }
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1586,6 +1586,133 @@ object PipelineQueries {
         minShared = ContaminationMinShared)
       .transform(sortSmall(_, "doc_id"))
 
+  /** CDC merge applier (the write half of [[qSnapshotDiff]]'s audit):
+    * apply a deterministic changeset — deletes (id%13), updates (id%11,
+    * text+' v2'), inserts (id%17 cloned to id+1000000) — to the corpus
+    * with ONE full-outer equi-join on the id, then report the applied
+    * state per source. The merge never compares documents, only join
+    * keys; updated text lengths are recomputed, so the per-source char
+    * totals verify the content actually merged (not just the row
+    * counts). */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val deletes = base
+      .filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("delete").as("op"), lit(null).cast("string").as("new_text"),
+        lit(null).cast("string").as("new_source"))
+    val updates = base
+      .filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), lit("update").as("op"),
+        concat(col("text"), lit(" v2")).as("new_text"),
+        lit(null).cast("string").as("new_source"))
+    val inserts = base
+      .filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), lit("insert").as("op"),
+        concat(col("text"), lit(" new")).as("new_text"), lit("src_new").as("new_source"))
+    val changes = deletes.unionAll(updates).unionAll(inserts)
+    base
+      .select(col("doc_id"), col("text"), col("source"))
+      .join(changes, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(
+        col("doc_id"),
+        coalesce(col("new_text"), col("text")).as("text"),
+        coalesce(col("new_source"), col("source")).as("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  /** Zipf coverage curve for tokenizer/vocab sizing: the share of all
+    * token OCCURRENCES covered by the top-k types at standard vocab
+    * cutoffs, in one row. Rank is `row_number` over (count desc, token
+    * asc) on the VOCABULARY-sized count table (types, not occurrences —
+    * the only sequential structure is statistic-sized), and each
+    * cutoff's covered mass is a conditional sum in the SAME final
+    * aggregate — no per-cutoff pass, no window over the corpus. */
+  def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val counts = docs(s, d)
+      .select(explode(expr("graft_tokens(text)")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn(
+      "rk",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    def covered(k: Int): Column =
+      round(
+        sum(when(col("rk") <= k, col("c")).otherwise(0L)).cast("double") /
+          sum("c"), 6)
+    ranked.agg(
+      count(lit(1)).as("n_types"),
+      sum("c").as("total_tokens"),
+      covered(10).as("cov_top10"),
+      covered(100).as("cov_top100"),
+      covered(1000).as("cov_top1000"))
+  }
+
+  /** Pronunciation-complexity profile per source — syllables
+    * approximated as vowel-group runs (the standard readability-formula
+    * estimator), words from the shared tokenizer, plus a Flesch-style
+    * composite adapted to unpunctuated corpora (words-per-DOC stands in
+    * for words-per-sentence). Both counts are codegen'd per-row regexp/
+    * split expressions feeding one narrow aggregate; integer sums,
+    * float only in the two final ratios. */
+  def qSyllables(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val perDoc = docs(s, d).select(
+      col("source"),
+      size(expr("graft_tokens(text)")).cast("long").as("words"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("syllables"))
+    val sylPerWord = col("syl").cast("double") / col("w")
+    val wordsPerDoc = col("w").cast("double") / col("n_docs")
+    perDoc
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("words").as("w"),
+        sum("syllables").as("syl"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("w").as("total_words"),
+        col("syl").as("total_syllables"),
+        round(sylPerWord, 4).as("syl_per_word"),
+        round(
+          lit(206.835) - lit(1.015) * wordsPerDoc - lit(84.6) * sylPerWord,
+          2).as("flesch_doc"))
+      .orderBy("source")
+  }
+
+  /** Embedding-column data-quality audit per label: vector count, dim
+    * spread, and the L2-norm distribution (min/mean/max + degenerate
+    * near-zero vectors). The norm is a codegen'd sequential fold over
+    * the array — float32 values squared and summed in float64 in LIST
+    * ORDER, exactly how the oracle's `list_aggregate` folds, so
+    * per-row norms agree bit-for-bit; only the group mean rides a
+    * (commutative-rounding) double sum, rounded for display. The scan
+    * touches each vector once; output is label-sized. */
+  def qEmbedStats(s: SparkSession, d: String): DataFrame = {
+    val norm = sqrt(aggregate(
+      col("embedding"),
+      lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    embs(s, d)
+      .select(col("label"), size(col("embedding")).cast("long").as("dim"), norm.as("norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min("dim").as("min_dim"),
+        max("dim").as("max_dim"),
+        round(min("norm"), 4).as("min_norm"),
+        round(avg("norm"), 4).as("mean_norm"),
+        round(max("norm"), 4).as("max_norm"),
+        sum(when(col("norm") < 1e-6, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> qAssetStats _,
     "q_doc_sample" -> qDocSample _,
@@ -1643,6 +1770,10 @@ object PipelineQueries {
     "q_containment" -> qContainment _,
     "q_weighted_sample" -> qWeightedSample _,
     "q_snapshot_diff" -> qSnapshotDiff _,
+    "q_merge_upsert" -> qMergeUpsert _,
+    "q_vocab_coverage" -> qVocabCoverage _,
+    "q_syllables" -> qSyllables _,
+    "q_embed_stats" -> qEmbedStats _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2559,6 +2690,59 @@ object PipelineQueries {
         |SELECT status, count(*) AS n,
         |       array_to_string(list_transform(list_sort(list(doc_id) FILTER (WHERE rn <= 5)), x -> CAST(x AS VARCHAR)), ',') AS sample_ids
         |FROM r GROUP BY status ORDER BY status""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH deletes AS (
+        |  SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS new_text, CAST(NULL AS VARCHAR) AS new_source
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |updates AS (
+        |  SELECT doc_id, 'update' AS op, text || ' v2' AS new_text, CAST(NULL AS VARCHAR) AS new_source
+        |  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0),
+        |inserts AS (
+        |  SELECT doc_id + 1000000 AS doc_id, 'insert' AS op, text || ' new' AS new_text, 'src_new' AS new_source
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |changes AS (
+        |  SELECT * FROM deletes UNION ALL SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+        |merged AS (
+        |  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |         COALESCE(c.new_text, b.text) AS text,
+        |         COALESCE(c.new_source, b.source) AS source
+        |  FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+        |  WHERE COALESCE(c.op, 'keep') <> 'delete')
+        |SELECT source, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM counts)
+        |SELECT count(*) AS n_types, CAST(sum(c) AS BIGINT) AS total_tokens,
+        |       round(CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS cov_top10,
+        |       round(CAST(sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS cov_top100,
+        |       round(CAST(sum(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS cov_top1000
+        |FROM ranked""".stripMargin,
+    "q_syllables" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS words,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(words) AS BIGINT) AS w, CAST(sum(syllables) AS BIGINT) AS syl
+        |  FROM per GROUP BY source)
+        |SELECT source, n_docs, w AS total_words, syl AS total_syllables,
+        |       round(CAST(syl AS DOUBLE) / w, 4) AS syl_per_word,
+        |       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / n_docs) - 84.6 * (CAST(syl AS DOUBLE) / w), 2) AS flesch_doc
+        |FROM agg ORDER BY source""".stripMargin,
+    "q_embed_stats" ->
+      """WITH per AS (
+        |  SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+        |         sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, min(dim) AS min_dim, max(dim) AS max_dim,
+        |       round(min(norm), 4) AS min_norm, round(avg(norm), 4) AS mean_norm, round(max(norm), 4) AS max_norm,
+        |       CAST(sum(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
     "q_weighted_sample" -> {
       val pr = graft.operators.Sampling.prioritySql("doc_id", "n_chars")
       s"""SELECT doc_id, n_chars, $pr AS priority
