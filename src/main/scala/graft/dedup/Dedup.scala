@@ -77,8 +77,19 @@ object Dedup {
       id: String = "doc_id",
       text: String = "text",
       k: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(docs, id, text, k).transform(Materialize.cut)
+      threshold: Double = 0.8): DataFrame =
+    ngramJaccardFromShingled(
+      shingled(docs, id, text, k).transform(Materialize.cut), id, threshold)
+
+  /** [[ngramJaccard]] over an ALREADY-MATERIALIZED shingle table — the
+    * entry point for callers that reuse one shingle pass across several
+    * consumers (e.g. the LSH-tuning evaluation, which also feeds the
+    * minhash banding from the same table). `sh` must be the
+    * [[shingled]] shape and should be lineage-cut by the caller. */
+  def ngramJaccardFromShingled(
+      sh: DataFrame,
+      id: String,
+      threshold: Double): DataFrame = {
     // The shingle string is dropped IMMEDIATELY after hashing: both big
     // shuffles below (by h for the freq join, by id for the window) then
     // move 16-byte (id, h) rows instead of full shingle text. The global
@@ -241,15 +252,31 @@ object Dedup {
       k: Int,
       numHashes: Int,
       bands: Int): (DataFrame, DataFrame) = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingled(docs, id, text, k).transform(Materialize.cut)
+    (sh, minhashCandidatesFromShingled(sh, id, numHashes, bands))
+  }
+
+  /** Band-collision candidate pairs over an already-materialized
+    * shingle table (see [[ngramJaccardFromShingled]] for the shared-
+    * shingle-pass rationale). */
+  def minhashCandidatesFromShingled(
+      sh: DataFrame,
+      id: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     // shuffle_hash: a broadcast band join would recompute the signature
     // aggregation for the build side (Broadcast- and ShuffleExchange
     // cannot reuse each other); shuffling both sides on the band key is
     // also the only shape that survives when n_docs is too big to
     // broadcast.
-    val banded =
-      bandedSignatures(sh, id, numHashes, bands).hint("shuffle_hash")
+    // materialized: the self-join's two sides otherwise each re-run the
+    // whole signature aggregation (no ReusedExchange across the x/y
+    // references) — at scale that doubles the most expensive stage. The
+    // cut table is (id, band_id, band_hash) — 24 bytes/row × bands.
+    val banded = bandedSignatures(sh, id, numHashes, bands)
+      .transform(Materialize.cut)
+      .hint("shuffle_hash")
     val cands = banded
       .as("x")
       .join(
@@ -260,7 +287,7 @@ object Dedup {
       .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
       .distinct()
       .transform(Materialize.cut)
-    (sh, cands)
+    cands
   }
 
   /** Just the band-collision candidate pairs (no exact-Jaccard verify)
@@ -584,9 +611,14 @@ object Dedup {
         VectorFns
           .hyperplaneSignature(col(vec), bitsPerBand, dim, b * bitsPerBand)
           .as("band_sig"))): _*)
+    // materialized: without the cut, BOTH self-join sides re-evaluate
+    // every literal-hyperplane dot product (bands × bits × dim FMAs per
+    // vector) — the dominant compute — and re-scan the source; the cut
+    // table is 24-byte (id, band, sig) rows
     val banded = embs
       .select(col(id), explode(sigs).as("bs"))
       .select(col(id), col("bs.band_id").as("band_id"), col("bs.band_sig").as("band_sig"))
+      .transform(Materialize.cut)
       .hint("shuffle_hash")
     val cands = banded
       .as("x")

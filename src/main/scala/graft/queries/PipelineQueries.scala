@@ -734,12 +734,17 @@ object PipelineQueries {
     * independently (shared-nothing by design — this query EVALUATES
     * one against the other). */
   def qLshEval(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
+    // ONE shingle pass feeds both the banding under test and the exact
+    // ground truth — the evaluation costs one corpus scan, not two
+    val sh = Dedup
+      .shingled(docs(s, d), "doc_id", "text", k = 3)
+      .transform(graft.operators.Materialize.cut)
     val cand = Dedup
-      .minhashCandidates(base, k = 3, numHashes = MinhashSeeds, bands = MinhashBands)
+      .minhashCandidatesFromShingled(
+        sh, "doc_id", numHashes = MinhashSeeds, bands = MinhashBands)
       .withColumn("in_cand", lit(true))
     val exact = Dedup
-      .ngramJaccard(base, k = 3, threshold = 0.8)
+      .ngramJaccardFromShingled(sh, "doc_id", threshold = 0.8)
       .select(col("a_id"), col("b_id"))
       .withColumn("in_exact", lit(true))
     cand
