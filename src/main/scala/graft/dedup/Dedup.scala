@@ -438,9 +438,12 @@ object Dedup {
     }
     // shuffle_hash for the same reason as in minhashLsh: no broadcast of
     // a per-doc table, and both sides shuffle on the band key.
+    // Materialized: the upstream signature aggregation (60 bit-sums per
+    // doc) would otherwise run once per self-join side.
     val banded = simhashes
       .select(col(id), col("simhash"), explode(array(bands: _*)).as("b"))
       .select(col(id), col("simhash"), col("b.band_id"), col("b.band_bits"))
+      .transform(Materialize.cut)
       .hint("shuffle_hash")
     banded
       .as("x")
