@@ -1327,6 +1327,158 @@ object OlapQueries {
       round(when(den =!= 0.0, (pA - pB) / den), 4).as("z"))
   }
 
+  /** Linear-interpolation gap fill — the smooth twin of [[qResample]]'s
+    * forward fill: missing hours take pv + (nv−pv)·frac between the
+    * surrounding observed hourly values. Same one-corpus-scan shape as
+    * qResample (grid bounds derived from the tiny per-hour aggregate);
+    * the prev/next probes are two window specs riding ONE (user_id)
+    * exchange+sort (an unbounded-following frame reuses the ascending
+    * sort — no second shuffle). The grid spans each user's observed
+    * [min,max] hour so prev/next always exist; at an observed hour the
+    * fraction is 0 and the raw value passes through. frac is a ratio of
+    * exact int64 hour deltas and the interpolation is written in one
+    * fixed association order → bit-identical across engines. */
+  def qInterpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("hour", expr(s"ts_us DIV $HourUs"))
+    val perHour = ev
+      .groupBy("user_id", "hour")
+      .agg(
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value")
+          .as("v"))
+      .transform(graft.operators.Materialize.cut)
+    val grid = perHour
+      .groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val back = Window
+      .partitionBy("user_id")
+      .orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window
+      .partitionBy("user_id")
+      .orderBy("hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .join(perHour, Seq("user_id", "hour"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn(
+        "ph",
+        last(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn(
+        "nh",
+        first(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(fwd))
+      .select(
+        col("user_id"),
+        (col("hour") * HourUs).as("hour_us"),
+        // deliberately UNROUNDED: both engines run the identical
+        // fixed-order IEEE ops, so the raw double is bit-exact — while
+        // round() is the one place they can diverge (Spark rounds the
+        // exact binary value HALF_UP, DuckDB rounds the shortest decimal
+        // repr, so interpolation midpoints like 47.00375 split)
+        when(col("hour") === col("ph"), col("pv"))
+          .otherwise(
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("hour") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double")))
+          .as("v_interp"))
+      .orderBy("user_id", "hour_us")
+  }
+
+  /** Conversion-latency distribution: per user, first view → first
+    * purchase at-or-after that view, then exact interpolated
+    * percentiles of the µs latencies. The qualifying-purchase probe is
+    * the same running-min window as [[qFunnel]], so the whole query is
+    * ONE (user_id) shuffle feeding a global 4-value aggregate; the
+    * percentile input is one int64 per converted user. Latencies are
+    * exact integers and both engines interpolate lo + (hi−lo)·frac
+    * over sorted values → bit-identical before rounding. */
+  def qFunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn(
+        "t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("tv"),
+        min(
+          when(
+            col("event_type") === "purchase" && col("t_view").isNotNull,
+            col("ts_us"))).as("tc"))
+      .where(col("tc").isNotNull)
+      .select((col("tc") - col("tv")).as("lat"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(lat, 0.9)"), 4).as("p90_us"),
+        round(expr("percentile(lat, 0.99)"), 4).as("p99_us"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic, each doc source vs
+    * the REST of the corpus, over the document-length distribution —
+    * the distribution-shift alarm for a corpus intake pipeline. The KS
+    * supremum is attained at an observed value, so the scan is one
+    * cumulative pass over the merged value spine: per-(source,len)
+    * counts roll up once, the spine × |sources| grid comes from a
+    * broadcast product with the ≤|sources|-row side (linear in the
+    * spine, never in docs), and each source's CDF is a running sum on
+    * one (source) exchange. The global CDF rides a single-partition
+    * window over the spine — bounded by #distinct lengths, NOT corpus
+    * size, so it holds at 100 TB. Numerators stay int64 (c_s·n_rest −
+    * c_rest·n_s) until one final division → engine-exact. */
+  def qKsTest(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "documents").select(col("source"), col("n_chars"))
+    val counts = base
+      .groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Materialize.cut)
+    val gcumW = Window
+      .orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = counts
+      .groupBy("n_chars")
+      .agg(sum("c").as("cv"))
+      .withColumn("c_all", sum("cv").over(gcumW))
+      .drop("cv")
+    val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
+    val scumW = Window
+      .partitionBy("source")
+      .orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // |c_s·(N−n_s) − (c_all−c_s)·n_s| simplifies to |c_s·N − c_all·n_s|;
+    // N (= last c_all) rides the SAME per-source exchange as the CDF sum.
+    val grid = spine
+      .crossJoin(broadcast(totals.select("source")))
+      .join(counts, Seq("source", "n_chars"), "left")
+      .withColumn("c_s", sum(coalesce(col("c"), lit(0L))).over(scumW))
+      .withColumn("n_total", max("c_all").over(Window.partitionBy("source")))
+    // decimal(38,0) products: c_s·N reaches N² — past int64 at ~3e9 docs
+    // (DuckDB's integer sum widens to HUGEINT on its own)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    grid
+      .join(broadcast(totals), Seq("source"))
+      .groupBy("source")
+      .agg(
+        max("n_s").as("n_s"),
+        max(abs(dec(col("c_s")) * col("n_total") - dec(col("c_all")) * col("n_s")))
+          .as("d_num"),
+        max("n_total").as("n_total"))
+      .select(
+        col("source"),
+        col("n_s"),
+        (col("n_total") - col("n_s")).as("n_rest"),
+        round(
+          col("d_num").cast("double") /
+            (dec(col("n_s")) * (col("n_total") - col("n_s"))).cast("double"),
+          6).as("ks_stat"))
+      .transform(sortSmall(_, col("source")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -1382,7 +1534,10 @@ object OlapQueries {
     "q_cusum" -> qCusum _,
     "q_spc_days" -> qSpcDays _,
     "q_seasonality" -> qSeasonality _,
-    "q_ab_test" -> qAbTest _
+    "q_ab_test" -> qAbTest _,
+    "q_interpolate" -> qInterpolate _,
+    "q_funnel_latency" -> qFunnelLatency _,
+    "q_ks_test" -> qKsTest _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2026,6 +2181,80 @@ object OlapQueries {
         |       round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
         |       round(CASE WHEN den <> 0 THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / den END, 4) AS z
         |FROM stats""".stripMargin
-    }
+    },
+    "q_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) // 3600000000 AS hour
+        |  FROM events),
+        |per_hour AS (
+        |  SELECT user_id, hour,
+        |         (max(struct_pack(t := ts_us, e := event_id, v := value))).v AS v
+        |  FROM ev GROUP BY user_id, hour),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(hour), max(hour))) AS hour
+        |  FROM per_hour GROUP BY user_id),
+        |j AS (
+        |  SELECT g.user_id, g.hour, p.v
+        |  FROM grid g LEFT JOIN per_hour p ON g.user_id = p.user_id AND g.hour = p.hour),
+        |w AS (
+        |  SELECT user_id, hour, v,
+        |         LAST_VALUE(v IGNORE NULLS) OVER win_b AS pv,
+        |         LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER win_b AS ph,
+        |         FIRST_VALUE(v IGNORE NULLS) OVER win_f AS nv,
+        |         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER win_f AS nh
+        |  FROM j
+        |  WINDOW win_b AS (PARTITION BY user_id ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         win_f AS (PARTITION BY user_id ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hour * 3600000000 AS hour_us,
+        |       CASE WHEN hour = ph THEN pv
+        |            ELSE pv + (nv - pv) * (CAST(hour - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END AS v_interp
+        |FROM w
+        |ORDER BY user_id, hour_us""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_view
+        |  FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS tv,
+        |         min(CASE WHEN event_type = 'purchase' AND t_view IS NOT NULL THEN ts_us END) AS tc
+        |  FROM w GROUP BY user_id),
+        |lat AS (SELECT tc - tv AS lat FROM u WHERE tc IS NOT NULL)
+        |SELECT count(*) AS n_converted,
+        |       round(quantile_cont(lat, 0.5), 4) AS p50_us,
+        |       round(quantile_cont(lat, 0.9), 4) AS p90_us,
+        |       round(quantile_cont(lat, 0.99), 4) AS p99_us
+        |FROM lat""".stripMargin,
+    "q_ks_test" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |spine AS (
+        |  SELECT n_chars,
+        |         sum(cv) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_all
+        |  FROM (SELECT n_chars, sum(c) AS cv FROM counts GROUP BY n_chars)),
+        |totals AS (SELECT source, sum(c) AS n_s FROM counts GROUP BY source),
+        |grid AS (
+        |  SELECT t.source, s.n_chars, s.c_all,
+        |         sum(coalesce(c.c, 0)) OVER (PARTITION BY t.source ORDER BY s.n_chars
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_s,
+        |         max(s.c_all) OVER (PARTITION BY t.source) AS n_total
+        |  FROM spine s
+        |  CROSS JOIN (SELECT source FROM totals) t
+        |  LEFT JOIN counts c ON c.source = t.source AND c.n_chars = s.n_chars)
+        |SELECT g.source,
+        |       CAST(max(t.n_s) AS BIGINT) AS n_s,
+        |       CAST(max(g.n_total) - max(t.n_s) AS BIGINT) AS n_rest,
+        |       round(CAST(max(abs(g.c_s * g.n_total - g.c_all * t.n_s)) AS DOUBLE) /
+        |             CAST(max(t.n_s) * (max(g.n_total) - max(t.n_s)) AS DOUBLE), 6) AS ks_stat
+        |FROM grid g JOIN totals t ON g.source = t.source
+        |GROUP BY g.source
+        |ORDER BY g.source""".stripMargin
   )
 }

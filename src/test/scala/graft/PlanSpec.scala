@@ -214,7 +214,8 @@ class PlanSpec extends SparkSpec {
       "q_lm_score", // one-row vocabulary-size total, like the pmi/tfidf totals
       "q_bm25", // one-row corpus totals (n_docs, total_len)
       "q_source_divergence", // one-row global token total
-      "q_label_sim") // label-sized centroid table × itself (|labels|²/2)
+      "q_label_sim", // label-sized centroid table × itself (|labels|²/2)
+      "q_ks_test") // length-spine × ≤|sources|-row side (linear in the spine)
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
