@@ -1718,6 +1718,95 @@ object PipelineQueries {
       .orderBy("label")
   }
 
+  /** Canonical-document selection: C4-style "fuzzy exact" dedup — group
+    * by the md5 of the NORMALIZED text (lowercase, punctuation→space,
+    * whitespace collapse), keep the highest-quality raw variant
+    * (max-struct argmax on the shared [[TextFns.qualityScore]], lowest
+    * doc_id on ties). Normalization lets raw variants that differ only
+    * in case/punctuation/spacing land in one group — where exact-hash
+    * dedup sees distinct texts — and quality actually varies inside a
+    * group (punct ratio differs), so the argmax is meaningful. One
+    * (content-key) shuffle with map-side partial max; the struct
+    * comparison ranks on identically-computed doubles, so both engines
+    * pick the same winner. */
+  def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val norm = trim(
+      regexp_replace(
+        regexp_replace(lower(col("text")), TextFns.PunctClass, " "),
+        "\\s+",
+        " "))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), col("text"), expr("graft_tokens(text)").as("t"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        md5(norm).as("ck"),
+        TextFns
+          .qualityScore(
+            size(col("t")).cast("long"),
+            round(TextFns.stopwordRatioFrom(col("t")), 6),
+            round(TextFns.distinctTokenRatioFrom(col("t")), 6),
+            round(TextFns.punctRatio(col("text")), 6))
+          .as("score"))
+      .groupBy("ck")
+      .agg(
+        count(lit(1)).as("n_variants"),
+        max(
+          struct(
+            col("score"),
+            (-col("doc_id")).as("nid"),
+            col("doc_id").as("id"),
+            col("source").as("src"))).as("best"))
+      .select(
+        col("best.id").as("doc_id"),
+        col("best.src").as("source"),
+        col("n_variants"),
+        col("best.score").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Empirical-Bayes per-source quality: each source's mean quality
+    * score shrunk toward the corpus mean with K=50 pseudo-docs — the
+    * smoothing that keeps a 30-doc source from outranking a 3M-doc
+    * source on mean alone (the source-weighting input for mixture
+    * sampling). Scores become exact 1e-4-unit int64s before summing, so
+    * the per-source sums are order-independent; the corpus totals ride
+    * a single-partition window over the ≤|sources|-row aggregate (NOT
+    * the corpus); the only floating arithmetic is the final fixed-order
+    * shrinkage formula. */
+  def qQualityShrunk(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val per = docs(s, d)
+      .select(col("source"), col("text"), expr("graft_tokens(text)").as("t"))
+      .select(
+        col("source"),
+        round(
+          TextFns.qualityScore(
+            size(col("t")).cast("long"),
+            round(TextFns.stopwordRatioFrom(col("t")), 6),
+            round(TextFns.distinctTokenRatioFrom(col("t")), 6),
+            round(TextFns.punctRatio(col("text")), 6)) * 10000)
+          .cast("long")
+          .as("qc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("qc").as("sq"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("n_total", sum("n").over(all))
+      .withColumn("sq_total", sum("sq").over(all))
+      .select(
+        col("source"),
+        col("n"),
+        round(col("sq").cast("double") / 10000.0 / col("n"), 6).as("raw_mean"),
+        round(
+          (col("sq").cast("double") / 10000.0 +
+            lit(50.0) * (col("sq_total").cast("double") / 10000.0 / col("n_total"))) /
+            (col("n") + lit(50.0)),
+          6).as("shrunk_mean"))
+      .transform(sortSmall(_, "source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> qAssetStats _,
     "q_doc_sample" -> qDocSample _,
@@ -1789,7 +1878,9 @@ object PipelineQueries {
     "q_bpe_train" -> qBpeTrain _,
     "q_pmi_terms" -> qPmiTerms _,
     "q_compress_ratio" -> qCompressRatio _,
-    "q_source_report" -> qSourceReport _
+    "q_source_report" -> qSourceReport _,
+    "q_dedup_keep_best" -> qDedupKeepBest _,
+    "q_quality_shrunk" -> qQualityShrunk _
   )
 
   private def minhashCtes(x: String): String = {
@@ -2948,7 +3039,48 @@ object PipelineQueries {
          |SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
          |       array_to_string(t[(start_tok + 1):(start_tok + $ChunkLen)], ' ') AS chunk_text,
          |       CAST(least($ChunkLen, n) AS BIGINT) AS n_chunk_tokens
-         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin
+         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text), '${TextFns.PunctClass}', ' ', 'g'), '\\s+', ' ', 'g'))) AS ck,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source, ck,
+         |         round(1.2 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6)
+         |               + 0.8 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+         |               - 6.0 * round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6)
+         |               + 0.002 * CAST(len(toks) AS BIGINT), 4) AS score
+         |  FROM t),
+         |g AS (
+         |  SELECT ck, count(*) AS n_variants,
+         |         max(struct_pack(score := score, nid := -doc_id, id := doc_id, src := source)) AS best
+         |  FROM m GROUP BY ck)
+         |SELECT (best).id AS doc_id, (best).src AS source, n_variants, (best).score AS score
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_quality_shrunk" ->
+      s"""WITH t AS (
+         |  SELECT source, text,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT source,
+         |         CAST(round(round(1.2 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6)
+         |               + 0.8 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+         |               - 6.0 * round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6)
+         |               + 0.002 * CAST(len(toks) AS BIGINT), 4) * 10000) AS BIGINT) AS qc
+         |  FROM t),
+         |per AS (
+         |  SELECT source, count(*) AS n, CAST(sum(qc) AS BIGINT) AS sq FROM m GROUP BY source),
+         |w AS (
+         |  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS n_total,
+         |         CAST(sum(sq) OVER () AS BIGINT) AS sq_total
+         |  FROM per)
+         |SELECT source, n,
+         |       round(CAST(sq AS DOUBLE) / 10000.0 / n, 6) AS raw_mean,
+         |       round((CAST(sq AS DOUBLE) / 10000.0 + 50.0 * (CAST(sq_total AS DOUBLE) / 10000.0 / n_total)) / (n + 50.0), 6) AS shrunk_mean
+         |FROM w ORDER BY source""".stripMargin
   )
 
   /** BPE-training oracle: unrolled per-round CTEs mirroring
