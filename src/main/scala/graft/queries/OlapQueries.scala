@@ -870,11 +870,21 @@ object OlapQueries {
     * frame, first-view-after via a following frame — so the whole
     * operator is ONE shuffle of the filtered events, no join at all.
     * Ties (equal |Δt|) resolve to the earlier view; Δ is signed
-    * (negative = matched view precedes the click). */
+    * (negative = matched view precedes the click). The forward probe
+    * rides the REVERSED sort with a running (unboundedPreceding, -1)
+    * frame — Spark executes moving-lower-bound/unbounded-FOLLOWING
+    * frames by rescanning current→end per row (O(n²) per partition),
+    * while a running frame is one incremental pass; same single
+    * (user_id) exchange either way, just a second sort. */
   def qNearestEvent(s: SparkSession, d: String): DataFrame = {
     val base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val prevF = base.rowsBetween(Window.unboundedPreceding, -1)
-    val nextF = base.rowsBetween(1, Window.unboundedFollowing)
+    // strictly-later rows in event order == strictly-earlier rows under
+    // the reversed (ts desc, id desc) sort; last non-null = nearest
+    val nextF = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val viewTs = when(col("event_type") === "view", col("ts_us"))
     val viewId = when(col("event_type") === "view", col("event_id"))
     val prevOk = col("prev_ts").isNotNull
@@ -886,8 +896,8 @@ object OlapQueries {
       .filter(col("event_type").isin("view", "click"))
       .withColumn("prev_ts", last(viewTs, ignoreNulls = true).over(prevF))
       .withColumn("prev_id", last(viewId, ignoreNulls = true).over(prevF))
-      .withColumn("next_ts", first(viewTs, ignoreNulls = true).over(nextF))
-      .withColumn("next_id", first(viewId, ignoreNulls = true).over(nextF))
+      .withColumn("next_ts", last(viewTs, ignoreNulls = true).over(nextF))
+      .withColumn("next_id", last(viewId, ignoreNulls = true).over(nextF))
       .filter(col("event_type") === "click")
       .select(
         col("event_id"),
@@ -1330,14 +1340,18 @@ object OlapQueries {
   /** Linear-interpolation gap fill — the smooth twin of [[qResample]]'s
     * forward fill: missing hours take pv + (nv−pv)·frac between the
     * surrounding observed hourly values. Same one-corpus-scan shape as
-    * qResample (grid bounds derived from the tiny per-hour aggregate);
-    * the prev/next probes are two window specs riding ONE (user_id)
-    * exchange+sort (an unbounded-following frame reuses the ascending
-    * sort — no second shuffle). The grid spans each user's observed
-    * [min,max] hour so prev/next always exist; at an observed hour the
-    * fraction is 0 and the raw value passes through. frac is a ratio of
-    * exact int64 hour deltas and the interpolation is written in one
-    * fixed association order → bit-identical across engines. */
+    * qResample (grid bounds derived from the tiny per-hour aggregate).
+    * The next-known probe is a `lead()` computed at the OBSERVED points
+    * only (the tiny perHour table), then carried across the dense grid
+    * by the same O(n) running-frame forward fill qResample uses — no
+    * unbounded-FOLLOWING frame anywhere (Spark executes those by
+    * rescanning current→end for every row: O(n²) per user partition
+    * over a dense hour grid, and per-user grids grow with the time
+    * span at scale). The grid spans each user's observed [min,max]
+    * hour so prev/next always exist; at an observed hour the fraction
+    * is 0 and the raw value passes through. frac is a ratio of exact
+    * int64 hour deltas and the interpolation is written in one fixed
+    * association order → bit-identical across engines. */
   def qInterpolate(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).withColumn("hour", expr(s"ts_us DIV $HourUs"))
     val perHour = ev
@@ -1351,24 +1365,30 @@ object OlapQueries {
       .groupBy("user_id")
       .agg(min("hour").as("h0"), max("hour").as("h1"))
       .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    // next-known (nh, nv) at the observed points: one lead() pass over
+    // the observation-sized table, NOT the dense grid
+    val obsW = Window.partitionBy("user_id").orderBy("hour")
+    val obs = perHour
+      .withColumn("nh", lead(col("hour"), 1).over(obsW))
+      .withColumn("nv", lead(col("v"), 1).over(obsW))
     val back = Window
       .partitionBy("user_id")
       .orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window
-      .partitionBy("user_id")
-      .orderBy("hour")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward-fill (pv, ph, nh, nv) from the last observed row at-or-
+    // before each grid hour — running frames only, one ordered pass
     grid
-      .join(perHour, Seq("user_id", "hour"), "left")
+      .join(obs, Seq("user_id", "hour"), "left")
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
       .withColumn(
         "ph",
         last(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(back))
-      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn(
+        "nv",
+        last(when(col("v").isNotNull, col("nv")), ignoreNulls = true).over(back))
       .withColumn(
         "nh",
-        first(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(fwd))
+        last(when(col("v").isNotNull, col("nh")), ignoreNulls = true).over(back))
       .select(
         col("user_id"),
         (col("hour") * HourUs).as("hour_us"),

@@ -233,6 +233,25 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unlisted cartesians in: $offenders")
   }
 
+  test("no registered query uses a moving-lower-bound unbounded-FOLLOWING window frame") {
+    // Spark executes frames whose lower bound moves while the upper stays
+    // unbounded-following (e.g. rowsBetween(currentRow, unboundedFollowing))
+    // by rescanning current→partition-end for EVERY row — O(n²) per
+    // partition, the exact plan shape that made q_interpolate 25% of the
+    // round-4 bench. Whole-partition frames (unboundedpreceding →
+    // unboundedfollowing) are fine: computed once per partition.
+    val eagerLoops = Set("q_dedup_clusters", "q_bpe_train", "q_split_leakage")
+    val frame = """specifiedwindowframe\((?:RowFrame|RangeFrame), ([^,]+), unboundedfollowing\$\(\)\)""".r
+    val names = SparkEntry.queries.keys.filterNot(eagerLoops).toSeq.sorted
+    val offenders = names.flatMap { name =>
+      val quadratic = frame
+        .findAllMatchIn(plan(name))
+        .exists(_.group(1) != "unboundedpreceding$()")
+      if (quadratic) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"quadratic unbounded-following frames in: $offenders")
+  }
+
   test("q_ann_topk broadcasts the query side, never the corpus") {
     val p = plan("q_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
