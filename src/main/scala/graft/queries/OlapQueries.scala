@@ -1447,34 +1447,50 @@ object OlapQueries {
     * counts roll up once, the spine × |sources| grid comes from a
     * broadcast product with the ≤|sources|-row side (linear in the
     * spine, never in docs), and each source's CDF is a running sum on
-    * one (source) exchange. The global CDF rides a single-partition
-    * window over the spine — bounded by #distinct lengths, NOT corpus
-    * size, so it holds at 100 TB. Numerators stay int64 (c_s·n_rest −
-    * c_rest·n_s) until one final division → engine-exact. */
+    * one (source) exchange. The value axis is re-bucketed onto ≤ 2¹⁶
+    * fixed-width integer buckets BEFORE the spine, so the global CDF's
+    * single-partition window is bounded by the bucket constant, never
+    * by #distinct values — the guard that keeps a continuous-valued
+    * variable (where distinct values ≈ corpus size) from growing the
+    * spine. Bucketing is injective whenever the integer value span ≤
+    * 2¹⁶ (this dataset: exact KS); wider/continuous domains get the
+    * KS of the 2¹⁶-bin grid distributions — the standard histogram KS,
+    * a deterministic lower bound on the exact statistic. Numerators
+    * stay int64 (c_s·n_rest − c_rest·n_s) until one final division →
+    * engine-exact. */
   def qKsTest(s: SparkSession, d: String): DataFrame = {
     val base = Tables(s, d, "documents").select(col("source"), col("n_chars"))
-    val counts = base
+    val KsBins = 65536L
+    val exact = base
       .groupBy("source", "n_chars")
       .agg(count(lit(1)).as("c"))
       .transform(graft.operators.Materialize.cut)
+    // one-row bounds broadcast; integer DIV keeps both engines bit-exact
+    val bounds = exact.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val counts = exact
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"((n_chars - mn) * $KsBins) DIV (mx - mn + 1)"))
+      .groupBy("source", "bucket")
+      .agg(sum("c").as("c"))
+      .transform(graft.operators.Materialize.cut)
     val gcumW = Window
-      .orderBy("n_chars")
+      .orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val spine = counts
-      .groupBy("n_chars")
+      .groupBy("bucket")
       .agg(sum("c").as("cv"))
       .withColumn("c_all", sum("cv").over(gcumW))
       .drop("cv")
     val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
     val scumW = Window
       .partitionBy("source")
-      .orderBy("n_chars")
+      .orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // |c_s·(N−n_s) − (c_all−c_s)·n_s| simplifies to |c_s·N − c_all·n_s|;
     // N (= last c_all) rides the SAME per-source exchange as the CDF sum.
     val grid = spine
       .crossJoin(broadcast(totals.select("source")))
-      .join(counts, Seq("source", "n_chars"), "left")
+      .join(counts, Seq("source", "bucket"), "left")
       .withColumn("c_s", sum(coalesce(col("c"), lit(0L))).over(scumW))
       .withColumn("n_total", max("c_all").over(Window.partitionBy("source")))
     // decimal(38,0) products: c_s·N reaches N² — past int64 at ~3e9 docs
@@ -2252,22 +2268,26 @@ object OlapQueries {
         |       round(quantile_cont(lat, 0.99), 4) AS p99_us
         |FROM lat""".stripMargin,
     "q_ks_test" ->
-      """WITH counts AS (
+      """WITH exact AS (
         |  SELECT source, n_chars, count(*) AS c
         |  FROM documents GROUP BY source, n_chars),
+        |bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM exact),
+        |counts AS (
+        |  SELECT source, ((n_chars - mn) * 65536) // (mx - mn + 1) AS bucket, sum(c) AS c
+        |  FROM exact CROSS JOIN bounds GROUP BY 1, 2),
         |spine AS (
-        |  SELECT n_chars,
-        |         sum(cv) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_all
-        |  FROM (SELECT n_chars, sum(c) AS cv FROM counts GROUP BY n_chars)),
+        |  SELECT bucket,
+        |         sum(cv) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_all
+        |  FROM (SELECT bucket, sum(c) AS cv FROM counts GROUP BY bucket)),
         |totals AS (SELECT source, sum(c) AS n_s FROM counts GROUP BY source),
         |grid AS (
-        |  SELECT t.source, s.n_chars, s.c_all,
-        |         sum(coalesce(c.c, 0)) OVER (PARTITION BY t.source ORDER BY s.n_chars
+        |  SELECT t.source, s.bucket, s.c_all,
+        |         sum(coalesce(c.c, 0)) OVER (PARTITION BY t.source ORDER BY s.bucket
         |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_s,
         |         max(s.c_all) OVER (PARTITION BY t.source) AS n_total
         |  FROM spine s
         |  CROSS JOIN (SELECT source FROM totals) t
-        |  LEFT JOIN counts c ON c.source = t.source AND c.n_chars = s.n_chars)
+        |  LEFT JOIN counts c ON c.source = t.source AND c.bucket = s.bucket)
         |SELECT g.source,
         |       CAST(max(t.n_s) AS BIGINT) AS n_s,
         |       CAST(max(g.n_total) - max(t.n_s) AS BIGINT) AS n_rest,
