@@ -18,10 +18,12 @@ import graft.model.SegmentStatus
   * Scope: this bus IS the server-side broker — same-process subscribers
   * (schedulers, cache warmers, monitoring, a follow() poller that wants
   * an early wake-up) get synchronous zero-latency delivery. Cross-
-  * process consumers read the log itself via
-  * [[graft.streaming.StreamLog.follow]], whose latency is poll-interval
-  * bound (its delivery contract is documented there) — a wire transport
-  * is service infrastructure, not library surface.
+  * process consumers have two routes: [[PushBridge]] bridges this bus
+  * across the JVM boundary (a filesystem ack mailbox with WatchService
+  * push on local filesystems — the reference's per-connection stream
+  * transports re-expressed), and [[graft.streaming.StreamLog.follow]]
+  * reads the log itself with poll-interval-bound latency (its delivery
+  * contract is documented there).
   *
   * Delivery contract: at-most-once per subscriber per status,
   * synchronous on the producing thread, AFTER the write is durably

@@ -1,0 +1,264 @@
+package graft.log
+
+import java.util.concurrent.{CountDownLatch, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.model.SegmentStatus
+
+/** Cross-process push transport for [[SegmentStatus]] acks — the wire
+  * half of the reference's delivery story. The reference fans produce
+  * acks from its in-process broker onto per-connection bidi streams so
+  * subscribers in OTHER processes get a push the moment a write commits
+  * (reference: broker/bus.go:28 NotificationBus.Notify/Subscribe,
+  * wsstream/bidi_stream.go:1, http2/http2_stream_bus.go:1,
+  * client.go:188 SubscribeToSpace). A Spark library has no resident
+  * server to hold sockets open, so the transport is re-expressed over
+  * the one medium every participant already shares — the log's
+  * filesystem: a producer-side [[PushPublisher]] drains the in-process
+  * [[NotificationBus]] into an append-only ack mailbox under
+  * `<log>/notify/`, and a consumer-side [[PushSubscriber]] in any other
+  * JVM watches that directory (a real `java.nio` WatchService push on
+  * local filesystems — no polling in the hot path; bounded-interval
+  * scans on HDFS-like filesystems that cannot push) and fires callbacks
+  * in commit order.
+  *
+  * Delivery contract (mirrors [[NotificationBus]] one level up):
+  *  - '''per-publisher FIFO''': mailbox files sort by (µs timestamp,
+  *    sequence) and each file holds one drained batch in publish order.
+  *  - '''live feed, at-most-once per subscriber''': a subscriber joins
+  *    at the current end of the mailbox and never replays history; a
+  *    crashed subscriber re-reads nothing (resume-from-offset readers
+  *    belong to `StreamLog.follow` / `ConsumerContext`, exactly as the
+  *    reference routes replay through Consume, not the ack bus).
+  *  - '''post-commit''': the bus publishes after the write is durably
+  *    visible, and the mailbox file is staged + renamed, so a
+  *    subscriber never observes a torn ack for an invisible write.
+  *  - mailbox files are pruned by the publisher after `ttlMs` — the
+  *    feed is a signal, not a store.
+  */
+object PushBridge {
+
+  private[log] val NotifyDir = "notify"
+  private val Suffix = ".statuses"
+
+  /** Attach a mailbox publisher to `log`'s bus: every ack the bus fans
+    * out is also appended to `<log>/notify/` for cross-process
+    * subscribers. Close the returned handle to detach + flush. */
+  def publisher(log: EventLog, ttlMs: Long = 15 * 60 * 1000L): PushPublisher = {
+    val pub = new PushPublisher(log.hfs, s"${log.path}/$NotifyDir", ttlMs)
+    pub.attach(log.bus)
+    pub
+  }
+
+  /** Subscribe to the ack mailbox of the log at `logPath` from THIS
+    * process, with its own FileSystem handle (no shared state with the
+    * producing JVM beyond the directory). `space`/`segment` filter like
+    * the bus's subscribeToSpace/subscribeToSegment; both-None is the
+    * firehose. */
+  def subscriber(
+      fs: FileSystem,
+      logPath: String,
+      space: Option[String] = None,
+      segment: Option[String] = None,
+      pollMs: Long = 1000L)(cb: SegmentStatus => Unit): PushSubscriber =
+    new PushSubscriber(fs, s"$logPath/$NotifyDir", space, segment, pollMs, cb)
+
+  /** One ack per line; space/segment URL-encoded so any segment name
+    * (tabs, newlines, slashes) survives the text round trip. */
+  private[log] def encode(st: SegmentStatus): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    s"${enc(st.space)}\t${enc(st.segment)}\t${st.firstSequence}\t${st.firstTimestamp}\t${st.lastSequence}\t${st.lastTimestamp}"
+  }
+
+  private[log] def decode(line: String): Option[SegmentStatus] =
+    line.split('\t') match {
+      case Array(sp, seg, fs, ft, ls, lt) =>
+        try {
+          def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+          Some(SegmentStatus(dec(sp), dec(seg), fs.toLong, ft.toLong, ls.toLong, lt.toLong))
+        } catch { case NonFatal(_) => None }
+      case _ => None
+    }
+
+  private[log] def isAckFile(name: String): Boolean = name.endsWith(Suffix)
+
+  private[log] def ackFileName(epochMicros: Long, seq: Long): String =
+    f"$epochMicros%020d-$seq%06d-${ProcessHandle.current().pid()}%d$Suffix"
+}
+
+/** Producer side: drains bus acks into the mailbox on a daemon thread,
+  * one file per drained batch (a produce that acks 100 chunks costs ~1
+  * mailbox file, and the bus callback itself is a queue offer — produce
+  * latency is untouched). Prunes expired mailbox files as it goes. */
+final class PushPublisher private[log] (
+    fs: FileSystem,
+    dir: String,
+    ttlMs: Long)
+    extends AutoCloseable {
+
+  private val queue = new LinkedBlockingQueue[SegmentStatus]()
+  private val open = new AtomicBoolean(true)
+  private val seq = new AtomicLong(0L)
+  private val written = new AtomicLong(0L)
+  @volatile private var sub: Option[NotificationBus#Subscription] = None
+  @volatile private var lastPrune = System.currentTimeMillis()
+
+  private[log] def attach(bus: NotificationBus): Unit = {
+    sub = Some(bus.subscribeAll(st => if (open.get()) { queue.put(st); () }))
+  }
+
+  /** Mailbox files written so far (observability + test sync). */
+  def filesWritten: Long = written.get()
+
+  private val writer = new Thread(() => {
+    val batch = new java.util.ArrayList[SegmentStatus]()
+    while (open.get() || !queue.isEmpty) {
+      val head = queue.poll(50, TimeUnit.MILLISECONDS)
+      if (head != null) {
+        batch.clear()
+        batch.add(head)
+        queue.drainTo(batch) // everything already enqueued rides this file
+        flush(batch)
+      }
+      maybePrune()
+    }
+  }, s"graft-push-publisher")
+  writer.setDaemon(true)
+  writer.start()
+
+  private def flush(batch: java.util.ArrayList[SegmentStatus]): Unit =
+    try {
+      val name = PushBridge.ackFileName(System.currentTimeMillis() * 1000L, seq.incrementAndGet())
+      val sb = new StringBuilder
+      batch.forEach(st => { sb.append(PushBridge.encode(st)).append('\n'); () })
+      // tmp+rename via writeText: a subscriber never sees a torn file
+      LogFs.writeText(fs, s"$dir/$name", sb.toString)
+      written.addAndGet(batch.size().toLong)
+      ()
+    } catch { case NonFatal(_) => () } // mailbox is best-effort signal
+
+  private def maybePrune(): Unit = {
+    val now = System.currentTimeMillis()
+    if (now - lastPrune > math.max(ttlMs / 4, 1L)) {
+      lastPrune = now
+      try {
+        val d = new Path(dir)
+        if (fs.exists(d))
+          fs.listStatus(d)
+            .filter(s => s.isFile && PushBridge.isAckFile(s.getPath.getName))
+            .filter(_.getModificationTime < now - ttlMs)
+            .foreach(s => { fs.delete(s.getPath, false); () })
+      } catch { case NonFatal(_) => () }
+    }
+  }
+
+  /** Detach from the bus, flush everything enqueued, stop the writer. */
+  def close(): Unit = if (open.getAndSet(false)) {
+    sub.foreach(_.close())
+    writer.join(10000)
+  }
+}
+
+/** Consumer side: tails the mailbox from the current end. On `file://`
+  * the wait is a real WatchService push (the rescan-on-event pattern —
+  * events only say "something changed", the listing says what, so
+  * coalesced/lost events cannot drop acks); elsewhere it degrades to a
+  * `pollMs` scan, the same bounded-latency contract follow() documents.
+  * Files are processed in name order = (time, seq) publish order. */
+final class PushSubscriber private[log] (
+    fs: FileSystem,
+    dir: String,
+    space: Option[String],
+    segment: Option[String],
+    pollMs: Long,
+    cb: SegmentStatus => Unit)
+    extends AutoCloseable {
+
+  private val open = new AtomicBoolean(true)
+  private val deliveredCount = new AtomicLong(0L)
+  private val ready = new CountDownLatch(1)
+
+  fs.mkdirs(new Path(dir))
+  // join at the current end: the ack feed is live-only by contract
+  @volatile private var watermark: String =
+    listAcks().lastOption.getOrElse("")
+
+  private def listAcks(): Seq[String] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) Seq.empty
+    else
+      fs.listStatus(d)
+        .collect {
+          case s if s.isFile && PushBridge.isAckFile(s.getPath.getName) =>
+            s.getPath.getName
+        }
+        .sorted
+        .toSeq
+  }
+
+  private def drainNew(): Unit = {
+    val fresh = listAcks().filter(_ > watermark)
+    fresh.foreach { name =>
+      try
+        LogFs.readLines(fs, s"$dir/$name").foreach {
+          PushBridge.decode(_).foreach { st =>
+            if (space.forall(_ == st.space) && segment.forall(_ == st.segment)) {
+              try cb(st)
+              catch { case NonFatal(_) => () } // subscriber isolation, as on the bus
+              deliveredCount.incrementAndGet()
+              ()
+            }
+          }
+        }
+      catch { case NonFatal(_) => () } // pruned mid-read: skip
+      watermark = name
+    }
+  }
+
+  /** Acks that passed the filter and were handed to the callback. */
+  def delivered: Long = deliveredCount.get()
+
+  /** Blocks until the tailer thread is watching (test convenience). */
+  def awaitReady(timeoutMs: Long = 10000L): Boolean =
+    ready.await(timeoutMs, TimeUnit.MILLISECONDS)
+
+  private def localWatchPath: Option[java.nio.file.Path] = {
+    val uri = new Path(dir).toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+
+  private val tailer = new Thread(() => {
+    localWatchPath match {
+      case Some(p) =>
+        val ws = p.getFileSystem.newWatchService()
+        try {
+          p.register(ws, java.nio.file.StandardWatchEventKinds.ENTRY_CREATE)
+          ready.countDown()
+          while (open.get()) {
+            // the event is only a wake-up; drainNew() re-lists, so a
+            // coalesced or overflowed event queue never loses an ack
+            val key = ws.poll(pollMs, TimeUnit.MILLISECONDS)
+            if (key != null) { key.pollEvents(); key.reset(); () }
+            drainNew()
+          }
+        } finally ws.close()
+      case None =>
+        ready.countDown()
+        while (open.get()) {
+          drainNew()
+          Thread.sleep(pollMs)
+        }
+    }
+  }, "graft-push-subscriber")
+  tailer.setDaemon(true)
+  tailer.start()
+
+  def close(): Unit = if (open.getAndSet(false)) tailer.join(10000)
+}

@@ -44,7 +44,10 @@ import graft.log.EventLog
   *    commit (trigger interval + one listing + one read), where the
   *    reference's bus tickles in-band. The "follow latency" spec pins
   *    an end-to-end bound. Size the trigger to the freshness the
-  *    subscription needs.
+  *    subscription needs — or pair follow with
+  *    [[graft.log.PushBridge]], whose cross-process ack push (the
+  *    mailbox + WatchService twin of the reference's wire transports)
+  *    tells a consumer WHEN to poll instead of guessing a trigger.
   *  - '''lifecycle rewrites re-deliver''': `EventLog.compact`/`retain`
   *    rewrite a space's files, which a file source sees as brand-new
   *    input — a live follower re-receives the space (and can hit a
