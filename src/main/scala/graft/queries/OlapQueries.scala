@@ -1051,8 +1051,12 @@ object OlapQueries {
     * rewrite: distinct active days, then `day - row_number()` collapses
     * each run of consecutive days to one constant group key, so streak
     * stats fall out of two ordinary aggregates. Everything is integer
-    * arithmetic (engine-exact), and both windows plus both aggregates
-    * ride ONE (user_id) exchange. */
+    * arithmetic (engine-exact). Exactly TWO exchanges by design: the
+    * (user_id, day) distinct ships map-side-deduped pairs (at 100 TB
+    * the partial aggregate collapses each user-day's events to one row
+    * before anything crosses the wire — the dominant saving), then the
+    * pair-sized table re-shuffles once to (user_id) for the island
+    * window; the streak aggregates reuse that partitioning. */
   def qStreaks(s: SparkSession, d: String): DataFrame = {
     val days = Tables
       .events(s, d)

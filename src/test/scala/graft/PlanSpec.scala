@@ -252,6 +252,56 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"quadratic unbounded-following frames in: $offenders")
   }
 
+  test("q_funnel_latency: probe window + per-user rollup ride ONE (user_id) exchange, no join") {
+    val p = plan("q_funnel_latency")
+    assert(count(p, "hashpartitioning(user_id") == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q_streaks: map-side-deduped pair exchange + one window re-shuffle, nothing else") {
+    val p = plan("q_streaks")
+    // (user_id, day) distinct with partial agg + (user_id) island window;
+    // a third exchange would mean the streak aggregates stopped reusing
+    // the window's partitioning
+    assert(count(p, "Exchange hashpartitioning") == 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("q_concurrency: distributed sweep — per-hour prefix shuffles by hour, carry window is hour-spine-sized") {
+    val p = plan("q_concurrency")
+    // the within-hour prefix sum must partition by hour (never a global
+    // ordered window over all boundaries)...
+    assert(count(p, "Exchange hashpartitioning(hour_us") == 1)
+    // ...and exactly ONE single-partition stage: the carry cumsum over
+    // the hours-count-sized per-hour table (plus nothing for output —
+    // the final sort is range-partitioned)
+    assert(count(p, "Exchange SinglePartition") == 1)
+  }
+
+  test("q_interpolate: lead() on materialized observations + running-frame fills, no parquet re-scan") {
+    val p = plan("q_interpolate")
+    assert(!p.contains("FileScan parquet"), "grid + fill must read the materialized perHour table")
+    assert(p.contains("lead(hour"), "next-known must come from lead() at observed points")
+    assert(count(p, "BroadcastHashJoin") == 1, "observations broadcast onto the dense grid")
+    assert(count(p, "hashpartitioning(user_id") == 2, "one exchange per perHour consumer (lead + fill)")
+  }
+
+  test("q_ks_test: global CDF window rides the bucketed spine, never raw values") {
+    val p = plan("q_ks_test")
+    // the single-partition stages must consume the <=2^16-bucket spine
+    // (built from the materialized bucketed counts), keeping them
+    // constant-bounded for continuous-valued variables
+    assert(p.contains("Scan ExistingRDD[source"), "bucketed counts must be materialized")
+    assert(p.contains("bucket"), "spine must be the bucketed axis")
+    assert(count(p, "Exchange SinglePartition") <= 2, "global CDF + output sort only")
+  }
+
+  test("q_quality_shrunk: shrinkage window is |sources|-sized after ONE source exchange") {
+    val p = plan("q_quality_shrunk")
+    assert(count(p, "Exchange hashpartitioning") == 1, "only the per-source moment rollup may hash-shuffle")
+    assert(count(p, "Exchange SinglePartition") <= 2, "shrinkage totals + output sort only")
+  }
+
   test("q_ann_topk broadcasts the query side, never the corpus") {
     val p = plan("q_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
