@@ -1463,20 +1463,7 @@ object OlapQueries {
     * stay int64 (c_s·n_rest − c_rest·n_s) until one final division →
     * engine-exact. */
   def qKsTest(s: SparkSession, d: String): DataFrame = {
-    val base = Tables(s, d, "documents").select(col("source"), col("n_chars"))
-    val KsBins = 65536L
-    val exact = base
-      .groupBy("source", "n_chars")
-      .agg(count(lit(1)).as("c"))
-      .transform(graft.operators.Materialize.cut)
-    // one-row bounds broadcast; integer DIV keeps both engines bit-exact
-    val bounds = exact.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
-    val counts = exact
-      .crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr(s"((n_chars - mn) * $KsBins) DIV (mx - mn + 1)"))
-      .groupBy("source", "bucket")
-      .agg(sum("c").as("c"))
-      .transform(graft.operators.Materialize.cut)
+    val counts = lenBucketCounts(s, d)
     val gcumW = Window
       .orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1517,6 +1504,220 @@ object OlapQueries {
             (dec(col("n_s")) * (col("n_total") - col("n_s"))).cast("double"),
           6).as("ks_stat"))
       .transform(sortSmall(_, col("source")))
+  }
+
+  /** Shared corpus rollup for the drift-test family (KS / PSI / MWU):
+    * per-(source, bucket) document-length counts on a ≤ 2¹⁶ fixed-width
+    * integer bucket spine. One corpus scan into a per-(source, value)
+    * aggregate, one-row bounds broadcast, integer-DIV re-bucket (exact
+    * in both engines), then a second distributed aggregate onto the
+    * spine — everything downstream of this is statistic-sized, never
+    * corpus-sized, regardless of the value domain. Injective when the
+    * integer value span ≤ 2¹⁶ (this dataset), so the tests are exact
+    * here; continuous/wide domains get the histogram-grid statistic. */
+  private val DriftBins = 65536L
+  private def lenBucketCounts(s: SparkSession, d: String): DataFrame = {
+    val exact = Tables(s, d, "documents")
+      .select(col("source"), col("n_chars"))
+      .groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Materialize.cut)
+    val bounds = exact.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    exact
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"((n_chars - mn) * $DriftBins) DIV (mx - mn + 1)"))
+      .groupBy("source", "bucket")
+      .agg(sum("c").as("c"))
+      .transform(graft.operators.Materialize.cut)
+  }
+
+  /** Population Stability Index, each doc source vs the REST of the
+    * corpus — the industry-standard drift score (banking scorecard
+    * monitoring; the binned complement of [[qKsTest]]'s supremum
+    * statistic: PSI integrates shift across ALL mass, KS takes the
+    * worst point). Bins are the global length DECILES, derived from the
+    * bucket spine's CDF with pure integer ceil-division — deterministic
+    * in both engines, and monotone in the bucket so each bucket maps to
+    * exactly one bin. Laplace-smoothed bin shares (+1 per bin) keep
+    * ln() finite for bins a source never hits. After [[lenBucketCounts]]
+    * everything is ≤10 rows per source: the bin grid comes from a
+    * broadcast product with the |sources|-row side and the PSI sum is
+    * one tiny aggregate. Fixed association order on the double
+    * arithmetic + round(6) → engine-identical. */
+  def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = lenBucketCounts(s, d)
+    val gcumW = Window
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = counts
+      .groupBy("bucket")
+      .agg(sum("c").as("cv"))
+      .withColumn("cdf", sum("cv").over(gcumW))
+    val tot = spine.agg(max("cdf").as("n_total"))
+    // decile of a bucket = ceil(cdf·10 / N) ∈ 1..10, via integer DIV
+    val binned = spine
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr("(cdf * 10 + n_total - 1) DIV n_total"))
+    val allBin = binned.groupBy("bin").agg(sum("cv").as("c_bin"))
+    val srcBin = counts
+      .join(binned.select("bucket", "bin"), Seq("bucket"))
+      .groupBy("source", "bin")
+      .agg(sum("c").as("c_s"))
+    val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
+    // tiny data can collapse deciles into < 10 distinct bins; smoothing
+    // must use the REAL bin count in both engines
+    val kBins = allBin.agg(count(lit(1)).as("k_bins"))
+    val p = (coalesce(col("c_s"), lit(0L)) + lit(1)).cast("double") /
+      (col("n_s") + col("k_bins")).cast("double")
+    val q = (col("c_bin") - coalesce(col("c_s"), lit(0L)) + lit(1)).cast("double") /
+      (col("n_total") - col("n_s") + col("k_bins")).cast("double")
+    allBin
+      .crossJoin(broadcast(totals))
+      .join(srcBin, Seq("source", "bin"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(kBins))
+      .select(col("source"), col("n_s"), ((p - q) * log(p / q)).as("term"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), round(sum("term"), 6).as("psi"))
+      .select(col("source"), col("n_docs"), col("psi"))
+      .transform(sortSmall(_, col("source")))
+  }
+
+  /** Mann–Whitney U rank-sum drift test, each doc source vs the REST —
+    * the rank-based member of the drift family (KS = worst-point CDF
+    * gap, PSI = binned mass shift, MWU = stochastic dominance). U is
+    * computed directly from the bucket counts — U = Σ_b c_s(b)·(R(b) +
+    * ½·c_r(b)) with R(b) the rest-count strictly below b — so doubled
+    * arithmetic (2U) stays integer; ties (shared buckets) contribute
+    * exactly ½ each. The z-score uses the tie-corrected variance
+    * n_s·n_r/12·((n+1) − Σ(t³−t)/(n(n−1))). Both cumulative sums ride
+    * the same one (source) exchange as the KS CDFs; the tie term is a
+    * spine-sized aggregate broadcast as one row. Decimal(38) products
+    * (U reaches n_s·n_r ~ N²/4), doubles only in the final z with fixed
+    * association + round(6). */
+  def qMwuDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = lenBucketCounts(s, d)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gcumW = Window
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = counts
+      .groupBy("bucket")
+      .agg(sum("c").as("cv"))
+      .withColumn("c_all", sum("cv").over(gcumW))
+    // one-row globals: total N and the tie term Σ(t³−t) over buckets
+    val tot = spine.agg(
+      max("c_all").as("n_total"),
+      sum(dec(col("cv")) * col("cv") * col("cv") - dec(col("cv"))).as("tie_sum"))
+    val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
+    val scumW = Window
+      .partitionBy("source")
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cS = coalesce(col("c"), lit(0L))
+    val grid = spine
+      .crossJoin(broadcast(totals.select("source")))
+      .join(counts, Seq("source", "bucket"), "left")
+      .withColumn("c_s_cum", sum(cS).over(scumW))
+    // rest strictly below b: (all below b) − (source below b); both from
+    // inclusive running sums minus the current bucket's own counts
+    val restBelow = (col("c_all") - col("cv")) - (col("c_s_cum") - cS)
+    val cRest = col("cv") - cS
+    val u2col = dec(cS) * (restBelow * 2 + cRest)
+    grid
+      .select(col("source"), u2col.as("u2"))
+      .groupBy("source")
+      .agg(sum("u2").as("u2"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_s"),
+        (col("u2").cast("double") / 2.0d).as("u_stat"),
+        round(
+          ((col("u2") - dec(col("n_s")) * (col("n_total") - col("n_s")))
+            .cast("double") / 2.0d) /
+            sqrt(
+              (dec(col("n_s")) * (col("n_total") - col("n_s"))).cast("double") / 12.0d *
+                ((col("n_total") + lit(1)).cast("double") -
+                  col("tie_sum").cast("double") /
+                    (dec(col("n_total")) * (col("n_total") - lit(1))).cast("double"))),
+          6).as("z_score"))
+      .transform(sortSmall(_, col("source")))
+  }
+
+  /** Market-basket part-pair affinity over the TPC-H star: orders are
+    * baskets, distinct parts per order are items, and the output is the
+    * top-20 co-occurring part pairs with support and lift. The pair
+    * generator is an equi self-join on the ORDER key — candidate pairs
+    * are bounded by Σ items-per-order², never |parts|² (baskets are
+    * small by construction; at 100 TB the join stays shuffle-hash on
+    * orderkey with map-side-deduped items). Lift = N·c_ab/(c_a·c_b)
+    * with integer counts until two final divisions; top-20 under the
+    * total (count desc, pa, pb) order via TakeOrderedAndProject. */
+  def qBasketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut)
+    val pairs = items
+      .as("a")
+      .join(
+        items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+    val partN = items.groupBy("pk").agg(count(lit(1)).as("n_part"))
+    val tot = items.agg(count_distinct(col("ok")).as("n_orders"))
+    pairs
+      .join(partN.select(col("pk").as("pa"), col("n_part").as("n_a")), Seq("pa"))
+      .join(partN.select(col("pk").as("pb"), col("n_part").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("pa"),
+        col("pb"),
+        col("n_both"),
+        round(col("n_both").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
+        round(
+          (col("n_both") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"),
+          6).as("lift"))
+      .orderBy(col("n_both").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  /** Order-fulfillment latency profile per order priority — the
+    * accumulating-snapshot shape of operational analytics: per order,
+    * µs from order date to FIRST shipment and the first→last shipment
+    * span, then exact interpolated percentiles per priority. One
+    * (orderkey) aggregate over lineitem, an equi join back to orders
+    * (stats pick the strategy — both sides are fact-sized), and a
+    * |priorities|-row percentile aggregate. Integer µs latencies →
+    * engine-exact before the final interpolation. */
+  def qFulfillment(s: SparkSession, d: String): DataFrame = {
+    val ships = Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(
+        min(unix_micros(col("l_shipdate").cast("timestamp"))).as("first_ship"),
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("last_ship"))
+    Tables(s, d, "orders")
+      .select(
+        col("o_orderkey").as("ok"),
+        col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+      .join(ships, Seq("ok"))
+      .select(
+        col("o_orderpriority"),
+        (col("first_ship") - col("order_us")).as("lead_us"),
+        (col("last_ship") - col("first_ship")).as("span_us"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(lead_us, 0.5)"), 4).as("p50_lead_us"),
+        round(expr("percentile(lead_us, 0.95)"), 4).as("p95_lead_us"),
+        round(expr("percentile(span_us, 0.95)"), 4).as("p95_span_us"))
+      .transform(sortSmall(_, col("o_orderpriority")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1577,7 +1778,11 @@ object OlapQueries {
     "q_ab_test" -> qAbTest _,
     "q_interpolate" -> qInterpolate _,
     "q_funnel_latency" -> qFunnelLatency _,
-    "q_ks_test" -> qKsTest _
+    "q_ks_test" -> qKsTest _,
+    "q_psi_drift" -> qPsiDrift _,
+    "q_mwu_drift" -> qMwuDrift _,
+    "q_basket_pairs" -> qBasketPairs _,
+    "q_fulfillment" -> qFulfillment _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2299,6 +2504,110 @@ object OlapQueries {
         |             CAST(max(t.n_s) * (max(g.n_total) - max(t.n_s)) AS DOUBLE), 6) AS ks_stat
         |FROM grid g JOIN totals t ON g.source = t.source
         |GROUP BY g.source
-        |ORDER BY g.source""".stripMargin
+        |ORDER BY g.source""".stripMargin,
+    "q_psi_drift" ->
+      """WITH exact AS (
+        |  SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM exact),
+        |counts AS (
+        |  SELECT source, ((n_chars - mn) * 65536) // (mx - mn + 1) AS bucket, sum(c) AS c
+        |  FROM exact CROSS JOIN bounds GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT bucket, cv,
+        |         sum(cv) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+        |  FROM (SELECT bucket, sum(c) AS cv FROM counts GROUP BY bucket)),
+        |tot AS (SELECT max(cdf) AS n_total FROM spine),
+        |binned AS (
+        |  SELECT bucket, cv, (cdf * 10 + n_total - 1) // n_total AS bin
+        |  FROM spine CROSS JOIN tot),
+        |all_bin AS (SELECT bin, sum(cv) AS c_bin FROM binned GROUP BY bin),
+        |src_bin AS (
+        |  SELECT c.source, b.bin, sum(c.c) AS c_s
+        |  FROM counts c JOIN binned b ON c.bucket = b.bucket
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT source, sum(c) AS n_s FROM counts GROUP BY source),
+        |k AS (SELECT count(*) AS k_bins FROM all_bin),
+        |grid AS (
+        |  SELECT t.source, t.n_s, a.c_bin, coalesce(s.c_s, 0) AS c_s, n_total, k_bins
+        |  FROM all_bin a
+        |  CROSS JOIN totals t
+        |  LEFT JOIN src_bin s ON s.source = t.source AND s.bin = a.bin
+        |  CROSS JOIN tot CROSS JOIN k)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        |       round(sum(
+        |         (CAST(c_s + 1 AS DOUBLE) / CAST(n_s + k_bins AS DOUBLE)
+        |          - CAST(c_bin - c_s + 1 AS DOUBLE) / CAST(n_total - n_s + k_bins AS DOUBLE))
+        |         * ln((CAST(c_s + 1 AS DOUBLE) / CAST(n_s + k_bins AS DOUBLE))
+        |              / (CAST(c_bin - c_s + 1 AS DOUBLE) / CAST(n_total - n_s + k_bins AS DOUBLE)))), 6) AS psi
+        |FROM grid
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q_mwu_drift" ->
+      """WITH exact AS (
+        |  SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM exact),
+        |counts AS (
+        |  SELECT source, ((n_chars - mn) * 65536) // (mx - mn + 1) AS bucket, sum(c) AS c
+        |  FROM exact CROSS JOIN bounds GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT bucket, cv,
+        |         sum(cv) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_all
+        |  FROM (SELECT bucket, sum(c) AS cv FROM counts GROUP BY bucket)),
+        |tot AS (SELECT max(c_all) AS n_total, sum(cv*cv*cv - cv) AS tie_sum FROM spine),
+        |totals AS (SELECT source, sum(c) AS n_s FROM counts GROUP BY source),
+        |grid AS (
+        |  SELECT t.source, s.bucket, s.cv, s.c_all,
+        |         coalesce(c.c, 0) AS c_s_b,
+        |         sum(coalesce(c.c, 0)) OVER (PARTITION BY t.source ORDER BY s.bucket
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_s_cum
+        |  FROM spine s
+        |  CROSS JOIN (SELECT source FROM totals) t
+        |  LEFT JOIN counts c ON c.source = t.source AND c.bucket = s.bucket),
+        |u AS (
+        |  SELECT source,
+        |         sum(c_s_b * (((c_all - cv) - (c_s_cum - c_s_b)) * 2 + (cv - c_s_b))) AS u2
+        |  FROM grid GROUP BY source)
+        |SELECT u.source,
+        |       CAST(t.n_s AS BIGINT) AS n_s,
+        |       CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+        |       round((CAST(u2 - t.n_s * (n_total - t.n_s) AS DOUBLE) / 2.0) /
+        |             sqrt(CAST(t.n_s * (n_total - t.n_s) AS DOUBLE) / 12.0 *
+        |                  (CAST(n_total + 1 AS DOUBLE) -
+        |                   CAST(tie_sum AS DOUBLE) / CAST(n_total * (n_total - 1) AS DOUBLE))), 6) AS z_score
+        |FROM u JOIN totals t ON u.source = t.source CROSS JOIN tot
+        |ORDER BY u.source""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |part_n AS (SELECT pk, count(*) AS n_part FROM items GROUP BY pk),
+        |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM items)
+        |SELECT pa, pb, n_both,
+        |       round(CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+        |       round(CAST(n_both * n_orders AS DOUBLE) / CAST(na.n_part * nb.n_part AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |JOIN part_n na ON na.pk = pa
+        |JOIN part_n nb ON nb.pk = pb
+        |CROSS JOIN tot
+        |ORDER BY n_both DESC, pa, pb
+        |LIMIT 20""".stripMargin,
+    "q_fulfillment" ->
+      """WITH ships AS (
+        |  SELECT l_orderkey AS ok,
+        |         min(epoch_us(l_shipdate)) AS first_ship,
+        |         max(epoch_us(l_shipdate)) AS last_ship
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       round(quantile_cont(first_ship - epoch_us(o_orderdate), 0.5), 4) AS p50_lead_us,
+        |       round(quantile_cont(first_ship - epoch_us(o_orderdate), 0.95), 4) AS p95_lead_us,
+        |       round(quantile_cont(last_ship - first_ship, 0.95), 4) AS p95_span_us
+        |FROM orders JOIN ships ON ok = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -215,7 +215,10 @@ class PlanSpec extends SparkSpec {
       "q_bm25", // one-row corpus totals (n_docs, total_len)
       "q_source_divergence", // one-row global token total
       "q_label_sim", // label-sized centroid table × itself (|labels|²/2)
-      "q_ks_test") // length-spine × ≤|sources|-row side (linear in the spine)
+      "q_ks_test", // length-spine × ≤|sources|-row side (linear in the spine)
+      "q_psi_drift", // decile-bin grid × |sources| + one-row totals
+      "q_mwu_drift", // bucket-spine grid × |sources| + one-row totals
+      "q_basket_pairs") // one-row basket-count total
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
@@ -300,6 +303,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_quality_shrunk")
     assert(count(p, "Exchange hashpartitioning") == 1, "only the per-source moment rollup may hash-shuffle")
     assert(count(p, "Exchange SinglePartition") <= 2, "shrinkage totals + output sort only")
+  }
+
+  test("drift tests (psi/mwu) run off the materialized bucket rollup, never a parquet re-scan") {
+    for (name <- Seq("q_psi_drift", "q_mwu_drift")) {
+      val p = plan(name)
+      assert(!p.contains("FileScan parquet"), s"$name must read the cut lenBucketCounts table")
+      assert(p.contains("Scan ExistingRDD"), name)
+    }
+  }
+
+  test("q_basket_pairs: pair generator is an equi self-join on the order key, only the one-row total is a product") {
+    val p = plan("q_basket_pairs")
+    // the strategy (broadcast here, SMJ/SHJ at scale) is stats-chosen;
+    // what matters is that the pair generator keys on the ORDER key —
+    // candidates bounded by basket sizes, never a parts×parts product
+    assert(p.contains("Join [ok"), "items self-join must be an equi join on orderkey")
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, "only the n_orders one-row total may be a product")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_fulfillment: each fact scanned once, all joins equi") {
+    val p = plan("q_fulfillment")
+    assert(count(p, "FileScan") == 2, "lineitem + orders, once each")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
   test("q_ann_topk broadcasts the query side, never the corpus") {
