@@ -1720,6 +1720,101 @@ object OlapQueries {
       .transform(sortSmall(_, col("o_orderpriority")))
   }
 
+  /** Correlated scalar-subquery decorrelation — the TPC-H Q17 pattern
+    * ("revenue lost to small-quantity orders"): the per-part correlated
+    * `avg(l_quantity)` subquery rewritten as a part-level aggregate
+    * joined back to the fact, which is how EVERY engine must execute it
+    * at scale (one fact scan for fences, one for the probe, equi join —
+    * never a per-row subquery). Quantities are integer-valued doubles,
+    * so the avg is sum-order-independent (exact int sums < 2⁵³) and the
+    * 0.2·avg fence is one deterministic multiplication → the `<`
+    * comparison is engine-exact. */
+  def qSmallQty(s: SparkSession, d: String): DataFrame = {
+    val li = Tables(s, d, "lineitem")
+    val fences = li
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((avg("l_quantity") * 0.2d).as("fence"))
+    li.join(fences, col("l_partkey") === col("pk"))
+      .where(col("l_quantity") < col("fence"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum("l_extendedprice") / 7.0d, 2).as("avg_yearly"))
+  }
+
+  /** Chi-square independence test: is the language distribution
+    * independent of the document source? The corpus-intake sibling of
+    * the drift family — drift tests compare one source against the
+    * rest on ONE variable; this tests the whole (lang × source)
+    * contingency table at once. One corpus scan to cell counts, then
+    * everything is |langs|·|sources| cells: margins, the expected
+    * grid (a broadcast product of the two margin tables), χ² = Σ
+    * (obs−e)²/e, dof, and Cramér's V. Integer counts until the
+    * expected-value division; fixed association + round(6). */
+  def qChi2Independence(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables(s, d, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Materialize.cut)
+    val rl = cells.groupBy("lang").agg(sum("c").as("r"))
+    val cs = cells.groupBy("source").agg(sum("c").as("s"))
+    val tot = cells.agg(sum("c").as("n"))
+    val dims = rl
+      .agg(count(lit(1)).as("n_langs"))
+      .crossJoin(broadcast(cs.agg(count(lit(1)).as("n_sources"))))
+    val e = (col("r") * col("s")).cast("double") / col("n").cast("double")
+    val obs = coalesce(col("c"), lit(0L)).cast("double")
+    rl.crossJoin(broadcast(cs))
+      .join(cells, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), ((obs - e) * (obs - e) / e).as("term"))
+      .agg(max("n").as("n"), sum("term").as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select(
+        col("n").as("n_docs"),
+        col("n_langs"),
+        col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        round(
+          sqrt(
+            col("chi2") /
+              (col("n") * least(col("n_langs") - 1, col("n_sources") - 1))
+                .cast("double")),
+          6).as("cramers_v"))
+  }
+
+  /** Shannon language-diversity profile per source — the "how mixed is
+    * this source" intake dashboard line: entropy of the language mix in
+    * nats, its exp() as the effective number of languages, and the
+    * majority-language share. One corpus scan to (source, lang) counts;
+    * per-source terms are ≤|langs| rows riding one (source) exchange.
+    * p = c/n_s is one division per term; round(6) absorbs the last-ulp
+    * summation order. */
+  def qSourceEntropy(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables(s, d, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Materialize.cut)
+    val totals = cells.groupBy("source").agg(sum("c").as("n_docs"))
+    val p = col("c").cast("double") / col("n_docs").cast("double")
+    cells
+      .join(broadcast(totals), Seq("source"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("c"),
+        (negate(p) * log(p)).as("term"))
+      .groupBy("source")
+      .agg(
+        max("n_docs").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(sum("term"), 6).as("entropy_nats"),
+        round(exp(sum("term")), 6).as("eff_langs"),
+        round(max("c").cast("double") / max("n_docs").cast("double"), 6)
+          .as("top_lang_share"))
+      .transform(sortSmall(_, col("source")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -1782,7 +1877,10 @@ object OlapQueries {
     "q_psi_drift" -> qPsiDrift _,
     "q_mwu_drift" -> qMwuDrift _,
     "q_basket_pairs" -> qBasketPairs _,
-    "q_fulfillment" -> qFulfillment _
+    "q_fulfillment" -> qFulfillment _,
+    "q_small_qty" -> qSmallQty _,
+    "q_chi2_independence" -> qChi2Independence _,
+    "q_source_entropy" -> qSourceEntropy _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2608,6 +2706,56 @@ object OlapQueries {
         |       round(quantile_cont(last_ship - first_ship, 0.95), 4) AS p95_span_us
         |FROM orders JOIN ships ON ok = o_orderkey
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_small_qty" ->
+      """WITH fences AS (
+        |  SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS fence
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        |       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN fences ON l_partkey = pk
+        |WHERE l_quantity < fence""".stripMargin,
+    "q_chi2_independence" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT lang, sum(c) AS r FROM cells GROUP BY 1),
+        |cs AS (SELECT source, sum(c) AS s FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM cells),
+        |dims AS (SELECT (SELECT count(*) FROM rl) AS n_langs,
+        |                (SELECT count(*) FROM cs) AS n_sources),
+        |grid AS (
+        |  SELECT coalesce(cells.c, 0) AS obs, r, s, n
+        |  FROM rl CROSS JOIN cs
+        |  LEFT JOIN cells ON cells.lang = rl.lang AND cells.source = cs.source
+        |  CROSS JOIN tot),
+        |agg AS (
+        |  SELECT max(n) AS n,
+        |         sum((CAST(obs AS DOUBLE) - CAST(r * s AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (CAST(obs AS DOUBLE) - CAST(r * s AS DOUBLE) / CAST(n AS DOUBLE))
+        |             / (CAST(r * s AS DOUBLE) / CAST(n AS DOUBLE))) AS chi2
+        |  FROM grid)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |       CAST(n_langs AS BIGINT) AS n_langs,
+        |       CAST(n_sources AS BIGINT) AS n_sources,
+        |       CAST((n_langs - 1) * (n_sources - 1) AS BIGINT) AS dof,
+        |       round(chi2, 6) AS chi2,
+        |       round(sqrt(chi2 / CAST(n * least(n_langs - 1, n_sources - 1) AS DOUBLE)), 6) AS cramers_v
+        |FROM agg CROSS JOIN dims""".stripMargin,
+    "q_source_entropy" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |totals AS (SELECT source, sum(c) AS n_docs FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT cells.source, n_docs, c,
+        |         -(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |           * ln(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS term
+        |  FROM cells JOIN totals ON cells.source = totals.source)
+        |SELECT source,
+        |       CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |       count(*) AS n_langs,
+        |       round(sum(term), 6) AS entropy_nats,
+        |       round(exp(sum(term)), 6) AS eff_langs,
+        |       round(CAST(max(c) AS DOUBLE) / CAST(max(n_docs) AS DOUBLE), 6) AS top_lang_share
+        |FROM terms
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }

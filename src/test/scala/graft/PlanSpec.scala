@@ -218,7 +218,9 @@ class PlanSpec extends SparkSpec {
       "q_ks_test", // length-spine × ≤|sources|-row side (linear in the spine)
       "q_psi_drift", // decile-bin grid × |sources| + one-row totals
       "q_mwu_drift", // bucket-spine grid × |sources| + one-row totals
-      "q_basket_pairs") // one-row basket-count total
+      "q_basket_pairs", // one-row basket-count total
+      "q_chi2_independence", // |langs|×|sources| margin product + one-row totals
+      "q_source_entropy") // one-row-per-source broadcast total (if BNLJ at all)
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
