@@ -102,6 +102,57 @@ class PushBridgeSpec extends SparkSpec {
     } finally pub.close()
   }
 
+  test("push-tickled consumer loop: cross-process acks drive offset re-polls, no loss, no dups") {
+    // The reference's push model is a tickle, not a data channel: the
+    // server notifies over the wire, the client re-polls from its OWN
+    // offset (client.go:188-206). The polling twin of this loop lives in
+    // StreamLogSpec ("observer loop"); here the tickle is the
+    // cross-process push ack itself — zero guessed trigger interval.
+    import graft.operators.EventOps
+    val log = freshLog()
+    val pub = PushBridge.publisher(log)
+    val tickles = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sub = PushBridge.subscriber(foreignFs(log.path), log.path, Some("s0")) { _ =>
+      tickles.incrementAndGet(); ()
+    }
+    try {
+      assert(sub.awaitReady())
+      var offset = (0L, "", 0L)
+      val consumed = mutable.Buffer.empty[(Long, String, Long)]
+      def poll(): Int = {
+        val fresh = EventOps
+          .consumeSpaceFromOffset(log.load(), "s0", offset._1, offset._2, offset._3)
+          .select("timestamp", "segment", "sequence")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        consumed ++= fresh
+        if (fresh.nonEmpty) offset = fresh.last
+        fresh.length
+      }
+      def produceAwaitingTickle(seg: String, from: Long, n: Long, ts: Long): Unit = {
+        val before = tickles.get()
+        log.produce("s0", seg, records(from, n), ts)
+        awaitUntil()(tickles.get() > before) // the push IS the poll trigger
+      }
+      produceAwaitingTickle("a", 1, 3, 1000L)
+      assert(poll() == 3)
+      // a brand-new segment with an EARLIER timestamp than the next
+      // produce — the offset resume must pick up both, exactly once
+      produceAwaitingTickle("b", 1, 2, 1500L)
+      produceAwaitingTickle("a", 4, 2, 2000L)
+      assert(poll() == 4)
+      assert(poll() == 0, "idle poll must re-deliver nothing")
+      assert(consumed.size == 7 && consumed.distinct.size == 7)
+      val full = EventOps
+        .consumeSpace(log.load(), "s0")
+        .select("timestamp", "segment", "sequence")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(consumed.toSeq == full.toSeq,
+        "push-driven incremental consumption must equal one from-scratch scan")
+    } finally { sub.close(); pub.close() }
+  }
+
   test("publisher close flushes queued acks; expired mailbox files are pruned") {
     val log = freshLog()
     val notify = s"${log.path}/notify"
