@@ -145,6 +145,60 @@ object PipelineQueries {
       .bruteForceTopK(querySide(s, d), corpusSide(s, d), k = 5)
       .transform(sortSmall(_, "query_id", "rank"))
 
+  /** ANN recall evaluation — the tuning report for the LSH scale path:
+    * per query, how many of the exact brute-force top-5 the LSH bucket
+    * search recovered (recall@5). The ANN twin of the dedup-side LSH
+    * evaluation (115): run BOTH paths (deliberately — this is an
+    * evaluation operator), semi-join approx hits against the exact
+    * set, and report per-query recall. Both paths are deterministic
+    * (md5-derived hyperplanes), so the report is fully oracle-checked —
+    * this is what a 100 TB deployment runs on a sample before trusting
+    * nBits/k settings corpus-wide. */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = Ann
+      .bruteForceTopK(querySide(s, d), corpusSide(s, d), k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Ann
+      .lshTopK(querySide(s, d), corpusSide(s, d), k = 5, nBits = LshBits, dim = EmbDim)
+      .select("query_id", "neighbor_id")
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        col("query_id"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / 5.0d, 6).as("recall_at_5"))
+      .transform(sortSmall(_, "query_id"))
+  }
+
+  /** Hard-negative mining: per anchor (first 10 vectors), the top-5
+    * most-similar corpus vectors with a DIFFERENT label — contrastive
+    * training's near-miss negatives. Same broadcast-anchor product and
+    * exact-cosine ranking as [[qAnnTopk]], plus the label-mismatch
+    * predicate. */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val base = Ann.withNorm(
+      embs(s, d).select(
+        col("vec_id"),
+        col("label"),
+        VectorFns.asDouble(col("embedding")).as("v")),
+      "v")
+    val anchors = base
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val corpus = base
+      .filter(col("vec_id") >= 10)
+      .select(
+        col("vec_id").as("neighbor_id"), col("label").as("c_label"),
+        col("v").as("c_v"), col("nrm").as("c_nrm"))
+    Ann
+      .hardNegativesTopK(anchors, corpus, k = 5)
+      .transform(sortSmall(_, "query_id", "rank"))
+  }
+
   val LshBits = 4
   val EmbDim = 64
 
@@ -1823,6 +1877,8 @@ object PipelineQueries {
     "q_dedup_embed" -> qDedupEmbed _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_ann_topk" -> qAnnTopk _,
+    "q_hard_negatives" -> qHardNegatives _,
+    "q_ann_recall" -> qAnnRecall _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_filtered" -> qAnnFiltered _,
     "q_ann_ivf" -> qAnnIvf _,
@@ -2124,6 +2180,45 @@ object PipelineQueries {
         |SELECT query_id,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
         |       neighbor_id, cos
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |             ($lshBucketSql) AS bucket
+         |      FROM e),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.v, c.v) / greatest(q.nrm * c.nrm, 1e-300), 6) DESC, c.vec_id) AS rank
+         |    FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10)
+         |  WHERE rank <= 5),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.v, c.v) / greatest(q.nrm * c.nrm, 1e-300), 6) DESC, c.vec_id) AS rank
+         |    FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10 AND q.bucket = c.bucket)
+         |  WHERE rank <= 5)
+         |SELECT x.query_id, count(*) AS n_hits,
+         |       round(CAST(count(*) AS DOUBLE) / 5.0, 6) AS recall_at_5
+         |FROM exact x JOIN approx a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS c_label,
+        |         round(list_dot_product(q.v, c.v) / greatest(q.nrm * c.nrm, 1e-300), 6) AS cos
+        |  FROM n q JOIN n c
+        |    ON q.vec_id < 10 AND c.vec_id >= 10 AND q.label <> c.label)
+        |SELECT query_id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+        |       neighbor_id, cos, c_label
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

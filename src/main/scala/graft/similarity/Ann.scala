@@ -56,6 +56,24 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame =
     rankTopK(broadcast(queries).join(corpus).withColumn("cos", cos), k)
 
+  /** Hard-negative mining (contrastive-training prep): per anchor, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-miss negatives a contrastive objective learns most from
+    * (easy negatives are uninformative; same-label vectors are
+    * positives, not negatives). Inputs add `q_label`/`c_label` to the
+    * standard sides; the label-mismatch predicate rides the same
+    * broadcast anchor product as [[bruteForceTopK]] (linear in the
+    * corpus), and ranking is the shared exact-cosine rule. At corpus
+    * scale, pre-bucket with [[lshTopK]]'s signature and re-rank — the
+    * mining semantics stay identical. */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame =
+    rankTopK(
+      broadcast(queries)
+        .join(corpus, col("q_label") =!= col("c_label"))
+        .withColumn("cos", cos),
+      k,
+      extraCols = Seq("c_label"))
+
   /** Random-hyperplane LSH top-k: candidates restricted to the query's
     * sign-bucket. `nBits` hyperplanes of dimension `dim` are baked into
     * the plan as literals. */

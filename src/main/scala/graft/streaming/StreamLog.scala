@@ -231,6 +231,83 @@ object StreamLog {
       }
   }
 
+  final case class DriftHistState(
+      base: Seq[Long],
+      win: Seq[Long],
+      nBase: Long,
+      nWin: Long,
+      nSeen: Long)
+  final case class DriftScore(
+      key: String,
+      nSeen: Long,
+      nBase: Long,
+      nWindow: Long,
+      psi: Double)
+
+  /** Streaming twin of the batch drift family (`q_psi_drift`): per key,
+    * freeze the first `baselineN` values into a fixed-width histogram,
+    * then score every subsequent `windowN`-value window against that
+    * baseline with the SAME Laplace-smoothed PSI the batch query
+    * computes — the live "did the intake distribution shift" alarm,
+    * emitted as soon as a window fills instead of at the next batch
+    * audit. State is 2·`bins` longs + 3 counters per key — bounded, no
+    * timeout needed (the batch twin's decile edges need a global sort;
+    * a stream can't see the future, so the bin edges are fixed [lo, hi)
+    * buckets — document the contract when retuning). PSI terms fold in
+    * bin order → deterministic; rows within a micro-batch are processed
+    * in (timestamp, value) order for cross-run determinism. */
+  def driftMonitor(
+      points: Dataset[(String, Long, Double)],
+      lo: Double,
+      hi: Double,
+      bins: Int = 16,
+      baselineN: Long = 64L,
+      windowN: Long = 32L): Dataset[DriftScore] = {
+    import points.sparkSession.implicits._
+    require(bins > 0 && hi > lo && baselineN > 0 && windowN > 0)
+    def bucketOf(v: Double): Int =
+      math.min(bins - 1, math.max(0, ((v - lo) / (hi - lo) * bins).toInt))
+    def psiOf(base: Array[Long], nBase: Long, win: Array[Long], nWin: Long): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < bins) {
+        val p = (win(i) + 1).toDouble / (nWin + bins).toDouble
+        val q = (base(i) + 1).toDouble / (nBase + bins).toDouble
+        acc += (p - q) * math.log(p / q)
+        i += 1
+      }
+      acc
+    }
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DriftHistState, DriftScore](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[DriftHistState]) =>
+          var st = state.getOption.getOrElse(
+            DriftHistState(Seq.fill(bins)(0L), Seq.fill(bins)(0L), 0L, 0L, 0L))
+          val base = st.base.toArray
+          val win = st.win.toArray
+          var (nBase, nWin, nSeen) = (st.nBase, st.nWin, st.nSeen)
+          val out = Seq.newBuilder[DriftScore]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (_, v) =>
+            nSeen += 1
+            val b = bucketOf(v)
+            if (nBase < baselineN) { base(b) += 1; nBase += 1 }
+            else {
+              win(b) += 1; nWin += 1
+              if (nWin == windowN) {
+                out += DriftScore(key, nSeen, nBase, nWin, psiOf(base, nBase, win, nWin))
+                java.util.Arrays.fill(win, 0L)
+                nWin = 0
+              }
+            }
+          }
+          state.update(DriftHistState(base.toSeq, win.toSeq, nBase, nWin, nSeen))
+          out.result().iterator
+      }
+  }
+
   final case class DebounceState(lastKeptUs: Long)
 
   /** True (kept-based) debounce: per key, emit an event only if it

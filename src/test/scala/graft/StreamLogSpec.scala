@@ -296,6 +296,51 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitor freezes the baseline, scores windows across micro-batches, bit-equal to a local fold") {
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    // 4 bins over [0, 4): baseline 8 values, window 4 values
+    val q = StreamLog
+      .driftMonitor(mem.toDS(), lo = 0.0, hi = 4.0, bins = 4, baselineN = 8L, windowN = 4L)
+      .writeStream
+      .format("memory")
+      .queryName("drift_out")
+      .outputMode("append")
+      .start()
+    try {
+      // baseline: uniform-ish over all 4 bins
+      val baseline = Seq(0.5, 1.5, 2.5, 3.5, 0.5, 1.5, 2.5, 3.5)
+      // window 1: same shape (low drift); window 2: all mass in bin 0
+      // (high drift). Split window 2 across micro-batches to prove the
+      // partial-window state carries over.
+      val win1 = Seq(0.5, 1.5, 2.5, 3.5)
+      val win2 = Seq(0.1, 0.2, 0.1, 0.3)
+      def feed(vs: Seq[Double], t0: Long): Unit =
+        mem.addData(vs.zipWithIndex.map { case (v, i) => ("len", t0 + i, v) }: _*)
+      feed(baseline ++ win1 ++ win2.take(1), 0L)
+      q.processAllAvailable()
+      feed(win2.drop(1), 100L)
+      q.processAllAvailable()
+      def psi(baseCounts: Seq[Long], winCounts: Seq[Long]): Double =
+        (0 until 4).map { i =>
+          val p = (winCounts(i) + 1).toDouble / (4 + 4).toDouble
+          val q0 = (baseCounts(i) + 1).toDouble / (8 + 4).toDouble
+          (p - q0) * math.log(p / q0)
+        }.sum
+      val rows = spark
+        .sql("SELECT nSeen, nBase, nWindow, psi FROM drift_out WHERE key = 'len' ORDER BY nSeen")
+        .collect()
+      assert(rows.length == 2, "two full windows → two scores")
+      assert(rows.map(_.getLong(0)).toSeq == Seq(12L, 16L))
+      assert(rows.forall(r => r.getLong(1) == 8L && r.getLong(2) == 4L))
+      val expected1 = psi(Seq(2L, 2L, 2L, 2L), Seq(1L, 1L, 1L, 1L))
+      val expected2 = psi(Seq(2L, 2L, 2L, 2L), Seq(4L, 0L, 0L, 0L))
+      assert(rows(0).getDouble(3) == expected1, "same-shape window: exact PSI")
+      assert(rows(1).getDouble(3) == expected2, "shifted window: exact PSI")
+      assert(rows(1).getDouble(3) > rows(0).getDouble(3),
+        "the shifted window must score strictly higher drift")
+    } finally q.stop()
+  }
+
   test("debounce keeps gap-from-last-KEPT semantics across micro-batches") {
     val mem = MemoryStream[(String, Long)](spark)
     val q = StreamLog
