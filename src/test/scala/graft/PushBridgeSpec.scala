@@ -153,6 +153,30 @@ class PushBridgeSpec extends SparkSpec {
     } finally { sub.close(); pub.close() }
   }
 
+  test("non-local filesystem degrades to the bounded-interval scan (poll branch)") {
+    // On an object-store scheme there is no WatchService — the
+    // subscriber must fall back to pollMs scans and still deliver.
+    // Reuses the S3A-style mock scheme from ObjectStoreFsSpec.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock3.impl", classOf[NonAtomicRenameFs].getName)
+    val conf = new Configuration()
+    conf.set("fs.mock3.impl", classOf[NonAtomicRenameFs].getName)
+    val local = Files.createTempDirectory("graft-push-mock3").toString
+    val log = new EventLog(spark, s"mock3://$local")
+    val pub = PushBridge.publisher(log)
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val sub = PushBridge.subscriber(
+      new Path(log.path).getFileSystem(conf), log.path, pollMs = 50L) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(sub.awaitReady())
+      val statuses = log.produce("s0", "seg0", records(1, 5), 1000L)
+      awaitUntil()(got.synchronized(got.size) == 1)
+      assert(got.synchronized(got.toSeq) == statuses)
+    } finally { sub.close(); pub.close() }
+  }
+
   test("publisher close flushes queued acks; expired mailbox files are pruned") {
     val log = freshLog()
     val notify = s"${log.path}/notify"
