@@ -72,6 +72,40 @@ object PipelineQueries {
         threshold = 0.8)
       .transform(sortSmall(_, "a_id", "b_id"))
 
+  /** Near-duplication rate per source — the intake-dashboard line that
+    * decides which feed gets a dedup pass first: of each source's docs,
+    * how many sit in at least one minhash near-dup pair. Rides the
+    * SAME pair pipeline as [[qDedupMinhash]] (bucketed bands, never
+    * all-pairs); the dup-id set is pair-sized, the join back to
+    * sources is a semi join, and the report is |sources| rows. */
+  def qDupRateBySource(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup
+      .minhashLsh(
+        docs(s, d),
+        k = 3,
+        numHashes = MinhashSeeds,
+        bands = MinhashBands,
+        threshold = 0.8)
+    val dupIds = pairs
+      .select(col("a_id").as("doc_id"))
+      .unionAll(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+    val base = docs(s, d).select("doc_id", "source")
+    base
+      .join(dupIds, Seq("doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dup"))
+      .join(base.groupBy("source").agg(count(lit(1)).as("n_docs")), Seq("source"), "right")
+      .select(
+        col("source"),
+        col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs").cast("double"),
+          6).as("dup_rate"))
+      .transform(sortSmall(_, "source"))
+  }
+
   val SimhashBits = 60 // md5Long is a 60-bit hash
   val SimhashMaxHamming = 6
 
@@ -1936,7 +1970,8 @@ object PipelineQueries {
     "q_compress_ratio" -> qCompressRatio _,
     "q_source_report" -> qSourceReport _,
     "q_dedup_keep_best" -> qDedupKeepBest _,
-    "q_quality_shrunk" -> qQualityShrunk _
+    "q_quality_shrunk" -> qQualityShrunk _,
+    "q_dup_rate_by_source" -> qDupRateBySource _
   )
 
   private def minhashCtes(x: String): String = {
@@ -2183,6 +2218,17 @@ object PipelineQueries {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_dup_rate_by_source" ->
+      s"""$minhashPairsCtes,
+         |dup_ids AS (SELECT a_id AS doc_id FROM mpairs UNION SELECT b_id FROM mpairs),
+         |per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |dups AS (
+         |  SELECT d.source, count(*) AS n_dup
+         |  FROM documents d JOIN dup_ids USING (doc_id) GROUP BY 1)
+         |SELECT p.source, p.n_docs, coalesce(n_dup, 0) AS n_dup,
+         |       round(CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6) AS dup_rate
+         |FROM per p LEFT JOIN dups ON p.source = dups.source
+         |ORDER BY p.source""".stripMargin,
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
