@@ -70,12 +70,12 @@ object PushBridge {
 
   /** One ack per line; space/segment URL-encoded so any segment name
     * (tabs, newlines, slashes) survives the text round trip. */
-  private[log] def encode(st: SegmentStatus): String = {
+  private[graft] def encode(st: SegmentStatus): String = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     s"${enc(st.space)}\t${enc(st.segment)}\t${st.firstSequence}\t${st.firstTimestamp}\t${st.lastSequence}\t${st.lastTimestamp}"
   }
 
-  private[log] def decode(line: String): Option[SegmentStatus] =
+  private[graft] def decode(line: String): Option[SegmentStatus] =
     line.split('\t') match {
       case Array(sp, seg, fs, ft, ls, lt) =>
         try {

@@ -35,6 +35,27 @@ class PropertySpec extends AnyFunSuite {
       .map(_.toString)
       .toSeq
 
+  test("PushBridge ack wire format round-trips any space/segment name and any bounds") {
+    import graft.log.PushBridge
+    import graft.model.SegmentStatus
+    val genName: Gen[String] = Gen.frequency(
+      4 -> Gen.asciiPrintableStr, // includes tabs' neighbors, quotes, slashes
+      2 -> Gen.listOf(Gen.oneOf("\t", "\n", "\r", "/", "%", "+", " ", "ü", "字", "🙂")).map(_.mkString),
+      1 -> Gen.const(""))
+    val genStatus: Gen[SegmentStatus] = for {
+      sp <- genName; seg <- genName
+      fs <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      ft <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      ls <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      lt <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield SegmentStatus(sp, seg, fs, ft, ls, lt)
+    check(
+      Prop.forAll(genStatus) { st =>
+        PushBridge.decode(PushBridge.encode(st)).contains(st)
+      },
+      "push-ack round trip")
+  }
+
   test("BpeTokens.compute is lossless and bounded for arbitrary words") {
     val genWords: Gen[String] = Gen
       .listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
