@@ -308,6 +308,50 @@ object StreamLog {
       }
   }
 
+  final case class HhState(items: Seq[String], counts: Seq[Long], decr: Long, n: Long)
+  final case class HhEntry(item: String, countLo: Long, countHi: Long)
+  final case class HeavyHittersReport(key: String, nSeen: Long, top: Seq[HhEntry])
+
+  /** Streaming twin of the batch `graft_topk` Misra–Gries aggregate
+    * (`q_heavy_hitters`): per key, an MG(k) summary maintained across
+    * micro-batches — ≤ k counters + one decrement total per key, the
+    * bounded-state answer to "top items by frequency" on an unbounded
+    * stream whose key space is too large to aggregate exactly. After
+    * each micro-batch that touched a key, the current report is emitted
+    * (item, count_lo, count_hi) sorted by (count_lo desc, item); the MG
+    * guarantees carry over verbatim: count_lo ≤ true ≤ count_hi, and
+    * any item with true frequency > n/(k+1) is present. Rows within a
+    * micro-batch are processed in item order for cross-run
+    * determinism. */
+  def heavyHittersMonitor(
+      items: Dataset[(String, String)],
+      k: Int = 8): Dataset[HeavyHittersReport] = {
+    import items.sparkSession.implicits._
+    import graft.functions.expressions.MgSummary
+    require(k > 0)
+    items
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HhState, HeavyHittersReport](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[HhState]) =>
+          val st = state.getOption.getOrElse(HhState(Nil, Nil, 0L, 0L))
+          val mg = new MgSummary(k)
+          st.items.zip(st.counts).foreach { case (i, c) => mg.counts.update(i, c) }
+          mg.decr = st.decr
+          var n = st.n
+          rows.map(_._2).toArray.sorted.foreach { item =>
+            mg.update(item); n += 1
+          }
+          val entries = mg.counts.toSeq
+          state.update(HhState(entries.map(_._1), entries.map(_._2), mg.decr, n))
+          val top = entries
+            .map { case (i, c) => HhEntry(i, c, c + mg.decr) }
+            .sortBy(e => (-e.countLo, e.item))
+          Iterator.single(HeavyHittersReport(key, n, top))
+      }
+  }
+
   final case class DebounceState(lastKeptUs: Long)
 
   /** True (kept-based) debounce: per key, emit an event only if it

@@ -341,6 +341,47 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersMonitor carries MG state across micro-batches and keeps every MG bound") {
+    val mem = MemoryStream[(String, String)](spark)
+    val q = StreamLog
+      .heavyHittersMonitor(mem.toDS(), k = 3)
+      .writeStream
+      .format("memory")
+      .queryName("hh_out")
+      .outputMode("append")
+      .start()
+    try {
+      // a heavy item, a medium item, and a spray of one-off keys that
+      // forces decrements; split across batches so state must carry
+      val batch1 = Seq.fill(10)("hot") ++ Seq.fill(4)("warm") ++ Seq("a", "b", "c")
+      val batch2 = Seq.fill(8)("hot") ++ Seq.fill(3)("warm") ++ Seq("d", "e", "f", "g")
+      mem.addData(batch1.map(("tokens", _)): _*)
+      q.processAllAvailable()
+      mem.addData(batch2.map(("tokens", _)): _*)
+      q.processAllAvailable()
+      val all = batch1 ++ batch2
+      val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = all.size.toLong
+      val last = spark
+        .sql("SELECT nSeen, top FROM hh_out WHERE key = 'tokens' ORDER BY nSeen DESC LIMIT 1")
+        .collect()
+        .head
+      assert(last.getLong(0) == n)
+      val top = last
+        .getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // every item with true frequency > n/(k+1) must be present
+      for ((item, c) <- truth if c > n / 4)
+        assert(top.exists(_._1 == item), s"guaranteed heavy hitter $item missing")
+      // bounds: count_lo <= true <= count_hi
+      for ((item, lo, hi) <- top)
+        assert(lo <= truth(item) && truth(item) <= hi, s"$item bounds [$lo,$hi] vs ${truth(item)}")
+      // at most k counters survive
+      assert(top.size <= 3)
+      assert(top.head._1 == "hot", "the dominant item must rank first")
+    } finally q.stop()
+  }
+
   test("debounce keeps gap-from-last-KEPT semantics across micro-batches") {
     val mem = MemoryStream[(String, Long)](spark)
     val q = StreamLog
