@@ -1462,189 +1462,36 @@ object OlapQueries {
     * a deterministic lower bound on the exact statistic. Numerators
     * stay int64 (c_s·n_rest − c_rest·n_s) until one final division →
     * engine-exact. */
-  def qKsTest(s: SparkSession, d: String): DataFrame = {
-    val counts = lenBucketCounts(s, d)
-    val gcumW = Window
-      .orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spine = counts
-      .groupBy("bucket")
-      .agg(sum("c").as("cv"))
-      .withColumn("c_all", sum("cv").over(gcumW))
-      .drop("cv")
-    val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
-    val scumW = Window
-      .partitionBy("source")
-      .orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // |c_s·(N−n_s) − (c_all−c_s)·n_s| simplifies to |c_s·N − c_all·n_s|;
-    // N (= last c_all) rides the SAME per-source exchange as the CDF sum.
-    val grid = spine
-      .crossJoin(broadcast(totals.select("source")))
-      .join(counts, Seq("source", "bucket"), "left")
-      .withColumn("c_s", sum(coalesce(col("c"), lit(0L))).over(scumW))
-      .withColumn("n_total", max("c_all").over(Window.partitionBy("source")))
-    // decimal(38,0) products: c_s·N reaches N² — past int64 at ~3e9 docs
-    // (DuckDB's integer sum widens to HUGEINT on its own)
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    grid
-      .join(broadcast(totals), Seq("source"))
-      .groupBy("source")
-      .agg(
-        max("n_s").as("n_s"),
-        max(abs(dec(col("c_s")) * col("n_total") - dec(col("c_all")) * col("n_s")))
-          .as("d_num"),
-        max("n_total").as("n_total"))
-      .select(
-        col("source"),
-        col("n_s"),
-        (col("n_total") - col("n_s")).as("n_rest"),
-        round(
-          col("d_num").cast("double") /
-            (dec(col("n_s")) * (col("n_total") - col("n_s"))).cast("double"),
-          6).as("ks_stat"))
+  def qKsTest(s: SparkSession, d: String): DataFrame =
+    graft.stats.Drift
+      .ksTest(Tables(s, d, "documents"), col("source"), col("n_chars"))
+      .withColumnRenamed("g", "source")
       .transform(sortSmall(_, col("source")))
-  }
-
-  /** Shared corpus rollup for the drift-test family (KS / PSI / MWU):
-    * per-(source, bucket) document-length counts on a ≤ 2¹⁶ fixed-width
-    * integer bucket spine. One corpus scan into a per-(source, value)
-    * aggregate, one-row bounds broadcast, integer-DIV re-bucket (exact
-    * in both engines), then a second distributed aggregate onto the
-    * spine — everything downstream of this is statistic-sized, never
-    * corpus-sized, regardless of the value domain. Injective when the
-    * integer value span ≤ 2¹⁶ (this dataset), so the tests are exact
-    * here; continuous/wide domains get the histogram-grid statistic. */
-  private val DriftBins = 65536L
-  private def lenBucketCounts(s: SparkSession, d: String): DataFrame = {
-    val exact = Tables(s, d, "documents")
-      .select(col("source"), col("n_chars"))
-      .groupBy("source", "n_chars")
-      .agg(count(lit(1)).as("c"))
-      .transform(graft.operators.Materialize.cut)
-    val bounds = exact.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
-    exact
-      .crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr(s"((n_chars - mn) * $DriftBins) DIV (mx - mn + 1)"))
-      .groupBy("source", "bucket")
-      .agg(sum("c").as("c"))
-      .transform(graft.operators.Materialize.cut)
-  }
 
   /** Population Stability Index, each doc source vs the REST of the
-    * corpus — the industry-standard drift score (banking scorecard
-    * monitoring; the binned complement of [[qKsTest]]'s supremum
-    * statistic: PSI integrates shift across ALL mass, KS takes the
-    * worst point). Bins are the global length DECILES, derived from the
-    * bucket spine's CDF with pure integer ceil-division — deterministic
-    * in both engines, and monotone in the bucket so each bucket maps to
-    * exactly one bin. Laplace-smoothed bin shares (+1 per bin) keep
-    * ln() finite for bins a source never hits. After [[lenBucketCounts]]
-    * everything is ≤10 rows per source: the bin grid comes from a
-    * broadcast product with the |sources|-row side and the PSI sum is
-    * one tiny aggregate. Fixed association order on the double
-    * arithmetic + round(6) → engine-identical. */
-  def qPsiDrift(s: SparkSession, d: String): DataFrame = {
-    val counts = lenBucketCounts(s, d)
-    val gcumW = Window
-      .orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spine = counts
-      .groupBy("bucket")
-      .agg(sum("c").as("cv"))
-      .withColumn("cdf", sum("cv").over(gcumW))
-    val tot = spine.agg(max("cdf").as("n_total"))
-    // decile of a bucket = ceil(cdf·10 / N) ∈ 1..10, via integer DIV
-    val binned = spine
-      .crossJoin(broadcast(tot))
-      .withColumn("bin", expr("(cdf * 10 + n_total - 1) DIV n_total"))
-    val allBin = binned.groupBy("bin").agg(sum("cv").as("c_bin"))
-    val srcBin = counts
-      .join(binned.select("bucket", "bin"), Seq("bucket"))
-      .groupBy("source", "bin")
-      .agg(sum("c").as("c_s"))
-    val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
-    // tiny data can collapse deciles into < 10 distinct bins; smoothing
-    // must use the REAL bin count in both engines
-    val kBins = allBin.agg(count(lit(1)).as("k_bins"))
-    val p = (coalesce(col("c_s"), lit(0L)) + lit(1)).cast("double") /
-      (col("n_s") + col("k_bins")).cast("double")
-    val q = (col("c_bin") - coalesce(col("c_s"), lit(0L)) + lit(1)).cast("double") /
-      (col("n_total") - col("n_s") + col("k_bins")).cast("double")
-    allBin
-      .crossJoin(broadcast(totals))
-      .join(srcBin, Seq("source", "bin"), "left")
-      .crossJoin(broadcast(tot))
-      .crossJoin(broadcast(kBins))
-      .select(col("source"), col("n_s"), ((p - q) * log(p / q)).as("term"))
-      .groupBy("source")
-      .agg(max("n_s").as("n_docs"), round(sum("term"), 6).as("psi"))
-      .select(col("source"), col("n_docs"), col("psi"))
+    * corpus — the industry-standard drift score (the binned complement
+    * of [[qKsTest]]'s supremum statistic: PSI integrates shift across
+    * ALL mass, KS takes the worst point). Thin delegation to
+    * [[graft.stats.Drift.psi]] on the document-length column — see
+    * there for the decile-bin derivation, Laplace smoothing, and the
+    * statistic-sized scale contract. */
+  def qPsiDrift(s: SparkSession, d: String): DataFrame =
+    graft.stats.Drift
+      .psi(Tables(s, d, "documents"), col("source"), col("n_chars"))
+      .withColumnRenamed("g", "source")
       .transform(sortSmall(_, col("source")))
-  }
 
   /** Mann–Whitney U rank-sum drift test, each doc source vs the REST —
     * the rank-based member of the drift family (KS = worst-point CDF
-    * gap, PSI = binned mass shift, MWU = stochastic dominance). U is
-    * computed directly from the bucket counts — U = Σ_b c_s(b)·(R(b) +
-    * ½·c_r(b)) with R(b) the rest-count strictly below b — so doubled
-    * arithmetic (2U) stays integer; ties (shared buckets) contribute
-    * exactly ½ each. The z-score uses the tie-corrected variance
-    * n_s·n_r/12·((n+1) − Σ(t³−t)/(n(n−1))). Both cumulative sums ride
-    * the same one (source) exchange as the KS CDFs; the tie term is a
-    * spine-sized aggregate broadcast as one row. Decimal(38) products
-    * (U reaches n_s·n_r ~ N²/4), doubles only in the final z with fixed
-    * association + round(6). */
-  def qMwuDrift(s: SparkSession, d: String): DataFrame = {
-    val counts = lenBucketCounts(s, d)
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val gcumW = Window
-      .orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spine = counts
-      .groupBy("bucket")
-      .agg(sum("c").as("cv"))
-      .withColumn("c_all", sum("cv").over(gcumW))
-    // one-row globals: total N and the tie term Σ(t³−t) over buckets
-    val tot = spine.agg(
-      max("c_all").as("n_total"),
-      sum(dec(col("cv")) * col("cv") * col("cv") - dec(col("cv"))).as("tie_sum"))
-    val totals = counts.groupBy("source").agg(sum("c").as("n_s"))
-    val scumW = Window
-      .partitionBy("source")
-      .orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cS = coalesce(col("c"), lit(0L))
-    val grid = spine
-      .crossJoin(broadcast(totals.select("source")))
-      .join(counts, Seq("source", "bucket"), "left")
-      .withColumn("c_s_cum", sum(cS).over(scumW))
-    // rest strictly below b: (all below b) − (source below b); both from
-    // inclusive running sums minus the current bucket's own counts
-    val restBelow = (col("c_all") - col("cv")) - (col("c_s_cum") - cS)
-    val cRest = col("cv") - cS
-    val u2col = dec(cS) * (restBelow * 2 + cRest)
-    grid
-      .select(col("source"), u2col.as("u2"))
-      .groupBy("source")
-      .agg(sum("u2").as("u2"))
-      .join(broadcast(totals), Seq("source"))
-      .crossJoin(broadcast(tot))
-      .select(
-        col("source"),
-        col("n_s"),
-        (col("u2").cast("double") / 2.0d).as("u_stat"),
-        round(
-          ((col("u2") - dec(col("n_s")) * (col("n_total") - col("n_s")))
-            .cast("double") / 2.0d) /
-            sqrt(
-              (dec(col("n_s")) * (col("n_total") - col("n_s"))).cast("double") / 12.0d *
-                ((col("n_total") + lit(1)).cast("double") -
-                  col("tie_sum").cast("double") /
-                    (dec(col("n_total")) * (col("n_total") - lit(1))).cast("double"))),
-          6).as("z_score"))
+    * gap, PSI = binned mass shift, MWU = stochastic dominance). Thin
+    * delegation to [[graft.stats.Drift.mannWhitney]] — see there for
+    * the exact ½-tie handling, tie-corrected variance, and decimal
+    * integer arithmetic. */
+  def qMwuDrift(s: SparkSession, d: String): DataFrame =
+    graft.stats.Drift
+      .mannWhitney(Tables(s, d, "documents"), col("source"), col("n_chars"))
+      .withColumnRenamed("g", "source")
       .transform(sortSmall(_, col("source")))
-  }
 
   /** Market-basket part-pair affinity over the TPC-H star: orders are
     * baskets, distinct parts per order are items, and the output is the

@@ -298,7 +298,7 @@ class PlanSpec extends SparkSpec {
     // the single-partition stages must consume the <=2^16-bucket spine
     // (built from the materialized bucketed counts), keeping them
     // constant-bounded for continuous-valued variables
-    assert(p.contains("Scan ExistingRDD[source"), "bucketed counts must be materialized")
+    assert(p.contains("Scan ExistingRDD[g"), "bucketed counts must be materialized")
     assert(p.contains("bucket"), "spine must be the bucketed axis")
     assert(count(p, "Exchange SinglePartition") <= 2, "global CDF + output sort only")
   }
