@@ -1567,6 +1567,35 @@ object OlapQueries {
       .transform(sortSmall(_, col("o_orderpriority")))
   }
 
+  /** Rolling 7-day active users per day (WAU curve) — EXACT sliding-
+    * window distinct, the dashboard metric sketches usually
+    * approximate. The scale rewrite: distinct (user, day) pairs
+    * contribute to the ≤7 window-end days they're visible from
+    * (`sequence` explode), a second distinct collapses multi-day users
+    * within a window, and the final count is a plain aggregate —
+    * bounded ×7 row blowup with map-side partial dedup at every step,
+    * never a per-window re-scan and no giant count(distinct) frame
+    * (Spark windows can't do COUNT(DISTINCT) over a frame at all).
+    * Early days report the partial lookback window, the standard
+    * dashboard convention. */
+  def qRollingActive(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables
+      .events(s, d)
+      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut)
+    val bounds = pairs.agg(min("day").as("d0"), max("day").as("d1"))
+    pairs
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .where(col("wday").between(col("d0"), col("d1")))
+      .groupBy("wday")
+      .agg(count(lit(1)).as("wau_7d"))
+      .select((col("wday") * DayUs).as("day_us"), col("wau_7d"))
+      .orderBy("day_us")
+  }
+
   /** Correlated scalar-subquery decorrelation — the TPC-H Q17 pattern
     * ("revenue lost to small-quantity orders"): the per-part correlated
     * `avg(l_quantity)` subquery rewritten as a part-level aggregate
@@ -1727,7 +1756,8 @@ object OlapQueries {
     "q_fulfillment" -> qFulfillment _,
     "q_small_qty" -> qSmallQty _,
     "q_chi2_independence" -> qChi2Independence _,
-    "q_source_entropy" -> qSourceEntropy _
+    "q_source_entropy" -> qSourceEntropy _,
+    "q_rolling_active" -> qRollingActive _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2587,6 +2617,17 @@ object OlapQueries {
         |       round(chi2, 6) AS chi2,
         |       round(sqrt(chi2 / CAST(n * least(n_langs - 1, n_sources - 1) AS DOUBLE)), 6) AS cramers_v
         |FROM agg CROSS JOIN dims""".stripMargin,
+    "q_rolling_active" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM pairs),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + g AS wday
+        |  FROM pairs CROSS JOIN generate_series(0, 6) t(g))
+        |SELECT CAST(wday * 86400000000 AS BIGINT) AS day_us, count(*) AS wau_7d
+        |FROM contrib JOIN b ON wday BETWEEN d0 AND d1
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_source_entropy" ->
       """WITH cells AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
         |totals AS (SELECT source, sum(c) AS n_docs FROM cells GROUP BY 1),

@@ -222,7 +222,8 @@ class PlanSpec extends SparkSpec {
       "q_chi2_independence", // |langs|×|sources| margin product + one-row totals
       "q_source_entropy", // one-row-per-source broadcast total (if BNLJ at all)
       "q_hard_negatives", // broadcast anchors × corpus, label-mismatch predicate
-      "q_ann_recall") // evaluation op: contains the brute-force baseline product
+      "q_ann_recall", // evaluation op: contains the brute-force baseline product
+      "q_rolling_active") // one-row day-bounds broadcast
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
