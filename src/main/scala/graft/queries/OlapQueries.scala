@@ -1596,6 +1596,51 @@ object OlapQueries {
       .orderBy("day_us")
   }
 
+  /** Pareto-frontier (skyline) of customers on (total spend, order
+    * count) — the "best tradeoffs" operator relational engines lack as
+    * a primitive: a customer survives iff no other is ≥ on both axes
+    * and > on one. Two-phase distributed shape: each shuffle partition
+    * computes its LOCAL skyline first (one desc-sort + two running/
+    * whole-partition frames; a local skyline always contains every
+    * global-skyline member in that partition, so the union is a tiny
+    * superset of the answer and the partitioning may be arbitrary),
+    * then the global pass runs the same frames over the survivors —
+    * the full fact never crosses a single-partition stage. The strict
+    * dominance probe is a RANGE frame offset −1 under the desc sort
+    * (value-strictly-greater, O(n) incremental — not the banned
+    * unbounded-FOLLOWING shape); equal-spend peers use a
+    * whole-partition frame. Spend is centi-unit int64 (sum-order
+    * exact), so dominance comparisons are integer-exact in both
+    * engines. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_c"),
+        count(lit(1)).as("n_orders"))
+    def frontier(df: DataFrame, part: Seq[Column]): DataFrame = {
+      val strict = Window
+        .partitionBy(part: _*)
+        .orderBy(col("spend_c").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val peers = Window.partitionBy((part :+ col("spend_c")): _*)
+      df.withColumn("m1", max("n_orders").over(strict))
+        .withColumn("m2", max("n_orders").over(peers))
+        .where(
+          (col("m1").isNull || col("m1") < col("n_orders")) &&
+            col("m2") <= col("n_orders"))
+        .drop("m1", "m2")
+    }
+    val local = frontier(stats.withColumn("p", spark_partition_id()), Seq(col("p")))
+      .drop("p")
+    frontier(local, Nil)
+      .select(
+        col("o_custkey"),
+        (col("spend_c").cast("double") / 100.0d).as("total_spend"),
+        col("n_orders"))
+      .orderBy("o_custkey")
+  }
+
   /** Correlated scalar-subquery decorrelation — the TPC-H Q17 pattern
     * ("revenue lost to small-quantity orders"): the per-part correlated
     * `avg(l_quantity)` subquery rewritten as a part-level aggregate
@@ -1757,7 +1802,8 @@ object OlapQueries {
     "q_small_qty" -> qSmallQty _,
     "q_chi2_independence" -> qChi2Independence _,
     "q_source_entropy" -> qSourceEntropy _,
-    "q_rolling_active" -> qRollingActive _
+    "q_rolling_active" -> qRollingActive _,
+    "q_skyline" -> qSkyline _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2617,6 +2663,21 @@ object OlapQueries {
         |       round(chi2, 6) AS chi2,
         |       round(sqrt(chi2 / CAST(n * least(n_langs - 1, n_sources - 1) AS DOUBLE)), 6) AS cramers_v
         |FROM agg CROSS JOIN dims""".stripMargin,
+    "q_skyline" ->
+      """WITH stats AS (
+        |  SELECT o_custkey,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey,
+        |       CAST(spend_c AS DOUBLE) / 100.0 AS total_spend,
+        |       n_orders
+        |FROM stats s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM stats t
+        |  WHERE t.spend_c >= s.spend_c AND t.n_orders >= s.n_orders
+        |    AND (t.spend_c > s.spend_c OR t.n_orders > s.n_orders))
+        |ORDER BY o_custkey""".stripMargin,
     "q_rolling_active" ->
       """WITH pairs AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

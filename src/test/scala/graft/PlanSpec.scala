@@ -328,6 +328,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_skyline: local frontier prunes before the global pass; no join at all") {
+    val p = plan("q_skyline")
+    // two Window stages: the partition-local prune (partitioned by
+    // spark_partition_id) must appear BEFORE the global single-partition
+    // frontier — the full customer table never crosses one task
+    assert(!p.contains("Join"))
+    assert(p.contains("windowspecdefinition(p#"), "expected the partition-local frontier pass")
+    assert(count(p, "Exchange SinglePartition") <= 2, "global pass over survivors + output only")
+  }
+
   test("q_fulfillment: each fact scanned once, all joins equi") {
     val p = plan("q_fulfillment")
     assert(count(p, "FileScan") == 2, "lineitem + orders, once each")
