@@ -26,7 +26,7 @@ object Bench {
     "q_approx_distinct", "q_percentiles", "q_approx_percentiles",
     "q_hll_rollup",
     "q_event_deltas", "q_ohlc_bars", "q_twap", "q_ema", "q_transitions",
-    "q_attribution", "q_rfm", "q_benford", "q_regression", "q_cume_dist", "q_retention", "q_group_stats",
+    "q_attribution", "q_attribution_u", "q_rfm", "q_benford", "q_regression", "q_cume_dist", "q_retention", "q_group_stats",
     "q_json_extract", "q_funnel", "q_rollup", "q_cube", "q_grouping_sets",
     "q_share", "q_scd2", "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",

@@ -510,6 +510,62 @@ object OlapQueries {
       .orderBy("purchase_id")
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * fractional-credit upgrade of [[qAttribution]]'s first/last-touch
+    * report: every click since the user's PREVIOUS purchase shares the
+    * next purchase's credit — 40% first, 40% last, the middle 20%
+    * split evenly (k=1 → 100%, k=2 → 50/50). Credit resets at each
+    * purchase, so every click funds at most one purchase and the
+    * output is click-bounded, never clicks×purchases. One (user_id)
+    * exchange end to end: the exclusive running purchase count forms
+    * the credit groups, the in-group rank/size windows reuse the same
+    * partitioning, and the click→purchase join keys on (user, group).
+    * Weights are identical double literals/divisions in both engines →
+    * engine-exact before round(6). */
+  def qAttributionU(s: SparkSession, d: String): DataFrame = {
+    val base = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+    val order = Seq(col("ts_us"), col("event_id"))
+    // purchases BEFORE this row = credit-group id (exclusive frame)
+    val prevPurchases = count(when(col("event_type") === "purchase", 1))
+      .over(
+        Window
+          .partitionBy("user_id")
+          .orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = base.withColumn("grp", coalesce(prevPurchases, lit(0L)))
+    val clicks = grouped.filter(col("event_type") === "click")
+    val purchases = grouped
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("grp"),
+        col("event_id").as("purchase_id"))
+    val gw = Window.partitionBy("user_id", "grp")
+    val rankW = gw.orderBy(order: _*)
+    val ranked = clicks
+      .withColumn("pos", row_number().over(rankW).cast("long"))
+      .withColumn("k", count(lit(1)).over(gw))
+    val credit = when(col("k") === 1, lit(1.0d))
+      .when(col("k") === 2, lit(0.5d))
+      .when(col("pos") === 1 || col("pos") === col("k"), lit(0.4d))
+      .otherwise(lit(0.2d) / (col("k") - 2).cast("double"))
+    val position = when(col("k") === 1, lit("only"))
+      .when(col("pos") === 1, lit("first"))
+      .when(col("pos") === col("k"), lit("last"))
+      .otherwise(lit("middle"))
+    ranked
+      .join(purchases, Seq("user_id", "grp"))
+      .select(
+        col("purchase_id"),
+        col("event_id").as("click_id"),
+        col("user_id"),
+        position.as("position"),
+        round(credit, 6).as("credit"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles): one
     * per-user aggregate, then three ntile(5) rankings under TOTAL
     * deterministic orders (desc metric, user_id tiebreak) combined
@@ -1803,7 +1859,8 @@ object OlapQueries {
     "q_chi2_independence" -> qChi2Independence _,
     "q_source_entropy" -> qSourceEntropy _,
     "q_rolling_active" -> qRollingActive _,
-    "q_skyline" -> qSkyline _
+    "q_skyline" -> qSkyline _,
+    "q_attribution_u" -> qAttributionU _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2663,6 +2720,32 @@ object OlapQueries {
         |       round(chi2, 6) AS chi2,
         |       round(sqrt(chi2 / CAST(n * least(n_langs - 1, n_sources - 1) AS DOUBLE)), 6) AS cramers_v
         |FROM agg CROSS JOIN dims""".stripMargin,
+    "q_attribution_u" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         coalesce(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |clicks AS (
+        |  SELECT user_id, grp, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts_us, event_id) AS pos,
+        |         count(*) OVER (PARTITION BY user_id, grp) AS k
+        |  FROM base WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, grp, event_id AS purchase_id
+        |  FROM base WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, c.event_id AS click_id, c.user_id,
+        |       CASE WHEN k = 1 THEN 'only'
+        |            WHEN pos = 1 THEN 'first'
+        |            WHEN pos = k THEN 'last'
+        |            ELSE 'middle' END AS position,
+        |       round(CASE WHEN k = 1 THEN 1.0
+        |                  WHEN k = 2 THEN 0.5
+        |                  WHEN pos = 1 OR pos = k THEN 0.4
+        |                  ELSE 0.2 / CAST(k - 2 AS DOUBLE) END, 6) AS credit
+        |FROM clicks c JOIN purchases p ON c.user_id = p.user_id AND c.grp = p.grp
+        |ORDER BY p.purchase_id, click_id""".stripMargin,
     "q_skyline" ->
       """WITH stats AS (
         |  SELECT o_custkey,
