@@ -1652,6 +1652,52 @@ object OlapQueries {
       .orderBy("day_us")
   }
 
+  /** Referential-integrity audit across the star schema — the
+    * load-time data-quality gate: orphan counts for every FK edge
+    * (lineitem→orders, lineitem→part, lineitem→supplier,
+    * orders→customer, customer→nation, supplier→nation) in ONE report
+    * row per edge. Each edge is a left-anti join probing the child's
+    * DISTINCT keys (map-side-deduped, so the shuffle carries keys, not
+    * facts) against the parent's key column; at scale each probe is a
+    * shuffle join on the key with the child side pre-collapsed. Row
+    * counts ride the same pass. */
+  def qRefIntegrity(s: SparkSession, d: String): DataFrame = {
+    def edge(
+        name: String,
+        child: DataFrame,
+        childKey: String,
+        parent: DataFrame,
+        parentKey: String): DataFrame = {
+      val keys = child
+        .select(col(childKey).as("k"))
+        .where(col("k").isNotNull)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_rows"))
+      val orphans = keys.join(
+        parent.select(col(parentKey).as("k")).distinct(),
+        Seq("k"),
+        "left_anti")
+      orphans
+        .agg(
+          coalesce(count(lit(1)), lit(0L)).as("orphan_keys"),
+          coalesce(sum("n_rows"), lit(0L)).as("orphan_rows"))
+        .select(lit(name).as("fk_edge"), col("orphan_keys"), col("orphan_rows"))
+    }
+    val li = Tables(s, d, "lineitem")
+    val orders = Tables(s, d, "orders")
+    val customer = Tables(s, d, "customer")
+    val supplier = Tables(s, d, "supplier")
+    val part = Tables(s, d, "part")
+    val nation = Tables(s, d, "nation")
+    edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+      .unionAll(edge("lineitem->part", li, "l_partkey", part, "p_partkey"))
+      .unionAll(edge("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey"))
+      .unionAll(edge("orders->customer", orders, "o_custkey", customer, "c_custkey"))
+      .unionAll(edge("customer->nation", customer, "c_nationkey", nation, "n_nationkey"))
+      .unionAll(edge("supplier->nation", supplier, "s_nationkey", nation, "n_nationkey"))
+      .orderBy("fk_edge")
+  }
+
   /** Pareto-frontier (skyline) of customers on (total spend, order
     * count) — the "best tradeoffs" operator relational engines lack as
     * a primitive: a customer survives iff no other is ≥ on both axes
@@ -1860,7 +1906,8 @@ object OlapQueries {
     "q_source_entropy" -> qSourceEntropy _,
     "q_rolling_active" -> qRollingActive _,
     "q_skyline" -> qSkyline _,
-    "q_attribution_u" -> qAttributionU _
+    "q_attribution_u" -> qAttributionU _,
+    "q_ref_integrity" -> qRefIntegrity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2720,6 +2767,36 @@ object OlapQueries {
         |       round(chi2, 6) AS chi2,
         |       round(sqrt(chi2 / CAST(n * least(n_langs - 1, n_sources - 1) AS DOUBLE)), 6) AS cramers_v
         |FROM agg CROSS JOIN dims""".stripMargin,
+    "q_ref_integrity" ->
+      """WITH
+        |e1 AS (SELECT 'lineitem->orders' AS fk_edge,
+        |              count(*) AS orphan_keys, coalesce(sum(n_rows), 0) AS orphan_rows
+        |       FROM (SELECT l_orderkey AS k, count(*) AS n_rows FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = c.k)),
+        |e2 AS (SELECT 'lineitem->part',
+        |              count(*), coalesce(sum(n_rows), 0)
+        |       FROM (SELECT l_partkey AS k, count(*) AS n_rows FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = c.k)),
+        |e3 AS (SELECT 'lineitem->supplier',
+        |              count(*), coalesce(sum(n_rows), 0)
+        |       FROM (SELECT l_suppkey AS k, count(*) AS n_rows FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = c.k)),
+        |e4 AS (SELECT 'orders->customer',
+        |              count(*), coalesce(sum(n_rows), 0)
+        |       FROM (SELECT o_custkey AS k, count(*) AS n_rows FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.k)),
+        |e5 AS (SELECT 'customer->nation',
+        |              count(*), coalesce(sum(n_rows), 0)
+        |       FROM (SELECT c_nationkey AS k, count(*) AS n_rows FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c.k)),
+        |e6 AS (SELECT 'supplier->nation',
+        |              count(*), coalesce(sum(n_rows), 0)
+        |       FROM (SELECT s_nationkey AS k, count(*) AS n_rows FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 1) c
+        |       WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c.k))
+        |SELECT * FROM (
+        |  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+        |  UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6)
+        |ORDER BY fk_edge""".stripMargin,
     "q_attribution_u" ->
       """WITH base AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
