@@ -38,6 +38,16 @@ import graft.model.SegmentStatus
   *  - '''post-commit''': the bus publishes after the write is durably
   *    visible, and the mailbox file is staged + renamed, so a
   *    subscriber never observes a torn ack for an invisible write.
+  *  - '''torn-copy safe''': on object stores whose rename is
+  *    copy+delete (S3A — see [[LogFs]]'s atomicity caveat) a file can
+  *    be LISTED while its content is mid-copy. Every mailbox file ends
+  *    with a line-count sentinel; the subscriber processes a file only
+  *    once the sentinel matches and retries incomplete files on the
+  *    next tick instead of skipping past them — an ack is delayed by a
+  *    copy, never lost to one. (On atomic-rename filesystems the
+  *    sentinel is always already present, and per-publisher FIFO holds
+  *    exactly; under torn copies delivery follows completed-visibility
+  *    order.)
   *  - mailbox files are pruned by the publisher after `ttlMs` — the
   *    feed is a signal, not a store.
   */
@@ -86,6 +96,15 @@ object PushBridge {
     }
 
   private[log] def isAckFile(name: String): Boolean = name.endsWith(Suffix)
+
+  /** Completeness sentinel: the final line of every mailbox file is
+    * `#<n>` with n = the number of ack lines above it. Encoded ack
+    * lines can never start with '#' (URLEncoder escapes it to %23), so
+    * the sentinel is unambiguous. */
+  private[log] def sentinel(n: Int): String = s"#$n"
+
+  private[log] def isComplete(lines: List[String]): Boolean =
+    lines.nonEmpty && lines.last == sentinel(lines.size - 1)
 
   private[log] def ackFileName(epochMicros: Long, seq: Long): String =
     f"$epochMicros%020d-$seq%06d-${ProcessHandle.current().pid()}%d$Suffix"
@@ -136,7 +155,9 @@ final class PushPublisher private[log] (
       val name = PushBridge.ackFileName(System.currentTimeMillis() * 1000L, seq.incrementAndGet())
       val sb = new StringBuilder
       batch.forEach(st => { sb.append(PushBridge.encode(st)).append('\n'); () })
-      // tmp+rename via writeText: a subscriber never sees a torn file
+      sb.append(PushBridge.sentinel(batch.size())).append('\n')
+      // tmp+rename via writeText: atomic-rename filesystems never show a
+      // torn file; copy+delete stores are covered by the sentinel check
       LogFs.writeText(fs, s"$dir/$name", sb.toString)
       written.addAndGet(batch.size().toLong)
       ()
@@ -184,9 +205,10 @@ final class PushSubscriber private[log] (
   private val ready = new CountDownLatch(1)
 
   fs.mkdirs(new Path(dir))
-  // join at the current end: the ack feed is live-only by contract
-  @volatile private var watermark: String =
-    listAcks().lastOption.getOrElse("")
+  // join at the current end: the ack feed is live-only by contract.
+  // `seen` is bounded by the files alive within the publisher TTL —
+  // names of pruned files are dropped on every scan.
+  private val seen = mutable.Set[String](listAcks(): _*)
 
   private def listAcks(): Seq[String] = {
     val d = new Path(dir)
@@ -202,22 +224,33 @@ final class PushSubscriber private[log] (
   }
 
   private def drainNew(): Unit = {
-    val fresh = listAcks().filter(_ > watermark)
-    fresh.foreach { name =>
-      try
-        LogFs.readLines(fs, s"$dir/$name").foreach {
-          PushBridge.decode(_).foreach { st =>
-            if (space.forall(_ == st.space) && segment.forall(_ == st.segment)) {
-              try cb(st)
-              catch { case NonFatal(_) => () } // subscriber isolation, as on the bus
-              deliveredCount.incrementAndGet()
-              ()
+    val listed = listAcks()
+    listed.filterNot(seen).foreach { name =>
+      try {
+        val lines = LogFs.readLines(fs, s"$dir/$name")
+        // incomplete = a copy+delete "rename" still in flight (S3A-style
+        // stores list the file before its content is whole): leave it
+        // UNSEEN and retry next tick — never skip past a torn ack
+        if (PushBridge.isComplete(lines)) {
+          lines.init.foreach {
+            PushBridge.decode(_).foreach { st =>
+              if (space.forall(_ == st.space) && segment.forall(_ == st.segment)) {
+                try cb(st)
+                catch { case NonFatal(_) => () } // subscriber isolation, as on the bus
+                deliveredCount.incrementAndGet()
+                ()
+              }
             }
           }
+          seen += name
+          ()
         }
-      catch { case NonFatal(_) => () } // pruned mid-read: skip
-      watermark = name
+      } catch { case NonFatal(_) => () } // pruned mid-read: retry/forget next scan
     }
+    // forget pruned names so the set stays TTL-bounded
+    val live = listed.toSet
+    seen.filterInPlace(live)
+    ()
   }
 
   /** Acks that passed the filter and were handed to the callback. */
