@@ -35,7 +35,7 @@ object Bench {
     "q_seasonality", "q_ab_test", "q_interpolate", "q_funnel_latency",
     "q_ks_test", "q_psi_drift", "q_mwu_drift", "q_basket_pairs", "q_fulfillment",
     "q_small_qty", "q_chi2_independence", "q_source_entropy", "q_rolling_active",
-    "q_skyline", "q_ref_integrity",
+    "q_skyline", "q_ref_integrity", "q_gini",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_keep_best", "q_quality_shrunk",
     "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_hard_negatives",

@@ -1652,6 +1652,40 @@ object OlapQueries {
       .orderBy("day_us")
   }
 
+  /** Gini concentration of per-user value by event type — the
+    * inequality statistic behind "do 1% of users drive 90% of X"
+    * dashboards (Lorenz-curve area, 0 = uniform, →1 = concentrated).
+    * One event-scan to per-(type, user) centi-unit totals, a per-type
+    * rank under the total (value, user_id) order (the same
+    * user-statistic-sized window shape as q_cume_dist — never over raw
+    * events), then Gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with
+    * decimal-exact integer numerators and ONE final division →
+    * engine-exact before round(6). */
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perUser = Tables
+      .events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy(col("x"), col("user_id"))
+    perUser
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("x").as("sx"),
+        sum(dec(col("i")) * col("x")).as("six"))
+      .select(
+        col("event_type"),
+        col("n_users"),
+        (col("sx").cast("double") / 100.0d).as("total_value"),
+        round(
+          (col("six") * 2 - dec(col("n_users") + 1) * col("sx")).cast("double") /
+            (dec(col("n_users")) * col("sx")).cast("double"),
+          6).as("gini"))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
   /** Referential-integrity audit across the star schema — the
     * load-time data-quality gate: orphan counts for every FK edge
     * (lineitem→orders, lineitem→part, lineitem→supplier,
@@ -1907,7 +1941,8 @@ object OlapQueries {
     "q_rolling_active" -> qRollingActive _,
     "q_skyline" -> qSkyline _,
     "q_attribution_u" -> qAttributionU _,
-    "q_ref_integrity" -> qRefIntegrity _
+    "q_ref_integrity" -> qRefIntegrity _,
+    "q_gini" -> qGini _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2767,6 +2802,22 @@ object OlapQueries {
         |       round(chi2, 6) AS chi2,
         |       round(sqrt(chi2 / CAST(n * least(n_langs - 1, n_sources - 1) AS DOUBLE)), 6) AS cramers_v
         |FROM agg CROSS JOIN dims""".stripMargin,
+    "q_gini" ->
+      """WITH peru AS (
+        |  SELECT event_type, user_id, sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, x,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+        |  FROM peru)
+        |SELECT event_type,
+        |       count(*) AS n_users,
+        |       CAST(sum(x) AS DOUBLE) / 100.0 AS total_value,
+        |       round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE) /
+        |             CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+        |FROM ranked
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_ref_integrity" ->
       """WITH
         |e1 AS (SELECT 'lineitem->orders' AS fk_edge,
