@@ -21,8 +21,12 @@ import graft.operators.EventOps
   *  - reads delegate to [[graft.operators.EventOps]] so consume plans are
   *    identical whether the log came from this store or any other source.
   *
-  * Single-writer-per-segment is assumed (same as the reference, where the
-  * segment leader serializes writes).
+  * Single-writer-per-SEGMENT is assumed (same as the reference, where
+  * the segment leader serializes writes — sequence validation enforces
+  * it); concurrent producers to DIFFERENT spaces/segments of one log
+  * are safe: every append stages under a per-call directory and
+  * renames in, so no two jobs ever share committer staging (see
+  * [[appendEntries]]).
   */
 final class EventLog(val spark: SparkSession, val path: String) {
   import spark.implicits._
@@ -130,10 +134,7 @@ final class EventLog(val spark: SparkSession, val path: String) {
           .as("trxNumber"),
         col("payload"),
         col("metadata"))
-    entries.write
-      .mode(SaveMode.Append)
-      .partitionBy("space")
-      .parquet(dataDir)
+    appendEntries(entries)
 
     // From here the data IS durably appended: if ANYTHING below fails
     // (the status job can die like any Spark job), the cached position
@@ -188,6 +189,51 @@ final class EventLog(val spark: SparkSession, val path: String) {
     // peeks from its callback sees the acknowledged position
     bus.publish(statuses)
     statuses
+  }
+
+  /** Collision-safe multi-file append: entries are written to a
+    * per-call staging directory — so the Hadoop committer's
+    * `_temporary` tree is private to this call — then each part file
+    * is renamed into its live space partition under a call-unique
+    * prefix. Two producers appending CONCURRENTLY (other threads or
+    * other processes) therefore never clobber each other's committer
+    * staging, which is exactly how a shared-output-dir
+    * `SaveMode.Append` loses files (both jobs write+clean the same
+    * `<dataDir>/_temporary`). Visibility is per-file rename, identical
+    * to the direct append (a produce is not transactional across part
+    * files; the sequence validation + peek-cache guards already handle
+    * that window). A hard crash can leave an inert staging dir under
+    * `produce-staging/` — swept here, age-gated so an in-flight
+    * concurrent produce is never touched. */
+  private def appendEntries(entries: DataFrame): Unit = {
+    val token = java.util.UUID.randomUUID().toString
+    val stagingRoot = s"$path/produce-staging"
+    val staging = s"$stagingRoot/$token"
+    entries.write.mode(SaveMode.Overwrite).partitionBy("space").parquet(staging)
+    val stagingQ = hfs.makeQualified(new HPath(staging)).toString
+    try
+      LogFs.walkParquet(hfs, staging).foreach { p =>
+        val rel = new HPath(p.toString.stripPrefix(stagingQ).stripPrefix("/"))
+        val destDir = Option(rel.getParent)
+          .filterNot(_.toString.isEmpty)
+          .map(par => s"$dataDir/$par")
+          .getOrElse(dataDir)
+        LogFs.move(hfs, p, new HPath(destDir, s"$token-${rel.getName}"))
+      }
+    finally {
+      LogFs.deleteRecursive(hfs, staging)
+      // age-gated sweep of staging dirs a crashed producer left behind
+      try {
+        val root = new HPath(stagingRoot)
+        if (hfs.exists(root)) {
+          val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+          hfs
+            .listStatus(root)
+            .filter(s => s.isDirectory && s.getModificationTime < cutoff)
+            .foreach(s => { hfs.delete(s.getPath, true); () })
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** One-off append at peek+1 (reference: Publish, client.go:149).
@@ -470,10 +516,7 @@ final class EventLog(val spark: SparkSession, val path: String) {
     try {
       val n = toWrite.count()
       if (n > 0) {
-        toWrite.write
-          .mode(SaveMode.Append)
-          .partitionBy("space")
-          .parquet(dataDir)
+        appendEntries(toWrite)
         // the pulled tail may advance any segment's high-water mark
         space match {
           case Some(sp) => invalidateCache(sp)

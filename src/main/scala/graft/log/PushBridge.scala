@@ -106,8 +106,11 @@ object PushBridge {
   private[log] def isComplete(lines: List[String]): Boolean =
     lines.nonEmpty && lines.last == sentinel(lines.size - 1)
 
-  private[log] def ackFileName(epochMicros: Long, seq: Long): String =
-    f"$epochMicros%020d-$seq%06d-${ProcessHandle.current().pid()}%d$Suffix"
+  /** Sortable (time, seq) prefix = per-publisher FIFO; pid + a
+    * per-publisher nonce make names collision-free across processes
+    * AND across publishers within one JVM. */
+  private[log] def ackFileName(epochMicros: Long, seq: Long, nonce: String): String =
+    f"$epochMicros%020d-$seq%06d-${ProcessHandle.current().pid()}%d-$nonce$Suffix"
 }
 
 /** Producer side: drains bus acks into the mailbox on a daemon thread,
@@ -123,6 +126,7 @@ final class PushPublisher private[log] (
   private val queue = new LinkedBlockingQueue[SegmentStatus]()
   private val open = new AtomicBoolean(true)
   private val seq = new AtomicLong(0L)
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
   private val written = new AtomicLong(0L)
   @volatile private var sub: Option[NotificationBus#Subscription] = None
   @volatile private var lastPrune = System.currentTimeMillis()
@@ -152,7 +156,7 @@ final class PushPublisher private[log] (
 
   private def flush(batch: java.util.ArrayList[SegmentStatus]): Unit =
     try {
-      val name = PushBridge.ackFileName(System.currentTimeMillis() * 1000L, seq.incrementAndGet())
+      val name = PushBridge.ackFileName(System.currentTimeMillis() * 1000L, seq.incrementAndGet(), nonce)
       val sb = new StringBuilder
       batch.forEach(st => { sb.append(PushBridge.encode(st)).append('\n'); () })
       sb.append(PushBridge.sentinel(batch.size())).append('\n')

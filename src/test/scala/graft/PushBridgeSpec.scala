@@ -177,6 +177,39 @@ class PushBridgeSpec extends SparkSpec {
     } finally { sub.close(); pub.close() }
   }
 
+  test("two concurrent publishers interleave without loss; per-publisher order holds") {
+    // Two logs in the same process stand in for two producing processes
+    // sharing one mailbox directory (distinct publisher pids are the
+    // real-world case; here the (time, seq) file names still interleave
+    // cleanly because each publisher seals its own files).
+    val logA = freshLog()
+    val logB = new EventLog(spark, logA.path) // same directory, own bus
+    val pubA = PushBridge.publisher(logA)
+    val pubB = PushBridge.publisher(logB)
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val sub = PushBridge.subscriber(foreignFs(logA.path), logA.path) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(sub.awaitReady())
+      val ta = new Thread(() =>
+        for (i <- 0 until 5)
+          logA.produce("a", "s", records(i * 3 + 1, 3), 1000L + i))
+      val tb = new Thread(() =>
+        for (i <- 0 until 5)
+          logB.produce("b", "s", records(i * 3 + 1, 3), 1000L + i))
+      ta.start(); tb.start(); ta.join(); tb.join()
+      awaitUntil()(got.synchronized(got.size) == 10)
+      val bySpace = got.synchronized(got.toList).groupBy(_.space)
+      // no loss: all five acks from each producer arrived...
+      assert(bySpace("a").size == 5 && bySpace("b").size == 5)
+      // ...and per-publisher FIFO held (sequence ranges ascend)
+      for (sp <- Seq("a", "b"))
+        assert(bySpace(sp).map(_.firstSequence) == bySpace(sp).map(_.firstSequence).sorted,
+          s"space $sp acks out of publish order")
+    } finally { sub.close(); pubA.close(); pubB.close() }
+  }
+
   test("publisher close flushes queued acks; expired mailbox files are pruned") {
     val log = freshLog()
     val notify = s"${log.path}/notify"
