@@ -222,18 +222,43 @@ final class EventLog(val spark: SparkSession, val path: String) {
       }
     finally {
       LogFs.deleteRecursive(hfs, staging)
-      // age-gated sweep of staging dirs a crashed producer left behind
+      // age-gated sweep of staging dirs a crashed producer left behind.
+      // The age of a dir is the NEWEST mtime anywhere under it, not the
+      // top-level dir mtime: a staging dir's own mtime is set at creation
+      // and does not advance while tasks write deep inside _temporary, so
+      // gating on it alone could delete a legitimately in-flight produce
+      // whose write phase outlives the TTL. A live produce keeps creating
+      // files, so its recursive-newest mtime stays fresh.
       try {
         val root = new HPath(stagingRoot)
         if (hfs.exists(root)) {
           val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
           hfs
             .listStatus(root)
-            .filter(s => s.isDirectory && s.getModificationTime < cutoff)
+            .filter(s => s.isDirectory && newestMtime(s) < cutoff)
             .foreach(s => { hfs.delete(s.getPath, true); () })
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
+
+  /** Newest modification time of `s` or anything beneath it — the
+    * liveness signal for the crashed-producer sweep. Bounded: staging
+    * trees are one produce's part files plus the committer's
+    * `_temporary` (both O(tasks)), and the sweep only recurses into
+    * dirs that already LOOK stale at the top. */
+  private def newestMtime(s: org.apache.hadoop.fs.FileStatus): Long = {
+    var newest = s.getModificationTime
+    if (s.isDirectory) {
+      try
+        hfs.listStatus(s.getPath).foreach { c =>
+          val m = newestMtime(c)
+          if (m > newest) newest = m
+        }
+      // a child vanishing mid-scan means the owner is alive: treat as fresh
+      catch { case scala.util.control.NonFatal(_) => newest = Long.MaxValue }
+    }
+    newest
   }
 
   /** One-off append at peek+1 (reference: Publish, client.go:149).

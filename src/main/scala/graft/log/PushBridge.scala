@@ -128,6 +128,13 @@ final class PushPublisher private[log] (
   private val seq = new AtomicLong(0L)
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
   private val written = new AtomicLong(0L)
+  private val droppedBatches = new AtomicLong(0L)
+  // high-water mark for the name's µs prefix: wall clock can step
+  // BACKWARDS (NTP), and the name sorts by (time, seq) globally, so a
+  // backwards step would reorder one publisher's files and break the
+  // documented per-publisher FIFO. Names are stamped max(now, last+1) —
+  // monotonic per publisher, tracking wall time whenever it moves forward.
+  private var lastMicros = 0L // writer-thread only
   @volatile private var sub: Option[NotificationBus#Subscription] = None
   @volatile private var lastPrune = System.currentTimeMillis()
 
@@ -137,6 +144,11 @@ final class PushPublisher private[log] (
 
   /** Mailbox files written so far (observability + test sync). */
   def filesWritten: Long = written.get()
+
+  /** Batches lost to persistent mailbox write failures. The mailbox is a
+    * best-effort signal (consumers fall back to poll), but a drop should
+    * be visible, not silent. */
+  def droppedCount: Long = droppedBatches.get()
 
   private val writer = new Thread(() => {
     val batch = new java.util.ArrayList[SegmentStatus]()
@@ -156,7 +168,8 @@ final class PushPublisher private[log] (
 
   private def flush(batch: java.util.ArrayList[SegmentStatus]): Unit =
     try {
-      val name = PushBridge.ackFileName(System.currentTimeMillis() * 1000L, seq.incrementAndGet(), nonce)
+      lastMicros = math.max(System.currentTimeMillis() * 1000L, lastMicros + 1)
+      val name = PushBridge.ackFileName(lastMicros, seq.incrementAndGet(), nonce)
       val sb = new StringBuilder
       batch.forEach(st => { sb.append(PushBridge.encode(st)).append('\n'); () })
       sb.append(PushBridge.sentinel(batch.size())).append('\n')
@@ -165,7 +178,10 @@ final class PushPublisher private[log] (
       LogFs.writeText(fs, s"$dir/$name", sb.toString)
       written.addAndGet(batch.size().toLong)
       ()
-    } catch { case NonFatal(_) => () } // mailbox is best-effort signal
+    } catch {
+      // mailbox is best-effort signal, but a drop is counted, not silent
+      case NonFatal(_) => droppedBatches.incrementAndGet(); ()
+    }
 
   private def maybePrune(): Unit = {
     val now = System.currentTimeMillis()

@@ -1818,7 +1818,12 @@ object OlapQueries {
     val dims = rl
       .agg(count(lit(1)).as("n_langs"))
       .crossJoin(broadcast(cs.agg(count(lit(1)).as("n_sources"))))
-    val e = (col("r") * col("s")).cast("double") / col("n").cast("double")
+    // widen one margin before the product: r and s are counts up to
+    // corpus size, so the int64 product r*s overflows past ~3e9 docs;
+    // decimal(38,0) matches the widening convention used by the drift
+    // family (and DuckDB's HUGEINT oracle arithmetic).
+    val e = (col("r").cast("decimal(38,0)") * col("s")).cast("double") /
+      col("n").cast("double")
     val obs = coalesce(col("c"), lit(0L)).cast("double")
     rl.crossJoin(broadcast(cs))
       .join(cells, Seq("lang", "source"), "left")
@@ -2821,27 +2826,27 @@ object OlapQueries {
     "q_ref_integrity" ->
       """WITH
         |e1 AS (SELECT 'lineitem->orders' AS fk_edge,
-        |              count(*) AS orphan_keys, coalesce(sum(n_rows), 0) AS orphan_rows
+        |              count(*) AS orphan_keys, CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS orphan_rows
         |       FROM (SELECT l_orderkey AS k, count(*) AS n_rows FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1) c
         |       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = c.k)),
         |e2 AS (SELECT 'lineitem->part',
-        |              count(*), coalesce(sum(n_rows), 0)
+        |              count(*), CAST(coalesce(sum(n_rows), 0) AS BIGINT)
         |       FROM (SELECT l_partkey AS k, count(*) AS n_rows FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1) c
         |       WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = c.k)),
         |e3 AS (SELECT 'lineitem->supplier',
-        |              count(*), coalesce(sum(n_rows), 0)
+        |              count(*), CAST(coalesce(sum(n_rows), 0) AS BIGINT)
         |       FROM (SELECT l_suppkey AS k, count(*) AS n_rows FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1) c
         |       WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = c.k)),
         |e4 AS (SELECT 'orders->customer',
-        |              count(*), coalesce(sum(n_rows), 0)
+        |              count(*), CAST(coalesce(sum(n_rows), 0) AS BIGINT)
         |       FROM (SELECT o_custkey AS k, count(*) AS n_rows FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) c
         |       WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.k)),
         |e5 AS (SELECT 'customer->nation',
-        |              count(*), coalesce(sum(n_rows), 0)
+        |              count(*), CAST(coalesce(sum(n_rows), 0) AS BIGINT)
         |       FROM (SELECT c_nationkey AS k, count(*) AS n_rows FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1) c
         |       WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c.k)),
         |e6 AS (SELECT 'supplier->nation',
-        |              count(*), coalesce(sum(n_rows), 0)
+        |              count(*), CAST(coalesce(sum(n_rows), 0) AS BIGINT)
         |       FROM (SELECT s_nationkey AS k, count(*) AS n_rows FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 1) c
         |       WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c.k))
         |SELECT * FROM (

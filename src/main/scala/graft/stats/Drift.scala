@@ -44,7 +44,14 @@ object Drift {
     val bounds = exact.agg(min("x").as("mn"), max("x").as("mx"))
     exact
       .crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr(s"((x - mn) * $bins) DIV (mx - mn + 1)"))
+      // decimal(38,0) before the multiply: with int64 arithmetic the
+      // (x - mn) * bins product wraps once the value span exceeds
+      // ~2^47 (e.g. a µs-timestamp column), silently producing negative
+      // buckets. 2^63 * 65536 ≈ 6e23 fits decimal(38,0); DIV on
+      // decimals returns long, so the bucket column type is unchanged.
+      .withColumn(
+        "bucket",
+        expr(s"((CAST(x AS DECIMAL(38,0)) - mn) * $bins) DIV (mx - mn + 1)"))
       .groupBy("g", "bucket")
       .agg(sum("c").as("c"))
       .transform(graft.operators.Materialize.cut)
