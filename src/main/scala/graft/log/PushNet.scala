@@ -1,0 +1,257 @@
+package graft.log
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.util.control.NonFatal
+
+import graft.model.SegmentStatus
+
+/** Network push transport for [[SegmentStatus]] acks — the
+  * shared-filesystem-free leg of the delivery story. [[PushBridge]]
+  * crosses the process boundary through the log's filesystem, which is
+  * the right medium when every participant already mounts the log; the
+  * reference additionally delivers acks to machines that share NOTHING
+  * with the producer but a network route, over resident bidi streams
+  * (reference: wsstream/bidi_stream.go:1, http2/http2_stream_bus.go:1,
+  * routed by server/observer.go:100; client.go:188 SubscribeToSpace).
+  * This is that leg: the producing driver — the one resident,
+  * non-ephemeral process in a Spark deployment — serves a TCP port;
+  * remote subscribers hold a connection open and receive each ack the
+  * moment the bus fans it out.
+  *
+  * Wire format is the mailbox's, framed on a stream instead of files:
+  * newline-delimited [[PushBridge.encode]] lines, one batch closed by
+  * the [[PushBridge.sentinel]] `#n` line (URL-encoding guarantees no
+  * ack line starts with '#', so control lines are unambiguous — same
+  * argument as the mailbox). TCP replaces the rename-atomicity story:
+  * in-order, no torn frames, per-publisher FIFO for free.
+  *
+  * Delivery contract (mirrors [[NotificationBus]] / [[PushBridge]]):
+  *  - '''per-publisher FIFO''': one writer thread per connection drains
+  *    a per-connection queue in bus-publish order.
+  *  - '''live feed, at-most-once''': a subscriber receives acks
+  *    published after the server registers its connection (`#hello`
+  *    greeting = registered); no replay — resume-from-offset readers
+  *    belong to `StreamLog.follow` / `ConsumerContext`, exactly as the
+  *    reference routes replay through Consume, not the ack bus.
+  *  - '''post-commit''': the bus publishes after the write is durably
+  *    visible, so a delivered ack is always readable from the log.
+  *  - '''slow subscribers drop, counted''': a connection that stops
+  *    draining backs up its own bounded queue only; overflow drops the
+  *    oldest pending acks for THAT connection and counts them
+  *    ([[PushServer.droppedCount]]) — a stalled reader can neither
+  *    stall produce nor starve its peers. The feed is a signal, not a
+  *    store; a dropped tickle is recovered by the subscriber's next
+  *    offset re-poll.
+  */
+object PushNet {
+
+  private[log] val Hello = "#hello"
+
+  /** Serve `log`'s ack bus on a TCP port. `port` 0 = ephemeral (read
+    * [[PushServer.boundPort]]); `bindHost` defaults to all interfaces —
+    * the publisher is a server, remote subscribers dial in. */
+  def server(
+      log: EventLog,
+      port: Int = 0,
+      bindHost: String = "0.0.0.0",
+      backlog: Int = 8192): PushServer = {
+    val srv = new PushServer(port, bindHost, backlog)
+    srv.attach(log.bus)
+    srv
+  }
+
+  /** Dial a [[PushServer]] from THIS process — no filesystem, no Spark
+    * session, no shared state with the producing JVM beyond the route.
+    * `space`/`segment` filter like the bus's subscribeToSpace /
+    * subscribeToSegment; both-None is the firehose. */
+  def connect(
+      host: String,
+      port: Int,
+      space: Option[String] = None,
+      segment: Option[String] = None)(cb: SegmentStatus => Unit): PushNetSubscriber =
+    new PushNetSubscriber(host, port, space, segment, cb)
+}
+
+/** Producer side: accepts subscriber connections and fans each bus ack
+  * onto every connection's bounded queue; a per-connection writer
+  * thread drains its queue into sentinel-framed batches. The bus
+  * callback itself is a queue offer — produce latency is untouched, a
+  * dead or slow connection only ever hurts itself. */
+final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
+    extends AutoCloseable {
+
+  private val open = new AtomicBoolean(true)
+  private val dropped = new AtomicLong(0L)
+  private val server = new ServerSocket()
+  server.setReuseAddress(true)
+  server.bind(new InetSocketAddress(bindHost, port))
+  @volatile private var sub: Option[NotificationBus#Subscription] = None
+
+  /** The actual listening port (for `port = 0` ephemeral binds). */
+  def boundPort: Int = server.getLocalPort
+
+  /** Acks dropped across all connections (slow-subscriber overflow). */
+  def droppedCount: Long = dropped.get()
+
+  /** Live subscriber connections. */
+  def connectionCount: Int = conns.size()
+
+  private val conns =
+    ConcurrentHashMap.newKeySet[Conn]()
+
+  private final class Conn(socket: Socket) {
+    socket.setTcpNoDelay(true)
+    private val queue = new LinkedBlockingQueue[SegmentStatus](backlog)
+    private val out = new BufferedWriter(
+      new OutputStreamWriter(socket.getOutputStream, UTF_8))
+
+    def offer(st: SegmentStatus): Unit =
+      while (!queue.offer(st)) {
+        // drop-oldest: the freshest position is the useful tickle
+        if (queue.poll() != null) dropped.incrementAndGet()
+        ()
+      }
+
+    private val writer = new Thread(() => {
+      val batch = new java.util.ArrayList[SegmentStatus]()
+      try {
+        out.write(PushNet.Hello); out.newLine(); out.flush()
+        while (open.get() && !socket.isClosed) {
+          val head = queue.poll(50, TimeUnit.MILLISECONDS)
+          if (head != null) {
+            batch.clear()
+            batch.add(head)
+            queue.drainTo(batch)
+            batch.forEach { st =>
+              out.write(PushBridge.encode(st)); out.newLine(); ()
+            }
+            out.write(PushBridge.sentinel(batch.size())); out.newLine()
+            out.flush()
+          }
+        }
+      } catch { case NonFatal(_) => () } // peer went away: unregister below
+      finally {
+        conns.remove(Conn.this)
+        try socket.close()
+        catch { case NonFatal(_) => () }
+      }
+    }, "graft-push-server-conn")
+    writer.setDaemon(true)
+
+    // clients never send: a blocking read returning EOF (or erroring) is
+    // a prompt peer-gone signal — a one-batch write to a closed loopback
+    // socket lands in the kernel buffer without an error, so write
+    // failures alone detect a dead peer only on the SECOND batch.
+    private val eofWatch = new Thread(() => {
+      try { socket.getInputStream.read(); () }
+      catch { case NonFatal(_) => () }
+      finally {
+        conns.remove(Conn.this)
+        try socket.close()
+        catch { case NonFatal(_) => () }
+      }
+    }, "graft-push-server-eof")
+    eofWatch.setDaemon(true)
+
+    /** Called AFTER the conn is in `conns`: the greeting must not go out
+      * before registration, or an ack in that window could miss the
+      * queue despite the client having read #hello. */
+    def start(): Unit = { writer.start(); eofWatch.start() }
+
+    def shutdown(): Unit = {
+      try socket.close()
+      catch { case NonFatal(_) => () }
+      writer.join(5000)
+    }
+  }
+
+  private[log] def attach(bus: NotificationBus): Unit = {
+    sub = Some(bus.subscribeAll { st =>
+      if (open.get()) conns.forEach(c => c.offer(st))
+    })
+  }
+
+  private val acceptor = new Thread(() => {
+    while (open.get()) {
+      try {
+        val s = server.accept()
+        // register BEFORE the greeting goes out: once a client reads
+        // #hello, every later bus ack is guaranteed to hit its queue
+        val c = new Conn(s)
+        conns.add(c)
+        c.start()
+      } catch { case NonFatal(_) => () } // closed during accept: loop exits
+    }
+  }, "graft-push-server-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  /** Detach from the bus, close the port and every connection. */
+  def close(): Unit = if (open.getAndSet(false)) {
+    sub.foreach(_.close())
+    try server.close()
+    catch { case NonFatal(_) => () }
+    conns.forEach(_.shutdown())
+    conns.clear()
+    acceptor.join(5000)
+  }
+}
+
+/** Consumer side: one socket, one reader thread, callbacks in wire
+  * order. Ready = the server's `#hello` greeting has been read, i.e.
+  * the connection is registered and the live feed has begun. */
+final class PushNetSubscriber private[log] (
+    host: String,
+    port: Int,
+    space: Option[String],
+    segment: Option[String],
+    cb: SegmentStatus => Unit)
+    extends AutoCloseable {
+
+  private val open = new AtomicBoolean(true)
+  private val deliveredCount = new AtomicLong(0L)
+  private val ready = new CountDownLatch(1)
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+
+  /** Acks that passed the filter and were handed to the callback. */
+  def delivered: Long = deliveredCount.get()
+
+  /** True once the live feed is registered server-side. */
+  def awaitReady(timeoutMs: Long = 10000L): Boolean =
+    ready.await(timeoutMs, TimeUnit.MILLISECONDS)
+
+  private val reader = new Thread(() => {
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(socket.getInputStream, UTF_8))
+      var line = in.readLine()
+      while (open.get() && line != null) {
+        if (line == PushNet.Hello) ready.countDown()
+        else if (!line.startsWith("#")) // sentinel = batch frame, no-op here
+          PushBridge.decode(line).foreach { st =>
+            if (space.forall(_ == st.space) && segment.forall(_ == st.segment)) {
+              try cb(st)
+              catch { case NonFatal(_) => () } // subscriber isolation, as on the bus
+              deliveredCount.incrementAndGet()
+              ()
+            }
+          }
+        line = in.readLine()
+      }
+    } catch { case NonFatal(_) => () } // socket closed: exit
+  }, "graft-push-client")
+  reader.setDaemon(true)
+  reader.start()
+
+  def close(): Unit = if (open.getAndSet(false)) {
+    try socket.close()
+    catch { case NonFatal(_) => () }
+    reader.join(5000)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import graft.log.{EventLog, PushNet}
+import graft.model.{Record, SegmentStatus}
+
+/** Network push transport: produce acks cross the process boundary over
+  * a loopback TCP socket — the subscriber side holds NO filesystem
+  * handle, no Spark session, and no shared state with the producing
+  * JVM beyond the (host, port) route, which is exactly what a machine
+  * on the other side of the network would hold (reference:
+  * wsstream/bidi_stream.go:1, http2/http2_stream_bus.go:1;
+  * client.go:188 SubscribeToSpace). Same delivery assertions as
+  * PushBridgeSpec: FIFO, no loss, no dups, post-commit, live-only. */
+class PushNetSpec extends SparkSpec {
+
+  private def freshLog(): EventLog =
+    new EventLog(spark, Files.createTempDirectory("graft-pushnet").toString)
+
+  private def records(from: Long, n: Long): org.apache.spark.sql.Dataset[Record] = {
+    import spark.implicits._
+    spark.createDataset((from until from + n).map(i => Record(i, s"payload $i")))
+  }
+
+  private def awaitUntil(timeoutMs: Long = 30000L)(done: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!done && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(done, s"condition not reached within ${timeoutMs}ms")
+  }
+
+  test("acks reach a socket-only subscriber in publish order, no loss, no dups, post-commit") {
+    val log = freshLog()
+    val srv = PushNet.server(log, bindHost = "127.0.0.1")
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val sub = PushNet.connect("127.0.0.1", srv.boundPort) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(sub.awaitReady())
+      // multi-chunk produce + a second produce: ordering must hold
+      // ACROSS batches, not just within one drained mailbox frame
+      val s1 = log.produce("s0", "seg0", records(1, 250), 1000L, chunkSize = 100)
+      val s2 = log.produce("s0", "seg1", records(1, 50), 2000L, chunkSize = 100)
+      assert(s1.size == 3 && s2.size == 1)
+      awaitUntil()(got.synchronized(got.size) == 4)
+      assert(got.synchronized(got.toSeq) == s1 ++ s2,
+        "socket must deliver the exact bus acks, in order, exactly once")
+      assert(srv.droppedCount == 0L)
+      // post-commit: the acked range is already readable from the log
+      assert(log.peek("s0", "seg0").get.sequence == 250L)
+    } finally { sub.close(); srv.close() }
+  }
+
+  test("space/segment filter routes; names needing encoding survive the wire") {
+    val log = freshLog()
+    val srv = PushNet.server(log, bindHost = "127.0.0.1")
+    val seg = mutable.Buffer.empty[SegmentStatus]
+    val all = mutable.Buffer.empty[SegmentStatus]
+    val subSeg =
+      PushNet.connect("127.0.0.1", srv.boundPort, Some("sp a/ce"), Some("seg#1")) { st =>
+        seg.synchronized { seg += st; () }
+      }
+    val subAll = PushNet.connect("127.0.0.1", srv.boundPort) { st =>
+      all.synchronized { all += st; () }
+    }
+    try {
+      assert(subSeg.awaitReady() && subAll.awaitReady())
+      assert(srv.connectionCount == 2)
+      log.produce("sp a/ce", "seg#1", records(1, 5), 1000L)
+      log.produce("other", "segX", records(1, 5), 1000L)
+      awaitUntil()(all.synchronized(all.size) == 2)
+      awaitUntil()(seg.synchronized(seg.size) == 1)
+      val st = seg.synchronized(seg.head)
+      assert(st.space == "sp a/ce" && st.segment == "seg#1")
+      assert(st.firstSequence == 1L && st.lastSequence == 5L)
+      assert(all.synchronized(all.map(_.segment).toSeq) == Seq("seg#1", "segX"))
+    } finally { subSeg.close(); subAll.close(); srv.close() }
+  }
+
+  test("live-only contract: acks published before connect are not replayed") {
+    val log = freshLog()
+    val srv = PushNet.server(log, bindHost = "127.0.0.1")
+    try {
+      log.produce("s0", "seg0", records(1, 5), 1000L)
+      val got = mutable.Buffer.empty[SegmentStatus]
+      val sub = PushNet.connect("127.0.0.1", srv.boundPort) { st =>
+        got.synchronized { got += st; () }
+      }
+      try {
+        assert(sub.awaitReady())
+        log.produce("s0", "seg0", records(6, 5), 2000L)
+        awaitUntil()(got.synchronized(got.size) == 1)
+        assert(got.synchronized(got.head).firstSequence == 6L,
+          "only the post-connect ack may be delivered")
+      } finally sub.close()
+    } finally srv.close()
+  }
+
+  test("a dead subscriber neither stalls produce nor starves its peers") {
+    val log = freshLog()
+    val srv = PushNet.server(log, bindHost = "127.0.0.1")
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val dead = PushNet.connect("127.0.0.1", srv.boundPort) { _ => () }
+    val live = PushNet.connect("127.0.0.1", srv.boundPort) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(dead.awaitReady() && live.awaitReady())
+      dead.close() // peer vanishes; server discovers on next write
+      log.produce("s0", "seg0", records(1, 5), 1000L)
+      awaitUntil()(got.synchronized(got.size) == 1)
+      assert(got.synchronized(got.head).lastSequence == 5L)
+      awaitUntil()(srv.connectionCount == 1) // dead conn unregistered
+    } finally { live.close(); srv.close() }
+  }
+
+  test("push-tickled consumer loop over the socket: acks drive offset re-polls, no loss, no dups") {
+    // The push is a tickle, not a data channel: the subscriber re-polls
+    // from its OWN offset on each ack (client.go:188-206) — the data
+    // plane stays the log, only the wake-up crosses the socket.
+    import graft.operators.EventOps
+    val log = freshLog()
+    val srv = PushNet.server(log, bindHost = "127.0.0.1")
+    val tickles = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sub = PushNet.connect("127.0.0.1", srv.boundPort, Some("s0")) { _ =>
+      tickles.incrementAndGet(); ()
+    }
+    try {
+      assert(sub.awaitReady())
+      var offset = (0L, "", 0L)
+      val consumed = mutable.Buffer.empty[(Long, String, Long)]
+      def poll(): Int = {
+        val fresh = EventOps
+          .consumeSpaceFromOffset(log.load(), "s0", offset._1, offset._2, offset._3)
+          .select("timestamp", "segment", "sequence")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        consumed ++= fresh
+        if (fresh.nonEmpty) offset = fresh.last
+        fresh.length
+      }
+      def produceAwaitingTickle(seg: String, from: Long, n: Long, ts: Long): Unit = {
+        val before = tickles.get()
+        log.produce("s0", seg, records(from, n), ts)
+        awaitUntil()(tickles.get() > before) // the push IS the poll trigger
+      }
+      produceAwaitingTickle("a", 1, 3, 1000L)
+      assert(poll() == 3)
+      produceAwaitingTickle("b", 1, 2, 2000L)
+      produceAwaitingTickle("a", 4, 2, 3000L)
+      assert(poll() == 4)
+      assert(consumed.size == 7 && consumed.distinct.size == 7, "no loss, no dups")
+    } finally { sub.close(); srv.close() }
+  }
+}
