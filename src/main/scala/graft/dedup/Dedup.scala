@@ -847,8 +847,18 @@ object Dedup {
     * t·|A| — so candidates come from joining only A-prefix rows
     * against the full shingle table (cost ∝ prefix rows × bucket df,
     * never all-pairs, and the prefix picks the emptiest buckets).
-    * The filter is lossless: every true pair is a candidate, so the
-    * exact verify keeps the output exact. */
+    * Two PPJoin-style per-match filters then cut the candidate set
+    * BEFORE the distinct/verify shuffle, which matters because bucket
+    * df grows linearly with corpus size on boilerplate-heavy data:
+    *  - '''length''': overlap ≤ |B|, so |B| < ⌈t·|A|⌉ can't qualify;
+    *  - '''positional''': both docs' shingle lists sort by the same
+    *    global (df, hash) order, so common tokens appear in the same
+    *    relative order in both — at a match at positions (i, j) the
+    *    overlap is ≤ 1 + min(|A|−i, |B|−j), and the TRUE pair's
+    *    first common token always yields the maximal bound, so
+    *    requiring the bound ≥ ⌈t·|A|⌉ is lossless.
+    * Every true pair survives to the exact verify, which keeps the
+    * output exact. */
   def containment(
       docs: DataFrame,
       id: String = "doc_id",
@@ -866,16 +876,32 @@ object Dedup {
       .transform(Materialize.cut)
     val freq = rows.groupBy("h").agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(id).orderBy("f", "h")
-    val prefixA = rows
+    // every row's rank in its doc's global-(df, hash) order — computed
+    // once, consumed by BOTH join sides (prefix selection on A, the
+    // positional bound on B)
+    val posRows = rows
       .join(freq.hint("shuffle_hash"), "h")
       .withColumn("pos", row_number().over(w))
+      .drop("f")
+      .transform(Materialize.cut)
+    val prefixA = posRows
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
-      .select(col(id).as("a_id"), col("h"), col("sz").as("a_sz"))
+      .select(
+        col(id).as("a_id"), col("h"),
+        col("sz").as("a_sz"), col("pos").as("a_pos"))
+    val alpha = ceil(col("a_sz") * threshold - eps) // required overlap
     val cands = prefixA
       .join(
-        rows.select(col(id).as("b_id"), col("h")).hint("shuffle_hash"),
+        posRows
+          .select(
+            col(id).as("b_id"), col("h"),
+            col("sz").as("b_sz"), col("pos").as("b_pos"))
+          .hint("shuffle_hash"),
         Seq("h"))
       .filter(col("a_id") =!= col("b_id"))
+      .filter(col("b_sz") >= alpha) // length: overlap can't exceed |B|
+      .filter( // positional: remaining overlap upper bound
+        lit(1) + least(col("a_sz") - col("a_pos"), col("b_sz") - col("b_pos")) >= alpha)
       .select("a_id", "b_id")
       .distinct()
       .transform(Materialize.cut)
