@@ -1598,13 +1598,26 @@ object OlapQueries {
     * (stats pick the strategy — both sides are fact-sized), and a
     * |priorities|-row percentile aggregate. Integer µs latencies →
     * engine-exact before the final interpolation. */
-  def qFulfillment(s: SparkSession, d: String): DataFrame = {
-    val ships = Tables(s, d, "lineitem")
+  def qFulfillment(s: SparkSession, d: String): DataFrame =
+    fulfillment(Tables(s, d, "orders"), Tables(s, d, "lineitem"))
+
+  /** [[qFulfillment]]'s core on explicit frames — also driven by
+    * SkewSpec under a hot-orderkey distribution. Skew safety is by
+    * construction, not AQE rescue: the per-orderkey min/max collapses
+    * a hot key MAP-SIDE (partial aggregation), so the (ok) exchange
+    * carries at most one row per (input partition, key) and the join
+    * probes exactly one row per key — no reducer ever sees the raw
+    * fan-in of a hot order. PlanSpec pins the partial-before-exchange
+    * shape. */
+  private[graft] def fulfillment(
+      orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val ships = lineitem
       .groupBy(col("l_orderkey").as("ok"))
       .agg(
         min(unix_micros(col("l_shipdate").cast("timestamp"))).as("first_ship"),
         max(unix_micros(col("l_shipdate").cast("timestamp"))).as("last_ship"))
-    Tables(s, d, "orders")
+    orders
       .select(
         col("o_orderkey").as("ok"),
         col("o_orderpriority"),

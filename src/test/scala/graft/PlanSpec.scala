@@ -380,6 +380,19 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "FileScan") == 1, "expected a single events scan")
   }
 
+  test("q_fulfillment: hot-orderkey skew is absorbed map-side (partial agg below the exchange)") {
+    // both join sides are fact-sized at scale; skew safety comes from
+    // the per-orderkey min/max collapsing a hot key BEFORE the (ok)
+    // exchange — a reducer sees ≤ one row per (input partition, key),
+    // never the raw fan-in. In toString, children print below parents,
+    // so partial-before-exchange means a LATER string index.
+    val p = plan("q_fulfillment")
+    val ex = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    val pm = p.indexOf("partial_min(unix_micros")
+    assert(ex >= 0, "expected a hash exchange on l_orderkey")
+    assert(pm > ex, "lineitem min/max must partial-aggregate BEFORE its exchange")
+  }
+
   test("q_debounce: lag window and filter ride ONE (user,type) exchange") {
     val p = plan("q_debounce")
     assert(count(p, "Exchange hashpartitioning") == 1)

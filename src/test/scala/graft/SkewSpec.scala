@@ -143,4 +143,34 @@ class SkewSpec extends SparkSpec {
     val actual = Skew.countDistinct(df, Seq("g"), "v")
     assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
   }
+
+  test("fulfillment under a hot orderkey: skewed fan-in equals its pre-collapsed twin") {
+    // 90% of lineitems pile onto orderkey 1 — broadcast-infeasible at
+    // scale (both sides fact-sized) and reducer-hostile if the join ran
+    // on raw rows. The per-orderkey min/max collapses the hot key
+    // map-side, so the skewed input must produce EXACTLY the result of
+    // an equivalent input already collapsed to each order's first/last
+    // shipment (metamorphic twin; the percentile stage is shared).
+    val n = 20000L
+    val li = spark
+      .range(0, n)
+      .select(
+        when(col("id") % 10 < 9, lit(1L)).otherwise(col("id")).as("l_orderkey"),
+        expr("date_add(date'1995-01-01', cast(id % 300 as int))").as("l_shipdate"))
+    val orders = spark
+      .range(0, n)
+      .select(
+        col("id").as("o_orderkey"),
+        concat(lit("P"), (col("id") % 3).cast("string")).as("o_orderpriority"),
+        expr("date_add(date'1994-12-01', cast(id % 7 as int))").as("o_orderdate"))
+    val collapsed = li
+      .groupBy("l_orderkey")
+      .agg(min("l_shipdate").as("a"), max("l_shipdate").as("b"))
+      .select(col("l_orderkey"), explode(array(col("a"), col("b"))).as("l_shipdate"))
+    val skewed = graft.queries.OlapQueries.fulfillment(orders, li)
+    val twin = graft.queries.OlapQueries.fulfillment(orders, collapsed)
+    assert(skewed.exceptAll(twin).isEmpty && twin.exceptAll(skewed).isEmpty)
+    // and the hot key really was hot: one order owns 90% of the fact side
+    assert(li.filter(col("l_orderkey") === 1L).count() == n * 9 / 10)
+  }
 }
