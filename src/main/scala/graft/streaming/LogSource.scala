@@ -1,0 +1,377 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.log.{PushBridge, PushNet}
+import graft.model.Entry
+
+/** Push-driven DataSource-v2 micro-batch source over an
+  * [[graft.log.EventLog]] — the Structured Streaming face of the
+  * reference's subscribe-then-consume loop (reference:
+  * consumer_context.go:1, client.go:188 SubscribeToSpace → Consume
+  * from own offsets). `StreamLog.follow` tails the log's FILES, so its
+  * latency is the file-listing poll and lifecycle rewrites confuse it;
+  * this source instead tracks the log's own offset model — per-(space,
+  * segment) last sequence, exactly the reference's ConsumerContext map
+  * — and advances availability the moment a produce ack arrives:
+  *
+  *  - '''offsets''' are a per-segment high-water map, serialized
+  *    sorted (v2 `Offset` equality is json equality).
+  *  - '''latestOffset''' merges two feeds: push tickles (a
+  *    [[PushNet]] TCP subscription and/or the [[PushBridge]] mailbox —
+  *    post-commit acks, so an offset a tickle advanced is always fully
+  *    readable) and a rate-limited poll reconcile (one max(sequence)
+  *    aggregate per `pollMs`) that bootstraps and recovers dropped
+  *    tickles. With a push transport configured there is NO polling
+  *    interval in the latency path: produce → ack → next trigger reads.
+  *  - '''planInputPartitions''' lists only the spaces with a delta and
+  *    emits one partition per data file; readers push the per-segment
+  *    `(from, to]` sequence ranges into parquet as a FilterPredicate,
+  *    so row-group statistics skip everything but the tail the batch
+  *    actually needs — re-listing is O(files), re-reading is O(delta).
+  *  - '''exactly-once''': sequences are per-segment contiguous, so a
+  *    `(from, to]` range is an idempotent, replayable batch — the
+  *    checkpointed offset map resumes mid-stream without loss or dup.
+  *
+  * Poll-reconcile caveat (shared with every offset poller over a
+  * multi-file atomic-rename commit): a produce becomes visible
+  * file-at-a-time, so a reconcile that lands mid-rename can compute a
+  * max(sequence) whose lower sequences are in a not-yet-renamed file.
+  * The push path cannot hit this (acks are post-commit); with only
+  * polling, the streaming gap monitor (§2a row 20) is the detector,
+  * and `pollMs` should be generous since it is only a fallback.
+  *
+  * Options: `path` (log root, required); `space` (restrict to one
+  * space); `pushHost`+`pushPort` (PushNet TCP tickles); `pushMailbox`
+  * (`true` = PushBridge filesystem mailbox tickles); `pollMs`
+  * (reconcile cadence, default 2000); `startingOffsets`
+  * (`earliest` default / `latest`).
+  *
+  * Usage: `spark.readStream.format("graft-log").option("path", p).load()`
+  * (or the fully-qualified `graft.streaming.GraftLogSource`).
+  */
+class GraftLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-log"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLogSource.EntrySchema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftLogTable(properties.get("path"), properties)
+}
+
+object GraftLogSource {
+  val EntrySchema: StructType = Encoders.product[Entry].schema
+
+  /** `(space, segment) → lastSequence`, serialized sorted + URL-encoded
+    * (segment names with tabs/newlines survive; json equality IS offset
+    * equality in the v2 contract). MUST stay single-line: the offsets
+    * checkpoint file is line-based, one line per SOURCE — an embedded
+    * newline would make a multi-segment offset parse as extra sources
+    * on restart ("[2] sources in the checkpoint ... [1] requested").
+    * URL-encoding escapes ';'/'\t' in names, so both are free. */
+  private[graft] def encodeOffset(m: Map[(String, String), Long]): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    m.toSeq
+      .map { case ((sp, seg), n) => s"${enc(sp)}\t${enc(seg)}\t$n" }
+      .sorted
+      .mkString(";")
+  }
+
+  private[graft] def decodeOffset(json: String): Map[(String, String), Long] =
+    if (json.isEmpty) Map.empty
+    else
+      json
+        .split(';')
+        .map { line =>
+          val Array(sp, seg, n) = line.split('\t')
+          def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+          (dec(sp), dec(seg)) -> n.toLong
+        }
+        .toMap
+}
+
+private[streaming] case class GraftLogOffset(seqs: Map[(String, String), Long])
+    extends Offset {
+  override def json(): String = GraftLogSource.encodeOffset(seqs)
+}
+
+private[streaming] class GraftLogTable(
+    path: String,
+    properties: util.Map[String, String])
+    extends Table
+    with SupportsRead {
+  require(path != null, "graft-log source requires the 'path' option")
+  override def name(): String = s"graft-log:$path"
+  override def schema(): StructType = GraftLogSource.EntrySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftLogSource.EntrySchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftLogMicroBatchStream(path, options)
+      }
+    }
+}
+
+private[streaming] class GraftLogMicroBatchStream(
+    logPath: String,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private val dataDir = s"$logPath/data"
+  private val spaceFilter = Option(options.get("space"))
+  private val pollMs = Option(options.get("pollMs")).map(_.toLong).getOrElse(2000L)
+  private val starting = Option(options.get("startingOffsets")).getOrElse("earliest")
+
+  // tickle-fed high-water marks: acks are post-commit, so merging
+  // max(lastSequence) here is always safe and never early
+  private val highWater =
+    new util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+  @volatile private var lastReconcile = 0L
+
+  private def tickle(sp: String, seg: String, lastSeq: Long): Unit =
+    if (spaceFilter.forall(_ == sp)) {
+      highWater.merge(
+        (sp, seg),
+        java.lang.Long.valueOf(lastSeq),
+        (a, b) => if (a >= b) a else b)
+      ()
+    }
+
+  private def snapshot: Map[(String, String), Long] =
+    highWater.asScala.map { case (k, v) => k -> v.longValue() }.toMap
+
+  private val pushClient =
+    (Option(options.get("pushHost")), Option(options.get("pushPort"))) match {
+      case (Some(h), Some(p)) =>
+        Some(PushNet.connect(h, p.toInt, spaceFilter) { st =>
+          tickle(st.space, st.segment, st.lastSequence)
+        })
+      case _ => None
+    }
+
+  private val mailboxSub =
+    if (Option(options.get("pushMailbox")).exists(_.toBoolean)) {
+      val fs = new HPath(logPath).getFileSystem(new Configuration())
+      Some(PushBridge.subscriber(fs, logPath, spaceFilter) { st =>
+        tickle(st.space, st.segment, st.lastSequence)
+      })
+    } else None
+
+  /** Poll reconcile: one per-segment max(sequence) aggregate. Runs in
+    * the consuming session's driver; bounded by the log, not the batch. */
+  private def scanStatuses(): Map[(String, String), Long] = {
+    val spark = SparkSession.active
+    val fs = new HPath(dataDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new HPath(dataDir))) Map.empty
+    else {
+      val base = spark.read
+        .schema(GraftLogSource.EntrySchema)
+        .option("basePath", dataDir)
+        .parquet(dataDir)
+      spaceFilter
+        .foldLeft(base)((df, sp) => df.filter(col("space") === sp))
+        .groupBy("space", "segment")
+        .agg(max("sequence").as("last"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+  }
+
+  private def reconcile(force: Boolean): Unit = {
+    val now = System.currentTimeMillis()
+    if (force || lastReconcile == 0L || now - lastReconcile >= pollMs) {
+      lastReconcile = now
+      scanStatuses().foreach { case ((sp, seg), n) => tickle(sp, seg, n) }
+    }
+  }
+
+  override def initialOffset(): Offset =
+    if (starting == "latest") { reconcile(force = true); GraftLogOffset(snapshot) }
+    else GraftLogOffset(Map.empty)
+
+  override def latestOffset(): Offset = {
+    reconcile(force = false)
+    GraftLogOffset(snapshot)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftLogOffset(GraftLogSource.decodeOffset(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftLogOffset].seqs
+    val to = end.asInstanceOf[GraftLogOffset].seqs
+    val delta = to.flatMap { case (k, hi) =>
+      val lo = from.getOrElse(k, 0L)
+      if (hi > lo) Some(k -> (lo, hi)) else None
+    }
+    if (delta.isEmpty) Array.empty
+    else {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val fs = new HPath(dataDir).getFileSystem(conf)
+      delta
+        .groupBy(_._1._1)
+        .iterator
+        .flatMap { case (space, perSpace) =>
+          val dir =
+            new HPath(s"$dataDir/space=${ExternalCatalogUtils.escapePathName(space)}")
+          val files: Array[FileStatus] =
+            if (fs.exists(dir))
+              fs.listStatus(dir)
+                .filter(st =>
+                  st.isFile && {
+                    val n = st.getPath.getName
+                    !n.startsWith("_") && !n.startsWith(".")
+                  })
+            else Array.empty
+          val ranges = perSpace.map { case ((_, seg), r) => seg -> r }
+          files.map(f =>
+            GraftLogInputPartition(f.getPath.toString, space, ranges))
+        }
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = {
+    pushClient.foreach(_.close())
+    mailboxSub.foreach(_.close())
+  }
+}
+
+/** One data file + the per-segment `(from, to]` ranges its space owes
+  * this batch. Files belong to one space (partition dir), so the space
+  * value rides the partition, not the file. */
+private[streaming] case class GraftLogInputPartition(
+    file: String,
+    space: String,
+    ranges: Map[String, (Long, Long)])
+    extends InputPartition
+
+private[streaming] class GraftLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLogPartitionReader(partition.asInstanceOf[GraftLogInputPartition])
+}
+
+/** Executor-side reader: parquet-hadoop with the batch's sequence
+  * ranges as a FilterPredicate — row-group statistics skip everything
+  * outside the delta, so re-reading a file across batches costs its
+  * footer plus only the new tail. Emits [[Entry]]-shaped InternalRows. */
+private[streaming] class GraftLogPartitionReader(p: GraftLogInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val predicate: FilterPredicate = {
+    val seg = FilterApi.binaryColumn("segment")
+    val seq = FilterApi.longColumn("sequence")
+    p.ranges
+      .map { case (s, (from, to)) =>
+        FilterApi.and(
+          FilterApi.eq(seg, Binary.fromString(s)),
+          FilterApi.and(
+            FilterApi.gt(seq, java.lang.Long.valueOf(from)),
+            FilterApi.ltEq(seq, java.lang.Long.valueOf(to))))
+      }
+      .reduce(FilterApi.or)
+  }
+
+  private val reader: ParquetReader[Group] = ParquetReader
+    .builder(new GroupReadSupport(), new HPath(p.file))
+    .withConf(new Configuration())
+    .withFilter(FilterCompat.get(predicate))
+    .build()
+
+  private val spaceUtf8 = UTF8String.fromString(p.space)
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    // filter2 already does row-group + record filtering; re-check in
+    // case a writer produced stats-free files (belt and braces, cheap)
+    while (current != null && !inRange(current)) current = reader.read()
+    current != null
+  }
+
+  private def inRange(g: Group): Boolean = {
+    val seg = g.getString("segment", 0)
+    p.ranges.get(seg) match {
+      case Some((from, to)) =>
+        val s = g.getLong("sequence", 0)
+        s > from && s <= to
+      case None => false
+    }
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val metadata =
+      if (g.getFieldRepetitionCount("metadata") == 0)
+        new ArrayBasedMapData(
+          new GenericArrayData(Array.empty[Any]),
+          new GenericArrayData(Array.empty[Any]))
+      else {
+        val mg = g.getGroup("metadata", 0)
+        val n = mg.getFieldRepetitionCount(0)
+        val keys = new Array[Any](n)
+        val values = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val kv = mg.getGroup(0, i)
+          keys(i) = UTF8String.fromString(kv.getString("key", 0))
+          values(i) =
+            if (kv.getFieldRepetitionCount("value") == 0) null
+            else UTF8String.fromString(kv.getString("value", 0))
+          i += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(values))
+      }
+    new GenericInternalRow(
+      Array[Any](
+        spaceUtf8,
+        UTF8String.fromString(g.getString("segment", 0)),
+        g.getLong("sequence", 0),
+        g.getLong("timestamp", 0),
+        g.getLong("trxNumber", 0),
+        UTF8String.fromString(g.getString("payload", 0)),
+        metadata))
+  }
+
+  override def close(): Unit =
+    try reader.close()
+    catch { case NonFatal(_) => () }
+}

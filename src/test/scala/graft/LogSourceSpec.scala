@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+
+import graft.log.{EventLog, PushNet}
+import graft.model.Record
+import graft.streaming.GraftLogSource
+
+/** Push-driven DataSource-v2 micro-batch source: a streaming query in a
+  * separate session consumes an EventLog with availability advanced by
+  * PushNet tickles over a loopback socket — pollMs is set to an hour,
+  * so after the one bootstrap reconcile there is NO polling interval in
+  * the latency path; if post-bootstrap rows arrive, they arrived via
+  * push (reference: consumer_context.go:1, client.go:188
+  * SubscribeToSpace → Consume from own offsets). */
+class LogSourceSpec extends SparkSpec {
+
+  private val HourMs = 3600L * 1000L
+
+  private def records(from: Long, n: Long, md: Map[String, String] = Map.empty) = {
+    import spark.implicits._
+    spark.createDataset((from until from + n).map(i => Record(i, s"payload $i", md)))
+  }
+
+  private def awaitUntil(
+      timeoutMs: Long = 30000L,
+      diag: => String = "")(done: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!done && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(done, s"condition not reached within ${timeoutMs}ms $diag")
+  }
+
+  test("offset codec roundtrips hostile segment names, sorted = deterministic json") {
+    val m = Map(
+      ("sp a/ce", "seg\t#1") -> 42L,
+      ("z", "a\nb") -> 7L,
+      ("a", "plain") -> 1L)
+    val json = GraftLogSource.encodeOffset(m)
+    assert(GraftLogSource.decodeOffset(json) == m)
+    assert(json == GraftLogSource.encodeOffset(m), "encoding must be stable")
+    assert(GraftLogSource.decodeOffset(GraftLogSource.encodeOffset(Map.empty)).isEmpty)
+  }
+
+  test("tickle-driven end-to-end: produce → ack → rows, no polling interval") {
+    val log = new EventLog(spark, Files.createTempDirectory("graft-src").toString)
+    // pre-stream history: covered by the ONE bootstrap reconcile
+    log.produce("s0", "seg0", records(1, 3, Map("k" -> "v")), 1000L)
+    val srv = PushNet.server(log, bindHost = "127.0.0.1")
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    val got = mutable.Buffer.empty[(String, String, Long, Long, String, Map[String, String])]
+    // "another process": a separate session with its own state
+    val session2 = spark.newSession()
+    def startQuery() = session2.readStream
+      .format("graft-log")
+      .option("path", log.path)
+      .option("pushHost", "127.0.0.1")
+      .option("pushPort", srv.boundPort.toString)
+      .option("pollMs", HourMs.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .selectExpr("space", "segment", "sequence", "timestamp", "payload", "metadata")
+          .collect()
+          .map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+              r.getString(4), r.getAs[Map[String, String]](5)))
+        got.synchronized { got ++= rows; () }
+      }
+      .start()
+    val q = startQuery()
+    try {
+      // bootstrap reconcile delivers pre-stream history exactly once
+      awaitUntil(diag = s"got=${got.synchronized(got.size)} exc=${q.exception}")(
+        got.synchronized(got.size) == 3)
+      assert(got.synchronized(got.toSeq).map(_._3).sorted == Seq(1L, 2L, 3L))
+      assert(got.synchronized(got.head)._6 == Map("k" -> "v"), "metadata must survive the reader")
+
+      // from here on pollMs=1h: only a push tickle can advance the offset
+      log.produce("s0", "seg0", records(4, 250), 2000L, chunkSize = 100) // 3 acks
+      awaitUntil()(got.synchronized(got.size) == 253)
+      log.produce("s0", "segB", records(1, 5), 3000L) // second segment
+      awaitUntil()(got.synchronized(got.size) == 258)
+
+      val all = got.synchronized(got.toVector)
+      assert(all.size == all.distinct.size, "no duplicate deliveries")
+      assert(all.filter(_._2 == "seg0").map(_._3).sorted == (1L to 253L))
+      assert(all.filter(_._2 == "segB").map(_._3).sorted == (1L to 5L))
+      assert(all.forall(_._1 == "s0"))
+      assert(all.find(r => r._2 == "seg0" && r._3 == 4L).get._5 == "payload 4")
+    } finally {
+      q.stop()
+      srv.close()
+    }
+
+    // resume from the checkpoint: only NEW rows, no replay of 1..258
+    log.produce("s0", "seg0", records(254, 4), 4000L)
+    val srv2 = PushNet.server(log, bindHost = "127.0.0.1")
+    val q2 = session2.readStream
+      .format("graft-log")
+      .option("path", log.path)
+      .option("pushHost", "127.0.0.1")
+      .option("pushPort", srv2.boundPort.toString)
+      .option("pollMs", HourMs.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .selectExpr("space", "segment", "sequence", "timestamp", "payload", "metadata")
+          .collect()
+          .map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+              r.getString(4), r.getAs[Map[String, String]](5)))
+        got.synchronized { got ++= rows; () }
+      }
+      .start()
+    try {
+      awaitUntil()(got.synchronized(got.size) == 262)
+      val all = got.synchronized(got.toVector)
+      assert(all.size == all.distinct.size, "resume must not replay committed offsets")
+      assert(all.filter(_._2 == "seg0").map(_._3).sorted == (1L to 257L))
+    } finally {
+      q2.stop()
+      srv2.close()
+    }
+  }
+
+  test("space filter: only the subscribed space's rows flow") {
+    val log = new EventLog(spark, Files.createTempDirectory("graft-src-f").toString)
+    log.produce("keep", "a", records(1, 3), 1000L)
+    log.produce("drop", "b", records(1, 5), 1000L)
+    val ckpt = Files.createTempDirectory("graft-src-f-ckpt").toString
+    val got = mutable.Buffer.empty[(String, Long)]
+    val q = spark.readStream
+      .format("graft-log")
+      .option("path", log.path)
+      .option("space", "keep")
+      .option("pollMs", "500")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows =
+          batch.selectExpr("space", "sequence").collect().map(r => (r.getString(0), r.getLong(1)))
+        got.synchronized { got ++= rows; () }
+      }
+      .start()
+    try {
+      awaitUntil()(got.synchronized(got.size) == 3)
+      Thread.sleep(1500) // a few poll cycles: nothing else may arrive
+      assert(got.synchronized(got.toSeq).forall(_._1 == "keep"))
+      assert(got.synchronized(got.size) == 3)
+    } finally q.stop()
+  }
+}
