@@ -1890,6 +1890,220 @@ object OlapQueries {
       .transform(sortSmall(_, col("source")))
   }
 
+  /** Daily new-vs-returning split of active users — the growth
+    * dashboard's first panel (is today's traffic acquisition or
+    * retention?). One distinct (user, day) pass; each user's FIRST
+    * active day comes from the same pairs via a (user) aggregate, and
+    * "new on day d" is first_day = d — no per-day re-scan, no window
+    * over raw events. All counts are integers → bit-exact oracle. */
+  def qNewReturning(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables
+      .events(s, d)
+      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut)
+    val firstDay =
+      pairs.groupBy("user_id").agg(min("day").as("first_day"))
+    pairs
+      .join(firstDay.hint("shuffle_hash"), "user_id")
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum((col("day") === col("first_day")).cast("long")).as("new_users"))
+      .select(
+        (col("day") * DayUs).as("day_us"),
+        col("active_users"),
+        col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"))
+      .orderBy("day_us")
+  }
+
+  val MauWindowDays = 28
+
+  /** DAU/MAU stickiness curve — exact trailing-28-day distinct actives
+    * per day, over the same bounded `sequence` explode as
+    * [[qRollingActive]] (a (user, day) pair is visible from ≤ 28
+    * window-end days; a second distinct collapses multi-day users; the
+    * final count is a plain aggregate — never a count(distinct) frame).
+    * DAU rides the SAME materialized distinct-pairs scan. Days with no
+    * events still report their trailing MAU (dense via the mau frame),
+    * with DAU coalesced to 0 — the dashboard convention. */
+  def qStickiness(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables
+      .events(s, d)
+      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut)
+    val bounds = pairs.agg(min("day").as("d0"), max("day").as("d1"))
+    val dau = pairs.groupBy(col("day").as("wday")).agg(count(lit(1)).as("dau"))
+    val mau = pairs
+      .select(
+        col("user_id"),
+        explode(expr(s"sequence(day, day + ${MauWindowDays - 1})")).as("wday"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .where(col("wday").between(col("d0"), col("d1")))
+      .groupBy("wday")
+      .agg(count(lit(1)).as("mau_28d"))
+    mau
+      .join(broadcast(dau), Seq("wday"), "left")
+      .select(
+        (col("wday") * DayUs).as("day_us"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        col("mau_28d"),
+        round(
+          coalesce(col("dau"), lit(0L)).cast("double") / col("mau_28d"),
+          6).as("stickiness"))
+      .orderBy("day_us")
+  }
+
+  /** Herfindahl–Hirschman concentration of customer spend within each
+    * market segment — the antitrust-style "is this segment's revenue a
+    * monopoly of a few accounts?" statistic (HHI = Σ shareᵢ², 1/n =
+    * uniform → 1 = single buyer), plus the top account's share. Spend
+    * is exact integer cents; Σxᵢ² accumulates in decimal(38,0) (a
+    * cents² term is ~2⁵¹ — a long sum would overflow at corpus scale,
+    * the same widening convention as [[qGini]]), and each output is ONE
+    * division of exact integers → engine-exact before round(6).
+    * Scale shape: orders fold to per-(segment, customer) cents on one
+    * exchange (customer dim broadcast); the HHI aggregate runs over
+    * customer-statistic rows, never raw orders. */
+  def qHhi(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perCust = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    perCust
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("cents").as("tot"),
+        sum(dec(col("cents")) * col("cents")).as("sumsq"),
+        max("cents").as("top"))
+      .select(
+        col("c_mktsegment"),
+        col("n_customers"),
+        (col("tot").cast("double") / 100.0d).as("segment_revenue"),
+        round(
+          col("sumsq").cast("double") /
+            (dec(col("tot")) * col("tot")).cast("double"),
+          6).as("hhi"),
+        round(col("top").cast("double") / col("tot").cast("double"), 6)
+          .as("top_share"))
+      .transform(sortSmall(_, col("c_mktsegment")))
+  }
+
+  /** Holt smoothing factors — exact binary fractions (see [[EmaAlpha]]:
+    * every `α·x` is the same IEEE multiply in every engine). */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.25
+
+  /** Holt double-exponential (level + trend) smoothing of the daily
+    * event-count series per type, with the 7-day-ahead linear forecast
+    * — the capacity-planning companion of [[qEma]] (which has no trend
+    * term and so lags any growing series). The coupled recurrences
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * admit no fixed-frame window: computed as a deterministic LEFT FOLD
+    * over the dense daily grid (zeros filled, like [[qSpcDays]]),
+    * seeded with l₂ = x₂, b₂ = x₂ − x₁ — the identical IEEE operation
+    * sequence as the oracle's recursive CTE, so the result is bit-exact
+    * before the display round. Scale shape: events collapse to
+    * day-grid counts on one (type, day) aggregate; the fold state is
+    * one array per type, bounded by the calendar, not the data. */
+  def qHolt(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts
+      .groupBy("event_type")
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("dy"))
+    val series = grid
+      .join(counts, Seq("event_type", "dy"), "left")
+      .select(
+        col("event_type"),
+        col("dy"),
+        coalesce(col("n"), lit(0L)).cast("double").as("x"))
+    val lvl = (acc: Column, x: Column) =>
+      lit(HoltAlpha) * x +
+        lit(1 - HoltAlpha) * (acc.getField("l") + acc.getField("b"))
+    series
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("dy"), col("x")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(
+        col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        aggregate(
+          expr("slice(s, 3, size(s) - 2)"),
+          struct(
+            element_at(col("s"), 2).getField("x").as("l"),
+            (element_at(col("s"), 2).getField("x") -
+              element_at(col("s"), 1).getField("x")).as("b")),
+          (acc, e) => {
+            val x = e.getField("x")
+            struct(
+              lvl(acc, x).as("l"),
+              (lit(HoltBeta) * (lvl(acc, x) - acc.getField("l")) +
+                lit(1 - HoltBeta) * acc.getField("b")).as("b"))
+          }).as("st"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        round(col("st").getField("l"), 4).as("level"),
+        round(col("st").getField("b"), 4).as("trend"),
+        round(
+          col("st").getField("l") + lit(7.0) * col("st").getField("b"),
+          4).as("forecast_7d"))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
+  /** Audience overlap matrix: for every pair of event types, how many
+    * distinct users do BOTH (plus Jaccard and overlap coefficient) —
+    * the segmentation question behind cross-sell and cannibalization
+    * dashboards. The pair join is on user_id over the DISTINCT
+    * (user, type) pairs, so the blowup is Σ_user types_u² ≤ |types|²·U
+    * — bounded by the type-alphabet, never |users|²; per-type totals
+    * are a broadcast. Integer counts → bit-exact oracle. */
+  def qAudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut)
+    val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b.hint("shuffle_hash"), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+      .join(
+        broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(
+        broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_both"),
+        round(
+          col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"),
+          6).as("jaccard"),
+        round(
+          col("n_both").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"),
+          6).as("overlap_coef"))
+      .transform(sortSmall(_, col("type_a"), col("type_b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -1960,7 +2174,12 @@ object OlapQueries {
     "q_skyline" -> qSkyline _,
     "q_attribution_u" -> qAttributionU _,
     "q_ref_integrity" -> qRefIntegrity _,
-    "q_gini" -> qGini _
+    "q_gini" -> qGini _,
+    "q_new_returning" -> qNewReturning _,
+    "q_stickiness" -> qStickiness _,
+    "q_hhi" -> qHhi _,
+    "q_holt" -> qHolt _,
+    "q_audience_overlap" -> qAudienceOverlap _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2934,6 +3153,91 @@ object OlapQueries {
         |       round(CAST(max(c) AS DOUBLE) / CAST(max(n_docs) AS DOUBLE), 6) AS top_lang_share
         |FROM terms
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+    "q_new_returning" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM pairs GROUP BY 1)
+        |SELECT day * 86400000000 AS day_us,
+        |       count(*) AS active_users,
+        |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |       CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM pairs JOIN f USING (user_id)
+        |GROUP BY day
+        |ORDER BY day_us""".stripMargin,
+    "q_stickiness" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM pairs),
+         |dau AS (SELECT day AS wday, count(*) AS dau FROM pairs GROUP BY 1),
+         |expanded AS (
+         |  SELECT user_id, unnest(generate_series(day, day + ${MauWindowDays - 1})) AS wday
+         |  FROM pairs),
+         |mau AS (
+         |  SELECT wday, count(*) AS mau_28d FROM (
+         |    SELECT DISTINCT user_id, wday FROM expanded), bounds
+         |  WHERE wday BETWEEN d0 AND d1
+         |  GROUP BY wday)
+        |SELECT wday * 86400000000 AS day_us,
+        |       CAST(coalesce(dau, 0) AS BIGINT) AS dau,
+        |       mau_28d,
+        |       round(CAST(coalesce(dau, 0) AS DOUBLE) / CAST(mau_28d AS DOUBLE), 6) AS stickiness
+        |FROM mau LEFT JOIN dau USING (wday)
+        |ORDER BY day_us""".stripMargin,
+    "q_hhi" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment,
+        |       count(*) AS n_customers,
+        |       CAST(sum(cents) AS DOUBLE) / 100.0 AS segment_revenue,
+        |       round(CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) /
+        |             CAST(CAST(sum(cents) AS HUGEINT) * sum(cents) AS DOUBLE), 6) AS hhi,
+        |       round(CAST(max(cents) AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS top_share
+        |FROM pc
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q_holt" ->
+      s"""WITH RECURSIVE counts AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(dy) AS lo, max(dy) AS hi FROM counts GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS dy FROM bounds),
+         |series AS (
+         |  SELECT g.event_type, ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.dy) AS idx,
+         |         CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+         |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+         |sizes AS (SELECT event_type, CAST(max(idx) AS BIGINT) AS n_days FROM series GROUP BY 1),
+         |holt AS (
+         |  SELECT s2.event_type, CAST(2 AS BIGINT) AS idx, s2.x AS l, s2.x - s1.x AS b
+         |  FROM series s1 JOIN series s2
+         |    ON s1.event_type = s2.event_type AND s1.idx = 1 AND s2.idx = 2
+         |  UNION ALL
+         |  SELECT h.event_type, h.idx + 1,
+         |         $HoltAlpha * s.x + ${1 - HoltAlpha} * (h.l + h.b),
+         |         $HoltBeta * (($HoltAlpha * s.x + ${1 - HoltAlpha} * (h.l + h.b)) - h.l) + ${1 - HoltBeta} * h.b
+         |  FROM holt h JOIN series s ON s.event_type = h.event_type AND s.idx = h.idx + 1)
+        |SELECT h.event_type, n_days,
+        |       round(l, 4) AS level,
+        |       round(b, 4) AS trend,
+        |       round(l + 7.0 * b, 4) AS forecast_7d
+        |FROM holt h JOIN sizes USING (event_type)
+        |WHERE idx = n_days AND n_days >= 2
+        |ORDER BY event_type""".stripMargin,
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        |       round(CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE), 6) AS jaccard,
+        |       round(CAST(n_both AS DOUBLE) / CAST(least(ta.n, tb.n) AS DOUBLE), 6) AS overlap_coef
+        |FROM p JOIN tot ta ON p.type_a = ta.event_type
+        |       JOIN tot tb ON p.type_b = tb.event_type
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

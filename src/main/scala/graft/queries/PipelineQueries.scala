@@ -1895,6 +1895,161 @@ object PipelineQueries {
       .transform(sortSmall(_, "source"))
   }
 
+  /** Shared scored-corpus projection for the filter-signal evaluation
+    * family ([[qScoreAuc]], [[qLiftTable]], [[qCalibration]]): each doc
+    * as (positive = `lang = 'en'`, linear quality score). */
+  private def scoredEn(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    docs(s, d)
+      .select(col("lang"), col("text"), expr("graft_tokens(text)").as("t"))
+      .select(
+        (col("lang") === "en").cast("long").as("pos"),
+        TextFns.qualityScore(
+          size(col("t")).cast("long"),
+          round(TextFns.stopwordRatioFrom(col("t")), 6),
+          round(TextFns.distinctTokenRatioFrom(col("t")), 6),
+          round(TextFns.punctRatio(col("text")), 6)).as("score"))
+  }
+
+  /** Decile gains/lift table for the quality score as an English-text
+    * ranking signal — "if we keep only the top k/10 of the corpus by
+    * score, what fraction of the good documents did we capture, and at
+    * what lift over random?" — the go/no-go report behind every
+    * filter-threshold decision ([[qScoreAuc]] condenses the same curve
+    * to one number). Rank semantics: docs ordered by (score DESC, pos
+    * ASC, …) — ties at a depth boundary count their negatives first, so
+    * the capture figure is the deterministic pessimistic one. Computed
+    * entirely from the GROUPED score histogram (the [[qScoreAuc]] scale
+    * shape): the prefix-sum window and the 10-row non-equi boundary
+    * join run over distinct-score rows, never the corpus — no
+    * corpus-sized single-partition window. Integer arithmetic widened
+    * to decimal(38,0) with one final division per metric → bit-exact
+    * oracle. */
+  def qLiftTable(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = scoredEn(s, d)
+      .groupBy("score")
+      .agg(
+        count(lit(1)).as("n_g"),
+        sum("pos").as("pos_g"))
+      .withColumn("neg_g", col("n_g") - col("pos_g"))
+    val w = Window
+      .orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g
+      .withColumn("cum_n", coalesce(sum("n_g").over(w), lit(0L)))
+      .withColumn("cum_pos", coalesce(sum("pos_g").over(w), lit(0L)))
+    val totals = g.agg(
+      sum("n_g").as("n_total"),
+      sum("pos_g").as("p_total"))
+    val deciles = s
+      .range(1, 11)
+      .select(col("id").as("decile"))
+      .crossJoin(totals)
+      .withColumn("depth", expr("n_total * decile DIV 10"))
+    cum
+      .join(
+        broadcast(deciles),
+        col("cum_n") < col("depth") &&
+          col("depth") <= col("cum_n") + col("n_g"))
+      .withColumn(
+        "captured_pos",
+        col("cum_pos") +
+          greatest(lit(0L), col("depth") - col("cum_n") - col("neg_g")))
+      .select(
+        col("decile"),
+        col("depth"),
+        col("captured_pos"),
+        round(
+          col("captured_pos").cast("double") / col("p_total").cast("double"),
+          6).as("capture_rate"),
+        round(
+          (dec(col("captured_pos")) * col("n_total")).cast("double") /
+            (dec(col("depth")) * col("p_total")).cast("double"),
+          6).as("lift"))
+      .transform(graft.operators.SortUtil.sortSmall(_, col("decile")))
+  }
+
+  /** Reliability (calibration) table for the quality score squashed to
+    * a probability — per fixed-width probability bin: how confident the
+    * model was vs how often it was right, plus the per-bin Brier term —
+    * the diagram behind "is this filter's score a probability or just a
+    * ranking?". The squash is the ALGEBRAIC sigmoid p = ½ + ½·z/(1+|z|)
+    * with z = 4·(score − [[TextFns.QualityThreshold]]) — centered at
+    * the keep threshold so the table spans its bins, and +,·,/ only
+    * (bit-identical across engines, where exp() could differ in the
+    * last ulp and flip a round). p is then fixed to
+    * integer MICRO-units: every aggregate below is an exact integer sum
+    * (widened to decimal(38,0) for the squared Brier terms, the
+    * [[graft.queries.OlapQueries.qGini]] convention) with ONE final
+    * division per metric → bit-exact oracle. One projection + one
+    * 10-group aggregate: nothing here outgrows a dashboard at 100 TB. */
+  def qCalibration(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    scoredEn(s, d)
+      .withColumn(
+        "p_micro",
+        expr(
+          "CAST(round((0.5 + 0.5 * ((4.0 * (score - 0.7)) / (1.0 + abs(4.0 * (score - 0.7))))) * 1000000.0) AS BIGINT)"))
+      .withColumn("bin", least(expr("p_micro DIV 100000"), lit(9L)))
+      .withColumn("err", col("p_micro") - col("pos") * lit(1000000L))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("p_micro").as("spm"),
+        sum("pos").as("n_pos"),
+        sum(dec(col("err")) * col("err")).as("brier_num"))
+      .select(
+        col("bin"),
+        col("n_docs"),
+        round(col("spm").cast("double") / (col("n_docs") * lit(1000000.0d)), 6)
+          .as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("obs_rate"),
+        round(
+          col("brier_num").cast("double") /
+            (col("n_docs") * lit(1000000000000.0d)),
+          6).as("brier"))
+      .transform(graft.operators.SortUtil.sortSmall(_, col("bin")))
+  }
+
+  /** Language-ID confusion matrix: the [[qLangId]] heuristic's
+    * predictions crossed with the labeled `lang` column — per (actual,
+    * predicted) cell, the count and its share of the actual language's
+    * row (the recall diagonal and where the mass leaks when it misses)
+    * — the evaluation every classifier stage ships with. One projection
+    * pass, one cell-sized aggregate, per-actual totals via a broadcast
+    * — nothing corpus-shaped after the scan. */
+  def qLangidEval(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val pred = docs(s, d)
+      .select(col("lang"), col("text"), expr("graft_tokens(text)").as("t"))
+      .select(
+        col("lang").as("actual_lang"),
+        TextFns
+          .langIdFromCounts(
+            col("text"),
+            TextFns.markerCount(col("t"), TextFns.EnMarkers),
+            TextFns.markerCount(col("t"), TextFns.DeMarkers),
+            TextFns.markerCount(col("t"), TextFns.FrMarkers),
+            TextFns.markerCount(col("t"), TextFns.EsMarkers))
+          .as("pred_lang"))
+    val cells = pred
+      .groupBy("actual_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val totals =
+      cells.groupBy("actual_lang").agg(sum("n").as("n_actual"))
+    cells
+      .join(broadcast(totals), "actual_lang")
+      .select(
+        col("actual_lang"),
+        col("pred_lang"),
+        col("n"),
+        round(col("n").cast("double") / col("n_actual").cast("double"), 6)
+          .as("row_share"))
+      .transform(sortSmall(_, "actual_lang", "pred_lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> qAssetStats _,
     "q_doc_sample" -> qDocSample _,
@@ -1971,7 +2126,10 @@ object PipelineQueries {
     "q_source_report" -> qSourceReport _,
     "q_dedup_keep_best" -> qDedupKeepBest _,
     "q_quality_shrunk" -> qQualityShrunk _,
-    "q_dup_rate_by_source" -> qDupRateBySource _
+    "q_dup_rate_by_source" -> qDupRateBySource _,
+    "q_lift_table" -> qLiftTable _,
+    "q_calibration" -> qCalibration _,
+    "q_langid_eval" -> qLangidEval _
   )
 
   private def minhashCtes(x: String): String = {
@@ -2125,6 +2283,22 @@ object PipelineQueries {
        |GROUP BY doc_id HAVING count(*) >= $ContaminationMinShared
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Scored-corpus CTE fragment (`t`/`m`: pos = `lang = 'en'`, linear
+    * quality score) — the SQL twin of [[scoredEn]], shared by the
+    * filter-signal evaluation oracles (q_lift_table, q_calibration);
+    * q_score_auc predates it and inlines the same expressions. */
+  private def scoredEnCtes(): String =
+    s"""t AS (
+       |  SELECT lang, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+       |         round(1.2 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6)
+       |               + 0.8 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+       |               - 6.0 * round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6)
+       |               + 0.002 * CAST(len(toks) AS BIGINT), 4) AS score
+       |  FROM t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -3221,7 +3395,74 @@ object PipelineQueries {
          |SELECT source, n,
          |       round(CAST(sq AS DOUBLE) / 10000.0 / n, 6) AS raw_mean,
          |       round((CAST(sq AS DOUBLE) / 10000.0 + 50.0 * (CAST(sq_total AS DOUBLE) / 10000.0 / n_total)) / (n + 50.0), 6) AS shrunk_mean
-         |FROM w ORDER BY source""".stripMargin
+         |FROM w ORDER BY source""".stripMargin,
+    "q_lift_table" ->
+      s"""WITH ${scoredEnCtes()},
+         |g AS (
+         |  SELECT score, count(*) AS n_g, CAST(sum(pos) AS BIGINT) AS pos_g
+         |  FROM m GROUP BY score),
+         |cum AS (
+         |  SELECT *, n_g - pos_g AS neg_g,
+         |         COALESCE(CAST(SUM(n_g) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_n,
+         |         COALESCE(CAST(SUM(pos_g) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_pos
+         |  FROM g),
+         |tot AS (
+         |  SELECT CAST(sum(n_g) AS BIGINT) AS n_total, CAST(sum(pos_g) AS BIGINT) AS p_total
+         |  FROM g),
+         |dd AS (
+         |  SELECT CAST(decile AS BIGINT) AS decile,
+         |         CAST(n_total * decile // 10 AS BIGINT) AS depth, n_total, p_total
+         |  FROM (SELECT unnest(generate_series(1, 10)) AS decile), tot)
+        |SELECT decile, depth,
+        |       CAST(cum_pos + greatest(0, depth - cum_n - neg_g) AS BIGINT) AS captured_pos,
+        |       round(CAST(cum_pos + greatest(0, depth - cum_n - neg_g) AS DOUBLE) / CAST(p_total AS DOUBLE), 6) AS capture_rate,
+        |       round(CAST(CAST(cum_pos + greatest(0, depth - cum_n - neg_g) AS HUGEINT) * n_total AS DOUBLE) /
+        |             CAST(CAST(depth AS HUGEINT) * p_total AS DOUBLE), 6) AS lift
+        |FROM dd JOIN cum ON cum_n < depth AND depth <= cum_n + n_g
+        |ORDER BY decile""".stripMargin,
+    "q_calibration" ->
+      s"""WITH ${scoredEnCtes()},
+         |b AS (
+         |  SELECT pos,
+         |         CAST(round((0.5 + 0.5 * ((4.0 * (score - 0.7)) / (1.0 + abs(4.0 * (score - 0.7))))) * 1000000.0) AS BIGINT) AS p_micro
+         |  FROM m),
+         |c AS (
+         |  SELECT least(p_micro // 100000, 9) AS bin, count(*) AS n_docs,
+         |         CAST(sum(p_micro) AS BIGINT) AS spm,
+         |         CAST(sum(pos) AS BIGINT) AS n_pos,
+         |         sum(CAST(p_micro - pos * 1000000 AS HUGEINT) * (p_micro - pos * 1000000)) AS brier_num
+         |  FROM b GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_docs,
+        |       round(CAST(spm AS DOUBLE) / (n_docs * 1000000.0), 6) AS mean_pred,
+        |       round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS obs_rate,
+        |       round(CAST(brier_num AS DOUBLE) / (n_docs * 1000000000000.0), 6) AS brier
+        |FROM c ORDER BY bin""".stripMargin,
+    "q_langid_eval" ->
+      s"""WITH t AS (
+         |  SELECT lang, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT lang, text,
+         |         len(list_filter(toks, x -> list_contains([$enL], x))) AS en,
+         |         len(list_filter(toks, x -> list_contains([$deL], x))) AS de,
+         |         len(list_filter(toks, x -> list_contains([$frL], x))) AS fr,
+         |         len(list_filter(toks, x -> list_contains([$esL], x))) AS es
+         |  FROM t),
+         |p AS (
+         |  SELECT lang AS actual_lang,
+         |         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |              WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |              WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |              WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |              ELSE 'es' END AS pred_lang
+         |  FROM scored),
+         |cells AS (SELECT actual_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+         |tot AS (SELECT actual_lang, CAST(sum(n) AS BIGINT) AS n_actual FROM cells GROUP BY 1)
+        |SELECT actual_lang, pred_lang, n,
+        |       round(CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) AS row_share
+        |FROM cells JOIN tot USING (actual_lang)
+        |ORDER BY actual_lang, pred_lang""".stripMargin
   )
 
   /** BPE-training oracle: unrolled per-round CTEs mirroring

@@ -194,6 +194,74 @@ class OlapSpec extends SparkSpec {
     assert(bars((h9, "view")) == ((99.0, 99.0, 99.0, 99.0, 1L)))
   }
 
+  test("new vs returning: a user is new only on their first active day") {
+    val dir = writeEvents(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+      (2L, 1L, "2024-01-02 10:00:00", "view", 0.0), // u1 returns
+      (3L, 2L, "2024-01-02 10:00:00", "view", 0.0))) // u2 first seen day 2
+    val rows = OlapQueries.qNewReturning(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(rows.map(_._2).toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L)))
+  }
+
+  test("stickiness: trailing-28d MAU accumulates, DAU/MAU ratio follows") {
+    val dir = writeEvents(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+      (2L, 2L, "2024-01-02 10:00:00", "view", 0.0)))
+    val rows = OlapQueries.qStickiness(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day1: dau 1 / mau 1; day2: dau 1 (u2) / mau 2 (u1 still in window)
+    assert(rows.toSeq == Seq((1L, 1L, 1.0), (1L, 2L, 0.5)))
+  }
+
+  test("HHI: single-buyer segment scores 1.0, an even split scores 1/n") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    Seq(
+      (1L, 10L, 100.0), // MONO: one customer
+      (2L, 20L, 50.0), // DUO: two customers, even spend
+      (3L, 21L, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, "MONO"), (20L, "DUO"), (21L, "DUO"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val rows = OlapQueries.qHhi(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows("MONO") == ((1L, 100.0, 1.0, 1.0)))
+    assert(rows("DUO") == ((2L, 100.0, 0.5, 0.5)))
+  }
+
+  test("Holt tracks a perfectly linear daily series exactly") {
+    // one event on day d has daily count 1; counts 1,2,3,4 via repeats
+    val dir = writeEvents((1 to 4).flatMap(day =>
+      (1 to day).map(i =>
+        ((day * 10 + i).toLong, i.toLong,
+         f"2024-01-0$day 10:00:00", "view", 0.0))))
+    val r = OlapQueries.qHolt(spark, dir).collect().head
+    // x = 1,2,3,4: l2=2, b2=1, then l follows x exactly and b stays 1
+    assert(r.getLong(1) == 4L) // n_days
+    assert(r.getDouble(2) == 4.0) // level = last count
+    assert(r.getDouble(3) == 1.0) // trend = +1/day
+    assert(r.getDouble(4) == 11.0) // forecast: 4 + 7·1
+  }
+
+  test("audience overlap counts distinct co-active users per type pair") {
+    val dir = writeEvents(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a", 0.0),
+      (2L, 1L, "2024-01-01 11:00:00", "b", 0.0), // u1 does both
+      (3L, 1L, "2024-01-01 12:00:00", "a", 0.0), // repeat must not double-count
+      (4L, 2L, "2024-01-01 10:00:00", "a", 0.0),
+      (5L, 3L, "2024-01-01 10:00:00", "b", 0.0)))
+    val r = OlapQueries.qAudienceOverlap(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1)) == (("a", "b")))
+    assert((row.getLong(2), row.getLong(3), row.getLong(4)) == ((2L, 2L, 1L)))
+    assert(row.getDouble(5) == 0.333333) // jaccard 1/3
+    assert(row.getDouble(6) == 0.5) // overlap coefficient
+  }
+
   test("TWAP weights by holding time, drops the last observation") {
     val dir = writeEvents(Seq(
       // user 1: value 10 held 1h, value 100 held 3h, final 0 dropped

@@ -545,4 +545,59 @@ class PipelineSpec extends SparkSpec {
     assert(m(4L) == ((0L, 0L, 4L, "none")))
     assert(m(5L) == ((2L, 2L, 0L, "latin"))) // tie breaks to the earlier class
   }
+
+  /** 10 docs where the score separates perfectly: 5 English all-stopword
+    * docs (high score, distinct per doc), 5 punct-heavy German docs
+    * (strongly negative score, distinct per doc). */
+  private def writeScoredCorpus(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scored").toString
+    val pos = (5 to 9).map(i =>
+      (i.toLong, ("the and is of to " * i).trim, "en", "s", 0L))
+    val neg = (5 to 9).map(j =>
+      ((10 + j).toLong, ("%%% " * j).trim, "de", "s", 0L))
+    (pos ++ neg)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("lift table: a perfectly separating score captures all positives by depth 5 at lift 2") {
+    val dir = writeScoredCorpus()
+    val rows = PipelineQueries.qLiftTable(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.size == 10)
+    assert(rows(1L) == ((1L, 1L, 0.2, 2.0))) // top decile: 1 of 5 positives
+    assert(rows(5L) == ((5L, 5L, 1.0, 2.0))) // all positives by half depth
+    assert(rows(6L)._3 == 1.0 && rows(6L)._4 < 2.0) // capture saturates, lift decays
+    assert(rows(10L) == ((10L, 5L, 1.0, 1.0))) // full depth = base rate
+  }
+
+  test("calibration: separated classes land in opposite bins with exact observed rates") {
+    val dir = writeScoredCorpus()
+    val rows = PipelineQueries.qCalibration(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    // negative scores squash toward p≈0 (bin 0), positives toward p≈0.87 (bin 8)
+    assert(rows.keySet == Set(0L, 8L))
+    assert(rows(0L) == ((5L, 0.0)))
+    assert(rows(8L) == ((5L, 1.0)))
+  }
+
+  test("langid eval: diagonal hits and mass leaking to a wrong language, with row shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-langeval").toString
+    Seq(
+      (1L, "the and is of to", "en", "s", 0L), // predicted en: diagonal
+      (2L, "le les des est une", "en", "s", 0L), // labeled en, predicted fr
+      (3L, "und der die das nicht", "de", "s", 0L)) // diagonal de
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val cells = PipelineQueries.qLangidEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(cells == Map(
+      ("de", "de") -> ((1L, 1.0)),
+      ("en", "en") -> ((1L, 0.5)),
+      ("en", "fr") -> ((1L, 0.5))))
+  }
 }
