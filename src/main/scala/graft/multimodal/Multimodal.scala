@@ -51,6 +51,26 @@ object Multimodal {
       bytes_len: Long,
       content_digest: String)
 
+  /** 64-bit perceptual fingerprints of the decoded pixels: `ahash`
+    * (mean-threshold of an 8×8 gray thumbnail) and `dhash` (horizontal
+    * gradient signs of a 9×8 one) — the standard cheap image near-dup
+    * signatures (re-encode-, resize- and small-edit-stable, unlike a
+    * byte or pixel digest). */
+  final case class PerceptualHash(asset_id: Long, ahash: Long, dhash: Long)
+
+  /** Sample-level audio profile: loudness + silence structure — the
+    * trim/filter signals an audio-training pipeline gates on. */
+  final case class AudioProfile(
+      asset_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      peak: Int, // max |sample| over all channels (16-bit scale)
+      rms: Double, // root-mean-square over all samples
+      lead_silence_ms: Long,
+      trail_silence_ms: Long,
+      silence_ratio: Double) // fraction of frames below threshold
+
   /** The codec seam: everything downstream is identical whichever
     * implementation sits here. Must be Serializable — instances are
     * closed over by `mapPartitions` tasks. */
@@ -59,6 +79,8 @@ object Multimodal {
     def sampleFrames(a: Asset, everyN: Int): Iterator[Frame]
     def decodeAudio(a: Asset): AudioFeatures
     def resizeImage(a: Asset, w: Int, h: Int): Asset
+    def perceptualHash(a: Asset): PerceptualHash
+    def audioProfile(a: Asset): AudioProfile
 
     protected def digest(bytes: Array[Byte]): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -158,6 +180,136 @@ object Multimodal {
       } finally ais.close()
     }
 
+    /** Gray thumbnail of the decoded image: bilinear downscale to
+      * (w, h), integer ITU-R 601 luma per cell. */
+    private def grayGrid(
+        src: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
+      val small = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      small.getRGB(0, 0, w, h, null, 0, w).map { rgb =>
+        val r = (rgb >> 16) & 0xff
+        val gg = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        (299 * r + 587 * gg + 114 * b) / 1000
+      }
+    }
+
+    /** aHash (8×8 mean threshold) + dHash (9×8 horizontal gradient) of
+      * the decoded pixels. Integer luma and strict `>` comparisons keep
+      * the bits deterministic; both survive re-encoding and mild edits,
+      * which a pixel digest by construction cannot. */
+    def perceptualHash(a: Asset): PerceptualHash = {
+      val img = readImage(a)
+      val g8 = grayGrid(img, 8, 8)
+      val mean = g8.map(_.toLong).sum / 64
+      var ah = 0L
+      var i = 0
+      while (i < 64) { if (g8(i) > mean) ah |= (1L << i); i += 1 }
+      val g9 = grayGrid(img, 9, 8)
+      var dh = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g9(y * 9 + x + 1) > g9(y * 9 + x)) dh |= (1L << (y * 8 + x))
+          x += 1
+        }
+        y += 1
+      }
+      PerceptualHash(a.asset_id, ah, dh)
+    }
+
+    /** |sample| below this counts as silence (~ −36 dBFS on the 16-bit
+      * scale) — the standard speech-trim default. */
+    val SilenceThreshold = 512
+
+    /** Streams the decoded PCM once: peak, RMS, leading/trailing
+      * silence, silent-frame ratio. Non-16-bit/big-endian inputs are
+      * transcoded through AudioSystem's converter first, so the math is
+      * always on signed 16-bit little-endian frames. Accumulators are
+      * longs (sample² ≤ 2³⁰ — a day of 48 kHz stereo stays < 2⁶³). */
+    def audioProfile(a: Asset): AudioProfile = {
+      val raw =
+        try javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(a.content))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"asset ${a.asset_id}: undecodable audio payload", e)
+        }
+      val want = new javax.sound.sampled.AudioFormat(
+        raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+        true, false)
+      val ais =
+        if (raw.getFormat.matches(want)) raw
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(want, raw)
+      try {
+        val channels = want.getChannels
+        val frameBytes = channels * 2
+        val buf = new Array[Byte](frameBytes * 4096)
+        var nFrames = 0L
+        var peak = 0
+        var sumSq = 0L
+        var nSamples = 0L
+        var firstLoud = -1L
+        var lastLoud = -1L
+        var silentFrames = 0L
+        var read = ais.read(buf)
+        while (read > 0) {
+          var off = 0
+          while (off + frameBytes <= read) {
+            var c = 0
+            var frameMax = 0
+            while (c < channels) {
+              val lo = buf(off + c * 2) & 0xff
+              val hi = buf(off + c * 2 + 1)
+              val s = (hi << 8) | lo
+              val abs = math.abs(s)
+              if (abs > peak) peak = abs
+              if (abs > frameMax) frameMax = abs
+              sumSq += s.toLong * s
+              nSamples += 1
+              c += 1
+            }
+            if (frameMax <= SilenceThreshold) silentFrames += 1
+            else {
+              if (firstLoud < 0) firstLoud = nFrames
+              lastLoud = nFrames
+            }
+            nFrames += 1
+            off += frameBytes
+          }
+          read = ais.read(buf)
+        }
+        val rate = want.getSampleRate.toDouble
+        val (leadMs, trailMs) =
+          if (firstLoud < 0) ((nFrames * 1000.0 / rate).toLong, 0L)
+          else (
+            (firstLoud * 1000.0 / rate).toLong,
+            ((nFrames - 1 - lastLoud) * 1000.0 / rate).toLong)
+        AudioProfile(
+          a.asset_id,
+          want.getSampleRate.toInt,
+          channels,
+          nFrames,
+          peak,
+          rms =
+            if (nSamples == 0) 0.0
+            else math.sqrt(sumSq.toDouble / nSamples),
+          lead_silence_ms = leadMs,
+          trail_silence_ms = trailMs,
+          silence_ratio =
+            if (nFrames == 0) 0.0 else silentFrames.toDouble / nFrames)
+      } finally { ais.close(); raw.close() }
+    }
+
     /** Bilinear resize via Graphics2D, re-encoded as PNG. */
     def resizeImage(a: Asset, w: Int, h: Int): Asset = {
       val src = readImage(a)
@@ -210,6 +362,30 @@ object Multimodal {
         duration_ms = a.content.length.toLong * 1000 / (rate.toLong * channels * 2),
         bytes_len = a.content.length.toLong,
         content_digest = d)
+    }
+
+    /** Pseudo perceptual hash from the byte digest: equal payloads get
+      * equal hashes (so the banding/verify plumbing is exercised), but
+      * there is no pixel notion to be edit-stable over. */
+    def perceptualHash(a: Asset): PerceptualHash = {
+      val d = digest(a.content)
+      PerceptualHash(
+        a.asset_id,
+        java.lang.Long.parseUnsignedLong(d.substring(0, 16), 16),
+        java.lang.Long.parseUnsignedLong(d.substring(16, 32), 16))
+    }
+
+    /** Pseudo audio profile consistent with [[decodeAudio]]'s fake
+      * format fields. */
+    def audioProfile(a: Asset): AudioProfile = {
+      val f = decodeAudio(a)
+      val nFrames = f.duration_ms * f.sample_rate / 1000
+      val d = digest(a.content)
+      val peak = 1 + (java.lang.Long.parseLong(d.substring(6, 10), 16) % 32767).toInt
+      AudioProfile(
+        a.asset_id, f.sample_rate, f.channels, nFrames, peak,
+        rms = peak / math.sqrt(2.0), // sine-wave convention
+        lead_silence_ms = 0L, trail_silence_ms = 0L, silence_ratio = 0.0)
     }
 
     /** Deterministically truncates the payload proportionally to the
@@ -291,6 +467,77 @@ object Multimodal {
     assets
       .filter(_.kind == "image")
       .mapPartitions(it => it.map(codec.resizeImage(_, w, h)))
+  }
+
+  /** Partition-local perceptual hashing — same shape as
+    * [[decodeImages]]. */
+  def perceptualHashes(
+      assets: Dataset[Asset],
+      codec: MediaCodec = StubCodec): Dataset[PerceptualHash] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(_.kind == "image")
+      .mapPartitions(it => it.map(codec.perceptualHash))
+  }
+
+  /** How many of the 8 byte-bands of `dhash` the pigeonhole join splits
+    * into: pairs within hamming ≤ 7 ALWAYS share a band (8 bands can
+    * absorb at most 7 differing bits without one being clean). */
+  val PHashBands = 8
+
+  /** Image near-dup pairs by perceptual hash: decode+hash once
+    * (partition-local codec), then the SAME banded pigeonhole shape as
+    * the SimHash text path — each 64-bit dhash splits into 8 byte
+    * bands, candidates must share (band_index, band_value), and a
+    * `bit_count(a XOR b)` verify keeps true near-dups. Lossless for
+    * `maxHamming` ≤ 7; candidates are bucket-bounded, never
+    * all-pairs. Returns (a_id, b_id, dhash_dist, ahash_dist). */
+  def imageNearDups(
+      assets: Dataset[Asset],
+      codec: MediaCodec = StubCodec,
+      maxHamming: Int = 6): DataFrame = {
+    require(
+      maxHamming < PHashBands,
+      s"pigeonhole with $PHashBands bands is lossless only below $PHashBands")
+    val h = perceptualHashes(assets, codec).toDF()
+    val bands = h
+      .select(
+        col("asset_id"),
+        col("ahash"),
+        col("dhash"),
+        explode(sequence(lit(0), lit(PHashBands - 1))).as("band"))
+      .withColumn(
+        "band_val",
+        expr("shiftright(dhash, CAST(band * 8 AS INT)) & 255"))
+    val a = bands.select(
+      col("band"), col("band_val"),
+      col("asset_id").as("a_id"), col("ahash").as("a_ahash"),
+      col("dhash").as("a_dhash"))
+    val b = bands.select(
+      col("band"), col("band_val"),
+      col("asset_id").as("b_id"), col("ahash").as("b_ahash"),
+      col("dhash").as("b_dhash"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        bit_count(col("a_dhash").bitwiseXOR(col("b_dhash"))).cast("int")
+          .as("dhash_dist"),
+        bit_count(col("a_ahash").bitwiseXOR(col("b_ahash"))).cast("int")
+          .as("ahash_dist"))
+      .distinct() // a pair may share several bands
+      .filter(col("dhash_dist") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Partition-local audio profiling — same shape as [[decodeAudio]]. */
+  def audioProfiles(
+      assets: Dataset[Asset],
+      codec: MediaCodec = StubCodec): Dataset[AudioProfile] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(_.kind == "audio")
+      .mapPartitions(it => it.map(codec.audioProfile))
   }
 
   /** Column-only metadata path (no codec): digest + size per asset —

@@ -56,4 +56,25 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(stats.map(_.getLong(1)).sum == assets.count())
   }
+
+  test("imageNearDups plumbing over the stub codec: equal payloads pair at distance 0") {
+    import spark.implicits._
+    val base = assets.filter(_.kind == "image").head()
+    val trio = spark.createDataset(Seq(
+      base.copy(asset_id = 1L),
+      base.copy(asset_id = 2L), // same bytes -> same stub hash
+      base.copy(asset_id = 3L, content = base.content :+ 0x7f.toByte)))
+    val pairs = Multimodal.imageNearDups(trio).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getInt(2) == 0 && r.getInt(3) == 0)
+  }
+
+  test("audioProfiles runs the stub codec over audio assets only") {
+    val profiles = Multimodal.audioProfiles(assets).collect()
+    assert(profiles.length == assets.filter(_.kind == "audio").count())
+    assert(profiles.forall(p => p.peak >= 1 && p.rms > 0.0))
+    assert(profiles.forall(p => p.rms <= p.peak.toDouble))
+  }
 }
