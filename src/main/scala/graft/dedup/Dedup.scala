@@ -834,6 +834,48 @@ object Dedup {
     ranks.select(col("src").as("doc_id"), col("deg"), col("pr"))
   }
 
+  /** Multi-source BFS over the undirected pair graph: minimum hop
+    * distance from any seed node, capped at `maxHops` (the "blast
+    * radius" query — which docs sit within k dedup-edges of a flagged
+    * set; also the contamination-spread primitive when seeds are
+    * benchmark-matched docs).
+    *
+    * Level-synchronous frontier expansion: `maxHops` rounds of
+    * (frontier ⋈ edges) minus already-visited — each round is one
+    * node-key shuffle join + an anti-join, frontiers only shrink the
+    * unvisited set, and a node's recorded dist is its FIRST (= minimum)
+    * reach round, so no min-aggregate is ever needed. Edges and each
+    * round's outputs are materialized (every round consumes them
+    * twice: expansion + visited-set exclusion); all joins are on node
+    * keys — never quadratic in nodes. Isolated seeds still report
+    * dist 0 (they are in the answer set by definition). */
+  def bfsDistances(pairs: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val edges = pairs
+      .select(
+        explode(
+          array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .transform(Materialize.cut)
+    var visited = seeds
+      .select(col("doc_id").as("id"), lit(0L).as("dist"))
+      .transform(Materialize.cut)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = frontier
+        .join(edges.hint("shuffle_hash"), col("id") === col("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("dist"))
+        .transform(Materialize.cut)
+      visited = visited.unionByName(next).transform(Materialize.cut)
+      frontier = next
+    }
+    visited.select(col("id").as("doc_id"), col("dist"))
+  }
+
   /** Asymmetric containment search: pairs where
     * `|A∩B| / |A| ≥ threshold` — the "small doc swallowed by a big
     * doc" shape Jaccard-based dedup structurally misses (a 50-shingle

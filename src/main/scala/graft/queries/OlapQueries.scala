@@ -2104,6 +2104,209 @@ object OlapQueries {
       .transform(sortSmall(_, col("type_a"), col("type_b")))
   }
 
+  /** Step timeout of the time-constrained funnel — 1 h between
+    * consecutive stages (the CEP "within" clause). */
+  val FunnelStepUs = 3600000000L
+
+  /** Time-constrained conversion funnel (CEP pattern match): users who
+    * completed view → click → purchase with EACH step within 1 h of the
+    * previous one, earliest-completion semantics (first view; first
+    * click after it inside the window; first purchase after that click
+    * inside the window). Unlike [[qFunnel]] (order-only), a stage that
+    * arrives late kills the chain — the "within" clause of
+    * CEP engines. Three chained full-partition window minima over ONE
+    * (user_id) partitioning = a single exchange; the per-user chain
+    * collapses via the same-key groupBy (no second shuffle), and the
+    * stage table is integer-exact. */
+  def qFunnelWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn(
+        "v_ts",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn(
+        "c_ts",
+        min(
+          when(
+            col("event_type") === "click" && col("ts_us") > col("v_ts") &&
+              col("ts_us") - col("v_ts") <= FunnelStepUs,
+            col("ts_us"))).over(w))
+      .withColumn(
+        "p_ts",
+        min(
+          when(
+            col("event_type") === "purchase" && col("ts_us") > col("c_ts") &&
+              col("ts_us") - col("c_ts") <= FunnelStepUs,
+            col("ts_us"))).over(w))
+      .groupBy("user_id")
+      .agg(max("v_ts").as("v"), max("c_ts").as("c"), max("p_ts").as("p"))
+    val agg = perUser.agg(
+      sum(col("v").isNotNull.cast("long")).as("n_view"),
+      sum(col("c").isNotNull.cast("long")).as("n_click_1h"),
+      sum(col("p").isNotNull.cast("long")).as("n_purchase_1h"))
+    agg.select(
+      expr(
+        "stack(3, '1_view', n_view, n_view," +
+          " '2_click_1h', n_click_1h, n_view," +
+          " '3_purchase_1h', n_purchase_1h, n_click_1h)")
+        .as(Seq("stage", "n_users", "prev_users")))
+      .select(
+        col("stage"),
+        col("n_users"),
+        round(
+          when(col("prev_users") > 0,
+            col("n_users").cast("double") / col("prev_users")),
+          6).as("conv_from_prev"))
+      .transform(sortSmall(_, col("stage")))
+  }
+
+  private val WeekDays = 7L
+
+  /** Week-over-week revenue growth: weekly order revenue (exact integer
+    * cents), WoW delta %, and the trailing-4-week moving average — the
+    * standard BI growth panel. One aggregate over orders; the lag/avg
+    * windows run over the week-count-bounded statistic table (a
+    * calendar of weeks, never raw orders). */
+  def qWowGrowth(s: SparkSession, d: String): DataFrame = {
+    val weekly = t(s, d, "orders")
+      .groupBy(
+        expr(
+          s"(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $DayUs) DIV $WeekDays")
+          .as("week"))
+      .agg(
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val byWeek = Window.orderBy("week")
+    val ma4 = byWeek.rowsBetween(-3, Window.currentRow)
+    weekly
+      .withColumn("prev_cents", lag("cents", 1).over(byWeek))
+      .withColumn("ma4_sum", sum("cents").over(ma4))
+      .withColumn("ma4_n", count(lit(1)).over(ma4))
+      .select(
+        (col("week") * WeekDays * DayUs).as("week_us"),
+        col("n_orders"),
+        (col("cents").cast("double") / 100.0d).as("revenue"),
+        round(
+          when(
+            col("prev_cents") > 0,
+            (col("cents") - col("prev_cents")).cast("double") /
+              col("prev_cents").cast("double")),
+          6).as("wow_growth"),
+        round(
+          col("ma4_sum").cast("double") /
+            (lit(100.0d) * col("ma4_n").cast("double")),
+          4).as("revenue_ma4"))
+      .orderBy("week_us")
+  }
+
+  /** Cohort LTV curves: customers cohorted by their FIRST order week;
+    * for each (cohort, age-in-weeks) the period revenue, the cumulative
+    * revenue, and cumulative LTV per cohort member — the payback table
+    * under every acquisition-spend decision. Per-customer first week is
+    * one (custkey) aggregate joined back on the same key
+    * (shuffle_hash — both sides customer-sized); the cumulative window
+    * runs per cohort over age-bounded rows. Revenue is exact integer
+    * cents until the final division. */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+      .select(
+        col("o_custkey"),
+        expr(
+          s"(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $DayUs) DIV $WeekDays")
+          .as("week"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .transform(graft.operators.Materialize.cut)
+    val cohorts =
+      orders.groupBy("o_custkey").agg(min("week").as("cohort_week"))
+    val cohortSize = cohorts
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cum = Window
+      .partitionBy("cohort_week")
+      .orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .join(cohorts.hint("shuffle_hash"), "o_custkey")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_week"))
+      .agg(sum("cents").as("period_cents"))
+      .withColumn("cum_cents", sum("period_cents").over(cum))
+      .join(broadcast(cohortSize), "cohort_week")
+      .select(
+        (col("cohort_week") * WeekDays * DayUs).as("cohort_week_us"),
+        col("age_week"),
+        col("cohort_users"),
+        (col("period_cents").cast("double") / 100.0d).as("period_revenue"),
+        (col("cum_cents").cast("double") / 100.0d).as("cum_revenue"),
+        // explicit floor(x+0.5) tie rule: round() half-tie handling
+        // differs across engines exactly when cents/users lands on a
+        // 10⁻⁴ boundary (it did, at sf0.01 row 327)
+        (floor(
+          (col("cum_cents") * 100L).cast("double") /
+            col("cohort_users").cast("double") + 0.5d)
+          / 10000.0d).as("ltv_per_user"))
+      .orderBy("cohort_week_us", "age_week")
+  }
+
+  /** Additive seasonal decomposition of the daily event count
+    * (STL-lite): trend = centered 7-day moving average (defined only
+    * where the full window exists), seasonal = mean detrended value per
+    * day-of-week, residual = detrended − seasonal. The
+    * trend/seasonality/anomaly split behind every traffic dashboard —
+    * [[qSeasonality]] fingerprints the cycle, this SEPARATES it from
+    * growth and noise.
+    *
+    * Exactness: detrended·7 = 7·count − Σ₇counts is an exact int64, so
+    * trend, seasonal and residual are each ONE division (or one
+    * fixed-order subtraction of two divisions) of exact integers —
+    * engine-deterministic before the explicit floor(x·10⁴+0.5) tie
+    * rule (round()'s half-tie handling is the one thing the engines do
+    * differently). The day grid is dense (missing days = 0) so the
+    * moving frame is truly 7 CALENDAR days. All windows run over the
+    * day-count-bounded statistic table — never raw events. */
+  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables
+      .events(s, d)
+      .groupBy(expr(s"ts_us DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .transform(graft.operators.Materialize.cut)
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val r4 = (c: Column) => floor(c * 10000.0d + 0.5d) / 10000.0d
+    val det = dense
+      .withColumn("sum7", sum("n_events").over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn(
+        "det7",
+        when(col("n7") === 7, col("n_events") * 7L - col("sum7")))
+      .withColumn("dow", (col("day") + 4L) % 7L)
+    val seasonal = det
+      .filter(col("det7").isNotNull)
+      .groupBy("dow")
+      .agg(sum("det7").as("s_sum"), count(lit(1)).as("s_n"))
+    det
+      .join(broadcast(seasonal), Seq("dow"), "left")
+      .select(
+        (col("day") * DayUs).as("day_us"),
+        col("dow"),
+        col("n_events"),
+        r4(
+          when(col("n7") === 7, col("sum7").cast("double") / 7.0d))
+          .as("trend"),
+        r4(col("s_sum").cast("double") / (lit(7.0d) * col("s_n").cast("double")))
+          .as("seasonal"),
+        r4(
+          col("det7").cast("double") / 7.0d -
+            col("s_sum").cast("double") / (lit(7.0d) * col("s_n").cast("double")))
+          .as("residual"))
+      .orderBy("day_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -2179,7 +2382,11 @@ object OlapQueries {
     "q_stickiness" -> qStickiness _,
     "q_hhi" -> qHhi _,
     "q_holt" -> qHolt _,
-    "q_audience_overlap" -> qAudienceOverlap _
+    "q_audience_overlap" -> qAudienceOverlap _,
+    "q_funnel_window" -> qFunnelWindow _,
+    "q_wow_growth" -> qWowGrowth _,
+    "q_cohort_ltv" -> qCohortLtv _,
+    "q_seasonal_decompose" -> qSeasonalDecompose _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3238,6 +3445,119 @@ object OlapQueries {
         |       round(CAST(n_both AS DOUBLE) / CAST(least(ta.n, tb.n) AS DOUBLE), 6) AS overlap_coef
         |FROM p JOIN tot ta ON p.type_a = ta.event_type
         |       JOIN tot tb ON p.type_b = tb.event_type
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_funnel_window" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         |w1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+         |              OVER (PARTITION BY user_id) AS v_ts
+         |  FROM ev),
+         |w2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > v_ts
+         |                      AND ts_us - v_ts <= $FunnelStepUs THEN ts_us END)
+         |              OVER (PARTITION BY user_id) AS c_ts
+         |  FROM w1),
+         |w3 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > c_ts
+         |                      AND ts_us - c_ts <= $FunnelStepUs THEN ts_us END)
+         |              OVER (PARTITION BY user_id) AS p_ts
+         |  FROM w2),
+         |pu AS (
+         |  SELECT user_id, max(v_ts) AS v, max(c_ts) AS c, max(p_ts) AS p
+         |  FROM w3 GROUP BY user_id),
+         |agg AS (
+         |  SELECT CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         |         CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_1h,
+         |         CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_1h
+         |  FROM pu),
+         |st AS (
+         |  SELECT '1_view' AS stage, n_view AS n_users, n_view AS prev_users FROM agg
+         |  UNION ALL
+         |  SELECT '2_click_1h', n_click_1h, n_view FROM agg
+         |  UNION ALL
+         |  SELECT '3_purchase_1h', n_purchase_1h, n_click_1h FROM agg)
+         |SELECT stage, n_users,
+         |       round(CASE WHEN prev_users > 0
+         |                  THEN CAST(n_users AS DOUBLE) / CAST(prev_users AS DOUBLE) END,
+         |             6) AS conv_from_prev
+         |FROM st
+         |ORDER BY stage""".stripMargin,
+    "q_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT (epoch_us(o_orderdate) // 86400000000) // 7 AS week,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |         lag(cents) OVER (ORDER BY week) AS prev_cents,
+        |         CAST(sum(cents) OVER (ORDER BY week ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma4_sum,
+        |         count(*) OVER (ORDER BY week ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4_n
+        |  FROM weekly)
+        |SELECT week * 7 * 86400000000 AS week_us,
+        |       n_orders,
+        |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       round(CASE WHEN prev_cents > 0
+        |                  THEN CAST(cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE) END,
+        |             6) AS wow_growth,
+        |       round(CAST(ma4_sum AS DOUBLE) / (100.0 * CAST(ma4_n AS DOUBLE)), 4) AS revenue_ma4
+        |FROM w
+        |ORDER BY week_us""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         (epoch_us(o_orderdate) // 86400000000) // 7 AS week,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cohorts AS (SELECT o_custkey, min(week) AS cohort_week FROM o GROUP BY 1),
+        |size_ AS (SELECT cohort_week, count(*) AS cohort_users FROM cohorts GROUP BY 1),
+        |per AS (
+        |  SELECT cohort_week, week - cohort_week AS age_week,
+        |         CAST(sum(cents) AS BIGINT) AS period_cents
+        |  FROM o JOIN cohorts USING (o_custkey)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, CAST(sum(period_cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM per)
+        |SELECT cohort_week * 7 * 86400000000 AS cohort_week_us,
+        |       age_week,
+        |       cohort_users,
+        |       CAST(period_cents AS DOUBLE) / 100.0 AS period_revenue,
+        |       CAST(cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+        |       floor(CAST(cum_cents * 100 AS DOUBLE) / CAST(cohort_users AS DOUBLE) + 0.5) / 10000.0 AS ltv_per_user
+        |FROM cum JOIN size_ USING (cohort_week)
+        |ORDER BY cohort_week_us, age_week""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |dense AS (
+        |  SELECT g.day, CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) g
+        |  LEFT JOIN daily ON g.day = daily.day),
+        |w AS (
+        |  SELECT *,
+        |         CAST(sum(n_events) OVER win AS BIGINT) AS sum7,
+        |         count(*) OVER win AS n7,
+        |         (day + 4) % 7 AS dow
+        |  FROM dense
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT *, CASE WHEN n7 = 7 THEN n_events * 7 - sum7 END AS det7 FROM w),
+        |seas AS (
+        |  SELECT dow, CAST(sum(det7) AS BIGINT) AS s_sum, count(*) AS s_n
+        |  FROM det WHERE det7 IS NOT NULL GROUP BY dow)
+        |SELECT day * 86400000000 AS day_us,
+        |       dow,
+        |       n_events,
+        |       floor(CASE WHEN n7 = 7 THEN CAST(sum7 AS DOUBLE) / 7.0 END * 10000.0 + 0.5) / 10000.0 AS trend,
+        |       floor(CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS seasonal,
+        |       floor((CAST(det7 AS DOUBLE) / 7.0 - CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS residual
+        |FROM det LEFT JOIN seas USING (dow)
+        |ORDER BY day_us""".stripMargin
   )
 }

@@ -507,6 +507,86 @@ object PipelineQueries {
         max("val").as("max_val"))
       .orderBy("column_name")
 
+  /** Data-quality expectation suite (the dbt-test / Great-Expectations
+    * gate): a fixed rule catalog — range, positivity, non-null,
+    * accepted-values, key-uniqueness — evaluated across five tables in
+    * ONE aggregate scan per table, each scan folding all of its rules
+    * into conditional sums before a `stack` explodes them to rule rows.
+    * The output is the pipeline's go/no-go table: rows-checked,
+    * violations, pass bit per rule. Integer-exact; violations are
+    * REPORTED, not asserted (a failing rule is a red row, not a crashed
+    * job). */
+  def qExpectations(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Tables
+    val li = Tables(s, d, "lineitem")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END"))
+          .as("v1"),
+        sum(expr("CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END"))
+          .as("v2"))
+      .select(expr(
+        """stack(2,
+          |  'lineitem', 'l_quantity_in_1_50', n, v1,
+          |  'lineitem', 'l_extendedprice_positive', n, v2)
+          |  AS (table_name, rule, n_rows, n_violations)""".stripMargin))
+    val ord = Tables(s, d, "orders")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END"))
+          .as("v1"),
+        sum(expr(
+          "CASE WHEN NOT (o_orderdate BETWEEN TIMESTAMP '1992-01-01 00:00:00'" +
+            " AND TIMESTAMP '2000-12-31 00:00:00') THEN 1 ELSE 0 END")).as("v2"))
+      .select(expr(
+        """stack(2,
+          |  'orders', 'o_totalprice_positive', n, v1,
+          |  'orders', 'o_orderdate_in_range', n, v2)
+          |  AS (table_name, rule, n_rows, n_violations)""".stripMargin))
+    val cust = Tables(s, d, "customer")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("v1"))
+      .select(expr(
+        """stack(1, 'customer', 'c_custkey_unique', n, v1)
+          |  AS (table_name, rule, n_rows, n_violations)""".stripMargin))
+    val ev = Tables(s, d, "events")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CASE WHEN ts IS NULL THEN 1 ELSE 0 END")).as("v1"),
+        sum(expr("CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END")).as("v2"))
+      .select(expr(
+        """stack(2,
+          |  'events', 'ts_not_null', n, v1,
+          |  'events', 'value_positive', n, v2)
+          |  AS (table_name, rule, n_rows, n_violations)""".stripMargin))
+    val dc = docs(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr(
+          "CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END"))
+          .as("v1"),
+        sum(expr(
+          "CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END"))
+          .as("v2"))
+      .select(expr(
+        """stack(2,
+          |  'documents', 'text_nonempty', n, v1,
+          |  'documents', 'lang_accepted', n, v2)
+          |  AS (table_name, rule, n_rows, n_violations)""".stripMargin))
+    li.unionByName(ord)
+      .unionByName(cust)
+      .unionByName(ev)
+      .unionByName(dc)
+      .select(
+        col("table_name"),
+        col("rule"),
+        col("n_rows"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .transform(sortSmall(_, "table_name", "rule"))
+  }
+
   /** Pairwise vocabulary Jaccard between sources — the corpus-
     * comparison view ("how much does crawl A share with crawl B").
     * Candidates come from a token-key equi-join of the per-source
@@ -905,6 +985,80 @@ object PipelineQueries {
       .transform(
         graft.operators.SortUtil
           .sortSmall(_, col("n_triangles").desc, col("doc_id")))
+
+  val BfsHops = 3
+
+  /** Hop distances from a seed set over the near-dup graph (see
+    * [[Dedup.bfsDistances]] — level-synchronous multi-source BFS): the
+    * "blast radius" of a flagged-document set through duplicate edges,
+    * capped at [[BfsHops]]. Seeds here are the fixed doc_id % 10 rule
+    * so both engines pick the identical set without any exchange. */
+  def qGraphBfs(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    Dedup
+      .bfsDistances(
+        Dedup.minhashLsh(
+          dd,
+          k = 3,
+          numHashes = MinhashSeeds,
+          bands = MinhashBands,
+          threshold = 0.8),
+        dd.select("doc_id").filter(col("doc_id") % 10 === 0),
+        maxHops = BfsHops)
+      .orderBy("doc_id")
+  }
+
+  /** Informative-Dirichlet prior mass for the log-odds statistic (the
+    * Monroe et al. "fightin' words" α₀) — spread over tokens
+    * proportionally to their corpus frequency. */
+  val LogOddsPriorA0 = 1000.0
+  val DistinctiveTopK = 5
+
+  /** Distinctive vocabulary per source — the z-scored log-odds-ratio
+    * with an informative Dirichlet prior (Monroe/Colaresi/Quinn): for
+    * each (source, token), the log-odds of the token in that source vs
+    * the REST of the corpus, shrunk toward the corpus distribution by
+    * a frequency-proportional prior and normalized by its estimated
+    * variance. Unlike TF-IDF ([[qTfidfTerms]]), rare-token noise is
+    * suppressed by the prior and common-but-skewed tokens surface.
+    * Ranking runs on the ROUNDED z (tie-broken by token) so the top-k
+    * cut is engine-stable. Scale shape: one token-explode aggregate;
+    * per-token corpus counts join on the token key (shuffle_hash);
+    * per-source totals and the one-row corpus total broadcast. */
+  def qDistinctiveTerms(s: SparkSession, d: String): DataFrame = {
+    val ySi = docs(s, d)
+      .select(
+        col("source"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("y_si"))
+      .transform(graft.operators.Materialize.cut)
+    val yI = ySi.groupBy("tok").agg(sum("y_si").as("y_i"))
+    val nS = ySi.groupBy("source").agg(sum("y_si").as("n_s"))
+    val nTot = ySi.agg(sum("y_si").as("n"))
+    val a0 = lit(LogOddsPriorA0)
+    val ai = col("y_i").cast("double") * a0 / col("n").cast("double")
+    val ysi = col("y_si").cast("double")
+    val yri = (col("y_i") - col("y_si")).cast("double")
+    val ns = col("n_s").cast("double")
+    val nr = (col("n") - col("n_s")).cast("double")
+    val delta =
+      log((ysi + ai) / (ns + a0 - ysi - ai)) -
+        log((yri + ai) / (nr + a0 - yri - ai))
+    val z = delta / sqrt(lit(1.0) / (ysi + ai) + lit(1.0) / (yri + ai))
+    val w = Window.partitionBy("source").orderBy(col("z").desc, col("tok"))
+    ySi
+      .join(yI.hint("shuffle_hash"), "tok")
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(nTot))
+      .select(
+        col("source"), col("tok"), col("y_si"), col("y_i"),
+        round(z, 4).as("z"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= DistinctiveTopK)
+      .select("source", "rank", "tok", "y_si", "y_i", "z")
+      .transform(sortSmall(_, "source", "rank"))
+  }
 
   /** Model-based quality filter: a linear scorer with literal weights
     * over the [[qTextQuality]] feature set (the fasttext-style
@@ -2129,7 +2283,10 @@ object PipelineQueries {
     "q_dup_rate_by_source" -> qDupRateBySource _,
     "q_lift_table" -> qLiftTable _,
     "q_calibration" -> qCalibration _,
-    "q_langid_eval" -> qLangidEval _
+    "q_langid_eval" -> qLangidEval _,
+    "q_expectations" -> qExpectations _,
+    "q_graph_bfs" -> qGraphBfs _,
+    "q_distinctive_terms" -> qDistinctiveTerms _
   )
 
   private def minhashCtes(x: String): String = {
@@ -3462,7 +3619,85 @@ object PipelineQueries {
         |SELECT actual_lang, pred_lang, n,
         |       round(CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) AS row_share
         |FROM cells JOIN tot USING (actual_lang)
-        |ORDER BY actual_lang, pred_lang""".stripMargin
+        |ORDER BY actual_lang, pred_lang""".stripMargin,
+    "q_expectations" ->
+      """WITH li AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |         CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |         CAST(sum(CASE WHEN NOT (o_orderdate BETWEEN TIMESTAMP '1992-01-01 00:00:00' AND TIMESTAMP '2000-12-31 00:00:00') THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM orders),
+        |cust AS (
+        |  SELECT count(*) AS n,
+        |         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS v1
+        |  FROM customer),
+        |ev AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |         CAST(sum(CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM events),
+        |dc AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |         CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM documents),
+        |rules AS (
+        |  SELECT 'lineitem' AS table_name, 'l_quantity_in_1_50' AS rule, n AS n_rows, v1 AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem', 'l_extendedprice_positive', n, v2 FROM li
+        |  UNION ALL SELECT 'orders', 'o_totalprice_positive', n, v1 FROM ord
+        |  UNION ALL SELECT 'orders', 'o_orderdate_in_range', n, v2 FROM ord
+        |  UNION ALL SELECT 'customer', 'c_custkey_unique', n, v1 FROM cust
+        |  UNION ALL SELECT 'events', 'ts_not_null', n, v1 FROM ev
+        |  UNION ALL SELECT 'events', 'value_positive', n, v2 FROM ev
+        |  UNION ALL SELECT 'documents', 'text_nonempty', n, v1 FROM dc
+        |  UNION ALL SELECT 'documents', 'lang_accepted', n, v2 FROM dc)
+        |SELECT table_name, rule, n_rows, n_violations,
+        |       n_violations = 0 AS pass
+        |FROM rules
+        |ORDER BY table_name, rule""".stripMargin,
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+         |bfsedges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mpairs
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM mpairs),
+         |bfs(id, dist) AS (
+         |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION
+         |  SELECT e.dst, b.dist + 1
+         |  FROM bfs b JOIN bfsedges e ON e.src = b.id
+         |  WHERE b.dist < ${BfsHops})
+         |SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_distinctive_terms" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |ysi AS (SELECT source, tok, count(*) AS y_si FROM toks GROUP BY 1, 2),
+         |yi AS (SELECT tok, CAST(sum(y_si) AS BIGINT) AS y_i FROM ysi GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(y_si) AS BIGINT) AS n_s FROM ysi GROUP BY 1),
+         |nt AS (SELECT CAST(sum(y_si) AS BIGINT) AS n FROM ysi),
+         |base AS (
+         |  SELECT source, tok, y_si, y_i, n_s, n,
+         |         CAST(y_i AS DOUBLE) * $LogOddsPriorA0 / CAST(n AS DOUBLE) AS a
+         |  FROM ysi JOIN yi USING (tok) JOIN ns USING (source) CROSS JOIN nt),
+         |sc AS (
+         |  SELECT source, tok, y_si, y_i,
+         |         round((ln((CAST(y_si AS DOUBLE) + a) / (CAST(n_s AS DOUBLE) + $LogOddsPriorA0 - CAST(y_si AS DOUBLE) - a))
+         |                - ln((CAST(y_i - y_si AS DOUBLE) + a) / (CAST(n - n_s AS DOUBLE) + $LogOddsPriorA0 - CAST(y_i - y_si AS DOUBLE) - a)))
+         |               / sqrt(1.0 / (CAST(y_si AS DOUBLE) + a) + 1.0 / (CAST(y_i - y_si AS DOUBLE) + a)), 4) AS z
+         |  FROM base)
+         |SELECT source,
+         |       CAST(row_number() OVER (PARTITION BY source ORDER BY z DESC, tok) AS BIGINT) AS rank,
+         |       tok, y_si, y_i, z
+         |FROM sc
+         |QUALIFY rank <= $DistinctiveTopK
+         |ORDER BY source, rank""".stripMargin
   )
 
   /** BPE-training oracle: unrolled per-round CTEs mirroring

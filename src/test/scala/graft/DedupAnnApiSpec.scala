@@ -299,4 +299,21 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(r40 >= r10, s"recall@5 shortlist=40 ($r40) < shortlist=10 ($r10)")
     assert(r40 > 0, "a 40-deep shortlist should recover at least one true neighbor")
   }
+
+  test("bfsDistances: min-hop levels, the hop cap, and isolated seeds") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a shortcut 1-3: dist(3) must be 1, not 2;
+    // node 5 sits 3 hops out via 1-3-4-5; node 99 is an isolated seed
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .toDF("a_id", "b_id")
+    val seeds = Seq(1L, 99L).toDF("doc_id")
+    def dists(maxHops: Int): Map[Long, Long] =
+      Dedup.bfsDistances(pairs, seeds, maxHops).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists(3) == Map(
+      1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // the cap truncates the frontier, it does not re-label closer nodes
+    assert(dists(2) == Map(
+      1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
 }

@@ -276,4 +276,150 @@ class OlapSpec extends SparkSpec {
     assert(rows(1L) == ((2L, 4L * 3600L * 1000000L, 77.5)))
     assert(!rows.contains(2L))
   }
+
+  test("time-constrained funnel: a late stage kills the chain") {
+    val dir = writeEvents(Seq(
+      // u1 completes: view 10:00 → click 10:30 → purchase 11:15
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+      (2L, 1L, "2024-01-01 10:30:00", "click", 0.0),
+      (3L, 1L, "2024-01-01 11:15:00", "purchase", 0.0),
+      // u2's click comes 2 h after the view — chain dies at stage 2,
+      // and the purchase right after the late click must NOT count
+      (4L, 2L, "2024-01-01 10:00:00", "view", 0.0),
+      (5L, 2L, "2024-01-01 12:00:00", "click", 0.0),
+      (6L, 2L, "2024-01-01 12:01:00", "purchase", 0.0),
+      // u3 clicks in time but purchases 90 min later — dies at stage 3
+      (7L, 3L, "2024-01-01 10:00:00", "view", 0.0),
+      (8L, 3L, "2024-01-01 10:10:00", "click", 0.0),
+      (9L, 3L, "2024-01-01 11:41:00", "purchase", 0.0),
+      // u4 has a click with NO prior view — no chain at all
+      (10L, 4L, "2024-01-01 10:00:00", "click", 0.0)))
+    val rows = OlapQueries.qFunnelWindow(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map(
+      "1_view" -> 3L, "2_click_1h" -> 2L, "3_purchase_1h" -> 1L))
+  }
+
+  test("funnel window uses the FIRST view as the anchor, not any view") {
+    // view 09:00, view 10:50, click 10:55: earliest-completion semantics
+    // anchor at 09:00, so the 10:55 click is out of window even though
+    // the second view would admit it
+    val dir = writeEvents(Seq(
+      (1L, 1L, "2024-01-01 09:00:00", "view", 0.0),
+      (2L, 1L, "2024-01-01 10:50:00", "view", 0.0),
+      (3L, 1L, "2024-01-01 10:55:00", "click", 0.0)))
+    val rows = OlapQueries.qFunnelWindow(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map(
+      "1_view" -> 1L, "2_click_1h" -> 0L, "3_purchase_1h" -> 0L))
+  }
+
+  test("WoW growth: deltas and the trailing-4-week average") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    // weeks with revenue 100, 150, 150 (one missing week in between is
+    // absent from the panel, not zero-filled — weeks are order weeks)
+    Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 100.0),
+      (2L, 1L, "2024-01-08 00:00:00", 150.0),
+      (3L, 1L, "2024-01-15 00:00:00", 75.0),
+      (4L, 1L, "2024-01-16 00:00:00", 75.0))
+      .toDF("o_orderkey", "o_custkey", "s", "o_totalprice")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        to_timestamp(col("s")).as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = OlapQueries.qWowGrowth(spark, dir).collect()
+      .map(r =>
+        (r.getLong(1), r.getDouble(2), Option(r.get(3)), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 100.0, None, 100.0),
+      (1L, 150.0, Some(0.5), 125.0),
+      // ma4 of week 3 = (100+150+150)/3, rounded to 4 decimals
+      (2L, 150.0, Some(0.0), 133.3333)))
+  }
+
+  test("cohort LTV accumulates per cohort and divides by cohort size") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    Seq(
+      // cohort week 0: customers 1 and 2; week-1 repeat by customer 1
+      (1L, 1L, "2024-01-01 00:00:00", 100.0),
+      (2L, 2L, "2024-01-02 00:00:00", 50.0),
+      (3L, 1L, "2024-01-08 00:00:00", 30.0),
+      // cohort week 1: customer 3
+      (4L, 3L, "2024-01-08 00:00:00", 10.0))
+      .toDF("o_orderkey", "o_custkey", "s", "o_totalprice")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        to_timestamp(col("s")).as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = OlapQueries.qCohortLtv(spark, dir).collect()
+      .map(r =>
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (0L, 2L, 150.0, 150.0, 75.0),
+      (1L, 2L, 30.0, 180.0, 90.0),
+      (0L, 1L, 10.0, 10.0, 10.0)))
+  }
+
+  test("seasonal decompose: flat series has zero seasonal and residual") {
+    // 14 days, exactly 2 events/day: trend = 2 wherever the 7-day
+    // frame is full, detrended = 0 everywhere → seasonal = residual = 0
+    val dir = writeEvents((0 until 14).flatMap(day =>
+      Seq(
+        ((day * 2).toLong, 1L, f"2024-01-${day + 1}%02d 10:00:00", "view", 0.0),
+        ((day * 2 + 1).toLong, 2L, f"2024-01-${day + 1}%02d 11:00:00", "view", 0.0))))
+    val rows = OlapQueries.qSeasonalDecompose(spark, dir).collect()
+    assert(rows.length == 14)
+    val full = rows.filter(r => !r.isNullAt(3))
+    assert(full.length == 8) // days 4..11 have a full centered frame
+    assert(full.forall(r => r.getDouble(3) == 2.0), "trend must equal the level")
+    assert(rows.forall(r => r.getDouble(4) == 0.0), "flat series: no seasonality")
+    assert(full.forall(r => r.getDouble(5) == 0.0), "flat series: no residual")
+    // edge days: no trend, no residual, but dow seasonal still reported
+    assert(rows.filter(r => r.isNullAt(3)).forall(r => r.isNullAt(5)))
+  }
+
+  test("seasonal decompose separates a weekly cycle from its level") {
+    // 21 days: 1 event on all days, 8 on day-of-week of 2024-01-07
+    // (a Sunday): the spike lands in the seasonal term, residual ~0 on
+    // interior days whose frame holds exactly one spike
+    val dir = writeEvents((0 until 21).flatMap { day =>
+      val n = if (day % 7 == 6) 8 else 1
+      (0 until n).map(i =>
+        ((day * 10 + i).toLong, 1L,
+          f"2024-01-${day + 1}%02d 10:00:00", "view", 0.0))
+    })
+    val rows = OlapQueries.qSeasonalDecompose(spark, dir).collect()
+      .map(r => (r.getLong(1), Option(r.get(3)), r.getDouble(4)))
+    // every full frame holds exactly one spike: trend = (6·1 + 8)/7 = 2
+    assert(rows.collect { case (_, Some(t), _) => t }.forall(_ == 2.0))
+    // spike dow carries +6 detrended, the rest −1 each: seasonal mean
+    // is exactly det/7 per group since every interior frame is identical
+    val bydow = rows.groupBy(_._1).map { case (k, v) => k -> v.head._3 }
+    assert(bydow.values.count(_ > 5.0) == 1, s"one spiked dow: $bydow")
+    assert(bydow.values.count(_ < 0.0) == 6)
+  }
+
+  test("distinctive terms surface a source-exclusive common token") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dist").toString
+    import spark.implicits._
+    // 'zebra' occurs often and ONLY in src_a; filler is shared
+    val a = (1 to 10).map(i =>
+      (i.toLong, "zebra common filler words here", "en", "src_a", 0L))
+    val b = (11 to 20).map(i =>
+      (i.toLong, "plain common filler words here", "en", "src_b", 0L))
+    (a ++ b).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val top = graft.queries.PipelineQueries
+      .qDistinctiveTerms(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(top.contains(("src_a", 1L, "zebra")))
+    assert(top.contains(("src_b", 1L, "plain")))
+  }
 }

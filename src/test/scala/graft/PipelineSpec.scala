@@ -600,4 +600,41 @@ class PipelineSpec extends SparkSpec {
       ("en", "en") -> ((1L, 0.5)),
       ("en", "fr") -> ((1L, 0.5))))
   }
+
+  test("expectations: violations are reported per rule, never thrown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val dir = java.nio.file.Files.createTempDirectory("graft-expect").toString
+    Seq((1L, 10.0, 5.0), (2L, 99.0, -1.0)) // quantity 99 and price −1 violate
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 100.0, "1995-06-01 00:00:00"), (2L, 50.0, "2001-08-01 00:00:00"))
+      .toDF("o_orderkey", "o_totalprice", "s")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        to_timestamp(col("s")).as("o_orderdate"))
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(10L, 11L, 11L) // duplicate key 11
+      .toDF("c_custkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "2024-01-01 00:00:00", 1.0))
+      .toDF("event_id", "s", "value")
+      .select(col("event_id"), to_timestamp(col("s")).as("ts"), col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, "ok text", "en"), (2L, "", "xx")) // empty text + bad lang
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = PipelineQueries.qExpectations(spark, dir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(rows == Map(
+      "l_quantity_in_1_50" -> ((2L, 1L, false)),
+      "l_extendedprice_positive" -> ((2L, 1L, false)),
+      "o_totalprice_positive" -> ((2L, 0L, true)),
+      "o_orderdate_in_range" -> ((2L, 1L, false)),
+      "c_custkey_unique" -> ((3L, 1L, false)),
+      "ts_not_null" -> ((1L, 0L, true)),
+      "value_positive" -> ((1L, 0L, true)),
+      "text_nonempty" -> ((2L, 1L, false)),
+      "lang_accepted" -> ((2L, 1L, false))))
+  }
 }

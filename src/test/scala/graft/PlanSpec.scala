@@ -225,9 +225,10 @@ class PlanSpec extends SparkSpec {
       "q_ann_recall", // evaluation op: contains the brute-force baseline product
       "q_rolling_active", // one-row day-bounds broadcast
       "q_stickiness", // same one-row day-bounds broadcast as q_rolling_active
-      "q_lift_table") // 10-decile grid × one-row totals + the non-equi
+      "q_lift_table", // 10-decile grid × one-row totals + the non-equi
                       // boundary probe into the distinct-score histogram —
                       // both sides statistic-sized, never the corpus
+      "q_distinctive_terms") // one-row corpus-token total broadcast
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
