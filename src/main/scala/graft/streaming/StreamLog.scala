@@ -352,6 +352,60 @@ object StreamLog {
       }
   }
 
+  final case class PatternState(aUs: Long, bUs: Long, done: Boolean)
+  final case class PatternMatch(key: String, aUs: Long, bUs: Long, cUs: Long)
+
+  /** Streaming CEP pattern detector — the live twin of the batch
+    * time-constrained funnel
+    * ([[graft.queries.OlapQueries.qFunnelWindow]]): per key, match
+    * stepA → stepB → stepC where each next step arrives within
+    * `withinUs` of the matched previous one, earliest-completion
+    * semantics (the FIRST stepA anchors; the first qualifying stepB
+    * after it; the first qualifying stepC completes). At most one
+    * [[PatternMatch]] is emitted per key, then the key is done — state
+    * is 17 bytes per key, no timeout needed.
+    *
+    * Rows within a micro-batch are processed in (timestamp, step)
+    * order for cross-run determinism; on ORDERED delivery the match
+    * set is exactly the batch query's completion set (spec-asserted).
+    * A stepA that arrives in a later micro-batch than a smaller-
+    * timestamped stepB cannot retro-anchor — the arrival-order caveat
+    * every bounded-state CEP engine shares. */
+  def patternMonitor(
+      steps: Dataset[(String, Long, String)],
+      stepA: String = "view",
+      stepB: String = "click",
+      stepC: String = "purchase",
+      withinUs: Long = 3600000000L): Dataset[PatternMatch] = {
+    import steps.sparkSession.implicits._
+    val unset = Long.MinValue
+    steps
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternState, PatternMatch](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[PatternState]) =>
+          var st = state.getOption.getOrElse(PatternState(unset, unset, false))
+          val out = Seq.newBuilder[PatternMatch]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (ts, step) =>
+            if (!st.done) {
+              if (step == stepA && st.aUs == unset)
+                st = st.copy(aUs = ts)
+              else if (step == stepB && st.bUs == unset && st.aUs != unset &&
+                ts > st.aUs && ts - st.aUs <= withinUs)
+                st = st.copy(bUs = ts)
+              else if (step == stepC && st.bUs != unset &&
+                ts > st.bUs && ts - st.bUs <= withinUs) {
+                out += PatternMatch(key, st.aUs, st.bUs, ts)
+                st = st.copy(done = true)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class DebounceState(lastKeptUs: Long)
 
   /** True (kept-based) debounce: per key, emit an event only if it

@@ -296,6 +296,41 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("patternMonitor matches the batch funnel and completes chains across micro-batches") {
+    val hour = 3600000000L
+    val mem = MemoryStream[(String, Long, String)](spark)
+    val q = StreamLog
+      .patternMonitor(mem.toDS(), withinUs = hour)
+      .writeStream
+      .format("memory")
+      .queryName("cep_out")
+      .outputMode("append")
+      .start()
+    try {
+      // u1 completes within one batch; u2's click is 2h late (dies);
+      // u3's purchase lands in the NEXT micro-batch, still in window
+      mem.addData(
+        ("u1", 0L, "view"), ("u1", hour / 2, "click"), ("u1", hour, "purchase"),
+        ("u2", 0L, "view"), ("u2", 2 * hour, "click"), ("u2", 2 * hour + 1, "purchase"),
+        ("u3", 0L, "view"), ("u3", hour / 4, "click"))
+      q.processAllAvailable()
+      mem.addData(("u3", hour, "purchase"))
+      // u4: second view would admit the click, but the FIRST view anchors
+      mem.addData(("u4", 0L, "view"), ("u4", 2 * hour, "view"), ("u4", 2 * hour + 1, "click"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, aUs, bUs, cUs FROM cep_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows == Set(
+        ("u1", 0L, hour / 2, hour),
+        ("u3", 0L, hour / 4, hour)))
+      // a second purchase must not re-fire a completed key
+      mem.addData(("u1", hour + 1, "purchase"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cep_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("driftMonitor freezes the baseline, scores windows across micro-batches, bit-equal to a local fold") {
     val mem = MemoryStream[(String, Long, Double)](spark)
     // 4 bins over [0, 4): baseline 8 values, window 4 values
