@@ -36,6 +36,9 @@ object Bench {
     "q_ks_test", "q_psi_drift", "q_mwu_drift", "q_basket_pairs", "q_fulfillment",
     "q_small_qty", "q_chi2_independence", "q_source_entropy", "q_rolling_active",
     "q_skyline", "q_ref_integrity", "q_gini",
+    "q_new_returning", "q_stickiness", "q_hhi", "q_holt", "q_audience_overlap",
+    "q_funnel_window", "q_wow_growth", "q_cohort_ltv", "q_seasonal_decompose",
+    "q_stl_anomaly", "q_top_supplier", "q_waiting_suppliers",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_keep_best", "q_quality_shrunk",
     "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_hard_negatives",
@@ -62,6 +65,8 @@ object Bench {
     "q_len_histogram",
     "q_source_mix", "q_contamination", "q_contamination_bloom", "q_zorder",
     "q_hilbert",
+    "q_lift_table", "q_calibration", "q_langid_eval", "q_expectations",
+    "q_graph_bfs", "q_distinctive_terms", "q_snm_dedup", "q_embed_outliers",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {

@@ -2307,6 +2307,94 @@ object OlapQueries {
       .orderBy("day_us")
   }
 
+  val StlTopAnomalies = 5
+
+  /** Seasonally-adjusted anomaly report — the days whose counts deviate
+    * most AFTER removing trend and weekly seasonality (the complement
+    * of [[qSpcDays]], which models raw counts and so re-flags every
+    * weekend). Rides [[qSeasonalDecompose]]'s exact-integer residual:
+    * |residual| ranks on the ROUNDED value (day tiebreak) so the top-k
+    * cut is engine-stable; only full-frame days compete. */
+  def qStlAnomaly(s: SparkSession, d: String): DataFrame = {
+    val dec = qSeasonalDecompose(s, d)
+    val w = Window.orderBy(abs(col("residual")).desc, col("day_us"))
+    dec
+      .filter(col("residual").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= StlTopAnomalies)
+      .select("rank", "day_us", "dow", "n_events", "trend", "seasonal", "residual")
+      .transform(sortSmall(_, col("rank")))
+  }
+
+  /** TPC-H Q15 shape (top supplier by period revenue): per-supplier
+    * revenue over a ship-date quarter, keep the argmax — the correlated
+    * `WHERE total = (SELECT max(...))` decorrelated into one supplier
+    * aggregate + a one-row max broadcast. Revenue is EXACT int64
+    * ten-thousandths (price-cents × (100−discount-cents)) so the max
+    * comparison — the part a float sum would make engine-dependent — is
+    * integer equality. */
+  def qTopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(
+        sum(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("rev_e4"))
+    val mx = rev.agg(max("rev_e4").as("mx"))
+    rev
+      .crossJoin(broadcast(mx))
+      .filter(col("rev_e4") === col("mx"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("s_suppkey"),
+        col("s_name"),
+        (col("rev_e4").cast("double") / 10000.0d).as("total_revenue"))
+      .transform(sortSmall(_, col("s_suppkey")))
+  }
+
+  /** "Late" for [[qWaitingSuppliers]]: shipped > 90 days after the
+    * order date (this schema has no commit/receipt dates). */
+  val LateAfterDays = 90L
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): for
+    * multi-supplier orders, the suppliers who were the ONLY late
+    * shipper — the classic EXISTS / NOT EXISTS pair decorrelated into
+    * ONE (orderkey, suppkey) aggregate + one orderkey aggregate: per
+    * order, the distinct-supplier count, the late-supplier count, and
+    * the single late supplier when there is exactly one (max over a
+    * null-unless-late key — no second pass, no self-joins of the fact
+    * table). Integer counts end to end. */
+  def qWaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val perSupp = t(s, d, "lineitem")
+      .join(
+        t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(
+        max(
+          (Tables.tsUsOf(col("l_shipdate")) - Tables.tsUsOf(col("o_orderdate")) >
+            lit(LateAfterDays * DayUs)).cast("long")).as("late"))
+    val perOrder = perSupp
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum("late").as("n_late"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("lone_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1L)
+    perOrder
+      .groupBy(col("lone_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")), "s_suppkey")
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(10)
+      .transform(sortSmall(_, col("numwait").desc, col("s_suppkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -2386,7 +2474,10 @@ object OlapQueries {
     "q_funnel_window" -> qFunnelWindow _,
     "q_wow_growth" -> qWowGrowth _,
     "q_cohort_ltv" -> qCohortLtv _,
-    "q_seasonal_decompose" -> qSeasonalDecompose _
+    "q_seasonal_decompose" -> qSeasonalDecompose _,
+    "q_stl_anomaly" -> qStlAnomaly _,
+    "q_top_supplier" -> qTopSupplier _,
+    "q_waiting_suppliers" -> qWaitingSuppliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3558,6 +3649,71 @@ object OlapQueries {
         |       floor(CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS seasonal,
         |       floor((CAST(det7 AS DOUBLE) / 7.0 - CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS residual
         |FROM det LEFT JOIN seas USING (dow)
-        |ORDER BY day_us""".stripMargin
+        |ORDER BY day_us""".stripMargin,
+    "q_stl_anomaly" -> {
+      val dec = """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |dense AS (
+        |  SELECT g.day, CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) g
+        |  LEFT JOIN daily ON g.day = daily.day),
+        |w AS (
+        |  SELECT *,
+        |         CAST(sum(n_events) OVER win AS BIGINT) AS sum7,
+        |         count(*) OVER win AS n7,
+        |         (day + 4) % 7 AS dow
+        |  FROM dense
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT *, CASE WHEN n7 = 7 THEN n_events * 7 - sum7 END AS det7 FROM w),
+        |seas AS (
+        |  SELECT dow, CAST(sum(det7) AS BIGINT) AS s_sum, count(*) AS s_n
+        |  FROM det WHERE det7 IS NOT NULL GROUP BY dow),
+        |full_ AS (
+        |  SELECT day * 86400000000 AS day_us, dow, n_events,
+        |         floor(CASE WHEN n7 = 7 THEN CAST(sum7 AS DOUBLE) / 7.0 END * 10000.0 + 0.5) / 10000.0 AS trend,
+        |         floor(CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS seasonal,
+        |         floor((CAST(det7 AS DOUBLE) / 7.0 - CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS residual
+        |  FROM det LEFT JOIN seas USING (dow))""".stripMargin
+      dec + s"""
+        |SELECT CAST(row_number() OVER (ORDER BY abs(residual) DESC, day_us) AS BIGINT) AS rank,
+        |       day_us, dow, n_events, trend, seasonal, residual
+        |FROM full_ WHERE residual IS NOT NULL
+        |QUALIFY rank <= $StlTopAnomalies
+        |ORDER BY rank""".stripMargin
+    },
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(rev_e4) AS mx FROM rev),
+        |top AS (SELECT l_suppkey, rev_e4 FROM rev CROSS JOIN mx WHERE rev_e4 = mx)
+        |SELECT s_suppkey, s_name, CAST(rev_e4 AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM top JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_waiting_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) > 90 * 86400000000 THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |po AS (
+        |  SELECT l_orderkey, count(*) AS n_supp,
+        |         CAST(sum(late) AS BIGINT) AS n_late,
+        |         max(CASE WHEN late = 1 THEN l_suppkey END) AS lone_supp
+        |  FROM ps GROUP BY 1)
+        |SELECT lone_supp AS s_suppkey, s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON lone_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 10""".stripMargin
   )
 }

@@ -1060,6 +1060,62 @@ object PipelineQueries {
       .transform(sortSmall(_, "source", "rank"))
   }
 
+  /** Sorted-neighborhood near-dup (see [[Dedup.sortedNeighborhood]] —
+    * the order-based third blocking family beside LSH buckets and
+    * AllPairs prefixes): 4-char prefix blocks, window 3, exact 3-gram
+    * Jaccard ≥ 0.5 verify. */
+  def qSnmDedup(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .sortedNeighborhood(
+        docs(s, d),
+        window = 3,
+        blockChars = 4,
+        k = 3,
+        threshold = 0.5)
+      .transform(sortSmall(_, "a_id", "b_id"))
+
+  val OutlierTopK = 3
+
+  /** Farthest-from-centroid embedding audit per label — the "these
+    * vectors probably don't belong to their class" curation report
+    * (mislabeled examples, encoder glitches, adversarial points).
+    * Centroids use the k-means fixed-point trick (int64 floor(x·10⁷)
+    * sums → bit-identical across engines); the squared distance is the
+    * three-sequential-dot identity ‖x‖² − 2·x·c + ‖c‖² in one fixed
+    * association order; ranking runs on the ROUNDED distance (vec_id
+    * tiebreak). One corpus aggregate to |labels| centroids
+    * (broadcast), one scoring projection, a label-partitioned top-k
+    * window — no pairwise work anywhere. */
+  def qEmbedOutliers(s: SparkSession, d: String): DataFrame = {
+    val Q = 10000000L
+    val sums = (1 to EmbDim).map(j =>
+      sum(floor(element_at(col("v"), j) * lit(Q.toDouble)).cast("long"))
+        .as(s"s$j"))
+    val aggs = count(lit(1)).as("n") +: sums
+    val cents = embs(s, d)
+      .select(col("label"), VectorFns.asDouble(col("embedding")).as("v"))
+      .groupBy("label")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(
+        "cv",
+        array((1 to EmbDim).map(j =>
+          col(s"s$j").cast("double") / (col("n") * lit(Q)).cast("double")): _*))
+      .select(col("label"), col("cv"))
+    val d2 =
+      VectorFns.dot(col("v"), col("v")) -
+        lit(2.0d) * VectorFns.dot(col("v"), col("cv")) +
+        VectorFns.dot(col("cv"), col("cv"))
+    val w = Window.partitionBy("label").orderBy(col("dist2").desc, col("vec_id"))
+    embs(s, d)
+      .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("v"))
+      .join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"), round(d2, 6).as("dist2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= OutlierTopK)
+      .select("label", "rank", "vec_id", "dist2")
+      .transform(sortSmall(_, "label", "rank"))
+  }
+
   /** Model-based quality filter: a linear scorer with literal weights
     * over the [[qTextQuality]] feature set (the fasttext-style
     * "classifier filter" stage of a data pipeline, with the model
@@ -2286,7 +2342,9 @@ object PipelineQueries {
     "q_langid_eval" -> qLangidEval _,
     "q_expectations" -> qExpectations _,
     "q_graph_bfs" -> qGraphBfs _,
-    "q_distinctive_terms" -> qDistinctiveTerms _
+    "q_distinctive_terms" -> qDistinctiveTerms _,
+    "q_snm_dedup" -> qSnmDedup _,
+    "q_embed_outliers" -> qEmbedOutliers _
   )
 
   private def minhashCtes(x: String): String = {
@@ -3697,7 +3755,47 @@ object PipelineQueries {
          |       tok, y_si, y_i, z
          |FROM sc
          |QUALIFY rank <= $DistinctiveTopK
-         |ORDER BY source, rank""".stripMargin
+         |ORDER BY source, rank""".stripMargin,
+    "q_snm_dedup" -> {
+      val h = Hashing.duckMd5Long("shingle")
+      s"""WITH blocks AS (
+         |  SELECT doc_id, text, substr(text, 1, 4) AS block,
+         |         row_number() OVER (PARTITION BY substr(text, 1, 4) ORDER BY text, doc_id) AS rn
+         |  FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id, greatest(a.doc_id, b.doc_id) AS b_id
+         |  FROM blocks a JOIN blocks b
+         |    ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 2),
+         |${shingleCtes("documents", "")},
+         |hx AS (SELECT doc_id, sz, $h AS h FROM ex),
+         |common AS (
+         |  SELECT c.a_id, c.b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS cc
+         |  FROM cand c
+         |  JOIN hx a ON a.doc_id = c.a_id
+         |  JOIN hx b ON b.doc_id = c.b_id AND b.h = a.h
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a_id, b_id,
+         |       round(CAST(cc AS DOUBLE) / CAST(a_sz + b_sz - cc AS DOUBLE), 6) AS jaccard
+         |FROM common
+         |WHERE CAST(cc AS DOUBLE) / CAST(a_sz + b_sz - cc AS DOUBLE) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+    "q_embed_outliers" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |s AS (SELECT label, count(*) AS cnt, $kmeansSumCols FROM e GROUP BY label),
+         |c AS (SELECT label, $kmeansMeanArr AS cv FROM s),
+         |sc AS (
+         |  SELECT e.label, vec_id,
+         |         round(list_dot_product(v, v) - 2.0 * list_dot_product(v, cv) + list_dot_product(cv, cv), 6) AS dist2
+         |  FROM e JOIN c ON e.label = c.label)
+         |SELECT label,
+         |       CAST(row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rank,
+         |       vec_id, dist2
+         |FROM sc
+         |QUALIFY rank <= $OutlierTopK
+         |ORDER BY label, rank""".stripMargin
   )
 
   /** BPE-training oracle: unrolled per-round CTEs mirroring

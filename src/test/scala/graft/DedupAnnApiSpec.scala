@@ -316,4 +316,41 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(dists(2) == Map(
       1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("sortedNeighborhood pairs sort-adjacent near-dups, misses cross-block ones") {
+    import spark.implicits._
+    val near1 = "alpha beta gamma delta epsilon zeta"
+    val near2 = "alpha beta gamma delta epsilon eta" // same block, adjacent
+    val far = "zzz totally different text entirely here"
+    // same CONTENT as near1 but a different first-4 prefix: the
+    // documented block-boundary miss of distributed SNM
+    val crossBlock = "beta gamma delta epsilon zeta alpha"
+    val docs = Seq(
+      (1L, near1), (2L, near2), (3L, far), (4L, crossBlock))
+      .toDF("doc_id", "text")
+    val pairs = Dedup
+      .sortedNeighborhood(docs, window = 3, blockChars = 4, k = 3, threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)), s"adjacent near-dups must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "a cross-block near-dup is the documented SNM miss")
+  }
+
+  test("sortedNeighborhood window bounds the comparisons") {
+    import spark.implicits._
+    // five docs in one block, sorted 1..5; w=2 compares only adjacent
+    val docs = (1 to 5)
+      .map(i => (i.toLong, s"aaaa common body text nr$i"))
+      .toDF("doc_id", "text")
+    val w2 = Dedup
+      .sortedNeighborhood(docs, window = 2, blockChars = 4, k = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w4 = Dedup
+      .sortedNeighborhood(docs, window = 4, blockChars = 4, k = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 == Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(w2.subsetOf(w4) && w4.size > w2.size)
+  }
 }

@@ -405,6 +405,71 @@ class OlapSpec extends SparkSpec {
     assert(bydow.values.count(_ < 0.0) == 6)
   }
 
+  test("stl anomaly ranks the seasonally-unexplained spike first") {
+    // 21 flat days of 2 events, one day at 9 (a genuine anomaly; no
+    // weekly pattern exists, so the whole deviation is residual)
+    val dir = writeEvents((0 until 21).flatMap { day =>
+      val n = if (day == 10) 9 else 2
+      (0 until n).map(i =>
+        ((day * 10 + i).toLong, 1L,
+          f"2024-01-${day + 1}%02d 10:00:00", "view", 0.0))
+    })
+    val rows = OlapQueries.qStlAnomaly(spark, dir).collect()
+    assert(rows.length == 5)
+    val top = rows.head
+    assert(top.getLong(0) == 1L)
+    assert(top.getLong(3) == 9L, s"the spike day must rank first: $top")
+    assert(top.getDouble(6) > 0.0)
+  }
+
+  test("top supplier: argmax on exact integer revenue, ties both kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    Seq(
+      // suppliers 1 and 2 tie at 200.00 net; supplier 3 trails
+      (1L, 1L, 100.0, 0.0, "1996-02-01 00:00:00"),
+      (2L, 1L, 200.0, 0.5, "1996-02-01 00:00:00"),
+      (3L, 2L, 200.0, 0.0, "1996-02-01 00:00:00"),
+      (4L, 3L, 100.0, 0.5, "1996-02-01 00:00:00"),
+      // outside the quarter: must not count
+      (5L, 3L, 999.0, 0.0, "1996-06-01 00:00:00"))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "s")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), to_timestamp(col("s")).as("l_shipdate"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "Supp#1"), (2L, "Supp#2"), (3L, "Supp#3"))
+      .toDF("s_suppkey", "s_name")
+      .write.parquet(s"$dir/supplier.parquet")
+    val rows = OlapQueries.qTopSupplier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 200.0), (2L, 200.0)))
+  }
+
+  test("waiting suppliers: only the sole late shipper of a multi-supplier order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    // order 1: suppliers 1 (late) and 2 (on time) -> supplier 1 waits it
+    // order 2: suppliers 1 and 2 BOTH late -> nobody counted
+    // order 3: supplier 1 alone and late -> single-supplier, not counted
+    Seq(
+      (1L, 1L, "2024-05-01 00:00:00"), (1L, 2L, "2024-01-05 00:00:00"),
+      (2L, 1L, "2024-05-01 00:00:00"), (2L, 2L, "2024-05-01 00:00:00"),
+      (3L, 1L, "2024-05-01 00:00:00"))
+      .toDF("l_orderkey", "l_suppkey", "s")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        to_timestamp(col("s")).as("l_shipdate"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:00:00"),
+      (3L, "2024-01-01 00:00:00"))
+      .toDF("o_orderkey", "s")
+      .select(col("o_orderkey"), to_timestamp(col("s")).as("o_orderdate"))
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "Supp#1"), (2L, "Supp#2"))
+      .toDF("s_suppkey", "s_name")
+      .write.parquet(s"$dir/supplier.parquet")
+    val rows = OlapQueries.qWaitingSuppliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L)))
+  }
+
   test("distinctive terms surface a source-exclusive common token") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dist").toString
     import spark.implicits._

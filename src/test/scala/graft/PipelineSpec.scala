@@ -601,6 +601,26 @@ class PipelineSpec extends SparkSpec {
       ("en", "fr") -> ((1L, 0.5))))
   }
 
+  test("embed outliers: the far vector ranks first in its label") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-outl").toString
+    val dim = PipelineQueries.EmbDim
+    def vec(head: Float): Array[Float] =
+      (head +: Array.fill(dim - 1)(0.0f)).toArray
+    // label 0: three vectors near 1.0, one at 9.0 (the outlier)
+    val rows = Seq(
+      (1L, vec(1.0f), 0), (2L, vec(1.1f), 0), (3L, vec(0.9f), 0),
+      (4L, vec(9.0f), 0),
+      // label 1: two identical vectors — both distances 0, id tiebreak
+      (5L, vec(2.0f), 1), (6L, vec(2.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = PipelineQueries.qEmbedOutliers(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.filter(_._1 == 0).map(x => (x._2, x._3)).take(1).toSeq == Seq((1L, 4L)))
+    assert(out.filter(_._1 == 1).map(x => (x._2, x._3)).toSeq == Seq((1L, 5L), (2L, 6L)))
+  }
+
   test("expectations: violations are reported per rule, never thrown") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, to_timestamp}
