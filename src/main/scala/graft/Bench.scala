@@ -39,6 +39,7 @@ object Bench {
     "q_new_returning", "q_stickiness", "q_hhi", "q_holt", "q_audience_overlap",
     "q_funnel_window", "q_wow_growth", "q_cohort_ltv", "q_seasonal_decompose",
     "q_stl_anomaly", "q_top_supplier", "q_waiting_suppliers",
+    "q_bootstrap_ci", "q_abc_analysis", "q_decile_migration",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_keep_best", "q_quality_shrunk",
     "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_hard_negatives",

@@ -2395,6 +2395,139 @@ object OlapQueries {
       .transform(sortSmall(_, col("numwait").desc, col("s_suppkey")))
   }
 
+  val BootstrapB = 64
+
+  /** Poisson-bootstrap thresholds: cumulative Poisson(1) CDF scaled to
+    * integer millionths — the weight is a pure integer-compare chain on
+    * a 6-digit hash, identical in both engines. (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google TR'12 —
+    * the standard way to bootstrap when you cannot materialize B
+    * resamples: each row draws an independent Poisson(1) REPLICATION
+    * WEIGHT per resample, so one pass computes all B statistics.) */
+  private val PoissonCum: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L, 999990L)
+
+  /** Bootstrap confidence interval for the mean order value — the
+    * uncertainty attached to every dashboard number, computed the only
+    * way that scales: B=64 Poisson(1) replication weights per row
+    * (deterministic per (orderkey, b) from the shared md5 family), one
+    * map-side-combinable (b) aggregate — the shuffle carries B·partitions
+    * partial sums, never resampled data — then the 2.5%/97.5% order
+    * statistics of the 64 exact-ratio means. Every mean is ONE division
+    * of int64 sums; the CI picks are rank selections (no interpolation),
+    * so the whole interval is engine-exact. */
+  def qBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val weight = {
+      val m = graft.functions.Hashing
+        .md5Long(concat(col("o_orderkey").cast("string"), lit(":"), col("b").cast("string")))
+        .mod(lit(1000000L)) // md5Long is 60-bit non-negative: % == pmod
+      PoissonCum.zipWithIndex.foldRight(lit(PoissonCum.size.toLong)) {
+        case ((thr, i), els) => when(m < thr, i.toLong).otherwise(els)
+      }
+    }
+    val rs = t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        explode(expr(s"sequence(1, $BootstrapB)")).as("b"))
+      .select(col("b"), col("cents"), weight.as("w"))
+      .groupBy("b")
+      .agg(
+        sum(col("w") * col("cents")).as("wc"),
+        sum("w").as("wn"))
+      .select(
+        col("b"),
+        (col("wc").cast("double") / (col("wn") * 100L).cast("double")).as("mean_b"))
+    val ranked = rs
+      .withColumn(
+        "rk",
+        row_number().over(Window.orderBy(col("mean_b"), col("b"))).cast("long"))
+    val point = t(s, d, "orders")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("tot"))
+      .select(
+        col("n_orders"),
+        (col("tot").cast("double") / (col("n_orders") * 100L).cast("double"))
+          .as("mean_value"))
+    val lo = math.max(1, (0.025 * BootstrapB).toInt + 1) // rank 2 of 64
+    val hi = (0.975 * BootstrapB).toInt // rank 62 of 64
+    point
+      .crossJoin(broadcast(
+        ranked.filter(col("rk") === lo).select(col("mean_b").as("ci_lo"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("rk") === hi).select(col("mean_b").as("ci_hi"))))
+      .select(
+        col("n_orders"),
+        lit(BootstrapB.toLong).as("n_resamples"),
+        // floor tie rule: a mean of exact-integer ratios CAN land on a
+        // 10⁻⁴ boundary, where round() half-ties diverge across engines
+        (floor(col("mean_value") * 10000.0d + 0.5d) / 10000.0d).as("mean_value"),
+        (floor(col("ci_lo") * 10000.0d + 0.5d) / 10000.0d).as("ci_lo"),
+        (floor(col("ci_hi") * 10000.0d + 0.5d) / 10000.0d).as("ci_hi"))
+  }
+
+  /** ABC inventory classification: parts ranked by revenue, class A =
+    * the head covering 80% of revenue, B to 95%, C the tail — the
+    * classic Pareto segmentation behind stocking policy. Revenue is
+    * exact int64 cents; the cumulative share runs over the PART-sized
+    * statistic table (dimension-sized, like q_skyline's survivor stage
+    * — never lineitem), and each share is one integer division. */
+  def qAbcAnalysis(s: SparkSession, d: String): DataFrame = {
+    val perPart = t(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .crossJoin(broadcast(perPart.agg(sum("cents").as("tot"))))
+      .withColumn("cum", sum("cents").over(w))
+      .withColumn(
+        "abc_class",
+        when(col("cum").cast("double") / col("tot").cast("double") <= 0.80d, "A")
+          .when(col("cum").cast("double") / col("tot").cast("double") <= 0.95d, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        (sum("cents").cast("double") / 100.0d).as("revenue"),
+        round(sum("cents").cast("double") / max("tot").cast("double"), 6)
+          .as("revenue_share"))
+      .transform(sortSmall(_, col("abc_class")))
+  }
+
+  /** Boundary for [[qDecileMigration]]'s two periods. */
+  val MigrationSplit = "1998-01-01"
+
+  /** Customer spend-quintile migration across two periods — the
+    * "did our best customers stay our best customers" transition
+    * matrix (upgrade/downgrade/churn/new flows). Per-period per-
+    * customer cents (one aggregate each), quintiles via ntile over the
+    * customer-sized statistic table (cents desc, custkey tiebreak —
+    * fully ordered so ntile is deterministic), full-outer join on the
+    * customer key; quintile 0 encodes absent-in-period. Integer-exact
+    * end to end. */
+  def qDecileMigration(s: SparkSession, d: String): DataFrame = {
+    def period(pred: Column, q: String): DataFrame =
+      t(s, d, "orders")
+        .filter(pred)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn(
+          q,
+          ntile(5).over(Window.orderBy(col("cents").desc, col("o_custkey")))
+            .cast("long"))
+        .select(col("o_custkey"), col(q))
+    val split = lit(MigrationSplit).cast("timestamp")
+    period(col("o_orderdate") < split, "q_from")
+      .join(period(col("o_orderdate") >= split, "q_to"), Seq("o_custkey"), "full_outer")
+      .groupBy(
+        coalesce(col("q_from"), lit(0L)).as("q_from"),
+        coalesce(col("q_to"), lit(0L)).as("q_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .transform(sortSmall(_, col("q_from"), col("q_to")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q3_join" -> q3Join _,
@@ -2477,7 +2610,10 @@ object OlapQueries {
     "q_seasonal_decompose" -> qSeasonalDecompose _,
     "q_stl_anomaly" -> qStlAnomaly _,
     "q_top_supplier" -> qTopSupplier _,
-    "q_waiting_suppliers" -> qWaitingSuppliers _
+    "q_waiting_suppliers" -> qWaitingSuppliers _,
+    "q_bootstrap_ci" -> qBootstrapCi _,
+    "q_abc_analysis" -> qAbcAnalysis _,
+    "q_decile_migration" -> qDecileMigration _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3714,6 +3850,69 @@ object OlapQueries {
         |WHERE n_supp >= 2 AND n_late = 1
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q_bootstrap_ci" -> {
+      val h = graft.functions.Hashing
+        .duckMd5Long("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+      val caseChain = PoissonCum.zipWithIndex
+        .map { case (thr, i) => s"WHEN m < $thr THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${PoissonCum.size} END")
+      s"""WITH rs AS (
+         |  SELECT b, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |         $h % 1000000 AS m
+         |  FROM orders CROSS JOIN (SELECT unnest(generate_series(1, $BootstrapB)) AS b)),
+         |wt AS (SELECT b, cents, $caseChain AS w FROM rs),
+         |means AS (
+         |  SELECT b, CAST(sum(w * cents) AS BIGINT) AS wc, CAST(sum(w) AS BIGINT) AS wn
+         |  FROM wt GROUP BY b),
+         |mb AS (SELECT b, CAST(wc AS DOUBLE) / CAST(wn * 100 AS DOUBLE) AS mean_b FROM means),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY mean_b, b) AS rk FROM mb),
+         |point AS (
+         |  SELECT count(*) AS n_orders,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tot
+         |  FROM orders)
+         |SELECT n_orders,
+         |       CAST($BootstrapB AS BIGINT) AS n_resamples,
+         |       floor(CAST(tot AS DOUBLE) / CAST(n_orders * 100 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_value,
+         |       floor((SELECT mean_b FROM rk WHERE rk = 2) * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+         |       floor((SELECT mean_b FROM rk WHERE rk = 62) * 10000.0 + 0.5) / 10000.0 AS ci_hi
+         |FROM point""".stripMargin
+    },
+    "q_abc_analysis" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM pp),
+        |c AS (
+        |  SELECT l_partkey, cents, tot,
+        |         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM pp CROSS JOIN tt),
+        |cls AS (
+        |  SELECT *, CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.80 THEN 'A'
+        |                 WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+        |                 ELSE 'C' END AS abc_class
+        |  FROM c)
+        |SELECT abc_class, count(*) AS n_parts,
+        |       CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue,
+        |       round(CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS revenue_share
+        |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin,
+    "q_decile_migration" ->
+      s"""WITH p1 AS (
+         |  SELECT o_custkey,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$MigrationSplit 00:00:00' GROUP BY 1),
+         |q1 AS (SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS q_from FROM p1),
+         |p2 AS (
+         |  SELECT o_custkey,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '$MigrationSplit 00:00:00' GROUP BY 1),
+         |q2 AS (SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS q_to FROM p2)
+         |SELECT coalesce(q_from, 0) AS q_from, coalesce(q_to, 0) AS q_to,
+         |       count(*) AS n_customers
+         |FROM q1 FULL OUTER JOIN q2 USING (o_custkey)
+         |GROUP BY 1, 2
+         |ORDER BY q_from, q_to""".stripMargin
   )
 }

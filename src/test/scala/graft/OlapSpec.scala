@@ -470,6 +470,58 @@ class OlapSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 1L)))
   }
 
+  test("bootstrap CI brackets the point estimate, zero-width on constant data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    (1 to 30).map(i => (i.toLong, 1L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = OlapQueries.qBootstrapCi(spark, dir).collect().head
+    assert(r.getLong(0) == 30L && r.getLong(1) == 64L)
+    // constant values: every resample mean is exactly 100, CI is a point
+    assert(r.getDouble(2) == 100.0)
+    assert(r.getDouble(3) == 100.0 && r.getDouble(4) == 100.0)
+  }
+
+  test("ABC classification splits at the 80/95 cumulative-share fences") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    // parts with revenue 80, 15, 5: cum shares exactly 0.80 / 0.95 / 1.0
+    Seq((1L, 80.0), (2L, 15.0), (3L, 5.0))
+      .toDF("l_partkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = OlapQueries.qAbcAnalysis(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(rows == Map(
+      "A" -> ((1L, 80.0, 0.8)),
+      "B" -> ((1L, 15.0, 0.15)),
+      "C" -> ((1L, 5.0, 0.05))))
+  }
+
+  test("decile migration: reversal lands on the anti-diagonal, entrants in row 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-olap").toString
+    val p1 = Seq(
+      (1L, 500.0, "1995-01-01"), (2L, 400.0, "1995-01-01"),
+      (3L, 300.0, "1995-01-01"), (4L, 200.0, "1995-01-01"),
+      (5L, 100.0, "1995-01-01"))
+    val p2 = Seq(
+      (1L, 100.0, "1999-01-01"), (2L, 200.0, "1999-01-01"),
+      (3L, 300.0, "1999-01-01"), (4L, 400.0, "1999-01-01"),
+      (5L, 500.0, "1999-01-01"), (6L, 600.0, "1999-01-01"))
+    (p1 ++ p2).zipWithIndex
+      .map { case ((c, v, dt), i) => (i.toLong, c, v, dt) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "s")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_timestamp(col("s")).as("o_orderdate"))
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = OlapQueries.qDecileMigration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // p2 has 6 customers: ntile(5) puts the top TWO (c6, c5) in bucket 1
+    assert(rows == Set(
+      (0L, 1L, 1L), // c6: new entrant straight into the top bucket
+      (1L, 5L, 1L), (2L, 4L, 1L), (3L, 3L, 1L), (4L, 2L, 1L),
+      (5L, 1L, 1L)))
+  }
+
   test("distinctive terms surface a source-exclusive common token") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dist").toString
     import spark.implicits._

@@ -228,7 +228,9 @@ class PlanSpec extends SparkSpec {
       "q_lift_table", // 10-decile grid × one-row totals + the non-equi
                       // boundary probe into the distinct-score histogram —
                       // both sides statistic-sized, never the corpus
-      "q_distinctive_terms") // one-row corpus-token total broadcast
+      "q_distinctive_terms", // one-row corpus-token total broadcast
+      "q_bootstrap_ci", // one-row point estimate × one-row CI rank picks
+      "q_abc_analysis") // part-statistic table × one-row revenue total
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
