@@ -40,6 +40,12 @@ object Bench {
     "q_funnel_window", "q_wow_growth", "q_cohort_ltv", "q_seasonal_decompose",
     "q_stl_anomaly", "q_top_supplier", "q_waiting_suppliers",
     "q_bootstrap_ci", "q_abc_analysis", "q_decile_migration",
+    "q_custdist", "q_returned_revenue", "q_nation_trade", "q_market_share",
+    "q_profit", "q_promo_share", "q_priority_exists", "q_large_orders",
+    "q_disjunct_revenue", "q_min_cost_supplier", "q_important_parts",
+    "q_idle_rich", "q_dominant_supplier", "q_late_lines",
+    "q_welch_ttest", "q_mann_kendall", "q_theil_sen", "q_churn_rate",
+    "q_token_fertility",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_keep_best", "q_quality_shrunk",
     "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_hard_negatives",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{OlapQueries, PipelineQueries, StreamQueries}
+import graft.queries.{OlapQueries, PipelineQueries, StatsQueries, StreamQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry implements. */
@@ -17,11 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    StreamQueries.queries ++ OlapQueries.queries ++ PipelineQueries.queries
+    StreamQueries.queries ++ OlapQueries.queries ++ PipelineQueries.queries ++
+      TpchQueries.queries ++ StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (q_approx_distinct, q_ann_lsh) → weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    StreamQueries.oracles ++ OlapQueries.oracles ++ PipelineQueries.oracles
+    StreamQueries.oracles ++ OlapQueries.oracles ++ PipelineQueries.oracles ++
+      TpchQueries.oracles ++ StatsQueries.oracles
 }

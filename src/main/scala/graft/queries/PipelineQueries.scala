@@ -1348,6 +1348,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language: BPE-ish tokens per whitespace
+    * word and chars per token — the "how expensive is this language
+    * for the tokenizer" report every multilingual training-mix
+    * decision reads (high fertility → more compute per word of signal).
+    * Exact integer sums per language (map-side combinable), two IEEE
+    * divisions per group at the end, zero-guarded for languages the
+    * word splitter can't segment. */
+  def qTokenFertility(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val floor6 = (c: Column) => floor(c * 1000000.0d + 0.5d) / 1000000.0d
+    docs(s, d)
+      .select(
+        col("lang"),
+        size(expr("graft_tokens(text)")).cast("long").as("w"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("b"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("w").as("words"),
+        sum("b").as("bpe_tokens"),
+        sum("ch").as("chars"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("words"),
+        col("bpe_tokens"),
+        when(
+          col("words") > 0,
+          floor6(col("bpe_tokens").cast("double") / col("words").cast("double")))
+          .as("fertility"),
+        when(
+          col("bpe_tokens") > 0,
+          floor6(col("chars").cast("double") / col("bpe_tokens").cast("double")))
+          .as("chars_per_token"))
+      .transform(sortSmall(_, "lang"))
+  }
+
   /** Unicode normalization pass (the fix-encoding stage ahead of every
     * tokenizer): NFC composition + control/whitespace-run collapse as
     * ONE codegen'd scan per row
@@ -2286,6 +2324,7 @@ object PipelineQueries {
     "q_text_quality" -> qTextQuality _,
     "q_gopher_rules" -> qGopherRules _,
     "q_token_count" -> qTokenCount _,
+    "q_token_fertility" -> qTokenFertility _,
     "q_normalize" -> qNormalize _,
     "q_vocab_topk" -> qVocabTopk _,
     "q_inverted_index" -> qInvertedIndex _,
@@ -2859,6 +2898,27 @@ object PipelineQueries {
          |       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
          |       CAST(len(regexp_extract_all(text, '${TextFns.BpePattern}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_fertility" ->
+      s"""WITH per AS (
+         |  SELECT lang,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS w,
+         |         CAST(len(regexp_extract_all(text, '${TextFns.BpePattern}')) AS BIGINT) AS b,
+         |         CAST(len(text) AS BIGINT) AS ch
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(w) AS BIGINT) AS words,
+         |         CAST(sum(b) AS BIGINT) AS bpe_tokens,
+         |         CAST(sum(ch) AS BIGINT) AS chars
+         |  FROM per GROUP BY 1)
+         |SELECT lang, n_docs, words, bpe_tokens,
+         |       CASE WHEN words > 0
+         |            THEN floor((CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         |            END AS fertility,
+         |       CASE WHEN bpe_tokens > 0
+         |            THEN floor((CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         |            END AS chars_per_token
+         |FROM g ORDER BY lang""".stripMargin,
     // NUL is pre-replaced with space: DuckDB's nfc_normalize (utf8proc)
     // truncates at an embedded U+0000 whenever any non-ASCII char makes
     // the normalization path run. NUL blocks canonical composition

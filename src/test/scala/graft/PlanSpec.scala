@@ -230,7 +230,13 @@ class PlanSpec extends SparkSpec {
                       // both sides statistic-sized, never the corpus
       "q_distinctive_terms", // one-row corpus-token total broadcast
       "q_bootstrap_ci", // one-row point estimate × one-row CI rank picks
-      "q_abc_analysis") // part-statistic table × one-row revenue total
+      "q_abc_analysis", // part-statistic table × one-row revenue total
+      "q_important_parts", // part-value table × one-row (total, count)
+      "q_idle_rich", // customer scan × one-row (n_pos, sum_pos) threshold
+      "q_welch_ttest", // one-row arm A stats × one-row arm B stats
+      "q_mann_kendall", // month-count table self-pair (|months|², broadcast)
+                        // + three one-row statistic products
+      "q_theil_sen") // same month-pair product + one-row median picks
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
