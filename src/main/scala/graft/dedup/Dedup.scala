@@ -876,6 +876,46 @@ object Dedup {
     visited.select(col("id").as("doc_id"), col("dist"))
   }
 
+  /** k-core decomposition of the near-dup graph: iteratively peel
+    * nodes of degree < k until the remainder is stable — the standard
+    * "dense template cluster" extractor (a 2-core keeps only docs
+    * embedded in multi-edge duplicate structure; stray pairwise
+    * matches fall away). Level-synchronous peeling: each round is one
+    * degree aggregate + two semi joins on the node key, all keyed
+    * exchanges — no driver-side graph state, only the loop counter.
+    * `rounds` is FIXED (not until-stable) so the operator is a
+    * deterministic straight-line DAG; callers pick rounds ≥ the
+    * observed convergence depth (peeling depth is bounded by the
+    * longest degree-< k chain, small on near-dup graphs whose
+    * components are template cliques).
+    *
+    * Returns surviving (doc_id, degree) — degree within the core. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = pairs
+      .select(
+        explode(
+          array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .transform(Materialize.cut)
+    for (_ <- 1 to rounds) {
+      val keep = edges
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .transform(Materialize.cut)
+      edges = edges
+        .join(keep.hint("shuffle_hash"), col("src") === col("node"), "left_semi")
+        .join(keep.hint("shuffle_hash"), col("dst") === col("node"), "left_semi")
+        .transform(Materialize.cut)
+    }
+    edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
   /** Classic sorted-neighborhood (SNM) near-dup blocking (Hernández &
     * Stolfo, SIGMOD'95): sort records by a key, compare each record
     * only to its `window − 1` successors in the sort order, then

@@ -1008,6 +1008,27 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  val KcoreK = 2
+  val KcoreRounds = 4
+
+  /** 2-core of the near-dup graph ([[Dedup.kCore]]): docs that survive
+    * iterative degree-<2 peeling — the dense template clusters, with
+    * stray pairwise matches peeled away. Fixed [[KcoreRounds]] rounds
+    * (≥ observed convergence depth at both test SFs, spec-pinned
+    * stable) keep the DAG deterministic and straight-line. */
+  def qKcore(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .kCore(
+        Dedup.minhashLsh(
+          docs(s, d),
+          k = 3,
+          numHashes = MinhashSeeds,
+          bands = MinhashBands,
+          threshold = 0.8),
+        k = KcoreK,
+        rounds = KcoreRounds)
+      .orderBy("doc_id")
+
   /** Informative-Dirichlet prior mass for the log-odds statistic (the
     * Monroe et al. "fightin' words" α₀) — spread over tokens
     * proportionally to their corpus frequency. */
@@ -2381,6 +2402,7 @@ object PipelineQueries {
     "q_langid_eval" -> qLangidEval _,
     "q_expectations" -> qExpectations _,
     "q_graph_bfs" -> qGraphBfs _,
+    "q_kcore" -> qKcore _,
     "q_distinctive_terms" -> qDistinctiveTerms _,
     "q_snm_dedup" -> qSnmDedup _,
     "q_embed_outliers" -> qEmbedOutliers _
@@ -3792,6 +3814,28 @@ object PipelineQueries {
          |  WHERE b.dist < ${BfsHops})
          |SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist
          |FROM bfs GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_kcore" -> {
+      // MATERIALIZED is load-bearing: each e{r} is referenced by both
+      // the next degree aggregate and the next edge filter — without it
+      // DuckDB re-inlines the whole minhash pipeline per reference and
+      // the unrolled chain goes exponential.
+      val rounds = (1 to KcoreRounds)
+        .map { r =>
+          s"""d$r AS (SELECT src, count(*) AS deg FROM e${r - 1} GROUP BY 1),
+             |k$r AS (SELECT src AS node FROM d$r WHERE deg >= $KcoreK),
+             |e$r AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM e${r - 1} e
+             |  JOIN k$r x ON e.src = x.node JOIN k$r y ON e.dst = y.node)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""${minhashPairsCtes},
+         |e0 AS MATERIALIZED (
+         |  SELECT a_id AS src, b_id AS dst FROM mpairs
+         |  UNION SELECT b_id AS src, a_id AS dst FROM mpairs),
+         |$rounds
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS degree
+         |FROM e$KcoreRounds GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     "q_distinctive_terms" ->
       s"""WITH toks AS (
          |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok

@@ -258,12 +258,154 @@ object StatsQueries {
   }
 
   // ---------------------------------------------------------------
+  // Forecast backtest (naive vs seasonal-naive)
+  // ---------------------------------------------------------------
+
+  /** One-step-ahead forecast backtest on daily event counts per type:
+    * naive (yesterday) vs seasonal-naive (same weekday last week),
+    * scored with MAE, RMSE, and WAPE. The error sums the engines must
+    * agree on are EXACT int64 (|err|, err², Σactual — never a float
+    * accumulation); each score is one or two scalar IEEE ops per
+    * group. Lags run over the dense per-type day grid (zeros filled —
+    * skipping empty days would misalign every lag), a statistic-sized
+    * table. */
+  def qForecastEval(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), (col("ts_us") - (col("ts_us") % DayUs)).as("day_us"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(min("day_us").as("mn"), max("day_us").as("mx"))
+    val grid = ev
+      .select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        explode(expr(s"sequence(mn, mx, $DayUs)")).as("day_us"))
+    val dense = grid
+      .join(ev, Seq("event_type", "day_us"), "left")
+      .select(
+        col("event_type"),
+        col("day_us"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day_us")
+    dense
+      .withColumn("naive", lag("c", 1).over(w))
+      .withColumn("snaive", lag("c", 7).over(w))
+      .filter(col("snaive").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("c").as("actual_total"),
+        sum(abs(col("c") - col("naive"))).as("ae_naive"),
+        sum((col("c") - col("naive")) * (col("c") - col("naive"))).as("se_naive"),
+        sum(abs(col("c") - col("snaive"))).as("ae_snaive"),
+        sum((col("c") - col("snaive")) * (col("c") - col("snaive"))).as("se_snaive"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        floor6(col("ae_naive").cast("double") / col("n_days").cast("double"))
+          .as("mae_naive"),
+        floor6(sqrt(col("se_naive").cast("double") / col("n_days").cast("double")))
+          .as("rmse_naive"),
+        floor6(col("ae_naive").cast("double") / col("actual_total").cast("double"))
+          .as("wape_naive"),
+        floor6(col("ae_snaive").cast("double") / col("n_days").cast("double"))
+          .as("mae_snaive"),
+        floor6(sqrt(col("se_snaive").cast("double") / col("n_days").cast("double")))
+          .as("rmse_snaive"),
+        floor6(col("ae_snaive").cast("double") / col("actual_total").cast("double"))
+          .as("wape_snaive"))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
+  private val DayUs = 86400000000L
+
+  // ---------------------------------------------------------------
+  // CUPED variance-reduced A/B readout
+  // ---------------------------------------------------------------
+
+  /** Experiment-period boundary: pre-period covariate = user spend
+    * before this instant, post-period metric = spend after. */
+  val CupedSplit = "2024-01-16"
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    * al., WSDM'13): the industry-standard variance reduction for A/B
+    * readouts — adjust each user's post-period metric by their
+    * pre-period baseline, Y' = Y − θ(X − E[X]), θ = cov(X,Y)/var(X).
+    * Arms are the same md5 hash split as q_ab_test (reproducible
+    * everywhere). The whole estimator is TWO aggregates: per-user
+    * (pre, post) cents, then one global fold producing n, ΣX, ΣY,
+    * ΣX², ΣY², ΣXY (squares/products in decimal-38 — cents² wraps
+    * int64 at corpus scale) plus the per-arm conditional sums — θ,
+    * the adjusted means, and the realized variance reduction (ρ²)
+    * are scalar IEEE arithmetic on those exact sums. */
+  def qCuped(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hashing
+    val splitUs = java.time.LocalDate
+      .parse(CupedSplit)
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant
+      .toEpochMilli * 1000L
+    val per = Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts_us") < splitUs, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("ts_us") >= splitUs, col("cents")).otherwise(0L)).as("y"))
+      .withColumn(
+        "arm",
+        Hashing.md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+    val g = per.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"),
+      sum("y").as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_b"))
+    g.selectExpr(
+      "n",
+      "n_a",
+      "n_b",
+      "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS theta",
+      "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS rho2",
+      "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx",
+      "CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS my_a",
+      "CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS my_b",
+      "CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mx_a",
+      "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mx_b")
+      .select(
+        col("n").as("n_users"),
+        col("n_a"),
+        col("n_b"),
+        floor6(col("theta")).as("theta"),
+        floor6(col("rho2")).as("var_reduction"),
+        floor6(col("my_a") / 100.0d).as("mean_post_a"),
+        floor6(col("my_b") / 100.0d).as("mean_post_b"),
+        floor6((col("my_a") - col("theta") * (col("mx_a") - col("mx"))) / 100.0d)
+          .as("mean_adj_a"),
+        floor6((col("my_b") - col("theta") * (col("mx_b") - col("mx"))) / 100.0d)
+          .as("mean_adj_b"))
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
     "q_mann_kendall" -> qMannKendall _,
     "q_theil_sen" -> qTheilSen _,
-    "q_churn_rate" -> qChurnRate _
+    "q_churn_rate" -> qChurnRate _,
+    "q_forecast_eval" -> qForecastEval _,
+    "q_cuped" -> qCuped _
   )
 
   val oracles: Map[String, String] = Map(
@@ -348,6 +490,80 @@ object StatsQueries {
          |       ${floor6Sql("avg(r)")} AS intercept
          |FROM rankedr, cntr
          |WHERE rk = (n_points + 1) // 2 OR rk = (n_points + 2) // 2""".stripMargin,
+    "q_forecast_eval" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_us(ts) - epoch_us(ts) % $DayUs AS day_us,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT min(day_us) AS mn, max(day_us) AS mx FROM ev),
+         |grid AS (
+         |  SELECT t.event_type, g.day_us
+         |  FROM (SELECT DISTINCT event_type FROM ev) t,
+         |       (SELECT unnest(range(mn, mx + $DayUs, $DayUs)) AS day_us FROM bounds) g),
+         |dense AS (
+         |  SELECT grid.event_type, grid.day_us, coalesce(c, 0) AS c
+         |  FROM grid LEFT JOIN ev ON grid.event_type = ev.event_type AND grid.day_us = ev.day_us),
+         |lagged AS (
+         |  SELECT event_type, c,
+         |         lag(c, 1) OVER (PARTITION BY event_type ORDER BY day_us) AS naive,
+         |         lag(c, 7) OVER (PARTITION BY event_type ORDER BY day_us) AS snaive
+         |  FROM dense),
+         |agg AS (
+         |  SELECT event_type, count(*) AS n_days,
+         |         CAST(sum(c) AS BIGINT) AS actual_total,
+         |         CAST(sum(abs(c - naive)) AS BIGINT) AS ae_naive,
+         |         CAST(sum((c - naive) * (c - naive)) AS BIGINT) AS se_naive,
+         |         CAST(sum(abs(c - snaive)) AS BIGINT) AS ae_snaive,
+         |         CAST(sum((c - snaive) * (c - snaive)) AS BIGINT) AS se_snaive
+         |  FROM lagged WHERE snaive IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n_days,
+         |       ${floor6Sql("CAST(ae_naive AS DOUBLE) / CAST(n_days AS DOUBLE)")} AS mae_naive,
+         |       ${floor6Sql("sqrt(CAST(se_naive AS DOUBLE) / CAST(n_days AS DOUBLE))")} AS rmse_naive,
+         |       ${floor6Sql("CAST(ae_naive AS DOUBLE) / CAST(actual_total AS DOUBLE)")} AS wape_naive,
+         |       ${floor6Sql("CAST(ae_snaive AS DOUBLE) / CAST(n_days AS DOUBLE)")} AS mae_snaive,
+         |       ${floor6Sql("sqrt(CAST(se_snaive AS DOUBLE) / CAST(n_days AS DOUBLE))")} AS rmse_snaive,
+         |       ${floor6Sql("CAST(ae_snaive AS DOUBLE) / CAST(actual_total AS DOUBLE)")} AS wape_snaive
+         |FROM agg ORDER BY event_type""".stripMargin,
+    "q_cuped" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |         CAST(sum(CASE WHEN epoch_us(ts) < epoch_us(TIMESTAMP '$CupedSplit 00:00:00')
+         |                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         |         CAST(sum(CASE WHEN epoch_us(ts) >= epoch_us(TIMESTAMP '$CupedSplit 00:00:00')
+         |                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |armed AS (
+         |  SELECT *, ${graft.functions.Hashing.duckMd5Long("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+         |  FROM per),
+         |g AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+         |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         |  FROM armed),
+         |m AS (
+         |  SELECT n, n_a, n_b,
+         |         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS theta,
+         |         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS rho2,
+         |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         |         CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS my_a,
+         |         CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS my_b,
+         |         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mx_a,
+         |         CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mx_b
+         |  FROM g)
+         |SELECT n AS n_users, n_a, n_b,
+         |       ${floor6Sql("theta")} AS theta,
+         |       ${floor6Sql("rho2")} AS var_reduction,
+         |       ${floor6Sql("my_a / 100.0")} AS mean_post_a,
+         |       ${floor6Sql("my_b / 100.0")} AS mean_post_b,
+         |       ${floor6Sql("(my_a - theta * (mx_a - mx)) / 100.0")} AS mean_adj_a,
+         |       ${floor6Sql("(my_b - theta * (mx_b - mx)) / 100.0")} AS mean_adj_b
+         |FROM m""".stripMargin,
     "q_churn_rate" ->
       s"""WITH am AS (
          |  SELECT DISTINCT CAST($MonthIdxSql AS BIGINT) AS m, o_custkey FROM orders),

@@ -236,7 +236,8 @@ class PlanSpec extends SparkSpec {
       "q_welch_ttest", // one-row arm A stats × one-row arm B stats
       "q_mann_kendall", // month-count table self-pair (|months|², broadcast)
                         // + three one-row statistic products
-      "q_theil_sen") // same month-pair product + one-row median picks
+      "q_theil_sen", // same month-pair product + one-row median picks
+      "q_forecast_eval") // type-list × one-row day-bounds grid seed
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
