@@ -2048,6 +2048,141 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Fixed-point quantization scale shared by the covariance / PCA
+    * pair: components become int64 ten-millionths, so every corpus sum
+    * the engines must agree on is exact integer arithmetic. */
+  val EmbFp = 10000000L
+
+  private def floor9(c: Column): Column =
+    floor(c * 1.0e9d + 0.5d) / 1.0e9d
+
+  /** Upper-triangle covariance sums of the quantized embedding: ONE
+    * map-side explode per vector (dim·(dim+1)/2 structs — no join, no
+    * shuffle until the 2080-group aggregate), products summed in
+    * decimal-38 (a quantized product is ~10¹⁴ — a long sum wraps at
+    * corpus scale). Returns (j, k, s_jk) with 1-based dims. */
+  private def covPairSums(s: SparkSession, d: String): DataFrame = {
+    val dim = EmbDim
+    embs(s, d)
+      .select(
+        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * $EmbFp.0) AS BIGINT))")
+          .as("qv"))
+      .select(
+        explode(expr(
+          s"flatten(transform(sequence(0, ${dim - 1}), j -> " +
+            s"transform(sequence(j, ${dim - 1}), k -> " +
+            "named_struct('j', j + 1, 'k', k + 1, 'p', qv[j] * qv[k]))))")).as("t"))
+      .select(col("t.j").as("j"), col("t.k").as("k"), col("t.p").as("p"))
+      .groupBy("j", "k")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("s_jk"))
+  }
+
+  /** Per-dimension sums + the vector count of the quantized embedding
+    * (64 + 1 statistic rows from one scan). */
+  private def covDimSums(s: SparkSession, d: String): DataFrame =
+    embs(s, d)
+      .select(
+        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * $EmbFp.0) AS BIGINT))")
+          .as("qv"))
+      .select(explode(expr(
+        s"transform(sequence(0, ${EmbDim - 1}), j -> named_struct('j', j + 1, 'v', qv[j]))"))
+        .as("t"))
+      .select(col("t.j").as("dj"), col("t.v").as("v"))
+      .groupBy("dj")
+      .agg(sum(col("v").cast("decimal(38,0)")).as("s_d"), count(lit(1)).as("n"))
+
+  /** The covariance FORMULA shared by q_embed_cov and q_pca_top —
+    * scalar IEEE arithmetic on exact decimal sums, rescaled back from
+    * the fixed-point domain. */
+  private val CovExprSql =
+    "(CAST(s_jk AS DOUBLE) - CAST(s_j AS DOUBLE) * CAST(s_k AS DOUBLE) / CAST(n AS DOUBLE)) / ((CAST(n AS DOUBLE) - 1.0) * 1.0e14)"
+
+  /** The upper-triangle (j ≤ k) covariance table of the embedding
+    * columns with j/k/cov, as one corpus pass. */
+  private def covTable(s: SparkSession, d: String): DataFrame = {
+    val dims = covDimSums(s, d)
+    covPairSums(s, d)
+      .join(
+        broadcast(dims.select(col("dj"), col("s_d").as("s_j"), col("n"))),
+        col("j") === col("dj"))
+      .drop("dj")
+      .join(
+        broadcast(dims.select(col("dj"), col("s_d").as("s_k"))),
+        col("k") === col("dj"))
+      .selectExpr("j", "k", s"$CovExprSql AS cov")
+  }
+
+  /** Sample covariance matrix of the embedding columns (upper
+    * triangle): the one-pass sufficient-statistics shape — quantized
+    * components, Σqⱼqₖ per dim pair via a map-side struct explode
+    * (never a self-join), the covariance formula applied to the exact
+    * sums at the end. The feeding stage for any downstream PCA /
+    * whitening / Mahalanobis work. */
+  def qEmbedCov(s: SparkSession, d: String): DataFrame =
+    covTable(s, d)
+      .select(col("j"), col("k"), floor9(col("cov")).as("cov"))
+      .transform(sortSmall(_, "j", "k"))
+
+  val PcaIters = 8
+
+  /** Top principal component by power iteration: w ← normalize(C·w),
+    * [[PcaIters]] fixed rounds from the uniform unit start (0.125 per
+    * dim — exact binary). The corpus touches ONE pass (the covariance
+    * sufficient statistics); every iteration is dim²-sized. Each
+    * matrix-vector product element floors to int64 BEFORE the sum —
+    * float accumulation order can never leak in — and the
+    * normalization is one scalar sqrt of a decimal-exact Σs². The
+    * Rayleigh quotient (eigenvalue) uses the same floor-then-sum rule
+    * at 10⁻¹². */
+  def qPcaTop(s: SparkSession, d: String): DataFrame = {
+    val half = covTable(s, d)
+    val covFull = half
+      .unionByName(
+        half
+          .filter(col("j") =!= col("k"))
+          .select(col("k").as("j"), col("j").as("k"), col("cov")))
+      .transform(graft.operators.Materialize.cut)
+    var w: DataFrame = covFull
+      .select(col("j").as("wj"))
+      .distinct()
+      .select(col("wj"), lit(0.125d).as("wv"))
+      .transform(graft.operators.Materialize.cut)
+    for (_ <- 1 to PcaIters) {
+      val t = covFull
+        .join(broadcast(w), col("k") === col("wj"))
+        .groupBy("j")
+        .agg(
+          sum(expr("CAST(floor(cov * wv * 1.0e9) AS BIGINT)")).as("sg"))
+      val nrm = t.agg(
+        sum(col("sg").cast("decimal(38,0)") * col("sg")).as("nsq"))
+      w = t
+        .crossJoin(broadcast(nrm))
+        .select(
+          col("j").as("wj"),
+          (col("sg").cast("double") / sqrt(col("nsq").cast("double"))).as("wv"))
+        .transform(graft.operators.Materialize.cut)
+    }
+    val eig = covFull
+      .join(
+        broadcast(w.select(col("wj").as("ja"), col("wv").as("va"))),
+        col("j") === col("ja"))
+      .join(
+        broadcast(w.select(col("wj").as("jb"), col("wv").as("vb"))),
+        col("k") === col("jb"))
+      .agg(
+        (sum(expr("CAST(floor(cov * va * vb * 1.0e12) AS BIGINT)")).cast("double") /
+          1.0e12).as("eigenvalue"))
+    w.crossJoin(broadcast(eig))
+      .select(
+        col("wj").as("dim"),
+        floor6(col("wv")).as("loading"),
+        col("eigenvalue"))
+      .transform(sortSmall(_, "dim"))
+  }
+
+  private def floor6(c: Column): Column =
+    floor(c * 1000000.0d + 0.5d) / 1000000.0d
+
   /** Embedding-column data-quality audit per label: vector count, dim
     * spread, and the L2-norm distribution (min/mean/max + degenerate
     * near-zero vectors). The norm is a codegen'd sequential fold over
@@ -2383,6 +2518,8 @@ object PipelineQueries {
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_syllables" -> qSyllables _,
     "q_embed_stats" -> qEmbedStats _,
+    "q_embed_cov" -> qEmbedCov _,
+    "q_pca_top" -> qPcaTop _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2457,6 +2594,27 @@ object PipelineQueries {
        |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.8)""".stripMargin
 
   private val minhashPairsCtes = "WITH " + minhashPairsCtesFrom("documents", "")
+
+  // -------------------------------------------------- covariance oracle CTEs
+  // Mirrors covPairSums/covDimSums/covTable: quantized components,
+  // exact pair/dim sums, then the shared [[CovExprSql]] formula.
+
+  private def covOracleCtes: String =
+    s"""q AS (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * $EmbFp.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |px AS (
+       |  SELECT unnest(flatten(list_transform(range(1, ${EmbDim + 1}), j -> list_transform(range(j, ${EmbDim + 1}), k -> {'j': j, 'k': k, 'p': qv[j] * qv[k]})))) AS t
+       |  FROM q),
+       |ps AS (SELECT t.j AS j, t.k AS k, sum(t.p) AS s_jk FROM px GROUP BY 1, 2),
+       |dx AS (
+       |  SELECT unnest(list_transform(range(1, ${EmbDim + 1}), j -> {'j': j, 'v': qv[j]})) AS t
+       |  FROM q),
+       |ds AS (SELECT t.j AS dj, sum(t.v) AS s_d, count(*) AS n FROM dx GROUP BY 1),
+       |cj AS (
+       |  SELECT j, k, s_jk, a.s_d AS s_j, b.s_d AS s_k, a.n AS n
+       |  FROM ps JOIN ds a ON j = a.dj JOIN ds b ON k = b.dj),
+       |c2 AS MATERIALIZED (SELECT j, k, $CovExprSql AS cov FROM cj)""".stripMargin
 
   // -------------------------------------------------- k-means oracle CTEs
   // Mirrors Clustering.kmeansAssign exactly: fixed-point centroid means
@@ -3442,6 +3600,36 @@ object PipelineQueries {
         |       round(CAST(syl AS DOUBLE) / w, 4) AS syl_per_word,
         |       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / n_docs) - 84.6 * (CAST(syl AS DOUBLE) / w), 2) AS flesch_doc
         |FROM agg ORDER BY source""".stripMargin,
+    "q_embed_cov" ->
+      s"""WITH ${covOracleCtes}
+         |SELECT j, k, floor(cov * 1.0e9 + 0.5) / 1.0e9 AS cov
+         |FROM c2 ORDER BY j, k""".stripMargin,
+    "q_pca_top" -> {
+      val iters = (1 to PcaIters)
+        .map { r =>
+          s"""t$r AS (
+             |  SELECT c.j, CAST(sum(CAST(floor(c.cov * w.wv * 1.0e9) AS BIGINT)) AS BIGINT) AS sg
+             |  FROM covfull c JOIN w${r - 1} w ON c.k = w.wj GROUP BY 1),
+             |n$r AS (SELECT sum(CAST(sg AS HUGEINT) * sg) AS nsq FROM t$r),
+             |w$r AS MATERIALIZED (
+             |  SELECT j AS wj, CAST(sg AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE)) AS wv
+             |  FROM t$r, n$r)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH ${covOracleCtes},
+         |covfull AS MATERIALIZED (
+         |  SELECT j, k, cov FROM c2
+         |  UNION ALL SELECT k AS j, j AS k, cov FROM c2 WHERE j <> k),
+         |w0 AS (SELECT DISTINCT j AS wj, 0.125 AS wv FROM covfull),
+         |$iters,
+         |eig AS (
+         |  SELECT CAST(sum(CAST(floor(c.cov * a.wv * b.wv * 1.0e12) AS BIGINT)) AS BIGINT) AS se
+         |  FROM covfull c JOIN w$PcaIters a ON c.j = a.wj JOIN w$PcaIters b ON c.k = b.wj)
+         |SELECT wj AS dim,
+         |       floor(wv * 1000000.0 + 0.5) / 1000000.0 AS loading,
+         |       CAST(se AS DOUBLE) / 1.0e12 AS eigenvalue
+         |FROM w$PcaIters, eig ORDER BY dim""".stripMargin
+    },
     "q_embed_stats" ->
       """WITH per AS (
         |  SELECT label, CAST(len(embedding) AS BIGINT) AS dim,

@@ -398,6 +398,72 @@ object StatsQueries {
   }
 
   // ---------------------------------------------------------------
+  // Discrete-time conversion hazard (life table)
+  // ---------------------------------------------------------------
+
+  /** Signup→purchase life table: for each day-since-signup d, how many
+    * users were still at risk (observed through d, not yet converted)
+    * and how many converted ON day d — the discrete-time survival
+    * analysis every activation dashboard runs, with right-censoring by
+    * each user's observation window (corpus end − signup). The float
+    * product-limit estimator is deliberately NOT emitted — the life
+    * table itself is exact integers and the per-day hazard is ONE IEEE
+    * division, so every number is engine-exact. Shape: two co-keyed
+    * (user) aggregates, a day-range explode bounded by the observation
+    * window (the q_rolling_active pattern), one day-grid aggregate. */
+  def qHazardCurve(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val endDf = ev.agg(max("ts_us").as("end_us"))
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("ts_us").as("signup_us"))
+    // the ≥-signup condition lives IN the join: a user whose only
+    // purchases predate signup must stay (censored), not vanish
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts_us").as("p_us"))
+    val firstConv = signups
+      .join(
+        purchases,
+        col("user_id") === col("p_uid") && col("p_us") >= col("signup_us"),
+        "left")
+      .groupBy("user_id")
+      .agg(
+        min("signup_us").as("signup_us"),
+        min("p_us").as("conv_us"))
+    val perUser = firstConv
+      .crossJoin(broadcast(endDf))
+      .select(
+        col("user_id"),
+        expr(s"(end_us - signup_us) DIV $DayUs").as("censor_d"),
+        when(
+          col("conv_us").isNotNull,
+          expr(s"(conv_us - signup_us) DIV $DayUs"))
+          .as("conv_d"))
+      .select(
+        col("user_id"),
+        col("conv_d"),
+        least(coalesce(col("conv_d"), col("censor_d")), col("censor_d"))
+          .as("last_risk_d"))
+    perUser
+      .select(
+        col("conv_d"),
+        explode(expr("sequence(0, last_risk_d)")).as("d"))
+      .groupBy("d")
+      .agg(
+        count(lit(1)).as("at_risk"),
+        sum(when(col("conv_d") === col("d"), 1L).otherwise(0L)).as("n_convert"))
+      .select(
+        col("d"),
+        col("at_risk"),
+        col("n_convert"),
+        floor6(col("n_convert").cast("double") / col("at_risk").cast("double"))
+          .as("hazard"))
+      .transform(sortSmall(_, col("d")))
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
@@ -405,7 +471,8 @@ object StatsQueries {
     "q_theil_sen" -> qTheilSen _,
     "q_churn_rate" -> qChurnRate _,
     "q_forecast_eval" -> qForecastEval _,
-    "q_cuped" -> qCuped _
+    "q_cuped" -> qCuped _,
+    "q_hazard_curve" -> qHazardCurve _
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,6 +631,32 @@ object StatsQueries {
          |       ${floor6Sql("(my_a - theta * (mx_a - mx)) / 100.0")} AS mean_adj_a,
          |       ${floor6Sql("(my_b - theta * (mx_b - mx)) / 100.0")} AS mean_adj_b
          |FROM m""".stripMargin,
+    "q_hazard_curve" ->
+      s"""WITH endv AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+         |signups AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |conv AS (
+         |  SELECT s.user_id, s.signup_us, min(epoch_us(e.ts)) AS conv_us
+         |  FROM signups s LEFT JOIN events e
+         |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         |       AND epoch_us(e.ts) >= s.signup_us
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT user_id,
+         |         CASE WHEN conv_us IS NOT NULL
+         |              THEN (conv_us - signup_us) // $DayUs END AS conv_d,
+         |         least(coalesce((conv_us - signup_us) // $DayUs,
+         |                        (end_us - signup_us) // $DayUs),
+         |               (end_us - signup_us) // $DayUs) AS last_risk_d
+         |  FROM conv, endv),
+         |days AS (
+         |  SELECT conv_d, unnest(range(0, last_risk_d + 1)) AS d FROM per)
+         |SELECT d, count(*) AS at_risk,
+         |       CAST(sum(CASE WHEN conv_d = d THEN 1 ELSE 0 END) AS BIGINT) AS n_convert,
+         |       ${floor6Sql(
+          "CAST(sum(CASE WHEN conv_d = d THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS hazard
+         |FROM days GROUP BY 1 ORDER BY d""".stripMargin,
     "q_churn_rate" ->
       s"""WITH am AS (
          |  SELECT DISTINCT CAST($MonthIdxSql AS BIGINT) AS m, o_custkey FROM orders),

@@ -317,6 +317,39 @@ class DedupAnnApiSpec extends SparkSpec {
       1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("kCore: peels pendant chains, keeps the clique, converges") {
+    import spark.implicits._
+    // triangle 1-2-3 (the 2-core) with a pendant chain 3-4-5 hanging
+    // off it: round 1 peels 5 (deg 1), round 2 peels 4 — a chain needs
+    // MULTIPLE rounds, which is exactly what a fixed-round peel must
+    // cover; isolated pair 8-9 peels in round 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("a_id", "b_id")
+    def core(rounds: Int): Map[Long, Long] =
+      Dedup.kCore(pairs, k = 2, rounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    assert(core(2) == expected)
+    // fixed point: extra rounds change nothing once stable
+    assert(core(4) == expected)
+    // one round is NOT enough for the chain — the truncation shows the
+    // intermediate state (4 still present via its edge to 3)
+    assert(core(1).contains(4L))
+  }
+
+  test("kCore at the oracle parameters is stable one round past KcoreRounds") {
+    import graft.queries.PipelineQueries
+    val pairs = Dedup.minhashLsh(
+      docs, k = 3,
+      numHashes = PipelineQueries.MinhashSeeds,
+      bands = PipelineQueries.MinhashBands,
+      threshold = 0.8)
+    def run(rounds: Int): Set[(Long, Long)] =
+      Dedup.kCore(pairs, k = PipelineQueries.KcoreK, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(PipelineQueries.KcoreRounds) == run(PipelineQueries.KcoreRounds + 1))
+  }
+
   test("sortedNeighborhood pairs sort-adjacent near-dups, misses cross-block ones") {
     import spark.implicits._
     val near1 = "alpha beta gamma delta epsilon zeta"

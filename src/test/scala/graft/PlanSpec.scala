@@ -237,7 +237,9 @@ class PlanSpec extends SparkSpec {
       "q_mann_kendall", // month-count table self-pair (|months|², broadcast)
                         // + three one-row statistic products
       "q_theil_sen", // same month-pair product + one-row median picks
-      "q_forecast_eval") // type-list × one-row day-bounds grid seed
+      "q_forecast_eval", // type-list × one-row day-bounds grid seed
+      "q_hazard_curve", // one-row corpus-end (censoring bound) broadcast
+      "q_pca_top") // one-row normalization / eigenvalue scalars per round
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
