@@ -131,6 +131,47 @@ object OlapQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Session entry/exit/bounce report — which event types OPEN
+    * sessions, which CLOSE them, and how often an opener is the whole
+    * session (bounce): the standard landing/exit-page analysis, on the
+    * shared [[sessionized]] definition. First/last events come from
+    * two row_numbers + the session size on ONE (user, session)
+    * partitioning — a single exchange; the per-type rollup is
+    * type-bounded; bounce rate is one IEEE division of exact counts. */
+  def qEntryExit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_id")
+    val wa = w.orderBy("ts_us", "event_id")
+    val wd = w.orderBy(col("ts_us").desc, col("event_id").desc)
+    val marked = sessionized(Tables.events(s, d))
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(w))
+    val entries = marked
+      .filter(col("rn_a") === 1)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+    val exits = marked
+      .filter(col("rn_d") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_exits"))
+    entries
+      .join(exits, Seq("event_type"), "full_outer")
+      .select(
+        col("event_type"),
+        coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+        coalesce(col("n_exits"), lit(0L)).as("n_exits"),
+        coalesce(col("n_bounces"), lit(0L)).as("n_bounces"),
+        when(
+          coalesce(col("n_entries"), lit(0L)) > 0,
+          floor(
+            coalesce(col("n_bounces"), lit(0L)).cast("double") /
+              col("n_entries").cast("double") * 1000000.0d + 0.5d) / 1000000.0d)
+          .as("bounce_rate"))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
   val DebounceGapUs = 600000000L // 10 min
 
   /** Burst throttling (debounce): within each (user_id, event_type)
@@ -2417,18 +2458,29 @@ object OlapQueries {
     * of int64 sums; the CI picks are rank selections (no interpolation),
     * so the whole interval is engine-exact. */
   def qBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    // The B draws derive from TWO md5 digests per ORDER via the
+    // h_b = a + b·step family (the minhash-permutation trick, same
+    // Hashing.md5Long/md5Long2 pair): a per-(order, b) digest would
+    // hash B× the corpus and dominates the whole query at scale
+    // (measured 8× superlinear in BENCH_SCALING before this form).
+    // a ≤ 2⁶⁰ + B·2⁴⁰ keeps the chain overflow-free; % == pmod on
+    // non-negative values.
     val weight = {
-      val m = graft.functions.Hashing
-        .md5Long(concat(col("o_orderkey").cast("string"), lit(":"), col("b").cast("string")))
-        .mod(lit(1000000L)) // md5Long is 60-bit non-negative: % == pmod
+      val m = (col("ha") + col("b") * col("hb")).mod(lit(1000000L))
       PoissonCum.zipWithIndex.foldRight(lit(PoissonCum.size.toLong)) {
         case ((thr, i), els) => when(m < thr, i.toLong).otherwise(els)
       }
     }
+    val seed = concat(lit("bs:"), col("o_orderkey").cast("string"))
     val rs = t(s, d, "orders")
       .select(
-        col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        graft.functions.Hashing.md5Long(seed).as("ha"),
+        graft.functions.Hashing.md5Long2(seed).as("hb"))
+      .select(
+        col("cents"),
+        col("ha"),
+        col("hb"),
         explode(expr(s"sequence(1, $BootstrapB)")).as("b"))
       .select(col("b"), col("cents"), weight.as("w"))
       .groupBy("b")
@@ -2548,6 +2600,7 @@ object OlapQueries {
     "q_twap" -> qTwap _,
     "q_ema" -> qEma _,
     "q_transitions" -> qTransitions _,
+    "q_entry_exit" -> qEntryExit _,
     "q_attribution" -> qAttribution _,
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
@@ -2681,6 +2734,38 @@ object OlapQueries {
         |       round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_entry_exit" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |ranked AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts_us DESC, event_id DESC) AS rn_d,
+        |         count(*) OVER (PARTITION BY user_id, session_id) AS n
+        |  FROM sessions),
+        |entries AS (
+        |  SELECT event_type, count(*) AS n_entries,
+        |         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        |  FROM ranked WHERE rn_a = 1 GROUP BY 1),
+        |exits AS (
+        |  SELECT event_type, count(*) AS n_exits FROM ranked WHERE rn_d = 1 GROUP BY 1)
+        |SELECT event_type,
+        |       coalesce(n_entries, 0) AS n_entries,
+        |       coalesce(n_exits, 0) AS n_exits,
+        |       coalesce(n_bounces, 0) AS n_bounces,
+        |       CASE WHEN coalesce(n_entries, 0) > 0
+        |            THEN floor(CAST(coalesce(n_bounces, 0) AS DOUBLE) / CAST(n_entries AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |            END AS bounce_rate
+        |FROM entries FULL OUTER JOIN exits USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_journeys" ->
       """WITH gaps AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
@@ -3852,15 +3937,20 @@ object OlapQueries {
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 10""".stripMargin,
     "q_bootstrap_ci" -> {
-      val h = graft.functions.Hashing
-        .duckMd5Long("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+      val ha = graft.functions.Hashing
+        .duckMd5Long("'bs:' || CAST(o_orderkey AS VARCHAR)")
+      val hb = graft.functions.Hashing
+        .duckMd5Long2("'bs:' || CAST(o_orderkey AS VARCHAR)")
       val caseChain = PoissonCum.zipWithIndex
         .map { case (thr, i) => s"WHEN m < $thr THEN $i" }
         .mkString("CASE ", " ", s" ELSE ${PoissonCum.size} END")
-      s"""WITH rs AS (
-         |  SELECT b, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-         |         $h % 1000000 AS m
-         |  FROM orders CROSS JOIN (SELECT unnest(generate_series(1, $BootstrapB)) AS b)),
+      s"""WITH seeded AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |         $ha AS ha, $hb AS hb
+         |  FROM orders),
+         |rs AS (
+         |  SELECT b, cents, (ha + b * hb) % 1000000 AS m
+         |  FROM seeded CROSS JOIN (SELECT unnest(generate_series(1, $BootstrapB)) AS b)),
          |wt AS (SELECT b, cents, $caseChain AS w FROM rs),
          |means AS (
          |  SELECT b, CAST(sum(w * cents) AS BIGINT) AS wc, CAST(sum(w) AS BIGINT) AS wn

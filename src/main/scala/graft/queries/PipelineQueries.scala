@@ -1137,6 +1137,55 @@ object PipelineQueries {
       .transform(sortSmall(_, "label", "rank"))
   }
 
+  val MahalTopK = 20
+
+  /** Diagonal-covariance Mahalanobis outliers: top-k vectors by
+    * variance-normalized distance from the GLOBAL mean — the whitened
+    * complement of [[qEmbedOutliers]] (a dimension that barely varies
+    * counts for more when it deviates). Per-dim means/variances come
+    * from ONE wide aggregate over quantized components (exact int64 /
+    * decimal sums → deterministic doubles); the per-row distance is a
+    * sequential left fold over the dim terms in LIST ORDER — the same
+    * bit-for-bit float contract as q_embed_stats' norm — and the top-k
+    * cut ranks the ROUNDED distance with a vec_id tiebreak
+    * (TakeOrdered, no global sort materialization). */
+  def qMahalanobis(s: SparkSession, d: String): DataFrame = {
+    val Q = EmbFp
+    val sums = (1 to EmbDim).flatMap { j =>
+      val qj = floor(element_at(col("v"), j) * lit(Q.toDouble)).cast("long")
+      Seq(
+        sum(qj).as(s"s$j"),
+        sum(qj.cast("decimal(38,0)") * qj).as(s"q$j"))
+    }
+    val aggs = count(lit(1)).as("n") +: sums
+    val stats = embs(s, d)
+      .select(VectorFns.asDouble(col("embedding")).as("v"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        array((1 to EmbDim).map(j =>
+          col(s"s$j").cast("double") / (col("n") * lit(Q)).cast("double")): _*)
+          .as("mu"),
+        array((1 to EmbDim).map(j =>
+          (col(s"q$j").cast("double") -
+            col(s"s$j").cast("double") * col(s"s$j").cast("double") /
+              col("n").cast("double")) /
+            ((col("n").cast("double") - lit(1.0d)) *
+              lit(Q.toDouble) * lit(Q.toDouble))): _*).as("vr"))
+    val distExpr =
+      s"aggregate(transform(sequence(1, $EmbDim), j -> " +
+        "(element_at(v, j) - element_at(mu, j)) * (element_at(v, j) - element_at(mu, j)) / element_at(vr, j)), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    embs(s, d)
+      .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("vec_id"),
+        col("label"),
+        (floor(expr(distExpr) * 1000000.0d + 0.5d) / 1000000.0d).as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(MahalTopK)
+  }
+
   /** Model-based quality filter: a linear scorer with literal weights
     * over the [[qTextQuality]] feature set (the fasttext-style
     * "classifier filter" stage of a data pipeline, with the model
@@ -2520,6 +2569,7 @@ object PipelineQueries {
     "q_embed_stats" -> qEmbedStats _,
     "q_embed_cov" -> qEmbedCov _,
     "q_pca_top" -> qPcaTop _,
+    "q_mahalanobis" -> qMahalanobis _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -3604,6 +3654,30 @@ object PipelineQueries {
       s"""WITH ${covOracleCtes}
          |SELECT j, k, floor(cov * 1.0e9 + 0.5) / 1.0e9 AS cov
          |FROM c2 ORDER BY j, k""".stripMargin,
+    "q_mahalanobis" -> {
+      val sumCols = (1 to EmbDim)
+        .map(j =>
+          s"CAST(sum(CAST(floor(v[$j] * $EmbFp.0) AS BIGINT)) AS BIGINT) AS s$j, " +
+            s"sum(CAST(floor(v[$j] * $EmbFp.0) AS BIGINT) * CAST(floor(v[$j] * $EmbFp.0) AS BIGINT)) AS q$j")
+        .mkString(", ")
+      val muArr = (1 to EmbDim)
+        .map(j => s"CAST(s$j AS DOUBLE) / CAST(n * $EmbFp AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      val vrArr = (1 to EmbDim)
+        .map(j =>
+          s"(CAST(q$j AS DOUBLE) - CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE) / CAST(n AS DOUBLE)) / ((CAST(n AS DOUBLE) - 1.0) * $EmbFp.0 * $EmbFp.0)")
+        .mkString("[", ", ", "]")
+      s"""WITH vecs AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |agg AS (SELECT count(*) AS n, $sumCols FROM vecs),
+         |stats AS (SELECT $muArr AS mu, $vrArr AS vr FROM agg),
+         |scored AS (
+         |  SELECT vec_id, label,
+         |         floor(list_aggregate(list_transform(range(1, ${EmbDim + 1}), j -> (v[j] - mu[j]) * (v[j] - mu[j]) / vr[j]), 'sum') * 1000000.0 + 0.5) / 1000000.0 AS dist2
+         |  FROM vecs, stats)
+         |SELECT vec_id, label, dist2 FROM scored
+         |ORDER BY dist2 DESC, vec_id LIMIT $MahalTopK""".stripMargin
+    },
     "q_pca_top" -> {
       val iters = (1 to PcaIters)
         .map { r =>

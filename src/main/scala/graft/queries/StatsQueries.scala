@@ -464,6 +464,115 @@ object StatsQueries {
   }
 
   // ---------------------------------------------------------------
+  // Rate/volume/mix decomposition (period-over-period variance bridge)
+  // ---------------------------------------------------------------
+
+  /** Boundary between the two compared periods. */
+  val MixSplit = "1998-01-01"
+
+  /** Period-over-period revenue bridge per market segment: the FP&A
+    * classic that decomposes Δrevenue into a volume effect
+    * ((n₂−n₁)·r₁), a rate effect (n₁·(r₂−r₁)), and the joint term —
+    * "did we sell more orders, bigger orders, or both". ONE orders
+    * aggregate with conditional per-period sums (segment dim
+    * broadcast); counts and cents stay exact int64, rates are single
+    * IEEE divisions, effects are products of those deterministic
+    * doubles. Segment-bounded output. */
+  def qMixShift(s: SparkSession, d: String): DataFrame = {
+    val split = lit(MixSplit).cast("timestamp")
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val g = t(s, d, "orders")
+      .join(
+        broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(when(col("o_orderdate") < split, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("o_orderdate") < split, cents).otherwise(0L)).as("rev1"),
+        sum(when(col("o_orderdate") >= split, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("o_orderdate") >= split, cents).otherwise(0L)).as("rev2"))
+    g.selectExpr(
+      "c_mktsegment",
+      "n1",
+      "n2",
+      "rev1",
+      "rev2",
+      "CAST(rev1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS r1",
+      "CAST(rev2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS r2")
+      .select(
+        col("c_mktsegment"),
+        col("n1"),
+        col("n2"),
+        (col("rev1").cast("double") / 100.0d).as("revenue_1"),
+        (col("rev2").cast("double") / 100.0d).as("revenue_2"),
+        ((col("rev2") - col("rev1")).cast("double") / 100.0d).as("delta"),
+        floor6((col("n2") - col("n1")).cast("double") * col("r1") / 100.0d)
+          .as("volume_effect"),
+        floor6(col("n1").cast("double") * (col("r2") - col("r1")) / 100.0d)
+          .as("rate_effect"),
+        floor6(
+          (col("n2") - col("n1")).cast("double") * (col("r2") - col("r1")) /
+            100.0d).as("joint_effect"))
+      .transform(sortSmall(_, col("c_mktsegment")))
+  }
+
+  // ---------------------------------------------------------------
+  // Wald–Wolfowitz runs test
+  // ---------------------------------------------------------------
+
+  /** Runs test for randomness on daily order counts: are above-median
+    * and below-median days randomly interleaved, or do they cluster
+    * (trend/regime) — the non-parametric sanity check next to
+    * Mann–Kendall. Median = rank pick over the day-count statistic
+    * table; the run count is a lag compare over the same table;
+    * n₁/n₂/R stay exact int64 and only the final z is float. Days at
+    * the median are excluded (the standard two-sample reduction). */
+  def qRunsTest(s: SparkSession, d: String): DataFrame = {
+    val days = t(s, d, "orders")
+      .groupBy(
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = days.withColumn(
+      "rk",
+      row_number().over(Window.orderBy("c", "day")).cast("long"))
+    val cnt = ranked.agg(max("rk").as("n_days"))
+    val med = ranked
+      .crossJoin(broadcast(cnt))
+      .filter(
+        col("rk") === expr("(n_days + 1) DIV 2") ||
+          col("rk") === expr("(n_days + 2) DIV 2"))
+      .agg(avg(col("c").cast("double")).as("med"))
+    val signed = days
+      .crossJoin(broadcast(med))
+      .filter(col("c").cast("double") =!= col("med"))
+      .select(
+        col("day"),
+        (col("c").cast("double") > col("med")).cast("long").as("sgn"))
+    val w = Window.orderBy("day")
+    val runs = signed
+      .withColumn("prev", lag("sgn", 1).over(w))
+      .agg(
+        sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+          .otherwise(0L)).as("runs"),
+        sum(col("sgn")).as("n_above"),
+        sum(lit(1L) - col("sgn")).as("n_below"))
+    runs.selectExpr(
+      "n_above",
+      "n_below",
+      "runs",
+      "2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0 AS mu",
+      "2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE)) / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)) AS var_r")
+      .select(
+        col("n_above"),
+        col("n_below"),
+        col("runs"),
+        floor6(col("mu")).as("expected_runs"),
+        floor6(
+          (col("runs").cast("double") - col("mu")) / sqrt(col("var_r")))
+          .as("z_stat"))
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
@@ -472,7 +581,9 @@ object StatsQueries {
     "q_churn_rate" -> qChurnRate _,
     "q_forecast_eval" -> qForecastEval _,
     "q_cuped" -> qCuped _,
-    "q_hazard_curve" -> qHazardCurve _
+    "q_hazard_curve" -> qHazardCurve _,
+    "q_mix_shift" -> qMixShift _,
+    "q_runs_test" -> qRunsTest _
   )
 
   val oracles: Map[String, String] = Map(
@@ -630,6 +741,57 @@ object StatsQueries {
          |       ${floor6Sql("my_b / 100.0")} AS mean_post_b,
          |       ${floor6Sql("(my_a - theta * (mx_a - mx)) / 100.0")} AS mean_adj_a,
          |       ${floor6Sql("(my_b - theta * (mx_b - mx)) / 100.0")} AS mean_adj_b
+         |FROM m""".stripMargin,
+    "q_mix_shift" ->
+      s"""WITH g AS (
+         |  SELECT c_mktsegment,
+         |         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$MixSplit 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$MixSplit 00:00:00' THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev1,
+         |         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '$MixSplit 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '$MixSplit 00:00:00' THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev2
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1),
+         |r AS (
+         |  SELECT *, CAST(rev1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS r1,
+         |         CAST(rev2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS r2
+         |  FROM g)
+         |SELECT c_mktsegment, n1, n2,
+         |       CAST(rev1 AS DOUBLE) / 100.0 AS revenue_1,
+         |       CAST(rev2 AS DOUBLE) / 100.0 AS revenue_2,
+         |       CAST(rev2 - rev1 AS DOUBLE) / 100.0 AS delta,
+         |       ${floor6Sql("CAST(n2 - n1 AS DOUBLE) * r1 / 100.0")} AS volume_effect,
+         |       ${floor6Sql("CAST(n1 AS DOUBLE) * (r2 - r1) / 100.0")} AS rate_effect,
+         |       ${floor6Sql("CAST(n2 - n1 AS DOUBLE) * (r2 - r1) / 100.0")} AS joint_effect
+         |FROM r ORDER BY c_mktsegment""".stripMargin,
+    "q_runs_test" ->
+      s"""WITH days AS (
+         |  SELECT epoch_us(o_orderdate) // $DayUs AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY c, day) AS BIGINT) AS rk FROM days),
+         |cnt AS (SELECT max(rk) AS n_days FROM ranked),
+         |med AS (
+         |  SELECT avg(CAST(c AS DOUBLE)) AS med
+         |  FROM ranked, cnt
+         |  WHERE rk = (n_days + 1) // 2 OR rk = (n_days + 2) // 2),
+         |signed AS (
+         |  SELECT day, CAST(CAST(c AS DOUBLE) > med AS BIGINT) AS sgn
+         |  FROM days, med WHERE CAST(c AS DOUBLE) <> med),
+         |lagged AS (
+         |  SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM signed),
+         |r AS (
+         |  SELECT CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+         |         CAST(sum(sgn) AS BIGINT) AS n_above,
+         |         CAST(sum(1 - sgn) AS BIGINT) AS n_below
+         |  FROM lagged),
+         |m AS (
+         |  SELECT *,
+         |         2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0 AS mu,
+         |         2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE)) / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)) AS var_r
+         |  FROM r)
+         |SELECT n_above, n_below, runs,
+         |       ${floor6Sql("mu")} AS expected_runs,
+         |       ${floor6Sql("(CAST(runs AS DOUBLE) - mu) / sqrt(var_r)")} AS z_stat
          |FROM m""".stripMargin,
     "q_hazard_curve" ->
       s"""WITH endv AS (SELECT max(epoch_us(ts)) AS end_us FROM events),

@@ -11,6 +11,33 @@ class OlapSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("mix-shift bridge: the three effects reconstruct delta per segment") {
+    graft.queries.StatsQueries
+      .qMixShift(spark, SfDir)
+      .collect()
+      .foreach { r =>
+        val delta = r.getDouble(r.fieldIndex("delta"))
+        val sum = r.getDouble(r.fieldIndex("volume_effect")) +
+          r.getDouble(r.fieldIndex("rate_effect")) +
+          r.getDouble(r.fieldIndex("joint_effect"))
+        // effects are floor6-rounded: the identity holds to ~3 ulps of 1e-6
+        assert(
+          math.abs(delta - sum) < 1e-4,
+          s"${r.getString(0)}: delta $delta vs effect sum $sum")
+      }
+  }
+
+  test("entry/exit report: totals balance and bounces bound entries") {
+    val rows = OlapQueries.qEntryExit(spark, SfDir).collect()
+    val entries = rows.map(_.getLong(1)).sum
+    val exits = rows.map(_.getLong(2)).sum
+    // every session has exactly one entry and one exit
+    assert(entries == exits && entries > 0)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"bounces exceed entries in $r")
+    }
+  }
+
   test("cohort retention matrix on crafted events") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
     Seq(
