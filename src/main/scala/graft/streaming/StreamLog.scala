@@ -231,6 +231,66 @@ object StreamLog {
       }
   }
 
+  final case class ArmWelford(n: Long, mean: Double, m2: Double)
+  final case class AbState(a: ArmWelford, b: ArmWelford)
+  final case class ExperimentStat(
+      experiment: String,
+      nA: Long,
+      nB: Long,
+      meanA: Double,
+      meanB: Double,
+      tStat: Double,
+      df: Double)
+
+  /** Streaming twin of the batch Welch guardrail
+    * ([[graft.queries.StatsQueries.qWelchTtest]]): per experiment,
+    * fold every (arm, value) observation into one Welford accumulator
+    * PER ARM and emit the running Welch t and Welch–Satterthwaite df
+    * after each micro-batch — the live "stop the experiment" monitor,
+    * where the batch twin is the end-of-day readout. State is two
+    * 24-byte accumulators per experiment — bounded, no timeout.
+    * Emits once both arms have ≥2 observations. Rows within a
+    * micro-batch fold in (seq, arm, value) order for cross-run
+    * determinism (same rows, same state, same t). */
+  def experimentMonitor(
+      points: Dataset[(String, Long, Long, Double)])
+      : Dataset[ExperimentStat] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AbState, ExperimentStat](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (exp, rows, state: GroupState[AbState]) =>
+          var st = state.getOption.getOrElse(
+            AbState(ArmWelford(0L, 0.0, 0.0), ArmWelford(0L, 0.0, 0.0)))
+          rows.toArray.sortBy(r => (r._3, r._2, r._4)).foreach { r =>
+            val w = if (r._2 == 0L) st.a else st.b
+            val n1 = w.n + 1
+            val d = r._4 - w.mean
+            val mean1 = w.mean + d / n1
+            val w1 = ArmWelford(n1, mean1, w.m2 + d * (r._4 - mean1))
+            st = if (r._2 == 0L) st.copy(a = w1) else st.copy(b = w1)
+          }
+          state.update(st)
+          if (st.a.n > 1 && st.b.n > 1) {
+            val va = st.a.m2 / (st.a.n - 1)
+            val vb = st.b.m2 / (st.b.n - 1)
+            val se2 = va / st.a.n + vb / st.b.n
+            val t =
+              if (se2 > 0) (st.a.mean - st.b.mean) / math.sqrt(se2) else 0.0
+            val df =
+              if (se2 > 0)
+                se2 * se2 /
+                  ((va / st.a.n) * (va / st.a.n) / (st.a.n - 1) +
+                    (vb / st.b.n) * (vb / st.b.n) / (st.b.n - 1))
+              else 0.0
+            Iterator.single(
+              ExperimentStat(exp, st.a.n, st.b.n, st.a.mean, st.b.mean, t, df))
+          } else Iterator.empty
+      }
+  }
+
   final case class DriftHistState(
       base: Seq[Long],
       win: Seq[Long],

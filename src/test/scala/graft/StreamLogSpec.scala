@@ -261,6 +261,42 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("experimentMonitor: running Welch t across micro-batches, bit-equal to a local fold") {
+    val mem = MemoryStream[(String, Long, Long, Double)](spark)
+    val q = StreamLog
+      .experimentMonitor(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("ab_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: arm B has a single observation → no emit yet
+      mem.addData(("exp1", 0L, 1L, 10.0), ("exp1", 0L, 2L, 12.0), ("exp1", 1L, 3L, 11.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ab_out").count() == 0)
+      // batch 2 completes both arms; state carries batch 1
+      mem.addData(("exp1", 1L, 4L, 13.0), ("exp1", 0L, 5L, 14.0), ("exp1", 1L, 6L, 15.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ab_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      // replicate the exact fold: (seq, arm, value) order over the stream
+      def fold(vals: Seq[Double]): (Long, Double, Double) =
+        vals.foldLeft((0L, 0.0, 0.0)) { case ((n, m, m2), v) =>
+          val n1 = n + 1; val d = v - m; val m1 = m + d / n1
+          (n1, m1, m2 + d * (v - m1))
+        }
+      val (na, ma, m2a) = fold(Seq(10.0, 12.0, 14.0))
+      val (nb, mb, m2b) = fold(Seq(11.0, 13.0, 15.0))
+      val (va, vb) = (m2a / (na - 1), m2b / (nb - 1))
+      val se2 = va / na + vb / nb
+      assert(r.getLong(1) == na && r.getLong(2) == nb)
+      assert(r.getDouble(3) == ma && r.getDouble(4) == mb)
+      assert(r.getDouble(5) == (ma - mb) / math.sqrt(se2))
+    } finally q.stop()
+  }
+
   test("emaStream continues the recursion across micro-batches, bit-equal to a local fold") {
     val mem = MemoryStream[(String, Long, Double)](spark)
     val q = StreamLog
