@@ -337,6 +337,38 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(core(1).contains(4L))
   }
 
+  test("kCore matches a local reference peel on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.07
+      } yield (a.toLong, b.toLong)).toVector
+      // local reference: peel to the true fixpoint
+      def peel(es: Vector[(Long, Long)], k: Int): Map[Long, Long] = {
+        var cur = es
+        var done = false
+        while (!done) {
+          val deg = cur.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+            .map { case (v, xs) => v -> xs.size.toLong }
+          val keep = deg.filter(_._2 >= k).keySet
+          val nxt = cur.filter(e => keep(e._1) && keep(e._2))
+          done = nxt.size == cur.size
+          cur = nxt
+        }
+        cur.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (v, xs) => v -> xs.size.toLong }
+      }
+      val expected = peel(edges, 2)
+      val got = Dedup
+        .kCore(edges.toDF("a_id", "b_id"), k = 2, rounds = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("kCore at the oracle parameters is stable one round past KcoreRounds") {
     import graft.queries.PipelineQueries
     val pairs = Dedup.minhashLsh(
