@@ -2203,6 +2203,47 @@ object OlapQueries {
       .transform(sortSmall(_, col("stage")))
   }
 
+  /** Any-order funnel (the unordered complement of [[qFunnelWindow]]):
+    * a user converts when SOME 1-hour window contains a view, a click,
+    * and a purchase in ANY order — engagement-burst detection, where
+    * the ordered funnel insists on the canonical sequence. The "exists
+    * a window" scan needs no CEP engine: at each event, the per-type
+    * RUNNING MAX timestamps say when each type was last seen, and the
+    * window ending here contains all three iff the oldest of the three
+    * is within [[FunnelStepUs]] — three running-max windows + one flag
+    * max on ONE (user_id) partitioning, a single exchange, integer
+    * arithmetic end to end. */
+  def qFunnelAny(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def lastSeen(t: String): Column =
+      max(when(col("event_type") === t, col("ts_us"))).over(w)
+    val perUser = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("lv", lastSeen("view"))
+      .withColumn("lc", lastSeen("click"))
+      .withColumn("lp", lastSeen("purchase"))
+      .withColumn(
+        "hit",
+        (col("lv").isNotNull && col("lc").isNotNull && col("lp").isNotNull &&
+          col("ts_us") - least(col("lv"), col("lc"), col("lp")) <= FunnelStepUs)
+          .cast("long"))
+      .groupBy("user_id")
+      .agg(
+        max("hit").as("converted"),
+        (max(col("lv").isNotNull.cast("long")) +
+          max(col("lc").isNotNull.cast("long")) +
+          max(col("lp").isNotNull.cast("long")) === 3L).cast("long")
+          .as("has_all_types"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum("has_all_types").as("n_all_types"),
+      sum("converted").as("n_converted_1h"))
+  }
+
   private val WeekDays = 7L
 
   /** Week-over-week revenue growth: weekly order revenue (exact integer
@@ -2601,6 +2642,7 @@ object OlapQueries {
     "q_ema" -> qEma _,
     "q_transitions" -> qTransitions _,
     "q_entry_exit" -> qEntryExit _,
+    "q_funnel_any" -> qFunnelAny _,
     "q_attribution" -> qAttribution _,
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
@@ -2734,6 +2776,29 @@ object OlapQueries {
         |       round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_funnel_any" ->
+      s"""WITH f AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         |r AS (
+         |  SELECT user_id, ts_us,
+         |         max(CASE WHEN event_type = 'view' THEN ts_us END) OVER w AS lv,
+         |         max(CASE WHEN event_type = 'click' THEN ts_us END) OVER w AS lc,
+         |         max(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER w AS lp
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |per AS (
+         |  SELECT user_id,
+         |         max(CASE WHEN lv IS NOT NULL AND lc IS NOT NULL AND lp IS NOT NULL
+         |                  AND ts_us - least(lv, lc, lp) <= $FunnelStepUs THEN 1 ELSE 0 END) AS converted,
+         |         CAST(max(CASE WHEN lv IS NOT NULL THEN 1 ELSE 0 END)
+         |            + max(CASE WHEN lc IS NOT NULL THEN 1 ELSE 0 END)
+         |            + max(CASE WHEN lp IS NOT NULL THEN 1 ELSE 0 END) = 3 AS BIGINT) AS has_all_types
+         |  FROM r GROUP BY 1)
+         |SELECT count(*) AS n_users,
+         |       CAST(sum(has_all_types) AS BIGINT) AS n_all_types,
+         |       CAST(sum(converted) AS BIGINT) AS n_converted_1h
+         |FROM per""".stripMargin,
     "q_entry_exit" ->
       """WITH gaps AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
