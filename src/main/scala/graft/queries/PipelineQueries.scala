@@ -1607,6 +1607,93 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .transform(sortSmall(_, "source"))
 
+  /** Share of corpus TOKEN MASS sitting inside near-dup structure —
+    * the intake dashboard's "how much duplicated weight am I carrying"
+    * number ([[qDupRateBySource]] counts documents; token mass is what
+    * the training run actually pays for). Docs in ≥1 LSH pair are
+    * "duplicated"; their whitespace-token mass over the total, per
+    * source and overall (the `ALL` row). Exact integer sums, one IEEE
+    * division per row. */
+  def qDupTokenShare(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val pairs = Dedup.minhashLsh(
+      docs(s, d),
+      k = 3,
+      numHashes = MinhashSeeds,
+      bands = MinhashBands,
+      threshold = 0.8)
+    val dupIds = pairs
+      .select(col("a_id").as("doc_id"))
+      .unionAll(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+    val base = docs(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(expr("graft_tokens(text)")).cast("long").as("tok"))
+      .join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+    base
+      .groupBy(col("source"))
+      .agg(
+        sum("tok").as("total_tokens"),
+        sum(when(col("dup").isNotNull, col("tok")).otherwise(0L)).as("dup_tokens"))
+      .unionByName(
+        base.agg(
+          sum("tok").as("total_tokens"),
+          sum(when(col("dup").isNotNull, col("tok")).otherwise(0L)).as("dup_tokens"))
+          .select(lit("ALL").as("source"), col("total_tokens"), col("dup_tokens")))
+      .select(
+        col("source"),
+        col("total_tokens"),
+        col("dup_tokens"),
+        (floor(
+          col("dup_tokens").cast("double") / col("total_tokens").cast("double") *
+            1000000.0d + 0.5d) / 1000000.0d).as("dup_token_share"))
+      .transform(sortSmall(_, "source"))
+  }
+
+  /** Exponent denominator for [[qTempMix]]: α = 1/2 — temperature-
+    * scaled multinomial mixing weights wₛ ∝ nₛ^α (the mT5/XLM-R
+    * low-resource-upsampling standard). α = ½ specifically because
+    * sqrt is IEEE-correctly-rounded in every engine, where a general
+    * pow(n, α) = exp(α·ln n) can differ by an ulp between libms. */
+  val TempMixScale = 1000000L
+
+  /** Temperature-scaled source mixing weights: wₛ = √nₛ / Σ√n over
+    * per-source token counts, plus the implied upsampling factor vs
+    * proportional mixing. The Σ√n the engines must agree on is a sum
+    * of FLOOR-QUANTIZED square roots (int64) — never a float sum —
+    * and each weight is one IEEE division of exact integers. */
+  def qTempMix(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val src = docs(s, d)
+      .select(col("source"), size(expr("graft_tokens(text)")).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn(
+        "q",
+        floor(sqrt(col("n_tokens").cast("double")) * TempMixScale.toDouble)
+          .cast("long"))
+    val tot = src.agg(
+      sum("q").as("qsum"),
+      sum("n_tokens").as("tok_total"))
+    src
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        (floor(
+          col("q").cast("double") / col("qsum").cast("double") * 1000000.0d +
+            0.5d) / 1000000.0d).as("weight"),
+        // upsampling factor vs proportional: weight / (n_tokens/total)
+        (floor(
+          col("q").cast("double") * col("tok_total").cast("double") /
+            (col("qsum").cast("double") * col("n_tokens").cast("double")) *
+            1000000.0d + 0.5d) / 1000000.0d).as("upsample_factor"))
+      .transform(sortSmall(_, "source"))
+  }
+
   val StratSampleN = 5
 
   /** Deterministic fixed-size sample per source stratum — the
@@ -2570,6 +2657,8 @@ object PipelineQueries {
     "q_embed_cov" -> qEmbedCov _,
     "q_pca_top" -> qPcaTop _,
     "q_mahalanobis" -> qMahalanobis _,
+    "q_dup_token_share" -> qDupTokenShare _,
+    "q_temp_mix" -> qTempMix _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2887,6 +2976,37 @@ object PipelineQueries {
          |       round(CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6) AS dup_rate
          |FROM per p LEFT JOIN dups ON p.source = dups.source
          |ORDER BY p.source""".stripMargin,
+    "q_dup_token_share" ->
+      s"""$minhashPairsCtes,
+         |dup_ids AS (SELECT a_id AS doc_id FROM mpairs UNION SELECT b_id FROM mpairs),
+         |base AS (
+         |  SELECT d.source,
+         |         CAST(len(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS BIGINT) AS tok,
+         |         CASE WHEN dup_ids.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+         |  FROM documents d LEFT JOIN dup_ids ON d.doc_id = dup_ids.doc_id),
+         |rows_out AS (
+         |  SELECT source, CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |         CAST(sum(CASE WHEN dup = 1 THEN tok ELSE 0 END) AS BIGINT) AS dup_tokens
+         |  FROM base GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'ALL' AS source, CAST(sum(tok) AS BIGINT), CAST(sum(CASE WHEN dup = 1 THEN tok ELSE 0 END) AS BIGINT)
+         |  FROM base)
+         |SELECT source, total_tokens, dup_tokens,
+         |       floor(CAST(dup_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dup_token_share
+         |FROM rows_out ORDER BY source""".stripMargin,
+    "q_temp_mix" ->
+      s"""WITH src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |q AS (
+         |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * $TempMixScale.0) AS BIGINT) AS q
+         |  FROM src),
+         |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qsum, CAST(sum(n_tokens) AS BIGINT) AS tok_total FROM q)
+         |SELECT source, n_docs, n_tokens,
+         |       floor(CAST(q AS DOUBLE) / CAST(qsum AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS weight,
+         |       floor(CAST(q AS DOUBLE) * CAST(tok_total AS DOUBLE) / (CAST(qsum AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS upsample_factor
+         |FROM q, tot ORDER BY source""".stripMargin,
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,

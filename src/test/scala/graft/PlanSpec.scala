@@ -241,7 +241,8 @@ class PlanSpec extends SparkSpec {
       "q_hazard_curve", // one-row corpus-end (censoring bound) broadcast
       "q_pca_top", // one-row normalization / eigenvalue scalars per round
       "q_runs_test", // day-count statistic × one-row count/median picks
-      "q_mahalanobis") // one-row (mu, var) array broadcast over the scan
+      "q_mahalanobis", // one-row (mu, var) array broadcast over the scan
+      "q_temp_mix") // source statistic × one-row (Σ√n, Σtokens)
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
