@@ -1652,6 +1652,80 @@ object PipelineQueries {
       .transform(sortSmall(_, "source"))
   }
 
+  val HeapsCheckpoints = 10
+
+  /** Heaps'-law vocabulary growth: V(n) ≈ K·n^β measured at
+    * [[HeapsCheckpoints]] doc-order prefixes — the "how fast does new
+    * vocabulary appear" curve that sizes tokenizers and predicts
+    * OOV rates as a corpus grows. The insight that makes prefixes
+    * distributable: a token is IN prefix p iff its FIRST-APPEARANCE
+    * doc id ≤ p, so one (token) min-aggregate + a 10-bucket histogram
+    * + a 10-row cumulative sum replaces any sequential scan. β comes
+    * from least squares on the log-log checkpoints with every sum
+    * taken over FLOOR-QUANTIZED int64 logs (the only float inputs are
+    * single ln calls, emitted through the established quantize rule —
+    * no float accumulates). */
+  def qHeapsLaw(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+    val mx = docs(s, d).agg(max("doc_id").as("mx"))
+    // checkpoint index of a doc id: 1..HeapsCheckpoints, upper-inclusive
+    def ck(name: String): Column =
+      least(
+        expr(s"($name * $HeapsCheckpoints) DIV (mx + 1) + 1"),
+        lit(HeapsCheckpoints.toLong))
+    val vocabByCk = toks
+      .groupBy("tok")
+      .agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .groupBy(ck("first_doc").as("ck"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokensByCk = toks
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(mx))
+      .groupBy(ck("doc_id").as("ck"))
+      .agg(sum("n_tok").as("toks"), count(lit(1)).as("docs"))
+    val grid = vocabByCk
+      .join(tokensByCk, Seq("ck"), "full_outer")
+      .select(
+        col("ck"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("docs"), lit(0L)).as("docs"))
+    val w = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("n_docs_prefix", sum("docs").over(w))
+      .withColumn("n_tokens_prefix", sum("toks").over(w))
+      .withColumn("vocab_prefix", sum("new_types").over(w))
+      .select("ck", "n_docs_prefix", "n_tokens_prefix", "vocab_prefix")
+      // quantized log-log point: single ln calls, floored to int64 e6
+      .withColumn("x", floor(log(col("n_tokens_prefix").cast("double")) * 1000000.0d).cast("long"))
+      .withColumn("y", floor(log(col("vocab_prefix").cast("double")) * 1000000.0d).cast("long"))
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val fit = cum.agg(
+      count(lit(1)).as("np"),
+      sum("x").as("sx"),
+      sum("y").as("sy"),
+      sum(dec38(col("x")) * col("x")).as("sxx"),
+      sum(dec38(col("x")) * col("y")).as("sxy"))
+    cum
+      .crossJoin(broadcast(fit))
+      .select(
+        col("ck"),
+        col("n_docs_prefix"),
+        col("n_tokens_prefix"),
+        col("vocab_prefix"),
+        (floor(
+          (col("np").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("np").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            1000000.0d + 0.5d) / 1000000.0d).as("beta"))
+      .transform(sortSmall(_, "ck"))
+  }
+
   /** Exponent denominator for [[qTempMix]]: α = 1/2 — temperature-
     * scaled multinomial mixing weights wₛ ∝ nₛ^α (the mT5/XLM-R
     * low-resource-upsampling standard). α = ½ specifically because
@@ -2659,6 +2733,7 @@ object PipelineQueries {
     "q_mahalanobis" -> qMahalanobis _,
     "q_dup_token_share" -> qDupTokenShare _,
     "q_temp_mix" -> qTempMix _,
+    "q_heaps_law" -> qHeapsLaw _,
     "q_fix_mojibake" -> qFixMojibake _,
     "q_dup_rank" -> qDupRank _,
     "q_quality_model" -> qQualityModel _,
@@ -2994,6 +3069,47 @@ object PipelineQueries {
          |SELECT source, total_tokens, dup_tokens,
          |       floor(CAST(dup_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dup_token_share
          |FROM rows_out ORDER BY source""".stripMargin,
+    "q_heaps_law" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |vck AS (
+         |  SELECT least((first_doc * $HeapsCheckpoints) // (mx + 1) + 1, $HeapsCheckpoints) AS ck,
+         |         count(*) AS new_types
+         |  FROM (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1), mx
+         |  GROUP BY 1),
+         |tck AS (
+         |  SELECT least((doc_id * $HeapsCheckpoints) // (mx + 1) + 1, $HeapsCheckpoints) AS ck,
+         |         CAST(sum(n_tok) AS BIGINT) AS toks, count(*) AS docs
+         |  FROM (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1), mx
+         |  GROUP BY 1),
+         |grid AS (
+         |  SELECT coalesce(vck.ck, tck.ck) AS ck,
+         |         coalesce(new_types, 0) AS new_types,
+         |         coalesce(toks, 0) AS toks, coalesce(docs, 0) AS docs
+         |  FROM vck FULL OUTER JOIN tck ON vck.ck = tck.ck),
+         |cum AS (
+         |  SELECT ck,
+         |         CAST(sum(docs) OVER w AS BIGINT) AS n_docs_prefix,
+         |         CAST(sum(toks) OVER w AS BIGINT) AS n_tokens_prefix,
+         |         CAST(sum(new_types) OVER w AS BIGINT) AS vocab_prefix
+         |  FROM grid
+         |  WINDOW w AS (ORDER BY ck ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |pts AS (
+         |  SELECT *,
+         |         CAST(floor(ln(CAST(n_tokens_prefix AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         |         CAST(floor(ln(CAST(vocab_prefix AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+         |  FROM cum),
+         |fit AS (
+         |  SELECT count(*) AS np, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         sum(x * x) AS sxx, sum(x * y) AS sxy
+         |  FROM pts)
+         |SELECT ck, n_docs_prefix, n_tokens_prefix, vocab_prefix,
+         |       floor((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |             / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |             * 1000000.0 + 0.5) / 1000000.0 AS beta
+         |FROM pts, fit ORDER BY ck""".stripMargin,
     "q_temp_mix" ->
       s"""WITH src AS (
          |  SELECT source, count(*) AS n_docs,

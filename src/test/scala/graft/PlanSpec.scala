@@ -242,7 +242,8 @@ class PlanSpec extends SparkSpec {
       "q_pca_top", // one-row normalization / eigenvalue scalars per round
       "q_runs_test", // day-count statistic × one-row count/median picks
       "q_mahalanobis", // one-row (mu, var) array broadcast over the scan
-      "q_temp_mix") // source statistic × one-row (Σ√n, Σtokens)
+      "q_temp_mix", // source statistic × one-row (Σ√n, Σtokens)
+      "q_heaps_law") // one-row max-doc-id + 10-row fit-sums broadcasts
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
