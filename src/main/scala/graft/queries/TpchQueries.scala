@@ -529,6 +529,88 @@ object TpchQueries {
   }
 
   // ---------------------------------------------------------------
+  // Customer-tenure distribution
+  // ---------------------------------------------------------------
+
+  /** Customer lifespan per market segment: the distribution of
+    * (last order − first order) in days, plus the one-timer share —
+    * the tenure panel behind every retention target. One (customer)
+    * aggregate produces the per-customer span; the segment rollup uses
+    * the suite's exact interpolated percentiles (both engines run the
+    * same lo + (hi−lo)·frac over sorted doubles) and integer-exact
+    * counts with a single IEEE division for the share. */
+  def qCustomerLifespan(s: SparkSession, d: String): DataFrame = {
+    val per = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr(s"(unix_micros(CAST(max(o_orderdate) AS TIMESTAMP)) - unix_micros(CAST(min(o_orderdate) AS TIMESTAMP))) DIV ${DayUs}")
+          .as("span_days"))
+      .join(
+        broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    per
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") === 1L, 1L).otherwise(0L)).as("one_timers"),
+        round(expr("percentile(span_days, 0.25)"), 4).as("span_p25"),
+        round(expr("percentile(span_days, 0.5)"), 4).as("span_p50"),
+        round(expr("percentile(span_days, 0.75)"), 4).as("span_p75"))
+      .select(
+        col("c_mktsegment"),
+        col("n_customers"),
+        col("one_timers"),
+        floor6(
+          col("one_timers").cast("double") / col("n_customers").cast("double"))
+          .as("one_timer_share"),
+        col("span_p25"),
+        col("span_p50"),
+        col("span_p75"))
+      .transform(sortSmall(_, col("c_mktsegment")))
+  }
+
+  private val DayUs = 86400000000L
+
+  // ---------------------------------------------------------------
+  // Discount elasticity per brand
+  // ---------------------------------------------------------------
+
+  /** Discount→quantity response per brand ("elasticity" proxy): the
+    * least-squares slope of quantity on discount percentage points,
+    * from EXACT integer sufficient statistics (Σd, Σq, Σdq, Σd² over
+    * discount-e2 × integral quantities, widened to decimal where a
+    * product of corpus-scale sums would wrap) — one fact aggregate
+    * with the part dimension broadcast, one scalar formula per brand. */
+  def qElasticity(s: SparkSession, d: String): DataFrame = {
+    val dE2 = expr("CAST(round(l_discount * 100) AS BIGINT)")
+    val qty = expr("CAST(round(l_quantity) AS BIGINT)")
+    t(s, d, "lineitem")
+      .join(
+        broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dE2).as("sd"),
+        sum(qty).as("sq"),
+        sum(dec(dE2) * qty).as("sdq"),
+        sum(dec(dE2) * dE2).as("sdd"))
+      .selectExpr(
+        "p_brand",
+        "n",
+        "CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty",
+        // slope in units-per-discount-point: (nΣdq − ΣdΣq)/(nΣd² − (Σd)²)
+        "(CAST(n AS DOUBLE) * CAST(sdq AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sq AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS slope")
+      .select(
+        col("p_brand"),
+        col("n"),
+        floor6(col("mean_qty")).as("mean_qty"),
+        floor6(col("slope")).as("qty_per_discount_pt"))
+      .transform(sortSmall(_, col("p_brand")))
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_custdist" -> qCustdist _,
@@ -544,7 +626,9 @@ object TpchQueries {
     "q_important_parts" -> qImportantParts _,
     "q_idle_rich" -> qIdleRich _,
     "q_dominant_supplier" -> qDominantSupplier _,
-    "q_late_lines" -> qLateLines _
+    "q_late_lines" -> qLateLines _,
+    "q_customer_lifespan" -> qCustomerLifespan _,
+    "q_elasticity" -> qElasticity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -705,6 +789,36 @@ object TpchQueries {
          |WHERE ns >= 2 AND qty * ns > $DominantMult * tq
          |GROUP BY 1, 2
          |ORDER BY n_parts DESC, s_suppkey""".stripMargin,
+    "q_customer_lifespan" ->
+      s"""WITH per AS (
+         |  SELECT o_custkey, count(*) AS n_orders,
+         |         (epoch_us(max(o_orderdate)) - epoch_us(min(o_orderdate))) // 86400000000 AS span_days
+         |  FROM orders GROUP BY 1),
+         |j AS (
+         |  SELECT c_mktsegment, n_orders, span_days
+         |  FROM per JOIN customer ON o_custkey = c_custkey)
+         |SELECT c_mktsegment, count(*) AS n_customers,
+         |       CAST(sum(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT) AS one_timers,
+         |       ${floor6Sql(
+          "CAST(sum(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS one_timer_share,
+         |       round(quantile_cont(span_days, 0.25), 4) AS span_p25,
+         |       round(quantile_cont(span_days, 0.5), 4) AS span_p50,
+         |       round(quantile_cont(span_days, 0.75), 4) AS span_p75
+         |FROM j GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_elasticity" ->
+      s"""WITH g AS (
+         |  SELECT p_brand, count(*) AS n,
+         |         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sd,
+         |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+         |         sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sdq,
+         |         sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS sdd
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1)
+         |SELECT p_brand, n,
+         |       ${floor6Sql("CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean_qty,
+         |       ${floor6Sql(
+          "(CAST(n AS DOUBLE) * CAST(sdq AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sq AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))")} AS qty_per_discount_pt
+         |FROM g ORDER BY p_brand""".stripMargin,
     "q_late_lines" ->
       s"""SELECT l_linestatus,
          |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
