@@ -607,6 +607,63 @@ object OlapQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Half-life of [[qAttributionDecay]]'s touch credit (30 min —
+    * the session gap, so credit roughly halves per session-width of
+    * staleness). */
+  val DecayHalflifeUs = 1800000000L
+
+  /** Time-decay multi-touch attribution — the fourth standard model
+    * beside first/last ([[qAttribution]]) and U-shaped
+    * ([[qAttributionU]]): each click's credit halves per
+    * [[DecayHalflifeUs]] of age at purchase time. The decay weight is
+    * 2^(20−min(age_buckets, 20)) — an EXACT int64 (dyadic weights
+    * chosen precisely so no pow/exp ulp can differ between engines);
+    * the per-purchase normalizer is an integer window sum on the same
+    * (user, group) partitioning the credit groups already use, and
+    * each credit is ONE IEEE division. Click-bounded output, one
+    * (user) exchange end to end. */
+  def qAttributionDecay(s: SparkSession, d: String): DataFrame = {
+    val base = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+    val order = Seq(col("ts_us"), col("event_id"))
+    val prevPurchases = sum((col("event_type") === "purchase").cast("long"))
+      .over(
+        Window
+          .partitionBy("user_id")
+          .orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = base.withColumn("grp", coalesce(prevPurchases, lit(0L)))
+    val clicks = grouped.filter(col("event_type") === "click")
+    val purchases = grouped
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("grp"),
+        col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"))
+    val joined = clicks
+      .join(purchases, Seq("user_id", "grp"))
+      .withColumn(
+        "age_buckets",
+        least(expr(s"(p_ts - ts_us) DIV $DecayHalflifeUs"), lit(20L)))
+      .withColumn(
+        "w_int",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - age_buckets AS INT))"))
+    val gw = Window.partitionBy("user_id", "grp")
+    joined
+      .withColumn("tot_w", sum("w_int").over(gw))
+      .select(
+        col("purchase_id"),
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("age_buckets"),
+        (floor(
+          col("w_int").cast("double") / col("tot_w").cast("double") *
+            1000000.0d + 0.5d) / 1000000.0d).as("credit"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles): one
     * per-user aggregate, then three ntile(5) rankings under TOTAL
     * deterministic orders (desc metric, user_id tiebreak) combined
@@ -2643,6 +2700,7 @@ object OlapQueries {
     "q_transitions" -> qTransitions _,
     "q_entry_exit" -> qEntryExit _,
     "q_funnel_any" -> qFunnelAny _,
+    "q_attribution_decay" -> qAttributionDecay _,
     "q_attribution" -> qAttribution _,
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
@@ -3695,6 +3753,29 @@ object OlapQueries {
         |                  ELSE 0.2 / CAST(k - 2 AS DOUBLE) END, 6) AS credit
         |FROM clicks c JOIN purchases p ON c.user_id = p.user_id AND c.grp = p.grp
         |ORDER BY p.purchase_id, click_id""".stripMargin,
+    "q_attribution_decay" ->
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         |         coalesce(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |clicks AS (
+         |  SELECT user_id, grp, event_id, ts_us FROM base WHERE event_type = 'click'),
+         |purchases AS (
+         |  SELECT user_id, grp, event_id AS purchase_id, ts_us AS p_ts
+         |  FROM base WHERE event_type = 'purchase'),
+         |weighted AS (
+         |  SELECT p.purchase_id, c.event_id AS click_id, c.user_id, c.grp,
+         |         least((p_ts - c.ts_us) // $DecayHalflifeUs, 20) AS age_buckets,
+         |         CAST(1 AS BIGINT) << CAST(20 - least((p_ts - c.ts_us) // $DecayHalflifeUs, 20) AS INTEGER) AS w_int
+         |  FROM clicks c JOIN purchases p ON c.user_id = p.user_id AND c.grp = p.grp),
+         |tot AS (
+         |  SELECT *, CAST(sum(w_int) OVER (PARTITION BY user_id, grp) AS BIGINT) AS tot_w
+         |  FROM weighted)
+         |SELECT purchase_id, click_id, user_id, age_buckets,
+         |       floor(CAST(w_int AS DOUBLE) / CAST(tot_w AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS credit
+         |FROM tot ORDER BY purchase_id, click_id""".stripMargin,
     "q_skyline" ->
       """WITH stats AS (
         |  SELECT o_custkey,
