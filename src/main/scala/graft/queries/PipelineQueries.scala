@@ -2352,6 +2352,11 @@ object PipelineQueries {
           .filter(col("j") =!= col("k"))
           .select(col("k").as("j"), col("j").as("k"), col("cov")))
       .transform(graft.operators.Materialize.cut)
+    // the per-iteration cut is LOAD-BEARING: each round's w feeds two
+    // consumers (the next product and its own normalizer) and sits
+    // under a broadcast — left lazy, the 8-level nested plan
+    // re-executes the whole prefix per level (measured 127 s vs 5 s at
+    // sf0.1 when this cut was dropped)
     var w: DataFrame = covFull
       .select(col("j").as("wj"))
       .distinct()
