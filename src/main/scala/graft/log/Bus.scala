@@ -35,10 +35,7 @@ import graft.model.SegmentStatus
   */
 final class NotificationBus {
 
-  private final case class Sub(
-      space: Option[String],
-      segment: Option[String],
-      cb: SegmentStatus => Unit)
+  import NotificationBus.Sub
 
   private val ids = new AtomicLong(0L)
   private val subs = TrieMap.empty[Long, Sub]
@@ -89,4 +86,12 @@ final class NotificationBus {
           catch { case NonFatal(_) => dropped.incrementAndGet(); () }
       }
     }
+}
+
+private[log] object NotificationBus {
+  // companion-level so the pattern-match type test needs no outer ref
+  final case class Sub(
+      space: Option[String],
+      segment: Option[String],
+      cb: SegmentStatus => Unit)
 }

@@ -32,7 +32,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   */
 final class MiniObjectStore {
 
-  private final case class Obj(bytes: Array[Byte], mtime: Long)
+  import MiniObjectStore.Obj
   private val objects = new ConcurrentHashMap[String, Obj]()
   private val clock = new AtomicLong(System.currentTimeMillis())
   // server-side mtimes, wall-clock anchored (the log's crashed-producer
@@ -193,4 +193,7 @@ final class MiniObjectStore {
 
 object MiniObjectStore {
   def start(): MiniObjectStore = new MiniObjectStore
+
+  // companion-level so the pattern-match type test needs no outer ref
+  private[log] final case class Obj(bytes: Array[Byte], mtime: Long)
 }
