@@ -40,7 +40,7 @@ object DumpPlans {
     // fixpoint executes eagerly during construction.
     val skip = Set(
       "q_dedup_clusters", "q_kmeans", "q_semdedup", "q_ann_pq",
-      "q_bpe_train", "q_split_leakage")
+      "q_bpe_train", "q_split_leakage", "q_cluster_sizes")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       out.println(s"########## $name")

@@ -143,6 +143,29 @@ object PipelineQueries {
           threshold = 0.8))
       .transform(sortSmall(_, "id", "comp"))
 
+  /** Duplicate-family size distribution: how many near-dup clusters of
+    * each size the corpus carries (and how many docs they bind) — the
+    * "are my duplicates pairs or thousand-doc template families"
+    * report that decides between keep-one dedup and template-aware
+    * filtering. Rides [[Dedup.duplicateClusters]]' fixpoint; both
+    * rollups are cluster-sized statistic tables. */
+  def qClusterSizes(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .duplicateClusters(
+        Dedup.minhashLsh(
+          docs(s, d),
+          k = 3,
+          numHashes = MinhashSeeds,
+          bands = MinhashBands,
+          threshold = 0.8))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"))
+      .transform(sortSmall(_, "cluster_size"))
+
   val DedupLshBands = 8
   val DedupLshBitsPerBand = 4
 
@@ -2759,6 +2782,7 @@ object PipelineQueries {
     "q_expectations" -> qExpectations _,
     "q_graph_bfs" -> qGraphBfs _,
     "q_kcore" -> qKcore _,
+    "q_cluster_sizes" -> qClusterSizes _,
     "q_distinctive_terms" -> qDistinctiveTerms _,
     "q_snm_dedup" -> qSnmDedup _,
     "q_embed_outliers" -> qEmbedOutliers _
@@ -2984,6 +3008,14 @@ object PipelineQueries {
       s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
          |${componentsCtes("mpairs")}
          |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+         |${componentsCtes("mpairs")},
+         |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |szs AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM comps GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM szs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     "q_split_leakage" -> {
       val h = graft.functions.Hashing.duckMd5Long("CAST(grp AS VARCHAR)")
       s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},

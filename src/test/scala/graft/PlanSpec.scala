@@ -249,7 +249,8 @@ class PlanSpec extends SparkSpec {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
     // at plan-build time (Spark jobs inside construction) — expensive
     // here, and their per-round join shapes are asserted elsewhere.
-    val eagerLoops = Set("q_dedup_clusters", "q_bpe_train", "q_split_leakage")
+    val eagerLoops =
+      Set("q_dedup_clusters", "q_bpe_train", "q_split_leakage", "q_cluster_sizes")
     val names = SparkEntry.queries.keys.filterNot(eagerLoops).toSeq.sorted
     val offenders = names.flatMap { name =>
       val p = plan(name)
@@ -268,7 +269,8 @@ class PlanSpec extends SparkSpec {
     // partition, the exact plan shape that made q_interpolate 25% of the
     // round-4 bench. Whole-partition frames (unboundedpreceding →
     // unboundedfollowing) are fine: computed once per partition.
-    val eagerLoops = Set("q_dedup_clusters", "q_bpe_train", "q_split_leakage")
+    val eagerLoops =
+      Set("q_dedup_clusters", "q_bpe_train", "q_split_leakage", "q_cluster_sizes")
     val frame = """specifiedwindowframe\((?:RowFrame|RangeFrame), ([^,]+), unboundedfollowing\$\(\)\)""".r
     val names = SparkEntry.queries.keys.filterNot(eagerLoops).toSeq.sorted
     val offenders = names.flatMap { name =>
