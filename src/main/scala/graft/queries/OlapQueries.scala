@@ -2465,6 +2465,47 @@ object OlapQueries {
       .transform(sortSmall(_, col("rank")))
   }
 
+  /** Seasonality / trend strength (Hyndman's Fs/Ft): how much of the
+    * daily-count variance the weekly cycle and the trend each explain —
+    * the one-number summary that says whether [[qSeasonalDecompose]]'s
+    * components are signal or noise. Components arrive as 4-dp-rounded
+    * doubles (already engine-exact); each is re-quantized to int64
+    * ten-thousandths so every variance is decimal-exact sums of
+    * integers — no float accumulates — and the two strength ratios are
+    * scalar IEEE at the end. One row. */
+  def qSeasonalStrength(s: SparkSession, d: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val q4 = (c: Column) => floor(c * 10000.0d + 0.5d).cast("long")
+    val base = qSeasonalDecompose(s, d)
+      .filter(col("residual").isNotNull)
+      .select(
+        q4(col("residual")).as("rq"),
+        (q4(col("seasonal")) + q4(col("residual"))).as("dq"),
+        (col("n_events") * 10000L - q4(col("seasonal"))).as("tq"))
+    val g = base.agg(
+      count(lit(1)).as("n"),
+      sum("rq").as("sr"),
+      sum(dec38(col("rq")) * col("rq")).as("srr"),
+      sum("dq").as("sd"),
+      sum(dec38(col("dq")) * col("dq")).as("sdd"),
+      sum("tq").as("st"),
+      sum(dec38(col("tq")) * col("tq")).as("stt"))
+    g.selectExpr(
+      "n",
+      "CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS vr",
+      "CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS vd",
+      "CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS vt")
+      .select(
+        col("n").as("n_days"),
+        floor6(greatest(lit(0.0d), lit(1.0d) - col("vr") / col("vd")))
+          .as("strength_seasonal"),
+        floor6(greatest(lit(0.0d), lit(1.0d) - col("vr") / col("vt")))
+          .as("strength_trend"))
+  }
+
+  private def floor6(c: Column): Column =
+    floor(c * 1000000.0d + 0.5d) / 1000000.0d
+
   /** TPC-H Q15 shape (top supplier by period revenue): per-supplier
     * revenue over a ship-date quarter, keep the argmax — the correlated
     * `WHERE total = (SELECT max(...))` decorrelated into one supplier
@@ -2761,6 +2802,7 @@ object OlapQueries {
     "q_wow_growth" -> qWowGrowth _,
     "q_cohort_ltv" -> qCohortLtv _,
     "q_seasonal_decompose" -> qSeasonalDecompose _,
+    "q_seasonal_strength" -> qSeasonalStrength _,
     "q_stl_anomaly" -> qStlAnomaly _,
     "q_top_supplier" -> qTopSupplier _,
     "q_waiting_suppliers" -> qWaitingSuppliers _,
@@ -4017,6 +4059,55 @@ object OlapQueries {
         |       floor((CAST(det7 AS DOUBLE) / 7.0 - CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS residual
         |FROM det LEFT JOIN seas USING (dow)
         |ORDER BY day_us""".stripMargin,
+    "q_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |dense AS (
+        |  SELECT g.day, CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) g
+        |  LEFT JOIN daily ON g.day = daily.day),
+        |w AS (
+        |  SELECT *,
+        |         CAST(sum(n_events) OVER win AS BIGINT) AS sum7,
+        |         count(*) OVER win AS n7,
+        |         (day + 4) % 7 AS dow
+        |  FROM dense
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT *, CASE WHEN n7 = 7 THEN n_events * 7 - sum7 END AS det7 FROM w),
+        |seas AS (
+        |  SELECT dow, CAST(sum(det7) AS BIGINT) AS s_sum, count(*) AS s_n
+        |  FROM det WHERE det7 IS NOT NULL GROUP BY dow),
+        |comp AS (
+        |  SELECT n_events,
+        |         floor(CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS seasonal,
+        |         floor((CAST(det7 AS DOUBLE) / 7.0 - CAST(s_sum AS DOUBLE) / (7.0 * CAST(s_n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS residual
+        |  FROM det LEFT JOIN seas USING (dow)
+        |  WHERE det7 IS NOT NULL),
+        |base AS (
+        |  SELECT CAST(floor(residual * 10000.0 + 0.5) AS BIGINT) AS rq,
+        |         CAST(floor(seasonal * 10000.0 + 0.5) AS BIGINT)
+        |           + CAST(floor(residual * 10000.0 + 0.5) AS BIGINT) AS dq,
+        |         n_events * 10000 - CAST(floor(seasonal * 10000.0 + 0.5) AS BIGINT) AS tq
+        |  FROM comp),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(rq) AS BIGINT) AS sr, sum(rq * rq) AS srr,
+        |         CAST(sum(dq) AS BIGINT) AS sd, sum(dq * dq) AS sdd,
+        |         CAST(sum(tq) AS BIGINT) AS st, sum(tq * tq) AS stt
+        |  FROM base),
+        |v AS (
+        |  SELECT n,
+        |         CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS vr,
+        |         CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS vd,
+        |         CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS vt
+        |  FROM g)
+        |SELECT n AS n_days,
+        |       floor(greatest(0.0, 1.0 - vr / vd) * 1000000.0 + 0.5) / 1000000.0 AS strength_seasonal,
+        |       floor(greatest(0.0, 1.0 - vr / vt) * 1000000.0 + 0.5) / 1000000.0 AS strength_trend
+        |FROM v""".stripMargin,
     "q_stl_anomaly" -> {
       val dec = """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
