@@ -2598,14 +2598,23 @@ object OlapQueries {
     * so the whole interval is engine-exact. */
   def qBootstrapCi(s: SparkSession, d: String): DataFrame = {
     // The B draws derive from TWO md5 digests per ORDER via the
-    // h_b = a + b·step family (the minhash-permutation trick, same
-    // Hashing.md5Long/md5Long2 pair): a per-(order, b) digest would
-    // hash B× the corpus and dominates the whole query at scale
+    // m_b = a + b·step + b²·C family (the minhash-permutation trick,
+    // same Hashing.md5Long/md5Long2 pair): a per-(order, b) digest
+    // would hash B× the corpus and dominates the whole query at scale
     // (measured 8× superlinear in BENCH_SCALING before this form).
-    // a ≤ 2⁶⁰ + B·2⁴⁰ keeps the chain overflow-free; % == pmod on
-    // non-negative values.
+    // The quadratic b²·C term (C = Knuth's 2654435761) breaks the
+    // arithmetic-lattice structure a purely linear a + b·step family
+    // leaves mod 10⁶ (evenly spaced draws = stratified, mildly
+    // underdispersed resamples); a ≤ 2⁶⁰ + B·2⁴⁰ + B²·2³² keeps the
+    // chain overflow-free in both engines (DuckDB errors on int64
+    // overflow rather than wrapping); % == pmod on non-negative
+    // values. Residual tradeoff vs a true per-(order, b) digest: draws
+    // within an order are still deterministic functions of two
+    // digests, not 64 independent ones — the accepted cost of one
+    // digest pass per order.
     val weight = {
-      val m = (col("ha") + col("b") * col("hb")).mod(lit(1000000L))
+      val m = (col("ha") + col("b") * col("hb") +
+        col("b") * col("b") * lit(2654435761L)).mod(lit(1000000L))
       PoissonCum.zipWithIndex.foldRight(lit(PoissonCum.size.toLong)) {
         case ((thr, i), els) => when(m < thr, i.toLong).otherwise(els)
       }
@@ -4186,7 +4195,7 @@ object OlapQueries {
          |         $ha AS ha, $hb AS hb
          |  FROM orders),
          |rs AS (
-         |  SELECT b, cents, (ha + b * hb) % 1000000 AS m
+         |  SELECT b, cents, (ha + b * hb + b * b * 2654435761) % 1000000 AS m
          |  FROM seeded CROSS JOIN (SELECT unnest(generate_series(1, $BootstrapB)) AS b)),
          |wt AS (SELECT b, cents, $caseChain AS w FROM rs),
          |means AS (

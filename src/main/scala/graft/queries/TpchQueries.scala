@@ -338,7 +338,9 @@ object TpchQueries {
 
   /** TPC-H Q19 shape (discounted revenue under a three-branch OR of
     * (brand, size range, quantity range) predicates): the classic
-    * disjunct-pushdown test. The union-superset predicates are applied
+    * disjunct-pushdown test. Brands are picked inside the generator's
+    * Brand#1..#25 domain (TPC-H's Brand#34 would leave the third
+    * disjunct dead on this data) so all three branches are live. The union-superset predicates are applied
     * explicitly to EACH scan (part: the three brands + max size range;
     * lineitem: the overall quantity range) so both sides prune before
     * the broadcast join, and only the exact three-way disjunct runs on
@@ -346,7 +348,7 @@ object TpchQueries {
   def qDisjunctRevenue(s: SparkSession, d: String): DataFrame = {
     val part = t(s, d, "part")
       .filter(
-        col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_brand").isin("Brand#12", "Brand#23", "Brand#24") &&
           col("p_size").between(1, 15))
       .select("p_partkey", "p_brand", "p_size")
     val branch =
@@ -354,7 +356,7 @@ object TpchQueries {
         col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
           col("l_quantity").between(10, 20)) ||
-        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30))
     t(s, d, "lineitem")
       .filter(col("l_quantity").between(1, 30))
@@ -734,7 +736,7 @@ object TpchQueries {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_min_cost_supplier" ->
       s"""WITH offers AS (
          |  SELECT p_partkey, p_name, l_suppkey,
