@@ -75,6 +75,27 @@ object PushNet {
       space: Option[String] = None,
       segment: Option[String] = None)(cb: SegmentStatus => Unit): PushNetSubscriber =
     new PushNetSubscriber(host, port, space, segment, cb)
+
+  /** Resilient variant of [[connect]]: a dialer that re-dials with
+    * capped exponential backoff whenever the connection drops (server
+    * restart, network blip) and resubscribes on reconnect — the
+    * reference's client holds its feed through a dialer for the same
+    * reason (reference: wsstream/dialer.go:1, wsstream/bus.go:63 —
+    * subscriptions re-register over a freshly dialed stream). The
+    * delivery contract per SESSION is [[PushNetSubscriber]]'s
+    * (live-feed, at-most-once); acks published while disconnected are
+    * NOT replayed — continuity is the subscriber's offset re-poll,
+    * exactly the recovery path a dropped slow-subscriber tickle already
+    * takes. Backoff starts at `backoffMs`, doubles per failed dial, and
+    * caps at `maxBackoffMs`; a successful subscribe resets it. */
+  def dial(
+      host: String,
+      port: Int,
+      space: Option[String] = None,
+      segment: Option[String] = None,
+      backoffMs: Long = 50L,
+      maxBackoffMs: Long = 2000L)(cb: SegmentStatus => Unit): PushNetDialer =
+    new PushNetDialer(host, port, space, segment, backoffMs, maxBackoffMs, cb)
 }
 
 /** Producer side: accepts subscriber connections and fans each bus ack
@@ -253,5 +274,99 @@ final class PushNetSubscriber private[log] (
     try socket.close()
     catch { case NonFatal(_) => () }
     reader.join(5000)
+  }
+}
+
+/** Reconnecting consumer side (see [[PushNet.dial]]): one daemon thread
+  * owns the dial → read-until-drop → backoff → re-dial loop. Each
+  * successful session is a fresh server-side registration (greeting
+  * read = subscribed); `sessionCount` counts them so callers can await
+  * the re-subscribe after a server restart. */
+final class PushNetDialer private[log] (
+    host: String,
+    port: Int,
+    space: Option[String],
+    segment: Option[String],
+    backoffMs: Long,
+    maxBackoffMs: Long,
+    cb: SegmentStatus => Unit)
+    extends AutoCloseable {
+
+  private val open = new AtomicBoolean(true)
+  private val deliveredCount = new AtomicLong(0L)
+  private val sessions = new AtomicLong(0L)
+  private val ready = new CountDownLatch(1)
+  @volatile private var current: Socket = null
+
+  /** Acks that passed the filter and were handed to the callback. */
+  def delivered: Long = deliveredCount.get()
+
+  /** Completed server-side registrations (greetings read); increments
+    * on every reconnect. */
+  def sessionCount: Long = sessions.get()
+
+  /** True once the FIRST session is registered server-side. */
+  def awaitReady(timeoutMs: Long = 10000L): Boolean =
+    ready.await(timeoutMs, TimeUnit.MILLISECONDS)
+
+  /** Await the `n`-th completed registration — `awaitSessions(2)` =
+    * "the dialer has resubscribed after a drop". */
+  def awaitSessions(n: Long, timeoutMs: Long = 30000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (sessions.get() < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    sessions.get() >= n
+  }
+
+  private val runner = new Thread(() => {
+    var backoff = backoffMs
+    while (open.get()) {
+      try {
+        val s = new Socket(host, port)
+        s.setTcpNoDelay(true)
+        current = s
+        try {
+          val in = new BufferedReader(
+            new InputStreamReader(s.getInputStream, UTF_8))
+          var line = in.readLine()
+          while (open.get() && line != null) {
+            if (line == PushNet.Hello) {
+              sessions.incrementAndGet()
+              ready.countDown()
+              backoff = backoffMs // healthy session: reset the backoff
+            } else if (!line.startsWith("#"))
+              PushBridge.decode(line).foreach { st =>
+                if (space.forall(_ == st.space) && segment.forall(_ == st.segment)) {
+                  try cb(st)
+                  catch { case NonFatal(_) => () }
+                  deliveredCount.incrementAndGet()
+                  ()
+                }
+              }
+            line = in.readLine()
+          }
+        } finally {
+          try s.close()
+          catch { case NonFatal(_) => () }
+        }
+      } catch { case NonFatal(_) => () } // dial failed or read dropped
+      if (open.get()) {
+        try Thread.sleep(backoff)
+        catch { case _: InterruptedException => () }
+        backoff = math.min(backoff * 2, maxBackoffMs)
+      }
+    }
+  }, "graft-push-dialer")
+  runner.setDaemon(true)
+  runner.start()
+
+  def close(): Unit = if (open.getAndSet(false)) {
+    val s = current
+    if (s != null) {
+      try s.close()
+      catch { case NonFatal(_) => () }
+    }
+    runner.interrupt()
+    runner.join(5000)
   }
 }

@@ -155,4 +155,77 @@ class PushNetSpec extends SparkSpec {
       assert(consumed.size == 7 && consumed.distinct.size == 7, "no loss, no dups")
     } finally { sub.close(); srv.close() }
   }
+
+  test("dialer auto-reconnects after a server restart and receives post-restart acks") {
+    val log = freshLog()
+    val srv1 = PushNet.server(log, bindHost = "127.0.0.1")
+    val port = srv1.boundPort
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val sub = PushNet.dial("127.0.0.1", port) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(sub.awaitReady())
+      log.produce("s0", "seg0", records(1, 5), 1000L)
+      awaitUntil()(got.synchronized(got.size) == 1)
+      srv1.close() // server dies mid-stream
+      val srv2 = PushNet.server(log, port = port, bindHost = "127.0.0.1")
+      try {
+        // no manual intervention: the dialer re-dials and resubscribes
+        assert(sub.awaitSessions(2), "dialer must resubscribe on its own")
+        log.produce("s0", "seg0", records(6, 5), 2000L)
+        awaitUntil()(got.synchronized(got.size) == 2)
+        assert(got.synchronized(got.last).firstSequence == 6L &&
+          got.synchronized(got.last).lastSequence == 10L)
+        assert(sub.sessionCount == 2L && sub.delivered == 2L)
+      } finally srv2.close()
+    } finally sub.close()
+  }
+
+  test("push-tickled consumer loop stays exactly-once across a server restart") {
+    // Acks published while the dialer is down are gone (live feed, not
+    // a store) — but the NEXT tickle's offset re-poll recovers them:
+    // the data plane is the log, so restart costs latency, never data.
+    import graft.operators.EventOps
+    val log = freshLog()
+    val srv1 = PushNet.server(log, bindHost = "127.0.0.1")
+    val port = srv1.boundPort
+    val tickles = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sub = PushNet.dial("127.0.0.1", port, Some("s0")) { _ =>
+      tickles.incrementAndGet(); ()
+    }
+    try {
+      assert(sub.awaitReady())
+      var offset = (0L, "", 0L)
+      val consumed = mutable.Buffer.empty[(Long, String, Long)]
+      def poll(): Int = {
+        val fresh = EventOps
+          .consumeSpaceFromOffset(log.load(), "s0", offset._1, offset._2, offset._3)
+          .select("timestamp", "segment", "sequence")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        consumed ++= fresh
+        if (fresh.nonEmpty) offset = fresh.last
+        fresh.length
+      }
+      val before = tickles.get()
+      log.produce("s0", "a", records(1, 3), 1000L)
+      awaitUntil()(tickles.get() > before)
+      assert(poll() == 3)
+      srv1.close()
+      // produced while the transport is down: its ack is lost by design
+      log.produce("s0", "a", records(4, 2), 2000L)
+      val srv2 = PushNet.server(log, port = port, bindHost = "127.0.0.1")
+      try {
+        assert(sub.awaitSessions(2))
+        val beforeRestartTickle = tickles.get()
+        log.produce("s0", "b", records(1, 2), 3000L)
+        awaitUntil()(tickles.get() > beforeRestartTickle)
+        // ONE post-restart poll recovers both the missed ack's rows and
+        // the new ones, each exactly once
+        assert(poll() == 4)
+        assert(consumed.size == 7 && consumed.distinct.size == 7, "no loss, no dups")
+      } finally srv2.close()
+    } finally sub.close()
+  }
 }
