@@ -79,6 +79,7 @@ object Bench {
     "q_hilbert",
     "q_lift_table", "q_calibration", "q_langid_eval", "q_expectations",
     "q_graph_bfs", "q_distinctive_terms", "q_snm_dedup", "q_embed_outliers",
+    "q_dup_graph_report", "q_dup_source_overlap",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
@@ -114,14 +115,41 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     def keep(name: String): Boolean =
       filter.forall(_.pattern.matcher(name).matches())
+    // Per-query GC time and process CPU ride along with the wall time,
+    // from the SAME pass that produced the best-of wall number: the
+    // marathon-vs-quiet gap question ("host steal or plan regression?")
+    // becomes mechanical — a query whose wall inflates while cpu_ms
+    // stays flat was descheduled, one whose cpu_ms inflates grew work.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMsNow(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    val osBean =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNsNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
+
     val names = Headline.filter(SparkEntry.queries.contains).filter(keep)
     val times = Array.fill(names.size)(Double.MaxValue)
+    val gcMs = Array.fill(names.size)(0L)
+    val cpuMs = Array.fill(names.size)(0L)
     for (_ <- 1 to passes; (name, i) <- names.zipWithIndex) {
       val fn = SparkEntry.queries(name)
+      val g0 = gcMsNow()
+      val c0 = cpuNsNow()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      times(i) = math.min(times(i), (System.nanoTime() - t0) / 1e9)
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (wall < times(i)) {
+        times(i) = wall
+        gcMs(i) = gcMsNow() - g0
+        cpuMs(i) = (cpuNsNow() - c0) / 1000000L
+      }
     }
     // Storage-layer throughput (the reference is an event store — its
     // core metric is produce/consume, not just the query layer): produce
@@ -132,6 +160,20 @@ object Bench {
       "store_produce_100k", "store_consume_segment", "store_consume_space",
       "store_peek_hot")
     val storeTimes = Array.fill(storeNames.size)(Double.MaxValue)
+    val storeGcMs = Array.fill(storeNames.size)(0L)
+    val storeCpuMs = Array.fill(storeNames.size)(0L)
+    def timeStore(i: Int)(body: => Unit): Unit = {
+      val g0 = gcMsNow()
+      val c0 = cpuNsNow()
+      val t0 = System.nanoTime()
+      body
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (wall < storeTimes(i)) {
+        storeTimes(i) = wall
+        storeGcMs(i) = gcMsNow() - g0
+        storeCpuMs(i) = (cpuNsNow() - c0) / 1000000L
+      }
+    }
     // consume depends on produce, so the block runs whole — the filter
     // only selects which store metrics are reported (and whether the
     // block runs at all).
@@ -148,40 +190,67 @@ object Bench {
             org.apache.spark.sql.functions.col("id")).as("payload"),
           org.apache.spark.sql.functions.typedLit(Map.empty[String, String]).as("metadata"))
         .as[graft.model.Record]
-      val t0 = System.nanoTime()
-      log.produce("bench", "seg0", recs, 1000000L)
-      storeTimes(0) = math.min(storeTimes(0), (System.nanoTime() - t0) / 1e9)
-      val t1 = System.nanoTime()
-      log.consumeSegment("bench", "seg0").write.format("noop").mode("overwrite").save()
-      storeTimes(1) = math.min(storeTimes(1), (System.nanoTime() - t1) / 1e9)
-      val t2 = System.nanoTime()
-      log.consumeSpace("bench").write.format("noop").mode("overwrite").save()
-      storeTimes(2) = math.min(storeTimes(2), (System.nanoTime() - t2) / 1e9)
+      timeStore(0) { log.produce("bench", "seg0", recs, 1000000L) }
+      timeStore(1) {
+        log.consumeSegment("bench", "seg0").write.format("noop").mode("overwrite").save()
+      }
+      timeStore(2) {
+        log.consumeSpace("bench").write.format("noop").mode("overwrite").save()
+      }
       // hot peek: served from the produce-warmed offset cache — zero
       // Spark jobs (reference: server/cache.go); 1000 calls timed so the
       // metric is measurable at all
-      val t3 = System.nanoTime()
-      var i = 0
-      while (i < 1000) { log.peek("bench", "seg0"); i += 1 }
-      storeTimes(3) = math.min(storeTimes(3), (System.nanoTime() - t3) / 1e9)
+      timeStore(3) {
+        var i = 0
+        while (i < 1000) { log.peek("bench", "seg0"); i += 1 }
+      }
       java.nio.file.Files
         .walk(java.nio.file.Paths.get(dir))
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
     }
 
+    // k-core convergence audit at THIS SF: qKcore peels a FIXED number
+    // of rounds for plan determinism; if one more round would still
+    // change the core, the fixed depth silently under-peels — surface
+    // it here, where the data scale is the bench's, not the spec
+    // fixture's.
+    val kcoreConverged =
+      if (keep("q_kcore")) {
+        val ok =
+          try graft.queries.PipelineQueries.kcoreConverged(spark, sfDir)
+          catch { case e: Throwable => System.err.println(s"[bench] kcore audit: $e"); true }
+        if (!ok)
+          System.err.println(
+            s"[bench] WARNING: q_kcore fixed rounds did NOT converge at $sfDir")
+        Some(ok)
+      } else None
+
     val results =
       names.zip(times) ++ storeNames.zip(storeTimes).filter(p => keep(p._1))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val auxNames = names ++ storeNames.filter(keep)
+    val gcJson = auxNames
+      .zip(gcMs ++ storeNames.zipWithIndex.filter(p => keep(p._1)).map(p => storeGcMs(p._2)))
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cpuJson = auxNames
+      .zip(cpuMs ++ storeNames.zipWithIndex.filter(p => keep(p._1)).map(p => storeCpuMs(p._2)))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Full per-query map goes to a file: with ~100 metrics the one-line
     // form is several KB and the driver's tail capture truncates its
     // FRONT, leaving unparseable JSON (BENCH_r03 "parsed": null). The
     // stdout contract is a SHORT line — and it must be the LAST line.
+    // "queries" stays name→seconds (the cross-round comparison format);
+    // gc_ms / cpu_ms are ADDITIVE parallel maps from the best-of pass.
+    val kcJson =
+      kcoreConverged.map(v => s""","kcore_converged":$v""").getOrElse("")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"cpu_ms":$cpuJson$kcJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

@@ -21,9 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * A native expression, not a UDF: the merge loop is a flat
   * static-call kernel inside whole-stage codegen, and the merge table
   * is a shared immutable map — no per-row closure, no serialization.
-  * Greedy rank-ordered merging is not expressible in portable SQL, so
-  * queries built on this are rows-only at the driver gate (like the
-  * sketch operators) with the semantics pinned by hand-traced specs.
+  * The greedy loop IS oracle-checkable for this table: because the
+  * merge list is topologically ranked, greedy lowest-rank-first equals
+  * applying the merges once in rank order, which SQL replays as a
+  * chained replace (see the `q_bpe_tokens` oracle); the semantics are
+  * additionally pinned by hand-traced specs.
   */
 case class BpeTokens(child: Expression) extends UnaryExpression {
 

@@ -1148,6 +1148,25 @@ object PipelineQueries {
         rounds = KcoreRounds)
       .orderBy("doc_id")
 
+  /** Convergence audit for [[qKcore]]'s FIXED [[KcoreRounds]] peeling
+    * depth: true iff one more round changes nothing. The fixed depth
+    * keeps the query a deterministic straight-line DAG, but at a larger
+    * SF a longer degree-<k chain would silently leave non-core nodes in
+    * the result — this check makes that observable (Bench runs it at
+    * the bench SF and flags the JSON). Both peel chains ride the
+    * memoized [[dupPairs]] table; the collected survivor sets are
+    * core-sized. */
+  def kcoreConverged(s: SparkSession, d: String): Boolean = {
+    val pairs = dupPairs(s, d)
+    def survivors(rounds: Int): Array[String] =
+      Dedup
+        .kCore(pairs, k = KcoreK, rounds = rounds)
+        .collect()
+        .map(_.toString)
+        .sorted
+    survivors(KcoreRounds).sameElements(survivors(KcoreRounds + 1))
+  }
+
   /** Informative-Dirichlet prior mass for the log-odds statistic (the
     * Monroe et al. "fightin' words" α₀) — spread over tokens
     * proportionally to their corpus frequency. */
@@ -1444,9 +1463,11 @@ object PipelineQueries {
     * counts and the chars-per-token compression ratio a token-budget
     * planner actually needs (the regex count in [[qTokenCount]] is the
     * cheap approximation; this one is exact for the compiled-in merge
-    * table). Greedy rank-ordered merging is not expressible in
-    * portable SQL → rows-only at the driver gate, semantics pinned by
-    * hand-traced specs. */
+    * table). Oracle-backed: the greedy loop equals rank-order
+    * replace-all passes because the merge table is topologically
+    * ranked (see the `q_bpe_tokens` oracle comment for the argument),
+    * so DuckDB replays it as one chained replace over distinct
+    * words. */
   def qBpeTokens(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.BpeTokens.register(s)
     docs(s, d)
@@ -4253,6 +4274,44 @@ object PipelineQueries {
          |FROM c WHERE cum_tokens <= $TokenBudget
          |ORDER BY source, cum_tokens, doc_id""".stripMargin,
     "q_bpe_train" -> bpeTrainSql(BpeTrainMerges),
+    // BPE ENCODE oracle: greedy lowest-rank-first merging equals
+    // applying the merge list once, in rank order, as replace-all
+    // passes — valid because the table is topologically ranked (every
+    // pair's multi-char component is created at a strictly earlier
+    // rank, and a merge can only create new pairs that CONTAIN its
+    // result symbol, which by the same property all rank later; a
+    // replace pass can't resurrect its own pair since the result is
+    // longer than either side). So the encoder unrolls to one chained
+    // replace expression over the train oracle's bracketed-hex
+    // spelling, evaluated per DISTINCT word, then weighted back per
+    // doc.
+    "q_bpe_tokens" -> {
+      def hx(x: String): String =
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"$b%02X")
+          .mkString
+      val chain = graft.functions.expressions.BpeTokens.Merges
+        .foldLeft("s") { case (acc, (a, b)) =>
+          s"replace($acc, '[${hx(a)}][${hx(b)}]', '[${hx(a)}${hx(b)}]')"
+        }
+      s"""WITH bwords AS (
+         |  SELECT doc_id, n_chars,
+         |         unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |bwc AS (SELECT doc_id, n_chars, w, count(*) AS k FROM bwords GROUP BY 1, 2, 3),
+         |bvocab AS (
+         |  SELECT w, '[' || array_to_string(list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> hex(c)), '][') || ']' AS s
+         |  FROM (SELECT DISTINCT w FROM bwc)),
+         |benc AS (
+         |  SELECT w, CAST(len(string_split(trim($chain, '[]'), '][')) AS BIGINT) AS toks
+         |  FROM bvocab),
+         |bper AS (
+         |  SELECT doc_id, n_chars, CAST(sum(k * toks) AS BIGINT) AS bpe_tokens
+         |  FROM bwc JOIN benc USING (w) GROUP BY 1, 2)
+         |SELECT doc_id, n_chars, bpe_tokens,
+         |       round(CAST(n_chars AS DOUBLE) / bpe_tokens, 4) AS chars_per_token
+         |FROM bper ORDER BY doc_id""".stripMargin
+    },
     "q_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,
