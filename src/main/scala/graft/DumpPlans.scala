@@ -38,9 +38,17 @@ object DumpPlans {
     // BpeTrainer.scala and the result plan is a LocalTableScan.
     // q_split_leakage excluded like q_dedup_clusters: its clustering
     // fixpoint executes eagerly during construction.
+    // q_dup_graph_report / q_dup_source_overlap excluded for the same
+    // reason: their shared pair table materializes (and the clustering
+    // fixpoint runs) during construction; the one-subtree-many-consumers
+    // shape is documented in PLANS.md prose.
+    // q_pca_top excluded since the driver-side rewrite: the covariance
+    // pass collects during construction and the plan is a
+    // LocalTableScan (the interesting plan is q_embed_cov's, kept).
     val skip = Set(
       "q_dedup_clusters", "q_kmeans", "q_semdedup", "q_ann_pq",
-      "q_bpe_train", "q_split_leakage", "q_cluster_sizes")
+      "q_bpe_train", "q_split_leakage", "q_cluster_sizes",
+      "q_dup_graph_report", "q_dup_source_overlap", "q_pca_top")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       out.println(s"########## $name")

@@ -2410,10 +2410,21 @@ object PipelineQueries {
     * map-side explode per vector (dim·(dim+1)/2 structs — no join, no
     * shuffle until the 2080-group aggregate), products summed in
     * decimal-38 (a quantized product is ~10¹⁴ — a long sum wraps at
-    * corpus scale). Returns (j, k, s_jk) with 1-based dims. */
+    * corpus scale). Returns (j, k, s_jk) with 1-based dims.
+    *
+    * The input repartition is load-bearing: the vectors table is TINY
+    * on disk (a few MB per million rows) so a file-split scan gives it
+    * 1-2 tasks, but the explode amplifies each row 2,080× — without
+    * the spread the whole n·d² compute runs on one core (measured
+    * 40.8 s at sf1, cpu/wall 1.3 of 32). Shuffling the narrow input
+    * rows costs ~nothing; the blow-up map then uses the cluster. The
+    * general rule: repartition BEFORE a high-amplification map whose
+    * input is small. Decimal sums are order-free, so the round-robin
+    * placement cannot change a bit of the result. */
   private def covPairSums(s: SparkSession, d: String): DataFrame = {
     val dim = EmbDim
     embs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * $EmbFp.0) AS BIGINT))")
           .as("qv"))
@@ -2428,9 +2439,11 @@ object PipelineQueries {
   }
 
   /** Per-dimension sums + the vector count of the quantized embedding
-    * (64 + 1 statistic rows from one scan). */
+    * (64 + 1 statistic rows from one scan; same pre-explode
+    * repartition rationale as [[covPairSums]]). */
   private def covDimSums(s: SparkSession, d: String): DataFrame =
     embs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * $EmbFp.0) AS BIGINT))")
           .as("qv"))
