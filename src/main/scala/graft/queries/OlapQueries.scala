@@ -1688,6 +1688,53 @@ object OlapQueries {
       .limit(20)
   }
 
+  val BasketRuleMinCount = 3
+  val BasketRuleTopK = 20
+
+  /** Directed association rules over the basket pair graph (the
+    * consumer of [[qBasketPairs]]' symmetric affinity): for each
+    * ordered (antecedent → consequent) part pair co-bought in ≥
+    * [[BasketRuleMinCount]] orders, confidence = P(cons | ante) and
+    * lift — the actual "customers who bought X buy Y" recommender
+    * rule, where the symmetric pair table can't distinguish a popular
+    * consequent from a predictive antecedent. Same scale shape as the
+    * pair query (per-order self-join bounded by Σ basket², keyed on
+    * the order key; support tables broadcast); the directed table is
+    * 2× the pair table, still pair-bounded. Top-k on rounded
+    * confidence with id tie-breaks, so the cut is engine-stable. */
+  def qBasketRules(s: SparkSession, d: String): DataFrame = {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut)
+    val co = items
+      .as("a")
+      .join(
+        items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("ante"), col("b.pk").as("cons"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= BasketRuleMinCount)
+    val partN = items.groupBy("pk").agg(count(lit(1)).as("n_part"))
+    val tot = items.agg(count_distinct(col("ok")).as("n_orders"))
+    co
+      .join(partN.select(col("pk").as("ante"), col("n_part").as("n_a")), Seq("ante"))
+      .join(partN.select(col("pk").as("cons"), col("n_part").as("n_c")), Seq("cons"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("ante"),
+        col("cons"),
+        col("n_both"),
+        round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round(
+          (col("n_both") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_c")).cast("double"),
+          6).as("lift"))
+      .orderBy(col("confidence").desc, col("n_both").desc, col("ante"), col("cons"))
+      .limit(BasketRuleTopK)
+  }
+
   /** Order-fulfillment latency profile per order priority — the
     * accumulating-snapshot shape of operational analytics: per order,
     * µs from order date to FIRST shipment and the first→last shipment
@@ -2793,6 +2840,7 @@ object OlapQueries {
     "q_psi_drift" -> qPsiDrift _,
     "q_mwu_drift" -> qMwuDrift _,
     "q_basket_pairs" -> qBasketPairs _,
+    "q_basket_rules" -> qBasketRules _,
     "q_fulfillment" -> qFulfillment _,
     "q_small_qty" -> qSmallQty _,
     "q_chi2_independence" -> qChi2Independence _,
@@ -3685,6 +3733,23 @@ object OlapQueries {
         |CROSS JOIN tot
         |ORDER BY n_both DESC, pa, pb
         |LIMIT 20""".stripMargin,
+    "q_basket_rules" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |co AS (
+         |  SELECT a.pk AS ante, b.pk AS cons, count(*) AS n_both
+         |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $BasketRuleMinCount),
+         |pn AS (SELECT pk, count(*) AS n_part FROM it GROUP BY pk),
+         |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM it)
+         |SELECT ante, cons, n_both,
+         |       round(CAST(n_both AS DOUBLE) / CAST(na.n_part AS DOUBLE), 6) AS confidence,
+         |       round(CAST(n_both * n_orders AS DOUBLE) / CAST(na.n_part * nc.n_part AS DOUBLE), 6) AS lift
+         |FROM co
+         |JOIN pn na ON na.pk = ante
+         |JOIN pn nc ON nc.pk = cons
+         |CROSS JOIN tot
+         |ORDER BY confidence DESC, n_both DESC, ante, cons
+         |LIMIT $BasketRuleTopK""".stripMargin,
     "q_fulfillment" ->
       """WITH ships AS (
         |  SELECT l_orderkey AS ok,

@@ -262,6 +262,21 @@ object PipelineQueries {
       .transform(sortSmall(_, "source_a", "source_b"))
   }
 
+  /** Pair-similarity histogram of the near-dup table (2-point bins over
+    * the verified Jaccard): the "how near are my near-dups" intake
+    * panel — a mass at 0.80–0.84 means threshold-sensitive marginal
+    * pairs (tune bands before trusting counts); a mass at 0.96–1.00
+    * means true clones. Rides the memoized [[dupPairs]] table; binning
+    * is integer percent (floor(j·100+0.5)) so bucket edges are exact in
+    * both engines. */
+  def qDupJaccardHist(s: SparkSession, d: String): DataFrame =
+    dupPairs(s, d)
+      .select(floor(col("jaccard") * 100.0d + 0.5d).cast("long").as("jc"))
+      .select((col("jc") - col("jc") % 2).as("bin_pct"))
+      .groupBy("bin_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+      .transform(sortSmall(_, "bin_pct"))
+
   val DedupLshBands = 8
   val DedupLshBitsPerBand = 4
 
@@ -838,7 +853,12 @@ object PipelineQueries {
     * summation is a fixed-association column sum over the literal term
     * list (one slot per term), so the float total is bit-identical in
     * both engines — no order-nondeterministic double sum. */
-  def qBm25(s: SparkSession, d: String): DataFrame = {
+  /** Full BM25 scoring of every matching doc — `(doc_id, n_terms,
+    * bm25)` with bm25 rounded to 4 places — shared by [[qBm25]]'s
+    * top-k head and [[qNdcg]]'s ranking evaluation. Per-term
+    * contributions land in fixed slot columns so the total sums in
+    * TERM order (never partition order): the score is bit-stable. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
     val pairs = docs(s, d)
       .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
@@ -877,8 +897,63 @@ object PipelineQueries {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("bm25", round(total, 4))
       .select("doc_id", "n_terms", "bm25")
+  }
+
+  def qBm25(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(Bm25TopK)
+
+  val NdcgKs = Seq(1, 5, 10)
+
+  /** NDCG@k of the BM25 ranking (the retrieval-quality number that
+    * judges the row-75/109 index+scorer as a SYSTEM, not per-doc):
+    * graded relevance = the count of distinct query terms a doc
+    * matches (gain 2^rel − 1), ranking ties broken by doc_id, ideal
+    * ordering over the SAME retrieved set (local NDCG — both engines
+    * enumerate the identical scored set, so no corpus-wide relevance
+    * pass is needed). Each DCG term floor-quantizes to int64
+    * BEFORE the sum, so the sums are order-free and engine-exact;
+    * NDCG is log-base-invariant, so natural log serves both engines.
+    * Scale shape: the scored set (docs matching ≥1 term) is the only
+    * windowed table; the two row_numbers ride one statistic-sized
+    * single-partition sort each, and the three k-cuts share the cut
+    * ranked table. */
+  def qNdcg(s: SparkSession, d: String): DataFrame = {
+    val wRank = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wIdeal = Window.orderBy(col("n_terms").desc, col("doc_id"))
+    val ranked = bm25Scores(s, d)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("irk", row_number().over(wIdeal).cast("long"))
+      .withColumn(
+        "gain",
+        pow(lit(2.0), col("n_terms").cast("double")) - lit(1.0))
+      .transform(graft.operators.Materialize.cut)
+    NdcgKs
+      .map { k =>
+        ranked
+          .agg(
+            count(lit(1)).as("n_scored"),
+            sum(
+              when(
+                col("rk") <= k,
+                expr("CAST(floor(gain / ln(CAST(rk AS DOUBLE) + 1.0) * 1.0e9) AS BIGINT)"))
+                .otherwise(0L)).as("dcg_q"),
+            sum(
+              when(
+                col("irk") <= k,
+                expr("CAST(floor(gain / ln(CAST(irk AS DOUBLE) + 1.0) * 1.0e9) AS BIGINT)"))
+                .otherwise(0L)).as("idcg_q"))
+          .select(
+            lit(k.toLong).as("k"),
+            col("n_scored"),
+            (col("dcg_q").cast("double") / 1.0e9d).as("dcg"),
+            (col("idcg_q").cast("double") / 1.0e9d).as("idcg"),
+            round(col("dcg_q").cast("double") / col("idcg_q").cast("double"), 6)
+              .as("ndcg"))
+      }
+      .reduce(_.unionByName(_))
+      .transform(sortSmall(_, "k"))
   }
 
   /** ROC-AUC of the linear quality score as a ranking signal for
@@ -2918,7 +2993,9 @@ object PipelineQueries {
     "q_snm_dedup" -> qSnmDedup _,
     "q_embed_outliers" -> qEmbedOutliers _,
     "q_dup_graph_report" -> qDupGraphReport _,
-    "q_dup_source_overlap" -> qDupSourceOverlap _
+    "q_dup_source_overlap" -> qDupSourceOverlap _,
+    "q_dup_jaccard_hist" -> qDupJaccardHist _,
+    "q_ndcg" -> qNdcg _
   )
 
   private def minhashCtes(x: String): String = {
@@ -4606,6 +4683,60 @@ object PipelineQueries {
          |FROM sc
          |QUALIFY rank <= $OutlierTopK
          |ORDER BY label, rank""".stripMargin,
+    "q_dup_jaccard_hist" ->
+      s"""$minhashPairsCtes,
+         |jb AS (SELECT CAST(floor(jaccard * 100 + 0.5) AS BIGINT) AS jc FROM mpairs)
+         |SELECT jc - jc % 2 AS bin_pct, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM jb GROUP BY 1 ORDER BY 1""".stripMargin,
+    // NDCG: replays the q_bm25 scoring CTEs, then ranks by (bm25 desc,
+    // doc_id) vs ideal (n_terms desc, doc_id); each DCG term
+    // floor-quantizes to int64 before the sum (order-free), ln base
+    // cancels in the ratio
+    "q_ndcg" -> {
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val slots = Bm25Terms.zipWithIndex
+        .map { case (t, i) =>
+          s"sum(CASE WHEN tok = '$t' THEN contrib END) AS c$i"
+        }
+        .mkString(",\n         |         ")
+      val total = Bm25Terms.indices
+        .map(i => s"COALESCE(c$i, 0.0)")
+        .mkString(" + ")
+      val ks = NdcgKs.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM t
+         |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |           * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         |           / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs))) AS contrib
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |         $slots
+         |  FROM c GROUP BY doc_id),
+         |scored AS (SELECT doc_id, n_terms, round($total, 4) AS bm25 FROM sc),
+         |r AS (
+         |  SELECT doc_id, n_terms,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk,
+         |         row_number() OVER (ORDER BY n_terms DESC, doc_id) AS irk,
+         |         power(2, n_terms) - 1 AS gain
+         |  FROM scored),
+         |ks AS (SELECT unnest([$ks]) AS k)
+         |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_scored,
+         |       CAST(sum(CASE WHEN rk <= k THEN CAST(floor(gain / ln(rk + 1.0) * 1.0e9) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1.0e9 AS dcg,
+         |       CAST(sum(CASE WHEN irk <= k THEN CAST(floor(gain / ln(irk + 1.0) * 1.0e9) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1.0e9 AS idcg,
+         |       round(CAST(sum(CASE WHEN rk <= k THEN CAST(floor(gain / ln(rk + 1.0) * 1.0e9) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(CASE WHEN irk <= k THEN CAST(floor(gain / ln(irk + 1.0) * 1.0e9) AS BIGINT) ELSE 0 END) AS DOUBLE), 6) AS ndcg
+         |FROM r CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin
+    },
     // composed dashboard: degrees + triangles + k-core + cluster sizes
     // off the SAME mpairs relation — each section reuses its standalone
     // oracle's CTE structure verbatim
