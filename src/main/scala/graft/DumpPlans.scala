@@ -45,10 +45,14 @@ object DumpPlans {
     // q_pca_top excluded since the driver-side rewrite: the covariance
     // pass collects during construction and the plan is a
     // LocalTableScan (the interesting plan is q_embed_cov's, kept).
+    // q_cc_bigstar excluded like q_dedup_clusters: the star-contraction
+    // loop runs eagerly during construction; the per-round shapes are
+    // documented in Dedup.connectedComponentsBigStar.
     val skip = Set(
       "q_dedup_clusters", "q_kmeans", "q_semdedup", "q_ann_pq",
       "q_bpe_train", "q_split_leakage", "q_cluster_sizes",
-      "q_dup_graph_report", "q_dup_source_overlap", "q_pca_top")
+      "q_dup_graph_report", "q_dup_source_overlap", "q_pca_top",
+      "q_cc_bigstar")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       out.println(s"########## $name")

@@ -916,6 +916,108 @@ object Dedup {
       .agg(count(lit(1)).as("degree"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the corpus-scale alternative to
+    * [[duplicateClusters]]' min-label propagation. Propagation
+    * converges in O(diameter) rounds (a D-doc chain needs D rounds,
+    * each a full edge-table join); the star contractions converge in
+    * O(log² n) rounds regardless of topology, and every round is two
+    * neighborhood aggregates + rewrites over the CURRENT edge set,
+    * which only shrinks toward one star edge per non-root node. The
+    * per-round operations:
+    *
+    *   large-star: per node u, m = min(N(u) ∪ {u}); every neighbor
+    *     v > u re-wires to (v, m) — each undirected edge is emitted
+    *     exactly once, from its smaller endpoint's neighborhood.
+    *   small-star: per node u, every neighbor v < u re-wires to
+    *     (v, m), plus the self edge (u, m) — roots keep their
+    *     component connected while interior nodes collapse.
+    *
+    * Both emissions satisfy m ≤ v, so edges stay canonical
+    * (larger, smaller) and a `distinct` dedups the round. Convergence
+    * = the edge set is stable (checked with one count+hash-sum
+    * aggregate per round — statistic-sized, like
+    * [[duplicateClusters]]' changed-count); a non-converged exit
+    * after `maxRounds` throws rather than returning silently
+    * under-merged components (the k-core truncation lesson). At the
+    * fixpoint the edge set IS the component star, so labels read off
+    * one neighborhood aggregate: comp(u) = min(u, min N(u)).
+    *
+    * Output contract is identical to [[duplicateClusters]]:
+    * `(id, comp)` with comp = the component's minimum id, one row per
+    * node incident to at least one pair. */
+  def connectedComponentsBigStar(
+      pairs: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    def sym(e: DataFrame): DataFrame = e
+      .select(
+        explode(
+          array(
+            struct(col("a").as("u"), col("b").as("v")),
+            struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    def stat(e: DataFrame): (Long, Long) = {
+      val r = e
+        .agg(
+          count(lit(1)).as("n"),
+          // 30-bit per-edge fingerprints so the sum stays far from
+          // int64 overflow at any realistic edge count
+          coalesce(
+            sum(
+              Hashing.md5Long(
+                concat(col("a").cast("string"), lit(":"), col("b").cast("string")))
+                % lit(1000000007L)),
+            lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs
+      .select(
+        greatest(col("a_id"), col("b_id")).as("a"),
+        least(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .transform(Materialize.cut)
+    var prev = stat(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val s1 = sym(edges)
+      val n1 = s1.groupBy("u").agg(min("v").as("mn"))
+      val large = s1
+        .join(n1.hint("shuffle_hash"), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), least(col("u"), col("mn")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .transform(Materialize.cut)
+      val s2 = sym(large)
+      val n2 = s2.groupBy("u").agg(min("v").as("mn"))
+      val small = s2
+        .join(n2.hint("shuffle_hash"), "u")
+        .filter(col("v") < col("u"))
+        .select(col("v").as("a"), least(col("u"), col("mn")).as("b"))
+        .unionByName(
+          n2.select(col("u").as("a"), least(col("u"), col("mn")).as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct()
+        .transform(Materialize.cut)
+      val cur = stat(small)
+      converged = cur == prev
+      prev = cur
+      edges = small
+    }
+    require(
+      converged,
+      s"large-star/small-star did not converge in $maxRounds rounds")
+    sym(edges)
+      .groupBy(col("u").as("id"))
+      .agg(least(col("u"), min(col("v"))).as("comp"))
+  }
+
   /** Classic sorted-neighborhood (SNM) near-dup blocking (Hernández &
     * Stolfo, SIGMOD'95): sort records by a key, compare each record
     * only to its `window − 1` successors in the sort order, then

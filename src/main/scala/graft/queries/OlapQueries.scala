@@ -1699,22 +1699,30 @@ object OlapQueries {
     * rule, where the symmetric pair table can't distinguish a popular
     * consequent from a predictive antecedent. Same scale shape as the
     * pair query (per-order self-join bounded by Σ basket², keyed on
-    * the order key; support tables broadcast); the directed table is
-    * 2× the pair table, still pair-bounded. Top-k on rounded
-    * confidence with id tie-breaks, so the cut is engine-stable. */
+    * the order key; support tables broadcast). Co-occurrence counts
+    * are symmetric, so the join+aggregate runs UNDIRECTED (`<`, half
+    * the shuffle of a directed generator — measured 2× at the sf1
+    * scale point) and both rule orientations are derived from the
+    * already-aggregated, min-count-filtered pair statistic. Top-k on
+    * rounded confidence with id tie-breaks, so the cut is
+    * engine-stable. */
   def qBasketRules(s: SparkSession, d: String): DataFrame = {
     val items = Tables(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
       .transform(graft.operators.Materialize.cut)
-    val co = items
+    val und = items
       .as("a")
       .join(
         items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .groupBy(col("a.pk").as("ante"), col("b.pk").as("cons"))
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= BasketRuleMinCount)
+    val co = und
+      .select(col("p1").as("ante"), col("p2").as("cons"), col("n_both"))
+      .unionByName(
+        und.select(col("p2").as("ante"), col("p1").as("cons"), col("n_both")))
     val partN = items.groupBy("pk").agg(count(lit(1)).as("n_part"))
     val tot = items.agg(count_distinct(col("ok")).as("n_orders"))
     co

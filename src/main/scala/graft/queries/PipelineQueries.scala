@@ -143,6 +143,23 @@ object PipelineQueries {
           threshold = 0.8))
       .transform(sortSmall(_, "id", "comp"))
 
+  /** Duplicate clusters via large-star/small-star contraction
+    * (Kiveris et al., SoCC'14) — the O(log² n)-round scale path of
+    * [[qDedupClusters]], for corpora whose dup-graph diameter makes
+    * min-label propagation's O(diameter) rounds bind (long chain
+    * components: versioned docs, quote-expansion chains). Same
+    * `(id, comp = component min id)` contract, same oracle. */
+  def qCcBigstar(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .connectedComponentsBigStar(
+        Dedup.minhashLsh(
+          docs(s, d),
+          k = 3,
+          numHashes = MinhashSeeds,
+          bands = MinhashBands,
+          threshold = 0.8))
+      .transform(sortSmall(_, "id", "comp"))
+
   /** Duplicate-family size distribution: how many near-dup clusters of
     * each size the corpus carries (and how many docs they bind) — the
     * "are my duplicates pairs or thousand-doc template families"
@@ -2913,6 +2930,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_dedup_embed" -> qDedupEmbed _,
     "q_dedup_clusters" -> qDedupClusters _,
+    "q_cc_bigstar" -> qCcBigstar _,
     "q_ann_topk" -> qAnnTopk _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_ann_recall" -> qAnnRecall _,
@@ -3215,6 +3233,12 @@ object PipelineQueries {
     // undirected pair edges, which in a connected component is the
     // component's minimum id (mirrors Dedup.duplicateClusters).
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+         |${componentsCtes("mpairs")}
+         |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    // large-star/small-star CC computes the SAME (id, component-min)
+    // labeling as the propagation fixpoint — one oracle serves both
+    "q_cc_bigstar" ->
       s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
          |${componentsCtes("mpairs")}
          |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,

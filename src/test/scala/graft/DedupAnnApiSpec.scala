@@ -68,6 +68,34 @@ class DedupAnnApiSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponentsBigStar matches duplicateClusters on chains, cliques and stars") {
+    import spark.implicits._
+    // a long chain (the case where propagation needs O(length) rounds
+    // and star contraction O(log²)), a clique, a star, an isolated pair
+    val chain = (10L until 30L).map(i => (i, i + 1))
+    val clique = for {
+      a <- 100L to 104L; b <- 100L to 104L if a < b
+    } yield (a, b)
+    val star = (201L to 206L).map(i => (200L, i))
+    val pairs = (chain ++ clique ++ star ++ Seq((300L, 301L)))
+      .toDF("a_id", "b_id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = asMap(Dedup.duplicateClusters(pairs))
+    val got = asMap(Dedup.connectedComponentsBigStar(pairs))
+    assert(got == expected)
+    assert(got(30L) == 10L && got(104L) == 100L && got(206L) == 200L)
+  }
+
+  test("connectedComponentsBigStar matches duplicateClusters on the real minhash pairs") {
+    val pairs = Dedup.minhashLsh(docs, numHashes = 16, bands = 8, threshold = 0.8)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(
+      asMap(Dedup.connectedComponentsBigStar(pairs)) ==
+        asMap(Dedup.duplicateClusters(pairs)))
+  }
+
   test("containment finds a small doc swallowed by a big one that Jaccard misses") {
     import spark.implicits._
     val quote = (1 to 8).map(i => s"w$i").mkString(" ") // 6 shingles at k=3

@@ -251,7 +251,9 @@ class PlanSpec extends SparkSpec {
     // at plan-build time (Spark jobs inside construction) — expensive
     // here, and their per-round join shapes are asserted elsewhere.
     val eagerLoops =
-      Set("q_dedup_clusters", "q_bpe_train", "q_split_leakage", "q_cluster_sizes")
+      Set(
+        "q_dedup_clusters", "q_bpe_train", "q_split_leakage",
+        "q_cluster_sizes", "q_cc_bigstar")
     val names = SparkEntry.queries.keys.filterNot(eagerLoops).toSeq.sorted
     val offenders = names.flatMap { name =>
       val p = plan(name)
@@ -271,7 +273,9 @@ class PlanSpec extends SparkSpec {
     // round-4 bench. Whole-partition frames (unboundedpreceding →
     // unboundedfollowing) are fine: computed once per partition.
     val eagerLoops =
-      Set("q_dedup_clusters", "q_bpe_train", "q_split_leakage", "q_cluster_sizes")
+      Set(
+        "q_dedup_clusters", "q_bpe_train", "q_split_leakage",
+        "q_cluster_sizes", "q_cc_bigstar")
     val frame = """specifiedwindowframe\((?:RowFrame|RangeFrame), ([^,]+), unboundedfollowing\$\(\)\)""".r
     val names = SparkEntry.queries.keys.filterNot(eagerLoops).toSeq.sorted
     val offenders = names.flatMap { name =>
