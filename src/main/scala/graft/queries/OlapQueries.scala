@@ -2257,6 +2257,172 @@ object OlapQueries {
       .transform(sortSmall(_, col("type_a"), col("type_b")))
   }
 
+  /** KMV sketch size. */
+  val KmvK = 256
+
+  /** [[graft.functions.Hashing.md5Long]]'s hash space: 15 hex chars =
+    * 60 bits, so hashes are uniform on [0, 2⁶⁰). */
+  val KmvM = 1152921504606846976L
+
+  /** Distinct (type, user-day-hash) table — the KMV sketch input. The
+    * sketched entity is active user-DAYS (user_id:day), chosen over
+    * bare users so the per-type universe is large enough to exercise
+    * the estimator at every test scale. */
+  private def kmvHashes(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        graft.functions.Hashing
+          .md5Long(
+            concat(
+              col("user_id").cast("string"),
+              lit(":"),
+              expr(s"ts_us DIV $DayUs").cast("string")))
+          .as("h"))
+      .distinct()
+
+  /** Per-type k smallest distinct hashes — the KMV sketch, ≤ k rows
+    * per type. Two-phase rank: a per-scan-partition row_number prunes
+    * to ≤ k·partitions survivors first (the global k smallest are a
+    * subset of every partition's local k smallest, so the result is
+    * invariant to the partitioning), then the global per-type rank
+    * runs over the statistic-sized survivor set — the corpus never
+    * feeds a full per-type window sort. */
+  private def kmvSketchOf(th: DataFrame): DataFrame =
+    th.withColumn("pid", spark_partition_id())
+      .withColumn(
+        "lrn",
+        row_number().over(Window.partitionBy("event_type", "pid").orderBy("h")))
+      .filter(col("lrn") <= KmvK)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .select("event_type", "h", "rn")
+
+  /** KMV (k-minimum-values) distinct-count sketch per event type
+    * (Bar-Yossef et al. '02 / Beyer et al. SIGMOD'07), against the
+    * exact count it estimates: n̂ = (k−1)·M/h₍k₎ with M the hash
+    * space. The hash family is the engine-portable md5-derived 60-bit
+    * one, so — unlike a sampled sketch — every estimate is
+    * DETERMINISTIC and the oracle replays it bit-for-bit: the sketch
+    * row is hash-checkable, not rows-only. Types whose universe is
+    * smaller than k fall back to the exact count (the sketch IS the
+    * set there). Scale shape: one distinct over (type, hash), then
+    * the two-phase rank of [[kmvSketch]]; everything after is
+    * alphabet-sized. */
+  def qKmvSketch(s: SparkSession, d: String): DataFrame = {
+    val th = kmvHashes(s, d).transform(graft.operators.Materialize.cut)
+    val kth = kmvSketchOf(th)
+      .filter(col("rn") === KmvK)
+      .select(col("event_type"), col("h").as("hk"))
+    th.groupBy("event_type")
+      .agg(count(lit(1)).as("n_exact"))
+      .join(kth, Seq("event_type"), "left")
+      .select(
+        col("event_type"),
+        col("n_exact"),
+        round(
+          when(col("hk").isNull, col("n_exact").cast("double"))
+            .otherwise(
+              lit((KmvK - 1).toDouble) * lit(KmvM.toDouble) /
+                col("hk").cast("double")),
+          4).as("n_kmv"))
+      .withColumn(
+        "rel_err",
+        round(
+          abs(col("n_kmv") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"),
+          6))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
+  /** KMV sketch set algebra: pairwise union/intersection/Jaccard
+    * estimates across event types from MERGED sketches — the
+    * mergeable-sketch scale path of [[qAudienceOverlap]] (which joins
+    * the full distinct membership table per pair). The k smallest of
+    * A∪B are a subset of sk(A) ∪ sk(B), and any member of the merged
+    * sketch that belongs to A is necessarily within sk(A) (h ≤
+    * h₍k₎(A∪B) ≤ h₍k₎(A)), so union size, intersection share ρ and
+    * Jaccard all read off the two k-row sketches — at 100 TB the
+    * sketches are all that moves, one per (type, shard) partial then
+    * merged, while the exact twin reshuffles the full membership
+    * table. The exact Jaccard rides along as the evaluation column
+    * (the [[qAnnRecall]] pattern: sketch + truth + error in one
+    * report). Deterministic hash family → hash-checkable oracle. */
+  def qKmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val th = kmvHashes(s, d).transform(graft.operators.Materialize.cut)
+    val sk =
+      kmvSketchOf(th).drop("rn").transform(graft.operators.Materialize.cut)
+    val types = sk.select("event_type").distinct()
+    val tp = types
+      .select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val ma = tp
+      .join(sk.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
+      .select(
+        col("type_a"), col("type_b"), col("h"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val mb = tp
+      .join(sk.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
+      .select(
+        col("type_a"), col("type_b"), col("h"),
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    val merged = ma
+      .unionByName(mb)
+      .groupBy("type_a", "type_b", "h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("type_a", "type_b").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+    val st = merged
+      .groupBy("type_a", "type_b")
+      .agg(
+        count(lit(1)).as("n_merged"),
+        max(when(col("rn") === KmvK, col("h"))).as("hk"),
+        sum(col("ia") * col("ib")).as("n_inter_k"))
+    val exact = th
+      .select(col("event_type").as("type_a"), col("h"))
+      .join(
+        th.select(col("event_type").as("type_b"), col("h"))
+          .hint("shuffle_hash"),
+        "h")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    val totals = th.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val estUnionRaw =
+      when(col("hk").isNull, col("n_merged").cast("double"))
+        .otherwise(
+          lit((KmvK - 1).toDouble) * lit(KmvM.toDouble) /
+            col("hk").cast("double"))
+    val rho = col("n_inter_k").cast("double") / col("n_merged").cast("double")
+    st.join(exact, Seq("type_a", "type_b"))
+      .join(
+        broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(
+        broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(
+        col("type_a"),
+        col("type_b"),
+        round(estUnionRaw, 4).as("est_union"),
+        round(rho * estUnionRaw, 4).as("est_inter"),
+        round(rho, 6).as("jaccard_kmv"),
+        round(
+          col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"),
+          6).as("jaccard_exact"))
+      .withColumn(
+        "err",
+        round(abs(col("jaccard_kmv") - col("jaccard_exact")), 6))
+      .transform(sortSmall(_, col("type_a"), col("type_b")))
+  }
+
   /** Step timeout of the time-constrained funnel — 1 h between
     * consecutive stages (the CEP "within" clause). */
   val FunnelStepUs = 3600000000L
@@ -2863,6 +3029,8 @@ object OlapQueries {
     "q_hhi" -> qHhi _,
     "q_holt" -> qHolt _,
     "q_audience_overlap" -> qAudienceOverlap _,
+    "q_kmv_sketch" -> qKmvSketch _,
+    "q_kmv_overlap" -> qKmvOverlap _,
     "q_funnel_window" -> qFunnelWindow _,
     "q_wow_growth" -> qWowGrowth _,
     "q_cohort_ltv" -> qCohortLtv _,
@@ -4028,6 +4196,81 @@ object OlapQueries {
         |FROM p JOIN tot ta ON p.type_a = ta.event_type
         |       JOIN tot tb ON p.type_b = tb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q_kmv_sketch" -> {
+      val h = graft.functions.Hashing.duckMd5Long(
+        "CAST(user_id AS VARCHAR) || ':' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)")
+      s"""WITH th AS (SELECT DISTINCT event_type, $h AS h FROM events),
+         |rk AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM th),
+         |kth AS (SELECT event_type, h AS hk FROM rk WHERE rn = $KmvK),
+         |ex AS (SELECT event_type, count(*) AS n_exact FROM th GROUP BY 1),
+         |sel AS (
+         |  SELECT ex.event_type, n_exact,
+         |         round(CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+         |                    ELSE ${KmvK - 1}.0 * $KmvM.0 / CAST(hk AS DOUBLE) END, 4) AS n_kmv
+         |  FROM ex LEFT JOIN kth ON kth.event_type = ex.event_type)
+         |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact, n_kmv,
+         |       round(abs(n_kmv - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+         |FROM sel ORDER BY event_type""".stripMargin
+    },
+    "q_kmv_overlap" -> {
+      val h = graft.functions.Hashing.duckMd5Long(
+        "CAST(user_id AS VARCHAR) || ':' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)")
+      s"""WITH th AS (SELECT DISTINCT event_type, $h AS h FROM events),
+         |sk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM th)
+         |  WHERE rn <= $KmvK),
+         |tp AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM (SELECT DISTINCT event_type FROM sk) a
+         |  JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type),
+         |mem AS (
+         |  SELECT type_a, type_b, h, max(ia) AS ia, max(ib) AS ib FROM (
+         |    SELECT tp.type_a, tp.type_b, s.h, 1 AS ia, 0 AS ib
+         |    FROM tp JOIN sk s ON s.event_type = tp.type_a
+         |    UNION ALL
+         |    SELECT tp.type_a, tp.type_b, s.h, 0 AS ia, 1 AS ib
+         |    FROM tp JOIN sk s ON s.event_type = tp.type_b)
+         |  GROUP BY 1, 2, 3),
+         |rk2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+         |  FROM mem),
+         |st AS (
+         |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS nm,
+         |         max(CASE WHEN rn = $KmvK THEN h END) AS hk,
+         |         CAST(sum(ia * ib) AS BIGINT) AS ni
+         |  FROM rk2 WHERE rn <= $KmvK GROUP BY 1, 2),
+         |exp AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+         |  FROM th a JOIN th b ON a.h = b.h AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT event_type, count(*) AS n FROM th GROUP BY 1),
+         |base AS (
+         |  SELECT st.type_a, st.type_b,
+         |         CASE WHEN hk IS NULL THEN CAST(nm AS DOUBLE)
+         |              ELSE ${KmvK - 1}.0 * $KmvM.0 / CAST(hk AS DOUBLE) END AS est_u_raw,
+         |         CAST(ni AS DOUBLE) / CAST(nm AS DOUBLE) AS rho,
+         |         n_both, ta.n AS n_a, tb.n AS n_b
+         |  FROM st
+         |  JOIN exp ON exp.type_a = st.type_a AND exp.type_b = st.type_b
+         |  JOIN tot ta ON ta.event_type = st.type_a
+         |  JOIN tot tb ON tb.event_type = st.type_b),
+         |sel AS (
+         |  SELECT type_a, type_b,
+         |         round(est_u_raw, 4) AS est_union,
+         |         round(rho * est_u_raw, 4) AS est_inter,
+         |         round(rho, 6) AS jaccard_kmv,
+         |         round(CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE), 6) AS jaccard_exact
+         |  FROM base)
+         |SELECT type_a, type_b, est_union, est_inter, jaccard_kmv, jaccard_exact,
+         |       round(abs(jaccard_kmv - jaccard_exact), 6) AS err
+         |FROM sel ORDER BY type_a, type_b""".stripMargin
+    },
     "q_funnel_window" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type, epoch_us(ts) AS ts_us

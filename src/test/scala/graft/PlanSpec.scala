@@ -220,6 +220,7 @@ class PlanSpec extends SparkSpec {
       "q_mwu_drift", // bucket-spine grid × |sources| + one-row totals
       "q_basket_pairs", // one-row basket-count total
       "q_basket_rules", // same one-row order-count total as q_basket_pairs
+      "q_kmv_overlap", // type-alphabet² pair grid over k-row sketches
       "q_chi2_independence", // |langs|×|sources| margin product + one-row totals
       "q_source_entropy", // one-row-per-source broadcast total (if BNLJ at all)
       "q_hard_negatives", // broadcast anchors × corpus, label-mismatch predicate
