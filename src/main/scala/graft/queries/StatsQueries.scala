@@ -401,17 +401,15 @@ object StatsQueries {
   // Discrete-time conversion hazard (life table)
   // ---------------------------------------------------------------
 
-  /** Signup→purchase life table: for each day-since-signup d, how many
-    * users were still at risk (observed through d, not yet converted)
-    * and how many converted ON day d — the discrete-time survival
-    * analysis every activation dashboard runs, with right-censoring by
-    * each user's observation window (corpus end − signup). The float
-    * product-limit estimator is deliberately NOT emitted — the life
-    * table itself is exact integers and the per-day hazard is ONE IEEE
-    * division, so every number is engine-exact. Shape: two co-keyed
-    * (user) aggregates, a day-range explode bounded by the observation
-    * window (the q_rolling_active pattern), one day-grid aggregate. */
-  def qHazardCurve(s: SparkSession, d: String): DataFrame = {
+  /** The (d, at_risk, n_convert) signup→purchase life table shared by
+    * [[qHazardCurve]] and [[qKaplanMeier]]: for each day-since-signup
+    * d, how many users were still at risk (observed through d, not
+    * yet converted) and how many converted ON day d, with
+    * right-censoring by each user's observation window (corpus end −
+    * signup). Shape: two co-keyed (user) aggregates, a day-range
+    * explode bounded by the observation window (the q_rolling_active
+    * pattern), one day-grid aggregate. */
+  private def hazardTable(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val endDf = ev.agg(max("ts_us").as("end_us"))
     val signups = ev
@@ -454,12 +452,75 @@ object StatsQueries {
       .agg(
         count(lit(1)).as("at_risk"),
         sum(when(col("conv_d") === col("d"), 1L).otherwise(0L)).as("n_convert"))
+  }
+
+  /** Discrete-time hazard per day-since-signup — the life table with
+    * the per-day conversion rate. Every count is an exact integer and
+    * the hazard is ONE IEEE division, so every number is
+    * engine-exact; the product-limit estimator lives in
+    * [[qKaplanMeier]]. */
+  def qHazardCurve(s: SparkSession, d: String): DataFrame =
+    hazardTable(s, d)
       .select(
         col("d"),
         col("at_risk"),
         col("n_convert"),
         floor6(col("n_convert").cast("double") / col("at_risk").cast("double"))
           .as("hazard"))
+      .transform(sortSmall(_, col("d")))
+
+  /** Kaplan–Meier product-limit survival curve over the signup→
+    * purchase life table: S(d) = Π_{i ≤ d} (1 − dᵢ/nᵢ) with
+    * right-censoring — the standard "fraction still unconverted at
+    * day d" read of [[qHazardCurve]]'s table. The running product is
+    * order-sensitive float arithmetic, so it is computed as a
+    * deterministic LEFT FOLD over the day-sorted life table (the
+    * [[graft.queries.OlapQueries.qHolt]] / qEma recursion pattern):
+    * the identical IEEE multiply sequence as the oracle's recursive
+    * CTE, bit-exact before the display floor. Scale shape: the corpus
+    * collapses to the day-grid life table first (statistic-sized, one
+    * row per day-since-signup), so the collect_list fold is bounded
+    * by the calendar, never the data. */
+  def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val rowT =
+      "ARRAY<STRUCT<d: BIGINT, at_risk: BIGINT, n_convert: BIGINT, surv: DOUBLE>>"
+    hazardTable(s, d)
+      .agg(
+        sort_array(
+          collect_list(struct(col("d"), col("at_risk"), col("n_convert"))))
+          .as("a"))
+      .select(
+        explode(
+          aggregate(
+            col("a"),
+            struct(
+              expr(s"CAST(array() AS $rowT)").as("rows"),
+              lit(1.0d).as("s")),
+            (acc, e) => {
+              val s2 = acc.getField("s") *
+                (lit(1.0d) -
+                  e.getField("n_convert").cast("double") /
+                  e.getField("at_risk").cast("double"))
+              struct(
+                concat(
+                  acc.getField("rows"),
+                  array(
+                    struct(
+                      e.getField("d").as("d"),
+                      e.getField("at_risk").as("at_risk"),
+                      e.getField("n_convert").as("n_convert"),
+                      s2.as("surv")))).as("rows"),
+                s2.as("s"))
+            },
+            acc => acc.getField("rows"))).as("r"))
+      .select(
+        col("r.d").as("d"),
+        col("r.at_risk").as("at_risk"),
+        col("r.n_convert").as("n_convert"),
+        floor6(
+          col("r.n_convert").cast("double") / col("r.at_risk").cast("double"))
+          .as("hazard"),
+        floor6(col("r.surv")).as("survival"))
       .transform(sortSmall(_, col("d")))
   }
 
@@ -582,9 +643,39 @@ object StatsQueries {
     "q_forecast_eval" -> qForecastEval _,
     "q_cuped" -> qCuped _,
     "q_hazard_curve" -> qHazardCurve _,
+    "q_kaplan_meier" -> qKaplanMeier _,
     "q_mix_shift" -> qMixShift _,
     "q_runs_test" -> qRunsTest _
   )
+
+  /** The signup→purchase life-table CTE chain ending in
+    * `ht(d, at_risk, n_convert)` — shared by the q_hazard_curve and
+    * q_kaplan_meier oracles (mirrors [[hazardTable]]). */
+  private def hazardTableSql: String =
+    s"""endv AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+       |signups AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+       |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+       |conv AS (
+       |  SELECT s.user_id, s.signup_us, min(epoch_us(e.ts)) AS conv_us
+       |  FROM signups s LEFT JOIN events e
+       |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       |       AND epoch_us(e.ts) >= s.signup_us
+       |  GROUP BY 1, 2),
+       |per AS (
+       |  SELECT user_id,
+       |         CASE WHEN conv_us IS NOT NULL
+       |              THEN (conv_us - signup_us) // $DayUs END AS conv_d,
+       |         least(coalesce((conv_us - signup_us) // $DayUs,
+       |                        (end_us - signup_us) // $DayUs),
+       |               (end_us - signup_us) // $DayUs) AS last_risk_d
+       |  FROM conv, endv),
+       |days AS (
+       |  SELECT conv_d, unnest(range(0, last_risk_d + 1)) AS d FROM per),
+       |ht AS (
+       |  SELECT d, count(*) AS at_risk,
+       |         CAST(sum(CASE WHEN conv_d = d THEN 1 ELSE 0 END) AS BIGINT) AS n_convert
+       |  FROM days GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_welch_ttest" ->
@@ -794,31 +885,33 @@ object StatsQueries {
          |       ${floor6Sql("(CAST(runs AS DOUBLE) - mu) / sqrt(var_r)")} AS z_stat
          |FROM m""".stripMargin,
     "q_hazard_curve" ->
-      s"""WITH endv AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
-         |signups AS (
-         |  SELECT user_id, min(epoch_us(ts)) AS signup_us
-         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
-         |conv AS (
-         |  SELECT s.user_id, s.signup_us, min(epoch_us(e.ts)) AS conv_us
-         |  FROM signups s LEFT JOIN events e
-         |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
-         |       AND epoch_us(e.ts) >= s.signup_us
-         |  GROUP BY 1, 2),
-         |per AS (
-         |  SELECT user_id,
-         |         CASE WHEN conv_us IS NOT NULL
-         |              THEN (conv_us - signup_us) // $DayUs END AS conv_d,
-         |         least(coalesce((conv_us - signup_us) // $DayUs,
-         |                        (end_us - signup_us) // $DayUs),
-         |               (end_us - signup_us) // $DayUs) AS last_risk_d
-         |  FROM conv, endv),
-         |days AS (
-         |  SELECT conv_d, unnest(range(0, last_risk_d + 1)) AS d FROM per)
-         |SELECT d, count(*) AS at_risk,
-         |       CAST(sum(CASE WHEN conv_d = d THEN 1 ELSE 0 END) AS BIGINT) AS n_convert,
+      s"""WITH $hazardTableSql
+         |SELECT d, at_risk, n_convert,
          |       ${floor6Sql(
-          "CAST(sum(CASE WHEN conv_d = d THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS hazard
-         |FROM days GROUP BY 1 ORDER BY d""".stripMargin,
+          "CAST(n_convert AS DOUBLE) / CAST(at_risk AS DOUBLE)")} AS hazard
+         |FROM ht ORDER BY d""".stripMargin,
+    // Kaplan–Meier: the running product replays the Spark fold's exact
+    // IEEE multiply sequence day by day (recursive CTE over the
+    // day-ranked life table)
+    "q_kaplan_meier" ->
+      s"""WITH RECURSIVE $hazardTableSql,
+         |rh AS (
+         |  SELECT d, at_risk, n_convert,
+         |         row_number() OVER (ORDER BY d) AS rn
+         |  FROM ht),
+         |rec AS (
+         |  SELECT rn, d, at_risk, n_convert,
+         |         1.0 * (1.0 - CAST(n_convert AS DOUBLE) / CAST(at_risk AS DOUBLE)) AS surv
+         |  FROM rh WHERE rn = 1
+         |  UNION ALL
+         |  SELECT rh.rn, rh.d, rh.at_risk, rh.n_convert,
+         |         rec.surv * (1.0 - CAST(rh.n_convert AS DOUBLE) / CAST(rh.at_risk AS DOUBLE))
+         |  FROM rec JOIN rh ON rh.rn = rec.rn + 1)
+         |SELECT d, at_risk, n_convert,
+         |       ${floor6Sql(
+          "CAST(n_convert AS DOUBLE) / CAST(at_risk AS DOUBLE)")} AS hazard,
+         |       ${floor6Sql("surv")} AS survival
+         |FROM rec ORDER BY d""".stripMargin,
     "q_churn_rate" ->
       s"""WITH am AS (
          |  SELECT DISTINCT CAST($MonthIdxSql AS BIGINT) AS m, o_custkey FROM orders),
