@@ -2011,6 +2011,64 @@ object OlapQueries {
           6).as("cramers_v"))
   }
 
+  /** Mutual information between the lang and source columns — the
+    * effect-size companion of [[qChi2Independence]] (chi² says
+    * "dependent", MI says how many nats of lang are explained by
+    * source), plus the normalized NMI = MI/√(H_lang·H_source) that
+    * makes corpora comparable. Every entropy/MI summand is
+    * floor-quantized to int64 BEFORE its sum (the q_ndcg trick):
+    * the three sums are order-free and engine-exact, not
+    * last-ulp-dependent on aggregation order. Scale shape: one
+    * (lang, source) aggregate over the corpus; everything after is
+    * alphabet-sized (margins broadcast, one-row totals). */
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables(s, d, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Materialize.cut)
+    val rl = cells.groupBy("lang").agg(sum("c").as("r"))
+    val cs = cells.groupBy("source").agg(sum("c").as("s"))
+    val tot = cells.agg(sum("c").as("n"), count(lit(1)).as("n_cells"))
+    def entQ(margin: DataFrame, m: String): DataFrame =
+      margin
+        .crossJoin(broadcast(tot.select("n")))
+        .select(
+          floor(
+            -(col(m).cast("double") / col("n").cast("double")) *
+              log(col(m).cast("double") / col("n").cast("double")) *
+              lit(1.0e9d)).cast("long").as("q"))
+        .agg(sum("q").as(s"h_$m"))
+    // observed cells only: a zero cell contributes 0 to MI
+    val miQ = cells
+      .join(broadcast(rl), "lang")
+      .join(broadcast(cs), "source")
+      .crossJoin(broadcast(tot.select("n")))
+      .select(
+        floor(
+          (col("c").cast("double") / col("n").cast("double")) *
+            log(
+              (col("c").cast("double") * col("n").cast("double")) /
+                (col("r").cast("decimal(38,0)") * col("s")).cast("double")) *
+            lit(1.0e9d)).cast("long").as("q"))
+      .agg(sum("q").as("mi_q"))
+    tot
+      .crossJoin(broadcast(entQ(rl, "r")))
+      .crossJoin(broadcast(entQ(cs, "s")))
+      .crossJoin(broadcast(miQ))
+      .select(
+        col("n").as("n_docs"),
+        col("n_cells"),
+        round(col("h_r").cast("double") / 1.0e9d, 6).as("h_lang"),
+        round(col("h_s").cast("double") / 1.0e9d, 6).as("h_source"),
+        round(col("mi_q").cast("double") / 1.0e9d, 6).as("mi_nats"),
+        round(
+          (col("mi_q").cast("double") / 1.0e9d) /
+            sqrt(
+              (col("h_r").cast("double") / 1.0e9d) *
+                (col("h_s").cast("double") / 1.0e9d)),
+          6).as("nmi"))
+  }
+
   /** Shannon language-diversity profile per source — the "how mixed is
     * this source" intake dashboard line: entropy of the language mix in
     * nats, its exp() as the effective number of languages, and the
@@ -3018,6 +3076,7 @@ object OlapQueries {
     "q_fulfillment" -> qFulfillment _,
     "q_small_qty" -> qSmallQty _,
     "q_chi2_independence" -> qChi2Independence _,
+    "q_mutual_info" -> qMutualInfo _,
     "q_source_entropy" -> qSourceEntropy _,
     "q_rolling_active" -> qRollingActive _,
     "q_skyline" -> qSkyline _,
@@ -3973,6 +4032,36 @@ object OlapQueries {
         |       round(chi2, 6) AS chi2,
         |       round(sqrt(chi2 / CAST(n * least(n_langs - 1, n_sources - 1) AS DOUBLE)), 6) AS cramers_v
         |FROM agg CROSS JOIN dims""".stripMargin,
+    // MI/entropy summands floor-quantize to int64 before each sum —
+    // order-free, engine-exact (mirrors qMutualInfo)
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT lang, sum(c) AS r FROM cells GROUP BY 1),
+        |cs AS (SELECT source, sum(c) AS s FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |hl AS (
+        |  SELECT sum(CAST(floor(-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |                         * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e9) AS BIGINT)) AS h_r
+        |  FROM rl CROSS JOIN tot),
+        |hs AS (
+        |  SELECT sum(CAST(floor(-(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |                         * ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e9) AS BIGINT)) AS h_s
+        |  FROM cs CROSS JOIN tot),
+        |mi AS (
+        |  SELECT sum(CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |                        * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+        |                             / CAST(CAST(r AS HUGEINT) * s AS DOUBLE)) * 1.0e9) AS BIGINT)) AS mi_q
+        |  FROM cells
+        |  JOIN rl USING (lang)
+        |  JOIN cs USING (source)
+        |  CROSS JOIN tot)
+        |SELECT CAST(n AS BIGINT) AS n_docs, n_cells,
+        |       round(CAST(h_r AS DOUBLE) / 1.0e9, 6) AS h_lang,
+        |       round(CAST(h_s AS DOUBLE) / 1.0e9, 6) AS h_source,
+        |       round(CAST(mi_q AS DOUBLE) / 1.0e9, 6) AS mi_nats,
+        |       round((CAST(mi_q AS DOUBLE) / 1.0e9)
+        |             / sqrt((CAST(h_r AS DOUBLE) / 1.0e9) * (CAST(h_s AS DOUBLE) / 1.0e9)), 6) AS nmi
+        |FROM tot CROSS JOIN hl CROSS JOIN hs CROSS JOIN mi""".stripMargin,
     "q_gini" ->
       """WITH peru AS (
         |  SELECT event_type, user_id, sum(CAST(round(value * 100) AS BIGINT)) AS x

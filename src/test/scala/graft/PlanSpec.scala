@@ -222,6 +222,7 @@ class PlanSpec extends SparkSpec {
       "q_basket_rules", // same one-row order-count total as q_basket_pairs
       "q_kmv_overlap", // type-alphabet² pair grid over k-row sketches
       "q_chi2_independence", // |langs|×|sources| margin product + one-row totals
+      "q_mutual_info", // margin × one-row total products, all statistic-sized
       "q_source_entropy", // one-row-per-source broadcast total (if BNLJ at all)
       "q_hard_negatives", // broadcast anchors × corpus, label-mismatch predicate
       "q_ann_recall", // evaluation op: contains the brute-force baseline product
