@@ -2272,6 +2272,108 @@ object OlapQueries {
       .transform(sortSmall(_, col("event_type")))
   }
 
+  /** Holt–Winters smoothing factors — exact binary fractions like
+    * [[HoltAlpha]], so every scaled term is one IEEE multiply. */
+  val HwAlpha = 0.5
+  val HwBeta = 0.25
+  val HwGamma = 0.25
+
+  /** Holt–Winters additive triple-exponential smoothing (level +
+    * trend + 7-day seasonality) of the daily count series per type,
+    * with the next-week forecast — the seasonal completion of
+    * [[qHolt]] (whose trend-only forecast lags any weekday-patterned
+    * series). Recurrences (season length m = 7):
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+    * seeded the classic way from the first two weeks (l₇ = week-1
+    * mean, b₇ = (week-2 mean − week-1 mean)/7, s_i = x_i − l₇).
+    * The seasonal lag state is carried as a ROTATING 7-scalar queue
+    * (q1 = s_{t−6} … q7 = s_t): each step reads q1, shifts, appends —
+    * no array surgery, and the oracle's recursive CTE carries the
+    * same seven columns, so the IEEE operation sequence replays
+    * bit-exactly (the [[qHolt]]/qEma recursion contract). Forecast
+    * x̂_{n+h} = l + h·b + s_{n+h−7} reads straight off the final
+    * queue. Scale shape: the corpus collapses to day-grid counts on
+    * one (type, day) aggregate; fold state is 9 doubles per type. */
+  def qHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts
+      .groupBy("event_type")
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("dy"))
+    val series = grid
+      .join(counts, Seq("event_type", "dy"), "left")
+      .select(
+        col("event_type"),
+        col("dy"),
+        coalesce(col("n"), lit(0L)).cast("double").as("x"))
+    val folded = series
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("dy"), col("x")))).as("s"))
+      .filter(size(col("s")) >= 14)
+      .select(
+        col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        {
+          def x(i: Int) = element_at(col("s"), i).getField("x")
+          val l0 = (x(1) + x(2) + x(3) + x(4) + x(5) + x(6) + x(7)) / lit(7.0d)
+          val b0 =
+            ((x(8) + x(9) + x(10) + x(11) + x(12) + x(13) + x(14)) / lit(7.0d) -
+              l0) / lit(7.0d)
+          val init = struct(
+            (l0.as("l") +: b0.as("b") +:
+              (1 to 7).map(i => (x(i) - l0).as(s"q$i"))): _*)
+          // seeds define the state at t = 7; the fold replays t = 8…n
+          aggregate(
+            expr("slice(s, 8, size(s) - 7)"),
+            init,
+            (acc, e) => hwStep(acc, e.getField("x")),
+            acc => acc).as("st")
+        })
+      .transform(graft.operators.Materialize.cut)
+    folded
+      .select(
+        col("event_type"),
+        col("n_days"),
+        round(col("st.l"), 4).as("level"),
+        round(col("st.b"), 4).as("trend"),
+        explode(expr("sequence(1, 7)")).as("h"),
+        col("st"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("level"),
+        col("trend"),
+        col("h"),
+        round(
+          col("st.l") + col("h").cast("double") * col("st.b") +
+            element_at(
+              array((1 to 7).map(i => col(s"st.q$i")): _*),
+              col("h").cast("int")),
+          4).as("forecast"))
+      .transform(sortSmall(_, col("event_type"), col("h")))
+  }
+
+  /** One Holt–Winters step: read the 7-back seasonal (q1), rotate the
+    * queue, append s_t. The l_t expression appears inside b_t and s_t
+    * too (expression duplication, like the oracle's textual repeat) —
+    * identical IEEE computation, identical value. */
+  private def hwStep(acc: Column, x: Column): Column = {
+    val lnew = lit(HwAlpha) * (x - acc.getField("q1")) +
+      lit(1 - HwAlpha) * (acc.getField("l") + acc.getField("b"))
+    struct(
+      (lnew.as("l") +:
+        (lit(HwBeta) * (lnew - acc.getField("l")) +
+          lit(1 - HwBeta) * acc.getField("b")).as("b") +:
+        ((2 to 7).map(i => acc.getField(s"q$i").as(s"q${i - 1}")) :+
+          (lit(HwGamma) * (x - lnew) +
+            lit(1 - HwGamma) * acc.getField("q1")).as("q7"))): _*)
+  }
+
   /** Audience overlap matrix: for every pair of event types, how many
     * distinct users do BOTH (plus Jaccard and overlap coefficient) —
     * the segmentation question behind cross-sell and cannibalization
@@ -3087,6 +3189,7 @@ object OlapQueries {
     "q_stickiness" -> qStickiness _,
     "q_hhi" -> qHhi _,
     "q_holt" -> qHolt _,
+    "q_holt_winters" -> qHoltWinters _,
     "q_audience_overlap" -> qAudienceOverlap _,
     "q_kmv_sketch" -> qKmvSketch _,
     "q_kmv_overlap" -> qKmvOverlap _,
@@ -4272,6 +4375,61 @@ object OlapQueries {
         |FROM holt h JOIN sizes USING (event_type)
         |WHERE idx = n_days AND n_days >= 2
         |ORDER BY event_type""".stripMargin,
+    // Holt–Winters: recursion carries the rotating 7-scalar seasonal
+    // queue q1..q7 (q1 = s_{t-6} … q7 = s_t) — the l_t expression is
+    // repeated textually so b_t/s_t use the identical IEEE value
+    "q_holt_winters" -> {
+      val lnew =
+        s"($HwAlpha * (s.x - h.q1) + ${1 - HwAlpha} * (h.l + h.b))"
+      val w1 = (1 to 7).map(i => s"x$i").mkString(" + ")
+      val w2 = (8 to 14).map(i => s"x$i").mkString(" + ")
+      val seedCols = (1 to 14)
+        .map(i => s"max(CASE WHEN idx = $i THEN x END) AS x$i")
+        .mkString(",\n         |         ")
+      val qSeeds = (1 to 7)
+        .map(i => s"x$i - ($w1) / 7.0 AS q$i")
+        .mkString(",\n         |         ")
+      val qCase = (1 to 7)
+        .map(i => s"WHEN $i THEN q$i")
+        .mkString(" ")
+      s"""WITH RECURSIVE counts AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(dy) AS lo, max(dy) AS hi FROM counts GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS dy FROM bounds),
+         |series AS (
+         |  SELECT g.event_type, ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.dy) AS idx,
+         |         CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+         |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+         |sizes AS (SELECT event_type, CAST(max(idx) AS BIGINT) AS n_days FROM series GROUP BY 1),
+         |seeds AS (
+         |  SELECT event_type,
+         |         $seedCols
+         |  FROM series GROUP BY event_type),
+         |init AS (
+         |  SELECT sd.event_type, CAST(7 AS BIGINT) AS idx,
+         |         ($w1) / 7.0 AS l,
+         |         (($w2) / 7.0 - ($w1) / 7.0) / 7.0 AS b,
+         |         $qSeeds
+         |  FROM seeds sd JOIN sizes z USING (event_type) WHERE z.n_days >= 14),
+         |hw AS (
+         |  SELECT * FROM init
+         |  UNION ALL
+         |  SELECT h.event_type, h.idx + 1,
+         |         $lnew,
+         |         $HwBeta * ($lnew - h.l) + ${1 - HwBeta} * h.b,
+         |         h.q2, h.q3, h.q4, h.q5, h.q6, h.q7,
+         |         $HwGamma * (s.x - $lnew) + ${1 - HwGamma} * h.q1
+         |  FROM hw h JOIN series s ON s.event_type = h.event_type AND s.idx = h.idx + 1),
+         |fin AS (
+         |  SELECT hw.*, n_days FROM hw JOIN sizes USING (event_type) WHERE idx = n_days),
+         |ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS h)
+         |SELECT event_type, n_days,
+         |       round(l, 4) AS level, round(b, 4) AS trend,
+         |       CAST(h AS BIGINT) AS h,
+         |       round(l + CAST(h AS DOUBLE) * b + CASE h $qCase END, 4) AS forecast
+         |FROM fin CROSS JOIN ks ORDER BY event_type, h""".stripMargin
+    },
     "q_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
