@@ -82,6 +82,7 @@ object Bench {
     "q_dup_graph_report", "q_dup_source_overlap", "q_dup_jaccard_hist",
     "q_ndcg", "q_basket_rules", "q_cc_bigstar",
     "q_kmv_sketch", "q_kmv_overlap", "q_kaplan_meier", "q_mutual_info", "q_holt_winters",
+    "q_filtered_revenue", "q_supplier_part_types",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {

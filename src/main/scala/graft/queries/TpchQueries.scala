@@ -613,6 +613,87 @@ object TpchQueries {
   }
 
   // ---------------------------------------------------------------
+  // Q6 — forecasting revenue change (the scan-pushdown classic)
+  // ---------------------------------------------------------------
+
+  val FilteredFrom = "1996-01-01"
+  val FilteredUntil = "1997-01-01"
+  val FilteredDiscLoCents = 5L
+  val FilteredDiscHiCents = 7L
+  val FilteredMaxQty = 24
+
+  /** TPC-H Q6 shape (forecasting revenue change): revenue that would
+    * vanish if discounts in a band were dropped for a year — the
+    * canonical single-table scan whose ENTIRE predicate (date range +
+    * discount band + quantity cap) must reach the parquet scan as
+    * pushed filters; the aggregate itself is one exact int64 sum of
+    * price-cents × discount-cents (discount compared as exact cents,
+    * never a float band). The benchmark's pure scan-throughput probe:
+    * no join, no shuffle beyond the final 1-row fold. */
+  def qFilteredRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit(FilteredFrom).cast("timestamp") &&
+          col("l_shipdate") < lit(FilteredUntil).cast("timestamp") &&
+          expr("CAST(round(l_discount * 100) AS BIGINT)")
+            .between(FilteredDiscLoCents, FilteredDiscHiCents) &&
+          col("l_quantity") < FilteredMaxQty)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            expr("CAST(round(l_discount * 100) AS BIGINT)")).as("rev_e4"))
+      .select(
+        col("n_lines"),
+        (col("rev_e4").cast("double") / 10000.0d).as("revenue"))
+
+  // ---------------------------------------------------------------
+  // Q16 — parts/supplier relationship (NOT-IN anti join)
+  // ---------------------------------------------------------------
+
+  val SptExcludeBrand = "Brand#13"
+  val SptExcludeType = "PROMO"
+  val SptSizes = Seq(1, 4, 7, 10)
+
+  /** TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    * suppliers can provide parts of each surviving (brand, type, size)
+    * — the classic NOT-IN subquery, decorrelated to a LEFT ANTI join
+    * against the excluded supplier set (no s_comment in this schema:
+    * the "complaints" exclusion adapts to suppliers in arrears,
+    * s_acctbal < 0). The part-supplier relation is the distinct
+    * (l_partkey, l_suppkey) projection of lineitem (no partsupp table
+    * — the same proxy Q2/Q9/Q11/Q20 document); the excluded-supplier
+    * and filtered-part sides both broadcast. */
+  def qSupplierPartTypes(s: SparkSession, d: String): DataFrame = {
+    val ps = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+    val excluded = t(s, d, "supplier")
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val parts = t(s, d, "part")
+      .filter(
+        col("p_brand") =!= SptExcludeBrand &&
+          col("p_type") =!= SptExcludeType &&
+          col("p_size").isin(SptSizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(
+      broadcast(excluded),
+      col("l_suppkey") === col("s_suppkey"),
+      "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .transform(
+        sortSmall(
+          _,
+          col("supplier_cnt").desc,
+          col("p_brand"),
+          col("p_type"),
+          col("p_size")))
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_custdist" -> qCustdist _,
@@ -630,7 +711,9 @@ object TpchQueries {
     "q_dominant_supplier" -> qDominantSupplier _,
     "q_late_lines" -> qLateLines _,
     "q_customer_lifespan" -> qCustomerLifespan _,
-    "q_elasticity" -> qElasticity _
+    "q_elasticity" -> qElasticity _,
+    "q_filtered_revenue" -> qFilteredRevenue _,
+    "q_supplier_part_types" -> qSupplierPartTypes _
   )
 
   val oracles: Map[String, String] = Map(
@@ -828,6 +911,28 @@ object TpchQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE year(l_shipdate) = $LateLinesYear
          |  AND l_shipdate > o_orderdate + INTERVAL $PriorityLateDays DAY
-         |GROUP BY 1 ORDER BY l_linestatus""".stripMargin
+         |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+    "q_filtered_revenue" ->
+      s"""SELECT count(*) AS n_lines,
+         |       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |                     * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$FilteredFrom 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '$FilteredUntil 00:00:00'
+         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN $FilteredDiscLoCents AND $FilteredDiscHiCents
+         |  AND l_quantity < $FilteredMaxQty""".stripMargin,
+    "q_supplier_part_types" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |SELECT p_brand, p_type, p_size,
+         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM ps
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+         |  AND p_brand <> '$SptExcludeBrand'
+         |  AND p_type <> '$SptExcludeType'
+         |  AND p_size IN (${SptSizes.mkString(", ")})
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 }
