@@ -31,6 +31,19 @@ object Hashing {
   def md5Long2(c: Column): Column =
     conv(substring(md5(c), 17, 10), 16, 10).cast("long")
 
+  /** JVM-side twin of [[md5Long]] — the same 60-bit value for the same
+    * string, for driver/state code that cannot evaluate a Column
+    * (streaming state updates, control-plane loops). Parity with the
+    * Column path is spec-asserted. */
+  def md5LongJvm(s: String): Long = {
+    val d = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars (7.5 bytes) = 60 bits, like substring(md5, 1, 15)
+    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** DuckDB SQL fragment equivalent to [[md5Long]], for oracle authors. */
   def duckMd5Long(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"

@@ -412,6 +412,53 @@ object StreamLog {
       }
   }
 
+  final case class KmvState(hashes: Seq[Long], n: Long)
+  final case class KmvEstimate(
+      key: String,
+      nSeen: Long,
+      nSketch: Int,
+      estimate: Double)
+
+  /** Streaming KMV distinct-count sketch per key — the live twin of
+    * [[graft.queries.OlapQueries.qKmvSketch]]. State per key is the k
+    * smallest DISTINCT 60-bit hashes of the values seen so far (≤ k
+    * longs — bounded, mergeable, and ORDER-INSENSITIVE: any arrival
+    * order, micro-batch split, or checkpoint restart yields the same
+    * sketch, so stream/batch parity is exact rather than
+    * approximate-on-approximate; the hash family is the same
+    * engine-portable md5-60-bit one, via
+    * [[graft.functions.Hashing.md5LongJvm]]). After each micro-batch
+    * touching a key the monitor emits the running estimate
+    * n̂ = (k−1)·2⁶⁰/h₍k₎ — exact while the seen universe is below k. */
+  def kmvMonitor(
+      items: Dataset[(String, String)],
+      k: Int = 256): Dataset[KmvEstimate] = {
+    import items.sparkSession.implicits._
+    require(k > 0)
+    val hashSpace = 1152921504606846976.0d // 2^60
+    items
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvEstimate](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[KmvState]) =>
+          val st = state.getOption.getOrElse(KmvState(Nil, 0L))
+          var set = scala.collection.immutable.TreeSet.empty[Long] ++ st.hashes
+          var n = st.n
+          rows.foreach { t =>
+            n += 1
+            val h = graft.functions.Hashing.md5LongJvm(t._2)
+            if (set.size < k) set += h
+            else if (h < set.max && !set.contains(h)) set = set - set.max + h
+          }
+          state.update(KmvState(set.toSeq, n))
+          val est =
+            if (set.size < k) set.size.toDouble
+            else (k - 1).toDouble * hashSpace / set.max.toDouble
+          Iterator.single(KmvEstimate(key, n, set.size, est))
+      }
+  }
+
   final case class PatternState(aUs: Long, bUs: Long, done: Boolean)
   final case class PatternMatch(key: String, aUs: Long, bUs: Long, cUs: Long)
 

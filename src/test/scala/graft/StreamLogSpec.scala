@@ -332,6 +332,53 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvMonitor: exact below k, batch-formula estimate above k, order-insensitive across batch splits") {
+    import graft.functions.Hashing
+    // JVM hash twin must equal the Column family the batch sketch uses
+    val samples = Seq("a", "42:17", "user:19123", "")
+    val colVals = samples
+      .toDF("s")
+      .select(Hashing.md5Long(org.apache.spark.sql.functions.col("s")))
+      .collect()
+      .map(_.getLong(0))
+    assert(colVals.toSeq == samples.map(Hashing.md5LongJvm))
+
+    val k = 16
+    val vals = (1 to 100).map(i => s"v$i")
+    val expectedBig = {
+      val smallest = vals.map(Hashing.md5LongJvm).distinct.sorted.take(k)
+      (k - 1).toDouble * 1152921504606846976.0d / smallest.last.toDouble
+    }
+    val mem = MemoryStream[(String, String)](spark)
+    val q = StreamLog
+      .kmvMonitor(mem.toDS(), k = k)
+      .writeStream
+      .format("memory")
+      .queryName("kmv_out")
+      .outputMode("append")
+      .start()
+    try {
+      // "small": 10 distinct values (< k), with repeats -> exact count
+      mem.addData((1 to 10).map(i => ("small", s"v$i")) ++ Seq(("small", "v1")): _*)
+      // "fwd" in order, split across two micro-batches
+      mem.addData(vals.take(50).map(("fwd", _)): _*)
+      q.processAllAvailable()
+      mem.addData(vals.drop(50).map(("fwd", _)): _*)
+      // "rev" same values, reversed arrival order, one batch
+      mem.addData(vals.reverse.map(("rev", _)): _*)
+      q.processAllAvailable()
+      val last = spark
+        .sql("SELECT key, nSeen, nSketch, estimate FROM kmv_out")
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+        .map { case (key, rows) => key -> rows.map(_._2).maxBy(_._1) }
+      assert(last("small") == ((11L, 10, 10.0)))
+      assert(last("fwd") == ((100L, k, expectedBig)))
+      assert(last("rev") == ((100L, k, expectedBig)))
+    } finally q.stop()
+  }
+
   test("patternMonitor matches the batch funnel and completes chains across micro-batches") {
     val hour = 3600000000L
     val mem = MemoryStream[(String, Long, String)](spark)
