@@ -218,15 +218,24 @@ object Bench {
     // change the core, the fixed depth silently under-peels — surface
     // it here, where the data scale is the bench's, not the spec
     // fixture's.
-    val kcoreConverged =
+    // JSON literal: "true"/"false" from the audit, or the distinct
+    // string "audit_error" when the audit itself crashed — a failed
+    // check must never read as a passing one.
+    val kcoreConverged: Option[String] =
       if (keep("q_kcore")) {
-        val ok =
-          try graft.queries.PipelineQueries.kcoreConverged(spark, sfDir)
-          catch { case e: Throwable => System.err.println(s"[bench] kcore audit: $e"); true }
-        if (!ok)
-          System.err.println(
-            s"[bench] WARNING: q_kcore fixed rounds did NOT converge at $sfDir")
-        Some(ok)
+        val v =
+          try {
+            val ok = graft.queries.PipelineQueries.kcoreConverged(spark, sfDir)
+            if (!ok)
+              System.err.println(
+                s"[bench] WARNING: q_kcore fixed rounds did NOT converge at $sfDir")
+            ok.toString
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] kcore audit crashed: $e")
+              "\"audit_error\""
+          }
+        Some(v)
       } else None
 
     val results =

@@ -322,28 +322,38 @@ final class PushNetDialer private[log] (
     var backoff = backoffMs
     while (open.get()) {
       try {
-        val s = new Socket(host, port)
-        s.setTcpNoDelay(true)
-        current = s
+        // Unconnected socket + bounded connect: close() cannot unblock
+        // socket I/O via interrupt(), so the connect window must bound
+        // itself — and close() can only tear down a socket it can SEE,
+        // so publish to `current` first and re-check `open` after, which
+        // catches a close() that raced the dial (its `current` snapshot
+        // was null); the finally below then closes the socket and the
+        // loop exits instead of reading past close().
+        val s = new Socket()
         try {
-          val in = new BufferedReader(
-            new InputStreamReader(s.getInputStream, UTF_8))
-          var line = in.readLine()
-          while (open.get() && line != null) {
-            if (line == PushNet.Hello) {
-              sessions.incrementAndGet()
-              ready.countDown()
-              backoff = backoffMs // healthy session: reset the backoff
-            } else if (!line.startsWith("#"))
-              PushBridge.decode(line).foreach { st =>
-                if (space.forall(_ == st.space) && segment.forall(_ == st.segment)) {
-                  try cb(st)
-                  catch { case NonFatal(_) => () }
-                  deliveredCount.incrementAndGet()
-                  ()
+          s.setTcpNoDelay(true)
+          s.connect(new InetSocketAddress(host, port), 1000)
+          current = s
+          if (open.get()) {
+            val in = new BufferedReader(
+              new InputStreamReader(s.getInputStream, UTF_8))
+            var line = in.readLine()
+            while (open.get() && line != null) {
+              if (line == PushNet.Hello) {
+                sessions.incrementAndGet()
+                ready.countDown()
+                backoff = backoffMs // healthy session: reset the backoff
+              } else if (!line.startsWith("#"))
+                PushBridge.decode(line).foreach { st =>
+                  if (space.forall(_ == st.space) && segment.forall(_ == st.segment)) {
+                    try cb(st)
+                    catch { case NonFatal(_) => () }
+                    deliveredCount.incrementAndGet()
+                    ()
+                  }
                 }
-              }
-            line = in.readLine()
+              line = in.readLine()
+            }
           }
         } finally {
           try s.close()

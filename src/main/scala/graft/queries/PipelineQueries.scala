@@ -194,6 +194,20 @@ object PipelineQueries {
   private val dupPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Drop every memoized pair table. [[dupPairs]] assumes each sfDir is
+    * written at most once per session (true for the driver's fixed
+    * testdata); callers that REWRITE data under a cached path
+    * (regenerated fixtures, long-lived notebook sessions) must call this
+    * first or consumers silently read the stale cut — and clearing also
+    * releases the pinned localCheckpoint blocks. */
+  def clearDupPairsCache(): Unit = {
+    dupPairsCache.values.forEach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () } // session may already be stopped
+    }
+    dupPairsCache.clear()
+  }
+
   private def dupPairs(s: SparkSession, d: String): DataFrame =
     dupPairsCache.computeIfAbsent(
       (s, d),
@@ -970,6 +984,11 @@ object PipelineQueries {
               .as("ndcg"))
       }
       .reduce(_.unionByName(_))
+      // Degenerate-corpus parity: a global agg over an EMPTY scored set
+      // still emits one row per k (null dcg/idcg), while the oracle's
+      // GROUP BY over the empty relation emits zero rows — drop the
+      // all-null rows so both engines agree on empty input.
+      .filter(col("n_scored") > 0)
       .transform(sortSmall(_, "k"))
   }
 

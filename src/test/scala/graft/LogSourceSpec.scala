@@ -12,14 +12,23 @@ import graft.streaming.GraftLogSource
 
 /** Push-driven DataSource-v2 micro-batch source: a streaming query in a
   * separate session consumes an EventLog with availability advanced by
-  * PushNet tickles over a loopback socket — pollMs is set to an hour,
-  * so after the one bootstrap reconcile there is NO polling interval in
-  * the latency path; if post-bootstrap rows arrive, they arrived via
-  * push (reference: consumer_context.go:1, client.go:188
-  * SubscribeToSpace → Consume from own offsets). */
+  * PushNet tickles over a loopback socket (reference:
+  * consumer_context.go:1, client.go:188 SubscribeToSpace → Consume from
+  * own offsets).
+  *
+  * Proof shape (the r7 flake fix): pollMs is a FINITE fallback (10 s)
+  * rather than the old 1 h pin, so one dropped at-most-once ack under
+  * full-suite load degrades to slow-but-green instead of red — the same
+  * recovery the production contract gives a dropped tickle. Push-driven
+  * advancement is still asserted, via the server's drop counter: when
+  * the server reports ZERO drops, every tickle was delivered, so each
+  * post-bootstrap advance must land in well under the poll interval;
+  * a nonzero drop count is exactly the contract-permitted case where
+  * the fallback poll is the legitimate deliverer, and only then is the
+  * latency assertion waived. */
 class LogSourceSpec extends SparkSpec {
 
-  private val HourMs = 3600L * 1000L
+  private val PollMs = 10000L
 
   private def records(from: Long, n: Long, md: Map[String, String] = Map.empty) = {
     import spark.implicits._
@@ -45,7 +54,7 @@ class LogSourceSpec extends SparkSpec {
     assert(GraftLogSource.decodeOffset(GraftLogSource.encodeOffset(Map.empty)).isEmpty)
   }
 
-  test("tickle-driven end-to-end: produce → ack → rows, no polling interval") {
+  test("tickle-driven end-to-end: produce → ack → rows, push beats the fallback poll") {
     val log = new EventLog(spark, Files.createTempDirectory("graft-src").toString)
     // pre-stream history: covered by the ONE bootstrap reconcile
     log.produce("s0", "seg0", records(1, 3, Map("k" -> "v")), 1000L)
@@ -59,7 +68,7 @@ class LogSourceSpec extends SparkSpec {
       .option("path", log.path)
       .option("pushHost", "127.0.0.1")
       .option("pushPort", srv.boundPort.toString)
-      .option("pollMs", HourMs.toString)
+      .option("pollMs", PollMs.toString)
       .load()
       .writeStream
       .option("checkpointLocation", ckpt)
@@ -74,6 +83,19 @@ class LogSourceSpec extends SparkSpec {
       }
       .start()
     val q = startQuery()
+    // Push proof, drop-aware: zero server-side drops means every tickle
+    // reached the subscriber, so the advance must complete well inside
+    // the fallback interval; with drops the poll is the contract's
+    // legitimate recovery path and only then is the bound waived.
+    def awaitPushed(label: String)(done: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis()
+      awaitUntil(diag = s"$label exc=${q.exception}")(done)
+      val elapsed = System.currentTimeMillis() - t0
+      assert(
+        elapsed < PollMs || srv.droppedCount > 0,
+        s"$label: advance took ${elapsed}ms ≥ pollMs=$PollMs with zero dropped acks " +
+          "— rows did not arrive via push")
+    }
     try {
       // bootstrap reconcile delivers pre-stream history exactly once
       awaitUntil(diag = s"got=${got.synchronized(got.size)} exc=${q.exception}")(
@@ -81,11 +103,10 @@ class LogSourceSpec extends SparkSpec {
       assert(got.synchronized(got.toSeq).map(_._3).sorted == Seq(1L, 2L, 3L))
       assert(got.synchronized(got.head)._6 == Map("k" -> "v"), "metadata must survive the reader")
 
-      // from here on pollMs=1h: only a push tickle can advance the offset
       log.produce("s0", "seg0", records(4, 250), 2000L, chunkSize = 100) // 3 acks
-      awaitUntil()(got.synchronized(got.size) == 253)
+      awaitPushed("seg0 chunks")(got.synchronized(got.size) == 253)
       log.produce("s0", "segB", records(1, 5), 3000L) // second segment
-      awaitUntil()(got.synchronized(got.size) == 258)
+      awaitPushed("segB")(got.synchronized(got.size) == 258)
 
       val all = got.synchronized(got.toVector)
       assert(all.size == all.distinct.size, "no duplicate deliveries")
@@ -106,7 +127,7 @@ class LogSourceSpec extends SparkSpec {
       .option("path", log.path)
       .option("pushHost", "127.0.0.1")
       .option("pushPort", srv2.boundPort.toString)
-      .option("pollMs", HourMs.toString)
+      .option("pollMs", PollMs.toString)
       .load()
       .writeStream
       .option("checkpointLocation", ckpt)

@@ -4,9 +4,16 @@ run JSONs (BENCH_SCALING_sf001/sf01/sf1.json). r1 = sf0.1/sf0.01,
 r2 = sf1/sf0.1 (each for 10x data); curv = r2/r1. Flag rule (per the
 round-6 verdict): curvature > 1.5 is worth a look, but the decisive
 signal is r2 > 10 — a second-decade ratio beyond linear once fixed costs
-have amortized. Queries without an sf1 point show only r1."""
+have amortized. Missing points render as dashes (never silently dropped:
+a query benched at only one SF is a COVERAGE GAP the table must show)."""
 import json
 import sys
+
+
+def tof(v):
+    """A usable timing: present and strictly positive (a 0.0 entry is a
+    failed/placeholder measurement, not a valid denominator)."""
+    return v if v is not None and v > 0 else None
 
 
 def main():
@@ -14,37 +21,46 @@ def main():
     b = json.load(open("BENCH_SCALING_sf01.json"))
     c = json.load(open("BENCH_SCALING_sf1.json"))
     qa, qb, qc = a["queries"], b["queries"], c["queries"]
+    names = list(qb) + [q for q in qa if q not in qb] + [
+        q for q in qc if q not in qa and q not in qb
+    ]
     rows = []
-    for q in qb:
-        store = q.startswith("store_")
-        r1 = qb[q] / qa[q] if qa.get(q) else None
-        if q in qc and r1:
-            r2 = qc[q] / qb[q]
-            rows.append((q, qa[q], qb[q], qc[q], r1, r2, r2 / r1, store))
-        elif r1:
-            rows.append((q, qa[q], qb[q], None, r1, None, None, store))
+    for q in names:
+        t1, t2, t3 = tof(qa.get(q)), tof(qb.get(q)), tof(qc.get(q))
+        r1 = t2 / t1 if t1 is not None and t2 is not None else None
+        r2 = t3 / t2 if t2 is not None and t3 is not None else None
+        cv = r2 / r1 if r1 is not None and r2 is not None else None
+        rows.append((q, t1, t2, t3, r1, r2, cv, q.startswith("store_")))
     rows.sort(key=lambda r: (-(r[5] or -1), -(r[4] or -1)))
     print("| query | sf0.01 s | sf0.1 s | sf1 s | r1 | r2 | curv | flag |")
     print("|---|---|---|---|---|---|---|---|")
     for q, t1, t2, t3, r1, r2, cv, store in rows:
+        t1s = f"{t1:.3f}" if t1 is not None else "—"
+        t2s = f"{t2:.3f}" if t2 is not None else "—"
         t3s = f"{t3:.3f}" if t3 is not None else "—"
+        r1s = f"{r1:.2f}" if r1 is not None else "—"
         r2s = f"{r2:.2f}" if r2 is not None else "—"
         cvs = f"{cv:.2f}" if cv is not None else "—"
         flag = ""
         if store:
-            flag = "store (fixed size)"
+            flag = "store (see store scaling rows)"
         elif r2 is not None and r2 > 10:
             flag = "**r2>10**"
         elif cv is not None and cv > 1.5:
             flag = "curv>1.5"
-        print(f"| {q} | {t1:.3f} | {t2:.3f} | {t3s} | {r1:.2f} | {r2s} | {cvs} | {flag} |")
-    tot_b = sum(qb[q] for q in qb if q in qa)
-    tot_a = sum(qa[q] for q in qb if q in qa)
-    tot_c = sum(qc[q] for q in qc if q in qb)
-    tot_b_sub = sum(qb[q] for q in qc if q in qb)
+        elif r1 is None and r2 is None:
+            flag = "no ratio (coverage gap)"
+        print(f"| {q} | {t1s} | {t2s} | {t3s} | {r1s} | {r2s} | {cvs} | {flag} |")
+    both_ab = [q for q in qb if tof(qa.get(q)) and tof(qb.get(q))]
+    both_bc = [q for q in qc if tof(qb.get(q)) and tof(qc.get(q))]
+    tot_a = sum(qa[q] for q in both_ab)
+    tot_b = sum(qb[q] for q in both_ab)
+    tot_b_sub = sum(qb[q] for q in both_bc)
+    tot_c = sum(qc[q] for q in both_bc)
     print(
-        f"\nTotals: sf0.01→sf0.1 full set {tot_a:.1f}s → {tot_b:.1f}s "
-        f"(ratio {tot_b / tot_a:.2f}); sf0.1→sf1 subset "
+        f"\nTotals: sf0.01→sf0.1 shared set ({len(both_ab)} metrics) "
+        f"{tot_a:.1f}s → {tot_b:.1f}s (ratio {tot_b / tot_a:.2f}); "
+        f"sf0.1→sf1 subset ({len(both_bc)} metrics) "
         f"{tot_b_sub:.1f}s → {tot_c:.1f}s (ratio {tot_c / tot_b_sub:.2f})."
     )
 
