@@ -52,7 +52,7 @@ object Bench {
     "q_customer_lifespan", "q_elasticity", "q_attribution_decay",
     "q_cluster_sizes", "q_seasonal_strength",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
-    "q_dedup_embed", "q_dedup_keep_best", "q_quality_shrunk",
+    "q_dedup_embed", "q_dedup_embed_hi", "q_dedup_keep_best", "q_quality_shrunk",
     "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_hard_negatives",
     "q_ann_recall",
     "q_ann_pq",
@@ -159,9 +159,15 @@ object Bench {
     // 100k records into a fresh space-partitioned log, then consume the
     // segment and the space back. Fresh directory per pass (produce is
     // stateful), best-of reported like the queries.
+    // Two sizes (100k and 1M rows) so the log tier has its OWN scaling
+    // evidence — the query metrics scale with the SF dirs, but the store
+    // fixtures are generated, so without the 1M twin every store number
+    // is a single point and says nothing about how produce/compact grow.
     val storeNames = Seq(
       "store_produce_100k", "store_consume_segment", "store_consume_space",
-      "store_peek_hot")
+      "store_peek_hot", "store_compact_100k",
+      "store_produce_1m", "store_consume_segment_1m", "store_consume_space_1m",
+      "store_compact_1m")
     val storeTimes = Array.fill(storeNames.size)(Double.MaxValue)
     val storeGcMs = Array.fill(storeNames.size)(0L)
     val storeCpuMs = Array.fill(storeNames.size)(0L)
@@ -180,12 +186,10 @@ object Bench {
     // consume depends on produce, so the block runs whole — the filter
     // only selects which store metrics are reported (and whether the
     // block runs at all).
-    for (_ <- 1 to passes; if storeNames.exists(keep)) {
+    def storeRecords(n: Long) = {
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-log").toString
-      val log = new graft.log.EventLog(spark, dir)
-      val recs = spark
-        .range(1, 100001)
+      spark
+        .range(1, n + 1)
         .select(
           org.apache.spark.sql.functions.col("id").as("sequence"),
           org.apache.spark.sql.functions.concat(
@@ -193,7 +197,16 @@ object Bench {
             org.apache.spark.sql.functions.col("id")).as("payload"),
           org.apache.spark.sql.functions.typedLit(Map.empty[String, String]).as("metadata"))
         .as[graft.model.Record]
-      timeStore(0) { log.produce("bench", "seg0", recs, 1000000L) }
+    }
+    def rmTree(dir: String): Unit =
+      java.nio.file.Files
+        .walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    for (_ <- 1 to passes; if storeNames.exists(keep)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-log").toString
+      val log = new graft.log.EventLog(spark, dir)
+      timeStore(0) { log.produce("bench", "seg0", storeRecords(100000), 1000000L) }
       timeStore(1) {
         log.consumeSegment("bench", "seg0").write.format("noop").mode("overwrite").save()
       }
@@ -207,10 +220,23 @@ object Bench {
         var i = 0
         while (i < 1000) { log.peek("bench", "seg0"); i += 1 }
       }
-      java.nio.file.Files
-        .walk(java.nio.file.Paths.get(dir))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+      // compaction: the produce above wrote one file per 10k-row chunk,
+      // so compact has real small-file work to do at both sizes
+      timeStore(4) { log.compact("bench") }
+      rmTree(dir)
+    }
+    for (_ <- 1 to passes; if storeNames.drop(5).exists(keep)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-log1m").toString
+      val log = new graft.log.EventLog(spark, dir)
+      timeStore(5) { log.produce("bench", "seg0", storeRecords(1000000), 1000000L) }
+      timeStore(6) {
+        log.consumeSegment("bench", "seg0").write.format("noop").mode("overwrite").save()
+      }
+      timeStore(7) {
+        log.consumeSpace("bench").write.format("noop").mode("overwrite").save()
+      }
+      timeStore(8) { log.compact("bench") }
+      rmTree(dir)
     }
 
     // k-core convergence audit at THIS SF: qKcore peels a FIXED number

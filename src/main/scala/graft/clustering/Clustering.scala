@@ -139,6 +139,33 @@ object Clustering {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** [[kmeansAssign]] with `k` scaled to the corpus: one `count()` on
+    * the (materialized) embedding table picks
+    * `k = max(minK, ceil(n / targetClusterSize))`, holding the EXPECTED
+    * cluster size constant as the corpus grows. That is what makes
+    * co-cluster candidate volume LINEAR in n (Σ sizes² ≈ n ·
+    * targetClusterSize when balanced) instead of n²/k-with-fixed-k —
+    * the property [[graft.dedup.Dedup.embeddingNearDups]]' low-threshold
+    * route depends on. The per-round assign cost n·k = n²/C is the
+    * flat-quantizer tradeoff (SemDeDup's own regime; a 100 TB deployment
+    * graduates to a hierarchical/IVF coarse quantizer for the assign,
+    * same contract) — but it is all codegen'd literal dot products, so
+    * the constant is tiny at any k this library meets in one job. */
+  def kmeansAssignAuto(
+      embs: DataFrame,
+      id: String = "vec_id",
+      vec: String = "v",
+      nrm: String = "nrm",
+      targetClusterSize: Int = 200,
+      minK: Int = 10,
+      iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    val n = embs.count()
+    val k = math.max(minK.toLong, (n + targetClusterSize - 1) / targetClusterSize)
+    kmeansAssign(embs, id, vec, nrm, k.toInt, iters, dim)
+  }
+
   /** SemDeDup semantic near-dup pairs: cosine ≥ `threshold` pairs
     * RESTRICTED to k-means co-cluster members. `assignments` is
     * [[kmeansAssign]] output; the pair join shuffles both sides by

@@ -608,19 +608,18 @@ object Dedup {
       bands: Int = 8,
       bitsPerBand: Int = 4,
       dim: Int = 64): DataFrame = {
-    val sigs = array((0 until bands).map(b =>
-      struct(
-        lit(b).as("band_id"),
-        VectorFns
-          .hyperplaneSignature(col(vec), bitsPerBand, dim, b * bitsPerBand)
-          .as("band_sig"))): _*)
+    // one codegen'd expression computes ALL band signatures per vector
+    // (BandSignatures — the plan stays O(1) at lshTune'd geometry where
+    // per-plane literals made plan compile the dominant cost);
     // materialized: without the cut, BOTH self-join sides re-evaluate
-    // every literal-hyperplane dot product (bands × bits × dim FMAs per
-    // vector) — the dominant compute — and re-scan the source; the cut
-    // table is 24-byte (id, band, sig) rows
+    // every hyperplane dot product (bands × bits × dim FMAs per vector)
+    // — the dominant compute — and re-scan the source; the cut table is
+    // 24-byte (id, band, sig) rows
     val banded = embs
-      .select(col(id), explode(sigs).as("bs"))
-      .select(col(id), col("bs.band_id").as("band_id"), col("bs.band_sig").as("band_sig"))
+      .select(
+        col(id),
+        posexplode(VectorFns.bandSignatures(col(vec), bands, bitsPerBand, dim)))
+      .select(col(id), col("pos").as("band_id"), col("col").as("band_sig"))
       .transform(Materialize.cut)
       .hint("shuffle_hash")
     val cands = banded
@@ -652,6 +651,104 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
+
+  /** Thresholds below this route through k-means co-cluster candidates
+    * instead of sign-LSH bands. Sign-agreement probability for a pair at
+    * cosine s is p = 1 − arccos(s)/π, so the banded candidate-volume
+    * exponent ρ = ln p₁ / ln p₂ (p₂ = ½ for random pairs) degrades as s
+    * falls: at s = 0.9, p₁ = 0.856 → ρ ≈ 0.22 and recall 0.998 — bands
+    * are the right tool; at s = 0.45, p₁ = 0.649 → ρ ≈ 0.62 and
+    * candidates grow ~n^1.6 NO MATTER how bands×bits are retuned (the
+    * r7 scaling flag: r2 = 26.4 at sf1). Near and below the sign-LSH
+    * useful range, constant-size k-means cells keep candidates linear. */
+  val EmbeddingLshCrossover = 0.6
+
+  /** Auto-tuned `(bands, bitsPerBand)` for a sign-LSH pass at
+    * `threshold` over `n` vectors. Fixed band geometry is the scale trap
+    * the r7 bench caught: 4-bit bands give 16 buckets per band FOREVER,
+    * so random-pair collisions — ~n²·2^(1-bits) of them — go quadratic
+    * no matter the threshold (measured: 86.7 s at 20k vectors for what
+    * 2k vectors did in 3.3 s). Tuning rule:
+    *
+    *  - `bits` from the collision budget: 2^bits ≥
+    *    n·bands/(2·candidatesPerRow) caps EXPECTED uniform random
+    *    collisions (≈ bands·n²/2^(bits+1)) at candidatesPerRow·n —
+    *    linear in n (floor 4 keeps tiny corpora sane);
+    *  - `bands` from the recall target: per-band match prob is p₁^bits
+    *    with p₁ = 1 − arccos(threshold)/π, so
+    *    bands = ⌈ln(1−recall)/ln(1−p₁^bits)⌉.
+    *
+    * At s = 0.9: n = 525 → (14 bands × 8 bits); n = 20k → (45 × 15) —
+    * plane work per vector grows ~log²n, candidates stay ∝ n. */
+  def lshTune(
+      n: Long,
+      threshold: Double,
+      recallTarget: Double = 0.99,
+      candidatesPerRow: Double = 10.0): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "sign-LSH tuning needs 0 < threshold < 1")
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    // two passes: the collision budget and the recall target couple
+    // through the band count (expected uniform random collisions ≈
+    // bands·n²/2^(bits+1)), so bits are solved with a bands-free
+    // estimate first, then re-solved at the resulting band count
+    def bitsFor(bands: Double): Int = math.max(
+      4,
+      math
+        .ceil(math.log(n.toDouble * bands / (2.0 * candidatesPerRow)) / math.log(2.0))
+        .toInt)
+    def bandsFor(bits: Int): Int = math.max(
+      1,
+      math
+        .ceil(math.log1p(-recallTarget) / math.log1p(-math.pow(p1, bits.toDouble)))
+        .toInt)
+    val bits = bitsFor(bandsFor(bitsFor(1.0)).toDouble)
+    (bandsFor(bits), bits)
+  }
+
+  /** Threshold-routed embedding near-dup front-end — the single entry a
+    * pipeline calls, with the 100 TB routing EXECUTABLE rather than a
+    * tuning note:
+    *
+    *  - `threshold ≥` [[EmbeddingLshCrossover]]: banded random-hyperplane
+    *    cosine LSH ([[embeddingCosineLsh]]) with [[lshTune]]d band
+    *    geometry — candidates ∝ n and recall ≥ `recallTarget` at the
+    *    registered threshold, at any corpus size.
+    *  - `threshold <` crossover: SemDeDup k-means co-cluster candidates
+    *    ([[graft.clustering.Clustering.semanticPairs]] over
+    *    [[graft.clustering.Clustering.kmeansAssignAuto]]) — k scales
+    *    with the corpus to hold cluster size ≈ `targetClusterSize`, so
+    *    candidate volume stays ∝ n where banded LSH goes ~n^1.6.
+    *
+    * Both routes share the pair contract: `(a_id, b_id, cos)` with
+    * `a_id < b_id`, candidates deterministically bucketed then exactly
+    * cosine-verified — the bucketing IS the operator contract, and each
+    * route (at the parameters the tuner resolves for a given corpus
+    * size) is reproducible bit-for-bit by a SQL oracle. `embs` is
+    * scanned multiple times on either route (count + candidate build) —
+    * materialize it upstream. */
+  def embeddingNearDups(
+      embs: DataFrame,
+      id: String = "vec_id",
+      vec: String = "v",
+      nrm: String = "nrm",
+      threshold: Double = 0.45,
+      dim: Int = 64,
+      targetClusterSize: Int = 200,
+      minClusters: Int = 10,
+      kmeansIters: Int = 2,
+      recallTarget: Double = 0.99,
+      candidatesPerRow: Double = 10.0): DataFrame =
+    if (threshold >= EmbeddingLshCrossover) {
+      val (bands, bits) =
+        lshTune(embs.count(), threshold, recallTarget, candidatesPerRow)
+      embeddingCosineLsh(embs, id, vec, nrm, threshold, bands, bits, dim)
+    } else {
+      val assign = graft.clustering.Clustering.kmeansAssignAuto(
+        embs, id, vec, nrm, targetClusterSize, minClusters, kmeansIters, dim)
+      graft.clustering.Clustering
+        .semanticPairs(embs, assign, id, vec, nrm, threshold)
+        .select("a_id", "b_id", "cos")
+    }
 
   /** Passage-level exact dedup (the C4 "drop duplicated spans" shape):
     * each doc is cut into non-overlapping `window`-token passages; every

@@ -92,4 +92,24 @@ object VectorFns {
     }
     comps.reduce(_ + _)
   }
+
+  /** ALL `bands` sign signatures at once as `array<long>` (element b =
+    * the signature of planes `b*bits .. b*bits+bits-1` — the same
+    * family/offsets as per-band [[hyperplaneSignature]] calls, so the
+    * SQL oracle is unchanged). One flattened plane-matrix literal + one
+    * codegen'd loop ([[graft.functions.expressions.BandSignatures]]):
+    * plan size stays O(1) at auto-tuned geometry where the per-plane
+    * formulation builds hundreds of literal trees and plan overhead
+    * dominates the query. */
+  def bandSignatures(v: Column, bands: Int, bits: Int, dim: Int = 64): Column = {
+    val planes = typedLit(
+      (0 until bands * bits).flatMap(p => (0 until dim).map(j => hpComponent(p, j))))
+    ColumnBridge.column(
+      graft.functions.expressions.BandSignatures(
+        ColumnBridge.expression(v),
+        ColumnBridge.expression(planes),
+        bands,
+        bits,
+        dim))
+  }
 }

@@ -28,7 +28,11 @@ import graft.operators.EventOps
   * renames in, so no two jobs ever share committer staging (see
   * [[appendEntries]]).
   */
-final class EventLog(val spark: SparkSession, val path: String) {
+final class EventLog(
+    val spark: SparkSession,
+    val path: String,
+    peekCacheTtlMs: Long = 2 * 60 * 1000L,
+    peekCacheSweepMs: Long = 60 * 1000L) {
   import spark.implicits._
 
   private val dataDir = s"$path/data"
@@ -50,11 +54,14 @@ final class EventLog(val spark: SparkSession, val path: String) {
     * [[TxnLog]] commits and [[graft.streaming.StreamLog.appendSink]]
     * batches invalidate). A writer outside this instance must call
     * [[invalidateCache]] — same contract as the reference, whose cache
-    * is only coherent on the segment-leader node. Size is bounded by the
-    * (space, segment) pairs this driver actually touches, one entry
-    * payload each — the reference's LRU envelope. */
+    * is only coherent on the segment-leader node — but entries also TTL
+    * out ([[ExpiringCache]], default 2 min like the reference's
+    * pebble/service.go:102), so a forgotten invalidate bounds staleness
+    * instead of persisting it for the session. Size is bounded by the
+    * (space, segment) pairs this driver actually touches within the
+    * TTL, one entry payload each — the reference's expiring envelope. */
   private val peekCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Option[Entry]]
+    new ExpiringCache[(String, String), Option[Entry]](peekCacheTtlMs, peekCacheSweepMs)
 
   /** Push-notification fan-out for this log: produce/publish (and
     * [[TxnLog.commit]]) publish their [[SegmentStatus]] acks here the
@@ -68,7 +75,7 @@ final class EventLog(val spark: SparkSession, val path: String) {
 
   /** Drop cached positions of one space. */
   def invalidateCache(space: String): Unit =
-    peekCache.keySet.filter(_._1 == space).foreach(peekCache.remove)
+    peekCache.removeIf(_._1 == space)
 
   /** The committed log as a DataFrame in canonical schema. */
   def load(): DataFrame =
@@ -166,8 +173,9 @@ final class EventLog(val spark: SparkSession, val path: String) {
     }
     val statuses = guarded {
       val lastRow = statusRows.last // n > 0 ⇒ at least one chunk
-      peekCache((space, segment)) = Some(
-        Entry(
+      peekCache.put(
+        (space, segment),
+        Some(Entry(
           space = space,
           segment = segment,
           sequence = lastRow.getAs[Long]("lastSequence"),
@@ -175,7 +183,7 @@ final class EventLog(val spark: SparkSession, val path: String) {
           trxNumber = lastRow.getAs[Long]("trxNumber"),
           payload = lastRow.getAs[String]("lastPayload"),
           metadata =
-            lastRow.getAs[scala.collection.Map[String, String]]("lastMetadata").toMap))
+            lastRow.getAs[scala.collection.Map[String, String]]("lastMetadata").toMap)))
       statusRows.toSeq.map(r =>
         SegmentStatus(
           space = space,

@@ -52,6 +52,25 @@ object PushNet {
 
   private[log] val Hello = "#hello"
 
+  // ---- channel-mux control lines (reference: wsstream/muxer.go:22 —
+  // many logical streams over ONE connection, each keyed by a channel
+  // id; wsstream/bus.go:63 — every channel re-registers over a freshly
+  // dialed stream). All control lines start with '#', which an encoded
+  // ack line never does (URLEncoder escapes '#'), so the wire stays
+  // unambiguous and a legacy subscriber simply ignores them.
+  private[log] val CtlMux = "#mux"
+  private[log] val WildFilter = "*"
+  private[log] def encFilter(v: Option[String]): String =
+    v.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse(WildFilter)
+  private[log] def decFilter(v: String): Option[String] =
+    if (v == WildFilter) None
+    else Some(java.net.URLDecoder.decode(v, "UTF-8"))
+  private[log] def ctlSub(id: String, space: Option[String], segment: Option[String]): String =
+    s"#sub $id ${encFilter(space)} ${encFilter(segment)}"
+  private[log] def ctlUnsub(id: String): String = s"#unsub $id"
+  private[log] def ctlOk(id: String): String = s"#ok $id"
+  private[log] def ctlChan(id: String, ackLine: String): String = s"#c $id $ackLine"
+
   /** Serve `log`'s ack bus on a TCP port. `port` 0 = ephemeral (read
     * [[PushServer.boundPort]]); `bindHost` defaults to all interfaces —
     * the publisher is a server, remote subscribers dial in. */
@@ -96,6 +115,26 @@ object PushNet {
       backoffMs: Long = 50L,
       maxBackoffMs: Long = 2000L)(cb: SegmentStatus => Unit): PushNetDialer =
     new PushNetDialer(host, port, space, segment, backoffMs, maxBackoffMs, cb)
+
+  /** Channel-multiplexed resilient client: MANY space/segment
+    * subscriptions over ONE dialed connection, each keyed by a channel
+    * id (reference: wsstream/muxer.go:22 — the WebSocketMuxer carries
+    * many logical bidi streams over a single socket). A process
+    * consuming N spaces holds 1 socket, not N; filters are enforced
+    * SERVER-side, so a narrow channel costs the wire only its own acks
+    * — the bandwidth shape that matters when one driver serves hundreds
+    * of consumers. Reconnects like [[dial]] (capped backoff) and
+    * re-registers EVERY channel over the fresh connection
+    * (wsstream/bus.go:63); per-channel delivery contract is the
+    * at-most-once live feed. Channels may be added/removed while
+    * connected or disconnected ([[PushNetMux.subscribe]] /
+    * [[PushNetMuxChannel.close]]). */
+  def mux(
+      host: String,
+      port: Int,
+      backoffMs: Long = 50L,
+      maxBackoffMs: Long = 2000L): PushNetMux =
+    new PushNetMux(host, port, backoffMs, maxBackoffMs)
 }
 
 /** Producer side: accepts subscriber connections and fans each bus ack
@@ -128,8 +167,17 @@ final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
   private final class Conn(socket: Socket) {
     socket.setTcpNoDelay(true)
     private val queue = new LinkedBlockingQueue[SegmentStatus](backlog)
+    // control replies (#ok) ride their own unbounded lane — bounded by
+    // the client's subscribe rate, and drop-oldest must never eat a
+    // handshake line
+    private val ctl = new LinkedBlockingQueue[String]()
     private val out = new BufferedWriter(
       new OutputStreamWriter(socket.getOutputStream, UTF_8))
+    // muxed = the client sent #mux: bare-firehose lines stop and only
+    // #c-tagged lines for registered channels go out
+    @volatile private var muxed = false
+    private val channels =
+      new ConcurrentHashMap[String, (Option[String], Option[String])]()
 
     def offer(st: SegmentStatus): Unit =
       while (!queue.offer(st)) {
@@ -138,22 +186,43 @@ final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
         ()
       }
 
+    private def writeCtl(): Boolean = {
+      var wrote = false
+      var line = ctl.poll()
+      while (line != null) {
+        out.write(line); out.newLine()
+        wrote = true
+        line = ctl.poll()
+      }
+      wrote
+    }
+
     private val writer = new Thread(() => {
       val batch = new java.util.ArrayList[SegmentStatus]()
       try {
         out.write(PushNet.Hello); out.newLine(); out.flush()
         while (open.get() && !socket.isClosed) {
           val head = queue.poll(50, TimeUnit.MILLISECONDS)
+          var wrote = writeCtl()
           if (head != null) {
             batch.clear()
             batch.add(head)
             queue.drainTo(batch)
             batch.forEach { st =>
-              out.write(PushBridge.encode(st)); out.newLine(); ()
+              if (!muxed) { out.write(PushBridge.encode(st)); out.newLine() }
+              else
+                channels.forEach { (id, f) =>
+                  if (f._1.forall(_ == st.space) && f._2.forall(_ == st.segment)) {
+                    out.write(PushNet.ctlChan(id, PushBridge.encode(st)))
+                    out.newLine()
+                  }
+                }
+              ()
             }
             out.write(PushBridge.sentinel(batch.size())); out.newLine()
-            out.flush()
+            wrote = true
           }
+          if (wrote) out.flush()
         }
       } catch { case NonFatal(_) => () } // peer went away: unregister below
       finally {
@@ -164,25 +233,46 @@ final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
     }, "graft-push-server-conn")
     writer.setDaemon(true)
 
-    // clients never send: a blocking read returning EOF (or erroring) is
-    // a prompt peer-gone signal — a one-batch write to a closed loopback
+    // Client reader: mux clients send control lines; legacy clients
+    // send nothing, so a read returning EOF (or erroring) stays the
+    // prompt peer-gone signal — a one-batch write to a closed loopback
     // socket lands in the kernel buffer without an error, so write
     // failures alone detect a dead peer only on the SECOND batch.
-    private val eofWatch = new Thread(() => {
-      try { socket.getInputStream.read(); () }
-      catch { case NonFatal(_) => () }
+    private val clientReader = new Thread(() => {
+      try {
+        val in = new BufferedReader(
+          new InputStreamReader(socket.getInputStream, UTF_8))
+        var line = in.readLine()
+        while (line != null && open.get()) {
+          val parts = line.split(' ')
+          line match {
+            case PushNet.CtlMux => muxed = true
+            case l if l.startsWith("#sub ") && parts.length == 4 =>
+              channels.put(
+                parts(1),
+                (PushNet.decFilter(parts(2)), PushNet.decFilter(parts(3))))
+              // registered BEFORE the ack goes out: once the client
+              // reads #ok, every later bus ack is matched vs the channel
+              ctl.put(PushNet.ctlOk(parts(1)))
+            case l if l.startsWith("#unsub ") && parts.length == 2 =>
+              channels.remove(parts(1)); ()
+            case _ => () // unknown control line: ignore (forward compat)
+          }
+          line = in.readLine()
+        }
+      } catch { case NonFatal(_) => () }
       finally {
         conns.remove(Conn.this)
         try socket.close()
         catch { case NonFatal(_) => () }
       }
-    }, "graft-push-server-eof")
-    eofWatch.setDaemon(true)
+    }, "graft-push-server-read")
+    clientReader.setDaemon(true)
 
     /** Called AFTER the conn is in `conns`: the greeting must not go out
       * before registration, or an ack in that window could miss the
       * queue despite the client having read #hello. */
-    def start(): Unit = { writer.start(); eofWatch.start() }
+    def start(): Unit = { writer.start(); clientReader.start() }
 
     def shutdown(): Unit = {
       try socket.close()
@@ -367,6 +457,175 @@ final class PushNetDialer private[log] (
       }
     }
   }, "graft-push-dialer")
+  runner.setDaemon(true)
+  runner.start()
+
+  def close(): Unit = if (open.getAndSet(false)) {
+    val s = current
+    if (s != null) {
+      try s.close()
+      catch { case NonFatal(_) => () }
+    }
+    runner.interrupt()
+    runner.join(5000)
+  }
+}
+
+/** One logical subscription riding a [[PushNetMux]] connection. Ready =
+  * the server acknowledged the registration (`#ok`) for the CURRENT
+  * session; acks published after that are matched against this channel
+  * server-side. `close()` unregisters (live sessions stop sending
+  * immediately; the mux also forgets it for future reconnects). */
+final class PushNetMuxChannel private[log] (
+    mux: PushNetMux,
+    private[log] val id: String,
+    private[log] val space: Option[String],
+    private[log] val segment: Option[String],
+    private[log] val cb: SegmentStatus => Unit) {
+
+  private[log] val deliveredCount = new AtomicLong(0L)
+  private[log] val ready = new CountDownLatch(1)
+
+  /** Acks delivered to this channel's callback. */
+  def delivered: Long = deliveredCount.get()
+
+  /** True once the server has acknowledged this channel's registration
+    * (first session it completes on). */
+  def awaitReady(timeoutMs: Long = 10000L): Boolean =
+    ready.await(timeoutMs, TimeUnit.MILLISECONDS)
+
+  def close(): Unit = mux.unsubscribe(this)
+}
+
+/** Channel-multiplexed reconnecting subscriber (see [[PushNet.mux]]):
+  * one daemon thread owns the dial → `#mux` → register-all-channels →
+  * read-until-drop → backoff → re-dial loop, so EVERY channel re-registers
+  * over a freshly dialed connection after a server restart (reference:
+  * wsstream/bus.go:63) with no caller intervention. Channel callbacks
+  * run on the reader thread in wire order — per-publisher FIFO per
+  * channel, same as the single-subscription clients. */
+final class PushNetMux private[log] (
+    host: String,
+    port: Int,
+    backoffMs: Long,
+    maxBackoffMs: Long)
+    extends AutoCloseable {
+
+  private val open = new AtomicBoolean(true)
+  private val sessions = new AtomicLong(0L)
+  private val ready = new CountDownLatch(1)
+  private val channels = new ConcurrentHashMap[String, PushNetMuxChannel]()
+  @volatile private var current: Socket = null
+  @volatile private var writer: BufferedWriter = null
+  private val writeLock = new Object
+
+  /** Completed server-side greetings; increments on every reconnect. */
+  def sessionCount: Long = sessions.get()
+
+  /** Live channels registered on this mux. */
+  def channelCount: Int = channels.size()
+
+  /** True once the FIRST session is registered server-side. */
+  def awaitReady(timeoutMs: Long = 10000L): Boolean =
+    ready.await(timeoutMs, TimeUnit.MILLISECONDS)
+
+  /** Await the `n`-th completed greeting — `awaitSessions(2)` = "the mux
+    * has reconnected and re-registered after a drop". */
+  def awaitSessions(n: Long, timeoutMs: Long = 30000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (sessions.get() < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    sessions.get() >= n
+  }
+
+  /** Register a channel. Safe whether the mux is currently connected
+    * (registration line goes out immediately) or mid-backoff (the next
+    * session registers it with the rest). */
+  def subscribe(
+      space: Option[String] = None,
+      segment: Option[String] = None)(cb: SegmentStatus => Unit): PushNetMuxChannel = {
+    val ch = new PushNetMuxChannel(
+      this, java.util.UUID.randomUUID().toString, space, segment, cb)
+    channels.put(ch.id, ch)
+    send(PushNet.ctlSub(ch.id, space, segment))
+    ch
+  }
+
+  private[log] def unsubscribe(ch: PushNetMuxChannel): Unit =
+    if (channels.remove(ch.id) != null) send(PushNet.ctlUnsub(ch.id))
+
+  /** Best-effort write to the live session; a broken/absent connection
+    * is fine — the re-dial loop re-registers everything anyway. */
+  private def send(line: String): Unit = writeLock.synchronized {
+    val w = writer
+    if (w != null) {
+      try { w.write(line); w.newLine(); w.flush() }
+      catch { case NonFatal(_) => () }
+    }
+  }
+
+  private val runner = new Thread(() => {
+    var backoff = backoffMs
+    while (open.get()) {
+      try {
+        // same bounded-connect + publish-then-recheck shape as
+        // PushNetDialer: close() can only tear down a socket it can see
+        val s = new Socket()
+        try {
+          s.setTcpNoDelay(true)
+          s.connect(new InetSocketAddress(host, port), 1000)
+          current = s
+          if (open.get()) {
+            writeLock.synchronized {
+              writer = new BufferedWriter(
+                new OutputStreamWriter(s.getOutputStream, UTF_8))
+            }
+            val in = new BufferedReader(
+              new InputStreamReader(s.getInputStream, UTF_8))
+            // this session: mux mode on, then re-register every channel
+            send(PushNet.CtlMux)
+            channels.forEach { (_, ch) =>
+              send(PushNet.ctlSub(ch.id, ch.space, ch.segment))
+            }
+            var line = in.readLine()
+            while (open.get() && line != null) {
+              if (line == PushNet.Hello) {
+                sessions.incrementAndGet()
+                ready.countDown()
+                backoff = backoffMs // healthy session: reset the backoff
+              } else if (line.startsWith("#ok ")) {
+                val ch = channels.get(line.substring(4))
+                if (ch != null) ch.ready.countDown()
+              } else if (line.startsWith("#c ")) {
+                val rest = line.substring(3)
+                val sp = rest.indexOf(' ')
+                if (sp > 0) {
+                  val ch = channels.get(rest.substring(0, sp))
+                  if (ch != null)
+                    PushBridge.decode(rest.substring(sp + 1)).foreach { st =>
+                      try ch.cb(st)
+                      catch { case NonFatal(_) => () } // channel isolation
+                      ch.deliveredCount.incrementAndGet()
+                      ()
+                    }
+                }
+              } // else: sentinel/unknown control — ignore
+              line = in.readLine()
+            }
+          }
+        } finally {
+          writeLock.synchronized { writer = null }
+          try s.close()
+          catch { case NonFatal(_) => () }
+        }
+      } catch { case NonFatal(_) => () } // dial failed or read dropped
+      if (open.get()) {
+        try Thread.sleep(backoff)
+        catch { case _: InterruptedException => () }
+        backoff = math.min(backoff * 2, maxBackoffMs)
+      }
+    }
+  }, "graft-push-mux")
   runner.setDaemon(true)
   runner.start()
 

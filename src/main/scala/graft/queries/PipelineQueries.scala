@@ -308,22 +308,64 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_pairs"))
       .transform(sortSmall(_, "bin_pct"))
 
-  val DedupLshBands = 8
-  val DedupLshBitsPerBand = 4
+  val DedupEmbedThreshold = 0.45
 
-  /** Embedding near-dup pairs via banded cosine LSH — the scale path is
-    * the registered plan (no cartesian anywhere; the all-pairs
-    * [[Dedup.embeddingCosine]] baseline is spec-only, see
-    * DedupAnnApiSpec's recall test). */
+  /** Embedding near-dup pairs through the THRESHOLD-ROUTED front-end
+    * ([[Dedup.embeddingNearDups]]) — at the registered 0.45 threshold
+    * (below [[Dedup.EmbeddingLshCrossover]]) the dispatcher takes the
+    * SemDeDup co-cluster route with corpus-scaled k, the plan whose
+    * candidates stay ∝ n where banded LSH at this threshold measured
+    * ~n^1.6 (r7 sf1 flag); bands remain the registered plan for
+    * high-similarity thresholds (spec-asserted routing, DedupAnnApiSpec).
+    * No cartesian anywhere; the all-pairs [[Dedup.embeddingCosine]]
+    * baseline is spec-only. */
   def qDedupEmbed(s: SparkSession, d: String): DataFrame =
     Dedup
-      .embeddingCosineLsh(
-        normedEmbs(s, d),
-        threshold = 0.45,
-        bands = DedupLshBands,
-        bitsPerBand = DedupLshBitsPerBand,
-        dim = EmbDim)
+      .embeddingNearDups(
+        normedEmbs(s, d).transform(graft.operators.Materialize.cut),
+        threshold = DedupEmbedThreshold,
+        dim = EmbDim,
+        targetClusterSize = DedupEmbedClusterSize,
+        minClusters = KmeansK,
+        kmeansIters = KmeansIters)
       .transform(sortSmall(_, "a_id", "b_id"))
+
+  /** High-similarity clone sweep at 0.9 — the template/clone-pass
+    * threshold, ≥ the routing crossover. */
+  val DedupEmbedHiThreshold = 0.9
+  val DedupEmbedPlantN = 25
+  val DedupEmbedPlantOffset = 100000L
+
+  /** The OTHER branch of the routed front-end, as a clone-sweep
+    * EVALUATION: the synthetic corpus has no organic cos ≥ 0.9 pairs
+    * (max pairwise cos ≈ 0.48), so the query deterministically PLANTS
+    * exact clones of the first [[DedupEmbedPlantN]] vectors under
+    * offset ids — both engines replant identically — and the ≥-crossover
+    * dispatch (banded cosine LSH, [[Dedup.lshTune]]d geometry) must
+    * recover exactly those pairs: identical vectors share every band
+    * signature (pigeonhole recall 1 at ANY tuning), and any collateral
+    * band collision is killed by the exact verify. Keeps BOTH routes of
+    * [[Dedup.embeddingNearDups]] under a full DuckDB oracle (this one
+    * replays the tuned hyperplane bands bit-for-bit), not just the
+    * routing spec. */
+  def qDedupEmbedHi(s: SparkSession, d: String): DataFrame = {
+    val base = normedEmbs(s, d)
+    val planted = base
+      .filter(col("vec_id") < DedupEmbedPlantN)
+      .select(
+        (col("vec_id") + DedupEmbedPlantOffset).as("vec_id"),
+        col("v"),
+        col("nrm"))
+    Dedup
+      .embeddingNearDups(
+        base.unionByName(planted).transform(graft.operators.Materialize.cut),
+        threshold = DedupEmbedHiThreshold,
+        dim = EmbDim,
+        targetClusterSize = DedupEmbedClusterSize,
+        minClusters = KmeansK,
+        kmeansIters = KmeansIters)
+      .transform(sortSmall(_, "a_id", "b_id"))
+  }
 
   // ----------------------------------------------------------- similarity
 
@@ -2306,6 +2348,13 @@ object PipelineQueries {
   val KmeansIters = 2
   val SemThreshold = 0.45
 
+  /** Target k-means cell size for the routed embedding-dedup plan: k =
+    * max(KmeansK, ceil(n/200)), so at the sf0.01 correctness scale
+    * (500 vectors) k = KmeansK and the static DuckDB oracle replays the
+    * identical clustering, while at bench scales k grows with the corpus
+    * and candidate volume stays linear. */
+  val DedupEmbedClusterSize = 200
+
   /** Fixed-iteration k-means over the embedding corpus (see
     * [[graft.clustering.Clustering.kmeansAssign]]) — deterministic
     * fixed-point centroid math, so the whole Lloyd run gets a full
@@ -2948,6 +2997,7 @@ object PipelineQueries {
     "q_dup_degree" -> qDupDegree _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_dedup_embed" -> qDedupEmbed _,
+    "q_dedup_embed_hi" -> qDedupEmbedHi _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_cc_bigstar" -> qCcBigstar _,
     "q_ann_topk" -> qAnnTopk _,
@@ -3187,11 +3237,12 @@ object PipelineQueries {
       s"CASE WHEN list_dot_product(v, ${planeLit(i)}) > 0 THEN ${1L << i} ELSE 0 END")
     .mkString(" + ")
 
-  /** Sign signature of band `b` — planes `b*bitsPerBand + bit`, the same
-    * family/offset [[Dedup.embeddingCosineLsh]] bakes into its plan. */
-  private def bandBucketSql(b: Int): String = (0 until DedupLshBitsPerBand)
+  /** Sign signature of band `b` at `bits` planes per band — planes
+    * `b*bits + bit`, the same family/offset
+    * [[Dedup.embeddingCosineLsh]] bakes into its plan. */
+  private def bandBucketSql(b: Int, bits: Int): String = (0 until bits)
     .map(i =>
-      s"CASE WHEN list_dot_product(v, ${planeLit(b * DedupLshBitsPerBand + i)}) > 0 THEN ${1L << i} ELSE 0 END")
+      s"CASE WHEN list_dot_product(v, ${planeLit(b * bits + i)}) > 0 THEN ${1L << i} ELSE 0 END")
     .mkString(" + ")
 
   /** Shared by q_contamination and q_contamination_bloom — the Bloom
@@ -3300,12 +3351,38 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
          |ORDER BY a_id, b_id""".stripMargin
     },
-    "q_dedup_embed" -> {
-      val bandUnion = (0 until DedupLshBands)
+    // routed front-end: at threshold 0.45 < EmbeddingLshCrossover the
+    // dispatcher takes the k-means co-cluster route, and at the sf0.01
+    // oracle scale kmeansAssignAuto resolves k = KmeansK — so the oracle
+    // replays the identical clustering (same CTEs as q_semdedup) and
+    // checks the WHOLE routed plan, bucketing included
+    "q_dedup_embed" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-300), 6) AS cos
+         |FROM a$KmeansIters a JOIN a$KmeansIters b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / greatest(a.nrm * b.nrm, 1e-300), 6) >= $DedupEmbedThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+    // the high-threshold branch of the routed front-end: replants the
+    // same exact clones under offset ids, then replays the TUNED
+    // sign-LSH bands (identical hyperplane family) at cos ≥ 0.9. The
+    // tuner is a pure function of corpus size; the correctness gate runs
+    // at sf0.01 whose embeddings table is fixed at 500 rows (+ the 25
+    // plants), so the oracle resolves the same geometry the Spark side
+    // counts at runtime.
+    "q_dedup_embed_hi" -> {
+      val (hiBands, hiBits) =
+        Dedup.lshTune(500L + DedupEmbedPlantN, DedupEmbedHiThreshold)
+      val bandUnion = (0 until hiBands)
         .map(b =>
-          s"SELECT vec_id, $b AS band_id, (${bandBucketSql(b)}) AS band_sig FROM e")
+          s"SELECT vec_id, $b AS band_id, (${bandBucketSql(b, hiBits)}) AS band_sig FROM e")
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + $DedupEmbedPlantOffset AS vec_id, v FROM base WHERE vec_id < $DedupEmbedPlantN),
          |bands AS (
          |  $bandUnion),
          |cands AS (
@@ -3316,7 +3393,7 @@ object PipelineQueries {
          |  SELECT c.a_id, c.b_id,
          |         round(list_dot_product(a.v, b.v) / greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-300), 6) AS cos
          |  FROM cands c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id)
-         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.45 ORDER BY a_id, b_id""".stripMargin
+         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= $DedupEmbedHiThreshold ORDER BY a_id, b_id""".stripMargin
     },
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -267,6 +267,78 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(banded.subsetOf(moreBands))
   }
 
+  test("embeddingNearDups routes by threshold: bands above the crossover, co-cluster below") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // high threshold: no organic cos >= 0.9 pairs in the fixture (max
+    // pairwise cos ~0.48), so plant exact clones — the banded route must
+    // recover exactly the planted pairs, and the routed result must BE
+    // the banded-LSH result
+    val planted = embs.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("v"), col("nrm"))
+    val withClones = embs.unionByName(planted)
+    val hi = pairs(Dedup.embeddingNearDups(withClones, threshold = 0.9))
+    // the routed result IS the banded result at the tuned geometry
+    val (bands, bits) = Dedup.lshTune(505L, 0.9)
+    assert(hi == pairs(Dedup.embeddingCosineLsh(
+      withClones, threshold = 0.9, bands = bands, bitsPerBand = bits)))
+    assert(hi == (0L until 5L).map(i => (i, i + 1000L, 1.0)).toSet)
+    // low threshold: the routed result IS the SemDeDup co-cluster result
+    val e = graft.operators.Materialize.cut(embs)
+    val assign = graft.clustering.Clustering
+      .kmeansAssignAuto(e, targetClusterSize = 200, minK = 10, iters = 2)
+    val lo = pairs(Dedup.embeddingNearDups(e, threshold = 0.45))
+    assert(lo == pairs(
+      graft.clustering.Clustering.semanticPairs(e, assign, threshold = 0.45)))
+    assert(lo.nonEmpty)
+    // the low route only ever MISSES pairs vs all-pairs, never invents:
+    // same verify formula, so emitted triples match the baseline verbatim
+    val allLo = pairs(Dedup.embeddingCosine(embs, threshold = 0.45))
+    assert(lo.subsetOf(allLo), s"invented pairs: ${lo diff allLo}")
+  }
+
+  test("lshTune: candidates stay linear (bits track corpus size), recall target met") {
+    // bits grow with log2(n): the signature space must track the corpus
+    // or random collisions go quadratic (the r7 flag: 16 buckets per
+    // band at 20k vectors)
+    val (b2k, bits2k) = Dedup.lshTune(2000L, 0.9)
+    val (b20k, bits20k) = Dedup.lshTune(20000L, 0.9)
+    assert(bits20k > bits2k, "signature bits must grow with the corpus")
+    assert((1L << bits20k) >= 20000L / 20, "bucket space must track n")
+    // analytic recall at the tuned geometry clears the 0.99 target
+    def recall(bands: Int, bits: Int, s: Double): Double = {
+      val p1 = 1.0 - math.acos(s) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p1, bits.toDouble), bands.toDouble)
+    }
+    assert(recall(b2k, bits2k, 0.9) >= 0.99)
+    assert(recall(b20k, bits20k, 0.9) >= 0.99)
+    // a lower threshold at equal n needs MORE bands (weaker per-bit
+    // signal), which in turn buys bits back for the collision budget
+    val (bLow, bitsLow) = Dedup.lshTune(20000L, 0.7)
+    assert(bitsLow >= bits20k && bLow > b20k)
+    // tiny corpora stay at the 4-bit floor
+    assert(Dedup.lshTune(20L, 0.9)._2 == 4)
+  }
+
+  test("kmeansAssignAuto holds cluster size: k follows the corpus, floor at minK") {
+    // 500-vector fixture: ceil(500/50) = 10 target cells; minK floors k
+    // when the corpus is smaller than one target cell
+    val tight = graft.clustering.Clustering
+      .kmeansAssignAuto(embs, targetClusterSize = 50, minK = 2, iters = 1)
+    val kTight = tight.select("cluster").distinct().count()
+    assert(kTight > 2 && kTight <= 10, s"expected <=10 populated cells, got $kTight")
+    val floored = graft.clustering.Clustering
+      .kmeansAssignAuto(embs, targetClusterSize = 100000, minK = 3, iters = 1)
+    assert(floored.select("cluster").distinct().count() <= 3)
+    // identical to a direct kmeansAssign at the resolved k
+    val direct = graft.clustering.Clustering
+      .kmeansAssign(embs, k = 10, iters = 1)
+    assert(
+      tight.orderBy("vec_id").collect().toSeq ==
+        direct.orderBy("vec_id").collect().toSeq)
+  }
+
   test("bruteForceTopK k=3 is the prefix of k=5 per query") {
     val q = embs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))

@@ -383,6 +383,41 @@ class EventLogSpec extends SparkSpec {
     assert(log.peek("s1", "segX").get.sequence == 4L)
   }
 
+  test("peek cache TTL: a stale entry re-reads after expiry; sweep reclaims slots") {
+    // the reference TTLs its cached status state (server/cache.go:18,
+    // 2 min in pebble/service.go:102) so a writer that never calls
+    // invalidate bounds staleness instead of persisting it — two
+    // EventLog instances over one directory model exactly that
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    val a = new EventLog(spark, dir, peekCacheTtlMs = 800L, peekCacheSweepMs = 200L)
+    val b = new EventLog(spark, dir) // the "other writer": default TTL
+    a.produce("s0", "seg0", records(1, 5), 1000L)
+    assert(a.peek("s0", "seg0").get.sequence == 5L)
+    // b appends WITHOUT touching a's cache — a's peek is stale but
+    // bounded: within the TTL it may serve 5, after expiry it MUST
+    // re-scan and see 8
+    b.produce("s0", "seg0", records(6, 3), 2000L)
+    assert(a.peek("s0", "seg0").get.sequence == 5L, "within TTL: cached")
+    Thread.sleep(1000L)
+    assert(a.peek("s0", "seg0").get.sequence == 8L, "after TTL: re-read")
+    // standalone cache: expired-but-unswept slots are reclaimed by the
+    // amortized sweep, and reads treat them as absent either way
+    val c = new graft.log.ExpiringCache[Int, Int](ttlMs = 100L, sweepIntervalMs = 100L)
+    c.put(1, 10); c.put(2, 20)
+    assert(c.get(1).contains(10) && c.size == 2)
+    Thread.sleep(250L)
+    assert(c.get(1).isEmpty && c.size == 0)
+    assert(c.rawSize >= 1, "key 2 not yet swept (never re-read)")
+    c.sweepNow()
+    assert(c.rawSize == 0, "sweep must reclaim expired slots")
+    // writes re-arm the TTL
+    c.put(3, 30)
+    Thread.sleep(60L)
+    c.put(3, 31)
+    Thread.sleep(60L)
+    assert(c.get(3).contains(31), "a write must re-arm the entry's TTL")
+  }
+
   test("consume with zero subscriptions returns an empty canonical frame") {
     val log = freshLog()
     log.produce("s0", "seg0", records(1, 5), 1000L)

@@ -228,4 +228,129 @@ class PushNetSpec extends SparkSpec {
       } finally srv2.close()
     } finally sub.close()
   }
+
+  test("mux: two filtered channels share ONE socket, server-side routing") {
+    val log = freshLog()
+    val srv = PushNet.server(log, bindHost = "127.0.0.1")
+    val mux = PushNet.mux("127.0.0.1", srv.boundPort)
+    val a = mutable.Buffer.empty[SegmentStatus]
+    val b = mutable.Buffer.empty[SegmentStatus]
+    val all = mutable.Buffer.empty[SegmentStatus]
+    val chA = mux.subscribe(Some("sp a/ce"), Some("seg#1")) { st =>
+      a.synchronized { a += st; () }
+    }
+    val chB = mux.subscribe(Some("other")) { st =>
+      b.synchronized { b += st; () }
+    }
+    val chAll = mux.subscribe() { st => all.synchronized { all += st; () } }
+    try {
+      assert(mux.awaitReady())
+      assert(chA.awaitReady() && chB.awaitReady() && chAll.awaitReady())
+      // the whole point: three subscriptions, ONE connection
+      assert(srv.connectionCount == 1)
+      assert(mux.channelCount == 3)
+      log.produce("sp a/ce", "seg#1", records(1, 5), 1000L)
+      log.produce("other", "segX", records(1, 5), 2000L)
+      log.produce("neither", "segY", records(1, 5), 3000L)
+      awaitUntil()(all.synchronized(all.size) == 3)
+      awaitUntil()(a.synchronized(a.size) == 1)
+      awaitUntil()(b.synchronized(b.size) == 1)
+      val stA = a.synchronized(a.head)
+      assert(stA.space == "sp a/ce" && stA.segment == "seg#1")
+      assert(stA.firstSequence == 1L && stA.lastSequence == 5L)
+      assert(b.synchronized(b.head).segment == "segX")
+      assert(all.synchronized(all.map(_.segment).toSeq) == Seq("seg#1", "segX", "segY"))
+      assert(chA.delivered == 1L && chB.delivered == 1L && chAll.delivered == 3L)
+      // unsubscribe stops exactly that channel; the socket stays up
+      chAll.close()
+      log.produce("neither", "segY", records(6, 5), 4000L)
+      log.produce("other", "segX", records(6, 5), 5000L)
+      awaitUntil()(b.synchronized(b.size) == 2)
+      assert(all.synchronized(all.size) == 3, "closed channel must stop receiving")
+      assert(srv.connectionCount == 1 && mux.channelCount == 2)
+    } finally { mux.close(); srv.close() }
+  }
+
+  test("mux: server restart re-registers ALL channels over one fresh socket") {
+    val log = freshLog()
+    val srv1 = PushNet.server(log, bindHost = "127.0.0.1")
+    val port = srv1.boundPort
+    val mux = PushNet.mux("127.0.0.1", port)
+    val a = mutable.Buffer.empty[SegmentStatus]
+    val b = mutable.Buffer.empty[SegmentStatus]
+    mux.subscribe(Some("s0")) { st => a.synchronized { a += st; () } }
+    mux.subscribe(Some("s1")) { st => b.synchronized { b += st; () } }
+    try {
+      assert(mux.awaitReady())
+      log.produce("s0", "seg0", records(1, 5), 1000L)
+      log.produce("s1", "seg0", records(1, 5), 1000L)
+      awaitUntil()(a.synchronized(a.size) == 1 && b.synchronized(b.size) == 1)
+      assert(srv1.connectionCount == 1)
+      srv1.close() // server dies mid-stream
+      val srv2 = PushNet.server(log, port = port, bindHost = "127.0.0.1")
+      try {
+        // no manual intervention: one re-dial re-registers BOTH channels
+        assert(mux.awaitSessions(2), "mux must resubscribe on its own")
+        log.produce("s0", "seg0", records(6, 5), 2000L)
+        log.produce("s1", "seg0", records(6, 5), 2000L)
+        awaitUntil()(a.synchronized(a.size) == 2 && b.synchronized(b.size) == 2)
+        assert(a.synchronized(a.last).firstSequence == 6L)
+        assert(b.synchronized(b.last).firstSequence == 6L)
+        awaitUntil()(srv2.connectionCount == 1) // still ONE socket
+      } finally srv2.close()
+    } finally mux.close()
+  }
+
+  test("mux: push-tickled consumer loop stays exactly-once across a restart") {
+    // the mux twin of the dialer exactly-once test: two spaces, two
+    // channels, one socket; a restart costs latency, never data
+    import graft.operators.EventOps
+    val log = freshLog()
+    val srv1 = PushNet.server(log, bindHost = "127.0.0.1")
+    val port = srv1.boundPort
+    val mux = PushNet.mux("127.0.0.1", port)
+    val tickles = new java.util.concurrent.atomic.AtomicLong(0L)
+    mux.subscribe(Some("s0")) { _ => tickles.incrementAndGet(); () }
+    mux.subscribe(Some("s1")) { _ => tickles.incrementAndGet(); () }
+    try {
+      assert(mux.awaitReady())
+      var off0 = (0L, "", 0L)
+      var off1 = (0L, "", 0L)
+      val consumed = mutable.Buffer.empty[(String, Long, String, Long)]
+      def poll(space: String): Int = {
+        val off = if (space == "s0") off0 else off1
+        val fresh = EventOps
+          .consumeSpaceFromOffset(log.load(), space, off._1, off._2, off._3)
+          .select("timestamp", "segment", "sequence")
+          .collect()
+          .map(r => (space, r.getLong(0), r.getString(1), r.getLong(2)))
+        consumed ++= fresh
+        if (fresh.nonEmpty) {
+          val last = (fresh.last._2, fresh.last._3, fresh.last._4)
+          if (space == "s0") off0 = last else off1 = last
+        }
+        fresh.length
+      }
+      val before = tickles.get()
+      log.produce("s0", "a", records(1, 3), 1000L)
+      log.produce("s1", "a", records(1, 2), 1000L)
+      awaitUntil()(tickles.get() >= before + 2)
+      assert(poll("s0") == 3 && poll("s1") == 2)
+      srv1.close()
+      // produced while the transport is down: acks lost by design
+      log.produce("s0", "a", records(4, 2), 2000L)
+      val srv2 = PushNet.server(log, port = port, bindHost = "127.0.0.1")
+      try {
+        assert(mux.awaitSessions(2))
+        val beforeRestart = tickles.get()
+        log.produce("s0", "b", records(1, 2), 3000L)
+        log.produce("s1", "b", records(1, 2), 3000L)
+        awaitUntil()(tickles.get() >= beforeRestart + 2)
+        // ONE post-restart poll per space recovers missed + new rows,
+        // each exactly once
+        assert(poll("s0") == 4 && poll("s1") == 2)
+        assert(consumed.size == 11 && consumed.distinct.size == 11, "no loss, no dups")
+      } finally srv2.close()
+    } finally mux.close()
+  }
 }

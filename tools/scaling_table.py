@@ -63,6 +63,24 @@ def main():
         f"sf0.1→sf1 subset ({len(both_bc)} metrics) "
         f"{tot_b_sub:.1f}s → {tot_c:.1f}s (ratio {tot_c / tot_b_sub:.2f})."
     )
+    # Store tier: fixtures are generated (not SF-scaled), so its scaling
+    # axis is the 100k -> 1M twin pair inside ONE quiet run (sf0.1 leg).
+    pairs = [
+        ("store_produce_100k", "store_produce_1m"),
+        ("store_consume_segment", "store_consume_segment_1m"),
+        ("store_consume_space", "store_consume_space_1m"),
+        ("store_compact_100k", "store_compact_1m"),
+    ]
+    if any(tof(qb.get(s)) and tof(qb.get(l)) for s, l in pairs):
+        print("\n### Store tier (100k → 1M rows, 10× data, sf0.1 leg)\n")
+        print("| metric | 100k s | 1M s | ratio (10× data) |")
+        print("|---|---|---|---|")
+        for s, l in pairs:
+            ts, tl = tof(qb.get(s)), tof(qb.get(l))
+            if ts is not None and tl is not None:
+                print(f"| {s.replace('_100k', '')} | {ts:.3f} | {tl:.3f} | {tl / ts:.2f} |")
+            else:
+                print(f"| {s.replace('_100k', '')} | — | — | — |")
 
 
 if __name__ == "__main__":
