@@ -31,7 +31,7 @@ object Bench {
     "q_share", "q_scd2", "q_pivot",
     "q_ntile", "q_nearest_event", "q_resample", "q_key_profile",
     "q_rolling_count", "q_winsorize", "q_mad",
-    "q_streaks", "q_concurrency", "q_autocorr", "q_cusum", "q_spc_days",
+    "q_streaks", "q_concurrency", "q_autocorr", "q_cusum", "q_pettitt", "q_spc_days",
     "q_seasonality", "q_ab_test", "q_interpolate", "q_funnel_latency",
     "q_ks_test", "q_psi_drift", "q_mwu_drift", "q_basket_pairs", "q_fulfillment",
     "q_small_qty", "q_chi2_independence", "q_source_entropy", "q_rolling_active",
@@ -44,12 +44,13 @@ object Bench {
     "q_profit", "q_promo_share", "q_priority_exists", "q_large_orders",
     "q_disjunct_revenue", "q_min_cost_supplier", "q_important_parts",
     "q_idle_rich", "q_dominant_supplier", "q_late_lines",
-    "q_welch_ttest", "q_mann_kendall", "q_theil_sen", "q_churn_rate",
+    "q_welch_ttest", "q_nelson_aalen", "q_mann_kendall", "q_theil_sen", "q_churn_rate",
     "q_token_fertility", "q_forecast_eval", "q_cuped", "q_kcore",
     "q_hazard_curve", "q_embed_cov", "q_pca_top",
     "q_mix_shift", "q_runs_test", "q_mahalanobis", "q_entry_exit",
     "q_funnel_any", "q_dup_token_share", "q_temp_mix", "q_heaps_law",
     "q_customer_lifespan", "q_elasticity", "q_attribution_decay",
+    "q_attribution_markov",
     "q_cluster_sizes", "q_seasonal_strength",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_embed_hi", "q_dedup_keep_best", "q_quality_shrunk",
@@ -61,7 +62,7 @@ object Bench {
     "q_vocab_topk",
     "q_inverted_index", "q_bm25", "q_journeys",
     "q_tfidf_terms", "q_fingerprint", "q_repetition", "q_ngram_counts",
-    "q_heavy_hitters", "q_passage_dedup", "q_line_dedup", "q_dup_rank",
+    "q_heavy_hitters", "q_cms_counts", "q_passage_dedup", "q_line_dedup", "q_dup_rank",
     "q_quality_model", "q_score_auc", "q_corpus_shuffle", "q_quantize_embed", "q_html_strip",
     "q_profile", "q_source_overlap", "q_source_divergence", "q_script_profile", "q_lm_score",
     "q_fix_mojibake",

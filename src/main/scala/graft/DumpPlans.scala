@@ -48,11 +48,20 @@ object DumpPlans {
     // q_cc_bigstar excluded like q_dedup_clusters: the star-contraction
     // loop runs eagerly during construction; the per-round shapes are
     // documented in Dedup.connectedComponentsBigStar.
+    // q_dedup_embed excluded since the r8 routing: at the registered
+    // 0.45 threshold the k-means rounds run eagerly during construction
+    // and the pair plan inlines centroid literals (the q_kmeans /
+    // q_semdedup reason); DedupAnnApiSpec asserts the routing and
+    // PlanSpec the co-cluster join shape.
+    // q_attribution_markov excluded like q_pca_top: the transition
+    // matrix collects during construction, the absorption solve is
+    // driver-side, and the result plan is a LocalTableScan; the
+    // one-(user)-exchange transition build is documented in its note.
     val skip = Set(
       "q_dedup_clusters", "q_kmeans", "q_semdedup", "q_ann_pq",
       "q_bpe_train", "q_split_leakage", "q_cluster_sizes",
       "q_dup_graph_report", "q_dup_source_overlap", "q_pca_top",
-      "q_cc_bigstar")
+      "q_cc_bigstar", "q_dedup_embed", "q_attribution_markov")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !skip(name)) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       out.println(s"########## $name")

@@ -664,6 +664,118 @@ object OlapQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Absorption-solve iterations and quantization for
+    * [[qAttributionMarkov]]: 60 fixed steps on int64 probabilities at
+    * 1e-10 units — enough for geometric convergence far below the
+    * 6-dp display, and small enough that count·p products stay in
+    * int64 at any SF this library meets (counts ≤ ~10⁶ · 10¹⁰ < 2⁶³). */
+  val MarkovIters = 60
+  val MarkovQ = 10000000000L
+
+  /** Data-driven (Markov removal-effect) attribution — the FIFTH model
+    * of the family, the one the heuristics (first/last, U-shaped,
+    * time-decay) approximate: journeys = each user's touch sequence per
+    * purchase credit-group, fitted as a first-order Markov chain
+    * (start → touches → conv/null), channel value = its REMOVAL EFFECT
+    * 1 − P_removed(conv)/P(conv) where removal redirects the channel to
+    * the null absorber (Anderl et al. 2014). Shares normalize removal
+    * effects to 1.
+    *
+    * Scale/parity shape: the corpus does ONE (user) exchange to build
+    * credit groups and transitions, folds to the ≤(states+2)²
+    * transition-count matrix — the ONLY thing the driver collects — and
+    * the absorption solve runs driver-side (the qPcaTop/k-means
+    * control-plane pattern): 60 fixed iterations on int64-quantized
+    * probabilities with per-term integer division, so every engine
+    * replays bit-equal state (the DuckDB oracle does the same solve as
+    * a recursive CTE over a scenario-expanded transition table —
+    * integer sums are order-free, no float fold to replay). */
+  def qAttributionMarkov(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("view", "click", "signup", "error", "purchase"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val g = ev
+      .withColumn(
+        "grp",
+        count(when(col("event_type") === "purchase", 1))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .transform(graft.operators.Materialize.cut)
+    val gg = g
+      .groupBy("user_id", "grp")
+      .agg(
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"),
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("n_touch"))
+    val byJourney =
+      Window.partitionBy("user_id", "grp").orderBy(col("ts_us"), col("event_id"))
+    val seqd = g
+      .filter(col("event_type") =!= "purchase")
+      .withColumn("nxt", lead("event_type", 1).over(byJourney))
+      .withColumn("rn", row_number().over(byJourney))
+    val touchTrans = seqd
+      .join(gg.hint("shuffle_hash"), Seq("user_id", "grp"))
+      .select(
+        col("event_type").as("src"),
+        coalesce(
+          col("nxt"),
+          when(col("conv") === 1, lit("conv")).otherwise(lit("null"))).as("dst"))
+    val startTrans = seqd
+      .filter(col("rn") === 1)
+      .select(lit("start").as("src"), col("event_type").as("dst"))
+    val directConv = gg
+      .filter(col("conv") === 1 && col("n_touch") === 0L)
+      .select(lit("start").as("src"), lit("conv").as("dst"))
+    val tc = touchTrans
+      .unionByName(startTrans)
+      .unionByName(directConv)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    // ---- driver-side absorption solve (statistic-sized state) ----
+    val tot: Map[String, Long] =
+      tc.groupBy(_._1._1).map { case (src, m) => src -> m.values.sum }
+    val touchStates = (tc.keysIterator.flatMap(k => Seq(k._1, k._2)).toSet --
+      Set("start", "conv", "null")).toSeq.sorted
+    def solve(removed: Option[String]): Long = {
+      val transient = ("start" +: touchStates).filterNot(removed.contains)
+      var p = Map("conv" -> MarkovQ, "null" -> 0L) ++
+        ("start" +: touchStates).map(_ -> 0L)
+      for (_ <- 1 to MarkovIters) {
+        val next = transient.map { st =>
+          val ct = tot.getOrElse(st, 0L)
+          st -> (if (ct == 0L) 0L
+                 else
+                   tc.iterator
+                     .filter(_._1._1 == st)
+                     .map { case ((_, dst), c) => c * p(dst) / ct }
+                     .sum)
+        }.toMap
+        p = p ++ next ++ removed.map(_ -> 0L)
+      }
+      p("start")
+    }
+    val pb = solve(None)
+    val pConv =
+      math.floor(pb.toDouble / MarkovQ.toDouble * 1000000.0d + 0.5d) / 1000000.0d
+    val reqs = touchStates.map { st =>
+      val req = if (pb == 0L) 0L else (pb - solve(Some(st))) * 1000000L / pb
+      st -> req
+    }
+    val sreq = reqs.map(_._2).sum
+    val out = reqs.map { case (st, req) =>
+      val share =
+        if (sreq == 0L) 0.0d
+        else
+          math.floor(req.toDouble / sreq.toDouble * 1000000.0d + 0.5d) / 1000000.0d
+      (st, pConv, req.toDouble / 1000000.0d, share)
+    }
+    import s.implicits._
+    out.toDF("state", "p_conv", "removal_effect", "share").orderBy("state")
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles): one
     * per-user aggregate, then three ntile(5) rankings under TOTAL
     * deterministic orders (desc metric, user_id tiebreak) combined
@@ -1376,6 +1488,66 @@ object OlapQueries {
         (col("dy") * DayUs).as("change_day_us"),
         col("t").as("t_scaled"),
         round(abs(col("t")).cast("double") / col("n_days"), 4).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  /** `−ln(α/2)/6` at α = 0.05 — the one constant in Pettitt's critical
+    * value K_crit = √(c·(T³+T²)); a Scala double literal baked into
+    * BOTH engines' plans (Double.toString round-trips), so the only
+    * float ops are one multiply and one correctly-rounded sqrt of
+    * identical operands. */
+  val PettittCritFactor: Double = -math.log(0.025) / 6.0
+
+  /** Pettitt changepoint test per event type (Pettitt 1979) — the
+    * rank-based, distribution-free complement of [[qCusum]]'s
+    * mean-shift scan: U_t = Σ_{i≤t}Σ_{j>t} sgn(xᵢ−xⱼ) over the dense
+    * daily series, K = max|U_t|, change day = the argmax. INTEGER-EXACT
+    * throughout: per-day sgn mass s_i = 2·rank + ties − 2 − T (minrank
+    * + tie count give #less/#greater without any midrank fraction), U_t
+    * is the running integer sum of s_i, and the α = 0.05 significance
+    * fence is one sqrt of identical doubles ([[PettittCritFactor]]).
+    * Scale shape: the corpus folds to per-(type, day) counts in one
+    * exchange; every window runs over the calendar-sized series table
+    * partitioned by type. */
+  def qPettitt(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val series = counts
+      .groupBy("event_type")
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("dy"))
+      .join(counts, Seq("event_type", "dy"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+    val byType = Window.partitionBy("event_type")
+    val byDay = byType.orderBy("dy")
+    val scored = series
+      .withColumn("t_days", count(lit(1)).over(byType))
+      .withColumn("rk", rank().over(byType.orderBy("x")).cast("long"))
+      .withColumn("ties", count(lit(1)).over(Window.partitionBy("event_type", "x")))
+      .withColumn("s", lit(2L) * col("rk") + col("ties") - lit(2L) - col("t_days"))
+      .withColumn(
+        "u",
+        sum("s").over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .filter(col("i") < col("t_days")) // U_T ≡ 0: not a cut point
+    val pick = Window
+      .partitionBy("event_type")
+      .orderBy(abs(col("u")).desc, col("dy"))
+    val crit = sqrt(
+      (col("t_days") * col("t_days") * col("t_days") +
+        col("t_days") * col("t_days")).cast("double") * lit(PettittCritFactor))
+    scored
+      .withColumn("prk", row_number().over(pick))
+      .filter(col("prk") === 1)
+      .select(
+        col("event_type"),
+        col("t_days").as("n_days"),
+        (col("dy") * DayUs).as("change_day_us"),
+        abs(col("u")).as("k_stat"),
+        round(crit, 4).as("k_crit"),
+        (abs(col("u")).cast("double") > crit).as("significant"))
       .orderBy("event_type")
   }
 
@@ -3132,6 +3304,7 @@ object OlapQueries {
     "q_entry_exit" -> qEntryExit _,
     "q_funnel_any" -> qFunnelAny _,
     "q_attribution_decay" -> qAttributionDecay _,
+    "q_attribution_markov" -> qAttributionMarkov _,
     "q_attribution" -> qAttribution _,
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
@@ -3165,6 +3338,7 @@ object OlapQueries {
     "q_concurrency" -> qConcurrency _,
     "q_autocorr" -> qAutocorr _,
     "q_cusum" -> qCusum _,
+    "q_pettitt" -> qPettitt _,
     "q_spc_days" -> qSpcDays _,
     "q_seasonality" -> qSeasonality _,
     "q_ab_test" -> qAbTest _,
@@ -3844,6 +4018,37 @@ object OlapQueries {
         |       dy * 86400000000 AS change_day_us, t AS t_scaled,
         |       round(CAST(abs(t) AS DOUBLE) / n_days, 4) AS max_dev
         |FROM t WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // Pettitt: integer rank algebra end to end (minrank + tie count
+    // avoid midrank fractions); the only doubles are the critical-value
+    // multiply+sqrt of identical operands in both engines
+    "q_pettitt" ->
+      s"""WITH counts AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(dy) AS lo, max(dy) AS hi FROM counts GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS dy FROM bounds),
+         |series AS (
+         |  SELECT g.event_type, g.dy, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+         |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+         |scored AS (
+         |  SELECT event_type, dy, x,
+         |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t_days,
+         |         CAST(rank() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS rk,
+         |         CAST(count(*) OVER (PARTITION BY event_type, x) AS BIGINT) AS ties,
+         |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY dy) AS BIGINT) AS i
+         |  FROM series),
+         |u AS (
+         |  SELECT *,
+         |         CAST(sum(2 * rk + ties - 2 - t_days) OVER (PARTITION BY event_type ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u
+         |  FROM scored),
+         |pick AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY abs(u) DESC, dy) AS prk
+         |  FROM u WHERE i < t_days)
+         |SELECT event_type, t_days AS n_days, dy * 86400000000 AS change_day_us,
+         |       abs(u) AS k_stat,
+         |       round(sqrt(CAST(t_days * t_days * t_days + t_days * t_days AS DOUBLE) * $PettittCritFactor), 4) AS k_crit,
+         |       CAST(abs(u) AS DOUBLE) > sqrt(CAST(t_days * t_days * t_days + t_days * t_days AS DOUBLE) * $PettittCritFactor) AS significant
+         |FROM pick WHERE prk = 1 ORDER BY event_type""".stripMargin,
     "q_spc_days" ->
       """WITH counts AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
@@ -4260,6 +4465,83 @@ object OlapQueries {
          |SELECT purchase_id, click_id, user_id, age_buckets,
          |       floor(CAST(w_int AS DOUBLE) / CAST(tot_w AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS credit
          |FROM tot ORDER BY purchase_id, click_id""".stripMargin,
+    // Markov removal-effect attribution: the recursive CTE replays the
+    // driver's absorption solve exactly — int64 probabilities at 1e-10
+    // units, per-term integer division, 60 synchronous steps over a
+    // scenario-expanded transition table (removal = the channel's
+    // outgoing edges replaced by one edge to the null absorber; edges
+    // INTO it contribute 0 through its pinned p). Integer sums are
+    // order-free, so no float fold needs replaying.
+    "q_attribution_markov" ->
+      s"""WITH RECURSIVE evs AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         |         coalesce(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+         |  FROM events
+         |  WHERE event_type IN ('view', 'click', 'signup', 'error', 'purchase')),
+         |gg AS (
+         |  SELECT user_id, grp,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |         sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS n_touch
+         |  FROM evs GROUP BY 1, 2),
+         |seqd AS (
+         |  SELECT user_id, grp, event_type,
+         |         lead(event_type) OVER (PARTITION BY user_id, grp ORDER BY ts_us, event_id) AS nxt,
+         |         row_number() OVER (PARTITION BY user_id, grp ORDER BY ts_us, event_id) AS rn
+         |  FROM evs WHERE event_type <> 'purchase'),
+         |trans AS (
+         |  SELECT s.event_type AS src,
+         |         coalesce(s.nxt, CASE WHEN g.conv = 1 THEN 'conv' ELSE 'null' END) AS dst
+         |  FROM seqd s JOIN gg g USING (user_id, grp)
+         |  UNION ALL
+         |  SELECT 'start', event_type FROM seqd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT 'start', 'conv' FROM gg WHERE conv = 1 AND n_touch = 0),
+         |tcnt AS (SELECT src, dst, count(*) AS c FROM trans GROUP BY 1, 2),
+         |tot AS (SELECT src, sum(c) AS ct FROM tcnt GROUP BY 1),
+         |tstates AS (
+         |  SELECT DISTINCT st FROM (
+         |    SELECT src AS st FROM tcnt WHERE src <> 'start'
+         |    UNION SELECT dst FROM tcnt WHERE dst NOT IN ('conv', 'null'))),
+         |scen AS (SELECT 'base' AS scen UNION ALL SELECT st FROM tstates),
+         |stc AS (
+         |  SELECT s.scen, t.src, t.dst, t.c, o.ct
+         |  FROM scen s CROSS JOIN tcnt t JOIN tot o ON o.src = t.src
+         |  WHERE NOT (s.scen <> 'base' AND t.src = s.scen)
+         |  UNION ALL
+         |  SELECT s.scen, s.scen, 'null', 1, 1 FROM scen s WHERE s.scen <> 'base'
+         |  UNION ALL
+         |  SELECT s.scen, 'conv', 'conv', 1, 1 FROM scen s
+         |  UNION ALL
+         |  SELECT s.scen, 'null', 'null', 1, 1 FROM scen s),
+         |allst AS (
+         |  SELECT st FROM tstates
+         |  UNION ALL SELECT 'start' UNION ALL SELECT 'conv' UNION ALL SELECT 'null'),
+         |it AS (
+         |  SELECT 0 AS k, s.scen, u.st,
+         |         CAST(CASE WHEN u.st = 'conv' THEN $MarkovQ ELSE 0 END AS BIGINT) AS pq
+         |  FROM scen s CROSS JOIN allst u
+         |  UNION ALL
+         |  SELECT it.k + 1, stc.scen, stc.src AS st,
+         |         CAST(sum((stc.c * it.pq) // stc.ct) AS BIGINT) AS pq
+         |  FROM it JOIN stc ON stc.scen = it.scen AND stc.dst = it.st
+         |  WHERE it.k < $MarkovIters
+         |  GROUP BY it.k + 1, stc.scen, stc.src),
+         |fin AS (SELECT scen, pq FROM it WHERE k = $MarkovIters AND st = 'start'),
+         |basep AS (SELECT pq AS pb FROM fin WHERE scen = 'base'),
+         |req AS (
+         |  SELECT f.scen AS state, b.pb,
+         |         CASE WHEN b.pb = 0 THEN 0
+         |              ELSE ((b.pb - f.pq) * 1000000) // b.pb END AS req
+         |  FROM fin f CROSS JOIN basep b WHERE f.scen <> 'base'),
+         |totreq AS (SELECT sum(req) AS sreq FROM req)
+         |SELECT state,
+         |       floor(CAST(pb AS DOUBLE) / ${MarkovQ.toDouble} * 1000000.0 + 0.5) / 1000000.0 AS p_conv,
+         |       CAST(req AS DOUBLE) / 1000000.0 AS removal_effect,
+         |       CASE WHEN sreq = 0 THEN 0.0
+         |            ELSE floor(CAST(req AS DOUBLE) / CAST(sreq AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS share
+         |FROM req CROSS JOIN totreq ORDER BY state""".stripMargin,
     "q_skyline" ->
       """WITH stats AS (
         |  SELECT o_custkey,

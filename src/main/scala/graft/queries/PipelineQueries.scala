@@ -2181,6 +2181,57 @@ object PipelineQueries {
         col("e.count_hi").as("count_hi"))
   }
 
+  val CmsDepth = 4
+  val CmsWidth = 1024
+  val CmsSeedBase = 9000
+  val CmsTopK = 20
+
+  /** Count-Min sketch (Cormode–Muthukrishnan 2005) over corpus token
+    * frequencies, evaluated against exact counts — the THIRD sketch
+    * family beside KMV (distinct counts) and Misra–Gries (heavy
+    * hitters), and like KMV it is fully HASH-CHECKABLE: the md5 hash
+    * family is deterministic, so the DuckDB oracle rebuilds the
+    * identical 4×1024 counter grid and the identical min-probe
+    * estimates. CMS guarantees est ≥ exact (one-sided error ≤ εN with
+    * ε = e/width at depth ln(1/δ)); the report shows the top-20 tokens'
+    * exact tf, the sketch estimate, and the overcount.
+    *
+    * Scale shape: the corpus folds ONCE to its (tok, tf) vocabulary
+    * (map-side combine — the q_vocab_topk shape); the ×depth hash
+    * explode runs over the VOCABULARY, not the corpus, and the counter
+    * grid is depth×width rows no matter the data. At 100 TB the grid is
+    * the only thing two corpora need exchange to compare frequency
+    * profiles — counters are mergeable by addition. */
+  def qCmsCounts(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val tf = docs(s, d)
+      .select(explode(expr("graft_tokens(text)")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.operators.Materialize.cut)
+    def hashed(src: DataFrame) = (0 until CmsDepth)
+      .map(r =>
+        src.select(
+          col("tok"),
+          col("tf"),
+          lit(r).as("r"),
+          pmod(Hashing.md5LongSeeded(CmsSeedBase + r, col("tok")), lit(CmsWidth.toLong))
+            .as("b")))
+      .reduce(_.unionByName(_))
+    val counters = hashed(tf).groupBy("r", "b").agg(sum("tf").as("c"))
+    val top = tf.orderBy(col("tf").desc, col("tok")).limit(CmsTopK)
+    hashed(top)
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy("tok", "tf")
+      .agg(min("c").as("cms_est"))
+      .select(
+        col("tok"),
+        col("tf").as("exact_tf"),
+        col("cms_est"),
+        (col("cms_est") - col("tf")).as("overcount"))
+      .transform(sortSmall(_, "tok"))
+  }
+
   val NgramTopK = 20
 
   /** Corpus-level bigram count head — the LM n-gram-statistics shape:
@@ -3026,6 +3077,7 @@ object PipelineQueries {
     "q_repetition" -> qRepetition _,
     "q_ngram_counts" -> qNgramCounts _,
     "q_heavy_hitters" -> qHeavyHitters _,
+    "q_cms_counts" -> qCmsCounts _,
     "q_passage_dedup" -> qPassageDedup _,
     "q_line_dedup" -> qLineDedup _,
     "q_corpus_shuffle" -> qCorpusShuffle _,
@@ -3710,6 +3762,28 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin,
+    // Count-Min: the md5 hash family is deterministic, so the oracle
+    // rebuilds the identical depth×width counter grid and min-probes
+    "q_cms_counts" -> {
+      val hashUnion = (0 until CmsDepth)
+        .map(r =>
+          s"SELECT tok, tf, $r AS r, (${Hashing.duckMd5LongSeeded(CmsSeedBase + r, "tok")}) % $CmsWidth AS b FROM tf")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+         |hx AS (
+         |  $hashUnion),
+         |counters AS (SELECT r, b, SUM(tf) AS c FROM hx GROUP BY r, b),
+         |top AS (SELECT tok FROM tf ORDER BY tf DESC, tok LIMIT $CmsTopK)
+         |SELECT hx.tok, hx.tf AS exact_tf, MIN(c.c) AS cms_est,
+         |       MIN(c.c) - hx.tf AS overcount
+         |FROM hx JOIN top USING (tok)
+         |JOIN counters c ON c.r = hx.r AND c.b = hx.b
+         |GROUP BY hx.tok, hx.tf
+         |ORDER BY tok""".stripMargin
+    },
     "q_inverted_index" ->
       """WITH p0 AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok

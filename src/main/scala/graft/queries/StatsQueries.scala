@@ -635,8 +635,38 @@ object StatsQueries {
 
   // ---------------------------------------------------------------
 
+  /** Nelson–Aalen cumulative hazard over the same signup→purchase life
+    * table as [[qKaplanMeier]] — the estimator KM textbooks pair with
+    * the product-limit curve: H(d) = Σ_{d'≤d} dᵢ/nᵢ with variance
+    * Σ dᵢ/nᵢ² (Aalen 1978). Each increment is floor-quantized to int64
+    * BEFORE its cumulative sum (integer DIV at 1e-9 hazard / 1e-12
+    * variance units), so the running sums are order-free integers and
+    * the only doubles are two final divisions — engine-exact WITHOUT
+    * replaying a sequential fold (the KM oracle needs a recursive CTE
+    * for its product; the additive estimator doesn't). Scale shape:
+    * rides the one-exchange [[hazardTable]]; the cumulative windows run
+    * over the ≤ observation-window-days statistic table. */
+  def qNelsonAalen(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hazardTable(s, d)
+      .withColumn("hq", expr("(n_convert * 1000000000L) DIV at_risk"))
+      .withColumn(
+        "vq",
+        expr("(n_convert * 1000000000000L) DIV (at_risk * at_risk)"))
+      .select(
+        col("d"),
+        col("at_risk"),
+        col("n_convert"),
+        floor6(sum("hq").over(w).cast("double") / lit(1e9d)).as("cum_hazard"),
+        floor6(sum("vq").over(w).cast("double") / lit(1e12d)).as("cum_var"))
+      .transform(sortSmall(_, col("d")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
+    "q_nelson_aalen" -> qNelsonAalen _,
     "q_mann_kendall" -> qMannKendall _,
     "q_theil_sen" -> qTheilSen _,
     "q_churn_rate" -> qChurnRate _,
@@ -890,6 +920,22 @@ object StatsQueries {
          |       ${floor6Sql(
           "CAST(n_convert AS DOUBLE) / CAST(at_risk AS DOUBLE)")} AS hazard
          |FROM ht ORDER BY d""".stripMargin,
+    // Nelson–Aalen: increments quantized to int64 BEFORE the cumulative
+    // sum (integer //), so no recursive CTE is needed — integer running
+    // sums are order-free
+    "q_nelson_aalen" ->
+      s"""WITH $hazardTableSql,
+         |q AS (
+         |  SELECT d, at_risk, n_convert,
+         |         (n_convert * 1000000000) // at_risk AS hq,
+         |         (n_convert * 1000000000000) // (at_risk * at_risk) AS vq
+         |  FROM ht)
+         |SELECT d, at_risk, n_convert,
+         |       ${floor6Sql(
+          "CAST(SUM(hq) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9")} AS cum_hazard,
+         |       ${floor6Sql(
+          "CAST(SUM(vq) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e12")} AS cum_var
+         |FROM q ORDER BY d""".stripMargin,
     // Kaplan–Meier: the running product replays the Spark fold's exact
     // IEEE multiply sequence day by day (recursive CTE over the
     // day-ranked life table)

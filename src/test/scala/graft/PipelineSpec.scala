@@ -246,6 +246,37 @@ class PipelineSpec extends SparkSpec {
     assert(los == los.sorted.reverse)
   }
 
+  test("Count-Min sketch is one-sided: estimate >= exact for EVERY token") {
+    import graft.queries.PipelineQueries._
+    // the oracle checks the top-20 report; the CMS guarantee is
+    // universal, so probe the WHOLE vocabulary against the grid
+    val toks = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val hashed = (0 until CmsDepth)
+      .map(r => tf.select(
+        col("tok"), col("tf"), lit(r).as("r"),
+        pmod(graft.functions.Hashing.md5LongSeeded(CmsSeedBase + r, col("tok")),
+          lit(CmsWidth.toLong)).as("b")))
+      .reduce(_.unionByName(_))
+    val counters = hashed.groupBy("r", "b").agg(sum("tf").as("c"))
+    val est = hashed.join(counters, Seq("r", "b"))
+      .groupBy("tok", "tf").agg(min("c").as("est"))
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("tf"),
+        s"CMS undercounted ${r.getAs[String]("tok")}")
+    }
+    // every counter row's value is the sum of its bucket's tokens —
+    // total mass per depth row equals the corpus token count
+    val n = tf.agg(sum("tf")).collect()(0).getLong(0)
+    val perRow = counters.groupBy("r").agg(sum("c").as("mass")).collect()
+    assert(perRow.length == CmsDepth)
+    perRow.foreach(r => assert(r.getAs[Long]("mass") == n))
+  }
+
   test("graft_topk is exact when capacity covers the key space") {
     graft.functions.expressions.TopKSketch.register(spark)
     val df = spark.range(0, 1000)
