@@ -50,7 +50,7 @@ object Bench {
     "q_mix_shift", "q_runs_test", "q_mahalanobis", "q_entry_exit",
     "q_funnel_any", "q_dup_token_share", "q_temp_mix", "q_heaps_law",
     "q_customer_lifespan", "q_elasticity", "q_attribution_decay",
-    "q_attribution_markov",
+    "q_attribution_markov", "q_attribution_shapley",
     "q_cluster_sizes", "q_seasonal_strength",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_embed_hi", "q_dedup_keep_best", "q_quality_shrunk",

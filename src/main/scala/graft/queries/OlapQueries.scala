@@ -776,6 +776,100 @@ object OlapQueries {
     out.toDF("state", "p_conv", "removal_effect", "share").orderBy("state")
   }
 
+  /** Coalition-value quantization for [[qAttributionShapley]]: 1e-12
+    * conversion-rate units — conv·Q products stay far inside int64 at
+    * any journey count this library meets (≤ ~10⁶ · 10¹² < 2⁶³ / 8). */
+  val ShapleyQ = 1000000000000L
+
+  /** Shapley-value attribution (Shapley 1953; Zhao et al. 2018 for the
+    * marketing formulation) — the SIXTH attribution model and the other
+    * data-driven one beside [[qAttributionMarkov]]: each journey
+    * contributes its touched-channel SET, the coalition value
+    * v(S) = conversion rate of journeys reaching only channels ⊆ S, and
+    * a channel's credit is its exact Shapley value
+    * φ_c = Σ_S |S|!(n−1−|S|)!/n! · (v(S∪c) − v(S)).
+    *
+    * INTEGER-EXACT: v(S) is quantized to int64 1e-12 units via integer
+    * DIV, factorial weights are integers with n! factored out, so φ·n!·Q
+    * is an exact integer in BOTH engines — and the Shapley efficiency
+    * identity Σφ = v(N) − v(∅) holds EXACTLY in those integers
+    * (spec-asserted), not just approximately.
+    *
+    * Scale shape: ONE (user) exchange builds credit-group journeys;
+    * each folds to a ≤2ⁿ-entry (mask, tot, conv) table (n = |channels|,
+    * 4 here), and everything after — subset sums, the coalition grid,
+    * the marginal-contribution join — is bounded 2ⁿ×2ⁿ broadcast
+    * products over statistic tables, never the corpus. */
+  def qAttributionShapley(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("view", "click", "signup", "error", "purchase"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val g = ev.withColumn(
+      "grp",
+      count(when(col("event_type") === "purchase", 1))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+    val chans = g
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("ch"))
+      .distinct()
+      .withColumn("rk", dense_rank().over(Window.orderBy("ch")))
+      .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(rk - 1 AS INT))"))
+    val nc = chans.count().toInt // channel-alphabet-sized control plane
+    require(nc <= 5, s"Shapley coalition grid is 2^n — got n=$nc channels")
+    val factN = (1 to nc).product.toLong
+    // per-journey touched mask (+ conversion flag): purchases carry no
+    // bit (left join misses → null → bit_or skips), touchless journeys
+    // coalesce to the empty coalition
+    val jm = g
+      .join(broadcast(chans), col("event_type") === col("ch"), "left")
+      .groupBy("user_id", "grp")
+      .agg(
+        coalesce(expr("bit_or(bit)"), lit(0L)).as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("tot"), sum("conv").as("conv"))
+    // coalition table: v(S) over journeys with mask ⊆ S (subset check =
+    // bounded non-equi broadcast product of two ≤2^n-row tables)
+    val coalitions = s
+      .range(0L, 1L << nc)
+      .select(col("id").as("m"))
+      .join(broadcast(jm), expr("(mask & m) = mask"), "left")
+      .groupBy("m")
+      .agg(
+        coalesce(sum("tot"), lit(0L)).as("tot"),
+        coalesce(sum("conv"), lit(0L)).as("conv"))
+      .withColumn(
+        "vq",
+        when(col("tot") > 0, expr(s"(conv * $ShapleyQ) DIV tot")).otherwise(0L))
+      .select("m", "vq")
+    val fact = (k: Column) => // n ≤ 5 ⇒ factorials to 4! suffice
+      when(k <= 1, 1L).when(k === 2, 2L).when(k === 3, 6L).otherwise(24L)
+    val without = chans
+      .join(broadcast(coalitions), expr("(m & bit) = 0"))
+      .select(col("ch"), col("bit"), col("m").as("s0"), col("vq").as("vq0"))
+    val phi = without
+      .join(
+        broadcast(coalitions.select(col("m").as("s1"), col("vq").as("vq1"))),
+        expr("s1 = (s0 | bit)"))
+      .withColumn("w", fact(expr("bit_count(s0)")) * fact(lit(nc.toLong) - 1L - expr("bit_count(s0)")))
+      .groupBy("ch")
+      .agg(sum(col("w") * (col("vq1") - col("vq0"))).as("phi_q"))
+    val tot = phi.agg(sum("phi_q").as("sum_q"))
+    phi
+      .crossJoin(broadcast(tot))
+      .select(
+        col("ch").as("state"),
+        (floor(
+          col("phi_q").cast("double") / lit((factN * ShapleyQ).toDouble) *
+            1000000.0d + 0.5d) / 1000000.0d).as("shapley_value"),
+        when(col("sum_q") =!= 0L,
+          floor(
+            col("phi_q").cast("double") / col("sum_q").cast("double") *
+              1000000.0d + 0.5d) / 1000000.0d).otherwise(0.0d).as("share"))
+      .orderBy("state")
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles): one
     * per-user aggregate, then three ntile(5) rankings under TOTAL
     * deterministic orders (desc metric, user_id tiebreak) combined
@@ -3305,6 +3399,7 @@ object OlapQueries {
     "q_funnel_any" -> qFunnelAny _,
     "q_attribution_decay" -> qAttributionDecay _,
     "q_attribution_markov" -> qAttributionMarkov _,
+    "q_attribution_shapley" -> qAttributionShapley _,
     "q_attribution" -> qAttribution _,
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
@@ -4542,6 +4637,56 @@ object OlapQueries {
          |       CASE WHEN sreq = 0 THEN 0.0
          |            ELSE floor(CAST(req AS DOUBLE) / CAST(sreq AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS share
          |FROM req CROSS JOIN totreq ORDER BY state""".stripMargin,
+    // Shapley: v(S) quantized to int64 1e-12 units via integer //, the
+    // factorial weights integer with n! factored out — φ·n!·Q is an
+    // exact integer both engines agree on; only the two display
+    // divisions are floats
+    "q_attribution_shapley" ->
+      s"""WITH evs AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         |         coalesce(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+         |  FROM events
+         |  WHERE event_type IN ('view', 'click', 'signup', 'error', 'purchase')),
+         |cb AS (
+         |  SELECT ch, CAST(1 AS BIGINT) << CAST(dense_rank() OVER (ORDER BY ch) - 1 AS INT) AS bit
+         |  FROM (SELECT DISTINCT event_type AS ch FROM evs WHERE event_type <> 'purchase')),
+         |ncnt AS (SELECT count(*) AS n FROM cb),
+         |jm0 AS (
+         |  SELECT e.user_id, e.grp,
+         |         coalesce(bit_or(cb.bit), 0) AS mask,
+         |         max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM evs e LEFT JOIN cb ON e.event_type = cb.ch
+         |  GROUP BY 1, 2),
+         |jm AS (SELECT mask, count(*) AS tot, sum(conv) AS conv FROM jm0 GROUP BY 1),
+         |masks AS (SELECT unnest(generate_series(0, (CAST(1 AS BIGINT) << CAST(n AS INT)) - 1)) AS m FROM ncnt),
+         |coal AS (
+         |  SELECT m, coalesce(sum(tot), 0) AS tot, coalesce(sum(conv), 0) AS conv
+         |  FROM masks LEFT JOIN jm ON (jm.mask & masks.m) = jm.mask GROUP BY 1),
+         |vq AS (
+         |  SELECT m, CASE WHEN tot > 0 THEN (conv * $ShapleyQ) // tot ELSE 0 END AS vq
+         |  FROM coal),
+         |marg AS (
+         |  SELECT cb.ch, bit_count(s0.m) AS k, s0.vq AS vq0, s1.vq AS vq1
+         |  FROM cb JOIN vq s0 ON (s0.m & cb.bit) = 0
+         |          JOIN vq s1 ON s1.m = (s0.m | cb.bit)),
+         |phi AS (
+         |  SELECT ch,
+         |         sum((CASE WHEN k <= 1 THEN 1 WHEN k = 2 THEN 2 WHEN k = 3 THEN 6 ELSE 24 END)
+         |             * (CASE WHEN n - 1 - k <= 1 THEN 1 WHEN n - 1 - k = 2 THEN 2 WHEN n - 1 - k = 3 THEN 6 ELSE 24 END)
+         |             * (vq1 - vq0)) AS phi_q
+         |  FROM marg CROSS JOIN ncnt GROUP BY ch, n),
+         |factn AS (
+         |  SELECT CASE n WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 ELSE 120 END AS fn
+         |  FROM ncnt),
+         |tq AS (SELECT sum(phi_q) AS sum_q FROM phi)
+         |SELECT ch AS state,
+         |       floor(CAST(phi_q AS DOUBLE) / (CAST(fn AS DOUBLE) * ${ShapleyQ.toDouble}) * 1000000.0 + 0.5) / 1000000.0 AS shapley_value,
+         |       CASE WHEN sum_q <> 0
+         |            THEN floor(CAST(phi_q AS DOUBLE) / CAST(sum_q AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         |            ELSE 0.0 END AS share
+         |FROM phi CROSS JOIN factn CROSS JOIN tq ORDER BY state""".stripMargin,
     "q_skyline" ->
       """WITH stats AS (
         |  SELECT o_custkey,

@@ -566,4 +566,51 @@ class OlapSpec extends SparkSpec {
     assert(top.contains(("src_a", 1L, "zebra")))
     assert(top.contains(("src_b", 1L, "plain")))
   }
+
+  test("Shapley attribution: efficiency identity and share normalization") {
+    val out = OlapQueries.qAttributionShapley(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    // independently recompute v(N) and v(empty): the conversion rate of
+    // ALL journeys vs of touchless journeys, with the query's exact
+    // quantization — Shapley efficiency says the values must sum to
+    // v(N) − v(∅) (display rounding is the only slack)
+    val ev = graft.sources.Tables
+      .events(spark, SfDir)
+      .filter(col("event_type")
+        .isin("view", "click", "signup", "error", "purchase"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val j = ev
+      .withColumn(
+        "grp",
+        count(when(col("event_type") === "purchase", 1)).over(
+          byUser.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .groupBy("user_id", "grp")
+      .agg(
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("nt"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .agg(
+        count(lit(1)).as("tot"),
+        sum("conv").as("conv"),
+        sum(when(col("nt") === 0L, 1L).otherwise(0L)).as("tot0"),
+        sum(when(col("nt") === 0L, col("conv")).otherwise(0L)).as("conv0"))
+      .collect()(0)
+    val q = OlapQueries.ShapleyQ
+    def vq(c: Long, t: Long) = if (t == 0L) 0L else c * q / t
+    val expect =
+      (vq(j.getAs[Long]("conv"), j.getAs[Long]("tot")) -
+        vq(j.getAs[Long]("conv0"), j.getAs[Long]("tot0"))).toDouble / q
+    val sumShap = out.map(_.getAs[Double]("shapley_value")).sum
+    assert(
+      math.abs(sumShap - expect) < 1e-5,
+      s"efficiency violated: sum=$sumShap expected=$expect")
+    // shares normalize to 1 (display rounding slack)
+    val sumShare = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(sumShare - 1.0) < 1e-5, s"shares sum to $sumShare")
+    // channel set = the four touch types, alphabetical
+    assert(out.map(_.getAs[String]("state")).toSeq ==
+      Seq("click", "error", "signup", "view"))
+  }
 }

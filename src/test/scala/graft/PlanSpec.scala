@@ -244,6 +244,9 @@ class PlanSpec extends SparkSpec {
       "q_hazard_curve", // one-row corpus-end (censoring bound) broadcast
       "q_kaplan_meier", // same one-row censoring bound as q_hazard_curve
       "q_nelson_aalen", // same one-row censoring bound as q_hazard_curve
+      "q_attribution_shapley", // 2^n-row coalition grids: subset probe,
+                               // marginal pairing, one-row normalizers —
+                               // every product side is statistic-sized
       "q_pca_top", // one-row normalization / eigenvalue scalars per round
       "q_runs_test", // day-count statistic × one-row count/median picks
       "q_mahalanobis", // one-row (mu, var) array broadcast over the scan
