@@ -84,6 +84,10 @@ object Bench {
     "q_ndcg", "q_basket_rules", "q_cc_bigstar",
     "q_kmv_sketch", "q_kmv_overlap", "q_kaplan_meier", "q_mutual_info", "q_holt_winters",
     "q_filtered_revenue", "q_supplier_part_types",
+    "q_anova", "q_kruskal_wallis", "q_cochran_armitage",
+    "q_page_hinkley", "q_ccf", "q_fano",
+    "q_gtest_terms", "q_graph_assortativity", "q_spearman",
+    "q_cohens_kappa", "q_fuzzy_join",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {

@@ -32,7 +32,8 @@ final class EventLog(
     val spark: SparkSession,
     val path: String,
     peekCacheTtlMs: Long = 2 * 60 * 1000L,
-    peekCacheSweepMs: Long = 60 * 1000L) {
+    peekCacheSweepMs: Long = 60 * 1000L,
+    peekCacheClock: () => Long = () => System.currentTimeMillis()) {
   import spark.implicits._
 
   private val dataDir = s"$path/data"
@@ -61,7 +62,10 @@ final class EventLog(
     * (space, segment) pairs this driver actually touches within the
     * TTL, one entry payload each — the reference's expiring envelope. */
   private val peekCache =
-    new ExpiringCache[(String, String), Option[Entry]](peekCacheTtlMs, peekCacheSweepMs)
+    new ExpiringCache[(String, String), Option[Entry]](
+      peekCacheTtlMs,
+      peekCacheSweepMs,
+      peekCacheClock)
 
   /** Push-notification fan-out for this log: produce/publish (and
     * [[TxnLog.commit]]) publish their [[SegmentStatus]] acks here the

@@ -20,18 +20,22 @@ import scala.collection.concurrent.TrieMap
   *    that runs AMORTIZED on writes at most every `sweepIntervalMs` —
   *    same bound as the reference's cleanup goroutine without needing a
   *    thread per cache (a driver may hold many EventLogs).
+  *  - `nowMs` injects the clock: production uses the wall clock; specs
+  *    pass a manual clock so TTL-boundary behavior is asserted exactly,
+  *    without sleeps that flake under suite load.
   */
 final class ExpiringCache[K, V](
     ttlMs: Long = 2 * 60 * 1000L,
-    sweepIntervalMs: Long = 60 * 1000L) {
+    sweepIntervalMs: Long = 60 * 1000L,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
   require(ttlMs > 0 && sweepIntervalMs > 0, "ttl and sweep interval must be positive")
 
   private final case class Item(value: V, expiresAt: Long)
   private val store = TrieMap.empty[K, Item]
-  private val lastSweep = new AtomicLong(System.currentTimeMillis())
+  private val lastSweep = new AtomicLong(nowMs())
 
   def get(k: K): Option[V] = store.get(k) match {
-    case Some(it) if System.currentTimeMillis() <= it.expiresAt => Some(it.value)
+    case Some(it) if nowMs() <= it.expiresAt => Some(it.value)
     case Some(_) => store.remove(k); None
     case None => None
   }
@@ -48,7 +52,7 @@ final class ExpiringCache[K, V](
   }
 
   def put(k: K, v: V): Unit = {
-    store.put(k, Item(v, System.currentTimeMillis() + ttlMs))
+    store.put(k, Item(v, nowMs() + ttlMs))
     maybeSweep()
   }
 
@@ -63,7 +67,7 @@ final class ExpiringCache[K, V](
   /** Live (unexpired) entry count — expired-but-unswept entries don't
     * count, mirroring the reference's read-side expiry. */
   def size: Int = {
-    val now = System.currentTimeMillis()
+    val now = nowMs()
     store.count { case (_, it) => now <= it.expiresAt }
   }
 
@@ -74,7 +78,7 @@ final class ExpiringCache[K, V](
   /** Eviction pass, amortized behind writes: at most one scan per
     * `sweepIntervalMs`, dropping entries whose TTL has lapsed. */
   private def maybeSweep(): Unit = {
-    val now = System.currentTimeMillis()
+    val now = nowMs()
     val last = lastSweep.get()
     if (now - last >= sweepIntervalMs && lastSweep.compareAndSet(last, now)) {
       store.foreach { case (k, it) => if (now > it.expiresAt) store.remove(k) }
@@ -83,7 +87,7 @@ final class ExpiringCache[K, V](
 
   /** Immediate eviction pass (close/test hook). */
   def sweepNow(): Unit = {
-    val now = System.currentTimeMillis()
+    val now = nowMs()
     lastSweep.set(now)
     store.foreach { case (k, it) => if (now > it.expiresAt) store.remove(k) }
   }

@@ -1645,6 +1645,169 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** Page–Hinkley changepoint detector per event type (Page 1954,
+    * Hinkley 1971) — the SEQUENTIAL complement of [[qCusum]]/
+    * [[qPettitt]]: those scan a closed series for the single best cut;
+    * PH tracks the running deviation m_t = Σ(xᵢ − x̄ᵢ) against its
+    * running extremum, the statistic a live monitor would raise.
+    * INTEGER-EXACT: each expanding mean x̄ᵢ = prefixᵢ/i is quantized
+    * per-day to µ-units by integer DIV (order-free — quantize THEN
+    * cumulate), so m, its running min/max, and both one-sided
+    * statistics PH⁺ = m − min m, PH⁻ = max m − m are exact int64 in
+    * µ-event units; only the two reported magnitudes divide back to
+    * float. Scale shape: corpus → per-(type, day) counts in one
+    * exchange; all windows run over the calendar-sized series. */
+  def qPageHinkley(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val series = counts
+      .groupBy("event_type")
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("dy"))
+      .join(counts, Seq("event_type", "dy"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("dy")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = series
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum("x").over(cum))
+      .withColumn("qmean", expr("(prefix * 1000000L) DIV i"))
+      .withColumn("m", col("prefix") * lit(1000000L) - sum("qmean").over(cum))
+      .withColumn("ph_plus", col("m") - min("m").over(cum))
+      .withColumn("ph_minus", max("m").over(cum) - col("m"))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy("event_type")))
+    val pickUp = Window.partitionBy("event_type").orderBy(col("ph_plus").desc, col("dy"))
+    val pickDn = Window.partitionBy("event_type").orderBy(col("ph_minus").desc, col("dy"))
+    val up = scored
+      .withColumn("rk", row_number().over(pickUp))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"),
+        col("n_days"),
+        (col("dy") * DayUs).as("up_day_us"),
+        floor6(col("ph_plus").cast("double") / 1e6d).as("ph_up"))
+    val dn = scored
+      .withColumn("rk", row_number().over(pickDn))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type").as("et2"),
+        (col("dy") * DayUs).as("down_day_us"),
+        floor6(col("ph_minus").cast("double") / 1e6d).as("ph_down"))
+    up.join(dn, col("event_type") === col("et2"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("ph_up"),
+        col("up_day_us"),
+        col("ph_down"),
+        col("down_day_us"))
+      .orderBy("event_type")
+  }
+
+  /** Lead/lag cross-correlation (CCF) between the daily purchase and
+    * view series at lags −3…+3: does view volume LEAD purchase volume,
+    * and by how many days? r_ℓ = corr(view_t, purchase_{t+ℓ}), so a
+    * peak at positive ℓ means views lead. Both series live on one
+    * shared dense day grid; per lag the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are exact decimal folds of the
+    * calendar-sized aligned-pair table, and each r is one scalar IEEE
+    * tree. Scale shape: corpus → per-(type, day) counts in one
+    * exchange; the 7-lag explode runs over the day grid, never the
+    * corpus. */
+  def qCcf(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dy"))
+    val x = counts.filter(col("event_type") === "view").select(col("dy"), col("n").as("xn"))
+    val y = counts.filter(col("event_type") === "purchase").select(col("dy"), col("n").as("yn"))
+    val series = grid
+      .join(x, Seq("dy"), "left")
+      .join(y, Seq("dy"), "left")
+      .select(
+        col("dy"),
+        coalesce(col("xn"), lit(0L)).as("x"),
+        coalesce(col("yn"), lit(0L)).as("y"))
+      .transform(graft.operators.Materialize.cut)
+    val lags = s.range(-3, 4).select(col("id").as("lag"))
+    val pairs = series
+      .select(col("dy"), col("x"))
+      .crossJoin(broadcast(lags))
+      .join(
+        series.select((col("dy")).as("dy2"), col("y")),
+        col("dy2") === col("dy") + col("lag"))
+    pairs
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(
+        col("lag"),
+        col("n_days"),
+        floor6(
+          (col("n_days").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            sqrt(
+              (col("n_days").cast("decimal(38,0)") * col("sxx") -
+                col("sx").cast("decimal(38,0)") * col("sx")).cast("double") *
+                (col("n_days").cast("decimal(38,0)") * col("syy") -
+                  col("sy").cast("decimal(38,0)") * col("sy")).cast("double")))
+          .as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** Fano factor / index of dispersion of hourly counts per event type:
+    * variance-to-mean ratio of the arrival process — 1 under Poisson,
+    * > 1 for bursty traffic, < 1 for regularized. The capacity-planning
+    * summary [[qConcurrency]]'s sweep-line doesn't give. Dense hour
+    * grid (silent hours count), exact int64 sufficient statistics
+    * (H, Σx, Σx² decimal), fano = H·(H·Σx² − (Σx)²)/((H−1)·H·Σx) as one
+    * scalar IEEE tree per type. One corpus exchange. */
+  def qFano(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $HourUs").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val series = counts
+      .groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+      .join(counts, Seq("event_type", "hr"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+    series
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum("x").as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        col("sx").as("n_events"),
+        floor6(col("sx").cast("double") / col("n_hours").cast("double")).as("hourly_mean"),
+        floor6(
+          (col("n_hours").cast("decimal(38,0)") * col("sxx") -
+            col("sx").cast("decimal(38,0)") * col("sx")).cast("double") /
+            (col("n_hours").cast("double") * (col("n_hours") - lit(1L)).cast("double")))
+          .as("hourly_var"),
+        floor6(
+          (col("n_hours").cast("decimal(38,0)") * col("sxx") -
+            col("sx").cast("decimal(38,0)") * col("sx")).cast("double") /
+            ((col("n_hours") - lit(1L)).cast("double") * col("sx").cast("double")))
+          .as("fano"))
+      .orderBy("event_type")
+  }
+
   /** Poisson 2σ warning days (SPC warning limits) per event type: a day
     * is flagged when (x − x̄)² > 4·x̄, i.e. beyond two Poisson standard
     * deviations of the type's daily mean. Multiplying through by n²
@@ -3434,6 +3597,9 @@ object OlapQueries {
     "q_autocorr" -> qAutocorr _,
     "q_cusum" -> qCusum _,
     "q_pettitt" -> qPettitt _,
+    "q_page_hinkley" -> qPageHinkley _,
+    "q_ccf" -> qCcf _,
+    "q_fano" -> qFano _,
     "q_spc_days" -> qSpcDays _,
     "q_seasonality" -> qSeasonality _,
     "q_ab_test" -> qAbTest _,
@@ -4144,6 +4310,94 @@ object OlapQueries {
          |       round(sqrt(CAST(t_days * t_days * t_days + t_days * t_days AS DOUBLE) * $PettittCritFactor), 4) AS k_crit,
          |       CAST(abs(u) AS DOUBLE) > sqrt(CAST(t_days * t_days * t_days + t_days * t_days AS DOUBLE) * $PettittCritFactor) AS significant
          |FROM pick WHERE prk = 1 ORDER BY event_type""".stripMargin,
+    "q_page_hinkley" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(dy) AS lo, max(dy) AS hi FROM counts GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS dy FROM bounds),
+        |series AS (
+        |  SELECT g.event_type, g.dy, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+        |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+        |sc AS (
+        |  SELECT event_type, dy, x,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY dy) AS BIGINT) AS i,
+        |         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+        |  FROM series),
+        |q AS (SELECT *, (prefix * 1000000) // i AS qmean FROM sc),
+        |m AS (
+        |  SELECT *, prefix * 1000000 - CAST(sum(qmean) OVER (PARTITION BY event_type ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+        |  FROM q),
+        |ph AS (
+        |  SELECT *,
+        |         m - min(m) OVER (PARTITION BY event_type ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_plus,
+        |         max(m) OVER (PARTITION BY event_type ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS ph_minus
+        |  FROM m),
+        |up AS (
+        |  SELECT event_type, n_days, dy * 86400000000 AS up_day_us,
+        |         floor((CAST(ph_plus AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS ph_up,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ph_plus DESC, dy) AS rk
+        |  FROM ph),
+        |dn AS (
+        |  SELECT event_type, dy * 86400000000 AS down_day_us,
+        |         floor((CAST(ph_minus AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS ph_down,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ph_minus DESC, dy) AS rk
+        |  FROM ph)
+        |SELECT up.event_type, up.n_days, up.ph_up, up.up_day_us, dn.ph_down, dn.down_day_us
+        |FROM up JOIN dn ON up.event_type = dn.event_type AND up.rk = 1 AND dn.rk = 1
+        |WHERE up.rk = 1 AND dn.rk = 1
+        |ORDER BY up.event_type""".stripMargin,
+    "q_ccf" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+        |bounds AS (SELECT min(dy) AS lo, max(dy) AS hi FROM counts),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS dy FROM bounds),
+        |series AS (
+        |  SELECT g.dy,
+        |         CAST(coalesce(v.n, 0) AS BIGINT) AS x,
+        |         CAST(coalesce(p.n, 0) AS BIGINT) AS y
+        |  FROM grid g
+        |  LEFT JOIN counts v ON v.event_type = 'view' AND v.dy = g.dy
+        |  LEFT JOIN counts p ON p.event_type = 'purchase' AND p.dy = g.dy),
+        |lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, s.x, s2.y
+        |  FROM lags l CROSS JOIN series s
+        |  JOIN series s2 ON s2.dy = s.dy + l.lag),
+        |agg AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT lag, n_days,
+        |       floor((CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |              sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) * CAST(n_days * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS ccf
+        |FROM agg ORDER BY lag""".stripMargin,
+    "q_fano" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM counts GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM bounds),
+        |series AS (
+        |  SELECT g.event_type, g.hr, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+        |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.hr = c.hr),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM series GROUP BY 1)
+        |SELECT event_type, n_hours, sx AS n_events,
+        |       floor((CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS hourly_mean,
+        |       floor((CAST(CAST(n_hours AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) /
+        |              (CAST(n_hours AS DOUBLE) * CAST(n_hours - 1 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS hourly_var,
+        |       floor((CAST(CAST(n_hours AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) /
+        |              (CAST(n_hours - 1 AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS fano
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q_spc_days" ->
       """WITH counts AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n

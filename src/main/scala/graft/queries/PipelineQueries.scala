@@ -1372,6 +1372,117 @@ object PipelineQueries {
       .transform(sortSmall(_, "source", "rank"))
   }
 
+  val GtestTopK = 5
+
+  /** Dunning log-likelihood (G²) distinctive terms per source — the
+    * frequentist sibling of [[qDistinctiveTerms]]'s Bayesian log-odds:
+    * G² = 2·Σ O·ln(O/E) over each (token, source) 2×2 table, the
+    * statistic Dunning (1993) showed stays calibrated on the rare
+    * counts that break χ². Every cell/margin is an exact int64 from
+    * ONE token-explode aggregate; each G² is a FIXED IEEE tree on
+    * those ints (per-term only — no cross-term float sums anywhere),
+    * the enriched/depleted sign is an exact integer cross-product
+    * compare (a·(n−n_s) vs c·n_s — no rate division), and the top-k
+    * cut ranks the ROUNDED statistic with a token tiebreak. Scale
+    * shape identical to the log-odds query: explode-aggregate, token
+    * join shuffle_hash, margins broadcast. */
+  def qGtestTerms(s: SparkSession, d: String): DataFrame = {
+    val ySi = docs(s, d)
+      .select(
+        col("source"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("y_si"))
+      .transform(graft.operators.Materialize.cut)
+    val yI = ySi.groupBy("tok").agg(sum("y_si").as("y_i"))
+    val nS = ySi.groupBy("source").agg(sum("y_si").as("n_s"))
+    val nTot = ySi.agg(sum("y_si").as("n"))
+    def xlx(c: Column): Column =
+      when(c > 0L, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0d))
+    val a = col("y_si")
+    val b = col("n_s") - col("y_si")
+    val c = col("y_i") - col("y_si")
+    val dd = col("n") - col("n_s") - c
+    val g2 = lit(2.0d) * (xlx(a) + xlx(b) + xlx(c) + xlx(dd) + xlx(col("n")) -
+      xlx(a + b) - xlx(a + c) - xlx(b + dd) - xlx(c + dd))
+    val enriched =
+      a.cast("decimal(38,0)") * (col("n") - col("n_s")) >
+        c.cast("decimal(38,0)") * col("n_s")
+    val w = Window.partitionBy("source").orderBy(col("g2").desc, col("tok"))
+    ySi
+      .join(yI.hint("shuffle_hash"), "tok")
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(nTot))
+      .select(
+        col("source"), col("tok"), col("y_si"), col("y_i"),
+        round(g2, 4).as("g2"),
+        enriched.as("enriched"))
+      .filter(col("enriched")) // report over-represented terms, the keyword use case
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= GtestTopK)
+      .select("source", "rank", "tok", "y_si", "y_i", "g2")
+      .transform(sortSmall(_, "source", "rank"))
+  }
+
+  /** Degree assortativity of the near-dup graph — the Pearson
+    * correlation of endpoint degrees over edges (Newman 2002):
+    * positive means template hubs link to other hubs (one boilerplate
+    * family), negative means hubs link to leaves (star-shaped
+    * spam-farm copies) — a one-number shape summary the degree
+    * histogram ([[qDupDegree]]) can't give. The pair table is
+    * materialized ONCE, degrees come from one explode aggregate, each
+    * directed edge picks up both endpoint degrees via two shuffle_hash
+    * joins, and all five sufficient statistics are exact decimal
+    * folds; r is one scalar IEEE tree. */
+  def qGraphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup
+      .minhashLsh(
+        docs(s, d),
+        k = 3,
+        numHashes = MinhashSeeds,
+        bands = MinhashBands,
+        threshold = 0.8)
+      .select("a_id", "b_id")
+      .transform(graft.operators.Materialize.cut)
+    val deg = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("degree"))
+    val directed = pairs
+      .select(
+        explode(
+          array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val dx = deg.select(col("doc_id").as("src"), col("degree").as("x"))
+    val dy = deg.select(col("doc_id").as("dst"), col("degree").as("y"))
+    directed
+      .join(dx.hint("shuffle_hash"), "src")
+      .join(dy.hint("shuffle_hash"), "dst")
+      .agg(
+        count(lit(1)).as("n_ends"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .crossJoin(
+        broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(
+        col("n_nodes"),
+        expr("n_ends DIV 2").as("n_edges"),
+        (floor(
+          (col("n_ends").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt(
+              (col("n_ends").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n_ends").cast("decimal(38,0)") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")) * 1000000.0d + 0.5d) / 1000000.0d)
+          .as("assortativity"))
+  }
+
   /** Sorted-neighborhood near-dup (see [[Dedup.sortedNeighborhood]] —
     * the order-based third blocking family beside LSH buckets and
     * AllPairs prefixes): 4-char prefix blocks, window 3, exact 3-gram
@@ -3004,9 +3115,11 @@ object PipelineQueries {
     * — the evaluation every classifier stage ships with. One projection
     * pass, one cell-sized aggregate, per-actual totals via a broadcast
     * — nothing corpus-shaped after the scan. */
-  def qLangidEval(s: SparkSession, d: String): DataFrame = {
+  /** (actual_lang, pred_lang) per doc under the q_lang_id heuristic —
+    * shared by the confusion matrix and the kappa summary. */
+  private def langidPred(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
-    val pred = docs(s, d)
+    docs(s, d)
       .select(col("lang"), col("text"), expr("graft_tokens(text)").as("t"))
       .select(
         col("lang").as("actual_lang"),
@@ -3018,6 +3131,10 @@ object PipelineQueries {
             TextFns.markerCount(col("t"), TextFns.FrMarkers),
             TextFns.markerCount(col("t"), TextFns.EsMarkers))
           .as("pred_lang"))
+  }
+
+  def qLangidEval(s: SparkSession, d: String): DataFrame = {
+    val pred = langidPred(s, d)
     val cells = pred
       .groupBy("actual_lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
@@ -3032,6 +3149,89 @@ object PipelineQueries {
         round(col("n").cast("double") / col("n_actual").cast("double"), 6)
           .as("row_share"))
       .transform(sortSmall(_, "actual_lang", "pred_lang"))
+  }
+
+  /** Cohen's kappa of the language-ID heuristic vs the labeled lang —
+    * the chance-corrected ONE-NUMBER agreement summary of
+    * [[qLangidEval]]'s confusion matrix (accuracy looks great when one
+    * class dominates; kappa doesn't). Fully integer until the final
+    * division: κ = (N·agree − Σ row_k·col_k) / (N² − Σ row_k·col_k),
+    * the identity that clears both fractions — margins, the agreement
+    * diagonal, and both products are exact decimal folds of the
+    * alphabet-sized confusion table. One corpus exchange (the
+    * prediction aggregate); everything after is |langs|². */
+  def qCohensKappa(s: SparkSession, d: String): DataFrame = {
+    val cells = langidPred(s, d)
+      .groupBy("actual_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.operators.Materialize.cut)
+    val rows = cells.groupBy("actual_lang").agg(sum("n").as("rn"))
+    val cols = cells.groupBy("pred_lang").agg(sum("n").as("cn"))
+    val agree = cells
+      .filter(col("actual_lang") === col("pred_lang"))
+      .agg(coalesce(sum("n"), lit(0L)).as("agree"))
+    val rc = rows
+      .join(
+        cols.withColumnRenamed("pred_lang", "actual_lang").hint("shuffle_hash"),
+        Seq("actual_lang"),
+        "inner")
+      .agg(sum(col("rn").cast("decimal(38,0)") * col("cn")).as("src"))
+    val tot = cells.agg(sum("n").as("nn"))
+    tot
+      .crossJoin(broadcast(agree))
+      .crossJoin(broadcast(rc))
+      .selectExpr(
+        "nn AS n_docs",
+        "agree AS n_agree",
+        "CAST(CAST(nn AS DECIMAL(38,0)) * agree - src AS DOUBLE) / CAST(CAST(nn AS DECIMAL(38,0)) * nn - src AS DOUBLE) AS kappa_raw",
+        "CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS po_raw")
+      .select(
+        col("n_docs"),
+        col("n_agree"),
+        (floor(col("po_raw") * 1000000.0d + 0.5d) / 1000000.0d).as("accuracy"),
+        (floor(col("kappa_raw") * 1000000.0d + 0.5d) / 1000000.0d).as("kappa"))
+  }
+
+  val FuzzyEditMax = 2
+
+  /** Edit-distance fuzzy join over part names — the entity-resolution
+    * primitive (catalog reconciliation, vendor-name matching): all
+    * DISTINCT name pairs within Levenshtein distance ≤ 2. NEVER
+    * all-pairs: names dedupe to a vocabulary first, candidates come
+    * from a shared-bigram equi-join (for d ≤ 2 and |s| ≥ 6 two strings
+    * within distance d share ≥ max|s|−1−d·2 ≥ 1 bigrams — Gravano et
+    * al. 2001, so the block has recall 1 here) plus the |len(a)−len(b)|
+    * ≤ d length fence, and only candidates pay the O(|a|·|b|) exact
+    * verify. Both engines' levenshtein are unit-cost
+    * insert/delete/substitute, so the distance — and the pair set — is
+    * engine-exact. */
+  def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = s.read
+      .parquet(s"$d/part.parquet")
+      .select(col("p_name"))
+      .distinct()
+      .withColumn("len", length(col("p_name")).cast("long"))
+      .transform(graft.operators.Materialize.cut(_))
+    val grams = names.select(
+      col("p_name"),
+      col("len"),
+      explode(
+        expr(
+          "array_distinct(transform(sequence(1, length(p_name) - 1), i -> substring(p_name, i, 2)))"))
+        .as("g"))
+    val a = grams.select(col("p_name").as("a_name"), col("len").as("a_len"), col("g"))
+    val b = grams.select(col("p_name").as("b_name"), col("len").as("b_len"), col("g"))
+    a.join(b.hint("shuffle_hash"), Seq("g"))
+      .filter(
+        col("a_name") < col("b_name") &&
+          abs(col("a_len") - col("b_len")) <= FuzzyEditMax)
+      .select("a_name", "b_name")
+      .distinct()
+      .withColumn(
+        "edit_distance",
+        levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("edit_distance") <= FuzzyEditMax)
+      .transform(sortSmall(_, "a_name", "b_name"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3129,6 +3329,10 @@ object PipelineQueries {
     "q_kcore" -> qKcore _,
     "q_cluster_sizes" -> qClusterSizes _,
     "q_distinctive_terms" -> qDistinctiveTerms _,
+    "q_gtest_terms" -> qGtestTerms _,
+    "q_graph_assortativity" -> qGraphAssortativity _,
+    "q_cohens_kappa" -> qCohensKappa _,
+    "q_fuzzy_join" -> qFuzzyJoin _,
     "q_snm_dedup" -> qSnmDedup _,
     "q_embed_outliers" -> qEmbedOutliers _,
     "q_dup_graph_report" -> qDupGraphReport _,
@@ -4737,6 +4941,45 @@ object PipelineQueries {
         |       round(CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) AS row_share
         |FROM cells JOIN tot USING (actual_lang)
         |ORDER BY actual_lang, pred_lang""".stripMargin,
+    "q_cohens_kappa" ->
+      s"""WITH t AS (
+         |  SELECT lang, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT lang, text,
+         |         len(list_filter(toks, x -> list_contains([$enL], x))) AS en,
+         |         len(list_filter(toks, x -> list_contains([$deL], x))) AS de,
+         |         len(list_filter(toks, x -> list_contains([$frL], x))) AS fr,
+         |         len(list_filter(toks, x -> list_contains([$esL], x))) AS es
+         |  FROM t),
+         |p AS (
+         |  SELECT lang AS actual_lang,
+         |         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |              WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |              WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |              WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |              ELSE 'es' END AS pred_lang
+         |  FROM scored),
+         |cells AS (SELECT actual_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+         |rows_m AS (SELECT actual_lang, CAST(sum(n) AS HUGEINT) AS rn FROM cells GROUP BY 1),
+         |cols_m AS (SELECT pred_lang, CAST(sum(n) AS HUGEINT) AS cn FROM cells GROUP BY 1),
+         |agree AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS agree FROM cells WHERE actual_lang = pred_lang),
+         |rc AS (
+         |  SELECT CAST(coalesce(sum(rn * cn), 0) AS HUGEINT) AS src
+         |  FROM rows_m r JOIN cols_m c ON r.actual_lang = c.pred_lang),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells)
+         |SELECT nn AS n_docs, agree AS n_agree,
+         |       floor((CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+         |       floor((CAST(CAST(nn AS HUGEINT) * agree - src AS DOUBLE) / CAST(CAST(nn AS HUGEINT) * nn - src AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS kappa
+         |FROM tot, agree, rc""".stripMargin,
+    "q_fuzzy_join" ->
+      s"""WITH names AS (SELECT DISTINCT p_name FROM part)
+         |SELECT a.p_name AS a_name, b.p_name AS b_name,
+         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+         |FROM names a JOIN names b ON a.p_name < b.p_name
+         |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyEditMax
+         |ORDER BY a_name, b_name""".stripMargin,
     "q_expectations" ->
       """WITH li AS (
         |  SELECT count(*) AS n,
@@ -4837,6 +5080,56 @@ object PipelineQueries {
          |FROM sc
          |QUALIFY rank <= $DistinctiveTopK
          |ORDER BY source, rank""".stripMargin,
+    "q_gtest_terms" -> {
+      def f(e: String) =
+        s"(CASE WHEN ($e) > 0 THEN CAST($e AS DOUBLE) * ln(CAST($e AS DOUBLE)) ELSE 0.0 END)"
+      s"""WITH toks AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |ysi AS (SELECT source, tok, count(*) AS y_si FROM toks GROUP BY 1, 2),
+         |yi AS (SELECT tok, CAST(sum(y_si) AS BIGINT) AS y_i FROM ysi GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(y_si) AS BIGINT) AS n_s FROM ysi GROUP BY 1),
+         |nt AS (SELECT CAST(sum(y_si) AS BIGINT) AS n FROM ysi),
+         |cells AS (
+         |  SELECT source, tok, y_si, y_i, n_s, n,
+         |         y_si AS a, n_s - y_si AS b, y_i - y_si AS c, n - n_s - (y_i - y_si) AS dd
+         |  FROM ysi JOIN yi USING (tok) JOIN ns USING (source) CROSS JOIN nt),
+         |g AS (
+         |  SELECT source, tok, y_si, y_i,
+         |         round(2.0 * (${f("a")} + ${f("b")} + ${f("c")} + ${f("dd")} + ${f("n")}
+         |                - ${f("a + b")} - ${f("a + c")} - ${f("b + dd")} - ${f("c + dd")}), 4) AS g2,
+         |         CAST(a AS HUGEINT) * (n - n_s) > CAST(c AS HUGEINT) * n_s AS enriched
+         |  FROM cells)
+         |SELECT source,
+         |       CAST(row_number() OVER (PARTITION BY source ORDER BY g2 DESC, tok) AS BIGINT) AS rank,
+         |       tok, y_si, y_i, g2
+         |FROM g WHERE enriched
+         |QUALIFY rank <= $GtestTopK
+         |ORDER BY source, rank""".stripMargin
+    },
+    "q_graph_assortativity" ->
+      s"""$minhashPairsCtes,
+         |ends AS (SELECT a_id AS doc_id FROM mpairs UNION ALL SELECT b_id FROM mpairs),
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY 1),
+         |directed AS (SELECT a_id AS src, b_id AS dst FROM mpairs
+         |             UNION ALL SELECT b_id, a_id FROM mpairs),
+         |j AS (
+         |  SELECT dx.degree AS x, dy.degree AS y
+         |  FROM directed e
+         |  JOIN deg dx ON dx.doc_id = e.src
+         |  JOIN deg dy ON dy.doc_id = e.dst),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_ends,
+         |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |         sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM j),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         |SELECT n_nodes, n_ends // 2 AS n_edges,
+         |       floor((CAST(n_ends * sxy - sx * sy AS DOUBLE) /
+         |              sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE) * CAST(n_ends * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+         |FROM agg, nn""".stripMargin,
     "q_snm_dedup" -> {
       val h = Hashing.duckMd5Long("shingle")
       s"""WITH blocks AS (

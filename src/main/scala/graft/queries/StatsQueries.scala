@@ -664,6 +664,219 @@ object StatsQueries {
       .transform(sortSmall(_, col("d")))
   }
 
+  // ---------------------------------------------------------------
+  // One-way ANOVA, Kruskal–Wallis, Cochran–Armitage
+  // ---------------------------------------------------------------
+
+  /** Exact integer floor-division for decimal operands:
+    * `(a − a mod b) / b`. The subtraction makes the division REMAINDER-
+    * FREE, so the decimal quotient is exact regardless of either
+    * engine's division-scale rules — the int64-safe stand-in for `DIV` when
+    * quotients past 2⁶³ (Spark's integral divide always returns long).
+    * Callers guarantee a ≥ 0, b > 0. */
+  private def divFloorSql(a: String, b: String): String =
+    s"CAST((($a) - (($a) % ($b))) / ($b) AS DECIMAL(38,0))"
+
+  /** One-way ANOVA F test: does mean event value differ across event
+    * types? The k-group generalization of [[qWelchTtest]], same
+    * sufficient-statistic discipline: ONE map-side-combinable aggregate
+    * per group over exact integer cents (n, Σc int64, Σc² decimal 38),
+    * then Σ_g S_g²/n_g — the one cross-group term a float sum would
+    * make order-dependent — is folded as exact centi-unit integers
+    * ([[divFloorSql]], quantization error ≤ 0.01 per group) so the
+    * grand totals are order-free. F, η², and the group count are pure
+    * scalar IEEE arithmetic on the exact totals. Scale shape: corpus →
+    * k-row statistic table in one exchange; decimal 38 holds S_g²·100
+    * to ~10¹⁸-row groups. */
+  def qAnova(s: SparkSession, d: String): DataFrame = {
+    val g = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c").as("sc"),
+        sum(dec(col("c")) * col("c")).as("sq"))
+    g.select(
+      col("n"),
+      col("sc"),
+      col("sq"),
+      expr(divFloorSql(
+        "CAST(sc AS DECIMAL(38,0)) * sc * 100",
+        "CAST(n AS DECIMAL(38,0))")).as("tq"))
+      .agg(
+        count(lit(1)).as("k_groups"),
+        sum("n").as("n_events"),
+        sum(dec(col("sc"))).as("s_tot"),
+        sum("sq").as("q_tot"),
+        sum("tq").as("t_cq"))
+      .selectExpr(
+        "n_events",
+        "k_groups",
+        "CAST(t_cq AS DOUBLE) / 100.0 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_events AS DOUBLE) AS ssb",
+        "CAST(q_tot AS DOUBLE) - CAST(t_cq AS DOUBLE) / 100.0 AS ssw")
+      .select(
+        col("n_events"),
+        col("k_groups"),
+        floor6(
+          (col("ssb") / (col("k_groups") - lit(1L)).cast("double")) /
+            (col("ssw") / (col("n_events") - col("k_groups")).cast("double")))
+          .as("f_stat"),
+        floor6(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+  }
+
+  /** Kruskal–Wallis H test: the rank-based, distribution-free sibling
+    * of [[qAnova]] (same question, no normality assumption). NEVER
+    * ranks the corpus row-by-row: values fold to per-(type, cent)
+    * counts, the global midrank of each DISTINCT cent value comes from
+    * one cumulative window over the value-histogram statistic table
+    * (doubled to keep .5 midranks integer: r₂ = 2·(cum−t) + t + 1),
+    * and each group's rank sum is Σ m·r₂ — exact decimal integers all
+    * the way. Σ_g R_g²/n_g folds via [[divFloorSql]] at ×25 (= ×100/4,
+    * un-doubling r₂; error ≤ 0.01/group), the tie term Σ(t³−t) is
+    * exact decimal, and H, the tie correction, and H_corr are final
+    * scalar IEEE trees. */
+  def qKruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val cnt = ev.groupBy("event_type", "v").agg(count(lit(1)).as("m"))
+    val vtot = cnt.groupBy("v").agg(sum("m").as("t"))
+    // value-histogram table: |distinct cents| rows — statistic-sized,
+    // so the single-partition cumulative window is bounded by design
+    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vtot
+      .withColumn("cum", sum("t").over(wv))
+      .select(
+        col("v"),
+        col("t"),
+        (lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L)).as("r2"))
+    val grp = cnt
+      .join(ranked.select("v", "r2"), Seq("v"))
+      .groupBy("event_type")
+      .agg(
+        sum("m").as("n"),
+        sum(dec(col("m")) * col("r2")).as("rs2"))
+    val tots = grp
+      .select(
+        col("n"),
+        expr(divFloorSql("rs2 * rs2 * 25", "CAST(n AS DECIMAL(38,0))")).as("tq"))
+      .agg(
+        count(lit(1)).as("k_groups"),
+        sum("n").as("n_events"),
+        sum("tq").as("t_cq"))
+    val tiesum = vtot
+      .agg(
+        coalesce(
+          sum(dec(col("t")) * col("t") * col("t") - col("t")),
+          lit(0L).cast("decimal(38,0)")).as("tie3"))
+    tots
+      .crossJoin(broadcast(tiesum))
+      .selectExpr(
+        "n_events",
+        "k_groups",
+        "12.0 * (CAST(t_cq AS DOUBLE) / 100.0) / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) + 1.0)) - 3.0 * (CAST(n_events AS DOUBLE) + 1.0) AS h_raw",
+        "1.0 - CAST(tie3 AS DOUBLE) / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) - CAST(n_events AS DOUBLE)) AS tie_c")
+      .select(
+        col("n_events"),
+        col("k_groups"),
+        floor6(col("h_raw")).as("h_stat"),
+        floor6(col("tie_c")).as("tie_correction"),
+        floor6(col("h_raw") / col("tie_c")).as("h_corrected"))
+  }
+
+  /** Cochran–Armitage trend test: does the return rate trend
+    * monotonically across the 11 ordered discount levels? The
+    * dose-response gate (binary outcome × ordered doses) that a plain
+    * χ² can't answer — χ² sees ANY deviation, CA weights it by dose
+    * order. Doses are exact integers (discount·100), so every
+    * sufficient statistic (N, R, Σk·n_k, Σk²·n_k, Σk·r_k) is an exact
+    * decimal fold of the 11-row dose table, and
+    * z = (N·Σk·r_k − R·Σk·n_k) / √(R(N−R)(N·Σk²n_k − (Σk·n_k)²)/N)
+    * is one scalar IEEE tree. Scale shape: fact table → 11-row
+    * statistic table in one exchange. */
+  def qCochranArmitage(s: SparkSession, d: String): DataFrame = {
+    val doses = t(s, d, "lineitem")
+      .select(
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("k"),
+        (col("l_returnflag") === "R").cast("long").as("r"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("r").as("rk"))
+    doses
+      .agg(
+        count(lit(1)).as("n_doses"),
+        sum("n").as("nn"),
+        sum("rk").as("rr"),
+        sum(dec(col("k")) * col("n")).as("s1"),
+        sum(dec(col("k")) * col("k") * col("n")).as("s2"),
+        sum(dec(col("k")) * col("rk")).as("t1"))
+      .selectExpr(
+        "nn AS n_lines",
+        "rr AS n_returns",
+        "n_doses",
+        "CAST(CAST(nn AS DECIMAL(38,0)) * t1 - CAST(rr AS DECIMAL(38,0)) * s1 AS DOUBLE) AS num",
+        "CAST(rr AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE)) * CAST(CAST(nn AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE) / CAST(nn AS DOUBLE) AS den2")
+      .select(
+        col("n_lines"),
+        col("n_returns"),
+        col("n_doses"),
+        floor6(col("num") / sqrt(col("den2"))).as("z_stat"),
+        floor6(col("num") * col("num") / col("den2")).as("chi2_trend"),
+        (col("num") * col("num") / col("den2") > lit(3.841459d)).as("significant"))
+  }
+
+  /** Spearman rank correlation per source between document length
+    * (chars) and token count — the monotonic-association audit (are
+    * long docs just more tokens, or is char/token shape drifting?)
+    * robust to the heavy length tails that bend Pearson. Midranks are
+    * kept INTEGER by doubling (r₂ = 2·minrank + ties − 1, the
+    * [[graft.queries.OlapQueries]] Pettitt rank algebra), every
+    * sufficient statistic is an exact decimal fold, and ρ is one
+    * scalar IEEE tree per source (the ×2 scale cancels). Scale shape:
+    * two source-partitioned rank windows + one aggregate — no pair
+    * joins, no global sort. */
+  def qSpearman(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(
+        col("source"),
+        col("n_chars").as("x"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)")
+          .as("y"))
+    val bySrc = Window.partitionBy("source")
+    val ranked = base
+      .withColumn("rx", rank().over(bySrc.orderBy("x")).cast("long"))
+      .withColumn("tx", count(lit(1)).over(Window.partitionBy("source", "x")))
+      .withColumn("ry", rank().over(bySrc.orderBy("y")).cast("long"))
+      .withColumn("ty", count(lit(1)).over(Window.partitionBy("source", "y")))
+      .select(
+        col("source"),
+        (lit(2L) * col("rx") + col("tx") - lit(1L)).as("r2x"),
+        (lit(2L) * col("ry") + col("ty") - lit(1L)).as("r2y"))
+    ranked
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(dec(col("r2x"))).as("sx"),
+        sum(dec(col("r2y"))).as("sy"),
+        sum(dec(col("r2x")) * col("r2y")).as("sxy"),
+        sum(dec(col("r2x")) * col("r2x")).as("sxx"),
+        sum(dec(col("r2y")) * col("r2y")).as("syy"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        floor6(
+          (dec(col("n_docs")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(
+              (dec(col("n_docs")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (dec(col("n_docs")) * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("spearman_rho"))
+      .transform(sortSmall(_, col("source")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
     "q_nelson_aalen" -> qNelsonAalen _,
@@ -675,7 +888,11 @@ object StatsQueries {
     "q_hazard_curve" -> qHazardCurve _,
     "q_kaplan_meier" -> qKaplanMeier _,
     "q_mix_shift" -> qMixShift _,
-    "q_runs_test" -> qRunsTest _
+    "q_runs_test" -> qRunsTest _,
+    "q_anova" -> qAnova _,
+    "q_kruskal_wallis" -> qKruskalWallis _,
+    "q_cochran_armitage" -> qCochranArmitage _,
+    "q_spearman" -> qSpearman _
   )
 
   /** The signup→purchase life-table CTE chain ending in
@@ -976,6 +1193,102 @@ object StatsQueries {
           "CAST(coalesce(retained, 0) AS DOUBLE) / CAST(active_prev AS DOUBLE)")} AS retention_rate
          |FROM active JOIN prev ON active.m = prev.m
          |LEFT JOIN ret ON active.m = ret.m
-         |ORDER BY month_idx""".stripMargin
+         |ORDER BY month_idx""".stripMargin,
+    "q_anova" ->
+      s"""WITH g AS (
+         |  SELECT event_type, count(*) AS n,
+         |         sum(CAST(round(value * 100) AS BIGINT)) AS sc,
+         |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS sq
+         |  FROM events GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*) AS k_groups, sum(n) AS n_events,
+         |         sum(CAST(sc AS HUGEINT)) AS s_tot, sum(sq) AS q_tot,
+         |         sum((CAST(sc AS HUGEINT) * sc * 100) // n) AS t_cq
+         |  FROM g),
+         |ss AS (
+         |  SELECT CAST(n_events AS BIGINT) AS n_events, CAST(k_groups AS BIGINT) AS k_groups,
+         |         CAST(t_cq AS DOUBLE) / 100.0 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_events AS DOUBLE) AS ssb,
+         |         CAST(q_tot AS DOUBLE) - CAST(t_cq AS DOUBLE) / 100.0 AS ssw
+         |  FROM tot)
+         |SELECT n_events, k_groups,
+         |       ${floor6Sql(
+          "(ssb / CAST(k_groups - 1 AS DOUBLE)) / (ssw / CAST(n_events - k_groups AS DOUBLE))")} AS f_stat,
+         |       ${floor6Sql("ssb / (ssb + ssw)")} AS eta_sq
+         |FROM ss""".stripMargin,
+    "q_kruskal_wallis" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |cnt AS (SELECT event_type, v, count(*) AS m FROM ev GROUP BY 1, 2),
+         |vtot AS (SELECT v, CAST(sum(m) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         |ranked AS (
+         |  SELECT v, t,
+         |         2 * (CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t) + t + 1 AS r2
+         |  FROM vtot),
+         |grp AS (
+         |  SELECT c.event_type, CAST(sum(c.m) AS BIGINT) AS n,
+         |         sum(CAST(c.m AS HUGEINT) * r.r2) AS rs2
+         |  FROM cnt c JOIN ranked r ON c.v = r.v GROUP BY 1),
+         |tots AS (
+         |  SELECT count(*) AS k_groups, sum(n) AS n_events,
+         |         sum((rs2 * rs2 * 25) // n) AS t_cq
+         |  FROM grp),
+         |ties AS (
+         |  SELECT coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie3 FROM vtot),
+         |hs AS (
+         |  SELECT CAST(n_events AS BIGINT) AS n_events, CAST(k_groups AS BIGINT) AS k_groups,
+         |         12.0 * (CAST(t_cq AS DOUBLE) / 100.0) / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) + 1.0)) - 3.0 * (CAST(n_events AS DOUBLE) + 1.0) AS h_raw,
+         |         1.0 - CAST(tie3 AS DOUBLE) / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) - CAST(n_events AS DOUBLE)) AS tie_c
+         |  FROM tots, ties)
+         |SELECT n_events, k_groups,
+         |       ${floor6Sql("h_raw")} AS h_stat,
+         |       ${floor6Sql("tie_c")} AS tie_correction,
+         |       ${floor6Sql("h_raw / tie_c")} AS h_corrected
+         |FROM hs""".stripMargin,
+    "q_cochran_armitage" ->
+      s"""WITH doses AS (
+         |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS k,
+         |         count(*) AS n,
+         |         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rk
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*) AS n_doses, sum(n) AS nn, sum(rk) AS rr,
+         |         sum(CAST(k AS HUGEINT) * n) AS s1,
+         |         sum(CAST(k AS HUGEINT) * k * n) AS s2,
+         |         sum(CAST(k AS HUGEINT) * rk) AS t1
+         |  FROM doses),
+         |z AS (
+         |  SELECT CAST(nn AS BIGINT) AS n_lines, CAST(rr AS BIGINT) AS n_returns,
+         |         CAST(n_doses AS BIGINT) AS n_doses,
+         |         CAST(CAST(nn AS HUGEINT) * t1 - CAST(rr AS HUGEINT) * s1 AS DOUBLE) AS num,
+         |         CAST(rr AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE)) * CAST(CAST(nn AS HUGEINT) * s2 - s1 * s1 AS DOUBLE) / CAST(nn AS DOUBLE) AS den2
+         |  FROM tot)
+         |SELECT n_lines, n_returns, n_doses,
+         |       ${floor6Sql("num / sqrt(den2)")} AS z_stat,
+         |       ${floor6Sql("num * num / den2")} AS chi2_trend,
+         |       num * num / den2 > 3.841459 AS significant
+         |FROM z""".stripMargin,
+    "q_spearman" ->
+      s"""WITH base AS (
+         |  SELECT source, n_chars AS x,
+         |         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS y
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT source,
+         |         2 * CAST(rank() OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+         |           + CAST(count(*) OVER (PARTITION BY source, x) AS BIGINT) - 1 AS r2x,
+         |         2 * CAST(rank() OVER (PARTITION BY source ORDER BY y) AS BIGINT)
+         |           + CAST(count(*) OVER (PARTITION BY source, y) AS BIGINT) - 1 AS r2y
+         |  FROM base),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(r2x) AS HUGEINT) AS sx, CAST(sum(r2y) AS HUGEINT) AS sy,
+         |         sum(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+         |         sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+         |         sum(CAST(r2y AS HUGEINT) * r2y) AS syy
+         |  FROM ranked GROUP BY 1)
+         |SELECT source, n_docs,
+         |       ${floor6Sql(
+          "CAST(n_docs * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE) * CAST(n_docs * syy - sy * sy AS DOUBLE))")} AS spearman_rho
+         |FROM agg ORDER BY source""".stripMargin
   )
 }

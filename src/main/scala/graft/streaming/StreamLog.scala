@@ -198,6 +198,60 @@ object StreamLog {
       }
   }
 
+  final case class PhState(n: Long, prefix: Long, qsum: Long, minM: Long, maxM: Long)
+  final case class PhAlert(
+      space: String,
+      timestamp: Long,
+      value: Long,
+      phUpMicro: Long,
+      phDownMicro: Long,
+      n: Long)
+
+  /** Streaming twin of the batch Page–Hinkley changepoint
+    * ([[graft.queries.OlapQueries]] `q_page_hinkley`) — the estimator
+    * IS sequential, so the live form is its natural home: per key,
+    * fold each count into the µ-unit INTEGER recurrence the batch
+    * query uses (expanding mean quantized by integer division BEFORE
+    * the cumulative sum, m = 10⁶·prefix − Σqmean, running min/max of
+    * m), and emit an alert the moment either one-sided statistic
+    * PH⁺ = m − min m or PH⁻ = max m − m crosses `lambdaMicro`. State
+    * is five longs per key — bounded, no timeout — and the integer
+    * algebra makes stream/batch parity EXACT: on the same ordered
+    * series the emitted statistics equal the batch query's columns
+    * bit-for-bit (spec-asserted), not merely approximately. Rows
+    * within a micro-batch fold in (timestamp, value) order for
+    * cross-run determinism. */
+  def pageHinkleyMonitor(
+      points: Dataset[(String, Long, Long)],
+      lambdaMicro: Long): Dataset[PhAlert] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PhState, PhAlert](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (space, rows, state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[PhAlert]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (ts, x) =>
+            val n1 = st.n + 1
+            val prefix1 = st.prefix + x
+            val qmean = prefix1 * 1000000L / n1 // positive → same as the batch DIV
+            val qsum1 = st.qsum + qmean
+            val m = prefix1 * 1000000L - qsum1
+            val minM1 = if (st.n == 0L) m else math.min(st.minM, m)
+            val maxM1 = if (st.n == 0L) m else math.max(st.maxM, m)
+            val phUp = m - minM1
+            val phDown = maxM1 - m
+            if (phUp > lambdaMicro || phDown > lambdaMicro)
+              out += PhAlert(space, ts, x, phUp, phDown, n1)
+            st = PhState(n1, prefix1, qsum1, minM1, maxM1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def anomalyMonitor(
       points: Dataset[(String, Long, Double)],
       k: Double = 4.0): Dataset[Anomaly] = {

@@ -388,33 +388,43 @@ class EventLogSpec extends SparkSpec {
     // 2 min in pebble/service.go:102) so a writer that never calls
     // invalidate bounds staleness instead of persisting it — two
     // EventLog instances over one directory model exactly that
+    // a MANUAL clock (no sleeps): the TTL boundary is asserted exactly
+    // at expiresAt / expiresAt+1, and suite load can't expire an entry
+    // between the write and the "within TTL" assertion
     val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
-    val a = new EventLog(spark, dir, peekCacheTtlMs = 800L, peekCacheSweepMs = 200L)
+    var now = 0L
+    val a = new EventLog(
+      spark, dir,
+      peekCacheTtlMs = 800L, peekCacheSweepMs = 200L,
+      peekCacheClock = () => now)
     val b = new EventLog(spark, dir) // the "other writer": default TTL
     a.produce("s0", "seg0", records(1, 5), 1000L)
     assert(a.peek("s0", "seg0").get.sequence == 5L)
     // b appends WITHOUT touching a's cache — a's peek is stale but
-    // bounded: within the TTL it may serve 5, after expiry it MUST
+    // bounded: within the TTL it serves 5, after expiry it MUST
     // re-scan and see 8
     b.produce("s0", "seg0", records(6, 3), 2000L)
+    now = 800L // exactly expiresAt: still fresh (<= bound, reference Set semantics)
     assert(a.peek("s0", "seg0").get.sequence == 5L, "within TTL: cached")
-    Thread.sleep(1000L)
+    now = 801L // one tick past expiry
     assert(a.peek("s0", "seg0").get.sequence == 8L, "after TTL: re-read")
     // standalone cache: expired-but-unswept slots are reclaimed by the
     // amortized sweep, and reads treat them as absent either way
-    val c = new graft.log.ExpiringCache[Int, Int](ttlMs = 100L, sweepIntervalMs = 100L)
+    var cNow = 0L
+    val c = new graft.log.ExpiringCache[Int, Int](
+      ttlMs = 100L, sweepIntervalMs = 100L, nowMs = () => cNow)
     c.put(1, 10); c.put(2, 20)
     assert(c.get(1).contains(10) && c.size == 2)
-    Thread.sleep(250L)
+    cNow = 250L
     assert(c.get(1).isEmpty && c.size == 0)
     assert(c.rawSize >= 1, "key 2 not yet swept (never re-read)")
     c.sweepNow()
     assert(c.rawSize == 0, "sweep must reclaim expired slots")
     // writes re-arm the TTL
     c.put(3, 30)
-    Thread.sleep(60L)
+    cNow = 310L
     c.put(3, 31)
-    Thread.sleep(60L)
+    cNow = 370L // past the FIRST write's expiry, inside the second's
     assert(c.get(3).contains(31), "a write must re-arm the entry's TTL")
   }
 

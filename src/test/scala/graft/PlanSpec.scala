@@ -251,7 +251,12 @@ class PlanSpec extends SparkSpec {
       "q_runs_test", // day-count statistic × one-row count/median picks
       "q_mahalanobis", // one-row (mu, var) array broadcast over the scan
       "q_temp_mix", // source statistic × one-row (Σ√n, Σtokens)
-      "q_heaps_law") // one-row max-doc-id + 10-row fit-sums broadcasts
+      "q_heaps_law", // one-row max-doc-id + 10-row fit-sums broadcasts
+      "q_kruskal_wallis", // k-row group stats × one-row tie-term total
+      "q_ccf", // calendar-day series × 7-row lag grid (statistic-sized)
+      "q_gtest_terms", // one-row corpus-token total broadcast (like 66b)
+      "q_graph_assortativity", // edge-stat row × one-row node count
+      "q_cohens_kappa") // one-row totals × one-row agree × one-row Σrc
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly

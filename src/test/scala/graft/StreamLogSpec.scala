@@ -261,6 +261,47 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pageHinkleyMonitor: integer PH statistics, level shift alerts, exact local-fold parity") {
+    val lambda = 30L * 1000000L // 30 µ-unit events of accumulated deviation
+    val mem = MemoryStream[(String, Long, Long)](spark)
+    val q = StreamLog
+      .pageHinkleyMonitor(mem.toDS(), lambdaMicro = lambda)
+      .writeStream
+      .format("memory")
+      .queryName("ph_alerts")
+      .outputMode("append")
+      .start()
+    // 10 flat days at 100, then a level shift to 200 — split across
+    // micro-batches so state crosses the batch boundary
+    val xs = (1 to 10).map(i => ("ev", i.toLong, 100L)) ++
+      (11 to 16).map(i => ("ev", i.toLong, 200L))
+    try {
+      mem.addData(xs.take(8): _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ph_alerts").count() == 0, "flat prefix: no alert")
+      mem.addData(xs.drop(8): _*)
+      q.processAllAvailable()
+      val got = spark
+        .sql("SELECT timestamp, value, phUpMicro, phDownMicro, n FROM ph_alerts ORDER BY timestamp")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // local fold with the identical integer algebra
+      var (n, prefix, qsum, minM, maxM) = (0L, 0L, 0L, 0L, 0L)
+      val want = xs.flatMap { case (_, ts, x) =>
+        n += 1; prefix += x
+        qsum += prefix * 1000000L / n
+        val m = prefix * 1000000L - qsum
+        minM = if (n == 1) m else math.min(minM, m)
+        maxM = if (n == 1) m else math.max(maxM, m)
+        val (up, down) = (m - minM, maxM - m)
+        if (up > lambda || down > lambda) Some((ts, x, up, down, n)) else None
+      }
+      assert(want.nonEmpty, "the level shift must trip the local fold")
+      assert(got.toSeq == want, "stream alerts must equal the local integer fold exactly")
+      assert(got.forall(_._1 >= 11L), "alerts only after the shift")
+    } finally q.stop()
+  }
+
   test("experimentMonitor: running Welch t across micro-batches, bit-equal to a local fold") {
     val mem = MemoryStream[(String, Long, Long, Double)](spark)
     val q = StreamLog
