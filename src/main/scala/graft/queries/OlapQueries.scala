@@ -1766,6 +1766,75 @@ object OlapQueries {
       .orderBy("lag")
   }
 
+  /** Kendall tau-b rank correlation between the daily view and purchase
+    * series — the CONCORDANCE complement of [[qCcf]]'s linear
+    * correlation (is the relation monotone at all, ties handled
+    * exactly). The day-pair join runs on the calendar-sized aligned
+    * series (|days|² pairs, bounded by the calendar, one side
+    * broadcast — never the corpus); concordant/discordant/tie counts
+    * are exact int64, the tie corrections n₁/n₂ are exact decimal
+    * folds of the per-value tie histograms, and τ_b is one scalar IEEE
+    * tree. */
+  def qKendallTau(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dy"))
+    val x = counts.filter(col("event_type") === "view").select(col("dy"), col("n").as("xn"))
+    val y = counts.filter(col("event_type") === "purchase").select(col("dy"), col("n").as("yn"))
+    val series = grid
+      .join(x, Seq("dy"), "left")
+      .join(y, Seq("dy"), "left")
+      .select(
+        col("dy"),
+        coalesce(col("xn"), lit(0L)).as("x"),
+        coalesce(col("yn"), lit(0L)).as("y"))
+      .transform(graft.operators.Materialize.cut)
+    val pairs = series
+      .join(
+        broadcast(
+          series.select(col("dy").as("dy2"), col("x").as("x2"), col("y").as("y2"))),
+        col("dy") < col("dy2"))
+      .select(((col("x") - col("x2")) * (col("y") - col("y2"))).as("prod"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("prod") > 0L, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("prod") < 0L, 1L).otherwise(0L)).as("nd"))
+    val tieX = series
+      .groupBy("x")
+      .agg(count(lit(1)).as("t"))
+      .agg(
+        coalesce(
+          sum(dec(col("t")) * (col("t") - 1) / 2),
+          lit(0L).cast("decimal(38,0)")).as("n1"))
+    val tieY = series
+      .groupBy("y")
+      .agg(count(lit(1)).as("t"))
+      .agg(
+        coalesce(
+          sum(dec(col("t")) * (col("t") - 1) / 2),
+          lit(0L).cast("decimal(38,0)")).as("n2"))
+    val nDays = series.agg(count(lit(1)).as("n_days"))
+    nDays
+      .crossJoin(broadcast(pairs))
+      .crossJoin(broadcast(tieX))
+      .crossJoin(broadcast(tieY))
+      .select(
+        col("n_days"),
+        col("nc"),
+        col("nd"),
+        floor6(
+          (col("nc") - col("nd")).cast("double") /
+            sqrt(
+              (col("n_pairs").cast("decimal(38,0)") - col("n1")).cast("double") *
+                (col("n_pairs").cast("decimal(38,0)") - col("n2")).cast("double")))
+          .as("tau_b"))
+  }
+
   /** Fano factor / index of dispersion of hourly counts per event type:
     * variance-to-mean ratio of the arrival process — 1 under Poisson,
     * > 1 for bursty traffic, < 1 for regularized. The capacity-planning
@@ -3316,6 +3385,8 @@ object OlapQueries {
   private def floor6(c: Column): Column =
     floor(c * 1000000.0d + 0.5d) / 1000000.0d
 
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
   /** TPC-H Q15 shape (top supplier by period revenue): per-supplier
     * revenue over a ship-date quarter, keep the argmax — the correlated
     * `WHERE total = (SELECT max(...))` decorrelated into one supplier
@@ -3599,6 +3670,7 @@ object OlapQueries {
     "q_pettitt" -> qPettitt _,
     "q_page_hinkley" -> qPageHinkley _,
     "q_ccf" -> qCcf _,
+    "q_kendall_tau" -> qKendallTau _,
     "q_fano" -> qFano _,
     "q_spc_days" -> qSpcDays _,
     "q_seasonality" -> qSeasonality _,
@@ -4377,6 +4449,38 @@ object OlapQueries {
         |       floor((CAST(n_days * sxy - sx * sy AS DOUBLE) /
         |              sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) * CAST(n_days * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS ccf
         |FROM agg ORDER BY lag""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+        |bounds AS (SELECT min(dy) AS lo, max(dy) AS hi FROM counts),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS dy FROM bounds),
+        |series AS (
+        |  SELECT g.dy,
+        |         CAST(coalesce(v.n, 0) AS BIGINT) AS x,
+        |         CAST(coalesce(p.n, 0) AS BIGINT) AS y
+        |  FROM grid g
+        |  LEFT JOIN counts v ON v.event_type = 'view' AND v.dy = g.dy
+        |  LEFT JOIN counts p ON p.event_type = 'purchase' AND p.dy = g.dy),
+        |pairs AS (
+        |  SELECT (s.x - s2.x) * (s.y - s2.y) AS prod
+        |  FROM series s JOIN series s2 ON s.dy < s2.dy),
+        |agg AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        |  FROM pairs),
+        |tiex AS (
+        |  SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) // 2), 0) AS HUGEINT) AS n1
+        |  FROM (SELECT count(*) AS t FROM series GROUP BY x)),
+        |tiey AS (
+        |  SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) // 2), 0) AS HUGEINT) AS n2
+        |  FROM (SELECT count(*) AS t FROM series GROUP BY y)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM series)
+        |SELECT n_days, nc, nd,
+        |       floor((CAST(nc - nd AS DOUBLE) /
+        |              sqrt(CAST(n_pairs - n1 AS DOUBLE) * CAST(n_pairs - n2 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+        |FROM nn, agg, tiex, tiey""".stripMargin,
     "q_fano" ->
       """WITH counts AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n

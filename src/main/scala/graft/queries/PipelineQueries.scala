@@ -1483,6 +1483,51 @@ object PipelineQueries {
           .as("assortativity"))
   }
 
+  /** Continuous-MLE power-law exponent of the dup-graph degree
+    * distribution (Clauset–Shalizi–Newman 2009): α = 1 + n/Σ ln(dᵢ/
+    * (d_min−½)) — is the duplicate graph scale-free (a few giant
+    * template families) or exponential-ish (organic pairs)? The
+    * per-degree ln terms are computed ONCE per distinct degree on the
+    * degree histogram (alphabet-sized), floor-quantized to µ-unit int64
+    * BEFORE the count-weighted sum (the q_ndcg trick → order-free
+    * exact decimal fold); α is one scalar IEEE tree. */
+  def qPowerLaw(s: SparkSession, d: String): DataFrame = {
+    val hist = Dedup
+      .minhashLsh(
+        docs(s, d),
+        k = 3,
+        numHashes = MinhashSeeds,
+        bands = MinhashBands,
+        threshold = 0.8)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.operators.Materialize.cut(_))
+    val dmin = hist.agg(min("degree").as("d_min"), max("degree").as("d_max"))
+    hist
+      .crossJoin(broadcast(dmin))
+      .select(
+        col("d_min"),
+        col("d_max"),
+        col("cnt"),
+        (col("cnt").cast("decimal(38,0)") *
+          floor(
+            log(col("degree").cast("double") / (col("d_min").cast("double") - lit(0.5d))) *
+              lit(1000000.0d)).cast("long")).as("wq"))
+      .groupBy("d_min", "d_max")
+      .agg(sum("cnt").as("n_nodes"), sum("wq").as("sumq"))
+      .select(
+        col("n_nodes"),
+        col("d_min"),
+        col("d_max"),
+        (floor(
+          (lit(1.0d) + col("n_nodes").cast("double") * lit(1000000.0d) /
+            col("sumq").cast("double")) * 1000000.0d + 0.5d) / 1000000.0d)
+          .as("alpha"))
+  }
+
   /** Sorted-neighborhood near-dup (see [[Dedup.sortedNeighborhood]] —
     * the order-based third blocking family beside LSH buckets and
     * AllPairs prefixes): 4-char prefix blocks, window 3, exact 3-gram
@@ -3333,6 +3378,7 @@ object PipelineQueries {
     "q_graph_assortativity" -> qGraphAssortativity _,
     "q_cohens_kappa" -> qCohensKappa _,
     "q_fuzzy_join" -> qFuzzyJoin _,
+    "q_power_law" -> qPowerLaw _,
     "q_snm_dedup" -> qSnmDedup _,
     "q_embed_outliers" -> qEmbedOutliers _,
     "q_dup_graph_report" -> qDupGraphReport _,
@@ -4980,6 +5026,23 @@ object PipelineQueries {
          |FROM names a JOIN names b ON a.p_name < b.p_name
          |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyEditMax
          |ORDER BY a_name, b_name""".stripMargin,
+    "q_power_law" ->
+      s"""$minhashPairsCtes,
+         |ends AS (SELECT a_id AS doc_id FROM mpairs UNION ALL SELECT b_id FROM mpairs),
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY 1),
+         |hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+         |mn AS (SELECT CAST(min(degree) AS BIGINT) AS d_min, CAST(max(degree) AS BIGINT) AS d_max FROM hist),
+         |w AS (
+         |  SELECT d_min, d_max, cnt,
+         |         CAST(cnt AS HUGEINT) *
+         |           CAST(floor(ln(CAST(degree AS DOUBLE) / (CAST(d_min AS DOUBLE) - 0.5)) * 1000000.0) AS BIGINT) AS wq
+         |  FROM hist, mn),
+         |agg AS (
+         |  SELECT d_min, d_max, CAST(sum(cnt) AS BIGINT) AS n_nodes, CAST(sum(wq) AS HUGEINT) AS sumq
+         |  FROM w GROUP BY 1, 2)
+         |SELECT n_nodes, d_min, d_max,
+         |       floor((1.0 + CAST(n_nodes AS DOUBLE) * 1000000.0 / CAST(sumq AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS alpha
+         |FROM agg""".stripMargin,
     "q_expectations" ->
       """WITH li AS (
         |  SELECT count(*) AS n,

@@ -877,6 +877,76 @@ object StatsQueries {
       .transform(sortSmall(_, col("source")))
   }
 
+  /** Theil-T inequality of customer revenue, decomposed by market
+    * segment — the inequality index that DECOMPOSES exactly
+    * (T = T_between + Σ s_g·T_g), which [[graft.queries.OlapQueries]]'s
+    * Gini can't do: is revenue concentration a between-segment story or
+    * within-segment whales? Per-customer cents are exact; each
+    * (x/μ)·ln(x/μ) term is a fixed IEEE tree on (x, N, S) /
+    * (x, n_g, S_g) broadcast scalars, floor-quantized to µ-units BEFORE
+    * its sum (order-free exact decimal folds); the 5 per-segment
+    * between/within contributions quantize the same way. Population =
+    * customers with ≥ 1 order (zero-revenue customers contribute 0·ln 0
+    * = 0 and are excluded, the standard reduction). One fact exchange
+    * (custkey aggregate → segment join), then segment-sized algebra. */
+  def qTheilIndex(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .join(
+        t(s, d, "customer").select(
+          col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment")),
+        Seq("o_custkey"))
+      .transform(graft.operators.Materialize.cut)
+    val seg = rev
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_g"), sum(dec(col("x"))).as("s_g"))
+    val tot = seg.agg(
+      sum("n_g").as("nn"),
+      sum("s_g").as("ss"),
+      count(lit(1)).as("n_segments"))
+    def xlnx(r: Column): Column = r * log(r) // r = x/μ as a double
+    val rTot = col("x").cast("double") * col("nn").cast("double") / col("ss").cast("double")
+    val rGrp = col("x").cast("double") * col("n_g").cast("double") / col("s_g").cast("double")
+    val rowq = rev
+      .join(broadcast(seg), "segment")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("segment"),
+        floor(xlnx(rTot) * lit(1000000.0d)).cast("long").as("qt"),
+        floor(xlnx(rGrp) * lit(1000000.0d)).cast("long").as("qg"))
+    val perSeg = rowq
+      .groupBy("segment")
+      .agg(sum(dec(col("qt"))).as("sqt"), sum(dec(col("qg"))).as("sqg"))
+      .join(broadcast(seg), "segment")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("sqt"),
+        // within contribution s_g·T_g and between term s_g·ln(s_g/p_g),
+        // each one fixed IEEE tree on exact operands, µ-quantized
+        floor(
+          (col("s_g").cast("double") / col("ss").cast("double")) *
+            (col("sqg").cast("double") / (col("n_g").cast("double") * lit(1000000.0d))) *
+            lit(1000000.0d)).cast("long").as("qw"),
+        floor(
+          (col("s_g").cast("double") / col("ss").cast("double")) *
+            log(
+              (col("s_g").cast("double") / col("ss").cast("double")) /
+                (col("n_g").cast("double") / col("nn").cast("double"))) *
+            lit(1000000.0d)).cast("long").as("qb"))
+    perSeg
+      .agg(sum(dec(col("sqt"))).as("tq"), sum("qw").as("wq"), sum("qb").as("bq"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("nn").as("n_customers"),
+        col("n_segments"),
+        floor6(col("tq").cast("double") / (col("nn").cast("double") * lit(1000000.0d)))
+          .as("theil_total"),
+        floor6(col("bq").cast("double") / lit(1000000.0d)).as("theil_between"),
+        floor6(col("wq").cast("double") / lit(1000000.0d)).as("theil_within"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
     "q_nelson_aalen" -> qNelsonAalen _,
@@ -892,7 +962,8 @@ object StatsQueries {
     "q_anova" -> qAnova _,
     "q_kruskal_wallis" -> qKruskalWallis _,
     "q_cochran_armitage" -> qCochranArmitage _,
-    "q_spearman" -> qSpearman _
+    "q_spearman" -> qSpearman _,
+    "q_theil_index" -> qTheilIndex _
   )
 
   /** The signup→purchase life-table CTE chain ending in
@@ -1289,6 +1360,34 @@ object StatsQueries {
          |SELECT source, n_docs,
          |       ${floor6Sql(
           "CAST(n_docs * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE) * CAST(n_docs * syy - sy * sy AS DOUBLE))")} AS spearman_rho
-         |FROM agg ORDER BY source""".stripMargin
+         |FROM agg ORDER BY source""".stripMargin,
+    "q_theil_index" ->
+      s"""WITH rev AS (
+         |  SELECT o.o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x, c.c_mktsegment AS segment
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |  GROUP BY 1, 3),
+         |seg AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(x) AS HUGEINT) AS s_g FROM rev GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn, CAST(sum(s_g) AS HUGEINT) AS ss, CAST(count(*) AS BIGINT) AS n_segments FROM seg),
+         |rowq AS (
+         |  SELECT r.segment,
+         |         CAST(floor((CAST(r.x AS DOUBLE) * CAST(nn AS DOUBLE) / CAST(ss AS DOUBLE)) * ln(CAST(r.x AS DOUBLE) * CAST(nn AS DOUBLE) / CAST(ss AS DOUBLE)) * 1000000.0) AS BIGINT) AS qt,
+         |         CAST(floor((CAST(r.x AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(s_g AS DOUBLE)) * ln(CAST(r.x AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(s_g AS DOUBLE)) * 1000000.0) AS BIGINT) AS qg
+         |  FROM rev r JOIN seg USING (segment) CROSS JOIN tot),
+         |per_seg AS (
+         |  SELECT rowq.segment, CAST(sum(qt) AS HUGEINT) AS sqt, CAST(sum(qg) AS HUGEINT) AS sqg
+         |  FROM rowq GROUP BY 1),
+         |contrib AS (
+         |  SELECT sqt,
+         |         CAST(floor((CAST(s_g AS DOUBLE) / CAST(ss AS DOUBLE)) * (CAST(sqg AS DOUBLE) / (CAST(n_g AS DOUBLE) * 1000000.0)) * 1000000.0) AS BIGINT) AS qw,
+         |         CAST(floor((CAST(s_g AS DOUBLE) / CAST(ss AS DOUBLE)) * ln((CAST(s_g AS DOUBLE) / CAST(ss AS DOUBLE)) / (CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))) * 1000000.0) AS BIGINT) AS qb
+         |  FROM per_seg JOIN seg USING (segment) CROSS JOIN tot),
+         |fin AS (
+         |  SELECT CAST(sum(sqt) AS HUGEINT) AS tq, CAST(sum(qw) AS BIGINT) AS wq, CAST(sum(qb) AS BIGINT) AS bq
+         |  FROM contrib)
+         |SELECT nn AS n_customers, n_segments,
+         |       ${floor6Sql("CAST(tq AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000.0)")} AS theil_total,
+         |       ${floor6Sql("CAST(bq AS DOUBLE) / 1000000.0")} AS theil_between,
+         |       ${floor6Sql("CAST(wq AS DOUBLE) / 1000000.0")} AS theil_within
+         |FROM fin, tot""".stripMargin
   )
 }

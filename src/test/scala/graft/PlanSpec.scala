@@ -256,7 +256,11 @@ class PlanSpec extends SparkSpec {
       "q_ccf", // calendar-day series × 7-row lag grid (statistic-sized)
       "q_gtest_terms", // one-row corpus-token total broadcast (like 66b)
       "q_graph_assortativity", // edge-stat row × one-row node count
-      "q_cohens_kappa") // one-row totals × one-row agree × one-row Σrc
+      "q_cohens_kappa", // one-row totals × one-row agree × one-row Σrc
+      "q_kendall_tau", // calendar-day series × itself (|days|², broadcast)
+                       // + one-row pair/tie statistic products
+      "q_power_law", // degree histogram × one-row (d_min, d_max)
+      "q_theil_index") // segment stats broadcast + one-row totals
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
