@@ -1766,6 +1766,79 @@ object OlapQueries {
       .orderBy("lag")
   }
 
+  /** Binary-segmentation multi-changepoint on daily counts (Scott–Knott
+    * style, two levels): [[qCusum]] finds the single best cut; this
+    * recurses once — re-running the same n-scaled INTEGER statistic
+    * T_i = n·prefix_i − i·total inside each half — so a series with two
+    * level shifts reports both (the single-cut scan provably lands
+    * between them and misses each). Everything stays argmax-equivalent
+    * integer algebra (no float can flip a reported day); level-2
+    * windows run per (type, side) on the same calendar-sized series,
+    * one extra exchange. Segments of length 1 have no interior cut and
+    * emit nothing. */
+  def qBinseg(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val series = counts
+      .groupBy("event_type")
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("dy"))
+      .join(counts, Seq("event_type", "dy"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+      .select("event_type", "dy", "x")
+      .transform(graft.operators.Materialize.cut)
+    def cuts(df: DataFrame, keys: Seq[String], label: Column): DataFrame = {
+      val part = Window.partitionBy(keys.map(col): _*)
+      val byDay = part.orderBy("dy")
+      val scored = df
+        .withColumn("i", row_number().over(byDay).cast("long"))
+        .withColumn(
+          "prefix",
+          sum("x").over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_days", count(lit(1)).over(part))
+        .withColumn("total", sum("x").over(part))
+        .withColumn("t", col("n_days") * col("prefix") - col("i") * col("total"))
+        .filter(col("i") < col("n_days"))
+      val pick = Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(abs(col("t")).desc, col("dy"))
+      scored
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(
+          col("event_type"),
+          label.as("segment"),
+          col("n_days"),
+          col("dy").as("cut_dy"),
+          abs(col("t")).as("k_stat"))
+    }
+    val level1 = cuts(series, Seq("event_type"), lit("all"))
+    val sided = series
+      .join(
+        broadcast(level1.select(col("event_type"), col("cut_dy"))),
+        Seq("event_type"))
+      .withColumn("side", when(col("dy") <= col("cut_dy"), "L").otherwise("R"))
+      .drop("cut_dy")
+    val level2 = cuts(sided, Seq("event_type", "side"), col("side"))
+    level1
+      .withColumn("level", lit(1L))
+      .unionByName(level2.withColumn("level", lit(2L)))
+      .select(
+        col("event_type"),
+        col("level"),
+        col("segment"),
+        col("n_days"),
+        (col("cut_dy") * DayUs).as("change_day_us"),
+        col("k_stat"))
+      .transform(graft.operators.SortUtil.sortSmall(
+        _,
+        col("event_type"),
+        col("level"),
+        col("segment")))
+  }
+
   /** Kendall tau-b rank correlation between the daily view and purchase
     * series — the CONCORDANCE complement of [[qCcf]]'s linear
     * correlation (is the relation monotone at all, ties handled
@@ -3671,6 +3744,7 @@ object OlapQueries {
     "q_page_hinkley" -> qPageHinkley _,
     "q_ccf" -> qCcf _,
     "q_kendall_tau" -> qKendallTau _,
+    "q_binseg" -> qBinseg _,
     "q_fano" -> qFano _,
     "q_spc_days" -> qSpcDays _,
     "q_seasonality" -> qSeasonality _,
@@ -4481,6 +4555,52 @@ object OlapQueries {
         |       floor((CAST(nc - nd AS DOUBLE) /
         |              sqrt(CAST(n_pairs - n1 AS DOUBLE) * CAST(n_pairs - n2 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS tau_b
         |FROM nn, agg, tiex, tiey""".stripMargin,
+    "q_binseg" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(dy) AS lo, max(dy) AS hi FROM counts GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS dy FROM bounds),
+        |series AS (
+        |  SELECT g.event_type, g.dy, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+        |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+        |l1s AS (
+        |  SELECT event_type, dy, x,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY dy) AS BIGINT) AS i,
+        |         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+        |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM series),
+        |l1t AS (SELECT *, n_days * prefix - i * total AS t FROM l1s WHERE i < n_days),
+        |l1 AS (
+        |  SELECT event_type, 'all' AS segment, n_days, dy AS cut_dy, abs(t) AS k_stat,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY abs(t) DESC, dy) AS rk
+        |  FROM l1t),
+        |cut1 AS (SELECT event_type, cut_dy FROM l1 WHERE rk = 1),
+        |sided AS (
+        |  SELECT s.event_type, s.dy, s.x,
+        |         CASE WHEN s.dy <= c.cut_dy THEN 'L' ELSE 'R' END AS side
+        |  FROM series s JOIN cut1 c USING (event_type)),
+        |l2s AS (
+        |  SELECT event_type, side, dy, x,
+        |         CAST(row_number() OVER (PARTITION BY event_type, side ORDER BY dy) AS BIGINT) AS i,
+        |         CAST(sum(x) OVER (PARTITION BY event_type, side ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+        |         CAST(count(*) OVER (PARTITION BY event_type, side) AS BIGINT) AS n_days,
+        |         CAST(sum(x) OVER (PARTITION BY event_type, side) AS BIGINT) AS total
+        |  FROM sided),
+        |l2t AS (SELECT *, n_days * prefix - i * total AS t FROM l2s WHERE i < n_days),
+        |l2 AS (
+        |  SELECT event_type, side AS segment, n_days, dy AS cut_dy, abs(t) AS k_stat,
+        |         row_number() OVER (PARTITION BY event_type, side ORDER BY abs(t) DESC, dy) AS rk
+        |  FROM l2t)
+        |SELECT event_type, CAST(1 AS BIGINT) AS level, segment, n_days,
+        |       cut_dy * 86400000000 AS change_day_us, k_stat
+        |FROM l1 WHERE rk = 1
+        |UNION ALL
+        |SELECT event_type, CAST(2 AS BIGINT), segment, n_days,
+        |       cut_dy * 86400000000, k_stat
+        |FROM l2 WHERE rk = 1
+        |ORDER BY event_type, level, segment""".stripMargin,
     "q_fano" ->
       """WITH counts AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n

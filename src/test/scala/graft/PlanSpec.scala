@@ -303,6 +303,15 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"quadratic unbounded-following frames in: $offenders")
   }
 
+  test("q_fuzzy_join: candidates come from the bigram equi-join; the quadratic verify never sees non-candidates") {
+    val p = plan("q_fuzzy_join")
+    // the ER contract: an equi-join on the gram key generates candidates…
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"))
+    // …and no all-pairs product anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("levenshtein"))
+  }
+
   test("q_funnel_latency: probe window + per-user rollup ride ONE (user_id) exchange, no join") {
     val p = plan("q_funnel_latency")
     assert(count(p, "hashpartitioning(user_id") == 1)
