@@ -947,6 +947,309 @@ object StatsQueries {
         floor6(col("wq").cast("double") / lit(1000000.0d)).as("theil_within"))
   }
 
+  /** Bonferroni-corrected two-sided 5% normal critical value for the
+    * 10 pairwise contrasts over 5 groups (α′ = 0.005), spelled to
+    * µ-precision so both engines compare against one literal. The
+    * normal approximation of the t quantile is documented: at the
+    * suite's N−k (tens of thousands+) the difference is < 1e-3. */
+  val BonferroniZ10 = 2.807034d
+
+  /** Post-hoc pairwise mean contrasts after [[qAnova]] (Bonferroni
+    * flavor of Tukey's HSD): which event-type PAIRS differ? Everything
+    * reuses ANOVA's exact per-group triples — MSE = SSW/(N−k) via the
+    * same remainder-free centi-unit fold, each pairwise t one scalar
+    * IEEE tree on two triples, the k²/2 pair grid statistic-sized and
+    * broadcast. Mean difference reported in value units (cents/100). */
+  def qTukeyPairs(s: SparkSession, d: String): DataFrame = {
+    val g = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c").as("sc"),
+        sum(dec(col("c")) * col("c")).as("sq"))
+      .transform(graft.operators.Materialize.cut(_))
+    val mse = g
+      .select(
+        col("n"),
+        col("sq"),
+        expr(divFloorSql(
+          "CAST(sc AS DECIMAL(38,0)) * sc * 100",
+          "CAST(n AS DECIMAL(38,0))")).as("tq"))
+      .agg(
+        count(lit(1)).as("k_groups"),
+        sum("n").as("n_events"),
+        sum("sq").as("q_tot"),
+        sum("tq").as("t_cq"))
+      .selectExpr(
+        "k_groups",
+        "(CAST(q_tot AS DOUBLE) - CAST(t_cq AS DOUBLE) / 100.0) / (CAST(n_events - k_groups AS DOUBLE) * 10000.0) AS mse")
+    val a = g.select(
+      col("event_type").as("type_a"),
+      col("n").as("n_a"),
+      col("sc").as("sc_a"))
+    val b = g.select(
+      col("event_type").as("type_b"),
+      col("n").as("n_b"),
+      col("sc").as("sc_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(mse))
+      .selectExpr(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "CAST(sc_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0) - CAST(sc_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) AS diff",
+        "mse * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS se2")
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        floor6(col("diff")).as("mean_diff"),
+        floor6(col("diff") / sqrt(col("se2"))).as("t_stat"),
+        (abs(col("diff") / sqrt(col("se2"))) > lit(BonferroniZ10)).as("significant"))
+      .transform(sortSmall(_, col("type_a"), col("type_b")))
+  }
+
+  /** Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    * test — the assumption check [[qAnova]] needs: W is the ANOVA F
+    * computed on |x − median_g|. The per-group median comes from the
+    * distinct-cent HISTOGRAM (cumulative window over an alphabet-sized
+    * table, never a row sort of the corpus) as the exact two-middle
+    * rank pick; working in doubled cents keeps |2x − (m₁+m₂)| integer
+    * so the deviation ANOVA reuses the exact centi-unit fold. */
+  def qLevene(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val cnt = ev.groupBy("event_type", "v").agg(count(lit(1)).as("m"))
+    val wv = Window
+      .partitionBy("event_type")
+      .orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cnt
+      .withColumn("cum", sum("m").over(wv))
+      .withColumn("n", sum("m").over(Window.partitionBy("event_type")))
+    val med = ranked
+      .groupBy("event_type")
+      .agg(
+        (min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v"))) +
+          min(when(col("cum") >= expr("(n + 2) DIV 2"), col("v")))).as("m2"))
+    val z = ev
+      .join(broadcast(med), "event_type")
+      .select(
+        col("event_type"),
+        abs(lit(2L) * col("v") - col("m2")).as("z"))
+    val g = z
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("z").as("sz"),
+        sum(dec(col("z")) * col("z")).as("zq"))
+    g.select(
+      col("n"),
+      col("sz"),
+      col("zq"),
+      expr(divFloorSql(
+        "CAST(sz AS DECIMAL(38,0)) * sz * 100",
+        "CAST(n AS DECIMAL(38,0))")).as("tq"))
+      .agg(
+        count(lit(1)).as("k_groups"),
+        sum("n").as("n_events"),
+        sum(dec(col("sz"))).as("s_tot"),
+        sum("zq").as("q_tot"),
+        sum("tq").as("t_cq"))
+      .selectExpr(
+        "n_events",
+        "k_groups",
+        "CAST(t_cq AS DOUBLE) / 100.0 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_events AS DOUBLE) AS ssb",
+        "CAST(q_tot AS DOUBLE) - CAST(t_cq AS DOUBLE) / 100.0 AS ssw")
+      .select(
+        col("n_events"),
+        col("k_groups"),
+        floor6(
+          (col("ssb") / (col("k_groups") - lit(1L)).cast("double")) /
+            (col("ssw") / (col("n_events") - col("k_groups")).cast("double")))
+          .as("w_stat"))
+  }
+
+  /** Seasonal Mann–Kendall (Hirsch–Slack): the monotonic-trend test
+    * with the yearly cycle removed — S sums sign comparisons only
+    * WITHIN each calendar month across years, so a seasonal demand
+    * curve can't masquerade as trend. Same exact integer machinery as
+    * [[qMannKendall]] per season (month-pair grid statistic-sized and
+    * broadcast, tie-corrected variance), seasons' S and Var18 sum
+    * exactly, one final z with continuity correction. */
+  def qMkSeasonal(s: SparkSession, d: String): DataFrame = {
+    val m = t(s, d, "orders")
+      .groupBy(
+        monthIdx(col("o_orderdate")).as("m"),
+        month(col("o_orderdate")).as("moy"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = m
+      .select(col("moy"), col("m").as("ma"), col("c").as("ca"))
+      .join(
+        broadcast(m.select(col("moy").as("moy2"), col("m").as("mb"), col("c").as("cb"))),
+        col("moy") === col("moy2") && col("ma") < col("mb"))
+    val sStat = pairs.agg(
+      coalesce(
+        sum(
+          when(col("cb") > col("ca"), 1L)
+            .when(col("cb") < col("ca"), -1L)
+            .otherwise(0L)),
+        lit(0L)).as("s_stat"))
+    val perSeason = m
+      .groupBy("moy")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)).as("v18"))
+      .agg(sum("v18").as("base18"))
+    val ties = m
+      .groupBy("moy", "c")
+      .agg(count(lit(1)).as("tk"))
+      .filter(col("tk") > 1)
+      .agg(
+        coalesce(
+          sum(col("tk") * (col("tk") - 1) * (lit(2L) * col("tk") + 5)),
+          lit(0L)).as("tie_term"))
+    val counts = m.agg(
+      count(lit(1)).as("n_periods"),
+      countDistinct(col("moy")).as("n_seasons"))
+    counts
+      .crossJoin(broadcast(sStat))
+      .crossJoin(broadcast(perSeason))
+      .crossJoin(broadcast(ties))
+      .withColumn("var18", col("base18") - col("tie_term"))
+      .withColumn(
+        "z_stat",
+        when(
+          col("s_stat") > 0,
+          (col("s_stat") - 1L).cast("double") /
+            sqrt(col("var18").cast("double") / 18.0d))
+          .when(
+            col("s_stat") < 0,
+            (col("s_stat") + 1L).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0d))
+          .otherwise(0.0d))
+      .select(
+        col("n_periods"),
+        col("n_seasons"),
+        col("s_stat"),
+        (col("var18").cast("double") / 18.0d).as("var_s"),
+        floor6(col("z_stat")).as("z_stat"),
+        when(col("z_stat") > MkCritical, "increasing")
+          .when(col("z_stat") < -MkCritical, "decreasing")
+          .otherwise("none").as("trend"))
+  }
+
+  /** Two-group log-rank test on the signup→purchase life table:
+    * do morning signups (hour-of-day < 12) convert on a different
+    * schedule than afternoon ones? The cohorted twin of
+    * [[qKaplanMeier]]'s single curve. Per conversion day the observed/
+    * expected/variance terms are fixed IEEE trees on the exact integer
+    * life-table counts, floor-quantized to µ-units BEFORE their sums
+    * (order-free), and χ² = (ΣO−ΣE)²/ΣV is one final scalar tree.
+    * Days with no conversion or a single subject at risk contribute
+    * exactly zero in both engines and are excluded. Scale shape: one
+    * (user) exchange to per-user rows, one day-range explode bounded
+    * by the observation window, one (day, cohort) aggregate. */
+  def qLogrank(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val endDf = ev.agg(max("ts_us").as("end_us"))
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("ts_us").as("signup_us"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts_us").as("p_us"))
+    val perUser = signups
+      .join(
+        purchases,
+        col("user_id") === col("p_uid") && col("p_us") >= col("signup_us"),
+        "left")
+      .groupBy("user_id")
+      .agg(min("signup_us").as("signup_us"), min("p_us").as("conv_us"))
+      .crossJoin(broadcast(endDf))
+      .select(
+        when(expr("(signup_us DIV 3600000000L) % 24") < 12, "am")
+          .otherwise("pm").as("cohort"),
+        expr(s"(end_us - signup_us) DIV $DayUs").as("censor_d"),
+        when(
+          col("conv_us").isNotNull,
+          expr(s"(conv_us - signup_us) DIV $DayUs"))
+          .as("conv_d"))
+      .select(
+        col("cohort"),
+        col("conv_d"),
+        least(coalesce(col("conv_d"), col("censor_d")), col("censor_d"))
+          .as("last_risk_d"))
+    val table = perUser
+      .select(
+        col("cohort"),
+        col("conv_d"),
+        explode(expr("sequence(0, last_risk_d)")).as("dd"))
+      .groupBy("dd", "cohort")
+      .agg(
+        count(lit(1)).as("r"),
+        sum(when(col("conv_d") === col("dd"), 1L).otherwise(0L)).as("o"))
+      .transform(graft.operators.Materialize.cut)
+    val byDay = table
+      .groupBy("dd")
+      .agg(
+        sum("r").as("rn"),
+        sum("o").as("on"),
+        coalesce(sum(when(col("cohort") === "am", col("r"))), lit(0L)).as("r1"),
+        coalesce(sum(when(col("cohort") === "am", col("o"))), lit(0L)).as("o1"))
+      .filter(col("on") > 0 && col("rn") > 1)
+      .select(
+        col("o1"),
+        // e1 = O·r1/N, v1 = O·(r1/N)·(1−r1/N)·(N−O)/(N−1): fixed trees
+        // on exact ints, µ-quantized before the day sums
+        floor(
+          col("on").cast("double") * col("r1").cast("double") /
+            col("rn").cast("double") * lit(1000000.0d)).cast("long").as("eq"),
+        floor(
+          col("on").cast("double") *
+            (col("r1").cast("double") / col("rn").cast("double")) *
+            (lit(1.0d) - col("r1").cast("double") / col("rn").cast("double")) *
+            (col("rn") - col("on")).cast("double") /
+            (col("rn") - 1L).cast("double") * lit(1000000.0d)).cast("long")
+          .as("vq"))
+      .agg(
+        sum("o1").as("o_am"),
+        sum(dec(col("eq"))).as("eqs"),
+        sum(dec(col("vq"))).as("vqs"))
+    val cohortN = perUser
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(when(col("cohort") === "am", col("n"))), lit(0L)).as("n_am"),
+        coalesce(sum(when(col("cohort") === "pm", col("n"))), lit(0L)).as("n_pm"))
+    byDay
+      .crossJoin(broadcast(cohortN))
+      .selectExpr(
+        "n_am",
+        "n_pm",
+        "o_am",
+        "CAST(eqs AS DOUBLE) / 1000000.0 AS e_am_raw",
+        "(CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) AS diff",
+        "CAST(vqs AS DOUBLE) / 1000000.0 AS v_raw")
+      .select(
+        col("n_am"),
+        col("n_pm"),
+        col("o_am"),
+        floor6(col("e_am_raw")).as("e_am"),
+        floor6(col("diff") * col("diff") / col("v_raw")).as("chi2"),
+        (col("diff") * col("diff") / col("v_raw") > lit(3.841459d)).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
     "q_nelson_aalen" -> qNelsonAalen _,
@@ -963,7 +1266,11 @@ object StatsQueries {
     "q_kruskal_wallis" -> qKruskalWallis _,
     "q_cochran_armitage" -> qCochranArmitage _,
     "q_spearman" -> qSpearman _,
-    "q_theil_index" -> qTheilIndex _
+    "q_theil_index" -> qTheilIndex _,
+    "q_tukey_pairs" -> qTukeyPairs _,
+    "q_levene" -> qLevene _,
+    "q_mk_seasonal" -> qMkSeasonal _,
+    "q_logrank" -> qLogrank _
   )
 
   /** The signup→purchase life-table CTE chain ending in
@@ -1388,6 +1695,139 @@ object StatsQueries {
          |       ${floor6Sql("CAST(tq AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000.0)")} AS theil_total,
          |       ${floor6Sql("CAST(bq AS DOUBLE) / 1000000.0")} AS theil_between,
          |       ${floor6Sql("CAST(wq AS DOUBLE) / 1000000.0")} AS theil_within
-         |FROM fin, tot""".stripMargin
+         |FROM fin, tot""".stripMargin,
+    "q_tukey_pairs" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+         |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS sq
+         |  FROM events GROUP BY 1),
+         |mse AS (
+         |  SELECT (CAST(sum(sq) AS DOUBLE) - CAST(sum((CAST(sc AS HUGEINT) * sc * 100) // n) AS DOUBLE) / 100.0)
+         |           / (CAST(sum(n) - count(*) AS DOUBLE) * 10000.0) AS mse
+         |  FROM g),
+         |pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         a.n AS n_a, b.n AS n_b,
+         |         CAST(a.sc AS DOUBLE) / (CAST(a.n AS DOUBLE) * 100.0) - CAST(b.sc AS DOUBLE) / (CAST(b.n AS DOUBLE) * 100.0) AS diff,
+         |         mse * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)) AS se2
+         |  FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN mse)
+         |SELECT type_a, type_b, n_a, n_b,
+         |       ${floor6Sql("diff")} AS mean_diff,
+         |       ${floor6Sql("diff / sqrt(se2)")} AS t_stat,
+         |       abs(diff / sqrt(se2)) > $BonferroniZ10 AS significant
+         |FROM pairs ORDER BY type_a, type_b""".stripMargin,
+    "q_levene" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |cnt AS (SELECT event_type, v, count(*) AS m FROM ev GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT event_type, v,
+         |         CAST(sum(m) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |         CAST(sum(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM cnt),
+         |med AS (
+         |  SELECT event_type,
+         |         min(CASE WHEN cum >= (n + 1) // 2 THEN v END) +
+         |         min(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS m2
+         |  FROM ranked GROUP BY 1),
+         |z AS (
+         |  SELECT ev.event_type, abs(2 * v - m2) AS z
+         |  FROM ev JOIN med USING (event_type)),
+         |g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(z) AS BIGINT) AS sz,
+         |         sum(CAST(z AS HUGEINT) * z) AS zq
+         |  FROM z GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*) AS k_groups, sum(n) AS n_events,
+         |         sum(CAST(sz AS HUGEINT)) AS s_tot, sum(zq) AS q_tot,
+         |         sum((CAST(sz AS HUGEINT) * sz * 100) // n) AS t_cq
+         |  FROM g),
+         |ss AS (
+         |  SELECT CAST(n_events AS BIGINT) AS n_events, CAST(k_groups AS BIGINT) AS k_groups,
+         |         CAST(t_cq AS DOUBLE) / 100.0 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_events AS DOUBLE) AS ssb,
+         |         CAST(q_tot AS DOUBLE) - CAST(t_cq AS DOUBLE) / 100.0 AS ssw
+         |  FROM tot)
+         |SELECT n_events, k_groups,
+         |       ${floor6Sql(
+          "(ssb / CAST(k_groups - 1 AS DOUBLE)) / (ssw / CAST(n_events - k_groups AS DOUBLE))")} AS w_stat
+         |FROM ss""".stripMargin,
+    "q_mk_seasonal" ->
+      s"""WITH m AS (
+         |  SELECT CAST($MonthIdxSql AS BIGINT) AS m, month(o_orderdate) AS moy, CAST(count(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1, 2),
+         |s AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+         |  FROM m a JOIN m b ON a.moy = b.moy AND a.m < b.m),
+         |base AS (
+         |  SELECT CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS base18
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM m GROUP BY moy) t1),
+         |ties AS (
+         |  SELECT CAST(coalesce(sum(tk * (tk - 1) * (2 * tk + 5)), 0) AS BIGINT) AS tie_term
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS tk FROM m GROUP BY moy, c) t2 WHERE tk > 1),
+         |cnts AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_periods, CAST(count(DISTINCT moy) AS BIGINT) AS n_seasons FROM m),
+         |zc AS (
+         |  SELECT n_periods, n_seasons, s_stat,
+         |         base18 - tie_term AS var18,
+         |         CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(base18 - tie_term AS DOUBLE) / 18.0)
+         |              WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(base18 - tie_term AS DOUBLE) / 18.0)
+         |              ELSE 0.0 END AS z
+         |  FROM cnts, s, base, ties)
+         |SELECT n_periods, n_seasons, s_stat,
+         |       CAST(var18 AS DOUBLE) / 18.0 AS var_s,
+         |       ${floor6Sql("z")} AS z_stat,
+         |       CASE WHEN z > $MkCritical THEN 'increasing'
+         |            WHEN z < -$MkCritical THEN 'decreasing'
+         |            ELSE 'none' END AS trend
+         |FROM zc""".stripMargin,
+    "q_logrank" ->
+      s"""WITH endv AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+         |signups AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |conv AS (
+         |  SELECT s.user_id, s.signup_us, min(epoch_us(e.ts)) AS conv_us
+         |  FROM signups s LEFT JOIN events e
+         |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         |       AND epoch_us(e.ts) >= s.signup_us
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT CASE WHEN (signup_us // 3600000000) % 24 < 12 THEN 'am' ELSE 'pm' END AS cohort,
+         |         CASE WHEN conv_us IS NOT NULL
+         |              THEN (conv_us - signup_us) // $DayUs END AS conv_d,
+         |         least(coalesce((conv_us - signup_us) // $DayUs,
+         |                        (end_us - signup_us) // $DayUs),
+         |               (end_us - signup_us) // $DayUs) AS last_risk_d
+         |  FROM conv, endv),
+         |days AS (
+         |  SELECT cohort, conv_d, unnest(range(0, last_risk_d + 1)) AS dd FROM per),
+         |lt AS (
+         |  SELECT dd, cohort, CAST(count(*) AS BIGINT) AS r,
+         |         CAST(sum(CASE WHEN conv_d = dd THEN 1 ELSE 0 END) AS BIGINT) AS o
+         |  FROM days GROUP BY 1, 2),
+         |byday AS (
+         |  SELECT dd, CAST(sum(r) AS BIGINT) AS rn, CAST(sum(o) AS BIGINT) AS onn,
+         |         CAST(coalesce(sum(CASE WHEN cohort = 'am' THEN r END), 0) AS BIGINT) AS r1,
+         |         CAST(coalesce(sum(CASE WHEN cohort = 'am' THEN o END), 0) AS BIGINT) AS o1
+         |  FROM lt GROUP BY 1),
+         |q AS (
+         |  SELECT o1,
+         |         CAST(floor(CAST(onn AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(rn AS DOUBLE) * 1000000.0) AS BIGINT) AS eq,
+         |         CAST(floor(CAST(onn AS DOUBLE) * (CAST(r1 AS DOUBLE) / CAST(rn AS DOUBLE)) * (1.0 - CAST(r1 AS DOUBLE) / CAST(rn AS DOUBLE)) * CAST(rn - onn AS DOUBLE) / CAST(rn - 1 AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+         |  FROM byday WHERE onn > 0 AND rn > 1),
+         |sums AS (
+         |  SELECT CAST(sum(o1) AS BIGINT) AS o_am, CAST(sum(eq) AS HUGEINT) AS eqs, CAST(sum(vq) AS HUGEINT) AS vqs FROM q),
+         |cohn AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN cohort = 'am' THEN 1 END), 0) AS BIGINT) AS n_am,
+         |         CAST(coalesce(sum(CASE WHEN cohort = 'pm' THEN 1 END), 0) AS BIGINT) AS n_pm
+         |  FROM per)
+         |SELECT n_am, n_pm, o_am,
+         |       ${floor6Sql("CAST(eqs AS DOUBLE) / 1000000.0")} AS e_am,
+         |       ${floor6Sql(
+          "(CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) * (CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) / (CAST(vqs AS DOUBLE) / 1000000.0)")} AS chi2,
+         |       (CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) * (CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) / (CAST(vqs AS DOUBLE) / 1000000.0) > 3.841459 AS significant
+         |FROM sums, cohn""".stripMargin
   )
 }

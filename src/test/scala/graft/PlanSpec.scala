@@ -260,7 +260,10 @@ class PlanSpec extends SparkSpec {
       "q_kendall_tau", // calendar-day series × itself (|days|², broadcast)
                        // + one-row pair/tie statistic products
       "q_power_law", // degree histogram × one-row (d_min, d_max)
-      "q_theil_index") // segment stats broadcast + one-row totals
+      "q_theil_index", // segment stats broadcast + one-row totals
+      "q_tukey_pairs", // k-row group-stat grid × itself + one-row MSE
+      "q_mk_seasonal", // month statistic self-pair + one-row S/var/tie products
+      "q_logrank") // one-row censoring bound + one-row O/E/V and cohort totals
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
