@@ -1483,6 +1483,72 @@ object PipelineQueries {
           .as("assortativity"))
   }
 
+  /** Newman modularity of the SOURCE partition on the near-dup graph:
+    * is duplication an intra-feed phenomenon (mirrors re-crawled, Q→1)
+    * or do templates cross feeds (Q→0/negative — the dedup must be
+    * global, not per-source)? Q = Σ_s (m_s/m − (d_s/2m)²) over source
+    * communities, where m_s counts intra-source edges and d_s sums
+    * member degrees. Pairs materialized once, both endpoint sources
+    * picked up via shuffle_hash joins against the doc dimension,
+    * everything after is source-alphabet-sized exact integers; Q is
+    * one quantize-before-sum fold. */
+  def qDupModularity(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup
+      .minhashLsh(
+        docs(s, d),
+        k = 3,
+        numHashes = MinhashSeeds,
+        bands = MinhashBands,
+        threshold = 0.8)
+      .select("a_id", "b_id")
+      .transform(graft.operators.Materialize.cut(_))
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    val withSrc = pairs
+      .join(
+        src.select(col("doc_id").as("a_id"), col("source").as("sa")).hint("shuffle_hash"),
+        Seq("a_id"))
+      .join(
+        src.select(col("doc_id").as("b_id"), col("source").as("sb")).hint("shuffle_hash"),
+        Seq("b_id"))
+      .transform(graft.operators.Materialize.cut(_))
+    val m = withSrc.agg(count(lit(1)).as("m"))
+    val intra = withSrc
+      .filter(col("sa") === col("sb"))
+      .groupBy(col("sa").as("source"))
+      .agg(count(lit(1)).as("m_s"))
+    val degSum = withSrc
+      .select(explode(array(col("sa"), col("sb"))).as("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("d_s"))
+    val perSource = degSum
+      .join(intra, Seq("source"), "left")
+      .na.fill(0L, Seq("m_s"))
+      .crossJoin(broadcast(m))
+      .select(
+        col("source"),
+        col("m_s"),
+        col("d_s"),
+        // per-source contribution, µ-quantized before the exact sum
+        floor(
+          (col("m_s").cast("double") / col("m").cast("double") -
+            (col("d_s").cast("double") / (lit(2.0d) * col("m").cast("double"))) *
+              (col("d_s").cast("double") / (lit(2.0d) * col("m").cast("double")))) *
+            lit(1000000.0d)).cast("long").as("qc"))
+    perSource
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum("m_s").as("intra_edges"),
+        sum("qc").as("qsum"))
+      .crossJoin(broadcast(m))
+      .select(
+        col("m").as("n_edges"),
+        col("n_sources"),
+        col("intra_edges"),
+        (floor(
+          (col("qsum").cast("double") / lit(1000000.0d)) * 1000000.0d + 0.5d) /
+          1000000.0d).as("modularity"))
+  }
+
   /** Continuous-MLE power-law exponent of the dup-graph degree
     * distribution (Clauset–Shalizi–Newman 2009): α = 1 + n/Σ ln(dᵢ/
     * (d_min−½)) — is the duplicate graph scale-free (a few giant
@@ -3379,6 +3445,7 @@ object PipelineQueries {
     "q_cohens_kappa" -> qCohensKappa _,
     "q_fuzzy_join" -> qFuzzyJoin _,
     "q_power_law" -> qPowerLaw _,
+    "q_dup_modularity" -> qDupModularity _,
     "q_snm_dedup" -> qSnmDedup _,
     "q_embed_outliers" -> qEmbedOutliers _,
     "q_dup_graph_report" -> qDupGraphReport _,
@@ -5043,6 +5110,31 @@ object PipelineQueries {
          |SELECT n_nodes, d_min, d_max,
          |       floor((1.0 + CAST(n_nodes AS DOUBLE) * 1000000.0 / CAST(sumq AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS alpha
          |FROM agg""".stripMargin,
+    "q_dup_modularity" ->
+      s"""$minhashPairsCtes,
+         |withsrc AS (
+         |  SELECT p.a_id, p.b_id, da.source AS sa, db.source AS sb
+         |  FROM mpairs p
+         |  JOIN documents da ON da.doc_id = p.a_id
+         |  JOIN documents db ON db.doc_id = p.b_id),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM withsrc),
+         |intra AS (
+         |  SELECT sa AS source, CAST(count(*) AS BIGINT) AS m_s
+         |  FROM withsrc WHERE sa = sb GROUP BY 1),
+         |degsum AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS d_s FROM (
+         |    SELECT sa AS source FROM withsrc UNION ALL SELECT sb FROM withsrc) t
+         |  GROUP BY 1),
+         |per AS (
+         |  SELECT g.source, coalesce(i.m_s, 0) AS m_s, g.d_s,
+         |         CAST(floor((CAST(coalesce(i.m_s, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+         |                - (CAST(g.d_s AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) * (CAST(g.d_s AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))) * 1000000.0) AS BIGINT) AS qc
+         |  FROM degsum g LEFT JOIN intra i USING (source) CROSS JOIN mm)
+         |SELECT m AS n_edges,
+         |       CAST(count(*) AS BIGINT) AS n_sources,
+         |       CAST(sum(m_s) AS BIGINT) AS intra_edges,
+         |       floor((CAST(sum(qc) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS modularity
+         |FROM per, mm GROUP BY m""".stripMargin,
     "q_expectations" ->
       """WITH li AS (
         |  SELECT count(*) AS n,
