@@ -2218,6 +2218,128 @@ object OlapQueries {
       .withColumnRenamed("g", "source")
       .transform(sortSmall(_, col("source")))
 
+  /** Benjamini–Hochberg FDR correction over the per-source KS drift
+    * family — the MULTIPLE-TESTING closure the drift panel needs: 20
+    * sources × one test each at α = 0.05 expects a false alarm per
+    * run; BH bounds the false-discovery RATE instead. Each p-value is
+    * the Kolmogorov asymptotic series 2Σ(−1)^{k−1}e^{−2k²λ²} (k ≤ 5,
+    * Stephens' small-sample λ) — a fixed IEEE tree per source on the
+    * ROUNDED KS statistic, floor6-quantized before any comparison so
+    * the rank order and every threshold verdict are engine-exact. The
+    * BH step-up runs on the 20-row statistic table (single-partition
+    * windows by design). */
+  def qFdrBh(s: SparkSession, d: String): DataFrame = {
+    val alpha = 0.05d
+    val ks = graft.stats.Drift
+      .ksTest(Tables(s, d, "documents"), col("source"), col("n_chars"))
+      .withColumnRenamed("g", "source")
+    val ne = col("n_s").cast("double") * col("n_rest").cast("double") /
+      (col("n_s") + col("n_rest")).cast("double")
+    val lam = (sqrt(ne) + lit(0.12d) + lit(0.11d) / sqrt(ne)) * col("ks_stat")
+    val l2 = lam * lam
+    val pRaw = lit(2.0d) * (
+      exp(lit(-2.0d) * l2) - exp(lit(-8.0d) * l2) + exp(lit(-18.0d) * l2) -
+        exp(lit(-32.0d) * l2) + exp(lit(-50.0d) * l2))
+    val scored = ks
+      .withColumn(
+        "p_value",
+        floor(least(lit(1.0d), greatest(lit(0.0d), pRaw)) * 1000000.0d + 0.5d) /
+          1000000.0d)
+    val byP = Window.orderBy(col("p_value"), col("source"))
+    val all = Window
+      .partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(all))
+      .withColumn(
+        "bh_threshold",
+        floor(
+          col("rank").cast("double") * lit(alpha) / col("m_tests").cast("double") *
+            1000000.0d) / 1000000.0d)
+      .withColumn(
+        "k_max",
+        max(when(col("p_value") <= col("bh_threshold"), col("rank"))).over(all))
+      .select(
+        col("source"),
+        col("n_s"),
+        col("ks_stat"),
+        col("p_value"),
+        col("rank"),
+        col("bh_threshold"),
+        coalesce(col("rank") <= col("k_max"), lit(false)).as("rejected"))
+      .transform(sortSmall(_, col("rank")))
+  }
+
+  /** Lag-1 Granger causality: do yesterday's VIEW counts help predict
+    * today's PURCHASE counts beyond yesterday's purchases alone? The
+    * F test between the restricted AR(1) and the unrestricted
+    * two-predictor regression, computed entirely from EXACT decimal
+    * co-moment sums over the shared dense day grid (both lags come
+    * from one ordered window over the calendar-sized series). Both RSS
+    * values and the Cramer's-rule 2×2 solve are scalar IEEE trees on
+    * the exact sums; χ²(1) fence, large-n normal approximation of the
+    * F(1, n−3) quantile documented. */
+  def qGranger(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dy"))
+    val x = counts.filter(col("event_type") === "view").select(col("dy"), col("n").as("xn"))
+    val y = counts.filter(col("event_type") === "purchase").select(col("dy"), col("n").as("yn"))
+    val w = Window.orderBy("dy") // single global series: calendar-sized
+    val rows = grid
+      .join(x, Seq("dy"), "left")
+      .join(y, Seq("dy"), "left")
+      .select(
+        col("dy"),
+        coalesce(col("xn"), lit(0L)).as("xv"),
+        coalesce(col("yn"), lit(0L)).as("yv"))
+      .withColumn("y1", lag("yv", 1).over(w))
+      .withColumn("x1", lag("xv", 1).over(w))
+      .filter(col("y1").isNotNull)
+    val sums = rows.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("yv"))).as("sy"),
+      sum(dec(col("y1"))).as("sy1"),
+      sum(dec(col("x1"))).as("sx1"),
+      sum(dec(col("yv")) * col("yv")).as("syy"),
+      sum(dec(col("yv")) * col("y1")).as("syy1"),
+      sum(dec(col("yv")) * col("x1")).as("syx1"),
+      sum(dec(col("y1")) * col("y1")).as("sy1y1"),
+      sum(dec(col("x1")) * col("x1")).as("sx1x1"),
+      sum(dec(col("y1")) * col("x1")).as("sy1x1"))
+    sums
+      .selectExpr(
+        "n",
+        // centered co-moments, each one scalar tree on exact decimals
+        "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy",
+        "CAST(syy1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyy1",
+        "CAST(syx1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyx1",
+        "CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1y1",
+        "CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cx1x1",
+        "CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1x1")
+      .selectExpr(
+        "n",
+        "cyy - cyy1 * cyy1 / cy1y1 AS rss_r",
+        "cyy - (cyy1 * cx1x1 - cyx1 * cy1x1) / (cy1y1 * cx1x1 - cy1x1 * cy1x1) * cyy1" +
+          " - (cyx1 * cy1y1 - cyy1 * cy1x1) / (cy1y1 * cx1x1 - cy1x1 * cy1x1) * cyx1 AS rss_u")
+      .select(
+        col("n").as("n_days"),
+        floor6(col("rss_r")).as("rss_restricted"),
+        floor6(col("rss_u")).as("rss_unrestricted"),
+        floor6(
+          (col("rss_r") - col("rss_u")) /
+            (col("rss_u") / (col("n") - lit(3L)).cast("double"))).as("f_stat"),
+        ((col("rss_r") - col("rss_u")) /
+          (col("rss_u") / (col("n") - lit(3L)).cast("double")) > lit(3.841459d))
+          .as("significant"))
+  }
+
   /** Market-basket part-pair affinity over the TPC-H star: orders are
     * baskets, distinct parts per order are items, and the output is the
     * top-20 co-occurring part pairs with support and lift. The pair
@@ -3752,6 +3874,8 @@ object OlapQueries {
     "q_interpolate" -> qInterpolate _,
     "q_funnel_latency" -> qFunnelLatency _,
     "q_ks_test" -> qKsTest _,
+    "q_fdr_bh" -> qFdrBh _,
+    "q_granger" -> qGranger _,
     "q_psi_drift" -> qPsiDrift _,
     "q_mwu_drift" -> qMwuDrift _,
     "q_basket_pairs" -> qBasketPairs _,
@@ -4759,6 +4883,101 @@ object OlapQueries {
         |FROM grid g JOIN totals t ON g.source = t.source
         |GROUP BY g.source
         |ORDER BY g.source""".stripMargin,
+    "q_fdr_bh" ->
+      """WITH exact AS (
+        |  SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM exact),
+        |counts AS (
+        |  SELECT source, ((n_chars - mn) * 65536) // (mx - mn + 1) AS bucket, sum(c) AS c
+        |  FROM exact CROSS JOIN bounds GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT bucket,
+        |         sum(cv) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_all
+        |  FROM (SELECT bucket, sum(c) AS cv FROM counts GROUP BY bucket)),
+        |totals AS (SELECT source, sum(c) AS n_s FROM counts GROUP BY source),
+        |grid AS (
+        |  SELECT t.source, s.bucket, s.c_all,
+        |         sum(coalesce(c.c, 0)) OVER (PARTITION BY t.source ORDER BY s.bucket
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_s,
+        |         max(s.c_all) OVER (PARTITION BY t.source) AS n_total
+        |  FROM spine s
+        |  CROSS JOIN (SELECT source FROM totals) t
+        |  LEFT JOIN counts c ON c.source = t.source AND c.bucket = s.bucket),
+        |ks AS (
+        |  SELECT g.source,
+        |         CAST(max(t.n_s) AS BIGINT) AS n_s,
+        |         CAST(max(g.n_total) - max(t.n_s) AS BIGINT) AS n_rest,
+        |         round(CAST(max(abs(g.c_s * g.n_total - g.c_all * t.n_s)) AS DOUBLE) /
+        |               CAST(max(t.n_s) * (max(g.n_total) - max(t.n_s)) AS DOUBLE), 6) AS ks_stat
+        |  FROM grid g JOIN totals t ON g.source = t.source
+        |  GROUP BY g.source),
+        |lam AS (
+        |  SELECT source, n_s, ks_stat,
+        |         (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * ks_stat AS lam
+        |  FROM (SELECT *, CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE) / CAST(n_s + n_rest AS DOUBLE) AS ne FROM ks) t1),
+        |p AS (
+        |  SELECT source, n_s, ks_stat,
+        |         floor(least(1.0, greatest(0.0,
+        |           2.0 * (exp(-2.0 * l2) - exp(-8.0 * l2) + exp(-18.0 * l2) - exp(-32.0 * l2) + exp(-50.0 * l2)))) * 1000000.0 + 0.5) / 1000000.0 AS p_value
+        |  FROM (SELECT *, lam * lam AS l2 FROM lam) t2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY p_value, source) AS BIGINT) AS rank,
+        |         CAST(count(*) OVER () AS BIGINT) AS m_tests
+        |  FROM p),
+        |th AS (
+        |  SELECT *, floor(CAST(rank AS DOUBLE) * 0.05 / CAST(m_tests AS DOUBLE) * 1000000.0) / 1000000.0 AS bh_threshold
+        |  FROM r),
+        |km AS (
+        |  SELECT *, max(CASE WHEN p_value <= bh_threshold THEN rank END) OVER () AS k_max FROM th)
+        |SELECT source, n_s, ks_stat, p_value, rank, bh_threshold,
+        |       coalesce(rank <= k_max, false) AS rejected
+        |FROM km ORDER BY rank""".stripMargin,
+    "q_granger" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+        |bounds AS (SELECT min(dy) AS lo, max(dy) AS hi FROM counts),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS dy FROM bounds),
+        |series AS (
+        |  SELECT g.dy,
+        |         CAST(coalesce(v.n, 0) AS BIGINT) AS xv,
+        |         CAST(coalesce(p.n, 0) AS BIGINT) AS yv
+        |  FROM grid g
+        |  LEFT JOIN counts v ON v.event_type = 'view' AND v.dy = g.dy
+        |  LEFT JOIN counts p ON p.event_type = 'purchase' AND p.dy = g.dy),
+        |lagged AS (
+        |  SELECT yv, lag(yv) OVER (ORDER BY dy) AS y1, lag(xv) OVER (ORDER BY dy) AS x1
+        |  FROM series),
+        |rows_t AS (SELECT * FROM lagged WHERE y1 IS NOT NULL),
+        |sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(yv) AS HUGEINT) AS sy, CAST(sum(y1) AS HUGEINT) AS sy1, CAST(sum(x1) AS HUGEINT) AS sx1,
+        |         sum(CAST(yv AS HUGEINT) * yv) AS syy, sum(CAST(yv AS HUGEINT) * y1) AS syy1,
+        |         sum(CAST(yv AS HUGEINT) * x1) AS syx1, sum(CAST(y1 AS HUGEINT) * y1) AS sy1y1,
+        |         sum(CAST(x1 AS HUGEINT) * x1) AS sx1x1, sum(CAST(y1 AS HUGEINT) * x1) AS sy1x1
+        |  FROM rows_t),
+        |cm AS (
+        |  SELECT n,
+        |         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+        |         CAST(syy1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyy1,
+        |         CAST(syx1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyx1,
+        |         CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1y1,
+        |         CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cx1x1,
+        |         CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1x1
+        |  FROM sums),
+        |rss AS (
+        |  SELECT n,
+        |         cyy - cyy1 * cyy1 / cy1y1 AS rss_r,
+        |         cyy - (cyy1 * cx1x1 - cyx1 * cy1x1) / (cy1y1 * cx1x1 - cy1x1 * cy1x1) * cyy1
+        |             - (cyx1 * cy1y1 - cyy1 * cy1x1) / (cy1y1 * cx1x1 - cy1x1 * cy1x1) * cyx1 AS rss_u
+        |  FROM cm)
+        |SELECT n AS n_days,
+        |       floor(rss_r * 1000000.0 + 0.5) / 1000000.0 AS rss_restricted,
+        |       floor(rss_u * 1000000.0 + 0.5) / 1000000.0 AS rss_unrestricted,
+        |       floor(((rss_r - rss_u) / (rss_u / CAST(n - 3 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS f_stat,
+        |       (rss_r - rss_u) / (rss_u / CAST(n - 3 AS DOUBLE)) > 3.841459 AS significant
+        |FROM rss""".stripMargin,
     "q_psi_drift" ->
       """WITH exact AS (
         |  SELECT source, n_chars, count(*) AS c
