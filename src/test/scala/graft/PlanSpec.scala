@@ -308,6 +308,17 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"quadratic unbounded-following frames in: $offenders")
   }
 
+  test("rank-based k-group tests never globally sort the corpus (histogram midranks)") {
+    // q_kruskal_wallis and q_levene take midranks/medians from the
+    // distinct-cent histogram via cumulative windows — a global
+    // rangepartitioning in either plan would mean the corpus is being
+    // row-sorted, the exact shape the histogram trick exists to avoid
+    for (q <- Seq("q_kruskal_wallis", "q_levene")) {
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"), s"$q globally sorts")
+    }
+  }
+
   test("q_fuzzy_join: candidates come from the bigram equi-join; the quadratic verify never sees non-candidates") {
     val p = plan("q_fuzzy_join")
     // the ER contract: an equi-join on the gram key generates candidates…
