@@ -90,7 +90,7 @@ object Bench {
     "q_cohens_kappa", "q_fuzzy_join",
     "q_kendall_tau", "q_power_law", "q_theil_index", "q_binseg",
     "q_tukey_pairs", "q_levene", "q_mk_seasonal", "q_logrank", "q_dup_modularity",
-    "q_fdr_bh", "q_granger",
+    "q_fdr_bh", "q_granger", "q_uplift_ipw",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {

@@ -1250,6 +1250,79 @@ object StatsQueries {
         (col("diff") * col("diff") / col("v_raw") > lit(3.841459d)).as("significant"))
   }
 
+  /** Stratified average treatment effect (IPW with a discrete
+    * propensity): does clicking on a day predict purchasing THAT DAY
+    * once the day's overall activity is controlled for? Unit =
+    * (user, active day); treatment = any click that day, outcome = any
+    * purchase that day, strata = ⌊log₂(events that day)⌋ — the
+    * deterministic integer stratifier (a decile ntile would need a
+    * global sort), and exactly the confounder that makes the naive
+    * difference lie (busy days have more of everything). Within a
+    * stratum the propensity is constant, so IPW reduces to the
+    * stratified estimator ATE = Σ_s (n_s/N)·(ȳ_t − ȳ_c); each stratum
+    * term is a fixed IEEE tree on exact integer counts, µ-quantized
+    * before the exact sum. Strata missing a treatment arm are excluded
+    * (documented positivity violation — their weight is undefined),
+    * and the naive unadjusted difference is emitted beside the ATE so
+    * the confounding correction is visible. One (user, day) exchange,
+    * then stratum-sized algebra. */
+  def qUpliftIpw(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables
+      .events(s, d)
+      .groupBy(col("user_id"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max((col("event_type") === "click").cast("long")).as("t"),
+        max((col("event_type") === "purchase").cast("long")).as("y"))
+      .select(
+        expr("CAST(floor(log2(CAST(n_events AS DOUBLE))) AS BIGINT)").as("stratum"),
+        col("t"),
+        col("y"))
+    val strata = perUser
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_s"),
+        sum("t").as("n_t"),
+        sum(col("t") * col("y")).as("y_t"),
+        sum((lit(1L) - col("t")) * col("y")).as("y_c"))
+      .withColumn("n_c", col("n_s") - col("n_t"))
+      .transform(graft.operators.Materialize.cut(_))
+    val kept = strata.filter(col("n_t") > 0 && col("n_c") > 0)
+    val tot = strata.agg(sum("n_s").as("nn"), count(lit(1)).as("n_strata"))
+    val keptAgg = kept
+      .select(
+        col("n_s"),
+        col("n_t"),
+        col("n_c"),
+        floor(
+          col("n_s").cast("double") *
+            (col("y_t").cast("double") / col("n_t").cast("double") -
+              col("y_c").cast("double") / col("n_c").cast("double")) *
+            lit(1000000.0d)).cast("long").as("qterm"))
+      .agg(
+        count(lit(1)).as("n_strata_kept"),
+        sum("n_s").as("n_kept"),
+        sum(dec(col("qterm"))).as("qsum"))
+    val naive = perUser.agg(
+      sum("t").as("nt"),
+      sum(col("t") * col("y")).as("yt"),
+      sum(lit(1L) - col("t")).as("nc"),
+      sum((lit(1L) - col("t")) * col("y")).as("yc"))
+    keptAgg
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(naive))
+      .select(
+        col("nn").as("n_users"),
+        col("n_strata"),
+        col("n_strata_kept"),
+        floor6(
+          col("qsum").cast("double") /
+            (col("n_kept").cast("double") * lit(1000000.0d))).as("ate_stratified"),
+        floor6(
+          col("yt").cast("double") / col("nt").cast("double") -
+            col("yc").cast("double") / col("nc").cast("double")).as("diff_naive"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
     "q_nelson_aalen" -> qNelsonAalen _,
@@ -1270,7 +1343,8 @@ object StatsQueries {
     "q_tukey_pairs" -> qTukeyPairs _,
     "q_levene" -> qLevene _,
     "q_mk_seasonal" -> qMkSeasonal _,
-    "q_logrank" -> qLogrank _
+    "q_logrank" -> qLogrank _,
+    "q_uplift_ipw" -> qUpliftIpw _
   )
 
   /** The signup→purchase life-table CTE chain ending in
@@ -1828,6 +1902,35 @@ object StatsQueries {
          |       ${floor6Sql(
           "(CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) * (CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) / (CAST(vqs AS DOUBLE) / 1000000.0)")} AS chi2,
          |       (CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) * (CAST(o_am AS DOUBLE) - CAST(eqs AS DOUBLE) / 1000000.0) / (CAST(vqs AS DOUBLE) / 1000000.0) > 3.841459 AS significant
-         |FROM sums, cohn""".stripMargin
+         |FROM sums, cohn""".stripMargin,
+    "q_uplift_ipw" ->
+      s"""WITH per_user AS (
+         |  SELECT CAST(floor(log2(CAST(count(*) AS DOUBLE))) AS BIGINT) AS stratum,
+         |         CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY user_id, epoch_us(ts) // $DayUs),
+         |strata AS (
+         |  SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+         |         CAST(sum(t) AS BIGINT) AS n_t,
+         |         CAST(sum(t * y) AS BIGINT) AS y_t,
+         |         CAST(sum((1 - t) * y) AS BIGINT) AS y_c,
+         |         CAST(count(*) - sum(t) AS BIGINT) AS n_c
+         |  FROM per_user GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS n_strata FROM strata),
+         |kept AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_strata_kept,
+         |         CAST(sum(n_s) AS BIGINT) AS n_kept,
+         |         CAST(sum(CAST(floor(CAST(n_s AS DOUBLE) * (CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS HUGEINT) AS qsum
+         |  FROM strata WHERE n_t > 0 AND n_c > 0),
+         |naive AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS nt, CAST(sum(t * y) AS BIGINT) AS yt,
+         |         CAST(sum(1 - t) AS BIGINT) AS nc, CAST(sum((1 - t) * y) AS BIGINT) AS yc
+         |  FROM per_user)
+         |SELECT nn AS n_users, n_strata, n_strata_kept,
+         |       ${floor6Sql(
+          "CAST(qsum AS DOUBLE) / (CAST(n_kept AS DOUBLE) * 1000000.0)")} AS ate_stratified,
+         |       ${floor6Sql(
+          "CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE)")} AS diff_naive
+         |FROM kept, tot, naive""".stripMargin
   )
 }

@@ -265,7 +265,8 @@ class PlanSpec extends SparkSpec {
       "q_mk_seasonal", // month statistic self-pair + one-row S/var/tie products
       "q_logrank", // one-row censoring bound + one-row O/E/V and cohort totals
       "q_dup_modularity", // source-alphabet stats × one-row edge count
-      "q_fdr_bh") // inherits q_ks_test's length-spine × |sources| grid
+      "q_fdr_bh", // inherits q_ks_test's length-spine × |sources| grid
+      "q_uplift_ipw") // one-row kept/total/naive statistic products
 
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
