@@ -90,6 +90,13 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
 object GraftLogSource {
   val EntrySchema: StructType = Encoders.product[Entry].schema
 
+  /** Push tickles delivered into ANY graft-log source in this JVM —
+    * monotonic, never reset. The test-observable proof that the PUSH
+    * path (not the fallback poll) advanced availability: wall-clock
+    * "push beat the poll" assertions flake under full-suite CPU
+    * contention, a delivered-count delta does not. */
+  val pushTicklesDelivered = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** `(space, segment) → lastSequence`, serialized sorted + URL-encoded
     * (segment names with tabs/newlines survive; json equality IS offset
     * equality in the v2 contract). MUST stay single-line: the offsets
@@ -176,6 +183,8 @@ private[streaming] class GraftLogMicroBatchStream(
       case (Some(h), Some(p)) =>
         Some(PushNet.connect(h, p.toInt, spaceFilter) { st =>
           tickle(st.space, st.segment, st.lastSequence)
+          GraftLogSource.pushTicklesDelivered.incrementAndGet()
+          ()
         })
       case _ => None
     }

@@ -16,16 +16,18 @@ import graft.streaming.GraftLogSource
   * consumer_context.go:1, client.go:188 SubscribeToSpace → Consume from
   * own offsets).
   *
-  * Proof shape (the r7 flake fix): pollMs is a FINITE fallback (10 s)
-  * rather than the old 1 h pin, so one dropped at-most-once ack under
-  * full-suite load degrades to slow-but-green instead of red — the same
-  * recovery the production contract gives a dropped tickle. Push-driven
-  * advancement is still asserted, via the server's drop counter: when
-  * the server reports ZERO drops, every tickle was delivered, so each
-  * post-bootstrap advance must land in well under the poll interval;
-  * a nonzero drop count is exactly the contract-permitted case where
-  * the fallback poll is the legitimate deliverer, and only then is the
-  * latency assertion waived. */
+  * Proof shape (two de-flake rounds): pollMs is a FINITE fallback
+  * (10 s) rather than the old 1 h pin, so one dropped at-most-once ack
+  * under full-suite load degrades to slow-but-green instead of red —
+  * the same recovery the production contract gives a dropped tickle.
+  * Push-driven advancement is asserted via a DELIVERED-TICKLE COUNTER
+  * delta around each produce ([[GraftLogSource.pushTicklesDelivered]]),
+  * not a wall-clock "push beat the poll" bound: the wall-clock version
+  * measured micro-batch throughput under 32-suite CPU contention and
+  * flaked on it, while the counter delta is deterministic. A nonzero
+  * server drop count is the contract-permitted case where the fallback
+  * poll is the legitimate deliverer, and only then is the proof
+  * waived. */
 class LogSourceSpec extends SparkSpec {
 
   private val PollMs = 10000L
@@ -36,7 +38,8 @@ class LogSourceSpec extends SparkSpec {
   }
 
   private def awaitUntil(
-      timeoutMs: Long = 30000L,
+      timeoutMs: Long = 120000L, // generous: micro-batch THROUGHPUT under
+      // 32-suite load is not what this spec proves (delivery is)
       diag: => String = "")(done: => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!done && System.currentTimeMillis() < deadline) Thread.sleep(50)
@@ -83,18 +86,23 @@ class LogSourceSpec extends SparkSpec {
       }
       .start()
     val q = startQuery()
-    // Push proof, drop-aware: zero server-side drops means every tickle
-    // reached the subscriber, so the advance must complete well inside
-    // the fallback interval; with drops the poll is the contract's
-    // legitimate recovery path and only then is the bound waived.
-    def awaitPushed(label: String)(done: => Boolean): Unit = {
-      val t0 = System.currentTimeMillis()
+    // Push proof, drop-aware and LOAD-IMMUNE: zero server-side drops
+    // means every tickle reached the subscriber, so the source's
+    // delivered-tickle counter MUST have advanced for this produce —
+    // a deterministic delta, unlike the old wall-clock "beat the poll"
+    // bound, which measured micro-batch THROUGHPUT under 32-suite CPU
+    // contention and flaked on it. With drops, the fallback poll is
+    // the contract's legitimate recovery path and the proof is waived.
+    def producePushed(label: String)(produce: => Unit)(done: => Boolean): Unit = {
+      val tick0 = GraftLogSource.pushTicklesDelivered.get() // BEFORE the
+      // produce: acks fire post-commit, inside the produce call itself
+      produce
       awaitUntil(diag = s"$label exc=${q.exception}")(done)
-      val elapsed = System.currentTimeMillis() - t0
+      val delivered = GraftLogSource.pushTicklesDelivered.get() - tick0
       assert(
-        elapsed < PollMs || srv.droppedCount > 0,
-        s"$label: advance took ${elapsed}ms ≥ pollMs=$PollMs with zero dropped acks " +
-          "— rows did not arrive via push")
+        delivered > 0 || srv.droppedCount > 0,
+        s"$label: rows arrived with zero push tickles delivered and zero " +
+          "dropped acks — availability must have advanced via push")
     }
     try {
       // bootstrap reconcile delivers pre-stream history exactly once
@@ -103,10 +111,12 @@ class LogSourceSpec extends SparkSpec {
       assert(got.synchronized(got.toSeq).map(_._3).sorted == Seq(1L, 2L, 3L))
       assert(got.synchronized(got.head)._6 == Map("k" -> "v"), "metadata must survive the reader")
 
-      log.produce("s0", "seg0", records(4, 250), 2000L, chunkSize = 100) // 3 acks
-      awaitPushed("seg0 chunks")(got.synchronized(got.size) == 253)
-      log.produce("s0", "segB", records(1, 5), 3000L) // second segment
-      awaitPushed("segB")(got.synchronized(got.size) == 258)
+      producePushed("seg0 chunks") {
+        log.produce("s0", "seg0", records(4, 250), 2000L, chunkSize = 100) // 3 acks
+      }(got.synchronized(got.size) == 253)
+      producePushed("segB") {
+        log.produce("s0", "segB", records(1, 5), 3000L) // second segment
+      }(got.synchronized(got.size) == 258)
 
       val all = got.synchronized(got.toVector)
       assert(all.size == all.distinct.size, "no duplicate deliveries")
