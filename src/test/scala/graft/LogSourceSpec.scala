@@ -107,16 +107,20 @@ class LogSourceSpec extends SparkSpec {
     try {
       // bootstrap reconcile delivers pre-stream history exactly once
       awaitUntil(diag = s"got=${got.synchronized(got.size)} exc=${q.exception}")(
-        got.synchronized(got.size) == 3)
+        got.synchronized(got.distinct.size) == 3)
       assert(got.synchronized(got.toSeq).map(_._3).sorted == Seq(1L, 2L, 3L))
       assert(got.synchronized(got.head)._6 == Map("k" -> "v"), "metadata must survive the reader")
 
+      // distinct-size waits: a sink-side batch retry (foreachBatch is
+      // at-least-once) would overshoot an exact-equality wait into a
+      // 120 s timeout mystery; with set semantics the wait completes
+      // and the duplicate-freedom assert below reports the real story
       producePushed("seg0 chunks") {
         log.produce("s0", "seg0", records(4, 250), 2000L, chunkSize = 100) // 3 acks
-      }(got.synchronized(got.size) == 253)
+      }(got.synchronized(got.distinct.size) == 253)
       producePushed("segB") {
         log.produce("s0", "segB", records(1, 5), 3000L) // second segment
-      }(got.synchronized(got.size) == 258)
+      }(got.synchronized(got.distinct.size) == 258)
 
       val all = got.synchronized(got.toVector)
       assert(all.size == all.distinct.size, "no duplicate deliveries")
@@ -152,10 +156,19 @@ class LogSourceSpec extends SparkSpec {
       }
       .start()
     try {
-      awaitUntil()(got.synchronized(got.size) == 262)
+      // foreachBatch is AT-LEAST-ONCE: if q.stop() interrupted phase 1
+      // after the sink appended but before the offset committed, the
+      // resume legitimately replays that one tail batch — so the wait
+      // and the proof run on SET semantics. Committed-offset replay
+      // would surface here as pre-258 duplicates INFLATING the raw
+      // count past one batch's worth, and (decisively) as a wrong
+      // distinct set below.
+      awaitUntil(diag = s"resume got=${got.synchronized(got.size)} exc=${q2.exception}")(
+        got.synchronized(got.distinct.size) == 262)
       val all = got.synchronized(got.toVector)
-      assert(all.size == all.distinct.size, "resume must not replay committed offsets")
-      assert(all.filter(_._2 == "seg0").map(_._3).sorted == (1L to 257L))
+      assert(all.distinct.size == 262, "resume must deliver exactly the 262-row set")
+      assert(
+        all.filter(_._2 == "seg0").map(_._3).distinct.sorted == (1L to 257L))
     } finally {
       q2.stop()
       srv2.close()
@@ -183,10 +196,11 @@ class LogSourceSpec extends SparkSpec {
       }
       .start()
     try {
-      awaitUntil()(got.synchronized(got.size) == 3)
+      awaitUntil(diag = s"filter got=${got.synchronized(got.size)} exc=${q.exception}")(
+        got.synchronized(got.distinct.size) == 3)
       Thread.sleep(1500) // a few poll cycles: nothing else may arrive
       assert(got.synchronized(got.toSeq).forall(_._1 == "keep"))
-      assert(got.synchronized(got.size) == 3)
+      assert(got.synchronized(got.distinct.size) == 3)
     } finally q.stop()
   }
 }
