@@ -52,6 +52,30 @@ object PushNet {
 
   private[log] val Hello = "#hello"
 
+  // ---- authentication (reference: http2/context.go:9 WithJWT — every
+  // transport call carries a bearer token; wsstream/dialer.go:40
+  // NewDefaultWebSocketDialer(tokenFunc) — the dialer evaluates a token
+  // FUNCTION per dial, so rotated credentials ride each reconnect).
+  // Wire: the client's FIRST line is `#auth <url-encoded-token>`; a
+  // server with a verify hook sends nothing (no greeting, no acks)
+  // until it accepts one, and drops + counts a connection whose first
+  // line is anything else or whose token the hook refuses. A server
+  // WITHOUT a hook ignores `#auth` lines (a token-bearing client can
+  // talk to an open server), and a hook-less line protocol stays
+  // exactly the pre-auth wire format.
+  private[log] val CtlAuthPrefix = "#auth "
+  private[log] def ctlAuth(token: String): String =
+    CtlAuthPrefix + java.net.URLEncoder.encode(token, "UTF-8")
+
+  /** Constant-time equality verify hook for a static shared token —
+    * the simplest credential the seam supports; a JWT validator plugs
+    * in the same way (any `String => Boolean`). */
+  def tokenVerifier(expected: String): String => Boolean = { presented =>
+    java.security.MessageDigest.isEqual(
+      expected.getBytes(UTF_8),
+      presented.getBytes(UTF_8))
+  }
+
   // ---- channel-mux control lines (reference: wsstream/muxer.go:22 —
   // many logical streams over ONE connection, each keyed by a channel
   // id; wsstream/bus.go:63 — every channel re-registers over a freshly
@@ -73,13 +97,20 @@ object PushNet {
 
   /** Serve `log`'s ack bus on a TCP port. `port` 0 = ephemeral (read
     * [[PushServer.boundPort]]); `bindHost` defaults to all interfaces —
-    * the publisher is a server, remote subscribers dial in. */
+    * the publisher is a server, remote subscribers dial in. `verify` is
+    * the pluggable authentication hook (reference http2/context.go:9
+    * WithJWT): when present, a connection receives nothing until its
+    * first line is an accepted `#auth` token; a refused token or any
+    * other first line drops the connection and bumps
+    * [[PushServer.rejectedCount]]. Use [[tokenVerifier]] for a static
+    * shared token. */
   def server(
       log: EventLog,
       port: Int = 0,
       bindHost: String = "0.0.0.0",
-      backlog: Int = 8192): PushServer = {
-    val srv = new PushServer(port, bindHost, backlog)
+      backlog: Int = 8192,
+      verify: Option[String => Boolean] = None): PushServer = {
+    val srv = new PushServer(port, bindHost, backlog, verify)
     srv.attach(log.bus)
     srv
   }
@@ -92,8 +123,9 @@ object PushNet {
       host: String,
       port: Int,
       space: Option[String] = None,
-      segment: Option[String] = None)(cb: SegmentStatus => Unit): PushNetSubscriber =
-    new PushNetSubscriber(host, port, space, segment, cb)
+      segment: Option[String] = None,
+      tokenFunc: Option[() => String] = None)(cb: SegmentStatus => Unit): PushNetSubscriber =
+    new PushNetSubscriber(host, port, space, segment, tokenFunc, cb)
 
   /** Resilient variant of [[connect]]: a dialer that re-dials with
     * capped exponential backoff whenever the connection drops (server
@@ -113,8 +145,9 @@ object PushNet {
       space: Option[String] = None,
       segment: Option[String] = None,
       backoffMs: Long = 50L,
-      maxBackoffMs: Long = 2000L)(cb: SegmentStatus => Unit): PushNetDialer =
-    new PushNetDialer(host, port, space, segment, backoffMs, maxBackoffMs, cb)
+      maxBackoffMs: Long = 2000L,
+      tokenFunc: Option[() => String] = None)(cb: SegmentStatus => Unit): PushNetDialer =
+    new PushNetDialer(host, port, space, segment, backoffMs, maxBackoffMs, tokenFunc, cb)
 
   /** Channel-multiplexed resilient client: MANY space/segment
     * subscriptions over ONE dialed connection, each keyed by a channel
@@ -133,8 +166,9 @@ object PushNet {
       host: String,
       port: Int,
       backoffMs: Long = 50L,
-      maxBackoffMs: Long = 2000L): PushNetMux =
-    new PushNetMux(host, port, backoffMs, maxBackoffMs)
+      maxBackoffMs: Long = 2000L,
+      tokenFunc: Option[() => String] = None): PushNetMux =
+    new PushNetMux(host, port, backoffMs, maxBackoffMs, tokenFunc)
 }
 
 /** Producer side: accepts subscriber connections and fans each bus ack
@@ -142,11 +176,16 @@ object PushNet {
   * thread drains its queue into sentinel-framed batches. The bus
   * callback itself is a queue offer — produce latency is untouched, a
   * dead or slow connection only ever hurts itself. */
-final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
+final class PushServer private[log] (
+    port: Int,
+    bindHost: String,
+    backlog: Int,
+    verify: Option[String => Boolean] = None)
     extends AutoCloseable {
 
   private val open = new AtomicBoolean(true)
   private val dropped = new AtomicLong(0L)
+  private val rejected = new AtomicLong(0L)
   private val server = new ServerSocket()
   server.setReuseAddress(true)
   server.bind(new InetSocketAddress(bindHost, port))
@@ -157,6 +196,10 @@ final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
 
   /** Acks dropped across all connections (slow-subscriber overflow). */
   def droppedCount: Long = dropped.get()
+
+  /** Connections dropped by the authentication hook (refused token, or
+    * a first line that was not `#auth` while a hook is configured). */
+  def rejectedCount: Long = rejected.get()
 
   /** Live subscriber connections. */
   def connectionCount: Int = conns.size()
@@ -176,14 +219,22 @@ final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
     // muxed = the client sent #mux: bare-firehose lines stop and only
     // #c-tagged lines for registered channels go out
     @volatile private var muxed = false
+    // authed = no hook configured, or the hook accepted this
+    // connection's #auth line. Until then the connection receives
+    // NOTHING (no greeting, no acks) and offer() discards — safe,
+    // because the delivery guarantee starts at the greeting the client
+    // has not been sent yet.
+    @volatile private var authed = verify.isEmpty
     private val channels =
       new ConcurrentHashMap[String, (Option[String], Option[String])]()
 
     def offer(st: SegmentStatus): Unit =
-      while (!queue.offer(st)) {
-        // drop-oldest: the freshest position is the useful tickle
-        if (queue.poll() != null) dropped.incrementAndGet()
-        ()
+      if (authed) {
+        while (!queue.offer(st)) {
+          // drop-oldest: the freshest position is the useful tickle
+          if (queue.poll() != null) dropped.incrementAndGet()
+          ()
+        }
       }
 
     private def writeCtl(): Boolean = {
@@ -200,6 +251,12 @@ final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
     private val writer = new Thread(() => {
       val batch = new java.util.ArrayList[SegmentStatus]()
       try {
+        // auth gate: nothing goes out before the hook accepts. The
+        // clientReader closes the socket on rejection, which exits
+        // this wait; a silent client on an auth-required server is
+        // simply never registered into the feed.
+        while (open.get() && !socket.isClosed && !authed) Thread.sleep(10)
+        if (!open.get() || socket.isClosed) throw new java.io.IOException("unauthenticated")
         out.write(PushNet.Hello); out.newLine(); out.flush()
         while (open.get() && !socket.isClosed) {
           val head = queue.poll(50, TimeUnit.MILLISECONDS)
@@ -243,6 +300,23 @@ final class PushServer private[log] (port: Int, bindHost: String, backlog: Int)
         val in = new BufferedReader(
           new InputStreamReader(socket.getInputStream, UTF_8))
         var line = in.readLine()
+        // auth-required: the FIRST line must be an accepted #auth —
+        // anything else (wrong token, a #mux/#sub from an unauthed
+        // client, garbage) drops the connection, counted. One TCP
+        // stream keeps client-side ordering, so token-bearing clients
+        // always satisfy this by sending #auth before anything else.
+        if (verify.isDefined && line != null) {
+          val ok = line.startsWith(PushNet.CtlAuthPrefix) && {
+            val tok = java.net.URLDecoder.decode(
+              line.substring(PushNet.CtlAuthPrefix.length), "UTF-8")
+            verify.exists(_(tok))
+          }
+          if (ok) { authed = true; line = in.readLine() }
+          else {
+            rejected.incrementAndGet()
+            line = null // fall through to the finally: unregister + close
+          }
+        }
         while (line != null && open.get()) {
           val parts = line.split(' ')
           line match {
@@ -321,6 +395,7 @@ final class PushNetSubscriber private[log] (
     port: Int,
     space: Option[String],
     segment: Option[String],
+    tokenFunc: Option[() => String],
     cb: SegmentStatus => Unit)
     extends AutoCloseable {
 
@@ -329,6 +404,12 @@ final class PushNetSubscriber private[log] (
   private val ready = new CountDownLatch(1)
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
+  // bearer token rides as the connection's first line (reference:
+  // wsstream/dialer.go:40 — the dialer evaluates tokenFunc per dial)
+  tokenFunc.foreach { tf =>
+    val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
+    w.write(PushNet.ctlAuth(tf())); w.newLine(); w.flush()
+  }
 
   /** Acks that passed the filter and were handed to the callback. */
   def delivered: Long = deliveredCount.get()
@@ -379,6 +460,7 @@ final class PushNetDialer private[log] (
     segment: Option[String],
     backoffMs: Long,
     maxBackoffMs: Long,
+    tokenFunc: Option[() => String],
     cb: SegmentStatus => Unit)
     extends AutoCloseable {
 
@@ -425,6 +507,13 @@ final class PushNetDialer private[log] (
           s.connect(new InetSocketAddress(host, port), 1000)
           current = s
           if (open.get()) {
+            // re-dial re-auths: tokenFunc is evaluated PER SESSION, so
+            // a rotated credential rides the next reconnect
+            tokenFunc.foreach { tf =>
+              val w = new BufferedWriter(
+                new OutputStreamWriter(s.getOutputStream, UTF_8))
+              w.write(PushNet.ctlAuth(tf())); w.newLine(); w.flush()
+            }
             val in = new BufferedReader(
               new InputStreamReader(s.getInputStream, UTF_8))
             var line = in.readLine()
@@ -508,7 +597,8 @@ final class PushNetMux private[log] (
     host: String,
     port: Int,
     backoffMs: Long,
-    maxBackoffMs: Long)
+    maxBackoffMs: Long,
+    tokenFunc: Option[() => String] = None)
     extends AutoCloseable {
 
   private val open = new AtomicBoolean(true)
@@ -582,7 +672,10 @@ final class PushNetMux private[log] (
             }
             val in = new BufferedReader(
               new InputStreamReader(s.getInputStream, UTF_8))
-            // this session: mux mode on, then re-register every channel
+            // this session: auth first (re-dial re-auths with a fresh
+            // tokenFunc() evaluation), then mux mode on, then
+            // re-register every channel
+            tokenFunc.foreach(tf => send(PushNet.ctlAuth(tf())))
             send(PushNet.CtlMux)
             channels.forEach { (_, ch) =>
               send(PushNet.ctlSub(ch.id, ch.space, ch.segment))

@@ -1896,6 +1896,11 @@ object OlapQueries {
       .crossJoin(broadcast(pairs))
       .crossJoin(broadcast(tieX))
       .crossJoin(broadcast(tieY))
+      // degenerate guard (mirrored in the oracle): a constant series
+      // ties every pair (n_pairs = n1 or n2), making tau-b 0/0 —
+      // emit zero rows instead of an engine-dependent NaN row.
+      .filter(
+        (col("n_pairs") - col("n1")) > 0 && (col("n_pairs") - col("n2")) > 0)
       .select(
         col("n_days"),
         col("nc"),
@@ -3041,7 +3046,9 @@ object OlapQueries {
         col("n_days"),
         col("level"),
         col("trend"),
-        col("h"),
+        // BIGINT like the oracle: sequence() yields int32, and the
+        // driver's hash is type-sensitive (the q_cms_counts bug class)
+        col("h").cast("long").as("h"),
         round(
           col("st.l") + col("h").cast("double") * col("st.b") +
             element_at(
@@ -4678,7 +4685,8 @@ object OlapQueries {
         |SELECT n_days, nc, nd,
         |       floor((CAST(nc - nd AS DOUBLE) /
         |              sqrt(CAST(n_pairs - n1 AS DOUBLE) * CAST(n_pairs - n2 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS tau_b
-        |FROM nn, agg, tiex, tiey""".stripMargin,
+        |FROM nn, agg, tiex, tiey
+        |WHERE n_pairs - n1 > 0 AND n_pairs - n2 > 0""".stripMargin,
     "q_binseg" ->
       """WITH counts AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n

@@ -1467,6 +1467,13 @@ object PipelineQueries {
         sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
         sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
         sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      // degenerate guard (mirrored in the oracle): an empty pair set or
+      // a zero-variance degree sequence makes r undefined (0/0) —
+      // emit zero rows instead of an engine-dependent NaN/null row.
+      .filter(
+        col("n_ends") > 0 &&
+          (col("n_ends").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n_ends").cast("decimal(38,0)") * col("syy") - col("sy") * col("sy")) > 0)
       .crossJoin(
         broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select(
@@ -1539,6 +1546,10 @@ object PipelineQueries {
         count(lit(1)).as("n_sources"),
         sum("m_s").as("intra_edges"),
         sum("qc").as("qsum"))
+      // degenerate guard (mirrored in the oracle): with no near-dup
+      // pairs Q is undefined (division by m = 0) — emit zero rows
+      // like the oracle's GROUP BY, not a single all-null row.
+      .filter(col("n_sources") > 0)
       .crossJoin(broadcast(m))
       .select(
         col("m").as("n_edges"),
@@ -2916,7 +2927,10 @@ object PipelineQueries {
     * whitening / Mahalanobis work. */
   def qEmbedCov(s: SparkSession, d: String): DataFrame =
     covTable(s, d)
-      .select(col("j"), col("k"), floor9(col("cov")).as("cov"))
+      // BIGINT like the oracle: sequence() yields int32, and the
+      // driver's hash is type-sensitive (the q_cms_counts bug class)
+      .select(col("j").cast("long").as("j"), col("k").cast("long").as("k"),
+        floor9(col("cov")).as("cov"))
       .transform(sortSmall(_, "j", "k"))
 
   val PcaIters = 8
@@ -2978,7 +2992,7 @@ object PipelineQueries {
     }
     val eig = se.toDouble / 1.0e12d
     dims.indices
-      .map(i => (dims(i), math.floor(w(i) * 1000000.0d + 0.5d) / 1000000.0d, eig))
+      .map(i => (dims(i).toLong, math.floor(w(i) * 1000000.0d + 0.5d) / 1000000.0d, eig))
       .toDF("dim", "loading", "eigenvalue")
   }
 
@@ -3321,7 +3335,16 @@ object PipelineQueries {
       .parquet(s"$d/part.parquet")
       .select(col("p_name"))
       .distinct()
-      .withColumn("len", length(col("p_name")).cast("long"))
+      // The recall-1 guarantee (shared bigrams ≥ max|s|−1−2d ≥ 1) only
+      // holds when every name has length ≥ 6; enforce the blocking
+      // precondition in the len column itself (threaded through every
+      // downstream use, so pruning can't drop the check) instead of
+      // assuming it — a short name would need an all-pairs fallback.
+      .withColumn(
+        "len",
+        when(length(col("p_name")) >= 6, length(col("p_name")).cast("long"))
+          .otherwise(raise_error(
+            lit("qFuzzyJoin: bigram blocking requires length(p_name) >= 6"))))
       .transform(graft.operators.Materialize.cut(_))
     val grams = names.select(
       col("p_name"),
@@ -4094,8 +4117,8 @@ object PipelineQueries {
          |  $hashUnion),
          |counters AS (SELECT r, b, SUM(tf) AS c FROM hx GROUP BY r, b),
          |top AS (SELECT tok FROM tf ORDER BY tf DESC, tok LIMIT $CmsTopK)
-         |SELECT hx.tok, hx.tf AS exact_tf, MIN(c.c) AS cms_est,
-         |       MIN(c.c) - hx.tf AS overcount
+         |SELECT hx.tok, hx.tf AS exact_tf, CAST(MIN(c.c) AS BIGINT) AS cms_est,
+         |       CAST(MIN(c.c) - hx.tf AS BIGINT) AS overcount
          |FROM hx JOIN top USING (tok)
          |JOIN counters c ON c.r = hx.r AND c.b = hx.b
          |GROUP BY hx.tok, hx.tf
@@ -5284,7 +5307,8 @@ object PipelineQueries {
          |SELECT n_nodes, n_ends // 2 AS n_edges,
          |       floor((CAST(n_ends * sxy - sx * sy AS DOUBLE) /
          |              sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE) * CAST(n_ends * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS assortativity
-         |FROM agg, nn""".stripMargin,
+         |FROM agg, nn
+         |WHERE n_ends > 0 AND n_ends * sxx - sx * sx > 0 AND n_ends * syy - sy * sy > 0""".stripMargin,
     "q_snm_dedup" -> {
       val h = Hashing.duckMd5Long("shingle")
       s"""WITH blocks AS (

@@ -90,12 +90,25 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
 object GraftLogSource {
   val EntrySchema: StructType = Encoders.product[Entry].schema
 
-  /** Push tickles delivered into ANY graft-log source in this JVM —
-    * monotonic, never reset. The test-observable proof that the PUSH
-    * path (not the fallback poll) advanced availability: wall-clock
-    * "push beat the poll" assertions flake under full-suite CPU
-    * contention, a delivered-count delta does not. */
-  val pushTicklesDelivered = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Push tickles delivered, keyed by log path — monotonic, never
+    * reset. The test-observable proof that the PUSH path (not the
+    * fallback poll) advanced availability: wall-clock "push beat the
+    * poll" assertions flake under full-suite CPU contention, a
+    * delivered-count delta does not. Per-PATH (not JVM-global) so a
+    * spec's delta can't be satisfied by tickles delivered to a
+    * different concurrently-running stream in the same process. */
+  private val ticklesByPath =
+    new util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def ticklesDelivered(logPath: String): Long =
+    Option(ticklesByPath.get(logPath)).map(_.get()).getOrElse(0L)
+
+  private[streaming] def recordTickle(logPath: String): Unit = {
+    ticklesByPath
+      .computeIfAbsent(logPath, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
+    ()
+  }
 
   /** `(space, segment) → lastSequence`, serialized sorted + URL-encoded
     * (segment names with tabs/newlines survive; json equality IS offset
@@ -183,8 +196,7 @@ private[streaming] class GraftLogMicroBatchStream(
       case (Some(h), Some(p)) =>
         Some(PushNet.connect(h, p.toInt, spaceFilter) { st =>
           tickle(st.space, st.segment, st.lastSequence)
-          GraftLogSource.pushTicklesDelivered.incrementAndGet()
-          ()
+          GraftLogSource.recordTickle(logPath)
         })
       case _ => None
     }

@@ -21,7 +21,8 @@ import graft.streaming.GraftLogSource
   * under full-suite load degrades to slow-but-green instead of red —
   * the same recovery the production contract gives a dropped tickle.
   * Push-driven advancement is asserted via a DELIVERED-TICKLE COUNTER
-  * delta around each produce ([[GraftLogSource.pushTicklesDelivered]]),
+  * delta around each produce ([[GraftLogSource.ticklesDelivered]],
+  * scoped to THIS log's path so concurrent suites can't satisfy it),
   * not a wall-clock "push beat the poll" bound: the wall-clock version
   * measured micro-batch throughput under 32-suite CPU contention and
   * flaked on it, while the counter delta is deterministic. A nonzero
@@ -64,6 +65,7 @@ class LogSourceSpec extends SparkSpec {
     val srv = PushNet.server(log, bindHost = "127.0.0.1")
     val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
     val got = mutable.Buffer.empty[(String, String, Long, Long, String, Map[String, String])]
+    val batchSizes = mutable.Buffer.empty[Int] // raw per-batch arrivals, for the replay bound
     // "another process": a separate session with its own state
     val session2 = spark.newSession()
     def startQuery() = session2.readStream
@@ -82,7 +84,7 @@ class LogSourceSpec extends SparkSpec {
           .map(r =>
             (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
               r.getString(4), r.getAs[Map[String, String]](5)))
-        got.synchronized { got ++= rows; () }
+        got.synchronized { got ++= rows; batchSizes += rows.length; () }
       }
       .start()
     val q = startQuery()
@@ -94,11 +96,11 @@ class LogSourceSpec extends SparkSpec {
     // contention and flaked on it. With drops, the fallback poll is
     // the contract's legitimate recovery path and the proof is waived.
     def producePushed(label: String)(produce: => Unit)(done: => Boolean): Unit = {
-      val tick0 = GraftLogSource.pushTicklesDelivered.get() // BEFORE the
+      val tick0 = GraftLogSource.ticklesDelivered(log.path) // BEFORE the
       // produce: acks fire post-commit, inside the produce call itself
       produce
       awaitUntil(diag = s"$label exc=${q.exception}")(done)
-      val delivered = GraftLogSource.pushTicklesDelivered.get() - tick0
+      val delivered = GraftLogSource.ticklesDelivered(log.path) - tick0
       assert(
         delivered > 0 || srv.droppedCount > 0,
         s"$label: rows arrived with zero push tickles delivered and zero " +
@@ -132,6 +134,9 @@ class LogSourceSpec extends SparkSpec {
       q.stop()
       srv.close()
     }
+    // phase-1 raw tallies, for the resume replay bound below
+    val (raw1, lastBatch1) =
+      got.synchronized((got.size, batchSizes.lastOption.getOrElse(0)))
 
     // resume from the checkpoint: only NEW rows, no replay of 1..258
     log.produce("s0", "seg0", records(254, 4), 4000L)
@@ -159,14 +164,21 @@ class LogSourceSpec extends SparkSpec {
       // foreachBatch is AT-LEAST-ONCE: if q.stop() interrupted phase 1
       // after the sink appended but before the offset committed, the
       // resume legitimately replays that one tail batch — so the wait
-      // and the proof run on SET semantics. Committed-offset replay
-      // would surface here as pre-258 duplicates INFLATING the raw
-      // count past one batch's worth, and (decisively) as a wrong
-      // distinct set below.
+      // runs on SET semantics. Replay BEYOND that contract-permitted
+      // single tail batch (committed-offset replay) can NOT surface in
+      // the distinct set (a replayed batch has the identical set), so
+      // it is caught by the raw-count bound below instead: at most the
+      // phase-1 raw count, plus one replay of phase 1's last batch,
+      // plus the 4 new rows (possibly re-delivered once themselves).
       awaitUntil(diag = s"resume got=${got.synchronized(got.size)} exc=${q2.exception}")(
         got.synchronized(got.distinct.size) == 262)
       val all = got.synchronized(got.toVector)
       assert(all.distinct.size == 262, "resume must deliver exactly the 262-row set")
+      assert(
+        all.size <= raw1 + lastBatch1 + 2 * 4,
+        s"raw count ${all.size} exceeds phase-1 raw $raw1 + one tail-batch replay " +
+          s"$lastBatch1 + the 4 new rows delivered at most twice — replay past the " +
+          "at-least-once contract")
       assert(
         all.filter(_._2 == "seg0").map(_._3).distinct.sorted == (1L to 257L))
     } finally {

@@ -353,4 +353,114 @@ class PushNetSpec extends SparkSpec {
       } finally srv2.close()
     } finally mux.close()
   }
+
+  // ---- authentication seam (reference: http2/context.go:9 WithJWT —
+  // every transport call carries a bearer token; wsstream/dialer.go:40
+  // NewDefaultWebSocketDialer(tokenFunc) — evaluated per dial)
+
+  private val Tok = "s3cret token/with#specials%25"
+
+  test("auth: a bad-token dial is dropped and counted; zero acks flow to it") {
+    val log = freshLog()
+    val srv = PushNet.server(
+      log, bindHost = "127.0.0.1", verify = Some(PushNet.tokenVerifier(Tok)))
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val bad = PushNet.connect(
+      "127.0.0.1", srv.boundPort, tokenFunc = Some(() => "wrong")) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      awaitUntil()(srv.rejectedCount == 1L)
+      assert(!bad.awaitReady(500), "a rejected dial must never see the greeting")
+      log.produce("s0", "seg0", records(1, 5), 1000L)
+      Thread.sleep(300) // would-be delivery window
+      assert(got.synchronized(got.isEmpty), "no acks may reach a rejected connection")
+      assert(bad.delivered == 0L)
+    } finally { bad.close(); srv.close() }
+  }
+
+  test("auth: an unauthenticated mux client (control line before #auth) is rejected") {
+    val log = freshLog()
+    val srv = PushNet.server(
+      log, bindHost = "127.0.0.1", verify = Some(PushNet.tokenVerifier(Tok)))
+    // no tokenFunc: the mux's first line is #mux, which an auth-required
+    // server treats as an unauthorized dial
+    val mux = PushNet.mux("127.0.0.1", srv.boundPort, maxBackoffMs = 100L)
+    try {
+      awaitUntil()(srv.rejectedCount >= 1L)
+      assert(!mux.awaitReady(500))
+    } finally { mux.close(); srv.close() }
+  }
+
+  test("auth: good tokens flow on subscriber, mux channels, and survive encoding") {
+    val log = freshLog()
+    val srv = PushNet.server(
+      log, bindHost = "127.0.0.1", verify = Some(PushNet.tokenVerifier(Tok)))
+    val subGot = mutable.Buffer.empty[SegmentStatus]
+    val chGot = mutable.Buffer.empty[SegmentStatus]
+    val sub = PushNet.connect(
+      "127.0.0.1", srv.boundPort, tokenFunc = Some(() => Tok)) { st =>
+      subGot.synchronized { subGot += st; () }
+    }
+    val mux = PushNet.mux("127.0.0.1", srv.boundPort, tokenFunc = Some(() => Tok))
+    val ch = mux.subscribe(space = Some("s0")) { st =>
+      chGot.synchronized { chGot += st; () }
+    }
+    try {
+      assert(sub.awaitReady() && mux.awaitReady() && ch.awaitReady())
+      log.produce("s0", "seg0", records(1, 5), 1000L)
+      log.produce("other", "segX", records(1, 5), 1000L)
+      awaitUntil()(subGot.synchronized(subGot.size) == 2)
+      awaitUntil()(chGot.synchronized(chGot.size) == 1)
+      assert(chGot.synchronized(chGot.head).space == "s0", "server-side filter post-auth")
+      assert(srv.rejectedCount == 0L)
+    } finally { sub.close(); mux.close(); srv.close() }
+  }
+
+  test("auth: re-dial re-auths with a FRESH tokenFunc evaluation (rotation-safe)") {
+    val log = freshLog()
+    val verify = Some(PushNet.tokenVerifier(Tok))
+    val srv1 = PushNet.server(log, bindHost = "127.0.0.1", verify = verify)
+    val port = srv1.boundPort
+    val evals = new java.util.concurrent.atomic.AtomicLong(0L)
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val dialer = PushNet.dial(
+      "127.0.0.1", port, maxBackoffMs = 100L,
+      tokenFunc = Some(() => { evals.incrementAndGet(); Tok })) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(dialer.awaitReady())
+      val evalsFirst = evals.get()
+      assert(evalsFirst >= 1L)
+      log.produce("s0", "seg0", records(1, 3), 1000L)
+      awaitUntil()(got.synchronized(got.size) == 1)
+      srv1.close()
+      val srv2 = PushNet.server(log, port = port, bindHost = "127.0.0.1", verify = verify)
+      try {
+        assert(dialer.awaitSessions(2), "the dialer must re-auth and re-register")
+        assert(evals.get() > evalsFirst, "re-dial must evaluate tokenFunc afresh")
+        log.produce("s0", "seg0", records(4, 3), 2000L)
+        awaitUntil()(got.synchronized(got.size) == 2)
+        assert(got.synchronized(got.last).lastSequence == 6L)
+        assert(srv2.rejectedCount == 0L)
+      } finally srv2.close()
+    } finally dialer.close()
+  }
+
+  test("auth: a hook-less server ignores #auth — token-bearing clients interoperate") {
+    val log = freshLog()
+    val srv = PushNet.server(log, bindHost = "127.0.0.1") // no verify hook
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val sub = PushNet.connect(
+      "127.0.0.1", srv.boundPort, tokenFunc = Some(() => Tok)) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(sub.awaitReady())
+      log.produce("s0", "seg0", records(1, 5), 1000L)
+      awaitUntil()(got.synchronized(got.size) == 1)
+      assert(srv.rejectedCount == 0L)
+    } finally { sub.close(); srv.close() }
+  }
 }

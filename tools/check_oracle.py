@@ -1,13 +1,19 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: load each Spark
 result parquet from Verify's outDir, run the paired DuckDB oracle SQL on
-the raw tables, and diff (rows sorted, exact values)."""
+the raw tables, and diff (rows sorted, exact values).
+
+Strict-dtype mode is the DEFAULT: the driver's hash gate is
+type-sensitive, so any dtype divergence between the Spark parquet and
+the DuckDB oracle result (e.g. an uncast SUM(BIGINT) -> HUGEINT, the
+q_ref_integrity/q_cms_counts bug class) FAILS here too. Pass --coerce
+to restore the old lenient comparison (values only)."""
 import json, sys
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, strict: bool = True) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -33,6 +39,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
             failures += 1
             continue
+        if strict:
+            bad = [(c, str(s[c].dtype), str(d[c].dtype)) for c in sc
+                   if s[c].dtype != d[c].dtype]
+            if bad:
+                det = ", ".join(f"{c}: spark={sd} duck={dd}" for c, sd, dd in bad)
+                print(f"FAIL {name}: dtype mismatch ({det})")
+                failures += 1
+                continue
         mismatch = None
         for c in sc:
             sv, dv = s[c], d[c].astype(s[c].dtype, errors="ignore") if hasattr(d[c], 'astype') else d[c]
@@ -52,6 +66,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     return failures
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    sys.exit(1 if main(sf, out) else 0)
+    args = [a for a in sys.argv[1:] if a != "--coerce"]
+    strict = "--coerce" not in sys.argv[1:]
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "/tmp/verify_out"
+    sys.exit(1 if main(sf, out, strict) else 0)
