@@ -219,6 +219,65 @@ class EventLogSpec extends SparkSpec {
         .map(_.getAs[Long]("sequence")).sorted.toSeq == (21L to 30L))
   }
 
+  test("concurrent writer: produce during mid-swap crash windows loses nothing, offsets stay valid, acks exactly once") {
+    // The reference's 2PC store serves concurrent clients; EventLog's
+    // single-writer rule covers the REWRITE (one compact/retain at a
+    // time), not produce — new trx files are never named in a rewrite
+    // manifest, so a produce landing inside either crash window must
+    // survive both recovery directions, and the ack bus must deliver
+    // every produce status exactly once (lifecycle rewrites publish no
+    // acks). This pins that contract under injected mid-swap crashes.
+    val log = freshLog()
+    val acks = scala.collection.mutable.Buffer.empty[graft.model.SegmentStatus]
+    val sub = log.bus.subscribeAll { st => acks.synchronized { acks += st; () } }
+    try {
+      for (i <- 0 until 3)
+        log.produce("s0", "seg0", records(1 + i * 10, 10), 1000L * (i + 1))
+
+      // window 1: compact crashes BEFORE the commit marker (roll-back
+      // direction) — both generations are on disk when produce lands
+      log.compactFailpoint = Some("after-moves")
+      intercept[IllegalStateException](log.compact("s0"))
+      log.compactFailpoint = None
+      // the concurrent produce: peek must validate contiguity off the
+      // (duplicated but agreeing) high-water mark and append cleanly
+      log.produce("s0", "seg0", records(31, 5), 4000L)
+      log.recoverCompaction("s0")
+      val afterRollback = log.consumeSegment("s0", "seg0").collect()
+      assert(
+        afterRollback.map(_.getAs[Long]("sequence")).sorted.toSeq == (1L to 35L),
+        "rollback recovery must keep originals + the mid-window produce, no dups")
+
+      // window 2: retain crashes AFTER the commit marker (roll-forward
+      // direction); recovery runs implicitly on the next lifecycle op
+      log.compactFailpoint = Some("after-marker")
+      intercept[IllegalStateException](log.retain("s0", minTimestamp = 500L))
+      log.compactFailpoint = None
+      log.produce("s0", "seg0", records(36, 5), 5000L)
+      log.compact("s0") // implicit recoverCompaction, then a clean rewrite
+      val afterForward = log.consumeSegment("s0", "seg0").collect()
+      assert(
+        afterForward.map(_.getAs[Long]("sequence")).sorted.toSeq == (1L to 40L),
+        "roll-forward recovery must keep the new generation + the mid-window produce")
+
+      // offsets stayed valid throughout: the high-water mark is the last
+      // produced sequence and the NEXT produce validates contiguously
+      assert(log.peek("s0", "seg0").get.sequence == 40L)
+      log.produce("s0", "seg0", records(41, 2), 6000L)
+      assert(log.peek("s0", "seg0").get.sequence == 42L)
+
+      // the follower saw every produce ack exactly once, in order, with
+      // the right ranges — and no ack from compact/retain/recovery
+      val ranges = acks.synchronized(acks.toVector)
+        .map(st => (st.firstSequence, st.lastSequence))
+      assert(
+        ranges == Vector((1L, 10L), (11L, 20L), (21L, 30L), (31L, 35L), (36L, 40L), (41L, 42L)),
+        s"ack stream must be exactly the produce statuses, once each: $ranges")
+    } finally {
+      sub.close()
+    }
+  }
+
   test("retain of a fully-expired segment keeps the high-water entry (no sequence restart)") {
     val log = freshLog()
     log.produce("s0", "seg0", records(1, 10), 1000L)

@@ -268,6 +268,75 @@ class PlanSpec extends SparkSpec {
       "q_fdr_bh", // inherits q_ks_test's length-spine × |sources| grid
       "q_uplift_ipw") // one-row kept/total/naive statistic products
 
+  /** Queries whose plan legitimately contains a PARTITION-LESS Window
+    * (Spark's "moving all data to a single partition" stage) — each
+    * one-line note is the reason that stage's INPUT is statistic-sized
+    * by construction, so the single partition holds an alphabet/
+    * calendar/dimension-sized table, never the fact corpus. The audit
+    * below is two-way: an unlisted global window fails (accidental
+    * corpus serialization), and a listed query with no global window
+    * fails too (stale allowlist) — so this list stays ≡ the warning
+    * set mechanically instead of by per-round hand adjudication. */
+  private val BoundedGlobalWindowQueries: Map[String, String] = Map(
+    "q_abc_analysis" -> "cumulative share over the per-part revenue aggregate (|part| dimension rows)",
+    "q_attribution_shapley" -> "coalition grids capped by require(nc <= 5): <= 2^5 rows",
+    "q_benford" -> "first-digit histogram: 9 digit rows",
+    "q_bootstrap_ci" -> "fixed replicate-statistic grid (one row per bootstrap replicate)",
+    "q_concurrency" -> "hour-carry cumsum over per-hour delta totals (calendar-hours rows; the within-hour sweep is hash-partitioned)",
+    "q_corpus_shuffle" -> "prefix-sum carry over ShuffleShards=16 shard totals",
+    "q_decile_migration" -> "quintile rank over per-customer period spend aggregates (customer dimension, not fact)",
+    "q_fdr_bh" -> "BH step-up over the per-source p-value family (|sources| rows)",
+    "q_granger" -> "lag alignment over the paired daily series (calendar-days rows)",
+    "q_heaps_law" -> "fit over the 10-point prefix-vocabulary grid",
+    "q_kruskal_wallis" -> "midranks via the distinct-cent histogram (value-alphabet rows, never row-sorted corpus)",
+    "q_ks_test" -> "CDF step over the distinct-value histogram (value-alphabet rows)",
+    "q_lift_table" -> "cumulative gains over the 10-decile grid",
+    "q_mwu_drift" -> "rank-sum via the distinct-value histogram (value-alphabet rows)",
+    "q_nelson_aalen" -> "life-table over distinct event days (calendar-bounded rows)",
+    "q_psi_drift" -> "decile fences from the distinct-score histogram (value-alphabet rows)",
+    "q_quality_shrunk" -> "shrinkage over per-source score stats (|sources| rows)",
+    "q_rfm" -> "R/F/M quintile ranks over per-customer aggregates (customer dimension, not fact)",
+    "q_runs_test" -> "runs scan over the daily above/below-median series (calendar-days rows)",
+    "q_score_auc" -> "ROC cumulative over the distinct-score histogram (value-alphabet rows)",
+    "q_seasonal_decompose" -> "centered MA over the daily series (calendar-days rows)",
+    "q_seasonal_strength" -> "same daily-series decomposition input as q_seasonal_decompose",
+    "q_seasonality" -> "dow x hour fingerprint grid (168 cells)",
+    "q_skyline" -> "global pass over LOCAL skyline survivors (frontier-sized; full fact stays partitioned)",
+    "q_stl_anomaly" -> "residual rank over the daily series (calendar-days rows)",
+    "q_theil_sen" -> "median slope over the month-pair grid (|months|^2 rows)",
+    "q_vocab_coverage" -> "Zipf cumulative over the vocabulary histogram (vocab-sized: sub-linear in corpus by Heaps' law)",
+    "q_wow_growth" -> "week-over-week offsets on the weekly panel (calendar-weeks rows)")
+
+  test("partition-less Windows: every global window is allowlisted with a bound (two-way)") {
+    val eagerLoops =
+      Set(
+        "q_dedup_clusters", "q_bpe_train", "q_split_leakage",
+        "q_cluster_sizes", "q_cc_bigstar")
+    val names = SparkEntry.queries.keys.filterNot(eagerLoops).toSeq.sorted
+    val unlisted = scala.collection.mutable.Buffer.empty[String]
+    val stale = scala.collection.mutable.Buffer.empty[String]
+    names.foreach { name =>
+      spark.catalog.clearCache()
+      val lp = SparkEntry.queries(name)(spark, SfDir).queryExecution.optimizedPlan
+      val hasGlobal = lp
+        .collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty =>
+            w
+        }
+        .nonEmpty
+      if (hasGlobal && !BoundedGlobalWindowQueries.contains(name)) unlisted += name
+      if (!hasGlobal && BoundedGlobalWindowQueries.contains(name)) stale += name
+    }
+    assert(
+      unlisted.isEmpty,
+      s"unlisted partition-less Window (single-partition stage) in: $unlisted — " +
+        "either repartition the window or add a one-line bound justification")
+    assert(
+      stale.isEmpty,
+      s"stale BoundedGlobalWindowQueries entries (no global window in plan): $stale")
+  }
+
   test("no registered query plan contains an unlisted cartesian/nested-loop join") {
     // q_dedup_clusters / q_bpe_train run driver fixpoint loops eagerly
     // at plan-build time (Spark jobs inside construction) — expensive
