@@ -91,6 +91,7 @@ object Bench {
     "q_kendall_tau", "q_power_law", "q_theil_index", "q_binseg",
     "q_tukey_pairs", "q_levene", "q_mk_seasonal", "q_logrank", "q_dup_modularity",
     "q_fdr_bh", "q_granger", "q_uplift_ipw",
+    "q_ewma_chart", "q_jonckheere", "q_friedman", "q_did", "q_croston",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {

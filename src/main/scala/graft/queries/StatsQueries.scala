@@ -1323,6 +1323,306 @@ object StatsQueries {
             col("yc").cast("double") / col("nc").cast("double")).as("diff_naive"))
   }
 
+  private val HourUs = 3600000000L
+
+  /** λ = 1/4: exact in binary, so the recursion multipliers (λ and
+    * 1 − λ = 3/4) are exact doubles and the EWMA chain is the same
+    * IEEE tree in both engines. */
+  val EwmaLambda = 0.25d
+
+  /** EWMA control chart on daily counts per event type (Roberts 1959;
+    * the small-persistent-shift detector the Shewhart/Poisson-SPC day
+    * screen [[graft.queries.OlapQueries.qSpcDays]] misses). Center μ
+    * and σ come from exact integer sums over the dense day grid; the
+    * smoother z_i = λx_i + (1−λ)z_{i−1}, z_0 = μ is a per-type fold
+    * over the calendar-sized series (the [[qEwmaChart]] twin of the
+    * q_ema fold), re-folded per prefix — O(days²) per type, calendar²,
+    * irrelevant at any corpus scale. Steady-state limits
+    * ±3σ√(λ/(2−λ)) (no per-index pow: libm pow is not bit-portable,
+    * sqrt is); the signal compare runs on floor6-quantized values so
+    * a boundary ulp can't flip an emitted flag. */
+  def qEwmaChart(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), (col("ts_us") - (col("ts_us") % DayUs)).as("day_us"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(min("day_us").as("mn"), max("day_us").as("mx"))
+    val dense = ev
+      .select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr(s"sequence(mn, mx, $DayUs)")).as("day_us"))
+      .join(ev, Seq("event_type", "day_us"), "left")
+      .select(col("event_type"), col("day_us"), coalesce(col("c"), lit(0L)).as("c"))
+    val stats = dense
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c").as("sc"),
+        sum(dec(col("c")) * col("c")).as("sq"))
+      .select(
+        col("event_type"),
+        (col("sc").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt(
+          (dec(col("n")) * col("sq") - dec(col("sc")) * col("sc")).cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0d)) *
+            (lit(EwmaLambda) / lit(2.0d - EwmaLambda))).as("sig_z"))
+    val series = dense
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day_us"), col("c")))).as("seq"))
+      .join(broadcast(stats), "event_type")
+    series
+      .select(
+        col("event_type"),
+        col("mu"),
+        col("sig_z"),
+        posexplode(expr(
+          s"transform(sequence(1, size(seq)), i -> named_struct(" +
+            "'day_us', seq[i-1].day_us, 'c', seq[i-1].c, " +
+            "'z', aggregate(slice(seq, 1, i), mu, " +
+            s"(a, x) -> $EwmaLambda * CAST(x.c AS DOUBLE) + ${1 - EwmaLambda} * a)))")))
+      .select(
+        col("event_type"),
+        col("col.day_us").as("day_us"),
+        col("col.c").as("c"),
+        floor6(col("col.z")).as("ewma"),
+        floor6(col("mu")).as("center"),
+        (floor6(abs(col("col.z") - col("mu"))) > floor6(lit(3.0d) * col("sig_z")))
+          .as("signal"))
+      .transform(sortSmall(_, col("event_type"), col("day_us")))
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative k-group test: does
+    * quantity shift MONOTONICALLY with the discount level (the ordered
+    * hypothesis [[qAnova]]/[[qKruskalWallis]] can't privilege and
+    * [[qCochranArmitage]] only answers for binary outcomes)? The
+    * corpus folds once to the (dose, quantity) histogram (11 × 50
+    * exact cells); J = Σ_{i<j} [Σ_{a<b} nᵢ(a)nⱼ(b) + ½Σₐ nᵢ(a)nⱼ(a)]
+    * is an exact decimal fold over the broadcast histogram self-pair
+    * (doubled to keep the ½-tie term integer), and E[J], the
+    * tie-uncorrected Var₀, and z are one scalar IEEE tree on exact
+    * N/nₖ sums. */
+  def qJonckheere(s: SparkSession, d: String): DataFrame = {
+    val hist = t(s, d, "lineitem")
+      .select(
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("k"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .groupBy("k", "q")
+      .agg(count(lit(1)).as("m"))
+      .transform(graft.operators.Materialize.cut(_))
+    val a = hist.select(col("k").as("ka"), col("q").as("qa"), col("m").as("ma"))
+    val b = hist.select(col("k").as("kb"), col("q").as("qb"), col("m").as("mb"))
+    val j2 = a
+      .join(broadcast(b), col("ka") < col("kb") && col("qa") <= col("qb"))
+      .agg(
+        coalesce(
+          sum(
+            when(col("qa") < col("qb"), lit(2L).cast("decimal(38,0)") * col("ma") * col("mb"))
+              .otherwise(dec(col("ma")) * col("mb"))),
+          lit(0L).cast("decimal(38,0)")).as("j2"))
+    val sizes = hist
+      .groupBy("k")
+      .agg(sum("m").as("nk"))
+      .agg(
+        sum("nk").as("nn"),
+        sum(dec(col("nk")) * col("nk")).as("sn2"),
+        sum(dec(col("nk")) * col("nk") * (lit(2L).cast("decimal(38,0)") * col("nk") + 3L))
+          .as("sn23"),
+        count(lit(1)).as("n_doses"))
+    sizes
+      .crossJoin(broadcast(j2))
+      .selectExpr(
+        "nn AS n_lines",
+        "n_doses",
+        "CAST(j2 AS DOUBLE) / 2.0 AS j_stat",
+        "CAST(CAST(nn AS DECIMAL(38,0)) * nn - sn2 AS DOUBLE) / 4.0 AS e_j",
+        "CAST(CAST(nn AS DECIMAL(38,0)) * nn * (2 * CAST(nn AS DECIMAL(38,0)) + 3) - sn23 AS DOUBLE) / 72.0 AS var_j")
+      .select(
+        col("n_lines"),
+        col("n_doses"),
+        floor6(col("j_stat")).as("j_stat"),
+        floor6(col("e_j")).as("e_j"),
+        floor6((col("j_stat") - col("e_j")) / sqrt(col("var_j"))).as("z_stat"))
+  }
+
+  /** Friedman rank test across event types blocked by day (repeated
+    * measures: are the k = |types| daily series at systematically
+    * different levels once each DAY's overall traffic is controlled
+    * for? — the blocked design [[qKruskalWallis]] ignores). Ranks live
+    * inside each day's k-row block (a (day)-partitioned window over
+    * the dense grid, never a global sort); doubled midranks keep ties
+    * integer, so the tie-corrected χ²_F =
+    * (k−1)·Σⱼ(R2ⱼ − b(k+1))² / (A2 − b·k(k+1)²) is ONE scalar division
+    * of exact int64/decimal folds. */
+  def qFriedman(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(min("dy").as("lo"), max("dy").as("hi"))
+    val dense = ev
+      .select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("dy"))
+      .join(ev, Seq("event_type", "dy"), "left")
+      .select(col("event_type"), col("dy"), coalesce(col("c"), lit(0L)).as("c"))
+    val byDay = Window.partitionBy("dy").orderBy("c")
+    val peers = Window.partitionBy("dy", "c")
+    val ranked = dense
+      .withColumn("r2", lit(2L) * rank().over(byDay) + count(lit(1)).over(peers) - 1L)
+    val perType = ranked
+      .groupBy("event_type")
+      .agg(sum("r2").as("rr2"), count(lit(1)).as("b"))
+    val tieTerm = ranked
+      .agg(sum(dec(col("r2")) * col("r2")).as("a2"))
+    val kk = perType.agg(count(lit(1)).as("k"))
+    perType
+      .crossJoin(broadcast(kk))
+      .agg(
+        max("k").as("k"),
+        max("b").as("b"),
+        sum(
+          (dec(col("rr2")) - dec(col("b")) * (col("k") + 1L)) *
+            (dec(col("rr2")) - dec(col("b")) * (col("k") + 1L))).as("num2"))
+      .crossJoin(broadcast(tieTerm))
+      .selectExpr(
+        "b AS n_days",
+        "k AS k_types",
+        "CAST((k - 1) * num2 AS DOUBLE) / CAST(a2 - CAST(b AS DECIMAL(38,0)) * k * (k + 1) * (k + 1) AS DOUBLE) AS chi2_raw")
+      .select(
+        col("n_days"),
+        col("k_types"),
+        floor6(col("chi2_raw")).as("chi2_f"))
+  }
+
+  /** Difference-in-differences: the (md5-split twin of [[qCuped]])
+    * quasi-experimental readout when assignment is a standing user
+    * property rather than a randomized arm. Units are (group, day)
+    * cells of daily purchase counts on the dense calendar; treated =
+    * even user_id, post = second half of the observation window (an
+    * integer day-index fence, engine-exact). DiD = (ȳ_T,post −
+    * ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) with the day-level variance SE —
+    * four exact (n, Σc, Σc²) triples, one scalar IEEE tree. */
+  def qDid(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (col("user_id") % 2L === 0L).as("treated"),
+        expr(s"ts_us DIV $DayUs").as("dy"))
+    val bounds = ev.agg(min("dy").as("lo"), max("dy").as("hi"))
+    val daily = ev
+      .groupBy("treated", "dy")
+      .agg(count(lit(1)).as("c"))
+    // dense (group × day) grid: a zero-purchase day is an observation
+    val dense = daily
+      .select(col("treated")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("treated"),
+        explode(expr("sequence(lo, hi)")).as("dy"),
+        expr("(lo + hi + 1) DIV 2").as("mid"))
+      .join(daily, Seq("treated", "dy"), "left")
+      .select(
+        col("treated"),
+        (col("dy") >= col("mid")).as("post"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val cells = dense
+      .groupBy("treated", "post")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c").as("sc"),
+        sum(dec(col("c")) * col("c")).as("sq"))
+      .select(
+        col("treated"),
+        col("post"),
+        col("n"),
+        (col("sc").cast("double") / col("n").cast("double")).as("mean"),
+        ((dec(col("n")) * col("sq") - dec(col("sc")) * col("sc")).cast("double") /
+          (col("n").cast("double") * (col("n").cast("double") - 1.0d)) /
+          col("n").cast("double")).as("se2"))
+    def cell(tr: Boolean, po: Boolean, suffix: String) =
+      cells
+        .filter(col("treated") === tr && col("post") === po)
+        .select(
+          col("n").as(s"n_$suffix"),
+          col("mean").as(s"mean_$suffix"),
+          col("se2").as(s"se2_$suffix"))
+    cell(tr = true, po = false, "t_pre")
+      .crossJoin(broadcast(cell(tr = true, po = true, "t_post")))
+      .crossJoin(broadcast(cell(tr = false, po = false, "c_pre")))
+      .crossJoin(broadcast(cell(tr = false, po = true, "c_post")))
+      .select(
+        col("n_t_pre"),
+        col("n_t_post"),
+        floor6(col("mean_t_pre")).as("mean_t_pre"),
+        floor6(col("mean_t_post")).as("mean_t_post"),
+        floor6(col("mean_c_pre")).as("mean_c_pre"),
+        floor6(col("mean_c_post")).as("mean_c_post"),
+        floor6(
+          (col("mean_t_post") - col("mean_t_pre")) -
+            (col("mean_c_post") - col("mean_c_pre"))).as("did"),
+        floor6(
+          ((col("mean_t_post") - col("mean_t_pre")) -
+            (col("mean_c_post") - col("mean_c_pre"))) /
+            sqrt(
+              col("se2_t_pre") + col("se2_t_post") + col("se2_c_pre") +
+                col("se2_c_post"))).as("t_stat"))
+  }
+
+  /** Croston α = 1/4 — exact binary, same rationale as [[EwmaLambda]]. */
+  val CrostonAlpha = 0.25d
+
+  /** Croston's method for intermittent demand (Croston 1972): hourly
+    * event arrivals per type, smoothing demand SIZE z and demand
+    * INTERVAL q separately on demand hours only — the forecast z/q is
+    * the demand rate a plain EMA systematically over-forecasts right
+    * after each arrival. State (z, q, gap, started) folds once over
+    * the dense hourly series (calendar-sized per type); seeds are the
+    * first demand's size and position; α = 1/4 keeps every multiplier
+    * exact, and both engines run the identical CASE tree per step. */
+  def qCroston(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), (col("ts_us") - (col("ts_us") % HourUs)).as("hour_us"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(min("hour_us").as("mn"), max("hour_us").as("mx"))
+    val dense = ev
+      .select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr(s"sequence(mn, mx, $HourUs)")).as("hour_us"))
+      .join(ev, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"), coalesce(col("c"), lit(0L)).as("c"))
+    val a = CrostonAlpha
+    dense
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hour_us"), col("c")))).as("seq"))
+      .select(
+        col("event_type"),
+        size(col("seq")).cast("long").as("n_hours"),
+        expr(
+          "aggregate(seq, named_struct(" +
+            "'z', CAST(0.0 AS DOUBLE), 'q', CAST(0.0 AS DOUBLE), " +
+            "'gap', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT)), " +
+            "(st, x) -> CASE " +
+            // no demand this hour: the open interval grows
+            "WHEN x.c = 0 THEN named_struct('z', st.z, 'q', st.q, 'gap', st.gap + CAST(1 AS BIGINT), 'nd', st.nd) " +
+            // first demand: seed size with it, interval with its position
+            "WHEN st.nd = 0 THEN named_struct('z', CAST(x.c AS DOUBLE), 'q', CAST(st.gap + 1 AS DOUBLE), 'gap', CAST(0 AS BIGINT), 'nd', CAST(1 AS BIGINT)) " +
+            // demand: smooth size and the just-closed interval
+            s"ELSE named_struct('z', $a * CAST(x.c AS DOUBLE) + ${1 - a} * st.z, " +
+            s"'q', $a * CAST(st.gap + 1 AS DOUBLE) + ${1 - a} * st.q, " +
+            "'gap', CAST(0 AS BIGINT), 'nd', st.nd + CAST(1 AS BIGINT)) END)")
+          .as("st"))
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        col("st.nd").as("n_demand_hours"),
+        floor6(col("st.z")).as("size_smooth"),
+        floor6(col("st.q")).as("interval_smooth"),
+        floor6(col("st.z") / col("st.q")).as("rate_forecast"))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest _,
     "q_nelson_aalen" -> qNelsonAalen _,
@@ -1344,7 +1644,12 @@ object StatsQueries {
     "q_levene" -> qLevene _,
     "q_mk_seasonal" -> qMkSeasonal _,
     "q_logrank" -> qLogrank _,
-    "q_uplift_ipw" -> qUpliftIpw _
+    "q_uplift_ipw" -> qUpliftIpw _,
+    "q_ewma_chart" -> qEwmaChart _,
+    "q_jonckheere" -> qJonckheere _,
+    "q_friedman" -> qFriedman _,
+    "q_did" -> qDid _,
+    "q_croston" -> qCroston _
   )
 
   /** The signup→purchase life-table CTE chain ending in
@@ -1931,6 +2236,177 @@ object StatsQueries {
           "CAST(qsum AS DOUBLE) / (CAST(n_kept AS DOUBLE) * 1000000.0)")} AS ate_stratified,
          |       ${floor6Sql(
           "CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE)")} AS diff_naive
-         |FROM kept, tot, naive""".stripMargin
+         |FROM kept, tot, naive""".stripMargin,
+    "q_ewma_chart" ->
+      s"""WITH RECURSIVE counts AS (
+         |  SELECT event_type, epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT min(day_us) AS mn, max(day_us) AS mx FROM counts),
+         |grid AS (
+         |  SELECT t.event_type, unnest(generate_series(mn, mx, 86400000000)) AS day_us
+         |  FROM (SELECT DISTINCT event_type FROM counts) t, bounds),
+         |dense AS (
+         |  SELECT g.event_type, g.day_us, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+         |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.day_us = c.day_us),
+         |stats AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
+         |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq
+         |  FROM dense GROUP BY 1),
+         |params AS (
+         |  SELECT event_type, CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |         sqrt(CAST(CAST(n AS HUGEINT) * sq - CAST(sc AS HUGEINT) * sc AS DOUBLE) /
+         |              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * (0.25 / 1.75)) AS sig_z
+         |  FROM stats),
+         |series AS (
+         |  SELECT event_type, day_us, c,
+         |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_us) AS BIGINT) AS idx
+         |  FROM dense),
+         |rec AS (
+         |  SELECT s.event_type, s.idx, s.day_us, s.c,
+         |         0.25 * CAST(s.c AS DOUBLE) + 0.75 * p.mu AS z
+         |  FROM series s JOIN params p USING (event_type) WHERE s.idx = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.idx, s.day_us, s.c,
+         |         0.25 * CAST(s.c AS DOUBLE) + 0.75 * r.z
+         |  FROM rec r JOIN series s ON s.event_type = r.event_type AND s.idx = r.idx + 1)
+         |SELECT r.event_type, r.day_us, r.c,
+         |       ${floor6Sql("z")} AS ewma,
+         |       ${floor6Sql("mu")} AS center,
+         |       ${floor6Sql("abs(z - mu)")} > ${floor6Sql("3.0 * sig_z")} AS signal
+         |FROM rec r JOIN params p USING (event_type)
+         |ORDER BY event_type, day_us""".stripMargin,
+    "q_jonckheere" ->
+      s"""WITH hist AS (
+         |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS k,
+         |         CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS m
+         |  FROM lineitem GROUP BY 1, 2),
+         |j2t AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN a.q < b.q THEN 2 * CAST(a.m AS HUGEINT) * b.m
+         |                                ELSE CAST(a.m AS HUGEINT) * b.m END), 0) AS HUGEINT) AS j2
+         |  FROM hist a JOIN hist b ON a.k < b.k AND a.q <= b.q),
+         |sizes AS (SELECT k, CAST(sum(m) AS BIGINT) AS nk FROM hist GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(nk) AS BIGINT) AS nn,
+         |         CAST(sum(CAST(nk AS HUGEINT) * nk) AS HUGEINT) AS sn2,
+         |         CAST(sum(CAST(nk AS HUGEINT) * nk * (2 * CAST(nk AS HUGEINT) + 3)) AS HUGEINT) AS sn23,
+         |         CAST(count(*) AS BIGINT) AS n_doses
+         |  FROM sizes),
+         |raw AS (
+         |  SELECT nn, n_doses,
+         |         CAST(j2 AS DOUBLE) / 2.0 AS j_stat,
+         |         CAST(CAST(nn AS HUGEINT) * nn - sn2 AS DOUBLE) / 4.0 AS e_j,
+         |         CAST(CAST(nn AS HUGEINT) * nn * (2 * CAST(nn AS HUGEINT) + 3) - sn23 AS DOUBLE) / 72.0 AS var_j
+         |  FROM tot, j2t)
+         |SELECT nn AS n_lines, n_doses,
+         |       ${floor6Sql("j_stat")} AS j_stat,
+         |       ${floor6Sql("e_j")} AS e_j,
+         |       ${floor6Sql("(j_stat - e_j) / sqrt(var_j)")} AS z_stat
+         |FROM raw""".stripMargin,
+    "q_friedman" ->
+      s"""WITH counts AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT min(dy) AS lo, max(dy) AS hi FROM counts),
+         |grid AS (
+         |  SELECT t.event_type, unnest(generate_series(lo, hi)) AS dy
+         |  FROM (SELECT DISTINCT event_type FROM counts) t, bounds),
+         |dense AS (
+         |  SELECT g.event_type, g.dy, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+         |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+         |ranked AS (
+         |  SELECT event_type, dy, c,
+         |         CAST(2 * rank() OVER (PARTITION BY dy ORDER BY c)
+         |           + count(*) OVER (PARTITION BY dy, c) - 1 AS BIGINT) AS r2
+         |  FROM dense),
+         |pertype AS (
+         |  SELECT event_type, CAST(sum(r2) AS BIGINT) AS rr2, CAST(count(*) AS BIGINT) AS b
+         |  FROM ranked GROUP BY 1),
+         |tie AS (SELECT CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS a2 FROM ranked),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM pertype),
+         |agg AS (
+         |  SELECT max(k) AS k, max(b) AS b,
+         |         CAST(sum((CAST(rr2 AS HUGEINT) - CAST(b AS HUGEINT) * (k + 1))
+         |           * (CAST(rr2 AS HUGEINT) - CAST(b AS HUGEINT) * (k + 1))) AS HUGEINT) AS num2
+         |  FROM pertype, kk)
+         |SELECT b AS n_days, k AS k_types,
+         |       ${floor6Sql(
+          "CAST((k - 1) * num2 AS DOUBLE) / CAST(a2 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1) AS DOUBLE)")} AS chi2_f
+         |FROM agg, tie""".stripMargin,
+    "q_did" ->
+      s"""WITH ev AS (
+         |  SELECT (user_id % 2 = 0) AS treated, epoch_us(ts) // 86400000000 AS dy
+         |  FROM events WHERE event_type = 'purchase'),
+         |bounds AS (SELECT min(dy) AS lo, max(dy) AS hi FROM ev),
+         |daily AS (SELECT treated, dy, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.treated, unnest(generate_series(lo, hi)) AS dy
+         |  FROM (SELECT DISTINCT treated FROM daily) t, bounds),
+         |dense AS (
+         |  SELECT g.treated, g.dy >= ((b.lo + b.hi + 1) // 2) AS post,
+         |         CAST(coalesce(d.c, 0) AS BIGINT) AS c
+         |  FROM grid g CROSS JOIN bounds b
+         |  LEFT JOIN daily d ON g.treated = d.treated AND g.dy = d.dy),
+         |cells AS (
+         |  SELECT treated, post, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
+         |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq
+         |  FROM dense GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT treated, post, n, CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |         CAST(CAST(n AS HUGEINT) * sq - CAST(sc AS HUGEINT) * sc AS DOUBLE) /
+         |           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE) AS se2
+         |  FROM cells)
+         |SELECT tp.n AS n_t_pre, tq.n AS n_t_post,
+         |       ${floor6Sql("tp.mean")} AS mean_t_pre,
+         |       ${floor6Sql("tq.mean")} AS mean_t_post,
+         |       ${floor6Sql("cp.mean")} AS mean_c_pre,
+         |       ${floor6Sql("cq.mean")} AS mean_c_post,
+         |       ${floor6Sql("(tq.mean - tp.mean) - (cq.mean - cp.mean)")} AS did,
+         |       ${floor6Sql(
+          "((tq.mean - tp.mean) - (cq.mean - cp.mean)) / sqrt(tp.se2 + tq.se2 + cp.se2 + cq.se2)")} AS t_stat
+         |FROM (SELECT * FROM cm WHERE treated AND NOT post) tp,
+         |     (SELECT * FROM cm WHERE treated AND post) tq,
+         |     (SELECT * FROM cm WHERE NOT treated AND NOT post) cp,
+         |     (SELECT * FROM cm WHERE NOT treated AND post) cq""".stripMargin,
+    "q_croston" ->
+      s"""WITH RECURSIVE counts AS (
+         |  SELECT event_type, epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM counts),
+         |grid AS (
+         |  SELECT t.event_type, unnest(generate_series(mn, mx, 3600000000)) AS hour_us
+         |  FROM (SELECT DISTINCT event_type FROM counts) t, bounds),
+         |dense AS (
+         |  SELECT g.event_type, g.hour_us, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+         |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.hour_us = c.hour_us),
+         |series AS (
+         |  SELECT event_type, hour_us, c,
+         |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour_us) AS BIGINT) AS idx
+         |  FROM dense),
+         |sizes AS (SELECT event_type, CAST(max(idx) AS BIGINT) AS n_hours FROM series GROUP BY 1),
+         |rec AS (
+         |  SELECT event_type, idx,
+         |         -- CAST the anchors: a bare 0.0 is DECIMAL(2,1) and the
+         |         -- recursive CTE would inherit that type for the whole chain
+         |         CASE WHEN c = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(c AS DOUBLE) END AS z,
+         |         CASE WHEN c = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS q,
+         |         CAST(CASE WHEN c = 0 THEN 1 ELSE 0 END AS BIGINT) AS gap,
+         |         CAST(CASE WHEN c = 0 THEN 0 ELSE 1 END AS BIGINT) AS nd
+         |  FROM series WHERE idx = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.idx,
+         |         CASE WHEN s.c = 0 THEN r.z WHEN r.nd = 0 THEN CAST(s.c AS DOUBLE)
+         |              ELSE 0.25 * CAST(s.c AS DOUBLE) + 0.75 * r.z END,
+         |         CASE WHEN s.c = 0 THEN r.q WHEN r.nd = 0 THEN CAST(r.gap + 1 AS DOUBLE)
+         |              ELSE 0.25 * CAST(r.gap + 1 AS DOUBLE) + 0.75 * r.q END,
+         |         CAST(CASE WHEN s.c = 0 THEN r.gap + 1 ELSE 0 END AS BIGINT),
+         |         CAST(CASE WHEN s.c = 0 THEN r.nd WHEN r.nd = 0 THEN 1 ELSE r.nd + 1 END AS BIGINT)
+         |  FROM rec r JOIN series s ON s.event_type = r.event_type AND s.idx = r.idx + 1)
+         |SELECT r.event_type, z.n_hours, r.nd AS n_demand_hours,
+         |       ${floor6Sql("r.z")} AS size_smooth,
+         |       ${floor6Sql("r.q")} AS interval_smooth,
+         |       ${floor6Sql("r.z / r.q")} AS rate_forecast
+         |FROM rec r JOIN sizes z USING (event_type)
+         |WHERE r.idx = z.n_hours
+         |ORDER BY event_type""".stripMargin
   )
 }

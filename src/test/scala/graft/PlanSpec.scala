@@ -266,7 +266,12 @@ class PlanSpec extends SparkSpec {
       "q_logrank", // one-row censoring bound + one-row O/E/V and cohort totals
       "q_dup_modularity", // source-alphabet stats × one-row edge count
       "q_fdr_bh", // inherits q_ks_test's length-spine × |sources| grid
-      "q_uplift_ipw") // one-row kept/total/naive statistic products
+      "q_uplift_ipw", // one-row kept/total/naive statistic products
+      "q_ewma_chart", // type-list × one-row day-bounds grid seed + stats broadcast
+      "q_jonckheere", // 11×50 dose-quantity histogram self-pair (broadcast)
+      "q_friedman", // type-list × one-row day-bounds + one-row k count
+      "q_did", // 2×2 cell statistic products (one row each)
+      "q_croston") // type-list × one-row hour-bounds grid seed
 
   /** Queries whose plan legitimately contains a PARTITION-LESS Window
     * (Spark's "moving all data to a single partition" stage) — each

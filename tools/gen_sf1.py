@@ -29,7 +29,12 @@ while avoiding the clone artifacts that would distort self-join queries:
   their parents so join fan-outs replicate per copy; timestamps keep
   the sf0.1 range (10x daily density = the bigger-business shape).
 
-Usage: python3 tools/gen_sf1.py [/tmp/sf1]
+The same construction composes: --src /tmp/sf1 re-applies it to the
+sf1 output for a FOURTH decade (sf10) — the word rename is bijective
+again (w~c -> w~c~c2) and the per-(copy, dim) sign flip is orthogonal
+again, so every invariance argument above holds level-by-level.
+
+Usage: python3 tools/gen_sf1.py [/tmp/sf1] [--src DIR] [--copies N]
 """
 import os
 import sys
@@ -121,4 +126,13 @@ def main(dst):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
+    args = sys.argv[1:]
+    if "--src" in args:
+        i = args.index("--src")
+        SRC = args[i + 1]
+        del args[i:i + 2]
+    if "--copies" in args:
+        i = args.index("--copies")
+        COPIES = int(args[i + 1])
+        del args[i:i + 2]
+    main(args[0] if args else "/tmp/sf1")
