@@ -869,7 +869,13 @@ object PipelineQueries {
     * equi-join per key; V rides a one-row broadcast cross product (the
     * same bounded product as the pmi/tfidf totals, allow-listed in
     * PlanSpec). */
-  def qLmScore(s: SparkSession, d: String): DataFrame = {
+  def qLmScore(s: SparkSession, d: String): DataFrame =
+    lmScores(s, d).orderBy("doc_id")
+
+  /** The (doc_id, n_bigrams, lm_score) table behind [[qLmScore]] and
+    * the CCNet-style bucket mixer [[qCcnetBuckets]] — one definition
+    * of the corpus LM quality score. */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
     val bi = docs(s, d)
       .select(col("doc_id"), explode(TextFns.ngramsAll(col("text"), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -892,7 +898,183 @@ object PipelineQueries {
             (col("c_bg") + 1).cast("double") /
               (col("c_w1") + col("v")).cast("double"))),
           4).as("lm_score"))
-      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity-bucket mixing report (Wenzek et al. 2020):
+    * the corpus split into head/middle/tail TERCILES of the bigram-LM
+    * score (lower = more fluent), rolled up per source with doc and
+    * token mass — the table a curation pass reads to decide per-source
+    * head/middle keep rates. The fences are rank picks over the
+    * 10⁻⁴-quantized SCORE HISTOGRAM (value-alphabet cumulative window,
+    * never a corpus sort); bucket assignment is then two integer
+    * compares per doc, and every rollup number is an exact integer
+    * except the one share division. */
+  def qCcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = lmScores(s, d)
+      .select(
+        col("doc_id"),
+        expr("CAST(round(lm_score * 10000) AS BIGINT)").as("sq"))
+      .transform(graft.operators.Materialize.cut(_))
+    val hist = scored.groupBy("sq").agg(count(lit(1)).as("m"))
+    val cum = hist
+      .withColumn(
+        "cm",
+        sum("m").over(
+          Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+    val fences = cum
+      .agg(
+        min(when(col("cm") >= expr("(n + 2) DIV 3"), col("sq"))).as("f1"),
+        min(when(col("cm") >= expr("(2 * n + 2) DIV 3"), col("sq"))).as("f2"))
+    val toks = docs(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr("CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS BIGINT)")
+          .as("tokens"))
+    val bucketed = scored
+      .join(toks.hint("shuffle_hash"), "doc_id")
+      .crossJoin(broadcast(fences))
+      .select(
+        col("source"),
+        when(col("sq") <= col("f1"), "head")
+          .when(col("sq") <= col("f2"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("tokens"))
+    val perSource = bucketed
+      .groupBy("source")
+      .agg(sum("tokens").as("src_tokens"))
+    bucketed
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+      .join(perSource.hint("shuffle_hash"), "source")
+      .select(
+        col("source"),
+        col("bucket"),
+        col("n_docs"),
+        col("tokens"),
+        floor6(col("tokens").cast("double") / col("src_tokens").cast("double"))
+          .as("token_share"))
+      .transform(sortSmall(_, "source", "bucket"))
+  }
+
+  /** Benchmark-contamination OVERLAP profile (the PaLM/GPT-3 style
+    * refinement of [[qContamination]]'s hit list): per corpus doc
+    * sharing ≥ 1 shingle with the benchmark set, the SHARE of its
+    * distinct shingles that are benchmark shingles — the number that
+    * separates a quoted sentence from a wholesale inclusion, deciding
+    * drop-vs-keep. Same broadcast-confirm shape as the decontamination
+    * pass (benchmark side is MBs at any corpus scale); the share is
+    * one division of exact counts. */
+  def qContamOverlap(s: SparkSession, d: String): DataFrame = {
+    val ex = Dedup
+      .shingleRows(docs(s, d), "doc_id", "text", 3)
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+      .transform(graft.operators.Materialize.cut(_))
+    val bench = ex.filter(col("doc_id") < 10).select("h").distinct()
+    val corpus = ex.filter(col("doc_id") >= 10)
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = corpus
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(tot.hint("shuffle_hash"), "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("n_shared"),
+        floor6(col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("overlap_share"))
+      .transform(sortSmall(_, "doc_id"))
+  }
+
+  /** IVF index shard-balance report: the cluster-size distribution of
+    * the k-means quantizer behind [[qAnnIvf]] — THE production ANN
+    * health number (a hot cell serves most probes and caps index
+    * throughput; empty cells waste probe budget). Assignment is the
+    * deterministic in-plan-centroid k-means shared with q_kmeans; the
+    * report is one alphabet-sized rollup: sizes, the imbalance factor
+    * max/mean, and how many probes the hottest cell would absorb. */
+  def qIvfBalance(s: SparkSession, d: String): DataFrame = {
+    val sizes = graft.clustering.Clustering
+      .kmeansAssign(
+        normedEmbs(s, d).transform(graft.operators.Materialize.cut(_)),
+        k = KmeansK,
+        iters = KmeansIters,
+        dim = EmbDim)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("sz"))
+    sizes
+      .agg(
+        count(lit(1)).as("k_used"),
+        sum("sz").as("n_vectors"),
+        min("sz").as("min_size"),
+        max("sz").as("max_size"))
+      .select(
+        col("n_vectors"),
+        col("k_used"),
+        col("min_size"),
+        col("max_size"),
+        floor6(col("n_vectors").cast("double") / col("k_used").cast("double"))
+          .as("mean_size"),
+        floor6(
+          col("max_size").cast("double") * col("k_used").cast("double") /
+            col("n_vectors").cast("double")).as("imbalance"))
+  }
+
+  /** Common-neighbor / Adamic–Adar link prediction on the SIMHASH
+    * near-dup graph (hamming ≤ [[SimhashMaxHamming]] is not
+    * transitive, so it HAS missing links — the 0.8-Jaccard minhash
+    * graph is all cliques): non-adjacent doc pairs sharing confirmed
+    * neighbors are the pairs a transitive-closure dedup would merge
+    * next, ranked by the standard missing-link score. One wedge join
+    * (adjacency ⋈ adjacency on the middle node, shuffle_hash),
+    * existing edges removed by an anti join, each wedge's 1/ln(deg w)
+    * term µ-quantized to int64 BEFORE the sum (the q_power_law ln
+    * convention), top 20 on the exact (common, aa, id) order. */
+  def qGraphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+    val pairs = Dedup
+      .simhashPairs(
+        Dedup.simhashSignatures(toks, "doc_id", "tok", SimhashBits),
+        bits = SimhashBits,
+        maxHamming = SimhashMaxHamming)
+      .select("a_id", "b_id")
+      .transform(graft.operators.Materialize.cut(_))
+    val adj = pairs
+      .select(col("a_id").as("w"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("w"), col("a_id").as("v")))
+    val deg = adj
+      .groupBy("w")
+      .agg(count(lit(1)).as("degree"))
+      // a wedge middle always has degree >= 2, so this filter changes
+      // nothing semantically — it keeps ln(1) = 0 out of the division
+      .filter(col("degree") >= 2L)
+      .select(
+        col("w"),
+        expr("CAST(floor(1000000.0 / ln(CAST(degree AS DOUBLE))) AS BIGINT)").as("aa_q"))
+    val wedges = adj
+      .select(col("w"), col("v").as("a_id"))
+      .join(adj.select(col("w"), col("v").as("b_id")).hint("shuffle_hash"), "w")
+      .filter(col("a_id") < col("b_id"))
+      .join(deg.hint("shuffle_hash"), "w")
+    wedges
+      .join(pairs.hint("shuffle_hash"), Seq("a_id", "b_id"), "left_anti")
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"), sum("aa_q").as("aa_sum"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        col("common"),
+        (col("aa_sum").cast("double") / 1000000.0d).as("adamic_adar"))
+      .orderBy(col("common").desc, col("aa_sum").desc, col("a_id"), col("b_id"))
+      .limit(20)
+      .transform(
+        graft.operators.SortUtil
+          .sortSmall(_, col("common").desc, col("aa_sum").desc, col("a_id"), col("b_id")))
   }
 
   /** Mojibake (double-encoding artifact) repair over the shared
@@ -3421,6 +3603,10 @@ object PipelineQueries {
     "q_source_overlap" -> qSourceOverlap _,
     "q_script_profile" -> qScriptProfile _,
     "q_lm_score" -> qLmScore _,
+    "q_ccnet_buckets" -> qCcnetBuckets _,
+    "q_contam_overlap" -> qContamOverlap _,
+    "q_ivf_balance" -> qIvfBalance _,
+    "q_common_neighbors" -> qGraphCommonNeighbors _,
     "q_bm25" -> qBm25 _,
     "q_score_auc" -> qScoreAuc _,
     "q_source_divergence" -> qSourceDivergence _,
@@ -4526,6 +4712,107 @@ object PipelineQueries {
         |       round(-avg(ln((c_bg + 1) / CAST(c_w1 + v AS DOUBLE))), 4) AS lm_score
         |FROM bi JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN vv
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1, t[i+1] AS w2 FROM p0),
+        |cb AS (SELECT bg, count(*) AS c_bg FROM bi GROUP BY bg),
+        |cu AS (SELECT w1, count(*) AS c_w1 FROM bi GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT w2) AS v FROM bi),
+        |scored AS (
+        |  SELECT doc_id,
+        |         CAST(round(round(-avg(ln((c_bg + 1) / CAST(c_w1 + v AS DOUBLE))), 4) * 10000) AS BIGINT) AS sq
+        |  FROM bi JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN vv
+        |  GROUP BY doc_id),
+        |hist AS (SELECT sq, CAST(count(*) AS BIGINT) AS m FROM scored GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+        |cum AS (
+        |  SELECT sq, CAST(sum(m) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        |  FROM hist),
+        |fences AS (
+        |  SELECT min(CASE WHEN cm >= (n + 2) // 3 THEN sq END) AS f1,
+        |         min(CASE WHEN cm >= (2 * n + 2) // 3 THEN sq END) AS f2
+        |  FROM cum, tot),
+        |dtok AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS tokens
+        |  FROM documents),
+        |bucketed AS (
+        |  SELECT d.source,
+        |         CASE WHEN s.sq <= f.f1 THEN 'head' WHEN s.sq <= f.f2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |         d.tokens
+        |  FROM scored s JOIN dtok d USING (doc_id) CROSS JOIN fences f),
+        |per AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS src_tokens FROM bucketed GROUP BY 1)
+        |SELECT b.source, b.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(b.tokens) AS BIGINT) AS tokens,
+        |       floor(CAST(sum(b.tokens) AS DOUBLE) / CAST(p.src_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS token_share
+        |FROM bucketed b JOIN per p USING (source)
+        |GROUP BY b.source, b.bucket, p.src_tokens
+        |ORDER BY source, bucket""".stripMargin,
+    "q_contam_overlap" -> {
+      val h = Hashing.duckMd5Long("shingle")
+      s"""$ShingleCte,
+         |hx AS (SELECT doc_id, $h AS h FROM ex),
+         |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id < 10),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM hx WHERE doc_id >= 10 GROUP BY 1),
+         |shr AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM hx JOIN bench USING (h) WHERE doc_id >= 10 GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_shared,
+         |       floor(CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS overlap_share
+         |FROM shr JOIN tot USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_ivf_balance" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+         |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM a$KmeansIters GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_used, CAST(sum(sz) AS BIGINT) AS n_vectors,
+         |         CAST(min(sz) AS BIGINT) AS min_size, CAST(max(sz) AS BIGINT) AS max_size
+         |  FROM sizes)
+         |SELECT n_vectors, k_used, min_size, max_size,
+         |       floor(CAST(n_vectors AS DOUBLE) / CAST(k_used AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_size,
+         |       floor(CAST(max_size AS DOUBLE) * CAST(k_used AS DOUBLE) / CAST(n_vectors AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS imbalance
+         |FROM agg""".stripMargin,
+    "q_common_neighbors" -> {
+      val h = Hashing.duckMd5Long("tok")
+      s"""WITH toksx AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+         |  FROM documents),
+         |hx AS (SELECT doc_id, $h AS h FROM toksx),
+         |bits AS (
+         |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+         |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
+         |  GROUP BY doc_id, j),
+         |sims AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |mpairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
+         |adj AS (SELECT a_id AS w, b_id AS v FROM mpairs UNION ALL SELECT b_id, a_id FROM mpairs),
+         |deg AS (
+         |  SELECT w, CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS aa_q
+         |  FROM adj GROUP BY w HAVING count(*) >= 2),
+         |wedges AS (
+         |  SELECT x.v AS a_id, y.v AS b_id, x.w
+         |  FROM adj x JOIN adj y ON x.w = y.w AND x.v < y.v),
+         |nonedges AS (
+         |  SELECT wd.a_id, wd.b_id, wd.w
+         |  FROM wedges wd LEFT JOIN mpairs p ON p.a_id = wd.a_id AND p.b_id = wd.b_id
+         |  WHERE p.a_id IS NULL),
+         |agg AS (
+         |  SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS common, CAST(sum(aa_q) AS BIGINT) AS aa_sum
+         |  FROM nonedges JOIN deg USING (w) GROUP BY 1, 2)
+         |SELECT a_id, b_id, common, CAST(aa_sum AS DOUBLE) / 1000000.0 AS adamic_adar
+         |FROM agg ORDER BY common DESC, aa_sum DESC, a_id, b_id LIMIT 20""".stripMargin
+    },
     // BM25 with the Lucene idf; the per-doc total is a fixed-association
     // sum over one CASE slot per literal query term (no
     // order-nondeterministic double sum)

@@ -271,7 +271,8 @@ class PlanSpec extends SparkSpec {
       "q_jonckheere", // 11×50 dose-quantity histogram self-pair (broadcast)
       "q_friedman", // type-list × one-row day-bounds + one-row k count
       "q_did", // 2×2 cell statistic products (one row each)
-      "q_croston") // type-list × one-row hour-bounds grid seed
+      "q_croston", // type-list × one-row hour-bounds grid seed
+      "q_ccnet_buckets") // one-row corpus count + one-row tercile fences
 
   /** Queries whose plan legitimately contains a PARTITION-LESS Window
     * (Spark's "moving all data to a single partition" stage) — each
@@ -288,6 +289,7 @@ class PlanSpec extends SparkSpec {
     "q_benford" -> "first-digit histogram: 9 digit rows",
     "q_bootstrap_ci" -> "fixed replicate-statistic grid (one row per bootstrap replicate)",
     "q_concurrency" -> "hour-carry cumsum over per-hour delta totals (calendar-hours rows; the within-hour sweep is hash-partitioned)",
+    "q_ccnet_buckets" -> "tercile fences from the 1e-4-quantized score histogram (value-alphabet rows)",
     "q_corpus_shuffle" -> "prefix-sum carry over ShuffleShards=16 shard totals",
     "q_decile_migration" -> "quintile rank over per-customer period spend aggregates (customer dimension, not fact)",
     "q_fdr_bh" -> "BH step-up over the per-source p-value family (|sources| rows)",
