@@ -989,6 +989,82 @@ object PipelineQueries {
       .transform(sortSmall(_, "doc_id"))
   }
 
+  val JlDim = 16
+  val JlSample = 50L
+  val JlFp = 1048576L // 2^20: exact-binary fixed point for the quantized vectors
+
+  /** The deterministic ±1 Achlioptas/JL sign matrix, flattened
+    * [[JlDim]]×[[EmbDim]] row-major — one md5 bit per cell, built
+    * driver-side and interpolated as the SAME literal into the Spark
+    * plan and the DuckDB oracle. */
+  private lazy val jlSigns: Array[Long] =
+    Array.tabulate(JlDim * EmbDim) { n =>
+      if ((Hashing.md5LongJvm(s"jl:${n / EmbDim}:${n % EmbDim}") & 1L) == 1L) 1L else -1L
+    }
+
+  /** Johnson–Lindenstrauss random-projection audit: project the
+    * embedding space 64 → 16 dims through a deterministic ±1 sign
+    * matrix (Achlioptas 2003 — a database-friendly projection: no
+    * Gaussians, just signed sums) and measure pairwise
+    * distance-squared distortion on a fixed 50-vector evaluation
+    * sample — the report that says whether the cheap 4× -smaller index
+    * (ANN shortlists, dedup pre-filters) preserves geometry. All in
+    * 2^20 fixed point: quantized components are exact int64, every
+    * projected coordinate and both distance sums are ORDER-FREE
+    * integer folds (no float accumulation anywhere), and each pair's
+    * distortion ratio is one double division µ-quantized before the
+    * summary fold. */
+  def qJlProject(s: SparkSession, d: String): DataFrame = {
+    val sArr = s"array(${jlSigns.mkString("L,")}L)"
+    val sample = embs(s, d)
+      .filter(col("vec_id") < JlSample)
+      .select(
+        col("vec_id"),
+        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * $JlFp.0) AS BIGINT))")
+          .as("qv"))
+      .withColumn(
+        "y",
+        expr(
+          s"transform(sequence(0, ${JlDim - 1}), k -> " +
+            s"aggregate(sequence(0, ${EmbDim - 1}), CAST(0 AS BIGINT), " +
+            s"(acc, i) -> acc + element_at($sArr, k * $EmbDim + i + 1) * qv[i]))"))
+      .transform(graft.operators.Materialize.cut(_))
+    val pairs = sample
+      .select(col("vec_id").as("a_id"), col("qv").as("qa"), col("y").as("ya"))
+      .join(
+        broadcast(
+          sample.select(col("vec_id").as("b_id"), col("qv").as("qb"), col("y").as("yb"))),
+        col("a_id") < col("b_id"))
+      .select(
+        expr(
+          s"aggregate(sequence(0, ${EmbDim - 1}), CAST(0 AS BIGINT), " +
+            "(acc, i) -> acc + (qa[i] - qb[i]) * (qa[i] - qb[i]))").as("d2x"),
+        expr(
+          s"aggregate(sequence(0, ${JlDim - 1}), CAST(0 AS DECIMAL(38,0)), " +
+            "(acc, k) -> acc + CAST(ya[k] - yb[k] AS DECIMAL(38,0)) * (ya[k] - yb[k]))")
+          .as("d2y"))
+      .filter(col("d2x") > 0L)
+      .select(
+        expr(s"CAST(floor(CAST(d2y AS DOUBLE) / $JlDim.0 / CAST(d2x AS DOUBLE) * 1000000.0) AS BIGINT)")
+          .as("rq"))
+    pairs
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("rq").as("srq"),
+        min("rq").as("min_rq"),
+        max("rq").as("max_rq"),
+        sum(when(col("rq").between(700000L, 1300000L), 1L).otherwise(0L)).as("n_within"))
+      .select(
+        col("n_pairs"),
+        floor6(
+          col("srq").cast("double") / col("n_pairs").cast("double") / lit(1000000.0d))
+          .as("mean_ratio"),
+        (col("min_rq").cast("double") / 1000000.0d).as("min_ratio"),
+        (col("max_rq").cast("double") / 1000000.0d).as("max_ratio"),
+        floor6(col("n_within").cast("double") / col("n_pairs").cast("double"))
+          .as("share_within_30pct"))
+  }
+
   /** IVF index shard-balance report: the cluster-size distribution of
     * the k-means quantizer behind [[qAnnIvf]] — THE production ANN
     * health number (a hot cell serves most probes and caps index
@@ -3607,6 +3683,7 @@ object PipelineQueries {
     "q_contam_overlap" -> qContamOverlap _,
     "q_ivf_balance" -> qIvfBalance _,
     "q_common_neighbors" -> qGraphCommonNeighbors _,
+    "q_jl_project" -> qJlProject _,
     "q_bm25" -> qBm25 _,
     "q_score_auc" -> qScoreAuc _,
     "q_source_divergence" -> qSourceDivergence _,
@@ -4768,6 +4845,37 @@ object PipelineQueries {
          |FROM shr JOIN tot USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "q_jl_project" ->
+      s"""WITH qvs AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * $JlFp.0) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE vec_id < $JlSample),
+         |sgn AS (SELECT [${jlSigns.mkString(",")}] AS s),
+         |cells AS (
+         |  SELECT vec_id, CAST((n - 1) // $EmbDim AS BIGINT) AS k,
+         |         s[n] * qv[(n - 1) % $EmbDim + 1] AS t
+         |  FROM qvs, sgn, (SELECT unnest(range(1, ${JlDim * EmbDim + 1})) AS n)),
+         |y AS (SELECT vec_id, k, CAST(sum(t) AS BIGINT) AS yk FROM cells GROUP BY 1, 2),
+         |xs AS (
+         |  SELECT vec_id, i, qv[i] AS x
+         |  FROM qvs, (SELECT unnest(range(1, ${EmbDim + 1})) AS i)),
+         |d2xs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(sum(CAST(a.x - b.x AS HUGEINT) * (a.x - b.x)) AS HUGEINT) AS d2x
+         |  FROM xs a JOIN xs b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+         |d2ys AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(sum(CAST(a.yk - b.yk AS HUGEINT) * (a.yk - b.yk)) AS HUGEINT) AS d2y
+         |  FROM y a JOIN y b ON a.k = b.k AND a.vec_id < b.vec_id GROUP BY 1, 2),
+         |rqs AS (
+         |  SELECT CAST(floor(CAST(d2y AS DOUBLE) / $JlDim.0 / CAST(d2x AS DOUBLE) * 1000000.0) AS BIGINT) AS rq
+         |  FROM d2xs JOIN d2ys USING (a_id, b_id) WHERE d2x > 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |       floor((CAST(sum(rq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_ratio,
+         |       CAST(min(rq) AS DOUBLE) / 1000000.0 AS min_ratio,
+         |       CAST(max(rq) AS DOUBLE) / 1000000.0 AS max_ratio,
+         |       floor((CAST(sum(CASE WHEN rq BETWEEN 700000 AND 1300000 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share_within_30pct
+         |FROM rqs""".stripMargin,
     "q_ivf_balance" ->
       s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
          |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM a$KmeansIters GROUP BY 1),

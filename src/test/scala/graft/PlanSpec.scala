@@ -272,7 +272,8 @@ class PlanSpec extends SparkSpec {
       "q_friedman", // type-list × one-row day-bounds + one-row k count
       "q_did", // 2×2 cell statistic products (one row each)
       "q_croston", // type-list × one-row hour-bounds grid seed
-      "q_ccnet_buckets") // one-row corpus count + one-row tercile fences
+      "q_ccnet_buckets", // one-row corpus count + one-row tercile fences
+      "q_jl_project") // fixed 50-vector evaluation sample self-pair (broadcast)
 
   /** Queries whose plan legitimately contains a PARTITION-LESS Window
     * (Spark's "moving all data to a single partition" stage) — each
