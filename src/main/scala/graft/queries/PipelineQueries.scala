@@ -1464,6 +1464,56 @@ object PipelineQueries {
         round(col("tp").cast("double") / col("n_exact"), 6))
   }
 
+  /** Simhash candidate-quality evaluation (the [[qLshEval]] twin for
+    * the OTHER near-dup family): simhash pairs at hamming ≤
+    * [[SimhashMaxHamming]] scored against the exact 3-shingle Jaccard
+    * ≥ 0.5 ground truth — precision says how much verify work the
+    * pigeonhole bands save, recall says what the bit-flip model
+    * misses. One shingle pass feeds the ground truth; the full-outer
+    * confusion fold is pair-table-sized. */
+  def qSimhashEval(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+    val cand = Dedup
+      .simhashPairs(
+        Dedup.simhashSignatures(toks, "doc_id", "tok", SimhashBits),
+        bits = SimhashBits,
+        maxHamming = SimhashMaxHamming)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_cand", lit(true))
+    val sh = Dedup
+      .shingled(docs(s, d), "doc_id", "text", k = 3)
+      .transform(graft.operators.Materialize.cut)
+    val exact = Dedup
+      .ngramJaccardFromShingled(sh, "doc_id", threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_exact", lit(true))
+    cand
+      .join(exact, Seq("a_id", "b_id"), "full_outer")
+      .select(
+        coalesce(col("in_cand"), lit(false)).as("in_cand"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      .agg(
+        sum(when(col("in_cand"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("in_cand") && col("in_exact"), 1L).otherwise(0L)).as("tp"))
+      .select(
+        col("n_cand"),
+        col("n_exact"),
+        col("tp"),
+        floor6(col("tp").cast("double") / col("n_cand").cast("double")).as("precision"),
+        floor6(col("tp").cast("double") / col("n_exact").cast("double")).as("recall"),
+        when(
+          col("tp") > 0L,
+          floor6(
+            lit(2.0d) * (col("tp").cast("double") / col("n_cand").cast("double")) *
+              (col("tp").cast("double") / col("n_exact").cast("double")) /
+              (col("tp").cast("double") / col("n_cand").cast("double") +
+                col("tp").cast("double") / col("n_exact").cast("double"))))
+          .otherwise(lit(0.0d)).as("f1"))
+  }
+
   /** Pairwise cosine similarity between per-label embedding CENTROIDS
     * — the corpus-drift-in-embedding-space report (which labels/topics
     * overlap, which are far apart; the input to merge/split curation
@@ -3684,6 +3734,7 @@ object PipelineQueries {
     "q_ivf_balance" -> qIvfBalance _,
     "q_common_neighbors" -> qGraphCommonNeighbors _,
     "q_jl_project" -> qJlProject _,
+    "q_simhash_eval" -> qSimhashEval _,
     "q_bm25" -> qBm25 _,
     "q_score_auc" -> qScoreAuc _,
     "q_source_divergence" -> qSourceDivergence _,
@@ -4844,6 +4895,51 @@ object PipelineQueries {
          |       floor(CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS overlap_share
          |FROM shr JOIN tot USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_simhash_eval" -> {
+      val h = Hashing.duckMd5Long("tok")
+      s"""WITH toksx AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+         |  FROM documents),
+         |hxs AS (SELECT doc_id, $h AS h FROM toksx),
+         |bits AS (
+         |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+         |  FROM hxs CROSS JOIN (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
+         |  GROUP BY doc_id, j),
+         |sims AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |spairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
+         |${shingleCtes("documents", "")},
+         |ngx AS (SELECT doc_id, sz, ${Hashing.duckMd5Long("shingle")} AS h FROM ex),
+         |common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
+         |  FROM ngx a JOIN ngx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |epairs AS (
+         |  SELECT a_id, b_id FROM common
+         |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.5),
+         |conf AS (
+         |  SELECT coalesce(s.a_id, e.a_id) AS a_id,
+         |         (s.a_id IS NOT NULL) AS in_cand, (e.a_id IS NOT NULL) AS in_exact
+         |  FROM spairs s FULL OUTER JOIN epairs e
+         |    ON s.a_id = e.a_id AND s.b_id = e.b_id),
+         |agg AS (
+         |  SELECT CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |         CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |         CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM conf)
+         |SELECT n_cand, n_exact, tp,
+         |       floor((CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS precision,
+         |       floor((CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall,
+         |       CASE WHEN tp > 0 THEN
+         |         floor((2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) /
+         |                (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) + CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+         |       ELSE 0.0 END AS f1
+         |FROM agg""".stripMargin
     },
     "q_jl_project" ->
       s"""WITH qvs AS (

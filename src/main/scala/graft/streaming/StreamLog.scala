@@ -198,6 +198,53 @@ object StreamLog {
       }
   }
 
+  final case class EwmaChartState(n: Long, z: Double)
+  final case class EwmaChartSignal(
+      space: String,
+      timestamp: Long,
+      value: Long,
+      ewma: Double,
+      n: Long)
+
+  /** Streaming twin of the batch EWMA control chart
+    * ([[graft.queries.StatsQueries.qEwmaChart]]): per key, fold each
+    * count into z ← λx + (1−λ)z from z₀ = `center` and emit a signal
+    * row when the floor6-quantized |z − center| crosses the
+    * floor6-quantized 3·`sigmaZ` — the identical compare the batch
+    * query emits, so on the same ordered series the signal set matches
+    * it exactly (λ = 1/4 exact binary keeps the recursion the same
+    * IEEE tree). `center`/`sigmaZ` come from a FROZEN baseline window
+    * (the [[driftMonitor]] convention): a live chart cannot use the
+    * in-sample mean the batch retrospective uses. State is one
+    * (long, double) per key — bounded, no timeout; rows within a
+    * micro-batch fold in (timestamp, value) order. */
+  def ewmaChartMonitor(
+      points: Dataset[(String, Long, Long)],
+      center: Double,
+      sigmaZ: Double,
+      lambda: Double = 0.25d): Dataset[EwmaChartSignal] = {
+    import points.sparkSession.implicits._
+    def floor6(x: Double): Double = math.floor(x * 1000000.0d + 0.5d) / 1000000.0d
+    val limit6 = floor6(3.0d * sigmaZ)
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaChartState, EwmaChartSignal](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (space, rows, state: GroupState[EwmaChartState]) =>
+          var st = state.getOption.getOrElse(EwmaChartState(0L, center))
+          val out = Seq.newBuilder[EwmaChartSignal]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (ts, x) =>
+            val z1 = lambda * x.toDouble + (1 - lambda) * st.z
+            st = EwmaChartState(st.n + 1, z1)
+            if (floor6(math.abs(z1 - center)) > limit6)
+              out += EwmaChartSignal(space, ts, x, floor6(z1), st.n)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class PhState(n: Long, prefix: Long, qsum: Long, minM: Long, maxM: Long)
   final case class PhAlert(
       space: String,

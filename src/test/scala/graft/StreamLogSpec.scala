@@ -261,6 +261,46 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaChartMonitor: small persistent shift signals, exact local-fold parity across batches") {
+    // frozen baseline: mean 100, sigma_z 5 → quantized limit 15
+    val (center, sigmaZ) = (100.0, 5.0)
+    val mem = MemoryStream[(String, Long, Long)](spark)
+    val q = StreamLog
+      .ewmaChartMonitor(mem.toDS(), center = center, sigmaZ = sigmaZ)
+      .writeStream
+      .format("memory")
+      .queryName("ewma_signals")
+      .outputMode("append")
+      .start()
+    // flat at the center, then a +25 level shift a Shewhart 3σ-per-point
+    // chart would call borderline but the EWMA accumulates quickly;
+    // split across micro-batches so z crosses the batch boundary
+    val xs = (1 to 8).map(i => ("ev", i.toLong, 100L)) ++
+      (9 to 14).map(i => ("ev", i.toLong, 125L))
+    try {
+      mem.addData(xs.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(xs.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark
+        .sql("SELECT timestamp, value, ewma, n FROM ewma_signals ORDER BY timestamp")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // local fold with the identical double chain + quantized compare
+      def f6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+      var (z, n) = (center, 0L)
+      val want = xs.flatMap { case (_, ts, x) =>
+        z = 0.25 * x.toDouble + 0.75 * z
+        n += 1
+        if (f6(math.abs(z - center)) > f6(3.0 * sigmaZ)) Some((ts, x, f6(z), n))
+        else None
+      }
+      assert(want.nonEmpty, "the level shift must trip the local fold")
+      assert(got.toSeq == want, "stream signals must equal the local fold exactly")
+      assert(got.forall(_._1 >= 9L), "no signal before the shift")
+    } finally q.stop()
+  }
+
   test("pageHinkleyMonitor: integer PH statistics, level shift alerts, exact local-fold parity") {
     val lambda = 30L * 1000000L // 30 µ-unit events of accumulated deviation
     val mem = MemoryStream[(String, Long, Long)](spark)
