@@ -146,11 +146,12 @@ object Clustering {
     * co-cluster candidate volume LINEAR in n (Σ sizes² ≈ n ·
     * targetClusterSize when balanced) instead of n²/k-with-fixed-k —
     * the property [[graft.dedup.Dedup.embeddingNearDups]]' low-threshold
-    * route depends on. The per-round assign cost n·k = n²/C is the
-    * flat-quantizer tradeoff (SemDeDup's own regime; a 100 TB deployment
-    * graduates to a hierarchical/IVF coarse quantizer for the assign,
-    * same contract) — but it is all codegen'd literal dot products, so
-    * the constant is tiny at any k this library meets in one job. */
+    * route depends on. Below [[FlatMaxK]] the flat quantizer's n·k
+    * literal-column assign is the right plan (codegen'd literal dot
+    * products, tiny constant); above it the auto route graduates to
+    * [[kmeansAssignTwoLevel]] — measured at sf10, flat k = 10⁴ cost
+    * 411 s with 59 MB task binaries where two-level holds the
+    * per-decade ratio (same contract, same expected cluster size). */
   def kmeansAssignAuto(
       embs: DataFrame,
       id: String = "vec_id",
@@ -159,11 +160,115 @@ object Clustering {
       targetClusterSize: Int = 200,
       minK: Int = 10,
       iters: Int = 2,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      flatMaxK: Int = FlatMaxK): DataFrame = {
     require(targetClusterSize > 0, "targetClusterSize must be positive")
     val n = embs.count()
     val k = math.max(minK.toLong, (n + targetClusterSize - 1) / targetClusterSize)
-    kmeansAssign(embs, id, vec, nrm, k.toInt, iters, dim)
+    if (k <= flatMaxK) kmeansAssign(embs, id, vec, nrm, k.toInt, iters, dim)
+    else kmeansAssignTwoLevel(embs, id, vec, nrm, targetClusterSize, iters, dim, k)
+  }
+
+  /** Above this auto-k the flat quantizer's n·k literal-column assign
+    * stops being the right plan (the k select columns defeat codegen
+    * and the per-row work grows as n²/C) and [[kmeansAssignAuto]]
+    * routes to the two-level quantizer. 256 keeps every oracle-checked
+    * scale (sf0.01 k=10, sf0.1 k=100) on the flat path — the DuckDB
+    * oracles replay the flat clustering — while sf1 (k=1000) and
+    * beyond graduate, exactly the "hierarchical coarse quantizer at
+    * 100 TB" note the flat path always carried. Measured: q_dedup_embed
+    * sf10 went 411 s (flat k=10⁴, 59 MB task binaries) → two-level. */
+  val FlatMaxK = 256
+
+  /** Two-level flat quantizer (the IVF-style "coarse then fine"
+    * assignment, PQ-paper lineage): a √k-cell coarse k-means (literal
+    * columns — ≤ √k of them, plan-friendly) splits the corpus into
+    * cells, then per-cell fine centroids (k₂ = ⌈size/C⌉ each, lowest-id
+    * init, the same fixed-point Lloyd updates) are trained and assigned
+    * via a BROADCAST join + map-side-combined argmax — the fine
+    * centroid table is k·dim doubles (MBs at any realistic k), so the
+    * join never shuffles the corpus, and each row pays k₂-of-its-cell
+    * dot products instead of k. Total assign work per round drops from
+    * n·k = n²/C to n·(√k + k/√k) ≈ n^1.5/√C, and no plan carries more
+    * than √k expression columns. Cluster ids are (cell, j) packed into
+    * one long; expected cluster size stays ≈ C, preserving the
+    * SemDeDup candidates-∝-n property [[graft.dedup.Dedup.embeddingNearDups]]
+    * depends on. Determinism: coarse path is [[kmeansAssign]]'s;
+    * fine init is per-cell lowest-id; the argmax breaks sim ties on
+    * lowest j via one order-free `max(struct(sim, -j, …))` aggregate;
+    * updates reuse the exact fixed-point mean. */
+  def kmeansAssignTwoLevel(
+      embs: DataFrame,
+      id: String = "vec_id",
+      vec: String = "v",
+      nrm: String = "nrm",
+      targetClusterSize: Int = 200,
+      iters: Int = 2,
+      dim: Int = 64,
+      k: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    val kEff =
+      if (k > 0) k
+      else {
+        val n = embs.count()
+        math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+      }
+    val k1 = math.max(2L, math.ceil(math.sqrt(kEff.toDouble)).toLong).toInt
+    val cells = kmeansAssign(embs, id, vec, nrm, k1, iters, dim)
+      .select(col(id), col("cluster").cast("long").as("cell"))
+    val member = graft.operators.Materialize.cut(
+      embs
+        .select(col(id), col(vec), col(nrm))
+        .join(cells.hint("shuffle_hash"), id))
+    // fine init: the k₂ = ⌈size/C⌉ lowest-id members of each cell
+    val wCell = Window.partitionBy("cell").orderBy(col(id))
+    val szCell = Window.partitionBy("cell")
+    var fine = member
+      .withColumn("sz", count(lit(1)).over(szCell))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(
+        col("rn") <= ceil(col("sz").cast("double") / lit(targetClusterSize.toDouble)))
+      .select(col("cell"), (col("rn") - 1L).cast("long").as("j"), col(vec).as("cv"))
+      .transform(graft.operators.Materialize.cut(_))
+    def assignFine(f: DataFrame): DataFrame =
+      member
+        .join(broadcast(f.withColumn("cnrm", VectorFns.norm(col("cv")))), "cell")
+        .select(
+          col(id),
+          col("cell"),
+          col("j"),
+          (VectorFns.dot(col(vec), col("cv")) /
+            VectorFns.safeDen(col(nrm), col("cnrm"))).as("sim"))
+        .groupBy(col(id))
+        .agg(
+          max(struct(col("sim"), (-col("j")).as("nj"), col("j"), col("cell"))).as("b"))
+        .select(
+          col(id),
+          col("b.cell").as("cell"),
+          col("b.j").as("j"),
+          col("b.sim").as("sim"))
+    val sums = (1 to dim).map(d =>
+      sum(floor(element_at(col(vec), d) * lit(Q.toDouble)).cast("long")).as(s"s$d"))
+    for (_ <- 0 until iters) {
+      val a = assignFine(fine).select(col(id), col("j"))
+      fine = member
+        .join(a.hint("shuffle_hash"), id)
+        .groupBy(col("cell"), col("j"))
+        .agg(count(lit(1)).as("cn"), sums: _*)
+        .select(
+          col("cell") +: col("j") +:
+            array((1 to dim).map(d =>
+              col(s"s$d").cast("double") / (col("cn").cast("double") * lit(Q.toDouble))): _*)
+              .as("cv") +: Nil: _*)
+        .transform(graft.operators.Materialize.cut(_))
+    }
+    // pack (cell, j) into one stable long cluster id; j < 2^31 always
+    assignFine(fine)
+      .select(
+        col(id),
+        (col("cell") * lit(Int.MaxValue.toLong + 1L) + col("j")).as("cluster"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** SemDeDup semantic near-dup pairs: cosine ≥ `threshold` pairs

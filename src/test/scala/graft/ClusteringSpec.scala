@@ -43,6 +43,45 @@ class ClusteringSpec extends SparkSpec {
     assert(mm.getDouble(2) >= -1.0 - 1e-9 && mm.getDouble(3) <= 1.0 + 1e-9)
   }
 
+  test("two-level quantizer: every vector assigned once, deterministic, clones co-cluster, sizes ≈ target") {
+    // force the two-level route at test scale: flatMaxK below auto-k
+    val target = 50
+    val a = Clustering.kmeansAssignAuto(
+      embs, targetClusterSize = target, minK = 10, iters = 2, flatMaxK = 4)
+    val n = embs.count()
+    assert(a.count() == n, "every vector assigned exactly once")
+    assert(a.select("vec_id").distinct().count() == n)
+    val kUsed = a.select("cluster").distinct().count()
+    assert(kUsed > 4, "auto-k above flatMaxK must produce more clusters than the flat cap")
+    // expected cluster size stays ≈ target (the candidates-∝-n property):
+    // mean size within 4× of target in both directions
+    val meanSz = n.toDouble / kUsed
+    assert(meanSz < 4.0 * target && meanSz > target / 4.0, s"mean cluster size $meanSz")
+    val sims = a.agg(min("sim"), max("sim")).head()
+    assert(sims.getDouble(0) >= -1.0 - 1e-9 && sims.getDouble(1) <= 1.0 + 1e-9)
+    // deterministic: a second run reproduces the assignment bit-for-bit
+    val b = Clustering.kmeansAssignAuto(
+      embs, targetClusterSize = target, minK = 10, iters = 2, flatMaxK = 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "two runs must agree exactly")
+    // planted exact clones always co-cluster (identical vector → same
+    // argmax under the deterministic tie-break) — SemDeDup recall floor
+    val clones = embs
+      .filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v"), col("nrm"))
+    val withClones = embs.unionByName(clones).localCheckpoint()
+    val ac = Clustering.kmeansAssignAuto(
+      withClones, targetClusterSize = target, minK = 10, iters = 2, flatMaxK = 4)
+    val pairs = ac
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("cluster").as("c1"))
+      .join(
+        ac.filter(col("vec_id") >= 1000000L)
+          .select((col("vec_id") - 1000000L).as("vec_id"), col("cluster").as("c2")),
+        "vec_id")
+    assert(pairs.count() == 20)
+    assert(pairs.filter(col("c1") =!= col("c2")).count() == 0, "clones must co-cluster")
+  }
+
   test("Lloyd rounds monotonically improve the mean assigned cosine") {
     // the corpus vectors are unit-norm, so mean-update k-means is
     // spherical k-means: each assignment and each centroid step cannot
