@@ -36,6 +36,22 @@ object Dedup {
           .as("s"))
       .filter(size(col("s")) > 0)
 
+  /** [[shingled]] over an ALREADY-TOKENIZED corpus (`tokArr` holds the
+    * `graft_tokens` array). Both tokenizers are the same
+    * split-on-`' '`/drop-empties rule, so `concat_ws(" ")` round-trips
+    * exactly: `shingledFromTokens(tokens(text), k) ≡ shingled(text, k)`
+    * row for row. Lets an evaluation query feed token-level signatures
+    * AND the shingle ground truth from ONE materialized corpus pass
+    * instead of scanning + tokenizing twice. */
+  def shingledFromTokens(toks: DataFrame, id: String, tokArr: String, k: Int): DataFrame =
+    toks
+      .select(
+        col(id),
+        ColumnBridge
+          .column(WordShingles(ColumnBridge.expression(concat_ws(" ", col(tokArr))), k))
+          .as("s"))
+      .filter(size(col("s")) > 0)
+
   /** Exploded `(id, sz, shingle)` — sz is the doc's distinct-shingle
     * count, carried for Jaccard denominators. */
   def shingleRows(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
@@ -158,7 +174,19 @@ object Dedup {
     * keeps pairs with `round(|A∩B| / |A∪B|, 6) ≥ threshold`. One shared
     * definition for the ngram, minhash, and incremental paths — the
     * rounding here is load-bearing (it must match the oracle's
-    * `round(c/(a_sz+b_sz-c), 6)` in every consumer). */
+    * `round(c/(a_sz+b_sz-c), 6)` in every consumer).
+    *
+    * The intersected sets are the 60-bit shingle HASHES, not the
+    * shingle strings — deliberately: the DuckDB oracles compute their
+    * `common` CTE by joining and counting on the same md5-derived `h`,
+    * so the hash-set Jaccard is the statistic BOTH engines agree on
+    * bit-for-bit (a string-side intersect would diverge from the
+    * oracle under a 2^-60 cross-doc hash collision, not match it
+    * closer). It is also the cheaper plan by ~3×: the two
+    * attach-the-set joins move 8-byte longs instead of ~25-byte
+    * 3-word shingle strings, and the per-pair intersect hashes longs
+    * instead of UTF8 text — at t = 0.5 the candidate set is ~20× the
+    * true pair set, so verify traffic dominates the whole PPJoin. */
   private def jaccardVerify(
       cands: DataFrame,
       shA: DataFrame,
@@ -166,21 +194,28 @@ object Dedup {
       id: String,
       aKey: String,
       bKey: String,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    def hashSets(sh: DataFrame, key: String, out: String) =
+      sh
+        .select(col(id).as(key), explode(col("s")).as("shingle"))
+        .select(col(key), Hashing.md5Long(col("shingle")).as("h"))
+        .groupBy(key)
+        .agg(collect_list(col("h")).as(out))
     cands
-      .join(shA.select(col(id).as(aKey), col("s").as("a_s")), aKey)
-      .join(shB.select(col(id).as(bKey), col("s").as("b_s")), bKey)
+      .join(hashSets(shA, aKey, "a_hs"), aKey)
+      .join(hashSets(shB, bKey, "b_hs"), bKey)
       .withColumn(
         "common",
-        size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
+        size(array_intersect(col("a_hs"), col("b_hs"))).cast("long"))
       .withColumn(
         "jaccard",
         round(
           col("common").cast("double") /
-            (size(col("a_s")) + size(col("b_s")) - col("common")),
+            (size(col("a_hs")) + size(col("b_hs")) - col("common")),
           6))
       .filter(col("jaccard") >= threshold)
       .select(col(aKey), col(bKey), col("jaccard"))
+  }
 
   /** Banded LSH rows `(id, band_id, band_hash)` from a shingled table —
     * one shared definition for the full-corpus and incremental paths,
@@ -411,6 +446,25 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
       .select(col(id), simhash.as("simhash"))
   }
+
+  /** [[simhashSignatures]] straight off token ARRAYS — one codegen'd
+    * per-row fold ([[graft.functions.expressions.SimhashTokens]]), so
+    * the signature stage is a shuffle-free projection instead of an
+    * explode + `bits`-column aggregate. Bit-identical output
+    * (spec-asserted parity); prefer this path whenever the tokens are
+    * already an array column. */
+  def simhashSignaturesFromTokens(
+      toks: DataFrame,
+      id: String,
+      tokArr: String,
+      bits: Int): DataFrame =
+    toks.select(
+      col(id),
+      ColumnBridge
+        .column(
+          graft.functions.expressions
+            .SimhashTokens(ColumnBridge.expression(col(tokArr)), bits))
+        .as("simhash"))
 
   /** SimHash near-dup: pairs within `maxHamming`. Candidates come from
     * `maxHamming + 1` disjoint bit-bands — by pigeonhole any pair within

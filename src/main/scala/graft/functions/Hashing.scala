@@ -31,17 +31,32 @@ object Hashing {
   def md5Long2(c: Column): Column =
     conv(substring(md5(c), 17, 10), 16, 10).cast("long")
 
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** JVM-side twin of [[md5Long]] — the same 60-bit value for the same
     * string, for driver/state code that cannot evaluate a Column
-    * (streaming state updates, control-plane loops). Parity with the
-    * Column path is spec-asserted. */
-  def md5LongJvm(s: String): Long = {
-    val d = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 15 hex chars (7.5 bytes) = 60 bits, like substring(md5, 1, 15)
-    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
+    * (streaming state updates, control-plane loops) and for per-row
+    * expression folds ([[graft.functions.expressions.SimhashTokens]]).
+    * Parity with the Column path is spec-asserted. */
+  def md5LongJvm(s: String): Long =
+    md5LongJvm(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** [[md5LongJvm]] over raw UTF-8 bytes — the hot-path entry (no
+    * String round-trip, thread-local digest). The first 15 hex chars of
+    * the digest are the big-endian first 8 bytes shifted right a nibble:
+    * `parseLong(hex(d).substring(0, 15), 16) == bigEndian64(d) >>> 4`. */
+  def md5LongJvm(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
   }
 
   /** DuckDB SQL fragment equivalent to [[md5Long]], for oracle authors. */

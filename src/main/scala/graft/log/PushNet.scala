@@ -69,11 +69,14 @@ object PushNet {
 
   /** Constant-time equality verify hook for a static shared token —
     * the simplest credential the seam supports; a JWT validator plugs
-    * in the same way (any `String => Boolean`). */
+    * in the same way (any `String => Boolean`). Both sides are hashed
+    * to fixed-length digests before the compare, so the timing is
+    * independent of token length as well as content
+    * (`MessageDigest.isEqual` short-circuits on unequal lengths). */
   def tokenVerifier(expected: String): String => Boolean = { presented =>
-    java.security.MessageDigest.isEqual(
-      expected.getBytes(UTF_8),
-      presented.getBytes(UTF_8))
+    def d(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes(UTF_8))
+    java.security.MessageDigest.isEqual(d(expected), d(presented))
   }
 
   // ---- channel-mux control lines (reference: wsstream/muxer.go:22 —
@@ -103,14 +106,29 @@ object PushNet {
     * first line is an accepted `#auth` token; a refused token or any
     * other first line drops the connection and bumps
     * [[PushServer.rejectedCount]]. Use [[tokenVerifier]] for a static
-    * shared token. */
+    * shared token. A verify-enabled server also enforces
+    * `authTimeoutMs`: a connection whose accepted `#auth` has not
+    * arrived within the deadline is dropped and counted — a silent
+    * dial cannot park a socket + writer thread forever.
+    *
+    * Security note: the token rides the wire url-encoded but CLEARTEXT,
+    * so the seam authenticates peers only on networks where the route
+    * itself is trusted (same host, a private mesh, or an encrypted
+    * tunnel). The reference carries its JWT over TLS
+    * (http2/client.go, wss://); to match that here, pass an
+    * `SSLServerSocketFactory` as `socketFactory` (and the client-side
+    * `SSLSocketFactory` to connect/dial/mux) — the framing is
+    * stream-agnostic, so the same wire protocol rides the encrypted
+    * socket unchanged. */
   def server(
       log: EventLog,
       port: Int = 0,
       bindHost: String = "0.0.0.0",
       backlog: Int = 8192,
-      verify: Option[String => Boolean] = None): PushServer = {
-    val srv = new PushServer(port, bindHost, backlog, verify)
+      verify: Option[String => Boolean] = None,
+      authTimeoutMs: Long = 5000L,
+      socketFactory: Option[javax.net.ServerSocketFactory] = None): PushServer = {
+    val srv = new PushServer(port, bindHost, backlog, verify, authTimeoutMs, socketFactory)
     srv.attach(log.bus)
     srv
   }
@@ -124,8 +142,10 @@ object PushNet {
       port: Int,
       space: Option[String] = None,
       segment: Option[String] = None,
-      tokenFunc: Option[() => String] = None)(cb: SegmentStatus => Unit): PushNetSubscriber =
-    new PushNetSubscriber(host, port, space, segment, tokenFunc, cb)
+      tokenFunc: Option[() => String] = None,
+      socketFactory: Option[javax.net.SocketFactory] = None)(
+      cb: SegmentStatus => Unit): PushNetSubscriber =
+    new PushNetSubscriber(host, port, space, segment, tokenFunc, socketFactory, cb)
 
   /** Resilient variant of [[connect]]: a dialer that re-dials with
     * capped exponential backoff whenever the connection drops (server
@@ -146,8 +166,11 @@ object PushNet {
       segment: Option[String] = None,
       backoffMs: Long = 50L,
       maxBackoffMs: Long = 2000L,
-      tokenFunc: Option[() => String] = None)(cb: SegmentStatus => Unit): PushNetDialer =
-    new PushNetDialer(host, port, space, segment, backoffMs, maxBackoffMs, tokenFunc, cb)
+      tokenFunc: Option[() => String] = None,
+      socketFactory: Option[javax.net.SocketFactory] = None)(
+      cb: SegmentStatus => Unit): PushNetDialer =
+    new PushNetDialer(
+      host, port, space, segment, backoffMs, maxBackoffMs, tokenFunc, socketFactory, cb)
 
   /** Channel-multiplexed resilient client: MANY space/segment
     * subscriptions over ONE dialed connection, each keyed by a channel
@@ -167,8 +190,9 @@ object PushNet {
       port: Int,
       backoffMs: Long = 50L,
       maxBackoffMs: Long = 2000L,
-      tokenFunc: Option[() => String] = None): PushNetMux =
-    new PushNetMux(host, port, backoffMs, maxBackoffMs, tokenFunc)
+      tokenFunc: Option[() => String] = None,
+      socketFactory: Option[javax.net.SocketFactory] = None): PushNetMux =
+    new PushNetMux(host, port, backoffMs, maxBackoffMs, tokenFunc, socketFactory)
 }
 
 /** Producer side: accepts subscriber connections and fans each bus ack
@@ -180,13 +204,17 @@ final class PushServer private[log] (
     port: Int,
     bindHost: String,
     backlog: Int,
-    verify: Option[String => Boolean] = None)
+    verify: Option[String => Boolean] = None,
+    authTimeoutMs: Long = 5000L,
+    socketFactory: Option[javax.net.ServerSocketFactory] = None)
     extends AutoCloseable {
 
   private val open = new AtomicBoolean(true)
   private val dropped = new AtomicLong(0L)
   private val rejected = new AtomicLong(0L)
-  private val server = new ServerSocket()
+  private val server = socketFactory
+    .map(_.createServerSocket())
+    .getOrElse(new ServerSocket())
   server.setReuseAddress(true)
   server.bind(new InetSocketAddress(bindHost, port))
   @volatile private var sub: Option[NotificationBus#Subscription] = None
@@ -197,8 +225,10 @@ final class PushServer private[log] (
   /** Acks dropped across all connections (slow-subscriber overflow). */
   def droppedCount: Long = dropped.get()
 
-  /** Connections dropped by the authentication hook (refused token, or
-    * a first line that was not `#auth` while a hook is configured). */
+  /** Connections dropped by the authentication hook (refused token, a
+    * first line that was not `#auth` while a hook is configured, an
+    * `#auth` token whose percent-encoding fails to decode, or a silent
+    * dial that sent nothing before the `authTimeoutMs` deadline). */
   def rejectedCount: Long = rejected.get()
 
   /** Live subscriber connections. */
@@ -209,6 +239,10 @@ final class PushServer private[log] (
 
   private final class Conn(socket: Socket) {
     socket.setTcpNoDelay(true)
+    // handshake deadline: while unauthenticated, reads time out so a
+    // silent dial cannot hold the socket + writer thread forever (the
+    // timeout is lifted the moment the hook accepts an #auth line)
+    if (verify.isDefined) socket.setSoTimeout(math.max(1L, authTimeoutMs).toInt)
     private val queue = new LinkedBlockingQueue[SegmentStatus](backlog)
     // control replies (#ok) ride their own unbounded lane — bounded by
     // the client's subscribe rate, and drop-oldest must never eat a
@@ -299,20 +333,31 @@ final class PushServer private[log] (
       try {
         val in = new BufferedReader(
           new InputStreamReader(socket.getInputStream, UTF_8))
-        var line = in.readLine()
+        var line =
+          try in.readLine()
+          catch {
+            // handshake deadline expired with nothing sent: a refused
+            // dial like any other — counted, then dropped below
+            case _: java.net.SocketTimeoutException =>
+              if (verify.isDefined) rejected.incrementAndGet()
+              null
+          }
         // auth-required: the FIRST line must be an accepted #auth —
         // anything else (wrong token, a #mux/#sub from an unauthed
-        // client, garbage) drops the connection, counted. One TCP
-        // stream keeps client-side ordering, so token-bearing clients
-        // always satisfy this by sending #auth before anything else.
+        // client, garbage, a token whose percent-encoding won't decode)
+        // drops the connection, counted. One TCP stream keeps
+        // client-side ordering, so token-bearing clients always satisfy
+        // this by sending #auth before anything else.
         if (verify.isDefined && line != null) {
-          val ok = line.startsWith(PushNet.CtlAuthPrefix) && {
-            val tok = java.net.URLDecoder.decode(
-              line.substring(PushNet.CtlAuthPrefix.length), "UTF-8")
-            verify.exists(_(tok))
-          }
-          if (ok) { authed = true; line = in.readLine() }
-          else {
+          val ok = line.startsWith(PushNet.CtlAuthPrefix) &&
+            scala.util.Try(
+              java.net.URLDecoder.decode(
+                line.substring(PushNet.CtlAuthPrefix.length), "UTF-8"))
+              .toOption.exists(tok => verify.exists(_(tok)))
+          if (ok) {
+            socket.setSoTimeout(0) // authenticated: reads may block freely
+            authed = true; line = in.readLine()
+          } else {
             rejected.incrementAndGet()
             line = null // fall through to the finally: unregister + close
           }
@@ -396,13 +441,16 @@ final class PushNetSubscriber private[log] (
     space: Option[String],
     segment: Option[String],
     tokenFunc: Option[() => String],
+    socketFactory: Option[javax.net.SocketFactory],
     cb: SegmentStatus => Unit)
     extends AutoCloseable {
 
   private val open = new AtomicBoolean(true)
   private val deliveredCount = new AtomicLong(0L)
   private val ready = new CountDownLatch(1)
-  private val socket = new Socket(host, port)
+  private val socket = socketFactory
+    .map(_.createSocket(host, port))
+    .getOrElse(new Socket(host, port))
   socket.setTcpNoDelay(true)
   // bearer token rides as the connection's first line (reference:
   // wsstream/dialer.go:40 — the dialer evaluates tokenFunc per dial)
@@ -461,6 +509,7 @@ final class PushNetDialer private[log] (
     backoffMs: Long,
     maxBackoffMs: Long,
     tokenFunc: Option[() => String],
+    socketFactory: Option[javax.net.SocketFactory],
     cb: SegmentStatus => Unit)
     extends AutoCloseable {
 
@@ -501,7 +550,7 @@ final class PushNetDialer private[log] (
         // catches a close() that raced the dial (its `current` snapshot
         // was null); the finally below then closes the socket and the
         // loop exits instead of reading past close().
-        val s = new Socket()
+        val s = socketFactory.map(_.createSocket()).getOrElse(new Socket())
         try {
           s.setTcpNoDelay(true)
           s.connect(new InetSocketAddress(host, port), 1000)
@@ -598,7 +647,8 @@ final class PushNetMux private[log] (
     port: Int,
     backoffMs: Long,
     maxBackoffMs: Long,
-    tokenFunc: Option[() => String] = None)
+    tokenFunc: Option[() => String] = None,
+    socketFactory: Option[javax.net.SocketFactory] = None)
     extends AutoCloseable {
 
   private val open = new AtomicBoolean(true)
@@ -660,7 +710,7 @@ final class PushNetMux private[log] (
       try {
         // same bounded-connect + publish-then-recheck shape as
         // PushNetDialer: close() can only tear down a socket it can see
-        val s = new Socket()
+        val s = socketFactory.map(_.createSocket()).getOrElse(new Socket())
         try {
           s.setTcpNoDelay(true)
           s.connect(new InetSocketAddress(host, port), 1000)

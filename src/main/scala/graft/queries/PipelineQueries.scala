@@ -111,11 +111,13 @@ object PipelineQueries {
 
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
+    // signatures are a shuffle-free per-row fold over the token array —
+    // the only exchange in the whole query is the band self-join's
     val toks = docs(s, d)
-      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+      .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
     Dedup
       .simhashPairs(
-        Dedup.simhashSignatures(toks, "doc_id", "tok", SimhashBits),
+        Dedup.simhashSignaturesFromTokens(toks, "doc_id", "tk", SimhashBits),
         bits = SimhashBits,
         maxHamming = SimhashMaxHamming)
       .transform(sortSmall(_, "a_id", "b_id"))
@@ -1112,10 +1114,10 @@ object PipelineQueries {
   def qGraphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
     val toks = docs(s, d)
-      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+      .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
     val pairs = Dedup
       .simhashPairs(
-        Dedup.simhashSignatures(toks, "doc_id", "tok", SimhashBits),
+        Dedup.simhashSignaturesFromTokens(toks, "doc_id", "tk", SimhashBits),
         bits = SimhashBits,
         maxHamming = SimhashMaxHamming)
       .select("a_id", "b_id")
@@ -1469,24 +1471,29 @@ object PipelineQueries {
     * [[SimhashMaxHamming]] scored against the exact 3-shingle Jaccard
     * ≥ 0.5 ground truth — precision says how much verify work the
     * pigeonhole bands save, recall says what the bit-flip model
-    * misses. One shingle pass feeds the ground truth; the full-outer
+    * misses. ONE materialized token pass feeds BOTH the signatures
+    * under test and the shingle ground truth (the [[qLshEval]]
+    * one-scan pattern — shingles re-derive exactly from the token
+    * arrays via [[Dedup.shingledFromTokens]]); the full-outer
     * confusion fold is pair-table-sized. */
   def qSimhashEval(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
     val toks = docs(s, d)
-      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+      .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .transform(graft.operators.Materialize.cut)
     val cand = Dedup
       .simhashPairs(
-        Dedup.simhashSignatures(toks, "doc_id", "tok", SimhashBits),
+        Dedup.simhashSignaturesFromTokens(toks, "doc_id", "tk", SimhashBits),
         bits = SimhashBits,
         maxHamming = SimhashMaxHamming)
       .select(col("a_id"), col("b_id"))
       .withColumn("in_cand", lit(true))
-    val sh = Dedup
-      .shingled(docs(s, d), "doc_id", "text", k = 3)
-      .transform(graft.operators.Materialize.cut)
     val exact = Dedup
-      .ngramJaccardFromShingled(sh, "doc_id", threshold = 0.5)
+      .ngramJaccardFromShingled(
+        Dedup.shingledFromTokens(toks, "doc_id", "tk", k = 3),
+        "doc_id",
+        threshold = 0.5)
       .select(col("a_id"), col("b_id"))
       .withColumn("in_exact", lit(true))
     cand

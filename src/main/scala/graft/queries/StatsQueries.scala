@@ -1487,11 +1487,17 @@ object StatsQueries {
       .selectExpr(
         "b AS n_days",
         "k AS k_types",
-        "CAST((k - 1) * num2 AS DOUBLE) / CAST(a2 - CAST(b AS DECIMAL(38,0)) * k * (k + 1) * (k + 1) AS DOUBLE) AS chi2_raw")
+        "a2 - CAST(b AS DECIMAL(38,0)) * k * (k + 1) * (k + 1) AS denom2",
+        "CAST((k - 1) * num2 AS DOUBLE) AS num_d")
+      // degenerate design (k = 1, or every day fully tied across all
+      // types) zeroes the tie-corrected denominator: zero rows in both
+      // engines beats an engine-dependent NaN/NULL row (house rule,
+      // same as qKendallTau/qDupModularity)
+      .filter(col("denom2") =!= lit(0))
       .select(
         col("n_days"),
         col("k_types"),
-        floor6(col("chi2_raw")).as("chi2_f"))
+        floor6(col("num_d") / col("denom2").cast("double")).as("chi2_f"))
   }
 
   /** Difference-in-differences: the (md5-split twin of [[qCuped]])
@@ -1532,6 +1538,9 @@ object StatsQueries {
         count(lit(1)).as("n"),
         sum("c").as("sc"),
         sum(dec(col("c")) * col("c")).as("sq"))
+      // a 1-day half-window has no day-level variance (se2's n−1 is
+      // zero): zero rows in both engines, per the degenerate-input rule
+      .filter(col("n") >= 2L)
       .select(
         col("treated"),
         col("post"),
@@ -2331,7 +2340,8 @@ object StatsQueries {
          |SELECT b AS n_days, k AS k_types,
          |       ${floor6Sql(
           "CAST((k - 1) * num2 AS DOUBLE) / CAST(a2 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1) AS DOUBLE)")} AS chi2_f
-         |FROM agg, tie""".stripMargin,
+         |FROM agg, tie
+         |WHERE a2 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1) <> 0""".stripMargin,
     "q_did" ->
       s"""WITH ev AS (
          |  SELECT (user_id % 2 = 0) AS treated, epoch_us(ts) // 86400000000 AS dy
@@ -2354,7 +2364,7 @@ object StatsQueries {
          |  SELECT treated, post, n, CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
          |         CAST(CAST(n AS HUGEINT) * sq - CAST(sc AS HUGEINT) * sc AS DOUBLE) /
          |           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE) AS se2
-         |  FROM cells)
+         |  FROM cells WHERE n >= 2)
          |SELECT tp.n AS n_t_pre, tq.n AS n_t_post,
          |       ${floor6Sql("tp.mean")} AS mean_t_pre,
          |       ${floor6Sql("tq.mean")} AS mean_t_post,

@@ -56,6 +56,21 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(r3.toSet == r6.filter(_._3 <= 3).toSet)
   }
 
+  test("simhashSignaturesFromTokens is bit-identical to the aggregate formulation") {
+    val rows = docs.select(
+      col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+    val viaAgg = Dedup.simhashSignatures(rows, "doc_id", "tok", bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arr = docs.select(
+      col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
+    val viaExpr = Dedup.simhashSignaturesFromTokens(arr, "doc_id", "tk", bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the aggregate path drops zero-token docs (explode); compare on its keys
+    assert(viaAgg.nonEmpty)
+    assert(viaAgg.forall { case (k, v) => viaExpr.get(k).contains(v) })
+  }
+
   test("duplicateClusters finds connected components and canonical survivors") {
     import spark.implicits._
     // two chains (1-2-3-4 transitively, 7-8) and an isolated pair 5-6

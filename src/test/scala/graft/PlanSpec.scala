@@ -107,6 +107,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_simhash_eval: signatures AND ground truth feed off one materialized token pass") {
+    val p = plan("q_simhash_eval")
+    assert(!p.contains("FileScan parquet"),
+      "expected the checkpointed token arrays, not per-pipeline corpus re-scans")
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
   test("q_tfidf_terms per-doc top-k gets WindowGroupLimit; tf⋈df join is shuffle-hash") {
     val p = plan("q_tfidf_terms")
     assert(p.contains("WindowGroupLimit"))

@@ -448,6 +448,67 @@ class PushNetSpec extends SparkSpec {
     } finally dialer.close()
   }
 
+  test("auth: a silent dial is dropped at the handshake deadline, counted, and unregistered") {
+    val log = freshLog()
+    val srv = PushNet.server(
+      log, bindHost = "127.0.0.1",
+      verify = Some(PushNet.tokenVerifier(Tok)), authTimeoutMs = 200L)
+    // raw socket that authenticates NOTHING: without the deadline this
+    // connection would hold a writer thread + conns slot forever
+    val silent = new java.net.Socket("127.0.0.1", srv.boundPort)
+    try {
+      awaitUntil()(srv.rejectedCount == 1L)
+      awaitUntil()(srv.connectionCount == 0)
+      // the server is still healthy for authenticated peers afterwards
+      val got = mutable.Buffer.empty[SegmentStatus]
+      val sub = PushNet.connect(
+        "127.0.0.1", srv.boundPort, tokenFunc = Some(() => Tok)) { st =>
+        got.synchronized { got += st; () }
+      }
+      try {
+        assert(sub.awaitReady())
+        log.produce("s0", "seg0", records(1, 3), 1000L)
+        awaitUntil()(got.synchronized(got.size) == 1)
+      } finally sub.close()
+    } finally { silent.close(); srv.close() }
+  }
+
+  test("auth: a malformed percent-encoded token is refused AND counted") {
+    val log = freshLog()
+    val srv = PushNet.server(
+      log, bindHost = "127.0.0.1", verify = Some(PushNet.tokenVerifier(Tok)))
+    val s = new java.net.Socket("127.0.0.1", srv.boundPort)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      w.write("#auth %zz"); w.newLine(); w.flush() // URLDecoder.decode throws on %zz
+      awaitUntil()(srv.rejectedCount == 1L)
+      awaitUntil()(srv.connectionCount == 0)
+    } finally { s.close(); srv.close() }
+  }
+
+  test("auth: the wire rides a pluggable socket factory (TLS seam)") {
+    val log = freshLog()
+    // javax.net default factories exercise the seam end-to-end; an
+    // SSLServerSocketFactory/SSLSocketFactory pair plugs in identically
+    val srv = PushNet.server(
+      log, bindHost = "127.0.0.1",
+      verify = Some(PushNet.tokenVerifier(Tok)),
+      socketFactory = Some(javax.net.ServerSocketFactory.getDefault))
+    val got = mutable.Buffer.empty[SegmentStatus]
+    val sub = PushNet.connect(
+      "127.0.0.1", srv.boundPort, tokenFunc = Some(() => Tok),
+      socketFactory = Some(javax.net.SocketFactory.getDefault)) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(sub.awaitReady())
+      log.produce("s0", "seg0", records(1, 4), 1000L)
+      awaitUntil()(got.synchronized(got.size) == 1)
+      assert(srv.rejectedCount == 0L)
+    } finally { sub.close(); srv.close() }
+  }
+
   test("auth: a hook-less server ignores #auth — token-bearing clients interoperate") {
     val log = freshLog()
     val srv = PushNet.server(log, bindHost = "127.0.0.1") // no verify hook
