@@ -177,8 +177,28 @@ object Clustering {
     * oracles replay the flat clustering — while sf1 (k=1000) and
     * beyond graduate, exactly the "hierarchical coarse quantizer at
     * 100 TB" note the flat path always carried. Measured: q_dedup_embed
-    * sf10 went 411 s (flat k=10⁴, 59 MB task binaries) → two-level. */
+    * sf10 went 411 s (flat k=10⁴, 59 MB task binaries) → two-level.
+    *
+    * The same cap also routes INSIDE [[kmeansAssignTwoLevel]]: a coarse
+    * split needing k₁ > flatMaxK cells is itself built by a recursive
+    * two-level call, so the scheme deepens one level per √ — two levels
+    * to k ≈ 65k, three to k ≈ 4.3B — and no plan at any depth carries
+    * more than flatMaxK expression columns. */
   val FlatMaxK = 256
+
+  /** Fine-table broadcast budget for [[kmeansAssignTwoLevel]]'s
+    * per-cell assignment join. The fine centroid table is k·dim doubles
+    * (+ row overhead): ~5 MB at sf10's k = 10⁴, but ~0.5 GB at the
+    * k ≈ 10⁶ a 100 TB corpus implies at C = 200 — past any sane
+    * auto-broadcast ceiling. The route is on ESTIMATED BYTES, not k:
+    * k·(dim·8 + 24) ≤ budget → broadcast (corpus never shuffles in the
+    * assign); above it the join flips to shuffle_hash on the cell key,
+    * which co-locates each cell's members with exactly its own fine
+    * centroids — per-task memory is cells-per-task·(k/k₁)·dim, bounded
+    * regardless of k, at the price of one corpus shuffle per Lloyd
+    * round. 64 MB keeps every measured scale (≤ sf10) on the
+    * zero-corpus-shuffle broadcast path. */
+  val FineBroadcastBudgetBytes: Long = 64L << 20
 
   /** Two-level flat quantizer (the IVF-style "coarse then fine"
     * assignment, PQ-paper lineage): a √k-cell coarse k-means (literal
@@ -205,7 +225,9 @@ object Clustering {
       targetClusterSize: Int = 200,
       iters: Int = 2,
       dim: Int = 64,
-      k: Long = 0L): DataFrame = {
+      k: Long = 0L,
+      flatMaxK: Int = FlatMaxK,
+      broadcastBudgetBytes: Long = FineBroadcastBudgetBytes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(targetClusterSize > 0, "targetClusterSize must be positive")
     val kEff =
@@ -215,8 +237,23 @@ object Clustering {
         math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
       }
     val k1 = math.max(2L, math.ceil(math.sqrt(kEff.toDouble)).toLong).toInt
-    val cells = kmeansAssign(embs, id, vec, nrm, k1, iters, dim)
-      .select(col(id), col("cluster").cast("long").as("cell"))
+    // coarse split: flat literal assign while k₁ plans cleanly; above
+    // flatMaxK the coarse level is itself a recursive two-level call
+    // (k₁ cells of expected size n/k₁), deepening the tree one level —
+    // the same graduation rule kmeansAssignAuto applies at the top.
+    val cells =
+      if (k1 <= flatMaxK)
+        kmeansAssign(embs, id, vec, nrm, k1, iters, dim)
+          .select(col(id), col("cluster").cast("long").as("cell"))
+      else
+        kmeansAssignTwoLevel(
+          embs, id, vec, nrm,
+          targetClusterSize =
+            math.max(1L, (kEff * targetClusterSize + k1 - 1) / k1)
+              .min(Int.MaxValue.toLong).toInt,
+          iters = iters, dim = dim, k = k1.toLong,
+          flatMaxK = flatMaxK, broadcastBudgetBytes = broadcastBudgetBytes)
+          .select(col(id), col("cluster").as("cell"))
     val member = graft.operators.Materialize.cut(
       embs
         .select(col(id), col(vec), col(nrm))
@@ -231,9 +268,16 @@ object Clustering {
         col("rn") <= ceil(col("sz").cast("double") / lit(targetClusterSize.toDouble)))
       .select(col("cell"), (col("rn") - 1L).cast("long").as("j"), col(vec).as("cv"))
       .transform(graft.operators.Materialize.cut(_))
-    def assignFine(f: DataFrame): DataFrame =
-      member
-        .join(broadcast(f.withColumn("cnrm", VectorFns.norm(col("cv")))), "cell")
+    // fine-join strategy, routed on ESTIMATED TABLE BYTES (see
+    // [[FineBroadcastBudgetBytes]]): broadcast while the whole k·dim
+    // fine table fits the budget (the corpus never shuffles), else
+    // shuffle_hash on the cell key (bounded per-task memory at any k,
+    // one corpus shuffle per round).
+    val fineBroadcastable = kEff * (dim * 8L + 24L) <= broadcastBudgetBytes
+    def assignFine(f: DataFrame): DataFrame = {
+      val ft = f.withColumn("cnrm", VectorFns.norm(col("cv")))
+      (if (fineBroadcastable) member.join(broadcast(ft), "cell")
+       else member.join(ft.hint("shuffle_hash"), "cell"))
         .select(
           col(id),
           col("cell"),
@@ -248,6 +292,7 @@ object Clustering {
           col("b.cell").as("cell"),
           col("b.j").as("j"),
           col("b.sim").as("sim"))
+    }
     val sums = (1 to dim).map(d =>
       sum(floor(element_at(col(vec), d) * lit(Q.toDouble)).cast("long")).as(s"s$d"))
     for (_ <- 0 until iters) {
@@ -263,11 +308,21 @@ object Clustering {
               .as("cv") +: Nil: _*)
         .transform(graft.operators.Materialize.cut(_))
     }
-    // pack (cell, j) into one stable long cluster id; j < 2^31 always
+    // pack (cell, j) into one stable long cluster id. Recursion makes
+    // `cell` itself a packed long, so the j width comes from the REAL
+    // fine table (one statistic-sized driver action, like the centroid
+    // folds) instead of a fixed 2³¹ — collision-free at any depth, with
+    // the total bit budget checked rather than assumed.
+    val ext = fine.agg(max(col("j")).as("mj"), max(col("cell")).as("mc")).head()
+    val jBits =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(ext.getLong(0) | 1L))
+    require(
+      java.lang.Long.numberOfLeadingZeros(ext.getLong(1) | 1L) > jBits,
+      s"packed cluster id overflow: cell ${ext.getLong(1)} << $jBits bits")
     assignFine(fine)
       .select(
         col(id),
-        (col("cell") * lit(Int.MaxValue.toLong + 1L) + col("j")).as("cluster"),
+        (col("cell") * lit(1L << jBits) + col("j")).as("cluster"),
         round(col("sim"), 6).as("sim"))
   }
 

@@ -82,6 +82,54 @@ class ClusteringSpec extends SparkSpec {
     assert(pairs.filter(col("c1") =!= col("c2")).count() == 0, "clones must co-cluster")
   }
 
+  test("forced three-level quantizer (+ shuffle fine join): total, deterministic, clones co-cluster, sizes ≈ target") {
+    // flatMaxK = 4 forces the coarse split itself through a recursive
+    // two-level call (k₁ = √k > 4), i.e. a three-level tree; a 1-byte
+    // broadcast budget forces the fine join onto the shuffle_hash path —
+    // together the exact routing a k ≈ 10⁶ corpus would take.
+    val target = 10
+    def run() = Clustering.kmeansAssignTwoLevel(
+      embs, targetClusterSize = target, iters = 2,
+      flatMaxK = 4, broadcastBudgetBytes = 1L)
+    val a = run().localCheckpoint()
+    val n = embs.count()
+    assert(a.count() == n, "every vector assigned exactly once")
+    assert(a.select("vec_id").distinct().count() == n)
+    val kUsed = a.select("cluster").distinct().count()
+    assert(kUsed > 16, "three-level auto-k must exceed the squared flat cap")
+    val meanSz = n.toDouble / kUsed
+    assert(meanSz < 4.0 * target && meanSz > target / 4.0, s"mean cluster size $meanSz")
+    // deterministic: a second run reproduces the assignment bit-for-bit
+    val b = run()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "two runs must agree exactly")
+    // planted exact clones co-cluster through all three levels
+    val clones = embs
+      .filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v"), col("nrm"))
+    val withClones = embs.unionByName(clones).localCheckpoint()
+    val ac = Clustering.kmeansAssignTwoLevel(
+      withClones, targetClusterSize = target, iters = 2,
+      flatMaxK = 4, broadcastBudgetBytes = 1L)
+    val pairs = ac
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("cluster").as("c1"))
+      .join(
+        ac.filter(col("vec_id") >= 1000000L)
+          .select((col("vec_id") - 1000000L).as("vec_id"), col("cluster").as("c2")),
+        "vec_id")
+    assert(pairs.count() == 20)
+    assert(pairs.filter(col("c1") =!= col("c2")).count() == 0, "clones must co-cluster")
+    // broadcast-budget routing alone (no forced depth) also stays exact:
+    // shuffle fine join ≡ broadcast fine join result-for-result
+    val viaShuffle = Clustering.kmeansAssignTwoLevel(
+      embs, targetClusterSize = 50, iters = 1, broadcastBudgetBytes = 1L)
+    val viaBroadcast = Clustering.kmeansAssignTwoLevel(
+      embs, targetClusterSize = 50, iters = 1)
+    assert(viaShuffle.exceptAll(viaBroadcast).isEmpty &&
+      viaBroadcast.exceptAll(viaShuffle).isEmpty,
+      "join strategy must not change the assignment")
+  }
+
   test("Lloyd rounds monotonically improve the mean assigned cosine") {
     // the corpus vectors are unit-norm, so mean-update k-means is
     // spherical k-means: each assignment and each centroid step cannot
