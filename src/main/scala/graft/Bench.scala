@@ -54,7 +54,8 @@ object Bench {
     "q_cluster_sizes", "q_seasonal_strength",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_embed_hi", "q_dedup_keep_best", "q_quality_shrunk",
-    "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_hard_negatives",
+    "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_ann_ivf_stored",
+    "q_hard_negatives",
     "q_ann_recall",
     "q_ann_pq",
     "q_lang_id", "q_text_quality", "q_gopher_rules", "q_token_count",

@@ -456,14 +456,70 @@ object PipelineQueries {
   val IvfCentroids = 8
   val IvfProbes = 2
 
-  /** IVF ANN (the other scale path) — approximate, rows-only check.
-    * Centroids: the first `IvfCentroids` corpus vectors. */
-  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val cents = normedEmbs(s, d)
+  /** The IVF coarse quantizer both IVF queries share: the first
+    * `IvfCentroids` corpus vectors (training-free deterministic init,
+    * same convention as the PQ codebook — what lets DuckDB rebuild the
+    * identical quantizer from the parquet alone). */
+  private def ivfCents(s: SparkSession, d: String): DataFrame =
+    normedEmbs(s, d)
       .filter(col("vec_id") >= 10 && col("vec_id") < lit(10 + IvfCentroids))
       .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+
+  /** IVF ANN (the other scale path) — deterministic end to end, full
+    * DuckDB oracle. Rebuilds the cell assignment inline — the one-shot
+    * query shape; [[qAnnIvfStored]] is the build-once/probe-many twin. */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame =
     Ann
-      .ivfTopK(querySide(s, d), corpusSide(s, d), cents, k = 5, nProbe = IvfProbes)
+      .ivfTopK(querySide(s, d), corpusSide(s, d), ivfCents(s, d), k = 5, nProbe = IvfProbes)
+      .transform(sortSmall(_, "query_id", "rank"))
+
+  /** The one DuckDB oracle both IVF queries check against (see
+    * [[qAnnIvfStored]]: the stored probe replays the same quantizer and
+    * assignment as the inline query, so the results are identical). */
+  private lazy val IvfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cents AS (SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_nrm
+       |          FROM n WHERE vec_id >= 10 AND vec_id < ${10 + IvfCentroids}),
+       |qn AS (
+       |  SELECT query_id, q_v, q_nrm, cent_id FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS q_v, q.nrm AS q_nrm, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, c.cent_v) / greatest(q.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
+       |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
+       |  WHERE cent_rank <= $IvfProbes),
+       |cn AS (
+       |  SELECT neighbor_id, c_v, c_nrm, cent_id FROM (
+       |    SELECT x.vec_id AS neighbor_id, x.v AS c_v, x.nrm AS c_nrm, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |             ORDER BY list_dot_product(x.v, c.cent_v) / greatest(x.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
+       |    FROM n x CROSS JOIN cents c WHERE x.vec_id >= 10)
+       |  WHERE cent_rank <= 1),
+       |scored AS (
+       |  SELECT qn.query_id, cn.neighbor_id,
+       |         round(list_dot_product(qn.q_v, cn.c_v) / greatest(qn.q_nrm * cn.c_nrm, 1e-300), 6) AS cos
+       |  FROM qn JOIN cn USING (cent_id))
+       |SELECT query_id,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |       neighbor_id, cos
+       |FROM scored
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF ANN against a PERSISTED index — the serving shape at 100 TB:
+    * [[Ann.ivfBuild]] writes the quantizer + cell-partitioned lists to
+    * parquet ONCE; [[Ann.ivfProbe]] then plans against the stored index
+    * with no re-training and a scan pruned to the probed cells' files
+    * (a literal cell-id filter from a control-plane collect). Same
+    * quantizer + assignment rule as [[qAnnIvf]] → identical results,
+    * checked by the identical oracle. */
+  def qAnnIvfStored(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_${Hashing.md5LongJvm(d)}").getAbsolutePath
+    Ann.ivfBuild(corpusSide(s, d), ivfCents(s, d), path)
+    Ann
+      .ivfProbe(s, path, querySide(s, d), k = 5, nProbe = IvfProbes)
       .transform(sortSmall(_, "query_id", "rank"))
   }
 
@@ -3706,6 +3762,7 @@ object PipelineQueries {
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_filtered" -> qAnnFiltered _,
     "q_ann_ivf" -> qAnnIvf _,
+    "q_ann_ivf_stored" -> qAnnIvfStored _,
     "q_ann_pq" -> qAnnPq _,
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
@@ -4337,35 +4394,11 @@ object PipelineQueries {
          |QUALIFY rank <= $PqK
          |ORDER BY query_id, rank""".stripMargin
     },
-    "q_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |cents AS (SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_nrm
-         |          FROM n WHERE vec_id >= 10 AND vec_id < ${10 + IvfCentroids}),
-         |qn AS (
-         |  SELECT query_id, q_v, q_nrm, cent_id FROM (
-         |    SELECT q.vec_id AS query_id, q.v AS q_v, q.nrm AS q_nrm, c.cent_id,
-         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |             ORDER BY list_dot_product(q.v, c.cent_v) / greatest(q.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
-         |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
-         |  WHERE cent_rank <= $IvfProbes),
-         |cn AS (
-         |  SELECT neighbor_id, c_v, c_nrm, cent_id FROM (
-         |    SELECT x.vec_id AS neighbor_id, x.v AS c_v, x.nrm AS c_nrm, c.cent_id,
-         |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
-         |             ORDER BY list_dot_product(x.v, c.cent_v) / greatest(x.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
-         |    FROM n x CROSS JOIN cents c WHERE x.vec_id >= 10)
-         |  WHERE cent_rank <= 1),
-         |scored AS (
-         |  SELECT qn.query_id, cn.neighbor_id,
-         |         round(list_dot_product(qn.q_v, cn.c_v) / greatest(qn.q_nrm * cn.c_nrm, 1e-300), 6) AS cos
-         |  FROM qn JOIN cn USING (cent_id))
-         |SELECT query_id,
-         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
-         |       neighbor_id, cos
-         |FROM scored
-         |QUALIFY rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" -> IvfOracleSql,
+    // the stored-index probe replays the SAME quantizer + assignment as
+    // the inline query — identical results by construction, so the twin
+    // reuses the identical oracle
+    "q_ann_ivf_stored" -> IvfOracleSql,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

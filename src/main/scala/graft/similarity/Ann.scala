@@ -222,10 +222,36 @@ object Ann {
       extraCols = Seq("adc"))
   }
 
+  /** Assign each row to its `keep` argmax-cosine centroids (ties to the
+    * lower cent_id): the shared cell-assignment step of the inline IVF
+    * query, the persisted index build, the incremental append, AND the
+    * probe side — one definition so an appended batch lands in exactly
+    * the cells a fresh build would put it in. `cents` should be
+    * broadcast by the caller (the quantizer is control-plane sized). */
+  private def nearestCells(
+      df: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vCol: String,
+      nrmCol: String,
+      keep: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("cent_sim").desc, col("cent_id"))
+    df.join(cents)
+      .withColumn(
+        "cent_sim",
+        VectorFns.dot(col(vCol), col("cent_v")) /
+          VectorFns.safeDen(col(nrmCol), col("cent_nrm")))
+      .withColumn("cent_rank", row_number().over(w))
+      .filter(col("cent_rank") <= keep)
+      .drop("cent_v", "cent_nrm", "cent_sim", "cent_rank")
+  }
+
   /** IVF top-k: a broadcast coarse quantizer of `centroids` rows
     * `(cent_id, cent_v, cent_nrm)`; every corpus vector is assigned to
     * its argmax-cosine centroid once (linear cost), queries probe their
-    * `nProbe` nearest centroid lists. */
+    * `nProbe` nearest centroid lists. Rebuilds the assignment per call —
+    * the right shape for a one-shot query; a SERVING deployment builds
+    * once with [[ivfBuild]] and probes with [[ivfProbe]]. */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -233,21 +259,67 @@ object Ann {
       k: Int = 5,
       nProbe: Int = 2): DataFrame = {
     val cents = broadcast(centroids)
-
-    def nearest(df: DataFrame, idCol: String, vCol: String, nrmCol: String, keep: Int) = {
-      val w = Window.partitionBy(idCol).orderBy(col("cent_sim").desc, col("cent_id"))
-      df.join(cents)
-        .withColumn(
-          "cent_sim",
-          VectorFns.dot(col(vCol), col("cent_v")) /
-            VectorFns.safeDen(col(nrmCol), col("cent_nrm")))
-        .withColumn("cent_rank", row_number().over(w))
-        .filter(col("cent_rank") <= keep)
-        .drop("cent_v", "cent_nrm", "cent_sim", "cent_rank")
-    }
-
-    val q = nearest(queries, "query_id", "q_v", "q_nrm", nProbe)
-    val c = nearest(corpus, "neighbor_id", "c_v", "c_nrm", 1)
+    val q = nearestCells(queries, cents, "query_id", "q_v", "q_nrm", nProbe)
+    val c = nearestCells(corpus, cents, "neighbor_id", "c_v", "c_nrm", 1)
     rankTopK(broadcast(q).join(c, "cent_id").withColumn("cos", cos), k)
+  }
+
+  // ---- persisted IVF index: build / append / probe --------------------
+  //
+  // The production ANN shape at 100 TB: assigning the corpus to cells is
+  // the expensive linear pass, so it runs ONCE (ivfBuild), lands in
+  // parquet PARTITIONED BY cent_id, and every probe afterwards plans
+  // against the stored lists — touching only its own nProbe cells' files
+  // (partition pruning off a literal cell-id filter), never re-training
+  // and never re-scanning the corpus. New batches join the index through
+  // the STORED quantizer (ivfAppend — the minhashLshAgainst pattern:
+  // batch × index, never corpus × corpus), so build → serve → ingest is
+  // incremental end to end.
+
+  /** Build a persisted IVF index under `path`: `centroids/` (the coarse
+    * quantizer, `(cent_id, cent_v, cent_nrm)`) and `lists/` (the corpus
+    * with each vector in its argmax-cosine cell), partitioned by
+    * `cent_id`. */
+  def ivfBuild(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    nearestCells(corpus, broadcast(centroids), "neighbor_id", "c_v", "c_nrm", 1)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
+  /** Incrementally add `batch` (corpus-shaped: `neighbor_id, c_v,
+    * c_nrm`) to a stored index: assign against the STORED quantizer (no
+    * retraining — appended vectors land in exactly the cells a fresh
+    * build would choose) and append to the partitioned lists. */
+  def ivfAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    nearestCells(batch, broadcast(cents), "neighbor_id", "c_v", "c_nrm", 1)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
+  /** Probe a stored index: queries pick their `nProbe` nearest STORED
+    * centroids; the probed cell ids (≤ |Q|·nProbe values — a
+    * control-plane collect, like the PQ codebook) become a literal IN
+    * filter so the lists scan PRUNES to those cells' files; ranking is
+    * the shared exact-cosine rule. Identical results to [[ivfTopK]]
+    * over the same corpus + centroids. */
+  def ivfProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = nearestCells(queries, broadcast(cents), "query_id", "q_v", "q_nrm", nProbe)
+    val probed = q.select("cent_id").distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val lists = spark.read
+      .parquet(s"$path/lists")
+      // filter FIRST (on the raw partition attribute, so it prunes at
+      // the scan), normalize the inferred partition-column type after
+      .where(col("cent_id").isin(probed: _*))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    rankTopK(broadcast(q).join(lists, "cent_id").withColumn("cos", cos), k)
   }
 }

@@ -71,6 +71,34 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(viaAgg.forall { case (k, v) => viaExpr.get(k).contains(v) })
   }
 
+  test("persisted IVF: build once probes identically twice; append routes through the STORED quantizer") {
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val corpusAll = embs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cents = embs.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+    // hold a batch out of the build, then ingest it incrementally
+    val held = corpusAll.filter(col("neighbor_id") % 7 === 0)
+    Ann.ivfBuild(corpusAll.filter(col("neighbor_id") % 7 =!= 0), cents, path)
+    Ann.ivfAppend(spark, held, path)
+    val p1 = rows(Ann.ivfProbe(spark, path, queries, k = 5, nProbe = 2))
+    val p2 = rows(Ann.ivfProbe(spark, path, queries, k = 5, nProbe = 2))
+    assert(p1 == p2, "two probes of one stored index must agree exactly")
+    // build + incremental append ≡ the inline one-shot query over the
+    // full corpus: appended vectors landed in exactly the cells a fresh
+    // build would choose
+    val inline = rows(Ann.ivfTopK(queries, corpusAll, cents, k = 5, nProbe = 2))
+    assert(p1 == inline, "stored probe must equal the inline IVF result")
+    assert(p1.nonEmpty)
+  }
+
   test("duplicateClusters finds connected components and canonical survivors") {
     import spark.implicits._
     // two chains (1-2-3-4 transitively, 7-8) and an isolated pair 5-6

@@ -218,6 +218,7 @@ class PlanSpec extends SparkSpec {
   private val BoundedProductQueries =
     Set(
       "q_ann_topk", "q_ann_ivf", "q_ann_pq", "q_pmi_terms", "q_tfidf_terms",
+      "q_ann_ivf_stored", // same bounded queries×quantizer product as q_ann_ivf
       "q_lm_score", // one-row vocabulary-size total, like the pmi/tfidf totals
       "q_bm25", // one-row corpus totals (n_docs, total_len)
       "q_source_divergence", // one-row global token total
