@@ -191,6 +191,51 @@ object TextFns {
       regexp_replace(acc, p, r)
     })
 
+  /** Query parameters dropped by [[normalizeUrl]] — the tracking keys
+    * every web-curation pipeline strips before URL-level dedup (CCNet /
+    * RefinedWeb lineage). A FIXED literal alternation, shared verbatim
+    * with the DuckDB oracle (RE2-safe: no lookaround). */
+  val TrackingParamsRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+  /** URL normalization — the canonical form behind domain rollups and
+    * URL-level dedup. Rules, in order (the fixed table the oracle
+    * replays): (1) lowercase scheme and host; (2) strip one leading
+    * `www.`; (3) drop the scheme's default port (`:443` https, `:80`
+    * http); (4) strip trailing slashes from the path; (5) drop
+    * [[TrackingParamsRe]] query parameters, and the `?` itself when
+    * nothing survives (fragments are dropped with everything after
+    * `#`). Pure string/regex column ops — bit-identical across engines
+    * by construction, no parser library. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val noWww = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .otherwise(noWww)
+    val tail = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_replace(regexp_extract(tail, "^([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(tail, "\\?([^#]*)", 1)
+    val kept = array_join(
+      filter(split(query, "&"), p => !p.rlike(TrackingParamsRe)),
+      "&")
+    concat(
+      scheme,
+      lit("://"),
+      host,
+      path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** Registrable domain key of a [[normalizeUrl]]-normalized URL: the
+    * host with any explicit (non-default) port stripped. */
+  def urlDomain(normalized: Column): Column =
+    regexp_replace(
+      regexp_extract(normalized, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+      ":[0-9]+$",
+      "")
+
   /** Unicode script classes as (name, Java-regex class, RE2 class):
     * Java spells a script `\p{IsHan}`, RE2 (DuckDB) spells the same set
     * `\p{Han}` — two spellings, one meaning, kept side by side so the

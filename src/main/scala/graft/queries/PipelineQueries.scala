@@ -2896,6 +2896,84 @@ object PipelineQueries {
       .transform(sortSmall(_, "source"))
   }
 
+  /** Synthetic-but-messy URL per doc, derived deterministically from
+    * (doc_id, source): the shared testdata carries no URL column and is
+    * immutable, so BOTH engines derive the identical URL in-query (the
+    * q_dedup_embed_hi planting convention). Deliberately exercises
+    * every [[TextFns.normalizeUrl]] rule: scheme/host case, `www.`,
+    * default port, trailing slash, tracking params. Spark spelling;
+    * the oracle carries the literal DuckDB twin below. */
+  private val SyntheticUrlSpark =
+    """concat(
+      |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 1 THEN 'www.' ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END,
+      |  '.example.',
+      |  CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END,
+      |  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+      |  '/docs/', CAST(doc_id % 50 AS STRING),
+      |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+      |  CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&page=', CAST(doc_id % 9 AS STRING))
+      |       WHEN doc_id % 11 = 0 THEN '?gclid=x&page=2' ELSE '' END)""".stripMargin
+
+  /** URL/domain-level curation rollup — the CCNet/RefinedWeb stage
+    * between raw ingest and mixing: normalize every doc URL with the
+    * fixed rule table ([[TextFns.normalizeUrl]]), key by registrable
+    * domain ([[TextFns.urlDomain]]), and emit the blocklist/allowlist
+    * decision report — doc/URL/token counts, exact-dup share, mean
+    * quality, and an integer-arithmetic keep/review/block action (no
+    * float compare at the fence). Quality is [[TextFns.qualityScore]]
+    * µ-quantized to int64 BEFORE the cross-row mean (the q_ndcg trick),
+    * so the domain average is engine-exact. One corpus pass, one
+    * domain-sized aggregate. */
+  def qDomainReport(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val withUrl = docs(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("text"),
+        expr(SyntheticUrlSpark).as("url"),
+        expr("graft_tokens(text)").as("t"))
+    val normed = withUrl.select(
+      TextFns.urlDomain(TextFns.normalizeUrl(col("url"))).as("domain"),
+      TextFns.normalizeUrl(col("url")).as("norm_url"),
+      md5(col("text")).as("h"),
+      size(col("t")).cast("long").as("n_tokens"),
+      floor(
+        TextFns.qualityScore(
+          size(col("t")).cast("long"),
+          round(TextFns.stopwordRatioFrom(col("t")), 6),
+          round(TextFns.distinctTokenRatioFrom(col("t")), 6),
+          round(TextFns.punctRatio(col("text")), 6)) * lit(10000.0d) + lit(0.5d))
+        .cast("long")
+        .as("score4"))
+    normed
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("norm_url")).as("n_urls"),
+        sum("n_tokens").as("total_tokens"),
+        sum("score4").as("sc4"),
+        (count(lit(1)) - count_distinct(col("h"))).as("n_dup_docs"))
+      .select(
+        col("domain"),
+        col("n_docs"),
+        col("n_urls"),
+        col("total_tokens"),
+        round(
+          col("sc4").cast("double") / col("n_docs").cast("double") / lit(10000.0d),
+          4).as("avg_score"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        when(col("n_dup_docs") * 2 >= col("n_docs"), lit("block"))
+          .when(col("n_dup_docs") * 10 >= col("n_docs"), lit("review"))
+          .otherwise(lit("keep"))
+          .as("action"))
+      .transform(sortSmall(_, "domain"))
+  }
+
   val PmiMinCount = 5
   val PmiTopK = 20
 
@@ -3763,6 +3841,7 @@ object PipelineQueries {
     "q_ann_filtered" -> qAnnFiltered _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_stored" -> qAnnIvfStored _,
+    "q_domain_report" -> qDomainReport _,
     "q_ann_pq" -> qAnnPq _,
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
@@ -5395,6 +5474,71 @@ object PipelineQueries {
          |       round(avg(score), 4) AS avg_score,
          |       count(*) - count(DISTINCT h) AS n_dup_docs
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q_domain_report" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, md5(text) AS h,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |u AS (
+         |  SELECT *, concat(
+         |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+         |    CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 1 THEN 'www.' ELSE '' END,
+         |    CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END,
+         |    '.example.',
+         |    CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END,
+         |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+         |    '/docs/', CAST(doc_id % 50 AS VARCHAR),
+         |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+         |    CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&page=', CAST(doc_id % 9 AS VARCHAR))
+         |         WHEN doc_id % 11 = 0 THEN '?gclid=x&page=2' ELSE '' END) AS url
+         |  FROM t),
+         |n1 AS (
+         |  SELECT *,
+         |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         |  FROM u),
+         |n2 AS (
+         |  SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+         |         regexp_replace(rest, '^[^/?#]*', '') AS tl
+         |  FROM n1),
+         |n3 AS (
+         |  SELECT *,
+         |         CASE WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+         |              WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+         |              ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+         |         regexp_replace(regexp_extract(tl, '^([^?#]*)', 1), '/+$$', '') AS path,
+         |         regexp_extract(tl, '\\?([^#]*)', 1) AS query
+         |  FROM n2),
+         |n4 AS (
+         |  SELECT *, array_to_string(
+         |           list_filter(string_split(query, '&'),
+         |                       p -> NOT regexp_matches(p, '${TextFns.TrackingParamsRe}')), '&') AS kept
+         |  FROM n3),
+         |n5 AS (
+         |  SELECT doc_id, h, toks, text,
+         |         regexp_replace(host, ':[0-9]+$$', '') AS domain,
+         |         concat(scheme, '://', host, path,
+         |                CASE WHEN len(kept) > 0 THEN concat('?', kept) ELSE '' END) AS norm_url
+         |  FROM n4),
+         |m AS (
+         |  SELECT domain, norm_url, h,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(floor(round(1.2 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains([$allL], x))) AS DOUBLE) / len(toks) END, 6)
+         |               + 0.8 * round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+         |               - 6.0 * round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '${TextFns.PunctClass}', '', 'g')) AS DOUBLE) / len(text) END, 6)
+         |               + 0.002 * CAST(len(toks) AS BIGINT), 4) * 10000 + 0.5) AS BIGINT) AS score4
+         |  FROM n5)
+         |SELECT domain,
+         |       count(*) AS n_docs,
+         |       count(DISTINCT norm_url) AS n_urls,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       round(CAST(sum(score4) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_score,
+         |       count(*) - count(DISTINCT h) AS n_dup_docs,
+         |       round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_rate,
+         |       CASE WHEN (count(*) - count(DISTINCT h)) * 2 >= count(*) THEN 'block'
+         |            WHEN (count(*) - count(DISTINCT h)) * 10 >= count(*) THEN 'review'
+         |            ELSE 'keep' END AS action
+         |FROM m GROUP BY domain ORDER BY domain""".stripMargin,
     "q_pmi_terms" ->
       s"""WITH toks AS (
          |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
