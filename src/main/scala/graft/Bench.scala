@@ -36,7 +36,8 @@ object Bench {
     "q_ks_test", "q_psi_drift", "q_mwu_drift", "q_basket_pairs", "q_fulfillment",
     "q_small_qty", "q_chi2_independence", "q_source_entropy", "q_rolling_active",
     "q_skyline", "q_ref_integrity", "q_gini",
-    "q_new_returning", "q_stickiness", "q_hhi", "q_holt", "q_audience_overlap",
+    "q_new_returning", "q_stickiness", "q_hhi", "q_holt", "q_theta_forecast",
+    "q_audience_overlap",
     "q_funnel_window", "q_wow_growth", "q_cohort_ltv", "q_seasonal_decompose",
     "q_stl_anomaly", "q_top_supplier", "q_waiting_suppliers",
     "q_bootstrap_ci", "q_abc_analysis", "q_decile_migration",
@@ -59,6 +60,7 @@ object Bench {
     "q_ann_recall",
     "q_ann_pq",
     "q_lang_id", "q_text_quality", "q_gopher_rules", "q_token_count", "q_domain_report",
+    "q_url_dedup", "q_mirror_detect",
     "q_normalize",
     "q_vocab_topk",
     "q_inverted_index", "q_bm25", "q_journeys",

@@ -2972,6 +2972,78 @@ object OlapQueries {
 
   /** Holt–Winters smoothing factors — exact binary fractions like
     * [[HoltAlpha]], so every scaled term is one IEEE multiply. */
+  /** Theta-method SES constant — exact binary (1/4), the [[HoltAlpha]]
+    * convention (every scaled term is one IEEE multiply). */
+  val ThetaAlpha = 0.25
+
+  /** Theta(0,2) forecast (Assimakopoulos & Nikolopoulos 2000 — the M3
+    * competition winner; Hyndman & Billah 2003 show it equals SES with
+    * drift): per event type over the dense daily grid, (1) exact OLS
+    * trend from integer sufficient statistics (slope and intercept are
+    * one IEEE division each off decimal-exact sums), (2) the theta-2
+    * line z_t = 2·x_t − (a + b·t) doubles local curvature and is
+    * smoothed by SES (α = 1/4 — the [[qEma]]/[[qHolt]] fold contract:
+    * Spark's `aggregate` fold and the oracle's recursive CTE replay the
+    * identical IEEE sequence), (3) the forecast recombines the halves:
+    * x̂_{T+h} = ½(a + b(T+h)) + ½·L_T at h = 7. Scale shape: the corpus
+    * collapses to one (type, day) aggregate; fold state is ONE double
+    * per type. */
+  def qThetaForecast(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("dy"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts
+      .groupBy("event_type")
+      .agg(min("dy").as("lo"), max("dy").as("hi"))
+      .select(col("event_type"), col("lo"), explode(expr("sequence(lo, hi)")).as("dy"))
+    val series = grid
+      .join(counts, Seq("event_type", "dy"), "left")
+      .select(
+        col("event_type"),
+        (col("dy") - col("lo") + 1L).as("t"),
+        coalesce(col("n"), lit(0L)).as("xl"))
+    series
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("t").as("s1"),
+        sum(dec(col("t")) * col("t")).as("s2"),
+        sum("xl").as("sx"),
+        sum(dec(col("t")) * col("xl")).as("sxt"),
+        sort_array(collect_list(struct(col("t"), col("xl").cast("double").as("x"))))
+          .as("s"))
+      .filter(col("n_days") >= 2L)
+      .withColumn(
+        "b",
+        (dec(col("n_days")) * col("sxt") - dec(col("s1")) * col("sx")).cast("double") /
+          (dec(col("n_days")) * col("s2") - dec(col("s1")) * col("s1")).cast("double"))
+      .withColumn(
+        "a",
+        (col("sx").cast("double") - col("b") * col("s1").cast("double")) /
+          col("n_days").cast("double"))
+      .withColumn(
+        "lvl",
+        aggregate(
+          expr("slice(s, 2, size(s) - 1)"),
+          lit(2.0) * element_at(col("s"), 1).getField("x") -
+            (col("a") + col("b") * lit(1.0)),
+          (acc, e) =>
+            lit(ThetaAlpha) * (lit(2.0) * e.getField("x") -
+              (col("a") + col("b") * e.getField("t").cast("double"))) +
+              lit(1 - ThetaAlpha) * acc))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        round(col("b"), 6).as("trend_slope"),
+        round(col("lvl"), 4).as("theta_level"),
+        round(
+          lit(0.5) * (col("a") + col("b") * (col("n_days") + lit(7L)).cast("double")) +
+            lit(0.5) * col("lvl"),
+          4).as("forecast_7d"))
+      .transform(sortSmall(_, col("event_type")))
+  }
+
   val HwAlpha = 0.5
   val HwBeta = 0.25
   val HwGamma = 0.25
@@ -3901,6 +3973,7 @@ object OlapQueries {
     "q_stickiness" -> qStickiness _,
     "q_hhi" -> qHhi _,
     "q_holt" -> qHolt _,
+    "q_theta_forecast" -> qThetaForecast _,
     "q_holt_winters" -> qHoltWinters _,
     "q_audience_overlap" -> qAudienceOverlap _,
     "q_kmv_sketch" -> qKmvSketch _,
@@ -5507,6 +5580,49 @@ object OlapQueries {
         |FROM holt h JOIN sizes USING (event_type)
         |WHERE idx = n_days AND n_days >= 2
         |ORDER BY event_type""".stripMargin,
+    "q_theta_forecast" ->
+      s"""WITH RECURSIVE counts AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS dy, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(dy) AS lo, max(dy) AS hi FROM counts GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS dy FROM bounds),
+         |series AS (
+         |  SELECT g.event_type, ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.dy) AS idx,
+         |         CAST(coalesce(c.n, 0) AS BIGINT) AS xl
+         |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.dy = c.dy),
+         |stats AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(idx) AS BIGINT) AS s1,
+         |         CAST(sum(CAST(idx AS HUGEINT) * idx) AS HUGEINT) AS s2,
+         |         CAST(sum(xl) AS BIGINT) AS sx,
+         |         CAST(sum(CAST(idx AS HUGEINT) * xl) AS HUGEINT) AS sxt
+         |  FROM series GROUP BY 1 HAVING count(*) >= 2),
+         |ab AS (
+         |  SELECT event_type, n_days,
+         |         CAST(CAST(n_days AS HUGEINT) * sxt - CAST(s1 AS HUGEINT) * sx AS DOUBLE) /
+         |         CAST(CAST(n_days AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS b
+         |  FROM stats),
+         |ab2 AS (
+         |  SELECT ab.event_type, ab.n_days, ab.b,
+         |         (CAST(sx AS DOUBLE) - ab.b * CAST(s1 AS DOUBLE)) / CAST(ab.n_days AS DOUBLE) AS a
+         |  FROM ab JOIN stats USING (event_type)),
+         |ses AS (
+         |  SELECT s.event_type, CAST(1 AS BIGINT) AS idx,
+         |         2.0 * CAST(s.xl AS DOUBLE) - (t.a + t.b * 1.0) AS l,
+         |         t.a, t.b, t.n_days
+         |  FROM series s JOIN ab2 t USING (event_type) WHERE s.idx = 1
+         |  UNION ALL
+         |  SELECT e.event_type, e.idx + 1,
+         |         $ThetaAlpha * (2.0 * CAST(s.xl AS DOUBLE) - (e.a + e.b * CAST(s.idx AS DOUBLE)))
+         |           + ${1 - ThetaAlpha} * e.l,
+         |         e.a, e.b, e.n_days
+         |  FROM ses e JOIN series s ON s.event_type = e.event_type AND s.idx = e.idx + 1)
+         |SELECT event_type, n_days,
+         |       round(b, 6) AS trend_slope,
+         |       round(l, 4) AS theta_level,
+         |       round(0.5 * (a + b * CAST(n_days + 7 AS DOUBLE)) + 0.5 * l, 4) AS forecast_7d
+         |FROM ses WHERE idx = n_days
+         |ORDER BY event_type""".stripMargin,
     // Holt–Winters: recursion carries the rotating 7-scalar seasonal
     // queue q1..q7 (q1 = s_{t-6} … q7 = s_t) — the l_t expression is
     // repeated textually so b_t/s_t use the identical IEEE value

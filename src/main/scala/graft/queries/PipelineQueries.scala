@@ -109,6 +109,42 @@ object PipelineQueries {
   val SimhashBits = 60 // md5Long is a 60-bit hash
   val SimhashMaxHamming = 6
 
+  /** [[Dedup.simhashPairs]]' pigeonhole bit-bands as a DuckDB VALUES
+    * table `(band_id, bit offset, mask)` — derived with the IDENTICAL
+    * base/extra arithmetic over `maxHamming + 1` bands, so the oracles
+    * replay the same banded equi-join the Spark side plans instead of
+    * an all-pairs hamming scan. This is what makes the simhash oracles
+    * replayable at sf1+ (the all-pairs replay was sf0.1-bounded). */
+  private def simhashBandVals: String = {
+    val nBands = SimhashMaxHamming + 1
+    val base = SimhashBits / nBands
+    val extra = SimhashBits % nBands
+    val offsets = (0 until nBands).scanLeft(0) { (off, j) =>
+      off + base + (if (j < extra) 1 else 0)
+    }
+    (0 until nBands)
+      .map { j =>
+        val len = base + (if (j < extra) 1 else 0)
+        s"($j, ${offsets(j)}, ${(1L << len) - 1})"
+      }
+      .mkString(", ")
+  }
+
+  /** Banded simhash pair CTEs over a `sims(doc_id, simhash)` CTE:
+    * `sbands` explodes the band table, `name` is the exact ≤ maxHamming
+    * pair relation `(a_id, b_id, hamming)` — pigeonhole makes the band
+    * equi-join lossless at the radius, as in [[Dedup.simhashPairs]]. */
+  private def simhashPairCtes(name: String): String =
+    s"""sbands AS (
+       |  SELECT doc_id, simhash, band_id, (simhash >> off) & msk AS band_bits
+       |  FROM sims CROSS JOIN (VALUES $simhashBandVals) AS bnd(band_id, off, msk)),
+       |$name AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM sbands a JOIN sbands b
+       |    ON a.band_id = b.band_id AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming)""".stripMargin
+
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
     // signatures are a shuffle-free per-row fold over the token array —
@@ -2916,6 +2952,50 @@ object PipelineQueries {
       |  CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&page=', CAST(doc_id % 9 AS STRING))
       |       WHEN doc_id % 11 = 0 THEN '?gclid=x&page=2' ELSE '' END)""".stripMargin
 
+  /** DuckDB twin of [[SyntheticUrlSpark]] (VARCHAR casts instead of
+    * STRING; semantics identical term for term). */
+  private val syntheticUrlDuck =
+    """concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 1 THEN 'www.' ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END,
+      |    '.example.',
+      |    CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+      |    '/docs/', CAST(doc_id % 50 AS VARCHAR),
+      |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+      |    CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&page=', CAST(doc_id % 9 AS VARCHAR))
+      |         WHEN doc_id % 11 = 0 THEN '?gclid=x&page=2' ELSE '' END)""".stripMargin
+
+  /** [[graft.functions.TextFns.normalizeUrl]]'s rule table as DuckDB
+    * CTEs `n1..n4` over a CTE `u` carrying `url` — the same fixed
+    * rules, RE2 spellings, shared by every URL-keyed oracle. Consumers
+    * finish with their own `n5` projecting `host/path/kept` into
+    * `norm_url`/`domain`. */
+  private def urlNormCtes: String =
+    s"""n1 AS (
+       |  SELECT *,
+       |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM u),
+       |n2 AS (
+       |  SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+       |         regexp_replace(rest, '^[^/?#]*', '') AS tl
+       |  FROM n1),
+       |n3 AS (
+       |  SELECT *,
+       |         CASE WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+       |              WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+       |              ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+       |         regexp_replace(regexp_extract(tl, '^([^?#]*)', 1), '/+$$', '') AS path,
+       |         regexp_extract(tl, '\\?([^#]*)', 1) AS query
+       |  FROM n2),
+       |n4 AS (
+       |  SELECT *, array_to_string(
+       |           list_filter(string_split(query, '&'),
+       |                       p -> NOT regexp_matches(p, '${TextFns.TrackingParamsRe}')), '&') AS kept
+       |  FROM n3)""".stripMargin
+
   /** URL/domain-level curation rollup — the CCNet/RefinedWeb stage
     * between raw ingest and mixing: normalize every doc URL with the
     * fixed rule table ([[TextFns.normalizeUrl]]), key by registrable
@@ -2972,6 +3052,59 @@ object PipelineQueries {
           .otherwise(lit("keep"))
           .as("action"))
       .transform(sortSmall(_, "domain"))
+  }
+
+  /** URL-level dedup (the crawl-dedup stage upstream of content dedup):
+    * group by NORMALIZED URL — casing/www/port/tracking variants of one
+    * address collapse — keep the lowest doc_id, and report both group
+    * size and the distinct-content count (n_texts > 1 on one URL =
+    * version churn / re-crawl drift, the rows a crawl-frontier audit
+    * reads). Emits only groups with a duplicate to keep the report
+    * decision-sized. Same synthetic URL derivation as
+    * [[qDomainReport]]. */
+  def qUrlDedup(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h"),
+        TextFns.normalizeUrl(expr(SyntheticUrlSpark)).as("norm_url"))
+      .groupBy("norm_url")
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_texts"))
+      .filter(col("n_docs") >= 2L)
+      .transform(sortSmall(_, "norm_url"))
+
+  /** Cross-domain mirror detection (the RefinedWeb "same content, many
+    * hosts" case that URL-level dedup cannot see and content dedup
+    * cannot explain): exact-content groups spanning ≥ 2 DOMAINS, with
+    * the canonical keep (lowest doc_id) and the spread — the input to
+    * a mirror-blocklist decision. One content-hash aggregate carrying
+    * the [[TextFns.urlDomain]] key. The synthetic corpus has no exact
+    * text duplicates, so (the [[qDedupEmbedHi]] planting convention)
+    * every 97th doc is replanted under an offset id — the offset
+    * rotates doc_id mod 3, so the plant lands on a DIFFERENT domain by
+    * construction; both engines replant identically and the detector
+    * must recover exactly those groups. */
+  def qMirrorDetect(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+    val plants = base
+      .filter(col("doc_id") % 97L === 0L)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("source"))
+    base
+      .unionByName(plants)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h"),
+        TextFns.urlDomain(TextFns.normalizeUrl(expr(SyntheticUrlSpark))).as("domain"))
+      .groupBy("h")
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("domain")).as("n_domains"))
+      .filter(col("n_domains") >= 2L)
+      .transform(sortSmall(_, "h"))
   }
 
   val PmiMinCount = 5
@@ -3842,6 +3975,8 @@ object PipelineQueries {
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_stored" -> qAnnIvfStored _,
     "q_domain_report" -> qDomainReport _,
+    "q_url_dedup" -> qUrlDedup _,
+    "q_mirror_detect" -> qMirrorDetect _,
     "q_ann_pq" -> qAnnPq _,
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
@@ -4193,11 +4328,9 @@ object PipelineQueries {
          |  GROUP BY doc_id, j),
          |sims AS (
          |  SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+         |  FROM bits GROUP BY doc_id),
+         |${simhashPairCtes("spairs")}
+         |SELECT a_id, b_id, hamming FROM spairs
          |ORDER BY a_id, b_id""".stripMargin
     },
     // routed front-end: at threshold 0.45 < EmbeddingLshCrossover the
@@ -5028,10 +5161,7 @@ object PipelineQueries {
          |sims AS (
          |  SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM bits GROUP BY doc_id),
-         |spairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
+         |${simhashPairCtes("spairs")},
          |${shingleCtes("documents", "")},
          |ngx AS (SELECT doc_id, sz, ${Hashing.duckMd5Long("shingle")} AS h FROM ex),
          |common AS (
@@ -5115,10 +5245,7 @@ object PipelineQueries {
          |sims AS (
          |  SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM bits GROUP BY doc_id),
-         |mpairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
+         |${simhashPairCtes("mpairs")},
          |adj AS (SELECT a_id AS w, b_id AS v FROM mpairs UNION ALL SELECT b_id, a_id FROM mpairs),
          |deg AS (
          |  SELECT w, CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS aa_q
@@ -5479,41 +5606,8 @@ object PipelineQueries {
          |  SELECT doc_id, source, text, md5(text) AS h,
          |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
          |  FROM documents),
-         |u AS (
-         |  SELECT *, concat(
-         |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
-         |    CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 1 THEN 'www.' ELSE '' END,
-         |    CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END,
-         |    '.example.',
-         |    CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END,
-         |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
-         |    '/docs/', CAST(doc_id % 50 AS VARCHAR),
-         |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
-         |    CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&page=', CAST(doc_id % 9 AS VARCHAR))
-         |         WHEN doc_id % 11 = 0 THEN '?gclid=x&page=2' ELSE '' END) AS url
-         |  FROM t),
-         |n1 AS (
-         |  SELECT *,
-         |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-         |  FROM u),
-         |n2 AS (
-         |  SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
-         |         regexp_replace(rest, '^[^/?#]*', '') AS tl
-         |  FROM n1),
-         |n3 AS (
-         |  SELECT *,
-         |         CASE WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
-         |              WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
-         |              ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
-         |         regexp_replace(regexp_extract(tl, '^([^?#]*)', 1), '/+$$', '') AS path,
-         |         regexp_extract(tl, '\\?([^#]*)', 1) AS query
-         |  FROM n2),
-         |n4 AS (
-         |  SELECT *, array_to_string(
-         |           list_filter(string_split(query, '&'),
-         |                       p -> NOT regexp_matches(p, '${TextFns.TrackingParamsRe}')), '&') AS kept
-         |  FROM n3),
+         |u AS (SELECT *, $syntheticUrlDuck AS url FROM t),
+         |$urlNormCtes,
          |n5 AS (
          |  SELECT doc_id, h, toks, text,
          |         regexp_replace(host, ':[0-9]+$$', '') AS domain,
@@ -5539,6 +5633,32 @@ object PipelineQueries {
          |            WHEN (count(*) - count(DISTINCT h)) * 10 >= count(*) THEN 'review'
          |            ELSE 'keep' END AS action
          |FROM m GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_url_dedup" ->
+      s"""WITH t AS (SELECT doc_id, source, text, md5(text) AS h FROM documents),
+         |u AS (SELECT *, $syntheticUrlDuck AS url FROM t),
+         |$urlNormCtes,
+         |n5 AS (
+         |  SELECT doc_id, h,
+         |         concat(scheme, '://', host, path,
+         |                CASE WHEN len(kept) > 0 THEN concat('?', kept) ELSE '' END) AS norm_url
+         |  FROM n4)
+         |SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n_docs,
+         |       count(DISTINCT h) AS n_texts
+         |FROM n5 GROUP BY norm_url HAVING count(*) >= 2
+         |ORDER BY norm_url""".stripMargin,
+    "q_mirror_detect" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, md5(text) AS h FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, source, text, md5(text) AS h
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |u AS (SELECT *, $syntheticUrlDuck AS url FROM t),
+         |$urlNormCtes,
+         |n5 AS (SELECT doc_id, h, regexp_replace(host, ':[0-9]+$$', '') AS domain FROM n4)
+         |SELECT h, min(doc_id) AS keep_id, count(*) AS n_docs,
+         |       count(DISTINCT domain) AS n_domains
+         |FROM n5 GROUP BY h HAVING count(DISTINCT domain) >= 2
+         |ORDER BY h""".stripMargin,
     "q_pmi_terms" ->
       s"""WITH toks AS (
          |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
