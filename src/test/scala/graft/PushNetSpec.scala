@@ -450,9 +450,13 @@ class PushNetSpec extends SparkSpec {
 
   test("auth: a silent dial is dropped at the handshake deadline, counted, and unregistered") {
     val log = freshLog()
+    // 2 s deadline: prompt for the silent socket, but wide enough that
+    // the GOOD subscriber below still auths in time on a loaded box
+    // (its first write races the same clock — 200 ms flaked under the
+    // full parallel suite)
     val srv = PushNet.server(
       log, bindHost = "127.0.0.1",
-      verify = Some(PushNet.tokenVerifier(Tok)), authTimeoutMs = 200L)
+      verify = Some(PushNet.tokenVerifier(Tok)), authTimeoutMs = 2000L)
     // raw socket that authenticates NOTHING: without the deadline this
     // connection would hold a writer thread + conns slot forever
     val silent = new java.net.Socket("127.0.0.1", srv.boundPort)

@@ -35,6 +35,11 @@ again (w~c -> w~c~c2) and the per-(copy, dim) sign flip is orthogonal
 again, so every invariance argument above holds level-by-level.
 
 Usage: python3 tools/gen_sf1.py [/tmp/sf1] [--src DIR] [--copies N]
+                                [--tables a,b,...]
+
+--tables restricts generation to the named tables (e.g.
+`--tables embeddings` for the fifth-decade q_dedup_embed point, where
+replanting the full 17 GB table set would be waste).
 """
 import os
 import sys
@@ -43,6 +48,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
+TABLES = None  # None = all
 
 
 def stride_for(con, table, key):
@@ -56,6 +62,8 @@ def main(dst):
     con.execute(f"CREATE VIEW cp AS SELECT unnest(range(0, {COPIES})) AS c")
 
     def copy_out(name, sql):
+        if TABLES is not None and name not in TABLES:
+            return
         con.sql(f"COPY ({sql}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
@@ -134,5 +142,9 @@ if __name__ == "__main__":
     if "--copies" in args:
         i = args.index("--copies")
         COPIES = int(args[i + 1])
+        del args[i:i + 2]
+    if "--tables" in args:
+        i = args.index("--tables")
+        TABLES = set(args[i + 1].split(","))
         del args[i:i + 2]
     main(args[0] if args else "/tmp/sf1")
