@@ -60,7 +60,7 @@ object Bench {
     "q_ann_recall",
     "q_ann_pq",
     "q_lang_id", "q_text_quality", "q_gopher_rules", "q_token_count", "q_domain_report",
-    "q_url_dedup", "q_mirror_detect",
+    "q_url_dedup", "q_mirror_detect", "q_lang_purity",
     "q_normalize",
     "q_vocab_topk",
     "q_inverted_index", "q_bm25", "q_journeys",

@@ -625,6 +625,49 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Purity evidence floor: docs with fewer marker hits than this are
+    * 'sparse' — too little signal to call pure vs mixed either way. */
+  val PurityMinMarkers = 5L
+
+  /** Mixed-language (code-switching) detection — the CCNet-style
+    * purity gate that [[qLangId]]'s single-label answer hides: per doc,
+    * the four marker counts; with ≥ [[PurityMinMarkers]] total
+    * evidence the doc is 'pure' when the top language holds ≥ 80% of
+    * the marker mass (integer fence `top·5 ≥ total·4` — no float
+    * compare), else 'mixed'; below the floor it is 'sparse'. Reported
+    * per (source, purity) with the within-source share — the "which
+    * feeds ship code-switched text" intake panel. One corpus scan, one
+    * alphabet-sized aggregate, one source-partitioned window. */
+  def qLangPurity(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val marked = docs(s, d)
+      .select(col("source"), expr("graft_tokens(text)").as("t"))
+      .select(
+        col("source"),
+        TextFns.markerCount(col("t"), TextFns.EnMarkers).as("en"),
+        TextFns.markerCount(col("t"), TextFns.DeMarkers).as("de"),
+        TextFns.markerCount(col("t"), TextFns.FrMarkers).as("fr"),
+        TextFns.markerCount(col("t"), TextFns.EsMarkers).as("es"))
+      .select(
+        col("source"),
+        greatest(col("en"), col("de"), col("fr"), col("es")).as("top"),
+        (col("en") + col("de") + col("fr") + col("es")).as("tot"))
+      .select(
+        col("source"),
+        when(col("tot") < lit(PurityMinMarkers), lit("sparse"))
+          .when(col("top") * 5L >= col("tot") * 4L, lit("pure"))
+          .otherwise(lit("mixed"))
+          .as("purity"))
+    val w = Window.partitionBy("source")
+    marked
+      .groupBy("source", "purity")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "share",
+        round(col("n_docs").cast("double") / sum("n_docs").over(w).cast("double"), 6))
+      .transform(sortSmall(_, "source", "purity"))
+  }
+
   def qTextQuality(s: SparkSession, d: String): DataFrame = {
     Tokens.register(s)
     docs(s, d)
@@ -3977,6 +4020,7 @@ object PipelineQueries {
     "q_domain_report" -> qDomainReport _,
     "q_url_dedup" -> qUrlDedup _,
     "q_mirror_detect" -> qMirrorDetect _,
+    "q_lang_purity" -> qLangPurity _,
     "q_ann_pq" -> qAnnPq _,
     "q_lang_id" -> qLangId _,
     "q_text_quality" -> qTextQuality _,
@@ -5646,6 +5690,28 @@ object PipelineQueries {
          |       count(DISTINCT h) AS n_texts
          |FROM n5 GROUP BY norm_url HAVING count(*) >= 2
          |ORDER BY norm_url""".stripMargin,
+    "q_lang_purity" ->
+      s"""WITH t AS (
+         |  SELECT source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT source,
+         |         len(list_filter(toks, x -> list_contains([$enL], x))) AS en,
+         |         len(list_filter(toks, x -> list_contains([$deL], x))) AS de,
+         |         len(list_filter(toks, x -> list_contains([$frL], x))) AS fr,
+         |         len(list_filter(toks, x -> list_contains([$esL], x))) AS es
+         |  FROM t),
+         |c AS (SELECT source, greatest(en, de, fr, es) AS top, en + de + fr + es AS tot FROM m),
+         |p AS (
+         |  SELECT source,
+         |         CASE WHEN tot < $PurityMinMarkers THEN 'sparse'
+         |              WHEN top * 5 >= tot * 4 THEN 'pure'
+         |              ELSE 'mixed' END AS purity
+         |  FROM c),
+         |g AS (SELECT source, purity, count(*) AS n_docs FROM p GROUP BY 1, 2)
+         |SELECT source, purity, n_docs,
+         |       round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6) AS share
+         |FROM g ORDER BY source, purity""".stripMargin,
     "q_mirror_detect" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, text, md5(text) AS h FROM documents

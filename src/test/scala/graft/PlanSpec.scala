@@ -114,6 +114,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"))
   }
 
+  test("q_ann_ivf_stored: the lists scan partition-prunes to the probed cells") {
+    val p = plan("q_ann_ivf_stored")
+    assert(p.contains("PartitionFilters: [cent_id"),
+      "stored-lists scan must carry the literal probed-cell partition filter")
+    assert(p.contains("graft_ivf_"), "expected the persisted index path, not the corpus")
+  }
+
   test("q_tfidf_terms per-doc top-k gets WindowGroupLimit; tf⋈df join is shuffle-hash") {
     val p = plan("q_tfidf_terms")
     assert(p.contains("WindowGroupLimit"))
