@@ -53,7 +53,7 @@ object Bench {
     "q_customer_lifespan", "q_elasticity", "q_attribution_decay",
     "q_attribution_markov", "q_attribution_shapley",
     "q_cluster_sizes", "q_seasonal_strength",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dup_rate_by_source",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dedup_simhash_wide", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_embed_hi", "q_dedup_keep_best", "q_quality_shrunk",
     "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_ann_ivf_stored",
     "q_hard_negatives",
@@ -95,7 +95,7 @@ object Bench {
     "q_tukey_pairs", "q_levene", "q_mk_seasonal", "q_logrank", "q_dup_modularity",
     "q_fdr_bh", "q_granger", "q_uplift_ipw",
     "q_ewma_chart", "q_jonckheere", "q_friedman", "q_did", "q_croston",
-    "q_ccnet_buckets", "q_contam_overlap", "q_ivf_balance", "q_common_neighbors",
+    "q_ccnet_buckets", "q_contam_overlap", "q_ivf_balance", "q_common_neighbors", "q_common_neighbors_wide",
     "q_jl_project", "q_simhash_eval",
     "q_pipeline_e2e")
 

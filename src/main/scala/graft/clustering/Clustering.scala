@@ -314,10 +314,14 @@ object Clustering {
     // folds) instead of a fixed 2³¹ — collision-free at any depth, with
     // the total bit budget checked rather than assumed.
     val ext = fine.agg(max(col("j")).as("mj"), max(col("cell")).as("mc")).head()
+    // empty input: max() aggregates to NULL — any width packs an empty
+    // assignment, so fall back rather than NPE on getLong
     val jBits =
-      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(ext.getLong(0) | 1L))
+      if (ext.isNullAt(0)) 1
+      else math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(ext.getLong(0) | 1L))
     require(
-      java.lang.Long.numberOfLeadingZeros(ext.getLong(1) | 1L) > jBits,
+      ext.isNullAt(1) ||
+        java.lang.Long.numberOfLeadingZeros(ext.getLong(1) | 1L) > jBits,
       s"packed cluster id overflow: cell ${ext.getLong(1)} << $jBits bits")
     assignFine(fine)
       .select(

@@ -458,13 +458,125 @@ object Dedup {
       id: String,
       tokArr: String,
       bits: Int): DataFrame =
-    toks.select(
-      col(id),
-      ColumnBridge
-        .column(
-          graft.functions.expressions
-            .SimhashTokens(ColumnBridge.expression(col(tokArr)), bits))
-        .as("simhash"))
+    // zero-token docs are dropped HERE so every consumer matches the
+    // explode formulation (where an empty array contributes no rows and
+    // the doc never reaches the groupBy) — without this a whitespace-only
+    // doc gets signature 0 and band-pairs with every other empty doc
+    toks
+      .filter(size(col(tokArr)) > 0)
+      .select(
+        col(id),
+        ColumnBridge
+          .column(
+            graft.functions.expressions
+              .SimhashTokens(ColumnBridge.expression(col(tokArr)), bits))
+          .as("simhash"))
+
+  /** 120-bit signatures `(id, sim_lo, sim_hi)` straight off token
+    * ARRAYS — the wide sibling of [[simhashSignaturesFromTokens]] for
+    * corpora past 60-bit band-space saturation (≥10⁷ docs at radius 6:
+    * narrow bands have ≤2⁹ buckets and candidates grow ~n²/2816; wide
+    * bands have 2¹⁵–2²⁰). One codegen'd fold, ONE md5 per token for
+    * both halves; `sim_lo` is bit-identical to the narrow bits = 60
+    * signature. Zero-token docs are dropped (explode semantics), as in
+    * the narrow path. */
+  def simhashSignaturesWide(
+      toks: DataFrame,
+      id: String,
+      tokArr: String): DataFrame = {
+    val sig = ColumnBridge.column(
+      graft.functions.expressions
+        .SimhashTokensWide(ColumnBridge.expression(col(tokArr))))
+    toks
+      .filter(size(col(tokArr)) > 0)
+      .select(col(id), sig.as("sig2"))
+      .select(
+        col(id),
+        element_at(col("sig2"), 1).as("sim_lo"),
+        element_at(col("sig2"), 2).as("sim_hi"))
+  }
+
+  /** Word-aligned pigeonhole band table for the 120-bit fingerprint:
+    * `maxHamming + 1` bands, each band's bits drawn from a SINGLE
+    * 60-bit half (`(band_id, hiWord, offset, len)`) so both engines
+    * extract bands with one shift+mask and no cross-word stitching.
+    * The low word takes the extra band when the count is odd — at the
+    * default radius 6 that is 4 bands × 15 bits over `sim_lo` + 3 bands
+    * × 20 bits over `sim_hi`. Exactness needs only ≥ maxHamming + 1
+    * disjoint bands (pigeonhole), which word-aligned splitting
+    * preserves. */
+  def wideBandLayout(maxHamming: Int): Seq[(Int, Boolean, Int, Int)] = {
+    val nBands = maxHamming + 1
+    require(nBands >= 1 && nBands <= 120, s"radius $maxHamming out of range")
+    val nLo = math.min(60, (nBands + 1) / 2)
+    val nHi = nBands - nLo
+    require(nHi <= 60, s"radius $maxHamming needs more than 120 disjoint bands")
+    def split(hiWord: Boolean, n: Int): Seq[(Boolean, Int, Int)] =
+      if (n == 0) Nil
+      else {
+        val base = 60 / n
+        val extra = 60 % n
+        val offs = (0 until n).scanLeft(0) { (o, j) =>
+          o + base + (if (j < extra) 1 else 0)
+        }
+        (0 until n).map(j => (hiWord, offs(j), base + (if (j < extra) 1 else 0)))
+      }
+    (split(hiWord = false, nLo) ++ split(hiWord = true, nHi)).zipWithIndex
+      .map { case ((w, o, l), i) => (i, w, o, l) }
+  }
+
+  /** [[simhashPairs]] over the 120-bit fingerprint: same shape (band
+    * explode → shuffle_hash self-join → exact hamming verify), with
+    * hamming summed across the two words and bands from
+    * [[wideBandLayout]]. Same output contract `(a_id, b_id, hamming)`,
+    * `a_id < b_id`. */
+  def simhashPairsWide(
+      simhashes: DataFrame,
+      id: String = "doc_id",
+      maxHamming: Int = 6): DataFrame = {
+    val bands = wideBandLayout(maxHamming).map { case (bid, hiWord, off, len) =>
+      val word = if (hiWord) col("sim_hi") else col("sim_lo")
+      struct(
+        lit(bid).as("band_id"),
+        shiftright(word, off)
+          .bitwiseAND(lit((1L << len) - 1))
+          .as("band_bits"))
+    }
+    val banded = simhashes
+      .select(
+        col(id),
+        col("sim_lo"),
+        col("sim_hi"),
+        explode(array(bands: _*)).as("b"))
+      .select(
+        col(id),
+        col("sim_lo"),
+        col("sim_hi"),
+        col("b.band_id"),
+        col("b.band_bits"))
+      .transform(Materialize.cut)
+      .hint("shuffle_hash")
+    banded
+      .as("x")
+      .join(
+        banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(
+        col(s"x.$id").as("a_id"),
+        col("x.sim_lo").as("a_lo"),
+        col("x.sim_hi").as("a_hi"),
+        col(s"y.$id").as("b_id"),
+        col("y.sim_lo").as("b_lo"),
+        col("y.sim_hi").as("b_hi"))
+      .distinct()
+      .withColumn(
+        "hamming",
+        expr("CAST(bit_count(a_lo ^ b_lo) + bit_count(a_hi ^ b_hi) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
 
   /** SimHash near-dup: pairs within `maxHamming`. Candidates come from
     * `maxHamming + 1` disjoint bit-bands — by pigeonhole any pair within

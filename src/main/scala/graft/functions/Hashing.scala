@@ -31,6 +31,29 @@ object Hashing {
   def md5Long2(c: Column): Column =
     conv(substring(md5(c), 17, 10), 16, 10).cast("long")
 
+  /** The UPPER 60-bit half of the md5 digest (hex chars 17–31) — an
+    * independent sibling of [[md5Long]] from the SAME digest, so a
+    * 120-bit fingerprint (wide simhash) costs exactly one md5 per
+    * token in both engines. Same non-negative-int64 convention. */
+  def md5LongHi(c: Column): Column =
+    conv(substring(md5(c), 17, 15), 16, 10).cast("long")
+
+  /** JVM-side twin of [[md5LongHi]]: hex chars 17–31 are digest bytes
+    * 8..15 big-endian shifted right a nibble (the exact mirror of
+    * [[md5LongJvm]] on the first 8 bytes). Parity with the Column path
+    * is spec-asserted. */
+  def md5LongHiJvm(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val be =
+      ((d(8) & 0xffL) << 56) | ((d(9) & 0xffL) << 48) |
+        ((d(10) & 0xffL) << 40) | ((d(11) & 0xffL) << 32) |
+        ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+        ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+    be >>> 4
+  }
+
   private val md5Local =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
@@ -59,6 +82,27 @@ object Hashing {
     be >>> 4
   }
 
+  /** Both 60-bit halves ([[md5LongJvm]], [[md5LongHiJvm]]) from ONE
+    * digest, written into `out(0)` / `out(1)` — the hot-path entry for
+    * 120-bit folds (one md5 per token, no tuple allocation). */
+  def md5LongPairJvm(bytes: Array[Byte], out: Array[Long]): Unit = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val lo =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    val hi =
+      ((d(8) & 0xffL) << 56) | ((d(9) & 0xffL) << 48) |
+        ((d(10) & 0xffL) << 40) | ((d(11) & 0xffL) << 32) |
+        ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+        ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+    out(0) = lo >>> 4
+    out(1) = hi >>> 4
+  }
+
   /** DuckDB SQL fragment equivalent to [[md5Long]], for oracle authors. */
   def duckMd5Long(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
@@ -69,4 +113,8 @@ object Hashing {
   /** DuckDB SQL fragment equivalent to [[md5Long2]]. */
   def duckMd5Long2(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 17, 10)) AS BIGINT)"
+
+  /** DuckDB SQL fragment equivalent to [[md5LongHi]]. */
+  def duckMd5LongHi(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 17, 15)) AS BIGINT)"
 }

@@ -54,24 +54,32 @@ case class SimhashTokens(child: Expression, bits: Int) extends UnaryExpression {
 
 object SimhashTokens {
 
-  /** Flat one-pass fold; called from generated code, once per row. */
+  /** Flat one-pass fold; called from generated code, once per row.
+    * Null elements are ignored entirely (not hashed, not counted in the
+    * majority threshold) — `graft_tokens` output is null-free, but the
+    * expression is publicly constructible over any `array<string>` and
+    * must not NPE on `containsNull = true` inputs. */
   def compute(toks: ArrayData, bits: Int): Long = {
     val n = toks.numElements()
     val ones = new Array[Int](bits)
+    var m = 0
     var i = 0
     while (i < n) {
-      val h = Hashing.md5LongJvm(toks.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < bits) {
-        ones(j) += ((h >>> j) & 1L).toInt
-        j += 1
+      if (!toks.isNullAt(i)) {
+        m += 1
+        val h = Hashing.md5LongJvm(toks.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < bits) {
+          ones(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
       }
       i += 1
     }
     var sig = 0L
     var j = 0
     while (j < bits) {
-      if (2L * ones(j) > n) sig |= (1L << j)
+      if (2L * ones(j) > m) sig |= (1L << j)
       j += 1
     }
     sig

@@ -64,6 +64,10 @@ object PushNet {
   // talk to an open server), and a hook-less line protocol stays
   // exactly the pre-auth wire format.
   private[log] val CtlAuthPrefix = "#auth "
+
+  /** Hard cap on the handshake line: an unauthenticated peer may hold at
+    * most this many bytes of server memory before being dropped. */
+  private[log] val MaxAuthLineBytes = 64 * 1024
   private[log] def ctlAuth(token: String): String =
     CtlAuthPrefix + java.net.URLEncoder.encode(token, "UTF-8")
 
@@ -331,17 +335,45 @@ final class PushServer private[log] (
     // failures alone detect a dead peer only on the SECOND batch.
     private val clientReader = new Thread(() => {
       try {
-        val in = new BufferedReader(
-          new InputStreamReader(socket.getInputStream, UTF_8))
-        var line =
-          try in.readLine()
-          catch {
-            // handshake deadline expired with nothing sent: a refused
-            // dial like any other — counted, then dropped below
-            case _: java.net.SocketTimeoutException =>
-              if (verify.isDefined) rejected.incrementAndGet()
-              null
+        val raw = socket.getInputStream
+        // Handshake: with a hook configured the FIRST line is read
+        // byte-wise under an ABSOLUTE deadline. SO_TIMEOUT alone is
+        // per-READ — a slow-loris dial trickling one byte per window
+        // resets it forever — so the remaining budget is recomputed
+        // before every byte and the total unauthenticated lifetime is
+        // bounded by authTimeoutMs regardless of trickle pace. Returns
+        // null on clean EOF (silent hangup: closed, not counted);
+        // throws SocketTimeoutException on deadline or an absurdly long
+        // line (counted as a rejection below).
+        def readAuthLine(): String = {
+          val deadline =
+            System.nanoTime() + math.max(1L, authTimeoutMs) * 1000000L
+          val buf = new java.io.ByteArrayOutputStream(64)
+          var b = 0
+          while (b != -1) {
+            val remainMs = (deadline - System.nanoTime()) / 1000000L
+            if (remainMs <= 0 || buf.size > PushNet.MaxAuthLineBytes)
+              throw new java.net.SocketTimeoutException("handshake deadline")
+            socket.setSoTimeout(math.min(remainMs, Int.MaxValue.toLong).toInt)
+            b = raw.read()
+            if (b == '\n')
+              return new String(buf.toByteArray, UTF_8).stripSuffix("\r")
+            if (b != -1) buf.write(b)
           }
+          null
+        }
+        val in = new BufferedReader(new InputStreamReader(raw, UTF_8))
+        var line =
+          if (verify.isEmpty) in.readLine()
+          else
+            try readAuthLine()
+            catch {
+              // handshake deadline expired (silence OR trickle): a
+              // refused dial like any other — counted, then dropped
+              case _: java.net.SocketTimeoutException =>
+                rejected.incrementAndGet()
+                null
+            }
         // auth-required: the FIRST line must be an accepted #auth —
         // anything else (wrong token, a #mux/#sub from an unauthed
         // client, garbage, a token whose percent-encoding won't decode)

@@ -159,6 +159,74 @@ object PipelineQueries {
       .transform(sortSmall(_, "a_id", "b_id"))
   }
 
+  /** Wide-band simhash band table for the DuckDB oracles, derived from
+    * the IDENTICAL [[Dedup.wideBandLayout]] — `(band_id, is_hi, off,
+    * msk)`. */
+  private def simhashWideBandVals: String =
+    Dedup
+      .wideBandLayout(SimhashMaxHamming)
+      .map { case (bid, hiWord, off, len) =>
+        s"($bid, ${if (hiWord) 1 else 0}, $off, ${(1L << len) - 1})"
+      }
+      .mkString(", ")
+
+  /** 120-bit signature CTEs (`wsims(doc_id, sim_lo, sim_hi)`) — both
+    * 60-bit halves replayed off ONE md5 per token, like the Spark-side
+    * [[graft.functions.expressions.SimhashTokensWide]] fold. */
+  private def simhashWideSimsCtes: String = {
+    val hl = Hashing.duckMd5Long("tok")
+    val hh = Hashing.duckMd5LongHi("tok")
+    s"""wtoksx AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+       |  FROM documents),
+       |whx AS (SELECT doc_id, $hl AS hl, $hh AS hh FROM wtoksx),
+       |wbits AS (
+       |  SELECT doc_id, j,
+       |         SUM(CASE WHEN (hl >> j) & 1 = 1 THEN 1 ELSE -1 END) AS wl,
+       |         SUM(CASE WHEN (hh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS wh
+       |  FROM whx CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+       |  GROUP BY doc_id, j),
+       |wsims AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN wl > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim_lo,
+       |         CAST(SUM(CASE WHEN wh > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim_hi
+       |  FROM wbits GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Banded 120-bit pair CTEs over `wsims`: the exact ≤ maxHamming pair
+    * relation via the word-aligned pigeonhole band join — the wide twin
+    * of [[simhashPairCtes]]. */
+  private def simhashWidePairCtes(name: String): String =
+    s"""swbands AS (
+       |  SELECT doc_id, sim_lo, sim_hi, band_id,
+       |         ((CASE WHEN is_hi = 1 THEN sim_hi ELSE sim_lo END) >> off) & msk AS band_bits
+       |  FROM wsims CROSS JOIN (VALUES $simhashWideBandVals) AS bnd(band_id, is_hi, off, msk)),
+       |$name AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+       |  FROM swbands a JOIN swbands b
+       |    ON a.band_id = b.band_id AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= $SimhashMaxHamming)""".stripMargin
+
+  /** [[qDedupSimhash]] on the 120-bit fingerprint — the DEFAULT pair
+    * path at corpus scale: radius-6 over 120 bits keeps band buckets
+    * 2¹⁵–2²⁰ wide where the 60-bit bands saturate (≤2⁹ buckets) past
+    * ~10⁵ docs and candidates grow ~n²/2816. Same query shape — one
+    * codegen'd signature fold (no extra md5: both halves ride one
+    * digest), band explode, shuffle_hash self-join, exact hamming
+    * verify summed over the two words. The 60-bit key stays available
+    * for oracle-pinned legacy consumers. */
+  def qDedupSimhashWide(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val toks = docs(s, d)
+      .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
+    Dedup
+      .simhashPairsWide(
+        Dedup.simhashSignaturesWide(toks, "doc_id", "tk"),
+        maxHamming = SimhashMaxHamming)
+      .transform(sortSmall(_, "a_id", "b_id"))
+  }
+
   /** Embeddings with per-vector norm precomputed once. */
   private def normedEmbs(s: SparkSession, dir: String): DataFrame =
     Ann.withNorm(
@@ -542,18 +610,32 @@ object PipelineQueries {
        |QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  // one index build per (process, dataset): the serving shape builds
+  // ONCE and probes many times, so repeated calls (bench passes) must
+  // time the probe, not a rebuild. computeIfAbsent blocks a concurrent
+  // second builder; the process-unique token (pid@host) keeps two
+  // processes benching the same dataset from clobbering each other's
+  // overwrite-mode writes under the shared java.io.tmpdir.
+  private val ivfStoredBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val ivfRunToken =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "")
+
   /** IVF ANN against a PERSISTED index — the serving shape at 100 TB:
     * [[Ann.ivfBuild]] writes the quantizer + cell-partitioned lists to
-    * parquet ONCE; [[Ann.ivfProbe]] then plans against the stored index
-    * with no re-training and a scan pruned to the probed cells' files
-    * (a literal cell-id filter from a control-plane collect). Same
-    * quantizer + assignment rule as [[qAnnIvf]] → identical results,
-    * checked by the identical oracle. */
+    * parquet ONCE PER PROCESS+DATASET (first call builds, later calls
+    * reuse the stored index); [[Ann.ivfProbe]] then plans against the
+    * stored index with no re-training and a scan pruned to the probed
+    * cells' files (a literal cell-id filter from a control-plane
+    * collect). Same quantizer + assignment rule as [[qAnnIvf]] →
+    * identical results, checked by the identical oracle. */
   def qAnnIvfStored(s: SparkSession, d: String): DataFrame = {
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_${Hashing.md5LongJvm(d)}").getAbsolutePath
-    Ann.ivfBuild(corpusSide(s, d), ivfCents(s, d), path)
+      s"graft_ivf_${ivfRunToken}_${Hashing.md5LongJvm(d)}").getAbsolutePath
+    ivfStoredBuilt.computeIfAbsent(
+      path,
+      p => { Ann.ivfBuild(corpusSide(s, d), ivfCents(s, d), p); p })
     Ann
       .ivfProbe(s, path, querySide(s, d), k = 5, nProbe = IvfProbes)
       .transform(sortSmall(_, "query_id", "rank"))
@@ -1257,6 +1339,31 @@ object PipelineQueries {
         maxHamming = SimhashMaxHamming)
       .select("a_id", "b_id")
       .transform(graft.operators.Materialize.cut(_))
+    commonNeighborsOver(pairs)
+  }
+
+  /** [[qGraphCommonNeighbors]] on the 120-bit near-dup graph — the
+    * scale default: the pair TABLE this query rides is the superlinear
+    * input at 60 bits (band saturation past ~10⁵ docs), so the wide
+    * fingerprint fixes the upstream geometry rather than the (already
+    * sound) wedge + anti-join plan. */
+  def qGraphCommonNeighborsWide(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val toks = docs(s, d)
+      .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
+    val pairs = Dedup
+      .simhashPairsWide(
+        Dedup.simhashSignaturesWide(toks, "doc_id", "tk"),
+        maxHamming = SimhashMaxHamming)
+      .select("a_id", "b_id")
+      .transform(graft.operators.Materialize.cut(_))
+    commonNeighborsOver(pairs)
+  }
+
+  /** The shared wedge + anti-join + Adamic–Adar rank over a materialized
+    * `(a_id, b_id)` edge table (extracted so the 60-bit and 120-bit
+    * graphs run the IDENTICAL downstream plan). */
+  private def commonNeighborsOver(pairs: DataFrame): DataFrame = {
     val adj = pairs
       .select(col("a_id").as("w"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("w"), col("a_id").as("v")))
@@ -4006,6 +4113,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dup_degree" -> qDupDegree _,
     "q_dedup_simhash" -> qDedupSimhash _,
+    "q_dedup_simhash_wide" -> qDedupSimhashWide _,
     "q_dedup_embed" -> qDedupEmbed _,
     "q_dedup_embed_hi" -> qDedupEmbedHi _,
     "q_dedup_clusters" -> qDedupClusters _,
@@ -4055,6 +4163,7 @@ object PipelineQueries {
     "q_contam_overlap" -> qContamOverlap _,
     "q_ivf_balance" -> qIvfBalance _,
     "q_common_neighbors" -> qGraphCommonNeighbors _,
+    "q_common_neighbors_wide" -> qGraphCommonNeighborsWide _,
     "q_jl_project" -> qJlProject _,
     "q_simhash_eval" -> qSimhashEval _,
     "q_bm25" -> qBm25 _,
@@ -4377,6 +4486,11 @@ object PipelineQueries {
          |SELECT a_id, b_id, hamming FROM spairs
          |ORDER BY a_id, b_id""".stripMargin
     },
+    "q_dedup_simhash_wide" ->
+      s"""WITH $simhashWideSimsCtes,
+         |${simhashWidePairCtes("wspairs")}
+         |SELECT a_id, b_id, hamming FROM wspairs
+         |ORDER BY a_id, b_id""".stripMargin,
     // routed front-end: at threshold 0.45 < EmbeddingLshCrossover the
     // dispatcher takes the k-means co-cluster route, and at the sf0.01
     // oracle scale kmeansAssignAuto resolves k = KmeansK — so the oracle
@@ -5307,6 +5421,25 @@ object PipelineQueries {
          |SELECT a_id, b_id, common, CAST(aa_sum AS DOUBLE) / 1000000.0 AS adamic_adar
          |FROM agg ORDER BY common DESC, aa_sum DESC, a_id, b_id LIMIT 20""".stripMargin
     },
+    "q_common_neighbors_wide" ->
+      s"""WITH $simhashWideSimsCtes,
+         |${simhashWidePairCtes("wmpairs")},
+         |adj AS (SELECT a_id AS w, b_id AS v FROM wmpairs UNION ALL SELECT b_id, a_id FROM wmpairs),
+         |deg AS (
+         |  SELECT w, CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS aa_q
+         |  FROM adj GROUP BY w HAVING count(*) >= 2),
+         |wedges AS (
+         |  SELECT x.v AS a_id, y.v AS b_id, x.w
+         |  FROM adj x JOIN adj y ON x.w = y.w AND x.v < y.v),
+         |nonedges AS (
+         |  SELECT wd.a_id, wd.b_id, wd.w
+         |  FROM wedges wd LEFT JOIN wmpairs p ON p.a_id = wd.a_id AND p.b_id = wd.b_id
+         |  WHERE p.a_id IS NULL),
+         |agg AS (
+         |  SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS common, CAST(sum(aa_q) AS BIGINT) AS aa_sum
+         |  FROM nonedges JOIN deg USING (w) GROUP BY 1, 2)
+         |SELECT a_id, b_id, common, CAST(aa_sum AS DOUBLE) / 1000000.0 AS adamic_adar
+         |FROM agg ORDER BY common DESC, aa_sum DESC, a_id, b_id LIMIT 20""".stripMargin,
     // BM25 with the Lucene idf; the per-doc total is a fixed-association
     // sum over one CASE slot per literal query term (no
     // order-nondeterministic double sum)

@@ -130,6 +130,19 @@ class ClusteringSpec extends SparkSpec {
       "join strategy must not change the assignment")
   }
 
+  test("two-level quantizer rejects an EMPTY input with the contract error, not an NPE") {
+    // an empty corpus is rejected by kmeansAssign's require BEFORE the
+    // jBits packing reads max(j)/max(cell) off the fine table — the
+    // failure mode must stay the documented contract error, never a
+    // driver NPE off the all-NULL aggregate row (which is additionally
+    // null-guarded in the packing itself)
+    val empty = embs.filter(col("vec_id") < 0).localCheckpoint()
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansAssignTwoLevel(empty, targetClusterSize = 10, iters = 1)
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
+  }
+
   test("Lloyd rounds monotonically improve the mean assigned cosine") {
     // the corpus vectors are unit-norm, so mean-update k-means is
     // spherical k-means: each assignment and each centroid step cannot

@@ -66,9 +66,98 @@ class DedupAnnApiSpec extends SparkSpec {
       col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
     val viaExpr = Dedup.simhashSignaturesFromTokens(arr, "doc_id", "tk", bits = 60)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // the aggregate path drops zero-token docs (explode); compare on its keys
+    // the aggregate path drops zero-token docs (explode); the array path
+    // filters them too, so the keysets — not just the values — agree
     assert(viaAgg.nonEmpty)
+    assert(viaExpr.keySet == viaAgg.keySet)
     assert(viaAgg.forall { case (k, v) => viaExpr.get(k).contains(v) })
+  }
+
+  test("simhashSignaturesFromTokens drops zero-token docs like the explode path") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("a", "b", "a"))).toDF("doc_id", "tk")
+    val sigs = Dedup.simhashSignaturesFromTokens(df, "doc_id", "tk", bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 2 never reaches band pairing (an empty doc must not band-match
+    // every other empty doc via signature 0)
+    assert(sigs.keySet == Set(1L, 3L))
+    assert(sigs(1L) == sigs(3L))
+  }
+
+  test("wide simhash: sim_lo is bit-identical to the 60-bit signature; JVM/Column hash halves agree") {
+    val arr = docs.select(
+      col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
+    val narrow = Dedup.simhashSignaturesFromTokens(arr, "doc_id", "tk", bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = Dedup.simhashSignaturesWide(arr, "doc_id", "tk")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wide.keySet == narrow.keySet)
+    assert(narrow.forall { case (k, lo) => wide(k)._1 == lo },
+      "the low word must equal the narrow 60-bit signature")
+    assert(wide.values.exists(_._2 != 0L), "the high word must carry real bits")
+    // JVM twin of the Column-side upper half (the md5LongHi seam the
+    // DuckDB oracle replays)
+    val probe = docs.select(
+      col("text"),
+      graft.functions.Hashing.md5LongHi(col("text")).as("h")).limit(64).collect()
+    probe.foreach { r =>
+      val bytes = r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(graft.functions.Hashing.md5LongHiJvm(bytes) == r.getLong(1))
+      val pair = new Array[Long](2)
+      graft.functions.Hashing.md5LongPairJvm(bytes, pair)
+      assert(pair(0) == graft.functions.Hashing.md5LongJvm(bytes))
+      assert(pair(1) == r.getLong(1))
+    }
+  }
+
+  test("wide simhash pairs are a subset of narrow pairs at the same radius (stricter fingerprint)") {
+    val arr = docs.select(
+      col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
+    val narrow = Dedup
+      .simhashPairs(
+        Dedup.simhashSignaturesFromTokens(arr, "doc_id", "tk", bits = 60),
+        bits = 60, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wide = Dedup
+      .simhashPairsWide(Dedup.simhashSignaturesWide(arr, "doc_id", "tk"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // hamming_lo ≤ hamming_lo + hamming_hi ≤ 6, and sim_lo ≡ the narrow
+    // signature — so every wide pair is a narrow pair with ≤ its hamming
+    assert(wide.nonEmpty)
+    assert(wide.forall { case (k, h) => narrow.get(k).exists(_ <= h) })
+    // exact duplicates survive the stricter fingerprint at hamming 0
+    assert(wide.values.exists(_ == 0L))
+  }
+
+  test("wideBandLayout: maxHamming+1 disjoint word-aligned bands covering all 120 bits") {
+    for (mh <- Seq(0, 3, 6, 11)) {
+      val bands = Dedup.wideBandLayout(mh)
+      assert(bands.size == mh + 1)
+      for (hiWord <- Seq(false, true)) {
+        val covered = bands.filter(_._2 == hiWord)
+          .flatMap { case (_, _, off, len) => off until (off + len) }
+        val expected =
+          if (bands.exists(_._2 == hiWord)) (0 until 60).toSeq else Seq.empty
+        assert(covered.sorted == expected, s"mh=$mh hi=$hiWord")
+        assert(covered.distinct.size == covered.size)
+      }
+    }
+  }
+
+  test("SimhashTokens ignores null array elements instead of NPEing") {
+    import spark.implicits._
+    val clean = Seq((1L, Seq("a", "b", "a"))).toDF("doc_id", "tk")
+    val dirty = clean.withColumn(
+      "tk", expr("transform(array('a', NULL, 'b', NULL, 'a'), x -> x)"))
+    val a = Dedup.simhashSignaturesFromTokens(clean, "doc_id", "tk", bits = 60)
+      .head().getLong(1)
+    val b = Dedup.simhashSignaturesFromTokens(dirty, "doc_id", "tk", bits = 60)
+      .head().getLong(1)
+    // nulls are neither hashed nor counted in the majority threshold
+    assert(a == b)
   }
 
   test("persisted IVF: build once probes identically twice; append routes through the STORED quantizer") {

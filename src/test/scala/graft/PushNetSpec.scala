@@ -477,6 +477,41 @@ class PushNetSpec extends SparkSpec {
     } finally { silent.close(); srv.close() }
   }
 
+  test("auth: a slow-loris trickle cannot outlive the absolute handshake deadline") {
+    val log = freshLog()
+    val srv = PushNet.server(
+      log, bindHost = "127.0.0.1",
+      verify = Some(PushNet.tokenVerifier(Tok)), authTimeoutMs = 600L)
+    // one byte every 100 ms, never a newline: each byte resets a
+    // per-read SO_TIMEOUT, so only an ABSOLUTE deadline drops this dial
+    val loris = new java.net.Socket("127.0.0.1", srv.boundPort)
+    try {
+      val out = loris.getOutputStream
+      val stop = System.currentTimeMillis() + 3000L
+      var dropped = false
+      while (!dropped && System.currentTimeMillis() < stop) {
+        try { out.write('x'); out.flush() }
+        catch { case _: java.io.IOException => dropped = true }
+        Thread.sleep(100L)
+      }
+      awaitUntil()(srv.rejectedCount == 1L)
+      awaitUntil()(srv.connectionCount == 0)
+      // a kernel buffer can absorb writes after the server closed, so
+      // the rejected/conn counters above are the real assertion; the
+      // server must still serve authenticated peers afterwards
+      val got = mutable.Buffer.empty[SegmentStatus]
+      val sub = PushNet.connect(
+        "127.0.0.1", srv.boundPort, tokenFunc = Some(() => Tok)) { st =>
+        got.synchronized { got += st; () }
+      }
+      try {
+        assert(sub.awaitReady())
+        log.produce("s0", "seg0", records(1, 3), 1000L)
+        awaitUntil()(got.synchronized(got.size) == 1)
+      } finally sub.close()
+    } finally { loris.close(); srv.close() }
+  }
+
   test("auth: a malformed percent-encoded token is refused AND counted") {
     val log = freshLog()
     val srv = PushNet.server(
