@@ -177,11 +177,20 @@ object Bench {
     // evidence — the query metrics scale with the SF dirs, but the store
     // fixtures are generated, so without the 1M twin every store number
     // is a single point and says nothing about how produce/compact grow.
+    // The 10M-row decade is OPT-IN (SPARK_GRAFT_STORE_10M=1): it is the
+    // store tier's scaling evidence, not a per-round regression row —
+    // best-of-3 at 10M rows would dominate the round bench's wall time.
+    val store10m = sys.env.contains("SPARK_GRAFT_STORE_10M")
     val storeNames = Seq(
       "store_produce_100k", "store_consume_segment", "store_consume_space",
       "store_peek_hot", "store_compact_100k",
       "store_produce_1m", "store_consume_segment_1m", "store_consume_space_1m",
-      "store_compact_1m")
+      "store_compact_1m") ++
+      (if (store10m)
+        Seq(
+          "store_produce_10m", "store_consume_segment_10m",
+          "store_consume_space_10m", "store_compact_10m")
+      else Seq.empty)
     val storeTimes = Array.fill(storeNames.size)(Double.MaxValue)
     val storeGcMs = Array.fill(storeNames.size)(0L)
     val storeCpuMs = Array.fill(storeNames.size)(0L)
@@ -239,7 +248,7 @@ object Bench {
       timeStore(4) { log.compact("bench") }
       rmTree(dir)
     }
-    for (_ <- 1 to passes; if storeNames.drop(5).exists(keep)) {
+    for (_ <- 1 to passes; if storeNames.slice(5, 9).exists(keep)) {
       val dir = java.nio.file.Files.createTempDirectory("graft-bench-log1m").toString
       val log = new graft.log.EventLog(spark, dir)
       timeStore(5) { log.produce("bench", "seg0", storeRecords(1000000), 1000000L) }
@@ -250,6 +259,19 @@ object Bench {
         log.consumeSpace("bench").write.format("noop").mode("overwrite").save()
       }
       timeStore(8) { log.compact("bench") }
+      rmTree(dir)
+    }
+    for (_ <- 1 to passes; if store10m && storeNames.drop(9).exists(keep)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-log10m").toString
+      val log = new graft.log.EventLog(spark, dir)
+      timeStore(9) { log.produce("bench", "seg0", storeRecords(10000000), 1000000L) }
+      timeStore(10) {
+        log.consumeSegment("bench", "seg0").write.format("noop").mode("overwrite").save()
+      }
+      timeStore(11) {
+        log.consumeSpace("bench").write.format("noop").mode("overwrite").save()
+      }
+      timeStore(12) { log.compact("bench") }
       rmTree(dir)
     }
 

@@ -231,8 +231,10 @@ final class PushServer private[log] (
 
   /** Connections dropped by the authentication hook (refused token, a
     * first line that was not `#auth` while a hook is configured, an
-    * `#auth` token whose percent-encoding fails to decode, or a silent
-    * dial that sent nothing before the `authTimeoutMs` deadline). */
+    * `#auth` token whose percent-encoding fails to decode, a silent
+    * dial that sent nothing before the `authTimeoutMs` deadline, or a
+    * transport handshake the socket factory refused — e.g. a plaintext
+    * peer dialing a TLS listener). */
   def rejectedCount: Long = rejected.get()
 
   /** Live subscriber connections. */
@@ -371,6 +373,12 @@ final class PushServer private[log] (
               // handshake deadline expired (silence OR trickle): a
               // refused dial like any other — counted, then dropped
               case _: java.net.SocketTimeoutException =>
+                rejected.incrementAndGet()
+                null
+              // transport handshake failure (a plaintext peer dialing a
+              // TLS listener, a cert the factory refuses): equally a
+              // refused dial — the auth line never legibly arrived
+              case _: javax.net.ssl.SSLException =>
                 rejected.incrementAndGet()
                 null
             }

@@ -299,6 +299,142 @@ object Ann {
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
   }
 
+  /** Cell-size imbalance of a stored index: `max_size · k / n` (1.0 =
+    * perfectly balanced; the `q_ivf_balance` statistic, read off the
+    * stored lists instead of a fresh assignment). Probe latency follows
+    * the max cell, so this IS the serving-latency health number. */
+  def ivfImbalance(spark: org.apache.spark.sql.SparkSession, path: String): Double = {
+    val counts = cellCounts(spark, path)
+    if (counts.isEmpty) 1.0
+    else {
+      val n = counts.map(_._2).sum
+      counts.map(_._2).max.toDouble * counts.size.toDouble / n.toDouble
+    }
+  }
+
+  /** `(cent_id, size)` of every stored list — one k-row control-plane
+    * collect off the partition-pruned count aggregate. */
+  private def cellCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long)] =
+    spark.read
+      .parquet(s"$path/lists")
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toIndexedSeq
+
+  /** Rebalance a stored index when skewed [[ivfAppend]] traffic has
+    * grown hot cells past `fence × mean` (the [[ivfImbalance]] fence):
+    * each over-budget cell is SPLIT IN PLACE by a local k-means over
+    * its own members (`splitInto` deterministic lowest-id seeds +
+    * `iters` Lloyd rounds — the two-level-quantizer pattern applied to
+    * one cell), its members land in fresh cells under new `cent_id`s,
+    * the quantizer gains the sub-centroids and drops the hot one, and
+    * only then is the hot partition deleted (new data is on disk before
+    * old data goes). Returns true iff maintenance ran.
+    *
+    * Scale/consistency contract:
+    *   - cost is `Σ hot-cell sizes · (iters + 2)` scans of ONLY the hot
+    *     partitions (partition-pruned reads) — cold cells are never
+    *     read, never rewritten, and their files stay BIT-IDENTICAL, so
+    *     probes that do not route to a split cell are unchanged;
+    *   - every member of a split cell ends in the sub-cell whose final
+    *     centroid is its argmax cosine (the assignment and the stored
+    *     quantizer come from the same last Lloyd round), so
+    *     [[ivfProbe]]'s route-then-scan invariant holds for the new
+    *     cells exactly as [[ivfBuild]] established it for the old;
+    *   - the member set is preserved exactly (no loss, no dup) — the
+    *     split only re-partitions one cell's rows.
+    *
+    * Wire this to the [[ivfImbalance]] readout after append batches:
+    * `if (ivfImbalance(s, p) > fence) ivfMaintain(s, p, fence)`. */
+  def ivfMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fence: Double = 2.0,
+      splitInto: Int = 2,
+      iters: Int = 2,
+      dim: Int = 64): Boolean = {
+    import spark.implicits._
+    require(fence > 1.0 && splitInto >= 2, "fence must exceed 1.0 and splitInto 2+")
+    val counts = cellCounts(spark, path)
+    if (counts.isEmpty) return false
+    val n = counts.map(_._2).sum
+    val budget = fence * n.toDouble / counts.size.toDouble
+    val hot = counts.filter(_._2.toDouble > budget).map(_._1).sorted
+    if (hot.isEmpty) return false
+
+    val centroids = spark.read.parquet(s"$path/centroids")
+    var nextId = counts.map(_._1).max + 1L
+    val newCentroids = Seq.newBuilder[(Long, Seq[Double], Double)]
+
+    hot.foreach { hotId =>
+      // partition-pruned: only this cell's files are read
+      // filter on the RAW partition attribute (the ivfProbe convention)
+      // so the read prunes to this cell's files
+      val cell = spark.read
+        .parquet(s"$path/lists")
+        .where(col("cent_id") === hotId)
+        .select("neighbor_id", "c_v", "c_nrm")
+      def centsDf(cs: Seq[(Long, Seq[Double], Double)]) =
+        broadcast(cs.toDF("cent_id", "cent_v", "cent_nrm"))
+      // deterministic seeds: the splitInto lowest-id members (the
+      // pqCodebook / kmeansAssign init convention)
+      var subs: Seq[(Long, Seq[Double], Double)] = cell
+        .orderBy("neighbor_id")
+        .limit(splitInto)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          val v = r.getSeq[Double](1)
+          (nextId + i, v, v.foldLeft(0.0)((a, x) => a + x * x))
+        }
+        .map { case (id, v, sq) => (id, v, math.sqrt(sq)) }
+        .toIndexedSeq
+      for (_ <- 0 until iters) {
+        val assigned = nearestCells(cell, centsDf(subs), "neighbor_id", "c_v", "c_nrm", 1)
+        val dims = (1 to dim).map(j => avg(element_at(col("c_v"), j)).as(s"m$j"))
+        subs = assigned
+          .groupBy("cent_id")
+          .agg(dims.head, dims.tail: _*)
+          .collect()
+          .map { r =>
+            val v = (1 to dim).map(j => r.getDouble(j))
+            (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+          }
+          .sortBy(_._1)
+          .toIndexedSeq
+      }
+      // final assignment rides the SAME centroids that get stored, so
+      // member ↔ quantizer consistency holds by construction
+      nearestCells(cell, centsDf(subs), "neighbor_id", "c_v", "c_nrm", 1)
+        .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+      newCentroids ++= subs
+      nextId += splitInto
+    }
+
+    // quantizer swap: drop the hot centroids, add the sub-centroids
+    val kept = centroids.where(!col("cent_id").isin(hot: _*))
+    val added = newCentroids.result().toDF("cent_id", "cent_v", "cent_nrm")
+    val merged = kept.unionByName(added).collect().toIndexedSeq // k rows — control plane
+    spark
+      .createDataFrame(
+        spark.sparkContext.parallelize(merged, 1),
+        centroids.schema)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+
+    // old hot partitions go LAST — their members are already re-homed
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    hot.foreach { hotId =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cent_id=$hotId"), true)
+      ()
+    }
+    true
+  }
+
   /** Probe a stored index: queries pick their `nProbe` nearest STORED
     * centroids; the probed cell ids (≤ |Q|·nProbe values — a
     * control-plane collect, like the PQ codebook) become a literal IN

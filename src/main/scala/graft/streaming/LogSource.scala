@@ -71,7 +71,11 @@ import graft.model.Entry
   * space); `pushHost`+`pushPort` (PushNet TCP tickles); `pushMailbox`
   * (`true` = PushBridge filesystem mailbox tickles); `pollMs`
   * (reconcile cadence, default 2000); `startingOffsets`
-  * (`earliest` default / `latest`).
+  * (`earliest` default / `latest`); `offsetMode` (`segment` default —
+  * precise per-segment sequence map, O(segments) checkpoint state — /
+  * `spaceWatermark` — one max-timestamp per space, O(spaces) state for
+  * unbounded-segment logs; see the field doc for the monotone-timestamp
+  * contract it trades for that bound).
   *
   * Usage: `spark.readStream.format("graft-log").option("path", p).load()`
   * (or the fully-qualified `graft.streaming.GraftLogSource`).
@@ -136,11 +140,39 @@ object GraftLogSource {
           (dec(sp), dec(seg)) -> n.toLong
         }
         .toMap
+
+  /** `space → max(timestamp µs)` — the `spaceWatermark` offset mode's
+    * state (same single-line/URL-encoding rules as [[encodeOffset]]). */
+  private[graft] def encodeSpaceOffset(m: Map[String, Long]): String =
+    m.toSeq
+      .map { case (sp, ts) => s"${java.net.URLEncoder.encode(sp, "UTF-8")}\t$ts" }
+      .sorted
+      .mkString(";")
+
+  private[graft] def decodeSpaceOffset(json: String): Map[String, Long] =
+    if (json.isEmpty) Map.empty
+    else
+      json
+        .split(';')
+        .map { line =>
+          val Array(sp, ts) = line.split('\t')
+          java.net.URLDecoder.decode(sp, "UTF-8") -> ts.toLong
+        }
+        .toMap
 }
 
 private[streaming] case class GraftLogOffset(seqs: Map[(String, String), Long])
     extends Offset {
   override def json(): String = GraftLogSource.encodeOffset(seqs)
+}
+
+/** `spaceWatermark` mode offset: one `max(timestamp)` per SPACE —
+  * O(spaces) driver state and checkpoint bytes where [[GraftLogOffset]]
+  * is O(segments) (with segment := user_id that map is
+  * segment-cardinality-sized; this is the bounded form). */
+private[streaming] case class GraftLogSpaceOffset(ts: Map[String, Long])
+    extends Offset {
+  override def json(): String = GraftLogSource.encodeSpaceOffset(ts)
 }
 
 private[streaming] class GraftLogTable(
@@ -173,29 +205,60 @@ private[streaming] class GraftLogMicroBatchStream(
   private val pollMs = Option(options.get("pollMs")).map(_.toLong).getOrElse(2000L)
   private val starting = Option(options.get("startingOffsets")).getOrElse("earliest")
 
+  /** `segment` (default): offsets are the per-(space, segment)
+    * high-water SEQUENCE map — the precise mode, replay-exact for any
+    * timestamp pattern, O(segments) driver state + checkpoint bytes.
+    * Use it when segment cardinality is bounded (devices, shards).
+    *
+    * `spaceWatermark`: offsets are one max(TIMESTAMP µs) per space —
+    * O(spaces) state, the bounded form for segment := user_id logs
+    * (millions of segments would otherwise serialize per micro-batch).
+    * Its contract: a space's produce timestamps must not regress below
+    * an already-checkpointed watermark (the log stamps a produce call's
+    * entries with its `ts` argument, so monotone producer clocks per
+    * space satisfy this); a late entry AT or BELOW the watermark is
+    * skipped — choose `segment` mode when that can happen. */
+  private val offsetMode = Option(options.get("offsetMode")).getOrElse("segment")
+  require(
+    offsetMode == "segment" || offsetMode == "spaceWatermark",
+    s"offsetMode must be 'segment' or 'spaceWatermark', got '$offsetMode'")
+  private val watermarkMode = offsetMode == "spaceWatermark"
+
   // tickle-fed high-water marks: acks are post-commit, so merging
-  // max(lastSequence) here is always safe and never early
+  // max(lastSequence)/max(lastTimestamp) here is always safe and never
+  // early. Only the active mode's map is populated.
   private val highWater =
     new util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+  private val highWaterTs =
+    new util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   @volatile private var lastReconcile = 0L
 
-  private def tickle(sp: String, seg: String, lastSeq: Long): Unit =
+  private def tickle(sp: String, seg: String, lastSeq: Long, lastTs: Long): Unit =
     if (spaceFilter.forall(_ == sp)) {
-      highWater.merge(
-        (sp, seg),
-        java.lang.Long.valueOf(lastSeq),
-        (a, b) => if (a >= b) a else b)
+      if (watermarkMode)
+        highWaterTs.merge(
+          sp,
+          java.lang.Long.valueOf(lastTs),
+          (a, b) => if (a >= b) a else b)
+      else
+        highWater.merge(
+          (sp, seg),
+          java.lang.Long.valueOf(lastSeq),
+          (a, b) => if (a >= b) a else b)
       ()
     }
 
   private def snapshot: Map[(String, String), Long] =
     highWater.asScala.map { case (k, v) => k -> v.longValue() }.toMap
 
+  private def snapshotTs: Map[String, Long] =
+    highWaterTs.asScala.map { case (k, v) => k -> v.longValue() }.toMap
+
   private val pushClient =
     (Option(options.get("pushHost")), Option(options.get("pushPort"))) match {
       case (Some(h), Some(p)) =>
         Some(PushNet.connect(h, p.toInt, spaceFilter) { st =>
-          tickle(st.space, st.segment, st.lastSequence)
+          tickle(st.space, st.segment, st.lastSequence, st.lastTimestamp)
           GraftLogSource.recordTickle(logPath)
         })
       case _ => None
@@ -205,13 +268,15 @@ private[streaming] class GraftLogMicroBatchStream(
     if (Option(options.get("pushMailbox")).exists(_.toBoolean)) {
       val fs = new HPath(logPath).getFileSystem(new Configuration())
       Some(PushBridge.subscriber(fs, logPath, spaceFilter) { st =>
-        tickle(st.space, st.segment, st.lastSequence)
+        tickle(st.space, st.segment, st.lastSequence, st.lastTimestamp)
       })
     } else None
 
-  /** Poll reconcile: one per-segment max(sequence) aggregate. Runs in
-    * the consuming session's driver; bounded by the log, not the batch. */
-  private def scanStatuses(): Map[(String, String), Long] = {
+  /** Poll reconcile: one per-segment max(sequence)+max(timestamp)
+    * aggregate (`spaceWatermark` mode groups by space alone — its
+    * result is space-cardinality-sized end to end). Runs in the
+    * consuming session's driver; bounded by the log, not the batch. */
+  private def scanStatuses(): Map[(String, String), (Long, Long)] = {
     val spark = SparkSession.active
     val fs = new HPath(dataDir).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -221,13 +286,22 @@ private[streaming] class GraftLogMicroBatchStream(
         .schema(GraftLogSource.EntrySchema)
         .option("basePath", dataDir)
         .parquet(dataDir)
-      spaceFilter
-        .foldLeft(base)((df, sp) => df.filter(col("space") === sp))
-        .groupBy("space", "segment")
-        .agg(max("sequence").as("last"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-        .toMap
+      val filtered =
+        spaceFilter.foldLeft(base)((df, sp) => df.filter(col("space") === sp))
+      if (watermarkMode)
+        filtered
+          .groupBy("space")
+          .agg(max("timestamp").as("lastTs"))
+          .collect()
+          .map(r => (r.getString(0), "") -> (0L, r.getLong(1)))
+          .toMap
+      else
+        filtered
+          .groupBy("space", "segment")
+          .agg(max("sequence").as("last"), max("timestamp").as("lastTs"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
     }
   }
 
@@ -235,53 +309,76 @@ private[streaming] class GraftLogMicroBatchStream(
     val now = System.currentTimeMillis()
     if (force || lastReconcile == 0L || now - lastReconcile >= pollMs) {
       lastReconcile = now
-      scanStatuses().foreach { case ((sp, seg), n) => tickle(sp, seg, n) }
+      scanStatuses().foreach { case ((sp, seg), (n, ts)) => tickle(sp, seg, n, ts) }
     }
   }
 
+  private def currentOffset: Offset =
+    if (watermarkMode) GraftLogSpaceOffset(snapshotTs) else GraftLogOffset(snapshot)
+
   override def initialOffset(): Offset =
-    if (starting == "latest") { reconcile(force = true); GraftLogOffset(snapshot) }
+    if (starting == "latest") { reconcile(force = true); currentOffset }
+    else if (watermarkMode) GraftLogSpaceOffset(Map.empty)
     else GraftLogOffset(Map.empty)
 
   override def latestOffset(): Offset = {
     reconcile(force = false)
-    GraftLogOffset(snapshot)
+    currentOffset
   }
 
   override def deserializeOffset(json: String): Offset =
-    GraftLogOffset(GraftLogSource.decodeOffset(json))
+    if (watermarkMode) GraftLogSpaceOffset(GraftLogSource.decodeSpaceOffset(json))
+    else GraftLogOffset(GraftLogSource.decodeOffset(json))
 
+  /** One partition per data file of every space owing this batch a
+    * delta; `segment` mode pushes per-segment `(from, to]` SEQUENCE
+    * ranges, `spaceWatermark` mode one `(from, to]` TIMESTAMP range per
+    * space — either way row-group statistics skip all but the tail. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GraftLogOffset].seqs
-    val to = end.asInstanceOf[GraftLogOffset].seqs
-    val delta = to.flatMap { case (k, hi) =>
-      val lo = from.getOrElse(k, 0L)
-      if (hi > lo) Some(k -> (lo, hi)) else None
-    }
-    if (delta.isEmpty) Array.empty
+    val bySpace: Map[String, Either[Map[String, (Long, Long)], (Long, Long)]] =
+      if (watermarkMode) {
+        val from = start.asInstanceOf[GraftLogSpaceOffset].ts
+        val to = end.asInstanceOf[GraftLogSpaceOffset].ts
+        to.flatMap { case (sp, hi) =>
+          val lo = from.getOrElse(sp, 0L)
+          if (hi > lo) Some(sp -> Right((lo, hi))) else None
+        }
+      } else {
+        val from = start.asInstanceOf[GraftLogOffset].seqs
+        val to = end.asInstanceOf[GraftLogOffset].seqs
+        val delta = to.flatMap { case (k, hi) =>
+          val lo = from.getOrElse(k, 0L)
+          if (hi > lo) Some(k -> (lo, hi)) else None
+        }
+        delta.groupBy(_._1._1).map { case (sp, perSpace) =>
+          sp -> Left(perSpace.map { case ((_, seg), r) => seg -> r })
+        }
+      }
+    if (bySpace.isEmpty) Array.empty
     else {
       val conf = SparkSession.active.sessionState.newHadoopConf()
       val fs = new HPath(dataDir).getFileSystem(conf)
-      delta
-        .groupBy(_._1._1)
-        .iterator
-        .flatMap { case (space, perSpace) =>
-          val dir =
-            new HPath(s"$dataDir/space=${ExternalCatalogUtils.escapePathName(space)}")
-          val files: Array[FileStatus] =
-            if (fs.exists(dir))
-              fs.listStatus(dir)
-                .filter(st =>
-                  st.isFile && {
-                    val n = st.getPath.getName
-                    !n.startsWith("_") && !n.startsWith(".")
-                  })
-            else Array.empty
-          val ranges = perSpace.map { case ((_, seg), r) => seg -> r }
-          files.map(f =>
-            GraftLogInputPartition(f.getPath.toString, space, ranges))
+      bySpace.iterator.flatMap { case (space, ranges) =>
+        val dir =
+          new HPath(s"$dataDir/space=${ExternalCatalogUtils.escapePathName(space)}")
+        val files: Array[FileStatus] =
+          if (fs.exists(dir))
+            fs.listStatus(dir)
+              .filter(st =>
+                st.isFile && {
+                  val n = st.getPath.getName
+                  !n.startsWith("_") && !n.startsWith(".")
+                })
+          else Array.empty
+        ranges match {
+          case Left(segRanges) =>
+            files.map(f =>
+              GraftLogInputPartition(f.getPath.toString, space, segRanges))
+          case Right(tsRange) =>
+            files.map(f =>
+              GraftLogInputPartition(f.getPath.toString, space, Map.empty, Some(tsRange)))
         }
-        .toArray
+      }.toArray
     }
   }
 
@@ -296,13 +393,16 @@ private[streaming] class GraftLogMicroBatchStream(
   }
 }
 
-/** One data file + the per-segment `(from, to]` ranges its space owes
-  * this batch. Files belong to one space (partition dir), so the space
-  * value rides the partition, not the file. */
+/** One data file + the ranges its space owes this batch: per-segment
+  * `(from, to]` SEQUENCE ranges (`segment` mode) or one `(from, to]`
+  * TIMESTAMP range (`spaceWatermark` mode — `ranges` empty). Files
+  * belong to one space (partition dir), so the space value rides the
+  * partition, not the file. */
 private[streaming] case class GraftLogInputPartition(
     file: String,
     space: String,
-    ranges: Map[String, (Long, Long)])
+    ranges: Map[String, (Long, Long)],
+    tsRange: Option[(Long, Long)] = None)
     extends InputPartition
 
 private[streaming] class GraftLogReaderFactory extends PartitionReaderFactory {
@@ -317,18 +417,24 @@ private[streaming] class GraftLogReaderFactory extends PartitionReaderFactory {
 private[streaming] class GraftLogPartitionReader(p: GraftLogInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val predicate: FilterPredicate = {
-    val seg = FilterApi.binaryColumn("segment")
-    val seq = FilterApi.longColumn("sequence")
-    p.ranges
-      .map { case (s, (from, to)) =>
-        FilterApi.and(
-          FilterApi.eq(seg, Binary.fromString(s)),
+  private val predicate: FilterPredicate = p.tsRange match {
+    case Some((from, to)) =>
+      val ts = FilterApi.longColumn("timestamp")
+      FilterApi.and(
+        FilterApi.gt(ts, java.lang.Long.valueOf(from)),
+        FilterApi.ltEq(ts, java.lang.Long.valueOf(to)))
+    case None =>
+      val seg = FilterApi.binaryColumn("segment")
+      val seq = FilterApi.longColumn("sequence")
+      p.ranges
+        .map { case (s, (from, to)) =>
           FilterApi.and(
-            FilterApi.gt(seq, java.lang.Long.valueOf(from)),
-            FilterApi.ltEq(seq, java.lang.Long.valueOf(to))))
-      }
-      .reduce(FilterApi.or)
+            FilterApi.eq(seg, Binary.fromString(s)),
+            FilterApi.and(
+              FilterApi.gt(seq, java.lang.Long.valueOf(from)),
+              FilterApi.ltEq(seq, java.lang.Long.valueOf(to))))
+        }
+        .reduce(FilterApi.or)
   }
 
   private val reader: ParquetReader[Group] = ParquetReader
@@ -348,14 +454,17 @@ private[streaming] class GraftLogPartitionReader(p: GraftLogInputPartition)
     current != null
   }
 
-  private def inRange(g: Group): Boolean = {
-    val seg = g.getString("segment", 0)
-    p.ranges.get(seg) match {
-      case Some((from, to)) =>
-        val s = g.getLong("sequence", 0)
-        s > from && s <= to
-      case None => false
-    }
+  private def inRange(g: Group): Boolean = p.tsRange match {
+    case Some((from, to)) =>
+      val ts = g.getLong("timestamp", 0)
+      ts > from && ts <= to
+    case None =>
+      p.ranges.get(g.getString("segment", 0)) match {
+        case Some((from, to)) =>
+          val s = g.getLong("sequence", 0)
+          s > from && s <= to
+        case None => false
+      }
   }
 
   override def get(): InternalRow = {

@@ -198,6 +198,64 @@ object StreamLog {
       }
   }
 
+  final case class HoltState(n: Long, x1: Double, l: Double, b: Double)
+  final case class HoltPoint(
+      space: String,
+      t: Long,
+      value: Double,
+      level: Double,
+      trend: Double,
+      forecast7: Double,
+      n: Long)
+
+  /** Streaming twin of the batch `q_holt` level+trend smoother
+    * ([[graft.queries.OlapQueries.qHolt]]): per key, the classic Holt
+    * recurrences
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    * seeded exactly like the batch fold (l₂ = x₂, b₂ = x₂ − x₁ — the
+    * first observation is buffered, nothing is emitted until the seed
+    * exists), with the live 7-step-ahead forecast l + 7·b on every
+    * point. Same IEEE operation order as the batch `aggregate` fold
+    * (α·x + (1−α)·(l+b); β·(l₁−l) + (1−β)·b with α, β exact binary
+    * fractions), so on the same ordered series level/trend/forecast are
+    * bit-identical to the batch query's columns — the emaStream parity
+    * contract. State is 28 bytes per key — bounded, no timeout; rows
+    * within a micro-batch fold in (t, value) order for cross-run
+    * determinism. The batch query emits only the final state; the
+    * stream emits the trajectory, so `forecast7` is live after every
+    * arrival — the unbounded-ingest form a batch re-fold cannot serve. */
+  def holtStream(
+      points: Dataset[(String, Long, Double)],
+      alpha: Double = 0.5,
+      beta: Double = 0.25): Dataset[HoltPoint] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (space, rows, state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0, 0.0))
+          val out = Seq.newBuilder[HoltPoint]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (t, x) =>
+            if (st.n == 0L) st = HoltState(1L, x, 0.0, 0.0)
+            else if (st.n == 1L) {
+              // the batch fold's seed: l = x₂, b = x₂ − x₁
+              st = HoltState(2L, st.x1, x, x - st.x1)
+              out += HoltPoint(space, t, x, st.l, st.b, st.l + 7.0 * st.b, st.n)
+            } else {
+              val l1 = alpha * x + (1 - alpha) * (st.l + st.b)
+              val b1 = beta * (l1 - st.l) + (1 - beta) * st.b
+              st = HoltState(st.n + 1, st.x1, l1, b1)
+              out += HoltPoint(space, t, x, l1, b1, l1 + 7.0 * b1, st.n)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaChartState(n: Long, z: Double)
   final case class EwmaChartSignal(
       space: String,

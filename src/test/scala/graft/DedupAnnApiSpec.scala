@@ -188,6 +188,85 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(p1.nonEmpty)
   }
 
+  test("ivfMaintain: skewed append trips the fence, the split restores balance, cold cells stay bit-identical") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.toSeq
+    def corpusDf(rows: Seq[(Long, Seq[Double])]) = Ann.withNorm(
+      rows.toDF("neighbor_id", "c_v"), "c_v", "c_nrm")
+    // four unit-axis centroids; cell 1's region has TWO sub-directions
+    // (A = +y lean, B = +z lean) so the split target is well-defined
+    val cents = Seq(
+      (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 1, 0)), (4L, vec(0, 0, 0, 1)))
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_nrm", VectorFns.norm(col("cent_v")))
+    val dirA = (id: Long, eps: Double) => id -> vec(1, 0.3 + eps, 0, 0)
+    val dirB = (id: Long, eps: Double) => id -> vec(1, 0, 0.3 + eps, 0)
+    val base = Seq(
+      dirA(1L, 0.0), dirB(2L, 0.0), dirA(3L, 0.01), dirB(4L, 0.01),
+      5L -> vec(0, 1, 0.01, 0), 6L -> vec(0, 1, 0.02, 0),
+      7L -> vec(0, 1, 0.03, 0), 8L -> vec(0, 1, 0.04, 0),
+      9L -> vec(0, 0.01, 1, 0), 10L -> vec(0, 0.02, 1, 0),
+      11L -> vec(0, 0.03, 1, 0), 12L -> vec(0, 0.04, 1, 0),
+      13L -> vec(0, 0, 0.01, 1), 14L -> vec(0, 0, 0.02, 1),
+      15L -> vec(0, 0, 0.03, 1), 16L -> vec(0, 0, 0.04, 1))
+    val skew = // 20 vectors, all routed to cell 1, 10 per sub-direction
+      (101L to 110L).map(i => dirA(i, 0.001 * (i - 101))) ++
+        (111L to 120L).map(i => dirB(i, 0.001 * (i - 111)))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_maint").toString
+    Ann.ivfBuild(corpusDf(base), cents, path)
+    assert(Ann.ivfImbalance(spark, path) == 1.0) // 4 cells × 4 members
+    Ann.ivfAppend(spark, corpusDf(skew), path)
+    // cell 1 now holds 24 of 36 → imbalance 24·4/36 ≈ 2.67 trips the fence
+    assert(Ann.ivfImbalance(spark, path) > 2.0)
+
+    def fileState(cell: Long) = {
+      val dir = new java.io.File(s"$path/lists/cent_id=$cell")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    }
+    def probe(q: Seq[Double], nProbe: Int, k: Int = 3) = {
+      val qDf = Ann.withNorm(
+        Seq(0L -> q).toDF("query_id", "q_v"), "q_v", "q_nrm")
+      Ann.ivfProbe(spark, path, qDf, k = k, nProbe = nProbe)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    }
+    val coldQuery = vec(0, 0, 1, 0.05) // routes to cell 3, untouched by the split
+    val coldBefore = probe(coldQuery, nProbe = 1)
+    val cell3Before = fileState(3L)
+
+    assert(Ann.ivfMaintain(spark, path, fence = 2.0, splitInto = 2, iters = 2, dim = 4))
+
+    // balance restored under the fence; a second pass is a no-op
+    assert(Ann.ivfImbalance(spark, path) < 2.0)
+    assert(!Ann.ivfMaintain(spark, path, fence = 2.0, splitInto = 2, iters = 2, dim = 4))
+    // the member set is preserved exactly (no loss, no dup) and the hot
+    // cell's partition is gone
+    val ids = spark.read.parquet(s"$path/lists").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == (base.map(_._1) ++ skew.map(_._1)).sorted)
+    assert(!new java.io.File(s"$path/lists/cent_id=1").exists)
+    // cold cells were never rewritten (bit-identical files) and their
+    // probes are unchanged
+    assert(fileState(3L) == cell3Before)
+    assert(probe(coldQuery, nProbe = 1) == coldBefore)
+    // the quantizer swapped the hot centroid for the sub-centroids
+    val centIds = spark.read.parquet(s"$path/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(centIds == Set(2L, 3L, 4L, 5L, 6L))
+    // a query at a sub-direction center routes nProbe=1 to ONE sub-cell
+    // whose members are that sub-direction's vectors
+    val aHits = probe(vec(1, 0.3, 0, 0), nProbe = 1, k = 12).map(_._2).toSet
+    assert(aHits == (Set(1L, 3L) ++ (101L to 110L)))
+    // recall preserved: a query in the hot region probing both sub-cells
+    // matches exact brute force over the full corpus
+    val hotQ = Ann.withNorm(
+      Seq(0L -> vec(1.0, 0.15, 0.15, 0.0)).toDF("query_id", "q_v"), "q_v", "q_nrm")
+    val brute = Ann.bruteForceTopK(hotQ, corpusDf(base ++ skew), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(probe(vec(1, 0.15, 0.15, 0), nProbe = 2, k = 5).map(t => (t._1, t._2)) == brute)
+  }
+
   test("duplicateClusters finds connected components and canonical survivors") {
     import spark.implicits._
     // two chains (1-2-3-4 transitively, 7-8) and an isolated pair 5-6

@@ -187,6 +187,71 @@ class LogSourceSpec extends SparkSpec {
     }
   }
 
+  test("spaceWatermark offset codec roundtrips hostile space names, stable json") {
+    val m = Map("sp a/ce" -> 42L, "z;x" -> 7L, "a\tb" -> 1L)
+    val json = GraftLogSource.encodeSpaceOffset(m)
+    assert(GraftLogSource.decodeSpaceOffset(json) == m)
+    assert(json == GraftLogSource.encodeSpaceOffset(m), "encoding must be stable")
+    assert(!json.contains("\n"), "offset must stay single-line (checkpoint format)")
+    assert(
+      GraftLogSource.decodeSpaceOffset(GraftLogSource.encodeSpaceOffset(Map.empty)).isEmpty)
+  }
+
+  test("offsetMode: segment and spaceWatermark deliver identical rows; watermark state is O(spaces)") {
+    val nSegs = 12
+
+    // one deterministic many-segment log per mode (a shared log would
+    // reject the second run's wave-2 produce as non-contiguous)
+    def run(mode: String): (Set[(String, String, Long, Long)], String) = {
+      val log = new EventLog(spark, Files.createTempDirectory(s"graft-src-wm-$mode").toString)
+      // wave 1: a many-segment log (segment := user-id shape)
+      (0 until nSegs).foreach(i => log.produce("s0", f"seg$i%02d", records(1, 3), 1000L))
+      val ckpt = Files.createTempDirectory(s"graft-src-wm-ckpt-$mode").toString
+      val got = mutable.Buffer.empty[(String, String, Long, Long)]
+      val q = spark.readStream
+        .format("graft-log")
+        .option("path", log.path)
+        .option("offsetMode", mode)
+        .option("pollMs", "500")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch
+            .selectExpr("space", "segment", "sequence", "timestamp")
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          got.synchronized { got ++= rows; () }
+        }
+        .start()
+      try {
+        awaitUntil(diag = s"$mode wave1 got=${got.synchronized(got.size)} exc=${q.exception}")(
+          got.synchronized(got.distinct.size) == nSegs * 3)
+        // wave 2 arrives mid-stream with an ADVANCED timestamp (the
+        // watermark contract) — only the delta may be re-read
+        log.produce("s0", "seg00", records(4, 2), 2000L)
+        log.produce("s0", f"seg${nSegs - 1}%02d", records(4, 2), 2000L)
+        awaitUntil(diag = s"$mode wave2 got=${got.synchronized(got.size)} exc=${q.exception}")(
+          got.synchronized(got.distinct.size) == nSegs * 3 + 4)
+      } finally q.stop()
+      // newest offsets checkpoint line = the serialized offset
+      val dir = new java.io.File(s"$ckpt/offsets")
+      val newest = dir.listFiles().filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+      val offsetLine = scala.io.Source.fromFile(newest).getLines().toSeq.last
+      (got.synchronized(got.distinct.toSet), offsetLine)
+    }
+
+    val (segRows, segOffset) = run("segment")
+    val (wmRows, wmOffset) = run("spaceWatermark")
+    assert(segRows == wmRows, "both offset modes must deliver the identical row set")
+    assert(segRows.size == nSegs * 3 + 4)
+    // the cardinality contract: per-segment state grows with segments,
+    // the watermark is ONE entry for the whole space
+    assert(segOffset.split(';').length == nSegs)
+    assert(wmOffset.split(';').length == 1)
+    assert(GraftLogSource.decodeSpaceOffset(wmOffset) == Map("s0" -> 2000L))
+  }
+
   test("space filter: only the subscribed space's rows flow") {
     val log = new EventLog(spark, Files.createTempDirectory("graft-src-f").toString)
     log.produce("keep", "a", records(1, 3), 1000L)

@@ -548,6 +548,79 @@ class PushNetSpec extends SparkSpec {
     } finally { sub.close(); srv.close() }
   }
 
+  test("TLS: auth + acks + re-dial ride a real SSL handshake; plaintext peers cannot speak to the wire") {
+    // self-signed keypair via the JDK's own keytool — the same material
+    // an operator would provision (reference: the JWT rides TLS-capable
+    // transports, wss/http2 — http2/context.go:9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls")
+    val ksPath = dir.resolve("server.p12").toString
+    val pass = "graft-spec-pass"
+    import scala.sys.process._
+    val gen = Seq(
+      "keytool", "-genkeypair", "-alias", "push", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ksPath,
+      "-storepass", pass, "-dname", "CN=127.0.0.1", "-validity", "1",
+      "-ext", "SAN=IP:127.0.0.1").!(ProcessLogger(_ => ()))
+    assert(gen == 0, "keytool must generate the self-signed keystore")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksPath)
+    try ks.load(in, pass.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory
+      .getInstance(javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, pass.toCharArray)
+    val tmf = javax.net.ssl.TrustManagerFactory
+      .getInstance(javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks) // trust exactly the self-signed cert, nothing else
+    val srvCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    srvCtx.init(kmf.getKeyManagers, null, null)
+    val cliCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    cliCtx.init(null, tmf.getTrustManagers, null)
+
+    val log = freshLog()
+    val srv1 = PushNet.server(
+      log, bindHost = "127.0.0.1",
+      verify = Some(PushNet.tokenVerifier(Tok)), authTimeoutMs = 1000L,
+      socketFactory = Some(srvCtx.getServerSocketFactory))
+    val port = srv1.boundPort
+    val got = mutable.Buffer.empty[SegmentStatus]
+    // the auto-reconnect dialer, so the RE-dial also rides the handshake
+    val sub = PushNet.dial(
+      "127.0.0.1", port, tokenFunc = Some(() => Tok),
+      socketFactory = Some(cliCtx.getSocketFactory)) { st =>
+      got.synchronized { got += st; () }
+    }
+    try {
+      assert(sub.awaitReady(), "authenticated TLS dial must become ready")
+      log.produce("s0", "seg0", records(1, 4), 1000L)
+      awaitUntil()(got.synchronized(got.size) == 1) // ack over the encrypted wire
+      assert(srv1.rejectedCount == 0L)
+
+      // a PLAINTEXT client cannot speak to the TLS listener: its #auth
+      // line is handshake garbage to the server, which drops it at the
+      // auth deadline — this is the assertion that fails if the framing
+      // ever bypasses the factory seam
+      val plain = PushNet.connect("127.0.0.1", port, tokenFunc = Some(() => Tok)) { _ => () }
+      try {
+        assert(!plain.awaitReady(2500), "a plaintext dial must never see the TLS greeting")
+        awaitUntil()(srv1.rejectedCount >= 1L)
+      } finally plain.close()
+
+      // server restart: the dialer re-handshakes and resubscribes on its
+      // own, still over TLS
+      srv1.close()
+      val srv2 = PushNet.server(
+        log, port = port, bindHost = "127.0.0.1",
+        verify = Some(PushNet.tokenVerifier(Tok)),
+        socketFactory = Some(srvCtx.getServerSocketFactory))
+      try {
+        assert(sub.awaitSessions(2), "dialer must re-dial through the TLS factory")
+        log.produce("s0", "seg0", records(5, 3), 2000L)
+        awaitUntil()(got.synchronized(got.size) == 2)
+        assert(got.synchronized(got.last).lastSequence == 7L)
+      } finally srv2.close()
+    } finally sub.close()
+  }
+
   test("auth: a hook-less server ignores #auth — token-bearing clients interoperate") {
     val log = freshLog()
     val srv = PushNet.server(log, bindHost = "127.0.0.1") // no verify hook

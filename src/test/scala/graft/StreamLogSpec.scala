@@ -413,6 +413,50 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtStream seeds like the batch fold and continues level+trend across micro-batches, bit-equal") {
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamLog
+      .holtStream(mem.toDS(), alpha = 0.5, beta = 0.25)
+      .writeStream
+      .format("memory")
+      .queryName("holt_out")
+      .outputMode("append")
+      .start()
+    try {
+      val series = Seq(10.0, 14.0, 9.0, 22.0, 17.0, 3.0, 25.0)
+      val (batch1, batch2) = series.zipWithIndex.map { case (v, i) => ("checkout", i.toLong, v) }.splitAt(3)
+      mem.addData(batch1: _*)
+      mem.addData(("signup", 0L, 5.0)) // single observation: no seed yet, no emit
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM holt_out WHERE space = 'signup'").count() == 0)
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // replicate the batch q_holt fold: seed (l, b) = (x₂, x₂ − x₁),
+      // then l₁ = α·x + (1−α)(l+b); b₁ = β(l₁−l) + (1−β)b — bit-exact
+      val expected = series.drop(2).foldLeft((series(1), series(1) - series(0))) {
+        case ((l, b), x) =>
+          val l1 = 0.5 * x + 0.5 * (l + b)
+          (l1, 0.25 * (l1 - l) + 0.75 * b)
+      }
+      val rows = spark
+        .sql("SELECT level, trend, forecast7, n FROM holt_out WHERE space = 'checkout' ORDER BY n")
+        .collect()
+      assert(rows.length == series.size - 1) // one point per arrival from the seed on
+      val last = rows.last
+      assert(last.getDouble(0) == expected._1) // bit-equal, not approx
+      assert(last.getDouble(1) == expected._2)
+      assert(last.getDouble(2) == expected._1 + 7.0 * expected._2)
+      assert(last.getLong(3) == series.size.toLong)
+      // the seed row is the batch seed verbatim
+      assert(rows.head.getDouble(0) == series(1) && rows.head.getDouble(1) == series(1) - series(0))
+      // the second signup arrival seeds that key independently
+      mem.addData(("signup", 1L, 8.0))
+      q.processAllAvailable()
+      val sg = spark.sql("SELECT level, trend FROM holt_out WHERE space = 'signup'").collect()
+      assert(sg.length == 1 && sg.head.getDouble(0) == 8.0 && sg.head.getDouble(1) == 3.0)
+    } finally q.stop()
+  }
+
   test("kmvMonitor: exact below k, batch-formula estimate above k, order-insensitive across batch splits") {
     import graft.functions.Hashing
     // JVM hash twin must equal the Column family the batch sketch uses
