@@ -1478,4 +1478,59 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Winnowed document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003 — the MOSS local fingerprinting scheme): per doc, hash every
+    * ORDERED word k-gram, slide a window of `w` consecutive hashes, and
+    * select each window's minimum (ties to the RIGHTMOST position — the
+    * paper's rule, so adjacent windows re-select the same gram and the
+    * kept set stays ≈ 2/(w+1) of positions). Guarantee: any two docs
+    * sharing a run of ≥ w+k−1 tokens share at least one selected
+    * fingerprint — the detection floor is a parameter, not luck (pure
+    * min-hashing has no such floor; full k-gram indexing has no such
+    * sparsity). Returns distinct `(id, pos, fp)` — pos is the 1-based
+    * k-gram position, fp its 60-bit hash.
+    *
+    * Scale shape: one projection per row (array HOFs over the token
+    * list — grams, window argmins, distinct — all inside codegen, no
+    * explode until the selected ≈ n/(w+1) rows), so cost is linear in
+    * token volume and the exploded output is a small fraction of it. */
+  def winnowFingerprints(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val toks = filter(split(col(text), " "), t => length(t) > 0)
+    val grams = when(
+      size(col("t")) >= k,
+      transform(
+        sequence(lit(1), size(col("t")) - lit(k - 1)),
+        i => Hashing.md5Long(concat_ws(" ", slice(col("t"), i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    // rightmost argmin of each w-window: first position of the min in
+    // the REVERSED slice is the rightmost in the original
+    val sel = when(
+      size(col("hs")) >= w,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(col("hs")) - lit(w - 1)),
+          j =>
+            (j + lit(w)).cast("long") -
+              array_position(
+                reverse(slice(col("hs"), j, lit(w))),
+                array_min(slice(col("hs"), j, lit(w)))))))
+      .otherwise(array().cast("array<bigint>"))
+    docs
+      .select(col(id), toks.as("t"))
+      .select(col(id), grams.as("hs"))
+      .select(col(id), col("hs"), explode(sel).as("pos"))
+      .select(
+        col(id),
+        col("pos"),
+        element_at(col("hs"), col("pos").cast("int")).as("fp"))
+    // rows are distinct by construction: array_distinct dedups the
+    // positions and (id, pos) is a key — no shuffle needed here
+  }
 }

@@ -1438,6 +1438,12 @@ object PipelineQueries {
     val pairs = docs(s, d)
       .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
       .transform(graft.operators.Materialize.cut)
+    bm25ScoresFrom(pairs)
+  }
+
+  /** [[bm25Scores]] over a caller-materialized token table — shared
+    * with [[qRrfFusion]] so the fused rankers ride ONE token pass. */
+  private def bm25ScoresFrom(pairs: DataFrame): DataFrame = {
     val dl = pairs.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     val tf = pairs
@@ -1478,6 +1484,128 @@ object PipelineQueries {
     bm25Scores(s, d)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(Bm25TopK)
+
+  /** PII redaction audit per source ([[graft.functions.TextScrub]] —
+    * §2c row 65's scrub, upgraded from spec-only to oracle-checked):
+    * per-category hit counts with the scrub's exact precedence (each
+    * category counted on text with higher-precedence categories
+    * already redacted) plus the redaction's character delta. The
+    * corpus carries no organic PII, so the query deterministically
+    * PLANTS it — every 83rd doc an email, 97th an IPv4, 101st a
+    * phone, 89th a long digit run (the q_mirror_detect replant
+    * convention: both engines plant identically, the audit must
+    * recover exactly those counts). Patterns are RE2-portable and
+    * shared verbatim with the oracle via the [[TextScrub]] constants.
+    * Scale shape: one codegen'd regexp pass per row fused into the
+    * scan, then an alphabet-sized rollup. */
+  def qPiiAudit(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).select(
+      col("doc_id"),
+      col("source"),
+      concat(
+        col("text"),
+        when(
+          col("doc_id") % 83 === 0,
+          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(
+          col("doc_id") % 97 === 0,
+          concat(lit(" host 10.0."), col("doc_id") % 256, lit(".7")))
+          .otherwise(lit("")),
+        when(
+          col("doc_id") % 101 === 0,
+          concat(
+            lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit("-123")))
+          .otherwise(lit("")),
+        when(
+          col("doc_id") % 89 === 0,
+          concat(lit(" acct 90210"), col("doc_id")))
+          .otherwise(lit(""))).as("text"))
+    val counted = planted.select(
+      col("source") +:
+        (graft.functions.TextScrub.piiCounts(col("text")) :+
+          (length(col("text")) -
+            length(graft.functions.TextScrub.scrub(col("text"))))
+            .cast("long")
+            .as("delta")): _*)
+    counted
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(
+          when(
+            col("n_emails") + col("n_ips") + col("n_phones") + col("n_digit_runs") > 0,
+            1L).otherwise(0L)).as("docs_with_pii"),
+        sum(col("n_emails").cast("long")).as("n_emails"),
+        sum(col("n_ips").cast("long")).as("n_ips"),
+        sum(col("n_phones").cast("long")).as("n_phones"),
+        sum(col("n_digit_runs").cast("long")).as("n_digit_runs"),
+        sum("delta").as("chars_redacted_delta"))
+      .transform(sortSmall(_, "source"))
+  }
+
+  /** RRF discount constant (Cormack–Clarke–Buettcher 2009's k = 60). */
+  val RrfK = 60
+
+  /** Hybrid-retrieval fusion by Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR 2009): two independent rankers over the same query terms —
+    * BM25 (length-normalized, saturating tf) and a plain TF-IDF sum
+    * (no length normalization, a genuinely different ordering) — fused
+    * by RRF(d) = Σᵣ 1/(k + rankᵣ(d)), k = [[RrfK]]. RRF is the
+    * standard score-free fusion for hybrid search (lexical + second
+    * signal) because it needs no score calibration — only ranks.
+    * Both rankers score exactly the docs matching ≥ 1 query term, so
+    * membership is identical and the fuse is an equi-join. Scale
+    * shape: ONE token pass feeds both rankers (materialized once);
+    * the two rank windows ride the statistic-sized matched set (the
+    * qNdcg convention); per-term contributions sum in fixed slot
+    * order, so both rankings are bit-stable and the fused score is
+    * two IEEE divisions in fixed order. */
+  def qRrfFusion(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val pairs = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("tok"))
+      .transform(graft.operators.Materialize.cut)
+    val bm = bm25ScoresFrom(pairs)
+    // TF-IDF ranker: tf·ln(N/df) per term, slot-summed like bm25
+    val tf = pairs
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = pairs.select("doc_id").distinct().count() // control-plane scalar
+    val contribs = tf
+      .join(broadcast(df), "tok")
+      .withColumn(
+        "contrib",
+        col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df").cast("double")))
+    val slots = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("contrib"))).as(s"c$i")
+    }
+    val total = Bm25Terms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val ti = contribs
+      .groupBy("doc_id")
+      .agg(slots.head, slots.tail: _*)
+      .withColumn("tfidf", round(total, 4))
+      .select("doc_id", "tfidf")
+    val w1 = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val w2 = Window.orderBy(col("tfidf").desc, col("doc_id"))
+    val r1 = bm.withColumn("rank_bm25", row_number().over(w1).cast("long"))
+    val r2 = ti.withColumn("rank_tfidf", row_number().over(w2).cast("long"))
+    r1.join(r2, "doc_id") // identical membership: docs matching ≥1 term
+      .withColumn(
+        "rrf",
+        floor6(
+          lit(1.0) / (lit(RrfK.toDouble) + col("rank_bm25").cast("double")) +
+            lit(1.0) / (lit(RrfK.toDouble) + col("rank_tfidf").cast("double"))))
+      .select("doc_id", "rank_bm25", "rank_tfidf", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
 
   val NdcgKs = Seq(1, 5, 10)
 
@@ -2569,6 +2697,41 @@ object PipelineQueries {
         expr("bit_xor(h)").as("fp_xor"),
         count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
+
+  /** Winnowed-fingerprint match report (Schleimer–Wilkerson–Aiken 2003,
+    * the MOSS scheme — see [[Dedup.winnowFingerprints]]): doc pairs
+    * ranked by how many selected fingerprints they share. Winnowing's
+    * guarantee makes the report a SUBSTRING-match detector with a tuned
+    * floor: any shared run of ≥ w+k−1 = 6 tokens is caught, yet only
+    * ≈ 2/(w+1) of positions are indexed — the sparse middle ground
+    * between q_fingerprint's one-hash-per-doc and q_dup_spans' full
+    * shingle index. Fingerprints in > 64 docs are dropped before the
+    * posting self-join (the MOSS stop-fingerprint rule — template
+    * boilerplate must not quadratically inflate the pair build). The
+    * selected-fingerprint table fans out to three consumers (df filter +
+    * both join sides), so it is materialized ONCE — without the cut the
+    * token-hash selection scan runs three times. */
+  def qWinnow(s: SparkSession, d: String): DataFrame = {
+    val fp = Dedup
+      .winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut(_))
+    val rare = fp
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64)
+      .select("fp")
+    val kept = fp.join(rare.hint("shuffle_hash"), "fp")
+    kept
+      .select(col("fp"), col("doc_id").as("a_id"))
+      .join(kept.select(col("fp"), col("doc_id").as("b_id")).hint("shuffle_hash"), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_fps"))
+      .orderBy(col("shared_fps").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
 
   /** Multimodal metadata rollup over the asset table (the codec-free
     * column path — digest/size stay in codegen; see
@@ -4139,6 +4302,7 @@ object PipelineQueries {
     "q_vocab_topk" -> qVocabTopk _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_fingerprint" -> qFingerprint _,
+    "q_winnow" -> qWinnow _,
     "q_kmeans" -> qKmeans _,
     "q_semdedup" -> qSemdedup _,
     "q_dup_spans" -> qDupSpans _,
@@ -4167,6 +4331,8 @@ object PipelineQueries {
     "q_jl_project" -> qJlProject _,
     "q_simhash_eval" -> qSimhashEval _,
     "q_bm25" -> qBm25 _,
+    "q_rrf_fusion" -> qRrfFusion _,
+    "q_pii_audit" -> qPiiAudit _,
     "q_score_auc" -> qScoreAuc _,
     "q_source_divergence" -> qSourceDivergence _,
     "q_shard_rendezvous" -> qShardRendezvous _,
@@ -5028,6 +5194,33 @@ object PipelineQueries {
          |       count(*) AS n_shingles
          |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // Winnowing replay: same ordered k-gram hashes, same w-window
+    // rightmost-argmin selection (list_position over the reversed slice),
+    // same df<=64 stop-fingerprint rule and posting self-join.
+    "q_winnow" -> {
+      val h = Hashing.duckMd5Long("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, len(t) - 2), i -> $h) AS h
+         |  FROM toks WHERE len(t) >= 3),
+         |sel AS (
+         |  SELECT doc_id, h,
+         |         list_distinct(list_transform(generate_series(1, len(h) - 3), j ->
+         |           CAST(j + 4 AS BIGINT) -
+         |           list_position(list_reverse(h[j:j+3]), list_min(h[j:j+3])))) AS ps
+         |  FROM hs WHERE len(h) >= 4),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, h[CAST(p AS INTEGER)] AS fp
+         |  FROM (SELECT doc_id, h, unnest(ps) AS p FROM sel)),
+         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_fps
+         |FROM fp a JOIN fp b USING (fp) JOIN rare USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY shared_fps DESC, a_id, b_id LIMIT 20""".stripMargin
+    },
     // duckdb md5(VARCHAR) hashes the UTF-8 bytes = Spark md5 of the
     // UTF-8-encoded binary payload; octet_length(encode(..)) = Spark
     // length(binary).
@@ -5474,6 +5667,101 @@ object PipelineQueries {
          |  FROM c GROUP BY doc_id)
          |SELECT doc_id, n_terms, round($total, 4) AS bm25
          |FROM s ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+    // PII audit replay: the same deterministic planting, the same
+    // RE2-portable patterns (shared constants), the same precedence
+    // chain (each category counted on text with higher-precedence
+    // categories already redacted). Sums CAST to BIGINT (the
+    // q_ref_integrity HUGEINT bug class).
+    "q_pii_audit" -> {
+      import graft.functions.TextScrub._
+      s"""WITH planted AS (
+         |  SELECT doc_id, source,
+         |    text ||
+         |    CASE WHEN doc_id % 83 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 97 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END ||
+         |    CASE WHEN doc_id % 101 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-123' ELSE '' END ||
+         |    CASE WHEN doc_id % 89 = 0 THEN ' acct 90210' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM documents),
+         |st AS (
+         |  SELECT source, text,
+         |         len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+         |         regexp_replace(text, '$EmailPattern', '[EMAIL]', 'g') AS t1
+         |  FROM planted),
+         |st2 AS (
+         |  SELECT *, len(regexp_extract_all(t1, '$Ipv4Pattern')) AS n_ips,
+         |         regexp_replace(t1, '$Ipv4Pattern', '[IP]', 'g') AS t2
+         |  FROM st),
+         |st3 AS (
+         |  SELECT *, len(regexp_extract_all(t2, '$PhonePattern')) AS n_phones,
+         |         regexp_replace(t2, '$PhonePattern', '[PHONE]', 'g') AS t3
+         |  FROM st2),
+         |st4 AS (
+         |  SELECT *, len(regexp_extract_all(t3, '$LongDigitPattern')) AS n_digit_runs,
+         |         regexp_replace(t3, '$LongDigitPattern', '[NUMBER]', 'g') AS t4
+         |  FROM st3)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN n_emails + n_ips + n_phones + n_digit_runs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |       CAST(sum(n_ips) AS BIGINT) AS n_ips,
+         |       CAST(sum(n_phones) AS BIGINT) AS n_phones,
+         |       CAST(sum(n_digit_runs) AS BIGINT) AS n_digit_runs,
+         |       CAST(sum(len(text) - len(t4)) AS BIGINT) AS chars_redacted_delta
+         |FROM st4 GROUP BY source ORDER BY source""".stripMargin
+    },
+    // RRF fusion replay: the bm25 CTEs verbatim, a second slot-summed
+    // TF-IDF ranker, two ranked windows, 1/(k+rank) fusion floor6'd.
+    "q_rrf_fusion" -> {
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val slots = Bm25Terms.zipWithIndex
+        .map { case (t, i) =>
+          s"sum(CASE WHEN tok = '$t' THEN contrib END) AS c$i"
+        }
+        .mkString(",\n         |         ")
+      val slots2 = Bm25Terms.zipWithIndex
+        .map { case (t, i) =>
+          s"sum(CASE WHEN tok = '$t' THEN contrib2 END) AS c$i"
+        }
+        .mkString(",\n         |         ")
+      val total = Bm25Terms.indices
+        .map(i => s"COALESCE(c$i, 0.0)")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM t
+         |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |           * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         |           / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs))) AS contrib
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+         |s AS (
+         |  SELECT doc_id,
+         |         $slots
+         |  FROM c GROUP BY doc_id),
+         |bm AS (SELECT doc_id, round($total, 4) AS bm25 FROM s),
+         |c2 AS (
+         |  SELECT doc_id, tok,
+         |         CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS contrib2
+         |  FROM tf JOIN df USING (tok) CROSS JOIN tot),
+         |s2 AS (
+         |  SELECT doc_id,
+         |         $slots2
+         |  FROM c2 GROUP BY doc_id),
+         |ti AS (SELECT doc_id, round($total, 4) AS tfidf FROM s2),
+         |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25 FROM bm),
+         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY tfidf DESC, doc_id) AS rank_tfidf FROM ti)
+         |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+         |       CAST(rank_tfidf AS BIGINT) AS rank_tfidf,
+         |       floor((1.0 / (60.0 + rank_bm25) + 1.0 / (60.0 + rank_tfidf)) * 1000000.0 + 0.5) / 1000000.0 AS rrf
+         |FROM r1 JOIN r2 USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
     // tie-corrected rank-sum AUC on the grouped score histogram —
     // integers (doubled) until the one final division

@@ -256,6 +256,85 @@ object StreamLog {
       }
   }
 
+  final case class HwStreamState(
+      buf: Seq[(Long, Double)],
+      n: Long,
+      l: Double,
+      b: Double,
+      q: Seq[Double])
+  final case class HwStreamPoint(
+      space: String,
+      t: Long,
+      value: Double,
+      level: Double,
+      trend: Double,
+      forecast1: Double,
+      forecast7: Double,
+      n: Long)
+
+  /** Streaming twin of the batch Holt–Winters additive smoother
+    * ([[graft.queries.OlapQueries.qHoltWinters]]): per key, the triple
+    * recurrences (season length m = 7)
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+    * seeded EXACTLY like the batch fold (the first 14 observations are
+    * buffered; l₇ = week-1 mean, b₇ = (week-2 mean − week-1 mean)/7,
+    * s_i = x_i − l₇ — same left-associated sums), with the live h = 1
+    * and h = 7 forecasts l + h·b + s_{t+h−m} on every step. α, β, γ are
+    * exact binary fractions and every step replays the batch
+    * `aggregate` fold's IEEE tree, so on the same ordered series
+    * level/trend/forecasts are bit-identical to the batch query's
+    * final-state columns. State is ≤ 14 buffered points + 9 doubles
+    * per key — bounded, no timeout; emission starts at the 8th point
+    * (the first folded step, like the batch replay of t = 8…n). Rows
+    * within a micro-batch fold in (t, value) order. */
+  def holtWintersStream(
+      points: Dataset[(String, Long, Double)],
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      gamma: Double = 0.25): Dataset[HwStreamPoint] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HwStreamState, HwStreamPoint](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (space, rows, state: GroupState[HwStreamState]) =>
+          var st = state.getOption.getOrElse(
+            HwStreamState(Seq.empty, 0L, 0.0, 0.0, Seq.empty))
+          val out = Seq.newBuilder[HwStreamPoint]
+          def step(t: Long, x: Double): Unit = {
+            val lnew = alpha * (x - st.q.head) + (1 - alpha) * (st.l + st.b)
+            val bnew = beta * (lnew - st.l) + (1 - beta) * st.b
+            val qnew = st.q.tail :+ (gamma * (x - lnew) + (1 - gamma) * st.q.head)
+            st = HwStreamState(Seq.empty, st.n + 1, lnew, bnew, qnew)
+            out += HwStreamPoint(
+              space, t, x, lnew, bnew,
+              lnew + 1.0 * bnew + qnew.head,
+              lnew + 7.0 * bnew + qnew.last,
+              st.n)
+          }
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (t, x) =>
+            if (st.n < 14L && st.q.isEmpty) {
+              val buf = (st.buf :+ (t, x)).sortBy(_._1)
+              if (buf.size < 14) st = HwStreamState(buf, buf.size.toLong, 0.0, 0.0, Seq.empty)
+              else {
+                // the batch seed: state at t = 7, then replay t = 8…14
+                val xs = buf.map(_._2)
+                val l0 = xs.slice(0, 7).reduceLeft(_ + _) / 7.0
+                val b0 = (xs.slice(7, 14).reduceLeft(_ + _) / 7.0 - l0) / 7.0
+                st = HwStreamState(
+                  Seq.empty, 7L, l0, b0, xs.take(7).map(_ - l0))
+                buf.drop(7).foreach { case (bt, bx) => step(bt, bx) }
+              }
+            } else step(t, x)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaChartState(n: Long, z: Double)
   final case class EwmaChartSignal(
       space: String,

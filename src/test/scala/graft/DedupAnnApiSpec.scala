@@ -188,6 +188,35 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(p1.nonEmpty)
   }
 
+  test("winnowFingerprints: shared-run guarantee, rightmost-tie rule, short-doc edge") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    // two docs sharing exactly a w+k−1 = 6-token run (the guarantee
+    // floor), embedded in otherwise-disjoint text
+    val run = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "completely different words here with no overlap at all"),
+      (4L, "short doc"), // < k tokens after the guard: no grams
+      (5L, "x x x x x x x x")) // all-equal hashes: ties exercise the rule
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).toSet }
+    // the SWA guarantee: a shared ≥ w+k−1-token run ⇒ ≥ 1 shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "6-token shared run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs share nothing")
+    assert(!byDoc.contains(4L), "a doc with < k tokens selects nothing")
+    // all-equal hashes: every window's min ties, rightmost wins, so the
+    // selected positions are exactly w..m (m = n−k+1 = 6 grams)
+    val pos5 = fps.filter(_._1 == 5L).map(_._2).sorted.toSeq
+    assert(pos5 == (w.toLong to 6L))
+    // sparsity: winnowing keeps ≈ 2/(w+1) of positions, never all of them
+    val doc1Grams = df.filter($"doc_id" === 1L).head.getString(1).split(" ").length - k + 1
+    assert(byDoc(1L).size < doc1Grams)
+  }
+
   test("ivfMaintain: skewed append trips the fence, the split restores balance, cold cells stay bit-identical") {
     import spark.implicits._
     def vec(xs: Double*) = xs.toSeq

@@ -228,6 +228,7 @@ class PlanSpec extends SparkSpec {
       "q_ann_ivf_stored", // same bounded queries×quantizer product as q_ann_ivf
       "q_lm_score", // one-row vocabulary-size total, like the pmi/tfidf totals
       "q_bm25", // one-row corpus totals (n_docs, total_len)
+      "q_rrf_fusion", // inherits q_bm25's one-row corpus-totals product
       "q_source_divergence", // one-row global token total
       "q_label_sim", // label-sized centroid table × itself (|labels|²/2)
       "q_ks_test", // length-spine × ≤|sources|-row side (linear in the spine)
@@ -319,6 +320,7 @@ class PlanSpec extends SparkSpec {
     "q_psi_drift" -> "decile fences from the distinct-score histogram (value-alphabet rows)",
     "q_quality_shrunk" -> "shrinkage over per-source score stats (|sources| rows)",
     "q_rfm" -> "R/F/M quintile ranks over per-customer aggregates (customer dimension, not fact)",
+    "q_rrf_fusion" -> "both rank windows ride the query-term-matched doc set (the qNdcg convention: statistic-sized, never the corpus)",
     "q_runs_test" -> "runs scan over the daily above/below-median series (calendar-days rows)",
     "q_score_auc" -> "ROC cumulative over the distinct-score histogram (value-alphabet rows)",
     "q_seasonal_decompose" -> "centered MA over the daily series (calendar-days rows)",

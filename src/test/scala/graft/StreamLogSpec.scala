@@ -457,6 +457,53 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtWintersStream seeds from the first two weeks and folds bit-equal to the batch recursion") {
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamLog
+      .holtWintersStream(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("hw_out")
+      .outputMode("append")
+      .start()
+    try {
+      // 18 points with a weekly pattern + trend; split mid-seed AND
+      // mid-fold so both state phases cross micro-batch boundaries
+      val series = (1 to 18).map(t => t.toDouble + Seq(5.0, 1.0, 2.0, 8.0, 3.0, 0.5, 4.0)((t - 1) % 7))
+      val pts = series.zipWithIndex.map { case (v, i) => ("ops", (i + 1).toLong, v) }
+      mem.addData(pts.take(5): _*)
+      q.processAllAvailable()
+      // seed needs 14 points: nothing emitted yet
+      assert(spark.sql("SELECT * FROM hw_out").count() == 0)
+      mem.addData(pts.slice(5, 15): _*)
+      q.processAllAvailable()
+      mem.addData(pts.drop(15): _*)
+      q.processAllAvailable()
+      // local replication of the batch fold (qHoltWinters IEEE order)
+      val xs = series
+      val l0 = xs.slice(0, 7).reduceLeft(_ + _) / 7.0
+      val b0 = (xs.slice(7, 14).reduceLeft(_ + _) / 7.0 - l0) / 7.0
+      var (l, b) = (l0, b0)
+      var qq = xs.take(7).map(_ - l0)
+      xs.drop(7).foreach { x =>
+        val l1 = 0.5 * (x - qq.head) + 0.5 * (l + b)
+        val b1 = 0.25 * (l1 - l) + 0.75 * b
+        qq = qq.tail :+ (0.25 * (x - l1) + 0.75 * qq.head)
+        l = l1; b = b1
+      }
+      val rows = spark
+        .sql("SELECT level, trend, forecast1, forecast7, n FROM hw_out WHERE space = 'ops' ORDER BY n")
+        .collect()
+      assert(rows.length == series.size - 7) // one point per fold step (t = 8…18)
+      val last = rows.last
+      assert(last.getDouble(0) == l) // bit-equal, not approx
+      assert(last.getDouble(1) == b)
+      assert(last.getDouble(2) == l + 1.0 * b + qq.head)
+      assert(last.getDouble(3) == l + 7.0 * b + qq.last)
+      assert(last.getLong(4) == series.size.toLong)
+    } finally q.stop()
+  }
+
   test("kmvMonitor: exact below k, batch-formula estimate above k, order-insensitive across batch splits") {
     import graft.functions.Hashing
     // JVM hash twin must equal the Column family the batch sketch uses
