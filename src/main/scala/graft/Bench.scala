@@ -55,7 +55,7 @@ object Bench {
     "q_cluster_sizes", "q_seasonal_strength",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dedup_simhash_wide", "q_dup_rate_by_source",
     "q_dedup_embed", "q_dedup_embed_hi", "q_dedup_keep_best", "q_quality_shrunk",
-    "q_ann_topk", "q_ann_lsh", "q_ann_filtered", "q_ann_ivf", "q_ann_ivf_stored",
+    "q_ann_topk", "q_ann_lsh", "q_ann_mips", "q_ann_filtered", "q_ann_ivf", "q_ann_ivf_stored",
     "q_hard_negatives",
     "q_ann_recall",
     "q_ann_pq",

@@ -557,6 +557,23 @@ object PipelineQueries {
       .lshTopK(querySide(s, d), corpusSide(s, d), k = 5, nBits = LshBits, dim = EmbDim)
       .transform(sortSmall(_, "query_id", "rank"))
 
+  /** MIPS ANN via the norm-augmented reduction (Bachrach et al.,
+    * RecSys 2014 — see [[Ann.mipsLshTopK]]): top-k by raw INNER PRODUCT
+    * (the recommender objective, where magnitude encodes
+    * popularity/confidence and cosine is the wrong order), candidates
+    * from the sign-bucket LSH over `sqrt(M² − ‖x‖²)`-augmented vectors,
+    * exact-dot rerank. Same bucket-equi-join scale shape as q_ann_lsh;
+    * the max-norm M² is one control-plane aggregate the oracle
+    * recomputes from the parquet. */
+  def qAnnMips(s: SparkSession, d: String): DataFrame =
+    Ann
+      .mipsLshTopK(
+        querySide(s, d), corpusSide(s, d),
+        k = 5, bands = MipsBands, bitsPerBand = LshBits, dim = EmbDim)
+      .transform(sortSmall(_, "query_id", "rank"))
+
+  val MipsBands = 4
+
   val IvfCentroids = 8
   val IvfProbes = 2
 
@@ -4285,6 +4302,7 @@ object PipelineQueries {
     "q_hard_negatives" -> qHardNegatives _,
     "q_ann_recall" -> qAnnRecall _,
     "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_mips" -> qAnnMips _,
     "q_ann_filtered" -> qAnnFiltered _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_stored" -> qAnnIvfStored _,
@@ -4867,6 +4885,45 @@ object PipelineQueries {
          |FROM scored
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // MIPS replay: the SAME md5-derived hyperplane family extended one
+    // component (j = 64) for the augmented dimension; max-norm M² and
+    // the banded augmented signatures rebuilt from the parquet alone;
+    // candidates = union over bands (OR-construction), rerank by the
+    // exact RAW dot (the augmentation only steers candidates).
+    "q_ann_mips" -> {
+      val planeLit65 = (p: Int) =>
+        (0 to EmbDim).map(j => VectorFns.hpComponent(p, j)).mkString("[", ", ", "]")
+      def bandSql(b: Int) = (0 until LshBits)
+        .map(i =>
+          s"CASE WHEN list_dot_product(aug, ${planeLit65(b * LshBits + i)}) > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      val bandUnion = (0 until MipsBands)
+        .map(b => s"SELECT vec_id, $b AS band_id, (${bandSql(b)}) AS band_sig FROM a")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |m AS (SELECT max(nrm * nrm) AS m2 FROM n WHERE vec_id >= 10),
+         |a AS (SELECT vec_id, v,
+         |             CASE WHEN vec_id < 10 THEN list_append(v, 0.0)
+         |                  ELSE list_append(v, sqrt(m2 - nrm * nrm)) END AS aug
+         |      FROM n CROSS JOIN m),
+         |bs AS (
+         |  $bandUnion),
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bs q JOIN bs c
+         |    ON q.vec_id < 10 AND c.vec_id >= 10
+         |   AND q.band_id = c.band_id AND q.band_sig = c.band_sig),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, round(list_dot_product(q.v, c.v), 6) AS dot
+         |  FROM cands JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id)
+         |SELECT query_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank,
+         |       neighbor_id, dot
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "q_ann_pq" -> {
       val sd = EmbDim / PqM
       val cbUnion = (0 until PqM)

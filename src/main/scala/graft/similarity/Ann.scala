@@ -31,15 +31,16 @@ object Ann {
   private def rankTopK(
       scored: DataFrame,
       k: Int,
-      extraCols: Seq[String] = Nil): DataFrame = {
+      extraCols: Seq[String] = Nil,
+      scoreCol: String = "cos"): DataFrame = {
     val w = Window
       .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(
-        ("query_id" +: "rank" +: "neighbor_id" +: "cos" +: extraCols).map(col): _*)
+        ("query_id" +: "rank" +: "neighbor_id" +: scoreCol +: extraCols).map(col): _*)
   }
 
   private def cos = round(
@@ -73,6 +74,69 @@ object Ann {
         .withColumn("cos", cos),
       k,
       extraCols = Seq("c_label"))
+
+  /** Exact max-inner-product top-k (MIPS — the recommender/retrieval
+    * serving objective argmax ⟨q, x⟩, NOT cosine: a long vector can
+    * beat a better-aligned short one, which is the point when vector
+    * magnitude encodes popularity/confidence). Same broadcast-queries ×
+    * corpus shape as [[bruteForceTopK]]; output
+    * `(query_id, rank, neighbor_id, dot)`. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame =
+    rankTopK(
+      broadcast(queries)
+        .join(corpus)
+        .withColumn("dot", round(VectorFns.dot(col("q_v"), col("c_v")), 6)),
+      k,
+      scoreCol = "dot")
+
+  /** MIPS through cosine machinery by the norm-augmented reduction
+    * (Bachrach et al., RecSys 2014; Neyshabur–Srebro 2015): append
+    * `sqrt(M² − ‖x‖²)` to every corpus vector (M = max corpus norm) and
+    * `0` to every query — all augmented corpus vectors then share norm
+    * M, so cosine order in the augmented space IS inner-product order —
+    * and route through banded sign-LSH over the augmented vectors
+    * (`dim + 1` hyperplane components, same md5-derived family as
+    * [[lshTopK]]). BANDED (OR-construction), not single-bucket: the
+    * augmented component dominates small-norm vectors (they all lean
+    * toward the extra axis), which collapses one-band sign buckets —
+    * candidates are the union over `bands` independent signatures
+    * (measured: recall 0.1 single-band → well above the tuning floor
+    * at 4×4). Candidates rerank by the EXACT raw dot, so the reduction
+    * only steers candidate generation; the max-norm M² is one
+    * control-plane aggregate. */
+  def mipsLshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val m2 = corpus
+      .agg(max(col("c_nrm") * col("c_nrm")))
+      .head()
+      .getDouble(0)
+    def banded(df: DataFrame, idCol: String, aug: Column): DataFrame = df
+      .select(
+        col(idCol),
+        posexplode(VectorFns.bandSignatures(aug, bands, bitsPerBand, dim + 1)))
+      .select(col(idCol), col("pos").as("band_id"), col("col").as("band_sig"))
+    val cB = banded(
+      corpus,
+      "neighbor_id",
+      concat(col("c_v"), array(sqrt(lit(m2) - col("c_nrm") * col("c_nrm")))))
+    val qB = banded(queries, "query_id", concat(col("q_v"), array(lit(0.0))))
+    val cands = broadcast(qB)
+      .join(cB.hint("shuffle_hash"), Seq("band_id", "band_sig"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    rankTopK(
+      cands
+        .join(broadcast(queries), "query_id")
+        .join(corpus.hint("shuffle_hash"), "neighbor_id")
+        .withColumn("dot", round(VectorFns.dot(col("q_v"), col("c_v")), 6)),
+      k,
+      scoreCol = "dot")
+  }
 
   /** Random-hyperplane LSH top-k: candidates restricted to the query's
     * sign-bucket. `nBits` hyperplanes of dimension `dim` are baked into

@@ -188,6 +188,38 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(p1.nonEmpty)
   }
 
+  test("MIPS: inner-product order beats cosine order where magnitude is signal; LSH route reranks exactly") {
+    import spark.implicits._
+    // q = (1,0): vector a = (3,4) wins on dot (3 vs 0.99) but LOSES on
+    // cosine (0.6 vs 1.0) — the crafted case where MIPS ≠ cosine
+    val qs = Ann.withNorm(Seq((0L, Seq(1.0, 0.0))).toDF("query_id", "q_v"), "q_v", "q_nrm")
+    val cs = Ann.withNorm(
+      Seq((10L, Seq(3.0, 4.0)), (11L, Seq(0.99, 0.0))).toDF("neighbor_id", "c_v"),
+      "c_v", "c_nrm")
+    val mips = Ann.mipsTopK(qs, cs, k = 1).head()
+    val cosine = Ann.bruteForceTopK(qs, cs, k = 1).head()
+    assert(mips.getLong(2) == 10L && mips.getDouble(3) == 3.0)
+    assert(cosine.getLong(2) == 11L, "cosine must prefer the aligned short vector")
+
+    // real fixture: every LSH-routed hit carries the EXACT raw dot (the
+    // reduction only steers candidates), and recall is non-trivial
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val corpus = embs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val exact = Ann.mipsTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val routed = Ann.mipsLshTopK(queries, corpus, k = 5, bands = 4, bitsPerBand = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(routed.nonEmpty)
+    val allDots = Ann.mipsTopK(queries, corpus, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(routed.forall { case (k2, d) => allDots.get(k2).contains(d) },
+      "routed dots must equal the exact raw dot for the same pair")
+    val recall = (exact.keySet & routed.keySet).size.toDouble / exact.size
+    assert(recall > 0.3, s"augmented-LSH recall collapsed: $recall")
+  }
+
   test("winnowFingerprints: shared-run guarantee, rightmost-tie rule, short-doc edge") {
     import spark.implicits._
     val k = 3; val w = 4
