@@ -402,6 +402,127 @@ object Multimodal {
     }
   }
 
+  /** Outcome of a metadata strip: how much privacy-bearing container
+    * data was removed (the pixel/entropy payload is never touched). */
+  final case class StripReport(
+      asset_id: Long,
+      container: String, // "png" | "jpeg" | "other"
+      removed_segments: Int,
+      removed_bytes: Long,
+      bytes_before: Long,
+      bytes_after: Long)
+
+  /** PNG ancillary chunk types that carry metadata, not pixels — the
+    * privacy-strip set (textual chunks, timestamps, embedded EXIF).
+    * Rendering-relevant ancillaries (tRNS transparency, gAMA, sRGB…)
+    * are KEPT: stripping must never change what the image looks like. */
+  private val PngMetaChunks = Set("tEXt", "zTXt", "iTXt", "tIME", "eXIf")
+
+  /** Byte-level image metadata strip — the privacy pass of an image
+    * training pipeline (EXIF GPS coordinates, camera serials, XMP
+    * author blocks, editor comments). Works on the CONTAINER without
+    * decoding: PNG chunks / JPEG segments are walked and the
+    * metadata-bearing ones dropped, everything else — including the
+    * entire compressed pixel / entropy-coded stream — is copied
+    * verbatim, so the cleaned asset decodes bit-identically (spec:
+    * pixel digest and perceptual hash unchanged). PNG: drops
+    * [[PngMetaChunks]]. JPEG: drops APP1–APP13 (EXIF/XMP/Photoshop…)
+    * and COM; APP0 (JFIF) and APP14 (Adobe color transform) are kept —
+    * both affect DECODING, not privacy. Non-image or unrecognized
+    * containers pass through untouched (report row says so: a strip
+    * pass must be safe to run on a mixed asset table). Truncated or
+    * out-of-sync containers copy the remainder verbatim rather than
+    * guessing — never corrupt what you cannot parse. */
+  def stripImageMetadata(a: Asset): (Asset, StripReport) = {
+    val c = a.content
+    val (container, out, segs, removed) =
+      if (isPng(c)) { val (o, s, b) = stripPng(c); ("png", o, s, b) }
+      else if (isJpeg(c)) { val (o, s, b) = stripJpeg(c); ("jpeg", o, s, b) }
+      else ("other", c, 0, 0L)
+    (
+      a.copy(content = out),
+      StripReport(a.asset_id, container, segs, removed, c.length.toLong, out.length.toLong))
+  }
+
+  private def isPng(c: Array[Byte]): Boolean =
+    c.length > 8 && (c(0) & 0xff) == 0x89 &&
+      c(1) == 'P' && c(2) == 'N' && c(3) == 'G'
+
+  private def isJpeg(c: Array[Byte]): Boolean =
+    c.length > 2 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8
+
+  private def stripPng(c: Array[Byte]): (Array[Byte], Int, Long) = {
+    val out = new java.io.ByteArrayOutputStream(c.length)
+    out.write(c, 0, 8) // signature
+    var i = 8
+    var segs = 0
+    var bytes = 0L
+    while (i + 8 <= c.length) {
+      val len = ((c(i) & 0xff) << 24) | ((c(i + 1) & 0xff) << 16) |
+        ((c(i + 2) & 0xff) << 8) | (c(i + 3) & 0xff)
+      val total = 12L + len // len + type + data + crc
+      if (len < 0 || i + total > c.length) {
+        out.write(c, i, c.length - i) // truncated: verbatim tail
+        i = c.length
+      } else {
+        val typ = new String(c, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (PngMetaChunks(typ)) { segs += 1; bytes += total }
+        else out.write(c, i, total.toInt)
+        i += total.toInt
+      }
+    }
+    if (i < c.length) out.write(c, i, c.length - i)
+    (out.toByteArray, segs, bytes)
+  }
+
+  private def stripJpeg(c: Array[Byte]): (Array[Byte], Int, Long) = {
+    val out = new java.io.ByteArrayOutputStream(c.length)
+    out.write(c, 0, 2) // SOI
+    var i = 2
+    var segs = 0
+    var bytes = 0L
+    var done = false
+    while (!done && i < c.length) {
+      if (i + 2 > c.length || (c(i) & 0xff) != 0xff) {
+        out.write(c, i, c.length - i) // lost sync: verbatim tail
+        done = true
+      } else {
+        val marker = c(i + 1) & 0xff
+        if (marker == 0xda) { // SOS: entropy stream + EOI, verbatim
+          out.write(c, i, c.length - i)
+          done = true
+        } else if (marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          out.write(c, i, 2) // standalone marker
+          i += 2
+        } else if (i + 4 > c.length) {
+          out.write(c, i, c.length - i)
+          done = true
+        } else {
+          val len = ((c(i + 2) & 0xff) << 8) | (c(i + 3) & 0xff) // incl. itself
+          val total = 2 + len
+          if (len < 2 || i + total > c.length) {
+            out.write(c, i, c.length - i)
+            done = true
+          } else {
+            val strip = (marker >= 0xe1 && marker <= 0xed) || marker == 0xfe
+            if (strip) { segs += 1; bytes += total }
+            else out.write(c, i, total)
+            i += total
+          }
+        }
+      }
+    }
+    (out.toByteArray, segs, bytes)
+  }
+
+  /** Dataset-level metadata strip: a pure partition-local projection
+    * (no shuffle, no decode) over a mixed asset table — cleaned assets
+    * paired with their [[StripReport]]s. */
+  def stripMetadata(assets: Dataset[Asset]): Dataset[(Asset, StripReport)] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(it => it.map(stripImageMetadata))
+  }
+
   /** Build a demo asset table from the documents corpus (text bytes as
     * opaque payloads) — exercises the exact schema/partitioning a real
     * media table would use. */
