@@ -496,34 +496,49 @@ object Dedup {
         element_at(col("sig2"), 2).as("sim_hi"))
   }
 
-  /** Word-aligned pigeonhole band table for the 120-bit fingerprint:
-    * `maxHamming + 1` bands, each band's bits drawn from a SINGLE
-    * 60-bit half (`(band_id, hiWord, offset, len)`) so both engines
-    * extract bands with one shift+mask and no cross-word stitching.
-    * The low word takes the extra band when the count is odd — at the
-    * default radius 6 that is 4 bands × 15 bits over `sim_lo` + 3 bands
-    * × 20 bits over `sim_hi`. Exactness needs only ≥ maxHamming + 1
-    * disjoint bands (pigeonhole), which word-aligned splitting
-    * preserves. */
-  def wideBandLayout(maxHamming: Int): Seq[(Int, Boolean, Int, Int)] = {
+  /** EVEN pigeonhole band table over the 120-bit fingerprint treated as
+    * ONE bit string: `maxHamming + 1` disjoint bands `(band_id, offset,
+    * len)` with offsets in 0…119, widths `⌊120/n⌋` or `⌈120/n⌉`. Bands
+    * may SPAN the word boundary — [[wideBandBits]] stitches the two
+    * halves with shift+mask, and the oracle replays the identical
+    * stitch. Evenness is the scale property: the earlier word-aligned
+    * layout's 4 × 15-bit bands capped the smallest bucket space at
+    * 2¹⁵, which a fifth-decade measurement (5M docs, r4 ≈ 21) showed
+    * saturating one decade after the 60-bit geometry; the even
+    * radius-6 layout (1 × 18 + 6 × 17 bits) keeps every bucket space
+    * ≥ 2¹⁷ — saturation pushed ~4× further out with zero result change
+    * (exactness needs only ≥ maxHamming + 1 disjoint bands, and the
+    * exact hamming verify makes the pair set layout-invariant). */
+  def wideBandLayout(maxHamming: Int): Seq[(Int, Int, Int)] = {
     val nBands = maxHamming + 1
     require(nBands >= 1 && nBands <= 120, s"radius $maxHamming out of range")
-    val nLo = math.min(60, (nBands + 1) / 2)
-    val nHi = nBands - nLo
-    require(nHi <= 60, s"radius $maxHamming needs more than 120 disjoint bands")
-    def split(hiWord: Boolean, n: Int): Seq[(Boolean, Int, Int)] =
-      if (n == 0) Nil
-      else {
-        val base = 60 / n
-        val extra = 60 % n
-        val offs = (0 until n).scanLeft(0) { (o, j) =>
-          o + base + (if (j < extra) 1 else 0)
-        }
-        (0 until n).map(j => (hiWord, offs(j), base + (if (j < extra) 1 else 0)))
-      }
-    (split(hiWord = false, nLo) ++ split(hiWord = true, nHi)).zipWithIndex
-      .map { case ((w, o, l), i) => (i, w, o, l) }
+    val base = 120 / nBands
+    val extra = 120 % nBands
+    val offs = (0 until nBands).scanLeft(0) { (o, j) =>
+      o + base + (if (j < extra) 1 else 0)
+    }
+    (0 until nBands).map(j => (j, offs(j), base + (if (j < extra) 1 else 0)))
   }
+
+  /** Extract band bits `[off, off+len)` of the 120-bit fingerprint from
+    * its two non-negative 60-bit words — one shift+mask when the band
+    * lies in a single word, a two-sided stitch when it spans. */
+  private def wideBandBits(
+      off: Int,
+      len: Int,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (off + len <= 60)
+      shiftright(lo, off).bitwiseAND(lit((1L << len) - 1))
+    else if (off >= 60)
+      shiftright(hi, off - 60).bitwiseAND(lit((1L << len) - 1))
+    else {
+      val takeLo = 60 - off
+      shiftright(lo, off)
+        .bitwiseAND(lit((1L << takeLo) - 1))
+        .bitwiseOR(
+          shiftleft(hi.bitwiseAND(lit((1L << (len - takeLo)) - 1)), takeLo))
+    }
 
   /** [[simhashPairs]] over the 120-bit fingerprint: same shape (band
     * explode → shuffle_hash self-join → exact hamming verify), with
@@ -534,13 +549,10 @@ object Dedup {
       simhashes: DataFrame,
       id: String = "doc_id",
       maxHamming: Int = 6): DataFrame = {
-    val bands = wideBandLayout(maxHamming).map { case (bid, hiWord, off, len) =>
-      val word = if (hiWord) col("sim_hi") else col("sim_lo")
+    val bands = wideBandLayout(maxHamming).map { case (bid, off, len) =>
       struct(
         lit(bid).as("band_id"),
-        shiftright(word, off)
-          .bitwiseAND(lit((1L << len) - 1))
-          .as("band_bits"))
+        wideBandBits(off, len, col("sim_lo"), col("sim_hi")).as("band_bits"))
     }
     val banded = simhashes
       .select(

@@ -160,13 +160,23 @@ object PipelineQueries {
   }
 
   /** Wide-band simhash band table for the DuckDB oracles, derived from
-    * the IDENTICAL [[Dedup.wideBandLayout]] — `(band_id, is_hi, off,
-    * msk)`. */
+    * the IDENTICAL [[Dedup.wideBandLayout]] — generalized stitch
+    * coefficients `(band_id, lo_off, lo_msk, hi_off, hi_msk, shl)` so
+    * one formula `((sim_lo >> lo_off) & lo_msk) |
+    * (((sim_hi >> hi_off) & hi_msk) << shl)` replays every band,
+    * including the ones that SPAN the word boundary. */
   private def simhashWideBandVals: String =
     Dedup
       .wideBandLayout(SimhashMaxHamming)
-      .map { case (bid, hiWord, off, len) =>
-        s"($bid, ${if (hiWord) 1 else 0}, $off, ${(1L << len) - 1})"
+      .map { case (bid, off, len) =>
+        if (off + len <= 60)
+          s"($bid, $off, ${(1L << len) - 1}, 0, 0, 0)"
+        else if (off >= 60)
+          s"($bid, 0, 0, ${off - 60}, ${(1L << len) - 1}, 0)"
+        else {
+          val takeLo = 60 - off
+          s"($bid, $off, ${(1L << takeLo) - 1}, 0, ${(1L << (len - takeLo)) - 1}, $takeLo)"
+        }
       }
       .mkString(", ")
 
@@ -194,13 +204,13 @@ object PipelineQueries {
   }
 
   /** Banded 120-bit pair CTEs over `wsims`: the exact ≤ maxHamming pair
-    * relation via the word-aligned pigeonhole band join — the wide twin
-    * of [[simhashPairCtes]]. */
+    * relation via the even (word-boundary-spanning) pigeonhole band
+    * join — the wide twin of [[simhashPairCtes]]. */
   private def simhashWidePairCtes(name: String): String =
     s"""swbands AS (
        |  SELECT doc_id, sim_lo, sim_hi, band_id,
-       |         ((CASE WHEN is_hi = 1 THEN sim_hi ELSE sim_lo END) >> off) & msk AS band_bits
-       |  FROM wsims CROSS JOIN (VALUES $simhashWideBandVals) AS bnd(band_id, is_hi, off, msk)),
+       |         ((sim_lo >> lo_off) & lo_msk) | (((sim_hi >> hi_off) & hi_msk) << shl) AS band_bits
+       |  FROM wsims CROSS JOIN (VALUES $simhashWideBandVals) AS bnd(band_id, lo_off, lo_msk, hi_off, hi_msk, shl)),
        |$name AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |         CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming

@@ -132,19 +132,21 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(wide.values.exists(_ == 0L))
   }
 
-  test("wideBandLayout: maxHamming+1 disjoint word-aligned bands covering all 120 bits") {
+  test("wideBandLayout: maxHamming+1 disjoint EVEN bands covering all 120 bits") {
     for (mh <- Seq(0, 3, 6, 11)) {
       val bands = Dedup.wideBandLayout(mh)
       assert(bands.size == mh + 1)
-      for (hiWord <- Seq(false, true)) {
-        val covered = bands.filter(_._2 == hiWord)
-          .flatMap { case (_, _, off, len) => off until (off + len) }
-        val expected =
-          if (bands.exists(_._2 == hiWord)) (0 until 60).toSeq else Seq.empty
-        assert(covered.sorted == expected, s"mh=$mh hi=$hiWord")
-        assert(covered.distinct.size == covered.size)
-      }
+      val covered = bands.flatMap { case (_, off, len) => off until (off + len) }
+      assert(covered.sorted == (0 until 120).toSeq, s"mh=$mh")
+      assert(covered.distinct.size == covered.size)
+      // evenness — the scale property: no band narrower than ⌊120/n⌋,
+      // so the SMALLEST bucket space is as wide as n bands allow
+      val base = 120 / (mh + 1)
+      assert(bands.forall { case (_, _, len) => len == base || len == base + 1 })
     }
+    // radius 6: min band width 17 → every bucket space ≥ 2^17 (the old
+    // word-aligned layout's 15-bit bands saturated at the 5th decade)
+    assert(Dedup.wideBandLayout(6).map(_._3).min == 17)
   }
 
   test("SimhashTokens ignores null array elements instead of NPEing") {
