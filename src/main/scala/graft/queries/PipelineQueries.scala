@@ -1918,6 +1918,60 @@ object PipelineQueries {
           .otherwise(lit(0.0d)).as("f1"))
   }
 
+  /** [[qSimhashEval]] for the 120-bit fingerprint — precision/recall/F1
+    * of the corpus-scale default geometry against the SAME exact
+    * 3-shingle Jaccard ≥ 0.5 ground truth. This is the number that says
+    * what the wider fingerprint TRADES for its bucket headroom: radius
+    * 6 over 120 bits is ~2× tighter in relative hamming than over 60,
+    * so candidates are fewer/cleaner (precision up) and borderline
+    * near-dups are missed more often (recall down) — the tuning fact a
+    * deployment needs before flipping the wide keys on. Same one-scan
+    * shape as the narrow eval: ONE materialized token pass feeds the
+    * wide signatures AND the shingle ground truth. */
+  def qSimhashEvalWide(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val toks = docs(s, d)
+      .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .transform(graft.operators.Materialize.cut)
+    val cand = Dedup
+      .simhashPairsWide(
+        Dedup.simhashSignaturesWide(toks, "doc_id", "tk"),
+        maxHamming = SimhashMaxHamming)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_cand", lit(true))
+    val exact = Dedup
+      .ngramJaccardFromShingled(
+        Dedup.shingledFromTokens(toks, "doc_id", "tk", k = 3),
+        "doc_id",
+        threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_exact", lit(true))
+    cand
+      .join(exact, Seq("a_id", "b_id"), "full_outer")
+      .select(
+        coalesce(col("in_cand"), lit(false)).as("in_cand"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      .agg(
+        sum(when(col("in_cand"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("in_cand") && col("in_exact"), 1L).otherwise(0L)).as("tp"))
+      .select(
+        col("n_cand"),
+        col("n_exact"),
+        col("tp"),
+        floor6(col("tp").cast("double") / col("n_cand").cast("double")).as("precision"),
+        floor6(col("tp").cast("double") / col("n_exact").cast("double")).as("recall"),
+        when(
+          col("tp") > 0L,
+          floor6(
+            lit(2.0d) * (col("tp").cast("double") / col("n_cand").cast("double")) *
+              (col("tp").cast("double") / col("n_exact").cast("double")) /
+              (col("tp").cast("double") / col("n_cand").cast("double") +
+                col("tp").cast("double") / col("n_exact").cast("double"))))
+          .otherwise(lit(0.0d)).as("f1"))
+  }
+
   /** Pairwise cosine similarity between per-label embedding CENTROIDS
     * — the corpus-drift-in-embedding-space report (which labels/topics
     * overlap, which are far apart; the input to merge/split curation
@@ -4358,6 +4412,7 @@ object PipelineQueries {
     "q_common_neighbors_wide" -> qGraphCommonNeighborsWide _,
     "q_jl_project" -> qJlProject _,
     "q_simhash_eval" -> qSimhashEval _,
+    "q_simhash_eval_wide" -> qSimhashEvalWide _,
     "q_bm25" -> qBm25 _,
     "q_rrf_fusion" -> qRrfFusion _,
     "q_pii_audit" -> qPiiAudit _,
@@ -5608,6 +5663,38 @@ object PipelineQueries {
          |       ELSE 0.0 END AS f1
          |FROM agg""".stripMargin
     },
+    // wide-eval replay: the 120-bit sims + even-band pair CTEs, the
+    // same shingle ground truth, the same confusion fold.
+    "q_simhash_eval_wide" ->
+      s"""WITH $simhashWideSimsCtes,
+         |${simhashWidePairCtes("spairs")},
+         |${shingleCtes("documents", "")},
+         |ngx AS (SELECT doc_id, sz, ${Hashing.duckMd5Long("shingle")} AS h FROM ex),
+         |common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
+         |  FROM ngx a JOIN ngx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |epairs AS (
+         |  SELECT a_id, b_id FROM common
+         |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.5),
+         |conf AS (
+         |  SELECT coalesce(s.a_id, e.a_id) AS a_id,
+         |         (s.a_id IS NOT NULL) AS in_cand, (e.a_id IS NOT NULL) AS in_exact
+         |  FROM spairs s FULL OUTER JOIN epairs e
+         |    ON s.a_id = e.a_id AND s.b_id = e.b_id),
+         |agg AS (
+         |  SELECT CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |         CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |         CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM conf)
+         |SELECT n_cand, n_exact, tp,
+         |       floor((CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS precision,
+         |       floor((CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall,
+         |       CASE WHEN tp > 0 THEN
+         |         floor((2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) /
+         |                (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) + CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+         |       ELSE 0.0 END AS f1
+         |FROM agg""".stripMargin,
     "q_jl_project" ->
       s"""WITH qvs AS (
          |  SELECT vec_id,
