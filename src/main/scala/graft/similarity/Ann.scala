@@ -363,6 +363,33 @@ object Ann {
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
   }
 
+  /** [[ivfAppend]] with the maintenance fence wired in: after the
+    * batch lands, read [[ivfImbalance]] off the stored lists and run
+    * [[ivfMaintain]] rounds while the fence stays tripped (with the
+    * default AUTO split arity one round normally suffices; the
+    * `maxRounds` cap bounds uneven k-means splits and the degenerate
+    * all-duplicates cell that cannot split at all). This is the
+    * self-balancing ingest loop a serving deployment actually runs —
+    * append-only ingest under drift/skew otherwise grows hot cells
+    * unbounded. Returns true iff any maintenance ran. The imbalance
+    * readout is one k-row control-plane aggregate per round —
+    * negligible next to the append itself. */
+  def ivfAppendMaintained(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      fence: Double = 2.0,
+      splitInto: Int = 0,
+      iters: Int = 2,
+      dim: Int = 64,
+      maxRounds: Int = 4): Boolean = {
+    ivfAppend(spark, batch, path)
+    var rounds = 0
+    while (rounds < maxRounds && ivfImbalance(spark, path) > fence &&
+      ivfMaintain(spark, path, fence, splitInto, iters, dim)) rounds += 1
+    rounds > 0
+  }
+
   /** Cell-size imbalance of a stored index: `max_size · k / n` (1.0 =
     * perfectly balanced; the `q_ivf_balance` statistic, read off the
     * stored lists instead of a fresh assignment). Probe latency follows
@@ -392,7 +419,10 @@ object Ann {
   /** Rebalance a stored index when skewed [[ivfAppend]] traffic has
     * grown hot cells past `fence × mean` (the [[ivfImbalance]] fence):
     * each over-budget cell is SPLIT IN PLACE by a local k-means over
-    * its own members (`splitInto` deterministic lowest-id seeds +
+    * its own members (deterministic lowest-id seeds — `splitInto` of
+    * them, or with the default AUTO arity (`splitInto = 0`) enough
+    * sub-cells to target the MEAN cell size, `ceil(count·k/n)`, so one
+    * pass restores balance — plus
     * `iters` Lloyd rounds — the two-level-quantizer pattern applied to
     * one cell), its members land in fresh cells under new `cent_id`s,
     * the quantizer gains the sub-centroids and drops the hot one, and
@@ -418,23 +448,34 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       fence: Double = 2.0,
-      splitInto: Int = 2,
+      splitInto: Int = 0,
       iters: Int = 2,
       dim: Int = 64): Boolean = {
     import spark.implicits._
-    require(fence > 1.0 && splitInto >= 2, "fence must exceed 1.0 and splitInto 2+")
+    require(
+      fence > 1.0 && (splitInto == 0 || splitInto >= 2),
+      "fence must exceed 1.0; splitInto must be 0 (auto) or 2+")
     val counts = cellCounts(spark, path)
     if (counts.isEmpty) return false
     val n = counts.map(_._2).sum
-    val budget = fence * n.toDouble / counts.size.toDouble
-    val hot = counts.filter(_._2.toDouble > budget).map(_._1).sorted
+    val kCells = counts.size
+    val budget = fence * n.toDouble / kCells.toDouble
+    val hotCells = counts.filter(_._2.toDouble > budget).sortBy(_._1)
+    val hot = hotCells.map(_._1)
+    // auto arity: split each over-budget cell into enough sub-cells to
+    // TARGET the mean cell size — one pass restores balance instead of
+    // halving toward it over log₂ rounds
+    def arity(cnt: Long): Int =
+      if (splitInto >= 2) splitInto
+      else math.max(2, math.ceil(cnt.toDouble * kCells / n).toInt)
     if (hot.isEmpty) return false
 
     val centroids = spark.read.parquet(s"$path/centroids")
     var nextId = counts.map(_._1).max + 1L
     val newCentroids = Seq.newBuilder[(Long, Seq[Double], Double)]
 
-    hot.foreach { hotId =>
+    hotCells.foreach { case (hotId, cnt) =>
+      val k2 = arity(cnt)
       // partition-pruned: only this cell's files are read
       // filter on the RAW partition attribute (the ivfProbe convention)
       // so the read prunes to this cell's files
@@ -444,11 +485,11 @@ object Ann {
         .select("neighbor_id", "c_v", "c_nrm")
       def centsDf(cs: Seq[(Long, Seq[Double], Double)]) =
         broadcast(cs.toDF("cent_id", "cent_v", "cent_nrm"))
-      // deterministic seeds: the splitInto lowest-id members (the
+      // deterministic seeds: the k2 lowest-id members (the
       // pqCodebook / kmeansAssign init convention)
       var subs: Seq[(Long, Seq[Double], Double)] = cell
         .orderBy("neighbor_id")
-        .limit(splitInto)
+        .limit(k2)
         .collect()
         .zipWithIndex
         .map { case (r, i) =>
@@ -476,7 +517,7 @@ object Ann {
       nearestCells(cell, centsDf(subs), "neighbor_id", "c_v", "c_nrm", 1)
         .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
       newCentroids ++= subs
-      nextId += splitInto
+      nextId += k2
     }
 
     // quantizer swap: drop the hot centroids, add the sub-centroids

@@ -328,6 +328,21 @@ class DedupAnnApiSpec extends SparkSpec {
     val brute = Ann.bruteForceTopK(hotQ, corpusDf(base ++ skew), k = 5)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(probe(vec(1, 0.15, 0.15, 0), nProbe = 2, k = 5).map(t => (t._1, t._2)) == brute)
+
+    // the wired ingest loop (auto split arity): a balanced batch appends
+    // without maintenance; a skewed surge trips the fence and
+    // self-balances in the same call
+    val calm = corpusDf(Seq(301L -> vec(0, 1, 0.05, 0), 302L -> vec(0, 0, 0.05, 1)))
+    assert(!Ann.ivfAppendMaintained(spark, calm, path, fence = 2.0, iters = 2, dim = 4))
+    val surge = corpusDf((401L to 460L).map(i => dirA(i, 0.0001 * (i - 401))))
+    assert(Ann.ivfAppendMaintained(spark, surge, path, fence = 2.0, iters = 2, dim = 4),
+      "a skewed surge must trip the fence and rebalance in the same call")
+    assert(Ann.ivfImbalance(spark, path) < 2.0)
+    // nothing lost across the wired loop either
+    val idsAfter = spark.read.parquet(s"$path/lists").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(idsAfter.sorted ==
+      (base.map(_._1) ++ skew.map(_._1) ++ Seq(301L, 302L) ++ (401L to 460L)).sorted)
   }
 
   test("duplicateClusters finds connected components and canonical survivors") {
