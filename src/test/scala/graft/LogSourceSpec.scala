@@ -227,10 +227,12 @@ class LogSourceSpec extends SparkSpec {
       try {
         awaitUntil(diag = s"$mode wave1 got=${got.synchronized(got.size)} exc=${q.exception}")(
           got.synchronized(got.distinct.size) == nSegs * 3)
-        // wave 2 arrives mid-stream with an ADVANCED timestamp (the
-        // watermark contract) — only the delta may be re-read
+        // wave 2 arrives mid-stream with ADVANCING timestamps (the
+        // watermark contract: a produce at or below an already-polled
+        // watermark would be skipped — two produces at the SAME ts can
+        // race a mid-poll, so each wave-2 call advances the clock)
         log.produce("s0", "seg00", records(4, 2), 2000L)
-        log.produce("s0", f"seg${nSegs - 1}%02d", records(4, 2), 2000L)
+        log.produce("s0", f"seg${nSegs - 1}%02d", records(4, 2), 3000L)
         awaitUntil(diag = s"$mode wave2 got=${got.synchronized(got.size)} exc=${q.exception}")(
           got.synchronized(got.distinct.size) == nSegs * 3 + 4)
       } finally q.stop()
@@ -249,7 +251,7 @@ class LogSourceSpec extends SparkSpec {
     // the watermark is ONE entry for the whole space
     assert(segOffset.split(';').length == nSegs)
     assert(wmOffset.split(';').length == 1)
-    assert(GraftLogSource.decodeSpaceOffset(wmOffset) == Map("s0" -> 2000L))
+    assert(GraftLogSource.decodeSpaceOffset(wmOffset) == Map("s0" -> 3000L))
   }
 
   test("space filter: only the subscribed space's rows flow") {
