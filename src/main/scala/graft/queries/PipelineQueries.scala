@@ -2814,6 +2814,70 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Minimum shared winnowed fingerprints for [[qWinnowEval]]'s
+    * candidate rule — one shared fingerprint is a single ≥ 6-token run
+    * (often boilerplate); three is a near-dup signal. */
+  val WinnowEvalMinShared = 3
+
+  /** Winnowing candidate-quality evaluation — the 115-family twin for
+    * the MOSS fingerprints (115 = minhash-LSH, 115b/c = simhash):
+    * pairs sharing ≥ [[WinnowEvalMinShared]] winnowed fingerprints,
+    * scored against the exact 3-shingle Jaccard ≥ 0.5 ground truth.
+    * Winnowing detects SHARED RUNS, not set similarity, so this is the
+    * cross-model honesty check: how well does substring evidence proxy
+    * for the set-similarity duplicates the pipeline actually removes.
+    * Same one-scan eval shape; the posting join is the q_winnow plan
+    * without its top-20 head. */
+  def qWinnowEval(s: SparkSession, d: String): DataFrame = {
+    val fp = Dedup
+      .winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut(_))
+    val rare = fp
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64)
+      .select("fp")
+    val kept = fp.join(rare.hint("shuffle_hash"), "fp")
+    val cand = kept
+      .select(col("fp"), col("doc_id").as("a_id"))
+      .join(kept.select(col("fp"), col("doc_id").as("b_id")).hint("shuffle_hash"), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowEvalMinShared)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_cand", lit(true))
+    val exact = Dedup
+      .ngramJaccard(docs(s, d), k = 3, threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_exact", lit(true))
+    cand
+      .join(exact, Seq("a_id", "b_id"), "full_outer")
+      .select(
+        coalesce(col("in_cand"), lit(false)).as("in_cand"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      .agg(
+        sum(when(col("in_cand"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("in_cand") && col("in_exact"), 1L).otherwise(0L)).as("tp"))
+      .select(
+        col("n_cand"),
+        col("n_exact"),
+        col("tp"),
+        floor6(col("tp").cast("double") / col("n_cand").cast("double")).as("precision"),
+        floor6(col("tp").cast("double") / col("n_exact").cast("double")).as("recall"),
+        when(
+          col("tp") > 0L,
+          floor6(
+            lit(2.0d) * (col("tp").cast("double") / col("n_cand").cast("double")) *
+              (col("tp").cast("double") / col("n_exact").cast("double")) /
+              (col("tp").cast("double") / col("n_cand").cast("double") +
+                col("tp").cast("double") / col("n_exact").cast("double"))))
+          .otherwise(lit(0.0d)).as("f1"))
+  }
+
   /** Multimodal metadata rollup over the asset table (the codec-free
     * column path — digest/size stay in codegen; see
     * [[graft.multimodal.Multimodal.assetStats]]). */
@@ -4385,6 +4449,7 @@ object PipelineQueries {
     "q_inverted_index" -> qInvertedIndex _,
     "q_fingerprint" -> qFingerprint _,
     "q_winnow" -> qWinnow _,
+    "q_winnow_eval" -> qWinnowEval _,
     "q_kmeans" -> qKmeans _,
     "q_semdedup" -> qSemdedup _,
     "q_dup_spans" -> qDupSpans _,
@@ -5342,6 +5407,62 @@ object PipelineQueries {
          |FROM fp a JOIN fp b USING (fp) JOIN rare USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY shared_fps DESC, a_id, b_id LIMIT 20""".stripMargin
+    },
+    // winnow-eval replay: the q_winnow selection CTEs (renamed to avoid
+    // clashing with the shingle ground truth's toks/sh/ex), pairs at
+    // shared >= WinnowEvalMinShared, the eval family's confusion tail.
+    "q_winnow_eval" -> {
+      val h = Hashing.duckMd5Long("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")
+      val hs = Hashing.duckMd5Long("shingle")
+      s"""WITH wtk AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+         |  FROM documents),
+         |whs AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, len(t) - 2), i -> $h) AS h
+         |  FROM wtk WHERE len(t) >= 3),
+         |wsel AS (
+         |  SELECT doc_id, h,
+         |         list_distinct(list_transform(generate_series(1, len(h) - 3), j ->
+         |           CAST(j + 4 AS BIGINT) -
+         |           list_position(list_reverse(h[j:j+3]), list_min(h[j:j+3])))) AS ps
+         |  FROM whs WHERE len(h) >= 4),
+         |wfp AS (
+         |  SELECT DISTINCT doc_id, h[CAST(p AS INTEGER)] AS fp
+         |  FROM (SELECT doc_id, h, unnest(ps) AS p FROM wsel)),
+         |wrare AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 64),
+         |cpairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM wfp a JOIN wfp b USING (fp) JOIN wrare USING (fp)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $WinnowEvalMinShared),
+         |${shingleCtes("documents", "")},
+         |ngx AS (SELECT doc_id, sz, $hs AS h FROM ex),
+         |common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
+         |  FROM ngx a JOIN ngx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |epairs AS (
+         |  SELECT a_id, b_id FROM common
+         |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.5),
+         |conf AS (
+         |  SELECT coalesce(s.a_id, e.a_id) AS a_id,
+         |         (s.a_id IS NOT NULL) AS in_cand, (e.a_id IS NOT NULL) AS in_exact
+         |  FROM cpairs s FULL OUTER JOIN epairs e
+         |    ON s.a_id = e.a_id AND s.b_id = e.b_id),
+         |agg AS (
+         |  SELECT CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |         CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |         CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM conf)
+         |SELECT n_cand, n_exact, tp,
+         |       floor((CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS precision,
+         |       floor((CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall,
+         |       CASE WHEN tp > 0 THEN
+         |         floor((2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) /
+         |                (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) + CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+         |       ELSE 0.0 END AS f1
+         |FROM agg""".stripMargin
     },
     // duckdb md5(VARCHAR) hashes the UTF-8 bytes = Spark md5 of the
     // UTF-8-encoded binary payload; octet_length(encode(..)) = Spark
