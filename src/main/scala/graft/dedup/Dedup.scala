@@ -511,7 +511,14 @@ object Dedup {
     * exact hamming verify makes the pair set layout-invariant). */
   def wideBandLayout(maxHamming: Int): Seq[(Int, Int, Int)] = {
     val nBands = maxHamming + 1
-    require(nBands >= 1 && nBands <= 120, s"radius $maxHamming out of range")
+    // radius 0 would make the single band 120 bits wide — wider than the
+    // 64-bit band key [[wideBandBits]] stitches (hi bits would be
+    // silently dropped, and the two engines' `<< 60` overflow semantics
+    // differ). Radius-0 (exact) dedup is [[exactDuplicates]]' job; every
+    // radius ≥ 1 keeps band width ≤ 60 and the stitch lossless.
+    require(
+      maxHamming >= 1 && nBands <= 120,
+      s"radius $maxHamming out of range (1..119; use exact dedup for radius 0)")
     val base = 120 / nBands
     val extra = 120 % nBands
     val offs = (0 until nBands).scanLeft(0) { (o, j) =>

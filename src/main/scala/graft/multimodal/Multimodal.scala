@@ -487,27 +487,40 @@ object Multimodal {
         out.write(c, i, c.length - i) // lost sync: verbatim tail
         done = true
       } else {
-        val marker = c(i + 1) & 0xff
-        if (marker == 0xda) { // SOS: entropy stream + EOI, verbatim
-          out.write(c, i, c.length - i)
-          done = true
-        } else if (marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
-          out.write(c, i, 2) // standalone marker
-          i += 2
-        } else if (i + 4 > c.length) {
-          out.write(c, i, c.length - i)
+        // JPEG markers may be preceded by any number of 0xFF fill bytes
+        // (ITU-T T.81 §B.1.1.2) — consume the run so a padded boundary
+        // is not parsed as marker 0xFF with a bogus length. `m` is the
+        // marker byte: first non-FF after the run; the run rides with
+        // its segment (kept verbatim, or counted when stripped).
+        var m = i + 1
+        while (m < c.length && (c(m) & 0xff) == 0xff) m += 1
+        if (m >= c.length) {
+          out.write(c, i, c.length - i) // trailing fill: verbatim tail
           done = true
         } else {
-          val len = ((c(i + 2) & 0xff) << 8) | (c(i + 3) & 0xff) // incl. itself
-          val total = 2 + len
-          if (len < 2 || i + total > c.length) {
+          val marker = c(m) & 0xff
+          val head = m + 1 - i // FF-run + marker byte
+          if (marker == 0xda) { // SOS: entropy stream + EOI, verbatim
+            out.write(c, i, c.length - i)
+            done = true
+          } else if (marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+            out.write(c, i, head) // standalone marker
+            i += head
+          } else if (m + 3 > c.length) {
             out.write(c, i, c.length - i)
             done = true
           } else {
-            val strip = (marker >= 0xe1 && marker <= 0xed) || marker == 0xfe
-            if (strip) { segs += 1; bytes += total }
-            else out.write(c, i, total)
-            i += total
+            val len = ((c(m + 1) & 0xff) << 8) | (c(m + 2) & 0xff) // incl. itself
+            val total = head + len
+            if (len < 2 || i + total > c.length) {
+              out.write(c, i, c.length - i)
+              done = true
+            } else {
+              val strip = (marker >= 0xe1 && marker <= 0xed) || marker == 0xfe
+              if (strip) { segs += 1; bytes += total }
+              else out.write(c, i, total)
+              i += total
+            }
           }
         }
       }

@@ -111,10 +111,19 @@ object Ann {
       bands: Int = 4,
       bitsPerBand: Int = 4,
       dim: Int = 64): DataFrame = {
-    val m2 = corpus
-      .agg(max(col("c_nrm") * col("c_nrm")))
-      .head()
-      .getDouble(0)
+    val m2Opt = Option(
+      corpus.agg(max(col("c_nrm") * col("c_nrm"))).head().get(0))
+      .map(_.asInstanceOf[Double])
+    if (m2Opt.isEmpty)
+      // empty corpus: the max aggregate is NULL — return the (empty)
+      // result with the contract schema, like every other ANN path
+      return rankTopK(
+        broadcast(queries)
+          .join(corpus)
+          .withColumn("dot", round(VectorFns.dot(col("q_v"), col("c_v")), 6)),
+        k,
+        scoreCol = "dot")
+    val m2 = m2Opt.get
     def banded(df: DataFrame, idCol: String, aug: Column): DataFrame = df
       .select(
         col(idCol),
@@ -416,18 +425,65 @@ object Ann {
       .map(r => r.getLong(0) -> r.getLong(1))
       .toIndexedSeq
 
+  /** Crash recovery for [[ivfMaintain]]'s swap window: delete list
+    * partitions whose `cent_id` is absent from the stored quantizer.
+    * A crash between the sub-cell append and the hot-partition delete
+    * leaves exactly such orphans — either the new sub-cells (crash
+    * BEFORE the quantizer swap: the hot partition still holds every
+    * member, so the orphans are a discardable partial split) or the
+    * already-re-homed hot partitions (crash AFTER the swap: the
+    * quantizer routes to the sub-cells, so the orphans are the
+    * leftover old copies). Probes are correct THROUGHOUT the window —
+    * routing is quantizer-driven and the literal IN filter never reads
+    * a partition whose id the quantizer lacks — but orphans
+    * double-count members in [[ivfImbalance]]/[[cellCounts]], so
+    * [[ivfMaintain]] runs this first. Returns the deleted cell ids. */
+  def ivfRecover(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
+    val known = spark.read
+      .parquet(s"$path/centroids")
+      .select(col("cent_id").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet // k rows — control plane
+    val conf = spark.sessionState.newHadoopConf()
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = lists.getFileSystem(conf)
+    if (!fs.exists(lists)) return Nil
+    val orphans = fs
+      .listStatus(lists)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("cent_id=") => s.stripPrefix("cent_id=").toLong }
+      .filterNot(known)
+      .sorted
+      .toIndexedSeq
+    orphans.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cent_id=$id"), true)
+      ()
+    }
+    orphans
+  }
+
   /** Rebalance a stored index when skewed [[ivfAppend]] traffic has
     * grown hot cells past `fence × mean` (the [[ivfImbalance]] fence):
-    * each over-budget cell is SPLIT IN PLACE by a local k-means over
+    * every over-budget cell is SPLIT IN PLACE by a local k-means over
     * its own members (deterministic lowest-id seeds — `splitInto` of
     * them, or with the default AUTO arity (`splitInto = 0`) enough
     * sub-cells to target the MEAN cell size, `ceil(count·k/n)`, so one
-    * pass restores balance — plus
-    * `iters` Lloyd rounds — the two-level-quantizer pattern applied to
-    * one cell), its members land in fresh cells under new `cent_id`s,
-    * the quantizer gains the sub-centroids and drops the hot one, and
-    * only then is the hot partition deleted (new data is on disk before
-    * old data goes). Returns true iff maintenance ran.
+    * pass restores balance — plus `iters` Lloyd rounds), its members
+    * land in fresh cells under new `cent_id`s, the quantizer gains the
+    * sub-centroids and drops the hot ones, and only then are the hot
+    * partitions deleted (new data is on disk before old data goes).
+    * Returns true iff maintenance ran.
+    *
+    * All hot cells are processed in ONE batch keyed `(home_cell,
+    * cent_id)` — the two-level-quantizer packing — so the job count is
+    * CONSTANT in the number of hot cells (seeds: 1 job; Lloyd: 1 job
+    * per iteration; final write: 1 job), not O(hot cells × iters): a
+    * drift event that trips dozens of cells at once costs the same
+    * scheduling as one. Each member only ever competes against its own
+    * home cell's sub-centroids, so the result is the same split the
+    * per-cell loop produced.
     *
     * Scale/consistency contract:
     *   - cost is `Σ hot-cell sizes · (iters + 2)` scans of ONLY the hot
@@ -440,7 +496,20 @@ object Ann {
     *     [[ivfProbe]]'s route-then-scan invariant holds for the new
     *     cells exactly as [[ivfBuild]] established it for the old;
     *   - the member set is preserved exactly (no loss, no dup) — the
-    *     split only re-partitions one cell's rows.
+    *     split only re-partitions hot cells' rows;
+    *   - new `cent_id`s are allocated past the max of BOTH the stored
+    *     quantizer and the lists, so a centroid row with zero members
+    *     (argmax assignment can leave a quantizer cell empty) can never
+    *     collide with a new sub-cell id;
+    *   - crash safety: the swap orders sub-cell append → quantizer
+    *     overwrite → hot-partition delete. A crash inside that window
+    *     leaves orphan partitions (absent from the quantizer — probes
+    *     never read them); the [[ivfRecover]] pass at the start of the
+    *     next maintenance round deletes them, making the swap
+    *     idempotent. The quantizer overwrite itself is the one
+    *     non-atomic step — keep it on a filesystem with atomic rename
+    *     (or snapshot `centroids/` upstream) if the index must survive
+    *     a crash mid-overwrite.
     *
     * Wire this to the [[ivfImbalance]] readout after append batches:
     * `if (ivfImbalance(s, p) > fence) ivfMaintain(s, p, fence)`. */
@@ -455,6 +524,13 @@ object Ann {
     require(
       fence > 1.0 && (splitInto == 0 || splitInto >= 2),
       "fence must exceed 1.0; splitInto must be 0 (auto) or 2+")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val knownIds = centroids
+      .select(col("cent_id").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+      .toIndexedSeq // k rows — control plane
+    ivfRecover(spark, path) // idempotence: clear any prior crash's orphans
     val counts = cellCounts(spark, path)
     if (counts.isEmpty) return false
     val n = counts.map(_._2).sum
@@ -470,59 +546,88 @@ object Ann {
       else math.max(2, math.ceil(cnt.toDouble * kCells / n).toInt)
     if (hot.isEmpty) return false
 
-    val centroids = spark.read.parquet(s"$path/centroids")
-    var nextId = counts.map(_._1).max + 1L
-    val newCentroids = Seq.newBuilder[(Long, Seq[Double], Double)]
+    // new ids start past BOTH the lists and the quantizer (a quantizer
+    // cell can be empty → absent from counts but still a live id)
+    val nextId = math.max(counts.map(_._1).max, knownIds.max) + 1L
+    // deterministic allocation: hot cells in ascending id order, each
+    // taking a contiguous id block — identical to a per-cell loop's
+    val arities = hotCells.map { case (id, cnt) => (id, arity(cnt)) }
+    val bases = arities.scanLeft(nextId) { case (b, (_, k2)) => b + k2 }
+    val cellBase: Map[Long, Long] = arities.map(_._1).zip(bases.init).toMap
 
-    hotCells.foreach { case (hotId, cnt) =>
-      val k2 = arity(cnt)
-      // partition-pruned: only this cell's files are read
-      // filter on the RAW partition attribute (the ivfProbe convention)
-      // so the read prunes to this cell's files
-      val cell = spark.read
-        .parquet(s"$path/lists")
-        .where(col("cent_id") === hotId)
-        .select("neighbor_id", "c_v", "c_nrm")
-      def centsDf(cs: Seq[(Long, Seq[Double], Double)]) =
-        broadcast(cs.toDF("cent_id", "cent_v", "cent_nrm"))
-      // deterministic seeds: the k2 lowest-id members (the
-      // pqCodebook / kmeansAssign init convention)
-      var subs: Seq[(Long, Seq[Double], Double)] = cell
-        .orderBy("neighbor_id")
-        .limit(k2)
-        .collect()
-        .zipWithIndex
-        .map { case (r, i) =>
-          val v = r.getSeq[Double](1)
-          (nextId + i, v, v.foldLeft(0.0)((a, x) => a + x * x))
-        }
-        .map { case (id, v, sq) => (id, v, math.sqrt(sq)) }
-        .toIndexedSeq
-      for (_ <- 0 until iters) {
-        val assigned = nearestCells(cell, centsDf(subs), "neighbor_id", "c_v", "c_nrm", 1)
-        val dims = (1 to dim).map(j => avg(element_at(col("c_v"), j)).as(s"m$j"))
-        subs = assigned
-          .groupBy("cent_id")
-          .agg(dims.head, dims.tail: _*)
-          .collect()
-          .map { r =>
-            val v = (1 to dim).map(j => r.getDouble(j))
-            (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
-          }
-          .sortBy(_._1)
-          .toIndexedSeq
-      }
-      // final assignment rides the SAME centroids that get stored, so
-      // member ↔ quantizer consistency holds by construction
-      nearestCells(cell, centsDf(subs), "neighbor_id", "c_v", "c_nrm", 1)
-        .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
-      newCentroids ++= subs
-      nextId += k2
+    // ALL hot partitions in one partition-pruned read, keyed by home cell
+    def hotRows = spark.read
+      .parquet(s"$path/lists")
+      .where(col("cent_id").isin(hot: _*))
+      .select(
+        col("cent_id").cast("long").as("home_cell"),
+        col("neighbor_id"),
+        col("c_v"),
+        col("c_nrm"))
+
+    def centsDf(cs: Seq[(Long, Long, Seq[Double], Double)]) =
+      broadcast(cs.toDF("home_cell", "cent_id", "cent_v", "cent_nrm"))
+    // argmax-cosine assignment WITHIN each member's home cell (the
+    // nearestCells rule, join restricted to the home cell's subs)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window
+        .partitionBy("home_cell", "neighbor_id")
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      hotRows
+        .join(cents, "home_cell")
+        .withColumn(
+          "cent_sim",
+          VectorFns.dot(col("c_v"), col("cent_v")) /
+            VectorFns.safeDen(col("c_nrm"), col("cent_nrm")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") === 1)
+        .drop("cent_v", "cent_nrm", "cent_sim", "cent_rank")
     }
+
+    // deterministic seeds: per hot cell, its arity lowest-id members
+    // (the pqCodebook / kmeansAssign init convention) — ONE job
+    val aritiesDf = arities.toDF("home_cell", "k2")
+    val wSeed = Window.partitionBy("home_cell").orderBy("neighbor_id")
+    var subs: Seq[(Long, Long, Seq[Double], Double)] = hotRows
+      .join(broadcast(aritiesDf), "home_cell")
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= col("k2"))
+      .select("home_cell", "rn", "c_v")
+      .collect() // Σ arity rows — control plane
+      .map { r =>
+        val home = r.getLong(0)
+        val v = r.getSeq[Double](2)
+        (home, cellBase(home) + (r.getInt(1) - 1L), v,
+          math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+      .sortBy(t => (t._1, t._2))
+      .toIndexedSeq
+
+    for (_ <- 0 until iters) { // ONE job per Lloyd round, all hot cells
+      val dims = (1 to dim).map(j => avg(element_at(col("c_v"), j)).as(s"m$j"))
+      subs = assign(centsDf(subs))
+        .groupBy("home_cell", "cent_id")
+        .agg(dims.head, dims.tail: _*)
+        .collect() // Σ arity rows — control plane
+        .map { r =>
+          val v = (1 to dim).map(j => r.getDouble(j + 1))
+          (r.getLong(0), r.getLong(1), v,
+            math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+        .sortBy(t => (t._1, t._2))
+        .toIndexedSeq
+    }
+
+    // final assignment rides the SAME centroids that get stored, so
+    // member ↔ quantizer consistency holds by construction — ONE job
+    assign(centsDf(subs))
+      .select("neighbor_id", "c_v", "c_nrm", "cent_id")
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
 
     // quantizer swap: drop the hot centroids, add the sub-centroids
     val kept = centroids.where(!col("cent_id").isin(hot: _*))
-    val added = newCentroids.result().toDF("cent_id", "cent_v", "cent_nrm")
+    val added = subs.map { case (_, id, v, nrm) => (id, v, nrm) }
+      .toDF("cent_id", "cent_v", "cent_nrm")
     val merged = kept.unionByName(added).collect().toIndexedSeq // k rows — control plane
     spark
       .createDataFrame(

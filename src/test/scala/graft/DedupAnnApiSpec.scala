@@ -133,7 +133,10 @@ class DedupAnnApiSpec extends SparkSpec {
   }
 
   test("wideBandLayout: maxHamming+1 disjoint EVEN bands covering all 120 bits") {
-    for (mh <- Seq(0, 3, 6, 11)) {
+    // radius 0 is rejected: its single 120-bit band cannot be stitched
+    // into the 64-bit band key losslessly (exact dedup covers radius 0)
+    assertThrows[IllegalArgumentException](Dedup.wideBandLayout(0))
+    for (mh <- Seq(1, 3, 6, 11)) {
       val bands = Dedup.wideBandLayout(mh)
       assert(bands.size == mh + 1)
       val covered = bands.flatMap { case (_, off, len) => off until (off + len) }
@@ -806,5 +809,193 @@ class DedupAnnApiSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(w2 == Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
     assert(w2.subsetOf(w4) && w4.size > w2.size)
+  }
+
+  test("mipsLshTopK: empty corpus returns an empty result, not an NPE") {
+    import spark.implicits._
+    val qs = Ann.withNorm(
+      Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("query_id", "q_v"), "q_v", "q_nrm")
+    val cs = Ann.withNorm(
+      Seq.empty[(Long, Seq[Double])].toDF("neighbor_id", "c_v"), "c_v", "c_nrm")
+    val out = Ann.mipsLshTopK(qs, cs, k = 5, bands = 2, bitsPerBand = 2, dim = 4)
+    assert(out.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "dot"))
+    assert(out.count() == 0L)
+  }
+
+  // ---- batched ivfMaintain: many simultaneously-hot cells ---------------
+
+  /** 8-axis fixture: hot cells each hold two well-separated
+    * sub-directions (axis + 0.3·e7 vs axis + 0.3·e8) so splitInto=2 has
+    * an unambiguous target; cold cells hold 2 members each. */
+  private def multiHotIndex(hotAxes: Seq[Int]): (String, Map[Int, (Set[Long], Set[Long])]) = {
+    import spark.implicits._
+    val dim = 8
+    def axis(i: Int, scale: Double = 1.0): Seq[Double] =
+      Seq.tabulate(dim)(j => if (j == i - 1) scale else 0.0)
+    def plus(a: Seq[Double], b: Seq[Double]): Seq[Double] = a.zip(b).map { case (x, y) => x + y }
+    val cents = (1 to dim).map(i => (i.toLong, axis(i)))
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_nrm", VectorFns.norm(col("cent_v")))
+    var next = 100L
+    val members = Seq.newBuilder[(Long, Seq[Double])]
+    val expected = scala.collection.mutable.Map.empty[Int, (Set[Long], Set[Long])]
+    (1 to 6).foreach { i =>
+      if (hotAxes.contains(i)) {
+        // interleave sub-directions by id parity so the deterministic
+        // lowest-id seeds (the first two members) span BOTH directions
+        val ids = (next until next + 30L).toSeq
+        val aIds = ids.filter(_ % 2 == 0).toSet
+        val bIds = ids.filter(_ % 2 == 1).toSet
+        aIds.foreach(id => members += id -> plus(axis(i), axis(7, 0.3 + 0.001 * (id % 15))))
+        bIds.foreach(id => members += id -> plus(axis(i), axis(8, 0.3 + 0.001 * (id % 15))))
+        next += 30
+        expected(i) = (aIds, bIds)
+      } else {
+        members += next -> axis(i, 1.0); members += (next + 1) -> plus(axis(i), axis(i, 0.01))
+        next += 2
+      }
+    }
+    // cells 7 and 8 cold too (so the sub-direction axes have owners)
+    members += next -> axis(7); members += (next + 1) -> axis(7, 1.01)
+    members += (next + 2) -> axis(8); members += (next + 3) -> axis(8, 1.01)
+    val corpus = Ann.withNorm(
+      members.result().toDF("neighbor_id", "c_v"), "c_v", "c_nrm")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
+    Ann.ivfBuild(corpus, cents, path)
+    (path, expected.toMap)
+  }
+
+  private def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try body
+    finally {
+      // listener delivery is async: wait for the bus to quiesce
+      var last = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val now = jobs.get
+        if (now == last) same += 1 else { same = 0; last = now }
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    jobs.get
+  }
+
+  test("ivfMaintain batches hot cells: 3 simultaneous splits, constant job count, no cross-cell mixing") {
+    val (path1, _) = multiHotIndex(Seq(1))
+    val (path3, expected) = multiHotIndex(Seq(1, 2, 3))
+    assert(Ann.ivfImbalance(spark, path3) > 2.0)
+
+    val jobs1 = countJobs(
+      assert(Ann.ivfMaintain(spark, path1, fence = 2.0, splitInto = 2, iters = 2, dim = 8)))
+    val jobs3 = countJobs(
+      assert(Ann.ivfMaintain(spark, path3, fence = 2.0, splitInto = 2, iters = 2, dim = 8)))
+    // the batched maintenance schedules O(1) jobs in the hot-cell count
+    assert(jobs3 == jobs1, s"3 hot cells took $jobs3 jobs vs $jobs1 for 1")
+
+    assert(Ann.ivfImbalance(spark, path3) < 2.0)
+    // every hot cell split into ITS OWN two sub-direction groups — no
+    // member crossed cells, none lost, none duplicated
+    val byCell = spark.read.parquet(s"$path3/lists")
+      .select(col("cent_id").cast("long"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val allIds = byCell.values.toSeq.flatten
+    assert(allIds.size == allIds.toSet.size, "duplicated member after batch split")
+    expected.foreach { case (ax, (aIds, bIds)) =>
+      assert(
+        Seq(aIds, bIds).forall(g => byCell.values.exists(_ == g)),
+        s"hot cell $ax: sub-direction groups not split cleanly")
+    }
+    // quantizer ids unique; members sit in their argmax sub-cell
+    // (route-then-scan invariant held for every new cell)
+    val quant = spark.read.parquet(s"$path3/centroids")
+      .select(col("cent_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(quant.size == quant.toSet.size)
+    assert(byCell.keySet.subsetOf(quant.toSet))
+  }
+
+  test("ivfMaintain allocates sub-cell ids past EMPTY quantizer cells (no id collision)") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.toSeq
+    // quantizer holds ids 1..4 (axes) AND id 5 at −e1: no member ever
+    // argmax-routes to 5, so it is absent from the lists — the naive
+    // max(list ids)+1 allocation would hand a new sub-cell id 5
+    val cents = Seq(
+      (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 1, 0)), (4L, vec(0, 0, 0, 1)),
+      (5L, vec(-1, 0, 0, 0)))
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_nrm", VectorFns.norm(col("cent_v")))
+    val base = (0 until 3).flatMap(c =>
+      (0 until 2).map(j => (200L + c * 10 + j, vec(0, 0, 0, 0).updated(c + 1, 1.0 + 0.01 * j))))
+    // interleaved by parity: the two lowest-id seeds span both directions
+    val hotA = (101L to 120L by 2).map(i => i -> vec(1, 0.3 + 0.001 * (i % 10), 0, 0))
+    val hotB = (102L to 120L by 2).map(i => i -> vec(1, 0, 0.3 + 0.001 * (i % 10), 0))
+    val corpus = Ann.withNorm(
+      (base ++ hotA ++ hotB).toDF("neighbor_id", "c_v"), "c_v", "c_nrm")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
+    Ann.ivfBuild(corpus, cents, path)
+    assert(Ann.ivfMaintain(spark, path, fence = 2.0, splitInto = 2, iters = 2, dim = 4))
+    val quant = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id").cast("long")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(quant.size == quant.toSet.size, s"duplicate cent_id in quantizer: $quant")
+    // the empty cell's id survives untouched; new ids start past it
+    assert(quant.contains(5L))
+    assert(quant == Seq(2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("ivfRecover: crash-window orphans are deleted idempotently, probes unchanged throughout") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.toSeq
+    val cents = Seq(
+      (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)), (3L, vec(0, 0, 1, 0)))
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_nrm", VectorFns.norm(col("cent_v")))
+    val corpus = Ann.withNorm(
+      Seq(
+        10L -> vec(1, 0.01, 0, 0), 11L -> vec(1, 0.02, 0, 0),
+        20L -> vec(0, 1, 0.01, 0), 21L -> vec(0, 1, 0.02, 0),
+        30L -> vec(0, 0.01, 1, 0), 31L -> vec(0, 0.02, 1, 0))
+        .toDF("neighbor_id", "c_v"),
+      "c_v", "c_nrm")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString
+    Ann.ivfBuild(corpus, cents, path)
+    def probe() = {
+      val q = Ann.withNorm(
+        Seq(0L -> vec(0.0, 1.0, 0.05, 0.0)).toDF("query_id", "q_v"), "q_v", "q_nrm")
+      Ann.ivfProbe(spark, path, q, k = 2, nProbe = 1)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    }
+    val before = probe()
+    // simulate a crash AFTER the sub-cell append / BEFORE the delete: an
+    // extra lists partition under an id the quantizer does not know
+    spark.read.parquet(s"$path/lists").where(col("cent_id") === 2)
+      .select("neighbor_id", "c_v", "c_nrm")
+      .write.parquet(s"$path/lists/cent_id=77")
+    // the orphan inflates cell statistics but can NEVER be probed
+    // (routing is quantizer-driven), so probes stay correct even before
+    // recovery runs
+    assert(probe() == before)
+    assert(Ann.ivfRecover(spark, path) == Seq(77L))
+    assert(!new java.io.File(s"$path/lists/cent_id=77").exists)
+    assert(Ann.ivfRecover(spark, path).isEmpty) // idempotent
+    assert(probe() == before)
+    // maintenance self-heals: the recovery pass runs first, so a
+    // fence-quiet index with an orphan just loses the orphan
+    spark.read.parquet(s"$path/lists").where(col("cent_id") === 2)
+      .select("neighbor_id", "c_v", "c_nrm")
+      .write.parquet(s"$path/lists/cent_id=88")
+    assert(!Ann.ivfMaintain(spark, path, fence = 10.0, splitInto = 2, iters = 1, dim = 4))
+    assert(!new java.io.File(s"$path/lists/cent_id=88").exists)
+    assert(probe() == before)
   }
 }
