@@ -607,8 +607,8 @@ object PipelineQueries {
   /** The one DuckDB oracle both IVF queries check against (see
     * [[qAnnIvfStored]]: the stored probe replays the same quantizer and
     * assignment as the inline query, so the results are identical). */
-  private lazy val IvfOracleSql: String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  private lazy val IvfOracleCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cents AS (SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_nrm
        |          FROM n WHERE vec_id >= 10 AND vec_id < ${10 + IvfCentroids}),
@@ -626,15 +626,21 @@ object PipelineQueries {
        |             ORDER BY list_dot_product(x.v, c.cent_v) / greatest(x.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
        |    FROM n x CROSS JOIN cents c WHERE x.vec_id >= 10)
        |  WHERE cent_rank <= 1),
-       |scored AS (
+       |ivfsc AS (
        |  SELECT qn.query_id, cn.neighbor_id,
        |         round(list_dot_product(qn.q_v, cn.c_v) / greatest(qn.q_nrm * cn.c_nrm, 1e-300), 6) AS cos
-       |  FROM qn JOIN cn USING (cent_id))
-       |SELECT query_id,
-       |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
-       |       neighbor_id, cos
-       |FROM scored
-       |QUALIFY rank <= 5
+       |  FROM qn JOIN cn USING (cent_id)),
+       |ivftop AS (
+       |  SELECT query_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |         neighbor_id, cos
+       |  FROM ivfsc
+       |  QUALIFY rank <= 5)""".stripMargin
+
+  private lazy val IvfOracleSql: String =
+    s"""WITH $IvfOracleCtes
+       |SELECT query_id, rank, neighbor_id, cos
+       |FROM ivftop
        |ORDER BY query_id, rank""".stripMargin
 
   // one index build per (process, dataset): the serving shape builds
@@ -693,21 +699,88 @@ object PipelineQueries {
   val PqShortlist = 20
   val PqK = 5
 
+  /** Lloyd rounds for the PQ codebook (per-subspace k-means,
+    * [[Ann.pqTrain]]) — fixed and replayed by the DuckDB oracle. */
+  val PqTrainIters = 2
+
+  // train once per (process, dataset) — the serving convention: the
+  // codebook is the INDEX, scoring is the query. Pure driver-side state
+  // (no disk), so no process token is needed (unlike ivfStoredBuilt).
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Ann.PqCodebook]()
+  private def pqCb(s: SparkSession, d: String): Ann.PqCodebook =
+    pqCbCache.computeIfAbsent(
+      d,
+      _ => Ann.pqTrain(corpusSide(s, d), PqM, PqKs, EmbDim, PqTrainIters))
+
   /** Product-quantization ANN with exact rerank — the third scale path
     * (codes are ~16 B/vector; the candidate scan never touches raw
-    * vectors). Deterministic end to end (codebook = fixed corpus rows,
-    * sequential-fold float ops) → full DuckDB oracle. */
+    * vectors). The codebook is TRAINED: [[PqTrainIters]] per-subspace
+    * Lloyd rounds from the lowest-id seeds ([[Ann.pqTrain]] — exact
+    * fixed-point means, so the oracle replays the identical training).
+    * Deterministic end to end → full DuckDB oracle. */
   def qAnnPq(s: SparkSession, d: String): DataFrame =
     Ann
-      .pqTopK(
+      .pqTopKWith(
         querySide(s, d),
         corpusSide(s, d),
-        m = PqM,
-        ks = PqKs,
-        dim = EmbDim,
+        pqCb(s, d),
         shortlist = PqShortlist,
         k = PqK)
       .transform(sortSmall(_, "query_id", "rank"))
+
+  /** Shared recall@5 fold of the eval family: exact top-5 semi-joined
+    * against a route's top-5, hits counted per query (queries with zero
+    * recovered neighbors drop out, the [[qAnnRecall]] contract). */
+  private def recallReport(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact
+      .select("query_id", "neighbor_id")
+      .join(
+        approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        col("query_id"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / 5.0d, 6).as("recall_at_5"))
+      .transform(sortSmall(_, "query_id"))
+
+  /** Recall@5 of the PQ+ADC route (37d convention extended to the PQ
+    * serving path): how many of the exact cosine top-5 survive the
+    * trained codebook's ADC shortlist + rerank. The number a
+    * billion-vector deployment reads before trusting m/ks/shortlist
+    * settings. Deterministic both arms → full DuckDB oracle. */
+  def qAnnRecallPq(s: SparkSession, d: String): DataFrame =
+    recallReport(
+      Ann.bruteForceTopK(querySide(s, d), corpusSide(s, d), k = PqK),
+      Ann.pqTopKWith(
+        querySide(s, d),
+        corpusSide(s, d),
+        pqCb(s, d),
+        shortlist = PqShortlist,
+        k = PqK))
+
+  /** Recall@5 of the stored-IVF probe route vs exact brute force — what
+    * nProbe actually buys. The stored probe replays [[qAnnIvf]]'s
+    * quantizer + assignment, so this also scores the inline IVF path.
+    * Deterministic → full DuckDB oracle. */
+  def qAnnRecallIvf(s: SparkSession, d: String): DataFrame =
+    recallReport(
+      Ann.bruteForceTopK(querySide(s, d), corpusSide(s, d), k = 5),
+      qAnnIvfStored(s, d))
+
+  /** Recall@5 of the norm-augmented MIPS LSH route vs the exact
+    * max-inner-product top-5 — the missing measured row behind the
+    * "well above the tuning floor" comment ([[Ann.mipsLshTopK]]).
+    * Deterministic → full DuckDB oracle. */
+  def qAnnRecallMips(s: SparkSession, d: String): DataFrame =
+    recallReport(
+      Ann.mipsTopK(querySide(s, d), corpusSide(s, d), k = 5),
+      Ann.mipsLshTopK(
+        querySide(s, d), corpusSide(s, d),
+        k = 5, bands = MipsBands, bitsPerBand = LshBits, dim = EmbDim))
 
   // ------------------------------------------------------------- text ops
 
@@ -4429,6 +4502,9 @@ object PipelineQueries {
     "q_ann_topk" -> qAnnTopk _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_ann_recall" -> qAnnRecall _,
+    "q_ann_recall_pq" -> qAnnRecallPq _,
+    "q_ann_recall_ivf" -> qAnnRecallIvf _,
+    "q_ann_recall_mips" -> qAnnRecallMips _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_mips" -> qAnnMips _,
     "q_ann_filtered" -> qAnnFiltered _,
@@ -4695,6 +4771,173 @@ object PipelineQueries {
     .map(i =>
       s"CASE WHEN list_dot_product(v, ${planeLit(b * bits + i)}) > 0 THEN ${1L << i} ELSE 0 END")
     .mkString(" + ")
+
+  // ------------------------------------------------- ANN oracle CTE chains
+  // Each route's full pipeline as a CTE chain ending in a ranked `*top`
+  // relation, shared between the route query's oracle and its recall
+  // eval's (37d family). The exact arms replay Spark's rounded scores.
+
+  /** Exact cosine top-5 CTE `exact(query_id, neighbor_id)` over the
+    * normed relation `n` — the ground-truth arm of the recall evals. */
+  private val ExactCosTop5Cte: String =
+    """exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |             round(list_dot_product(q.v, c.v) / greatest(q.nrm * c.nrm, 1e-300), 6) DESC, c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10)
+      |  WHERE rank <= 5)""".stripMargin
+
+  /** The recall@5 fold: `exact` semi-joined against the route's ranked
+    * `topRel`, hits per query ([[recallReport]]'s SQL twin). */
+  private def recallSelect(topRel: String): String =
+    s"""SELECT x.query_id, count(*) AS n_hits,
+       |       round(CAST(count(*) AS DOUBLE) / 5.0, 6) AS recall_at_5
+       |FROM exact x JOIN $topRel a
+       |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** PQ pipeline CTEs ending in `pqtop(query_id, rank, neighbor_id,
+    * cos, adc)`: seeds cb0 → [[PqTrainIters]] unrolled Lloyd rounds
+    * (the [[Ann.pqTrain]] replay — argmin re-code, exact fixed-point
+    * means, empty code keeps its centroid) → encode → ADC shortlist →
+    * exact rerank. */
+  private lazy val PqOracleCtes: String = {
+    val sd = EmbDim / PqM
+    val cbUnion = (0 until PqM)
+      .map { j =>
+        val lo = j * sd + 1
+        val hi = j * sd + sd
+        s"""SELECT $j AS sub_id, CAST(vec_id - 10 AS INTEGER) AS cent_id,
+           |         list_slice(v, $lo, $hi) AS cent_v,
+           |         list_dot_product(list_slice(v, $lo, $hi), list_slice(v, $lo, $hi)) AS cent_sq
+           |  FROM n WHERE vec_id >= 10 AND vec_id < ${10 + PqKs}""".stripMargin
+      }
+      .mkString("\n  UNION ALL\n  ")
+    val trainRounds = (1 to PqTrainIters).map { i =>
+      val sumCols = (1 to sd)
+        .map(dd =>
+          s"sum(CAST(floor(c.c_v[p.sub_id * $sd + $dd] * 10000000.0) AS BIGINT)) AS s$dd")
+        .mkString(", ")
+      val meanArr = (1 to sd)
+        .map(dd => s"CAST(t.s$dd AS DOUBLE) / CAST(t.cnt * 10000000 AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""pqc$i AS (
+         |  SELECT neighbor_id, sub_id, cent_id FROM (
+         |    SELECT c.neighbor_id, b.sub_id, b.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY c.neighbor_id, b.sub_id ORDER BY
+         |             b.cent_sq - 2 * list_dot_product(list_slice(c.c_v, b.sub_id * $sd + 1, b.sub_id * $sd + $sd), b.cent_v) ASC, b.cent_id ASC) AS rk
+         |    FROM corp c CROSS JOIN cb${i - 1} b)
+         |  WHERE rk = 1),
+         |pqs$i AS (
+         |  SELECT p.sub_id, p.cent_id, count(*) AS cnt, $sumCols
+         |  FROM pqc$i p JOIN corp c USING (neighbor_id)
+         |  GROUP BY 1, 2),
+         |pqm$i AS (
+         |  SELECT b.sub_id, b.cent_id,
+         |         CASE WHEN t.cnt IS NULL THEN b.cent_v ELSE $meanArr END AS cent_v
+         |  FROM cb${i - 1} b LEFT JOIN pqs$i t
+         |    ON b.sub_id = t.sub_id AND b.cent_id = t.cent_id),
+         |cb$i AS (
+         |  SELECT sub_id, cent_id, cent_v,
+         |         list_dot_product(cent_v, cent_v) AS cent_sq
+         |  FROM pqm$i)""".stripMargin
+    }
+    val rPivot = (0 until PqM)
+      .map(j => s"max(CASE WHEN sub_id = $j THEN cent_sq END) AS r$j")
+      .mkString(", ")
+    val rSum = (0 until PqM).map(j => s"r$j").mkString(" + ")
+    val dPivot = (0 until PqM)
+      .map(j => s"max(CASE WHEN sub_id = $j THEN d END) AS d$j")
+      .mkString(", ")
+    val dSum = (0 until PqM).map(j => s"d$j").mkString(" + ")
+    (Seq(
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |corp AS (SELECT vec_id AS neighbor_id, v AS c_v, nrm AS c_nrm FROM n WHERE vec_id >= 10),
+         |qs AS (SELECT vec_id AS query_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 10),
+         |cb0 AS (
+         |  $cbUnion)""".stripMargin) ++ trainRounds ++ Seq(
+      s"""cb AS (SELECT * FROM cb$PqTrainIters),
+         |sc AS (
+         |  SELECT c.neighbor_id, b.sub_id, b.cent_id, b.cent_sq,
+         |         b.cent_sq - 2 * list_dot_product(list_slice(c.c_v, b.sub_id * $sd + 1, b.sub_id * $sd + $sd), b.cent_v) AS score
+         |  FROM corp c CROSS JOIN cb b),
+         |codes AS (
+         |  SELECT neighbor_id, sub_id, cent_id, cent_sq FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id, sub_id ORDER BY score ASC, cent_id ASC) AS rk FROM sc)
+         |  WHERE rk = 1),
+         |rec AS (
+         |  SELECT neighbor_id, sqrt($rSum) AS recon_nrm FROM (
+         |    SELECT neighbor_id, $rPivot FROM codes GROUP BY neighbor_id)),
+         |dparts AS (
+         |  SELECT q.query_id, cd.neighbor_id, cd.sub_id,
+         |         list_dot_product(list_slice(q.q_v, cd.sub_id * $sd + 1, cd.sub_id * $sd + $sd), b.cent_v) AS d
+         |  FROM qs q CROSS JOIN codes cd JOIN cb b ON b.sub_id = cd.sub_id AND b.cent_id = cd.cent_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id, $dSum AS adcdot FROM (
+         |    SELECT query_id, neighbor_id, $dPivot FROM dparts GROUP BY query_id, neighbor_id)),
+         |scored AS (
+         |  SELECT a.query_id, a.neighbor_id, a.adcdot / greatest(q.q_nrm * r.recon_nrm, 1e-300) AS adc
+         |  FROM adc a JOIN qs q USING (query_id) JOIN rec r USING (neighbor_id)),
+         |short AS (
+         |  SELECT query_id, neighbor_id, adc FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS srk FROM scored)
+         |  WHERE srk <= $PqShortlist),
+         |rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.q_v, c.c_v) / greatest(q.q_nrm * c.c_nrm, 1e-300), 6) AS cos,
+         |         round(s.adc, 6) AS adc
+         |  FROM short s JOIN qs q USING (query_id) JOIN corp c ON c.neighbor_id = s.neighbor_id),
+         |pqtop AS (
+         |  SELECT query_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |         neighbor_id, cos, adc
+         |  FROM rr
+         |  QUALIFY rank <= $PqK)""".stripMargin)).mkString(",\n")
+  }
+
+  /** MIPS pipeline CTEs ending in `mipstop(query_id, rank, neighbor_id,
+    * dot)`: the SAME md5-derived hyperplane family extended one
+    * component (j = 64) for the augmented dimension; max-norm M² and
+    * the banded augmented signatures rebuilt from the parquet alone;
+    * candidates = union over bands (OR-construction), rerank by the
+    * exact RAW dot (the augmentation only steers candidates). */
+  private lazy val MipsOracleCtes: String = {
+    val planeLit65 = (p: Int) =>
+      (0 to EmbDim).map(j => VectorFns.hpComponent(p, j)).mkString("[", ", ", "]")
+    def bandSql(b: Int) = (0 until LshBits)
+      .map(i =>
+        s"CASE WHEN list_dot_product(aug, ${planeLit65(b * LshBits + i)}) > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val bandUnion = (0 until MipsBands)
+      .map(b => s"SELECT vec_id, $b AS band_id, (${bandSql(b)}) AS band_sig FROM a")
+      .mkString("\n  UNION ALL\n  ")
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |m AS (SELECT max(nrm * nrm) AS m2 FROM n WHERE vec_id >= 10),
+       |a AS (SELECT vec_id, v,
+       |             CASE WHEN vec_id < 10 THEN list_append(v, 0.0)
+       |                  ELSE list_append(v, sqrt(m2 - nrm * nrm)) END AS aug
+       |      FROM n CROSS JOIN m),
+       |bs AS (
+       |  $bandUnion),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bs q JOIN bs c
+       |    ON q.vec_id < 10 AND c.vec_id >= 10
+       |   AND q.band_id = c.band_id AND q.band_sig = c.band_sig),
+       |mipssc AS (
+       |  SELECT query_id, neighbor_id, round(list_dot_product(q.v, c.v), 6) AS dot
+       |  FROM cands JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id),
+       |mipstop AS (
+       |  SELECT query_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank,
+       |         neighbor_id, dot
+       |  FROM mipssc
+       |  QUALIFY rank <= 5)""".stripMargin
+  }
 
   /** Shared by q_contamination and q_contamination_bloom — the Bloom
     * path's confirm join makes it bit-identical to the exact query. */
@@ -5015,113 +5258,49 @@ object PipelineQueries {
          |FROM scored
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
-    // MIPS replay: the SAME md5-derived hyperplane family extended one
-    // component (j = 64) for the augmented dimension; max-norm M² and
-    // the banded augmented signatures rebuilt from the parquet alone;
-    // candidates = union over bands (OR-construction), rerank by the
-    // exact RAW dot (the augmentation only steers candidates).
-    "q_ann_mips" -> {
-      val planeLit65 = (p: Int) =>
-        (0 to EmbDim).map(j => VectorFns.hpComponent(p, j)).mkString("[", ", ", "]")
-      def bandSql(b: Int) = (0 until LshBits)
-        .map(i =>
-          s"CASE WHEN list_dot_product(aug, ${planeLit65(b * LshBits + i)}) > 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      val bandUnion = (0 until MipsBands)
-        .map(b => s"SELECT vec_id, $b AS band_id, (${bandSql(b)}) AS band_sig FROM a")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |m AS (SELECT max(nrm * nrm) AS m2 FROM n WHERE vec_id >= 10),
-         |a AS (SELECT vec_id, v,
-         |             CASE WHEN vec_id < 10 THEN list_append(v, 0.0)
-         |                  ELSE list_append(v, sqrt(m2 - nrm * nrm)) END AS aug
-         |      FROM n CROSS JOIN m),
-         |bs AS (
-         |  $bandUnion),
-         |cands AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM bs q JOIN bs c
-         |    ON q.vec_id < 10 AND c.vec_id >= 10
-         |   AND q.band_id = c.band_id AND q.band_sig = c.band_sig),
-         |scored AS (
-         |  SELECT query_id, neighbor_id, round(list_dot_product(q.v, c.v), 6) AS dot
-         |  FROM cands JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id)
-         |SELECT query_id,
-         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank,
-         |       neighbor_id, dot
-         |FROM scored
-         |QUALIFY rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    },
-    "q_ann_pq" -> {
-      val sd = EmbDim / PqM
-      val cbUnion = (0 until PqM)
-        .map { j =>
-          val lo = j * sd + 1
-          val hi = j * sd + sd
-          s"""SELECT $j AS sub_id, CAST(vec_id - 10 AS INTEGER) AS cent_id,
-             |         list_slice(v, $lo, $hi) AS cent_v,
-             |         list_dot_product(list_slice(v, $lo, $hi), list_slice(v, $lo, $hi)) AS cent_sq
-             |  FROM n WHERE vec_id >= 10 AND vec_id < ${10 + PqKs}""".stripMargin
-        }
-        .mkString("\n  UNION ALL\n  ")
-      val rPivot = (0 until PqM)
-        .map(j => s"max(CASE WHEN sub_id = $j THEN cent_sq END) AS r$j")
-        .mkString(", ")
-      val rSum = (0 until PqM).map(j => s"r$j").mkString(" + ")
-      val dPivot = (0 until PqM)
-        .map(j => s"max(CASE WHEN sub_id = $j THEN d END) AS d$j")
-        .mkString(", ")
-      val dSum = (0 until PqM).map(j => s"d$j").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |cb AS (
-         |  $cbUnion),
-         |corp AS (SELECT vec_id AS neighbor_id, v AS c_v, nrm AS c_nrm FROM n WHERE vec_id >= 10),
-         |qs AS (SELECT vec_id AS query_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 10),
-         |sc AS (
-         |  SELECT c.neighbor_id, b.sub_id, b.cent_id, b.cent_sq,
-         |         b.cent_sq - 2 * list_dot_product(list_slice(c.c_v, b.sub_id * $sd + 1, b.sub_id * $sd + $sd), b.cent_v) AS score
-         |  FROM corp c CROSS JOIN cb b),
-         |codes AS (
-         |  SELECT neighbor_id, sub_id, cent_id, cent_sq FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id, sub_id ORDER BY score ASC, cent_id ASC) AS rk FROM sc)
-         |  WHERE rk = 1),
-         |rec AS (
-         |  SELECT neighbor_id, sqrt($rSum) AS recon_nrm FROM (
-         |    SELECT neighbor_id, $rPivot FROM codes GROUP BY neighbor_id)),
-         |dparts AS (
-         |  SELECT q.query_id, cd.neighbor_id, cd.sub_id,
-         |         list_dot_product(list_slice(q.q_v, cd.sub_id * $sd + 1, cd.sub_id * $sd + $sd), b.cent_v) AS d
-         |  FROM qs q CROSS JOIN codes cd JOIN cb b ON b.sub_id = cd.sub_id AND b.cent_id = cd.cent_id),
-         |adc AS (
-         |  SELECT query_id, neighbor_id, $dSum AS adcdot FROM (
-         |    SELECT query_id, neighbor_id, $dPivot FROM dparts GROUP BY query_id, neighbor_id)),
-         |scored AS (
-         |  SELECT a.query_id, a.neighbor_id, a.adcdot / greatest(q.q_nrm * r.recon_nrm, 1e-300) AS adc
-         |  FROM adc a JOIN qs q USING (query_id) JOIN rec r USING (neighbor_id)),
-         |short AS (
-         |  SELECT query_id, neighbor_id, adc FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS srk FROM scored)
-         |  WHERE srk <= $PqShortlist),
-         |rr AS (
-         |  SELECT s.query_id, s.neighbor_id,
-         |         round(list_dot_product(q.q_v, c.c_v) / greatest(q.q_nrm * c.c_nrm, 1e-300), 6) AS cos,
-         |         round(s.adc, 6) AS adc
-         |  FROM short s JOIN qs q USING (query_id) JOIN corp c ON c.neighbor_id = s.neighbor_id)
-         |SELECT query_id,
-         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
-         |       neighbor_id, cos, adc
-         |FROM rr
-         |QUALIFY rank <= $PqK
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    // MIPS replay: see MipsOracleCtes (shared with q_ann_recall_mips)
+    "q_ann_mips" ->
+      s"""WITH $MipsOracleCtes
+         |SELECT query_id, rank, neighbor_id, dot
+         |FROM mipstop
+         |ORDER BY query_id, rank""".stripMargin,
+    // PQ replay incl. the trained codebook: see PqOracleCtes (shared
+    // with q_ann_recall_pq)
+    "q_ann_pq" ->
+      s"""WITH $PqOracleCtes
+         |SELECT query_id, rank, neighbor_id, cos, adc
+         |FROM pqtop
+         |ORDER BY query_id, rank""".stripMargin,
     "q_ann_ivf" -> IvfOracleSql,
     // the stored-index probe replays the SAME quantizer + assignment as
     // the inline query — identical results by construction, so the twin
     // reuses the identical oracle
     "q_ann_ivf_stored" -> IvfOracleSql,
+    // recall evals: each route's full pipeline CTEs + the exact arm +
+    // the shared recall fold
+    "q_ann_recall_pq" ->
+      s"""WITH $PqOracleCtes,
+         |$ExactCosTop5Cte
+         |${recallSelect("pqtop")}""".stripMargin,
+    "q_ann_recall_ivf" ->
+      s"""WITH $IvfOracleCtes,
+         |$ExactCosTop5Cte
+         |${recallSelect("ivftop")}""".stripMargin,
+    "q_ann_recall_mips" -> {
+      // the exact arm ranks by the RAW inner product (the MIPS
+      // objective), not cosine
+      val exactMips =
+        """exact AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+          |             round(list_dot_product(q.v, c.v), 6) DESC, c.vec_id) AS rank
+          |    FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10)
+          |  WHERE rank <= 5)""".stripMargin
+      s"""WITH $MipsOracleCtes,
+         |$exactMips
+         |${recallSelect("mipstop")}""".stripMargin
+    },
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

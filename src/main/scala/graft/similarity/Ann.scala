@@ -183,8 +183,85 @@ object Ann {
       cents.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
   }
 
-  /** Build the codebook from the corpus (one tiny driver-side collect of
-    * `ks` rows — control plane, not a data-path collect). */
+  /** Fixed-point scale for exact centroid sums in [[pqTrain]] — the
+    * [[graft.clustering.Clustering]] convention: quantize by
+    * `floor(x·10⁷)`, sum as int64 (order-free, so a SQL engine replays
+    * the identical mean), divide once. */
+  private val PqQ = 10000000L
+
+  /** Per-subspace Lloyd refinement of the PQ codebook — k-means in each
+    * of the `m` subspaces (Jégou, Douze, Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011, §III: the codebook IS a
+    * per-subspace k-means). Seeds are [[pqCodebook]]'s `ks` lowest-id
+    * corpus rows (the deterministic init convention shared with
+    * [[ivfTopK]]/[[ivfMaintain]]); each round re-codes the corpus with
+    * the [[pqEncode]] argmin rule (ties to the lowest code) and
+    * recomputes every centroid as the FIXED-POINT mean of its assigned
+    * subvectors (`floor(x·10⁷)` int64 sums — exact, order-free, one
+    * IEEE division), so a SQL oracle replaying the same update derives
+    * bit-identical centroids. A code that loses all members keeps its
+    * previous centroid. `iters = 0` degrades to the untrained seed
+    * codebook.
+    *
+    * Scale: each round is ONE corpus projection (the m·ks codegen'd
+    * score dots) + ONE aggregate of m·ks rows with map-side partials —
+    * only the codebook ever reaches the driver. Train once per corpus
+    * and reuse (the serving convention [[ivfBuild]] follows). */
+  def pqTrain(
+      corpus: DataFrame,
+      m: Int,
+      ks: Int,
+      dim: Int,
+      iters: Int = 2): PqCodebook = {
+    var cb = pqCodebook(corpus, m, ks, dim)
+    for (_ <- 0 until iters) {
+      val scoreArrs = (0 until cb.m).map { j =>
+        val sub = slice(col("c_v"), j * cb.subDim + 1, cb.subDim)
+        array((0 until cb.ks).map(c =>
+          lit(cb.centSq(j)(c)) -
+            lit(2.0) * VectorFns.dot(sub, typedLit(cb.cents(j)(c)))): _*)
+          .as(s"sc$j")
+      }
+      val withScores = corpus.select(col("c_v") +: scoreArrs: _*)
+      val partCols = (0 until cb.m).map { j =>
+        struct(
+          lit(j).as("sub_id"),
+          (array_position(col(s"sc$j"), array_min(col(s"sc$j"))) - 1)
+            .cast("int")
+            .as("cent_id"),
+          slice(col("c_v"), j * cb.subDim + 1, cb.subDim).as("sub_v"))
+      }
+      val exploded = withScores
+        .select(explode(array(partCols: _*)).as("p"))
+        .select(col("p.sub_id"), col("p.cent_id"), col("p.sub_v"))
+      val sums = (1 to cb.subDim).map(dd =>
+        sum(floor(element_at(col("sub_v"), dd) * lit(PqQ.toDouble)).cast("long"))
+          .as(s"s$dd"))
+      val means = exploded
+        .groupBy("sub_id", "cent_id")
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect() // ≤ m·ks rows — control plane
+        .map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getInt(1)) ->
+            (1 to cb.subDim).map(dd => r.getLong(2 + dd).toDouble / (n * PqQ).toDouble).toVector
+        }
+        .toMap
+      cb = PqCodebook(
+        cb.m,
+        cb.subDim,
+        Vector.tabulate(cb.m)(j =>
+          Vector.tabulate(cb.ks)(c => means.getOrElse((j, c), cb.cents(j)(c)))))
+    }
+    cb
+  }
+
+  /** Build the UNTRAINED codebook from the corpus (one tiny driver-side
+    * collect of `ks` rows — control plane, not a data-path collect):
+    * the `ks` lowest-id corpus rows as centroids. This is [[pqTrain]]'s
+    * deterministic seed; serving paths should train ([[pqTrain]]
+    * measured strictly better shortlist recall on the shared corpus —
+    * see q_ann_recall_pq). */
   def pqCodebook(corpus: DataFrame, m: Int, ks: Int, dim: Int): PqCodebook = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
@@ -254,8 +331,23 @@ object Ann {
       ks: Int = 8,
       dim: Int = 64,
       shortlist: Int = 20,
+      k: Int = 5,
+      trainIters: Int = 2): DataFrame =
+    pqTopKWith(
+      queries,
+      corpus,
+      pqTrain(corpus, m, ks, dim, trainIters),
+      shortlist,
+      k)
+
+  /** [[pqTopK]] against a PREBUILT codebook — the serving split: train
+    * once ([[pqTrain]]), score many. */
+  def pqTopKWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cb: PqCodebook,
+      shortlist: Int = 20,
       k: Int = 5): DataFrame = {
-    val cb = pqCodebook(corpus, m, ks, dim)
     val enc = pqEncode(corpus, cb)
     val adcDot = (0 until cb.m)
       .map { j =>

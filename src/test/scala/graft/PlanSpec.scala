@@ -242,6 +242,9 @@ class PlanSpec extends SparkSpec {
       "q_source_entropy", // one-row-per-source broadcast total (if BNLJ at all)
       "q_hard_negatives", // broadcast anchors × corpus, label-mismatch predicate
       "q_ann_recall", // evaluation op: contains the brute-force baseline product
+      "q_ann_recall_pq", // same brute-force exact arm + PQ route (q_ann_pq's products)
+      "q_ann_recall_ivf", // same brute-force exact arm + quantizer product
+      "q_ann_recall_mips", // brute-force exact-dot arm (evaluation op)
       "q_rolling_active", // one-row day-bounds broadcast
       "q_stickiness", // same one-row day-bounds broadcast as q_rolling_active
       "q_lift_table", // 10-decile grid × one-row totals + the non-equi
