@@ -597,15 +597,34 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Measured band-space saturation onset of the 60-bit geometry at the
+    * default radius 6: past ~10⁶ docs the narrow bands (≤ 2¹⁰ buckets on
+    * the small bands) saturate and candidates grow ~n²/2816 (five-decade
+    * scaling ledger: r3 = 11.2/20.8 vs the wide layout's 2.78/2.86), so
+    * [[simhashPairs]] fences there by default and points callers at
+    * [[simhashPairsWide]]. */
+  val SimhashNarrowFenceDocs = 1000000L
+
   /** SimHash near-dup: pairs within `maxHamming`. Candidates come from
     * `maxHamming + 1` disjoint bit-bands — by pigeonhole any pair within
     * the radius agrees on at least one band, so the band equi-join is
-    * *exact*, replacing the O(n²) pair scan with a hash join. */
+    * *exact*, replacing the O(n²) pair scan with a hash join.
+    *
+    * LEGACY GEOMETRY with a size fence: the 60-bit fingerprint is kept
+    * for existing pipelines, but its band space saturates past
+    * [[SimhashNarrowFenceDocs]] (measured superlinear — see the
+    * constant's doc), so a corpus larger than `fenceDocs` throws with a
+    * pointer to the scale-safe 120-bit [[simhashPairsWide]] instead of
+    * silently going quadratic. `fenceDocs = 0` opts out (the explicit
+    * "I know it's superlinear" escape hatch); the doc count rides the
+    * already-materialized band table (banded rows / nBands — one cheap
+    * count off checkpointed blocks, no recompute). */
   def simhashPairs(
       simhashes: DataFrame,
       id: String = "doc_id",
       bits: Int = 60,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      fenceDocs: Long = SimhashNarrowFenceDocs): DataFrame = {
     val nBands = maxHamming + 1
     val base = bits / nBands
     val extra = bits % nBands // first `extra` bands get one more bit
@@ -630,6 +649,15 @@ object Dedup {
       .select(col(id), col("simhash"), col("b.band_id"), col("b.band_bits"))
       .transform(Materialize.cut)
       .hint("shuffle_hash")
+    if (fenceDocs > 0L) {
+      val nDocs = banded.count() / nBands // each doc emits exactly nBands rows
+      require(
+        nDocs <= fenceDocs,
+        s"simhashPairs: $nDocs docs exceed the $fenceDocs-doc fence of the " +
+          "legacy 60-bit geometry (band space saturates, candidates grow " +
+          "~n^2/2816 past ~10^6 docs — measured). Use simhashPairsWide " +
+          "(120-bit, scale-safe) or pass fenceDocs = 0 to opt out.")
+    }
     banded
       .as("x")
       .join(

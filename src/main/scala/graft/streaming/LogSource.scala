@@ -75,7 +75,9 @@ import graft.model.Entry
   * precise per-segment sequence map, O(segments) checkpoint state — /
   * `spaceWatermark` — one max-timestamp per space, O(spaces) state for
   * unbounded-segment logs; see the field doc for the monotone-timestamp
-  * contract it trades for that bound).
+  * contract it trades for that bound — violations are observable via
+  * [[GraftLogSource.watermarkSkippedRows]] and, with
+  * `failOnWatermarkRegression=true`, fail the stream).
   *
   * Usage: `spark.readStream.format("graft-log").option("path", p).load()`
   * (or the fully-qualified `graft.streaming.GraftLogSource`).
@@ -111,6 +113,34 @@ object GraftLogSource {
     ticklesByPath
       .computeIfAbsent(logPath, _ => new java.util.concurrent.atomic.AtomicLong(0L))
       .incrementAndGet()
+    ()
+  }
+
+  /** Rows skipped by the `spaceWatermark` contract, keyed by log path
+    * (the [[ticklesDelivered]] pattern — monotonic, never reset): a
+    * producer that regresses below a space's already-established
+    * watermark violates the mode's documented contract and its rows are
+    * silently undeliverable; this counter makes that observable. The
+    * poll reconcile detects it ROW-exactly for the cannot-advance
+    * class — a space whose row count grew while its max timestamp did
+    * not advance got ONLY at-or-below-watermark rows (any row above
+    * would have moved the max), so the count delta IS the skipped-row
+    * count. A mixed produce (some rows below the watermark, tail above)
+    * advances the watermark and its below-rows are not separable from
+    * driver-side aggregates — that remains the mode's documented
+    * trade; use `offsetMode=segment` when producers can interleave.
+    * `failOnWatermarkRegression=true` turns a detection into a stream
+    * failure instead of a counter increment. */
+  private val skippedByPath =
+    new util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def watermarkSkippedRows(logPath: String): Long =
+    Option(skippedByPath.get(logPath)).map(_.get()).getOrElse(0L)
+
+  private[streaming] def recordSkippedRows(logPath: String, n: Long): Unit = {
+    skippedByPath
+      .computeIfAbsent(logPath, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .addAndGet(n)
     ()
   }
 
@@ -224,6 +254,19 @@ private[streaming] class GraftLogMicroBatchStream(
     s"offsetMode must be 'segment' or 'spaceWatermark', got '$offsetMode'")
   private val watermarkMode = offsetMode == "spaceWatermark"
 
+  /** `spaceWatermark` regression handling: detections (see
+    * [[GraftLogSource.watermarkSkippedRows]]) either bump the per-path
+    * counter (default — monitor it like ticklesDelivered) or, with
+    * `failOnWatermarkRegression=true`, fail the stream on the driver —
+    * for pipelines where a silently-skipped row is worse than an
+    * outage. */
+  private val failOnRegression =
+    Option(options.get("failOnWatermarkRegression")).exists(_.toBoolean)
+  // per-space row count at the last reconcile — the regression detector's
+  // memory (driver-side, O(spaces), same bound as the offset itself)
+  private val lastCounts =
+    new util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   // tickle-fed high-water marks: acks are post-commit, so merging
   // max(lastSequence)/max(lastTimestamp) here is always safe and never
   // early. Only the active mode's map is populated.
@@ -289,11 +332,15 @@ private[streaming] class GraftLogMicroBatchStream(
       val filtered =
         spaceFilter.foldLeft(base)((df, sp) => df.filter(col("space") === sp))
       if (watermarkMode)
+        // the count rides the same aggregate — it feeds the regression
+        // detector (count grew + max did not advance ⇒ all new rows are
+        // at/below the watermark)
         filtered
           .groupBy("space")
-          .agg(max("timestamp").as("lastTs"))
+          .agg(max("timestamp").as("lastTs"), org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"))
           .collect()
-          .map(r => (r.getString(0), "") -> (0L, r.getLong(1)))
+          .map(r => (r.getString(0), "") -> (r.getLong(2), r.getLong(1)))
           .toMap
       else
         filtered
@@ -309,7 +356,30 @@ private[streaming] class GraftLogMicroBatchStream(
     val now = System.currentTimeMillis()
     if (force || lastReconcile == 0L || now - lastReconcile >= pollMs) {
       lastReconcile = now
-      scanStatuses().foreach { case ((sp, seg), (n, ts)) => tickle(sp, seg, n, ts) }
+      scanStatuses().foreach { case ((sp, seg), (n, ts)) =>
+        if (watermarkMode) {
+          // regression detector: `n` is the space's row count. If it
+          // grew while max(ts) stayed at/below the established
+          // watermark, every new row is undeliverable in this mode —
+          // count them (row-exact for this class), or fail if asked.
+          val wm = highWaterTs.get(sp)
+          val prev = lastCounts.put(sp, java.lang.Long.valueOf(n))
+          if (prev != null && n > prev.longValue() && wm != null &&
+            ts <= wm.longValue()) {
+            val delta = n - prev.longValue()
+            GraftLogSource.recordSkippedRows(logPath, delta)
+            if (failOnRegression)
+              throw new IllegalStateException(
+                s"spaceWatermark contract violated: $delta row(s) arrived in " +
+                  s"space '$sp' at or below its checkpointed watermark " +
+                  s"${wm.longValue()} µs (producer timestamps must not " +
+                  "regress — use offsetMode=segment for non-monotone " +
+                  "producers). Set failOnWatermarkRegression=false to " +
+                  "count skips instead of failing.")
+          }
+        }
+        tickle(sp, seg, n, ts)
+      }
     }
   }
 

@@ -335,6 +335,86 @@ object StreamLog {
       }
   }
 
+  final case class ThetaState(
+      n: Long,
+      s1: Long,
+      s2: Long,
+      sx: Double,
+      sxt: Double,
+      f: Double,
+      tf: Double)
+  final case class ThetaPoint(
+      space: String,
+      t: Long,
+      value: Double,
+      trendSlope: Double,
+      thetaLevel: Double,
+      forecast7: Double,
+      n: Long)
+
+  /** Streaming twin of the batch `q_theta_forecast` Theta(0,2) method
+    * ([[graft.queries.OlapQueries.qThetaForecast]]) — the one forecaster
+    * whose batch fold reads the WHOLE series twice: the theta-2 line
+    * z_t = 2·x_t − (a + b·t) is built from the FULL-series OLS trend
+    * (a, b) before the SES pass. The stream makes that incremental by
+    * linearity: SES is a linear fold, so
+    *   L_n(z) = F_n − a_n·P_n − b_n·T_n
+    * where F/P/T are the SES folds of 2·x_t, 1, and t — and P_n ≡ 1
+    * exactly (α + (1−α) = 1 for the exact-binary α = 1/4). State per
+    * key is the exact OLS sufficient statistics (n, Σt, Σt², Σx, Σt·x —
+    * integer/integral-double sums, bit-exact and order-free, matching
+    * the batch DECIMAL sums while statistics stay below 2⁵³) plus the
+    * two fold scalars F and T: 7 numbers, bounded, no timeout. Each
+    * arrival re-derives (a_n, b_n) from the statistics (two IEEE
+    * divisions — the batch expression replayed) and emits the live
+    * level and 7-step forecast ½(a + b(n+7)) + ½L.
+    *
+    * Parity contract: trend_slope is BIT-equal to the batch column
+    * (same exact sums, same division); the level/forecast agree with
+    * the batch fold at its published 4-dp rounding — the linear
+    * decomposition evaluates the same real number through a different
+    * IEEE tree (relative divergence ~1e-12; the batch fold bakes the
+    * final a, b into every step, which no bounded-state stream can
+    * replay verbatim). The stream is bit-identical to ITSELF under any
+    * micro-batch split (spec-asserted) — the holtStream determinism
+    * contract. The grid index t is arrival rank per key (the batch
+    * dense-grid position); emission starts at n = 2 (OLS needs two
+    * points), like the batch `n_days >= 2` filter. */
+  def thetaStream(
+      points: Dataset[(String, Long, Double)],
+      alpha: Double = 0.25): Dataset[ThetaPoint] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ThetaState, ThetaPoint](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (space, rows, state: GroupState[ThetaState]) =>
+          var st = state.getOption.getOrElse(ThetaState(0L, 0L, 0L, 0.0, 0.0, 0.0, 0.0))
+          val out = Seq.newBuilder[ThetaPoint]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (ts, x) =>
+            val t = st.n + 1
+            val f1 = if (t == 1L) 2.0 * x else alpha * (2.0 * x) + (1 - alpha) * st.f
+            val tf1 = if (t == 1L) 1.0 else alpha * t.toDouble + (1 - alpha) * st.tf
+            st = ThetaState(
+              t, st.s1 + t, st.s2 + t * t, st.sx + x, st.sxt + t.toDouble * x, f1, tf1)
+            if (t >= 2L) {
+              // the batch OLS expression off the exact sums
+              val b = (st.n.toDouble * st.sxt - st.s1.toDouble * st.sx) /
+                (st.n.toDouble * st.s2.toDouble - st.s1.toDouble * st.s1.toDouble)
+              val a = (st.sx - b * st.s1.toDouble) / st.n.toDouble
+              val lvl = st.f - a - b * st.tf
+              out += ThetaPoint(
+                space, ts, x, b, lvl,
+                0.5 * (a + b * (st.n + 7L).toDouble) + 0.5 * lvl,
+                st.n)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaChartState(n: Long, z: Double)
   final case class EwmaChartSignal(
       space: String,

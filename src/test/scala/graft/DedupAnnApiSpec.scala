@@ -811,6 +811,25 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(w2.subsetOf(w4) && w4.size > w2.size)
   }
 
+  test("simhashPairs: legacy 60-bit geometry fences oversized corpora toward the wide API") {
+    import spark.implicits._
+    val sigs = Dedup.simhashSignaturesFromTokens(
+      Seq(
+        (1L, Seq("a", "b")), (2L, Seq("a", "b")), (3L, Seq("c", "d")))
+        .toDF("doc_id", "tk"),
+      "doc_id", "tk", bits = 60)
+    // over the fence: loud failure naming the scale-safe replacement
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashPairs(sigs, maxHamming = 6, fenceDocs = 2L).count())
+    assert(e.getMessage.contains("simhashPairsWide"))
+    // at the fence and with the explicit opt-out: same pair set
+    val atFence = Dedup.simhashPairs(sigs, maxHamming = 6, fenceDocs = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val optOut = Dedup.simhashPairs(sigs, maxHamming = 6, fenceDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atFence == optOut && atFence.contains((1L, 2L)))
+  }
+
   test("pqTrain: deterministic per-subspace Lloyd, recall never below the untrained seeds") {
     val qs = embs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))

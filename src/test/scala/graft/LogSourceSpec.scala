@@ -254,6 +254,70 @@ class LogSourceSpec extends SparkSpec {
     assert(GraftLogSource.decodeSpaceOffset(wmOffset) == Map("s0" -> 3000L))
   }
 
+  test("spaceWatermark regression: skipped rows counted, delivery unaffected, opt-in stream failure") {
+    val log = new EventLog(spark, Files.createTempDirectory("graft-src-wmreg").toString)
+    log.produce("s0", "seg0", records(1, 3), 1000L)
+    val ckpt = Files.createTempDirectory("graft-src-wmreg-ckpt").toString
+    val got = mutable.Buffer.empty[(String, Long, Long)]
+    val q = spark.readStream
+      .format("graft-log")
+      .option("path", log.path)
+      .option("offsetMode", "spaceWatermark")
+      .option("pollMs", "300")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .selectExpr("segment", "sequence", "timestamp")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        got.synchronized { got ++= rows; () }
+      }
+      .start()
+    try {
+      awaitUntil(diag = s"wmreg wave1 got=${got.synchronized(got.size)} exc=${q.exception}")(
+        got.synchronized(got.distinct.size) == 3)
+      val skippedBefore = GraftLogSource.watermarkSkippedRows(log.path)
+      // a REGRESSING producer: both entries below the 1000 µs watermark —
+      // the documented contract says they are skipped; the counter must
+      // say exactly how many
+      log.produce("s0", "seg1", records(1, 2), 500L)
+      awaitUntil(diag = s"wmreg counter=${GraftLogSource.watermarkSkippedRows(log.path)}")(
+        GraftLogSource.watermarkSkippedRows(log.path) - skippedBefore == 2L)
+      // delivery of an ADVANCING produce afterwards is unaffected
+      log.produce("s0", "seg0", records(4, 1), 2000L)
+      awaitUntil(diag = s"wmreg wave2 got=${got.synchronized(got.size)} exc=${q.exception}")(
+        got.synchronized(got.distinct.size) == 4)
+      // the documented skip: the regressed rows never arrive
+      assert(got.synchronized(got.distinct.toSeq).forall(_._1 != "seg1"))
+    } finally q.stop()
+
+    // opt-in hard failure: same violation, failOnWatermarkRegression=true
+    val log2 = new EventLog(spark, Files.createTempDirectory("graft-src-wmreg2").toString)
+    log2.produce("s0", "seg0", records(1, 3), 1000L)
+    val ckpt2 = Files.createTempDirectory("graft-src-wmreg2-ckpt").toString
+    val q2 = spark.readStream
+      .format("graft-log")
+      .option("path", log2.path)
+      .option("offsetMode", "spaceWatermark")
+      .option("failOnWatermarkRegression", "true")
+      .option("pollMs", "300")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt2)
+      .format("noop")
+      .start()
+    try {
+      awaitUntil(diag = s"wmreg2 boot exc=${q2.exception}")(
+        GraftLogSource.watermarkSkippedRows(log2.path) == 0L && q2.lastProgress != null)
+      log2.produce("s0", "seg1", records(1, 2), 400L)
+      awaitUntil(diag = s"wmreg2 fail exc=${q2.exception}")(q2.exception.isDefined)
+      assert(q2.exception.get.getMessage.contains("spaceWatermark contract violated") ||
+        q2.exception.get.cause.getMessage.contains("spaceWatermark contract violated"))
+    } finally q2.stop()
+  }
+
   test("space filter: only the subscribed space's rows flow") {
     val log = new EventLog(spark, Files.createTempDirectory("graft-src-f").toString)
     log.produce("keep", "a", records(1, 3), 1000L)

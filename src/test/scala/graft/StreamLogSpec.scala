@@ -504,6 +504,65 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("thetaStream: exact OLS statistics, split-invariant folds, batch parity at published rounding") {
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamLog
+      .thetaStream(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("theta_out")
+      .outputMode("append")
+      .start()
+    try {
+      // integral counts (the batch query's domain): sums stay exact
+      val series = Seq(10.0, 14.0, 9.0, 22.0, 17.0, 3.0, 25.0, 8.0, 12.0, 30.0)
+      val one = series.zipWithIndex.map { case (v, i) => ("one", (i + 1).toLong, v) }
+      val split = series.zipWithIndex.map { case (v, i) => ("split", (i + 1).toLong, v) }
+      mem.addData(one: _*) // the whole series in ONE micro-batch
+      mem.addData(split.take(3): _*) // ...and the same series in three
+      q.processAllAvailable()
+      assert( // OLS needs two points: nothing emitted at n = 1
+        spark.sql("SELECT * FROM theta_out WHERE n < 2").count() == 0)
+      mem.addData(split.slice(3, 7): _*)
+      q.processAllAvailable()
+      mem.addData(split.drop(7): _*)
+      q.processAllAvailable()
+      def rows(k: String) = spark
+        .sql(s"SELECT trendSlope, thetaLevel, forecast7, n FROM theta_out WHERE space = '$k' ORDER BY n")
+        .collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      // micro-batch splits do not change a single bit of the trajectory
+      assert(rows("one") == rows("split"))
+      assert(rows("one").size == series.size - 1)
+
+      // local replication of the BATCH q_theta_forecast algebra
+      val n = series.size
+      val ts = (1 to n).map(_.toLong)
+      val s1 = ts.sum
+      val s2 = ts.map(t => t * t).sum
+      val sx = series.sum
+      val sxt = ts.zip(series).map { case (t, x) => t.toDouble * x }.sum
+      val b = (n.toDouble * sxt - s1.toDouble * sx) /
+        (n.toDouble * s2.toDouble - s1.toDouble * s1.toDouble)
+      val a = (sx - b * s1.toDouble) / n.toDouble
+      val lvl = ts.zip(series).tail
+        .foldLeft(2.0 * series.head - (a + b * 1.0)) { case (acc, (t, x)) =>
+          0.25 * (2.0 * x - (a + b * t.toDouble)) + 0.75 * acc
+        }
+      val fc = 0.5 * (a + b * (n + 7).toDouble) + 0.5 * lvl
+      val last = rows("one").last
+      // the OLS slope rides exact sums → BIT-equal to the batch column
+      assert(last._1 == b)
+      // level/forecast: the stream's linear decomposition of the SES
+      // fold meets the batch fold at the published 4-dp rounding
+      def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r4(last._2) == r4(lvl), s"level ${last._2} vs $lvl")
+      assert(r4(last._3) == r4(fc), s"forecast ${last._3} vs $fc")
+      assert(last._4 == n.toLong)
+    } finally q.stop()
+  }
+
   test("kmvMonitor: exact below k, batch-formula estimate above k, order-insensitive across batch splits") {
     import graft.functions.Hashing
     // JVM hash twin must equal the Column family the batch sketch uses

@@ -89,16 +89,21 @@ def main():
         ("store_consume_space", "store_consume_space_1m"),
         ("store_compact_100k", "store_compact_1m"),
     ]
+    # NOTE: the store tier's scaling table is the HAND-MAINTAINED
+    # three-decade (100k → 1M → 10M) section in BENCH_SCALING.md — this
+    # tool no longer prints its superseded two-decade form (each
+    # regeneration used to re-print it next to the re-appended hand
+    # section, triplicating the table). Regeneration convention: replace
+    # from the `| query |` header through the Totals lines with this
+    # tool's output, keep everything after "### Store tier" as is.
     if any(tof(qb.get(s)) and tof(qb.get(l)) for s, l in pairs):
-        print("\n### Store tier (100k → 1M rows, 10× data, sf0.1 leg)\n")
-        print("| metric | 100k s | 1M s | ratio (10× data) |")
-        print("|---|---|---|---|")
-        for s, l in pairs:
-            ts, tl = tof(qb.get(s)), tof(qb.get(l))
-            if ts is not None and tl is not None:
-                print(f"| {s.replace('_100k', '')} | {ts:.3f} | {tl:.3f} | {tl / ts:.2f} |")
-            else:
-                print(f"| {s.replace('_100k', '')} | — | — | — |")
+        print(
+            "\n(store tier: see the hand-maintained "
+            "'Store tier (100k → 1M → 10M rows)' section below — "
+            "two-decade columns come from the sf0.1 leg pairs "
+            + ", ".join(f"{s}/{l}" for s, l in pairs)
+            + ")"
+        )
 
 
 if __name__ == "__main__":
