@@ -441,6 +441,76 @@ object OlapQueries {
       .transform(sortSmall(_, col("from_type"), col("to_type")))
   }
 
+  /** Gap-allowed sequential-pattern support (the SPAM/PrefixSpan
+    * objective, Agrawal–Srikant 1995): for every length-2 and length-3
+    * type pattern `a>b(>c)`, how many users' event streams contain it
+    * as a SUBSEQUENCE — events of other types may fall in between,
+    * which is exactly what [[qTransitions]] (consecutive steps) and
+    * [[qJourneys]] (whole paths) cannot see. Repeats allowed (`a>a` =
+    * two a-events at distinct times).
+    *
+    * NEVER materializes subsequences: containment reduces to
+    * first/last-occurrence algebra — `a>b` holds iff `min_ts(a) <
+    * max_ts(b)`, and `a>b>c` iff the EARLIEST b after `min_ts(a)`
+    * precedes `max_ts(c)` (greedy leftmost witness; standard
+    * completeness argument — if any witness triple exists, the greedy
+    * one does). Cost: one per-(user, type) min/max aggregate, then
+    * per-user joins bounded by |types| × user's events and |types|³ —
+    * alphabet-sized fan-outs on equi-joins, linear in the corpus at any
+    * scale. Output is the |types|²+|types|³ pattern table with user
+    * support counts and shares. */
+  def qSeqPatterns(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type").as("t"), col("ts_us"))
+    val mm = ev
+      .groupBy("user_id", "t")
+      .agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
+      .transform(graft.operators.Materialize.cut)
+    val nu = ev.agg(count_distinct(col("user_id")).as("n_total"))
+    val pairs = mm
+      .select(col("user_id"), col("t").as("ta"), col("mn"))
+      .join(
+        mm.select(col("user_id"), col("t").as("tb"), col("mx")).hint("shuffle_hash"),
+        "user_id")
+      .filter(col("mn") < col("mx"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_users"))
+    // earliest b-event strictly after the first a-event, per (user, a, b)
+    val tab = mm
+      .select(col("user_id"), col("t").as("ta"), col("mn"))
+      .join(
+        ev.select(col("user_id"), col("t").as("tb"), col("ts_us")).hint("shuffle_hash"),
+        "user_id")
+      .filter(col("ts_us") > col("mn"))
+      .groupBy("user_id", "ta", "tb")
+      .agg(min("ts_us").as("t_ab"))
+    val triples = tab
+      .join(
+        mm.select(col("user_id"), col("t").as("tc"), col("mx")).hint("shuffle_hash"),
+        "user_id")
+      .filter(col("t_ab") < col("mx"))
+      .groupBy("ta", "tb", "tc")
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .select(
+        lit("pair").as("kind"),
+        concat_ws(">", col("ta"), col("tb")).as("pattern"),
+        col("n_users"))
+      .unionByName(triples.select(
+        lit("triple").as("kind"),
+        concat_ws(">", col("ta"), col("tb"), col("tc")).as("pattern"),
+        col("n_users")))
+      .crossJoin(broadcast(nu))
+      .select(
+        col("kind"),
+        col("pattern"),
+        col("n_users"),
+        round(col("n_users").cast("double") / col("n_total").cast("double"), 6)
+          .as("support"))
+      .transform(sortSmall(_, col("kind"), col("n_users").desc, col("pattern")))
+  }
+
   /** Percentile-rank normalization: each event's cumulative
     * distribution position within its type — the feature-scaling
     * transform that is robust to any value distribution (vs z-scores,
@@ -3903,6 +3973,7 @@ object OlapQueries {
     "q_twap" -> qTwap _,
     "q_ema" -> qEma _,
     "q_transitions" -> qTransitions _,
+    "q_seq_patterns" -> qSeqPatterns _,
     "q_entry_exit" -> qEntryExit _,
     "q_funnel_any" -> qFunnelAny _,
     "q_attribution_decay" -> qAttributionDecay _,
@@ -4213,6 +4284,33 @@ object OlapQueries {
          |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
          |       round(list_reduce(seq, (a, x) -> $EmaAlpha * x + ${1 - EmaAlpha} * a), 4) AS ema
          |FROM s ORDER BY user_id""".stripMargin,
+    "q_seq_patterns" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS t, epoch_us(ts) AS ts_us FROM events),
+        |mm AS (
+        |  SELECT user_id, t, min(ts_us) AS mn, max(ts_us) AS mx
+        |  FROM ev GROUP BY 1, 2),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_total FROM ev),
+        |pairs AS (
+        |  SELECT a.t AS ta, b.t AS tb, count(*) AS n_users
+        |  FROM mm a JOIN mm b ON a.user_id = b.user_id AND a.mn < b.mx
+        |  GROUP BY 1, 2),
+        |tab AS (
+        |  SELECT a.user_id, a.t AS ta, e.t AS tb, min(e.ts_us) AS t_ab
+        |  FROM mm a JOIN ev e ON e.user_id = a.user_id AND e.ts_us > a.mn
+        |  GROUP BY 1, 2, 3),
+        |triples AS (
+        |  SELECT tab.ta, tab.tb, c.t AS tc, count(*) AS n_users
+        |  FROM tab JOIN mm c ON c.user_id = tab.user_id AND tab.t_ab < c.mx
+        |  GROUP BY 1, 2, 3),
+        |pat AS (
+        |  SELECT 'pair' AS kind, ta || '>' || tb AS pattern, n_users FROM pairs
+        |  UNION ALL
+        |  SELECT 'triple', ta || '>' || tb || '>' || tc, n_users FROM triples)
+        |SELECT kind, pattern, n_users,
+        |       round(CAST(n_users AS DOUBLE) / n_total, 6) AS support
+        |FROM pat CROSS JOIN nu
+        |ORDER BY kind, n_users DESC, pattern""".stripMargin,
     "q_transitions" ->
       """WITH gaps AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

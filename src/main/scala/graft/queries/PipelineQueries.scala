@@ -782,6 +782,97 @@ object PipelineQueries {
         querySide(s, d), corpusSide(s, d),
         k = 5, bands = MipsBands, bitsPerBand = LshBits, dim = EmbDim))
 
+  /** Cells each query probes on the combined route (the IVF axis). */
+  val IvfPqProbes = 2
+
+  /** IVF-PQ ANN — the combined billion-scale serving route (Jégou et
+    * al., TPAMI 2011 §IV "IVFADC"): the [[qAnnIvf]] coarse quantizer
+    * prunes candidates to [[IvfPqProbes]] cells, the [[qAnnPq]] trained
+    * codebook scores the survivors from 16-byte codes (no raw-vector
+    * reads), and only the ADC shortlist pays an exact rerank. The two
+    * pruning axes compose multiplicatively — candidate COUNT × bytes
+    * PER candidate — which is the memory-bandwidth shape a
+    * billion-vector deployment actually serves. Same quantizer, same
+    * codebook, same tie rules as the component routes → deterministic
+    * end to end, full DuckDB oracle ([[Ann.ivfPqTopKWith]]: probing all
+    * cells recovers q_ann_pq exactly, spec-asserted). */
+  def qAnnIvfPq(s: SparkSession, d: String): DataFrame =
+    Ann
+      .ivfPqTopKWith(
+        querySide(s, d),
+        corpusSide(s, d),
+        ivfCents(s, d),
+        pqCb(s, d),
+        k = PqK,
+        nProbe = IvfPqProbes,
+        shortlist = PqShortlist)
+      .transform(sortSmall(_, "query_id", "rank"))
+
+  /** Recall@5 of the combined IVF-PQ route vs exact brute force — the
+    * compounded-loss readout (cell pruning CAN drop a true neighbor the
+    * PQ shortlist would have kept, and vice versa; a deployment tunes
+    * nProbe and shortlist against THIS number, not the per-axis ones).
+    * Deterministic → full DuckDB oracle. */
+  def qAnnRecallIvfPq(s: SparkSession, d: String): DataFrame =
+    recallReport(
+      Ann.bruteForceTopK(querySide(s, d), corpusSide(s, d), k = PqK),
+      Ann.ivfPqTopKWith(
+        querySide(s, d),
+        corpusSide(s, d),
+        ivfCents(s, d),
+        pqCb(s, d),
+        k = PqK,
+        nProbe = IvfPqProbes,
+        shortlist = PqShortlist))
+
+  /** Recall@5 as a FUNCTION of nProbe (1..[[IvfCentroids]]) — the IVF
+    * tuning curve a deployment reads before fixing its probe budget
+    * (each probe buys latency; the curve says what it buys in recall).
+    * ONE corpus pass total: instead of running the route per probe
+    * setting, every (query, cell) gets its probe RANK
+    * ([[Ann.cellRanks]]), each exact-top-5 pair is tagged with the rank
+    * of the probe that would first reach its neighbor's cell, and the
+    * curve is the cumulative count over that 8-value histogram. The
+    * exact-rerank routes recover any candidate the cell set admits, so
+    * hits-at-rank ≡ the route's recall at that nProbe (the
+    * [[qAnnRecallIvf]] identity, spec-asserted at the default probe).
+    * Deterministic → full DuckDB oracle. */
+  def qIvfProbeCurve(s: SparkSession, d: String): DataFrame = {
+    val q = querySide(s, d)
+    val c = corpusSide(s, d)
+    val cents = broadcast(ivfCents(s, d))
+    val qr = Ann
+      .cellRanks(q, cents, "query_id", "q_v", "q_nrm")
+      .select(col("query_id"), col("cent_id"), col("cent_rank").as("pr"))
+    val cn = Ann
+      .cellRanks(c, cents, "neighbor_id", "c_v", "c_nrm")
+      .filter(col("cent_rank") === 1)
+      .select("neighbor_id", "cent_id")
+    val needed = Ann
+      .bruteForceTopK(q, c, k = 5)
+      .select("query_id", "neighbor_id")
+      .join(cn.hint("shuffle_hash"), "neighbor_id")
+      .join(broadcast(qr), Seq("query_id", "cent_id"))
+    val perRank = needed.groupBy(col("pr").as("n_probe")).agg(count(lit(1)).as("h"))
+    val grid = s.range(1, IvfCentroids + 1L).select(col("id").as("n_probe"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    val wCum = Window
+      .orderBy("n_probe")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(perRank, Seq("n_probe"), "left")
+      .withColumn("n_hits", sum(coalesce(col("h"), lit(0L))).over(wCum))
+      .crossJoin(broadcast(nq))
+      .select(
+        col("n_probe"),
+        col("n_hits"),
+        round(
+          col("n_hits").cast("double") /
+            (lit(5.0d) * col("n_queries").cast("double")),
+          6).as("recall_at_5"))
+      .transform(sortSmall(_, "n_probe"))
+  }
+
   // ------------------------------------------------------------- text ops
 
   /** Tokens are projected once through the codegen'd [[Tokens]]
@@ -4505,6 +4596,9 @@ object PipelineQueries {
     "q_ann_recall_pq" -> qAnnRecallPq _,
     "q_ann_recall_ivf" -> qAnnRecallIvf _,
     "q_ann_recall_mips" -> qAnnRecallMips _,
+    "q_ann_ivfpq" -> qAnnIvfPq _,
+    "q_ann_recall_ivfpq" -> qAnnRecallIvfPq _,
+    "q_ivf_probe_curve" -> qIvfProbeCurve _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_mips" -> qAnnMips _,
     "q_ann_filtered" -> qAnnFiltered _,
@@ -4897,6 +4991,98 @@ object PipelineQueries {
          |  FROM rr
          |  QUALIFY rank <= $PqK)""".stripMargin)).mkString(",\n")
   }
+
+  /** IVF-PQ pipeline CTEs ending in `ivfpqtop(query_id, rank,
+    * neighbor_id, cos, adc)`: [[PqOracleCtes]]' trained codebook +
+    * codes, the [[IvfOracleCtes]] quantizer replayed under `p`-prefixed
+    * names, ADC restricted to the probed cells' candidates, shortlist,
+    * exact rerank — the [[Ann.ivfPqTopKWith]] replay. */
+  private lazy val IvfPqOracleCtes: String = {
+    val sd = EmbDim / PqM
+    val dPivot = (0 until PqM)
+      .map(j => s"max(CASE WHEN sub_id = $j THEN d END) AS d$j")
+      .mkString(", ")
+    val dSum = (0 until PqM).map(j => s"d$j").mkString(" + ")
+    s"""$PqOracleCtes,
+       |pcents AS (SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_nrm
+       |           FROM n WHERE vec_id >= 10 AND vec_id < ${10 + IvfCentroids}),
+       |pqn AS (
+       |  SELECT query_id, cent_id FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, c.cent_v) / greatest(q.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
+       |    FROM n q CROSS JOIN pcents c WHERE q.vec_id < 10)
+       |  WHERE cent_rank <= $IvfPqProbes),
+       |pcn AS (
+       |  SELECT neighbor_id, cent_id FROM (
+       |    SELECT x.vec_id AS neighbor_id, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |             ORDER BY list_dot_product(x.v, c.cent_v) / greatest(x.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
+       |    FROM n x CROSS JOIN pcents c WHERE x.vec_id >= 10)
+       |  WHERE cent_rank <= 1),
+       |pcand AS (SELECT q.query_id, c.neighbor_id FROM pqn q JOIN pcn c USING (cent_id)),
+       |pdp AS (
+       |  SELECT a.query_id, a.neighbor_id, cd.sub_id,
+       |         list_dot_product(list_slice(q.q_v, cd.sub_id * $sd + 1, cd.sub_id * $sd + $sd), b.cent_v) AS d
+       |  FROM pcand a JOIN qs q USING (query_id)
+       |    JOIN codes cd ON cd.neighbor_id = a.neighbor_id
+       |    JOIN cb b ON b.sub_id = cd.sub_id AND b.cent_id = cd.cent_id),
+       |padc AS (
+       |  SELECT query_id, neighbor_id, $dSum AS adcdot FROM (
+       |    SELECT query_id, neighbor_id, $dPivot FROM pdp GROUP BY query_id, neighbor_id)),
+       |pscored AS (
+       |  SELECT a.query_id, a.neighbor_id, a.adcdot / greatest(q.q_nrm * r.recon_nrm, 1e-300) AS adc
+       |  FROM padc a JOIN qs q USING (query_id) JOIN rec r USING (neighbor_id)),
+       |pshort AS (
+       |  SELECT query_id, neighbor_id, adc FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS srk FROM pscored)
+       |  WHERE srk <= $PqShortlist),
+       |prr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_dot_product(q.q_v, c.c_v) / greatest(q.q_nrm * c.c_nrm, 1e-300), 6) AS cos,
+       |         round(s.adc, 6) AS adc
+       |  FROM pshort s JOIN qs q USING (query_id) JOIN corp c ON c.neighbor_id = s.neighbor_id),
+       |ivfpqtop AS (
+       |  SELECT query_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |         neighbor_id, cos, adc
+       |  FROM prr
+       |  QUALIFY rank <= $PqK)""".stripMargin
+  }
+
+  /** Probe-curve oracle: probe RANKS for every (query, cell), each
+    * exact-top-5 pair tagged with the rank that first reaches its
+    * neighbor's cell, cumulative hits over the probe grid — the
+    * [[qIvfProbeCurve]] replay. */
+  private lazy val IvfProbeCurveSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |pcents AS (SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_nrm
+       |           FROM n WHERE vec_id >= 10 AND vec_id < ${10 + IvfCentroids}),
+       |qr AS (
+       |  SELECT q.vec_id AS query_id, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_dot_product(q.v, c.cent_v) / greatest(q.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS pr
+       |  FROM n q CROSS JOIN pcents c WHERE q.vec_id < 10),
+       |pcn AS (
+       |  SELECT neighbor_id, cent_id FROM (
+       |    SELECT x.vec_id AS neighbor_id, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |             ORDER BY list_dot_product(x.v, c.cent_v) / greatest(x.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
+       |    FROM n x CROSS JOIN pcents c WHERE x.vec_id >= 10)
+       |  WHERE cent_rank <= 1),
+       |$ExactCosTop5Cte,
+       |needed AS (
+       |  SELECT x.query_id, qr.pr
+       |  FROM exact x JOIN pcn ON pcn.neighbor_id = x.neighbor_id
+       |    JOIN qr ON qr.query_id = x.query_id AND qr.cent_id = pcn.cent_id),
+       |grid AS (SELECT CAST(gs AS BIGINT) AS n_probe FROM generate_series(1, $IvfCentroids) t(gs)),
+       |nq AS (SELECT count(*) AS n_queries FROM n WHERE vec_id < 10)
+       |SELECT g.n_probe, count(nd.pr) AS n_hits,
+       |       round(CAST(count(nd.pr) AS DOUBLE) / (5.0 * n_queries), 6) AS recall_at_5
+       |FROM grid g LEFT JOIN needed nd ON nd.pr <= g.n_probe CROSS JOIN nq
+       |GROUP BY g.n_probe, n_queries
+       |ORDER BY g.n_probe""".stripMargin
 
   /** MIPS pipeline CTEs ending in `mipstop(query_id, rank, neighbor_id,
     * dot)`: the SAME md5-derived hyperplane family extended one
@@ -5301,6 +5487,18 @@ object PipelineQueries {
          |$exactMips
          |${recallSelect("mipstop")}""".stripMargin
     },
+    // combined IVF-PQ route: the PQ codebook/codes CTEs + the IVF
+    // quantizer replay, ADC restricted to the probed cells
+    "q_ann_ivfpq" ->
+      s"""WITH $IvfPqOracleCtes
+         |SELECT query_id, rank, neighbor_id, cos, adc
+         |FROM ivfpqtop
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_recall_ivfpq" ->
+      s"""WITH $IvfPqOracleCtes,
+         |$ExactCosTop5Cte
+         |${recallSelect("ivfpqtop")}""".stripMargin,
+    "q_ivf_probe_curve" -> IvfProbeCurveSql,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

@@ -290,7 +290,13 @@ object Ann {
     * array column, so `array_min`/`array_position` evaluate the arms
     * once; first-minimum ties break toward the lowest code, matching
     * the oracle's `ORDER BY score, cent_id`. */
-  def pqEncode(corpus: DataFrame, cb: PqCodebook): DataFrame = {
+  def pqEncode(corpus: DataFrame, cb: PqCodebook): DataFrame =
+    pqEncode(corpus, cb, Nil)
+
+  /** [[pqEncode]] carrying extra columns through unchanged (e.g. the
+    * IVF `cent_id` for [[ivfPqTopKWith]]'s cell-partitioned codes). */
+  def pqEncode(corpus: DataFrame, cb: PqCodebook, carry: Seq[String]): DataFrame = {
+    val keep = ("neighbor_id" +: carry).map(col)
     val scoreArrs = (0 until cb.m).map { j =>
       val sub = slice(col("c_v"), j * cb.subDim + 1, cb.subDim)
       array((0 until cb.ks).map(c =>
@@ -299,12 +305,12 @@ object Ann {
         .as(s"sc$j")
     }
     val withScores =
-      corpus.select(col("neighbor_id") +: scoreArrs: _*)
+      corpus.select(keep ++ scoreArrs: _*)
     val codeCols = (0 until cb.m).map(j =>
       (array_position(col(s"sc$j"), array_min(col(s"sc$j"))) - 1)
         .cast("int")
         .as(s"k$j"))
-    val withCodes = withScores.select(col("neighbor_id") +: codeCols: _*)
+    val withCodes = withScores.select(keep ++ codeCols: _*)
     val reconSq = (0 until cb.m)
       .map(j => element_at(typedLit(cb.centSq(j)), col(s"k$j") + 1))
       .reduceLeft(_ + _) // left-assoc ascending j == the oracle's r0+r1+…
@@ -349,29 +355,105 @@ object Ann {
       shortlist: Int = 20,
       k: Int = 5): DataFrame = {
     val enc = pqEncode(corpus, cb)
-    val adcDot = (0 until cb.m)
-      .map { j =>
-        val qSub = slice(col("q_v"), j * cb.subDim + 1, cb.subDim)
-        val arms = (0 until cb.ks).map(c =>
-          c -> VectorFns.dot(qSub, typedLit(cb.cents(j)(c))))
-        // ks=1 degenerates to the single unconditional arm (a CASE
-        // needs at least one WHEN branch)
-        if (arms.size == 1) arms.head._2
-        else
-          arms.init
-            .foldLeft(Option.empty[Column]) { case (acc, (c, d)) =>
-              Some(acc.fold(when(col(s"k$j") === c, d))(_.when(col(s"k$j") === c, d)))
-            }
-            .get
-            .otherwise(arms.last._2)
-      }
-      .reduceLeft(_ + _)
+    val adcDot = adcDotCol(cb)
     val ws = Window
       .partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
     val short = broadcast(queries)
       .join(enc)
       .withColumn("adc", adcDot / VectorFns.safeDen(col("q_nrm"), col("recon_nrm")))
+      // q_v is dropped BEFORE the window: only (query_id, neighbor_id,
+      // adc) rows reach the WindowGroupLimit shuffle
+      .select("query_id", "neighbor_id", "adc")
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "neighbor_id", "adc")
+    rankTopK(
+      corpus
+        .join(broadcast(short.join(queries, "query_id")), "neighbor_id")
+        .withColumn("cos", cos)
+        .withColumn("adc", round(col("adc"), 6)),
+      k,
+      extraCols = Seq("adc"))
+  }
+
+  /** The ADC query-to-centroid dot: per subspace, a literal-CASE lookup
+    * of ⟨query-subvector, centroid⟩ keyed by the stored code `k_j` —
+    * `m·ks` codegen'd dots per query row, zero corpus-vector reads.
+    * Shared by [[pqTopKWith]] and [[ivfPqTopKWith]]. */
+  private def adcDotCol(cb: PqCodebook): Column = (0 until cb.m)
+    .map { j =>
+      val qSub = slice(col("q_v"), j * cb.subDim + 1, cb.subDim)
+      val arms = (0 until cb.ks).map(c =>
+        c -> VectorFns.dot(qSub, typedLit(cb.cents(j)(c))))
+      // ks=1 degenerates to the single unconditional arm (a CASE
+      // needs at least one WHEN branch)
+      if (arms.size == 1) arms.head._2
+      else
+        arms.init
+          .foldLeft(Option.empty[Column]) { case (acc, (c, d)) =>
+            Some(acc.fold(when(col(s"k$j") === c, d))(_.when(col(s"k$j") === c, d)))
+          }
+          .get
+          .otherwise(arms.last._2)
+    }
+    .reduceLeft(_ + _)
+
+  /** IVF-PQ ANN — the combined billion-scale serving shape (Jégou,
+    * Douze, Schmid, TPAMI 2011, §IV "IVFADC": a coarse quantizer
+    * prunes the corpus to `nProbe` cells, product-quantized codes score
+    * the survivors without touching raw vectors, and only the ADC
+    * shortlist pays an exact rerank). The two pruning axes compose
+    * multiplicatively: IVF cuts the CANDIDATE COUNT to the probed
+    * cells' share of the corpus, PQ cuts the BYTES PER CANDIDATE to
+    * `m` code ints + one norm (~16 B vs 512 B raw at 64 dims) — at
+    * 100 TB the ADC scan reads `nProbe/k_cells` of a 30×-smaller
+    * representation, which is the only way a single-digit-millisecond
+    * vector-serving budget closes.
+    *
+    * This variant codes RAW vectors against the shared global codebook
+    * (`cb`, train once with [[pqTrain]]) rather than per-cell residuals
+    * — the codebook, and therefore the codes, are cell-independent, so
+    * an [[ivfMaintain]] hot-cell split never forces a re-encode (the
+    * classic residual IVFADC couples code validity to cell membership;
+    * under sustained skewed ingest that coupling turns every rebalance
+    * into a re-encode of the moved rows).
+    *
+    * Semantics: probing ALL cells recovers [[pqTopKWith]] exactly (the
+    * candidate set becomes the full corpus and the ADC order is
+    * identical) — the spec asserts it. Deterministic end to end: the
+    * quantizer, codebook, argmin coding, shortlist, and rerank all
+    * follow the shared lowest-id / ties-low conventions, so a SQL
+    * oracle replays the route bit-for-bit.
+    *
+    * Scale: corpus→cell assignment is the one linear pass (reuse a
+    * persisted index via [[ivfBuild]]'s layout to skip it at serve
+    * time); the ADC scan is an equi-join on `cent_id` against the
+    * probed cells only; the `row_number ≤ shortlist` window gets
+    * WindowGroupLimit pushdown; the rerank touches raw vectors for
+    * shortlist·|Q| rows. Output `(query_id, rank, neighbor_id, cos,
+    * adc)`, rank 1..k by exact cosine. */
+  def ivfPqTopKWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      cb: PqCodebook,
+      k: Int = 5,
+      nProbe: Int = 2,
+      shortlist: Int = 20): DataFrame = {
+    val cents = broadcast(centroids)
+    val q = nearestCells(queries, cents, "query_id", "q_v", "q_nrm", nProbe)
+      .select("query_id", "cent_id")
+    val c = nearestCells(corpus, cents, "neighbor_id", "c_v", "c_nrm", 1)
+    val enc = pqEncode(c, cb, carry = Seq("cent_id"))
+    val ws = Window
+      .partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = broadcast(q.join(queries, "query_id"))
+      // candidates = the probed cells' codes only (each corpus vector
+      // lives in exactly one cell, so the union over probes is dup-free)
+      .join(enc.hint("shuffle_hash"), "cent_id")
+      .withColumn("adc", adcDotCol(cb) / VectorFns.safeDen(col("q_nrm"), col("recon_nrm")))
       // q_v is dropped BEFORE the window: only (query_id, neighbor_id,
       // adc) rows reach the WindowGroupLimit shuffle
       .select("query_id", "neighbor_id", "adc")
@@ -399,7 +481,23 @@ object Ann {
       idCol: String,
       vCol: String,
       nrmCol: String,
-      keep: Int): DataFrame = {
+      keep: Int): DataFrame =
+    cellRanks(df, cents, idCol, vCol, nrmCol)
+      .filter(col("cent_rank") <= keep)
+      .drop("cent_v", "cent_nrm", "cent_sim", "cent_rank")
+
+  /** Every (row, centroid) pair with the row's cosine-similarity rank
+    * over the quantizer (1 = nearest; ties to the lower cent_id) — the
+    * shared kernel behind [[nearestCells]], exposed for rank-indexed
+    * consumers like the recall-vs-nProbe tuning curve (which needs to
+    * know WHICH probe would first reach a cell, not just the top-n
+    * set). `cents` should be broadcast by the caller. */
+  def cellRanks(
+      df: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vCol: String,
+      nrmCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col("cent_sim").desc, col("cent_id"))
     df.join(cents)
       .withColumn(
@@ -407,8 +505,6 @@ object Ann {
         VectorFns.dot(col(vCol), col("cent_v")) /
           VectorFns.safeDen(col(nrmCol), col("cent_nrm")))
       .withColumn("cent_rank", row_number().over(w))
-      .filter(col("cent_rank") <= keep)
-      .drop("cent_v", "cent_nrm", "cent_sim", "cent_rank")
   }
 
   /** IVF top-k: a broadcast coarse quantizer of `centroids` rows

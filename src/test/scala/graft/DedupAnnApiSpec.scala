@@ -855,6 +855,66 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(recall(trained) >= recall(untrained))
   }
 
+  test("ivfPqTopKWith: probing every cell recovers the plain PQ route exactly") {
+    val qs = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val cs = embs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cents = embs.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+    val cb = Ann.pqTrain(cs, 8, 8, 64, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    // nProbe = every cell → the candidate set IS the full corpus, so the
+    // combined route degrades to pqTopKWith bit-for-bit
+    val all = Ann.ivfPqTopKWith(qs, cs, cents, cb, k = 5, nProbe = 8, shortlist = 20)
+    val pq = Ann.pqTopKWith(qs, cs, cb, shortlist = 20, k = 5)
+    assert(rows(all) == rows(pq))
+    // a real probe budget: every returned neighbor's cell is one the
+    // query probes (the IVF routing invariant on the combined route)
+    val probed = Ann.ivfPqTopKWith(qs, cs, cents, cb, k = 5, nProbe = 2, shortlist = 20)
+    val qCells = Ann.cellRanks(qs, broadcast(cents), "query_id", "q_v", "q_nrm")
+      .filter(col("cent_rank") <= 2)
+      .select("query_id", "cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nCells = Ann.cellRanks(cs, broadcast(cents), "neighbor_id", "c_v", "c_nrm")
+      .filter(col("cent_rank") === 1)
+      .select("neighbor_id", "cent_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probed.select("query_id", "neighbor_id").collect().foreach { r =>
+      assert(
+        qCells.contains((r.getLong(0), nCells(r.getLong(1)))),
+        s"neighbor ${r.getLong(1)} served from an unprobed cell for query ${r.getLong(0)}")
+    }
+  }
+
+  test("ivf probe curve: monotone, exact at full probes, and consistent with the recall row") {
+    import graft.queries.PipelineQueries
+    val curve = PipelineQueries.qIvfProbeCurve(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == (1L to 8L))
+    // cumulative hits never decrease with more probes
+    curve.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2, s"curve regressed at ${b._1}")
+      case _           =>
+    }
+    // probing every cell reaches every exact neighbor's cell: recall 1.0
+    assert(curve.last._3 == 1.0d, s"full-probe recall ${curve.last._3}")
+    // the curve's value at the route default equals the recall row's
+    // aggregate (sum of per-query hits over 5·|Q|)
+    val recallRow = PipelineQueries.qAnnRecallIvf(spark, SfDir)
+      .agg(sum("n_hits")).head().getLong(0)
+    val nq = embs.filter(col("vec_id") < 10).count()
+    val atDefault = curve.find(_._1 == PipelineQueries.IvfProbes.toLong).get
+    assert(
+      atDefault._2 == recallRow,
+      s"curve hits ${atDefault._2} vs recall-row hits $recallRow over $nq queries")
+  }
+
   test("mipsLshTopK: empty corpus returns an empty result, not an NPE") {
     import spark.implicits._
     val qs = Ann.withNorm(

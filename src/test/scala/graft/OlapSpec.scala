@@ -11,6 +11,43 @@ class OlapSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("seq patterns: min/max algebra matches a brute-force subsequence scan") {
+    // ground truth: per user, literal gap-allowed subsequence containment
+    // with STRICTLY increasing timestamps (the documented semantics)
+    val ev = graft.sources.Tables
+      .events(spark, SfDir)
+      .select("user_id", "event_type", "ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(t => (t._2, t._3)).sortBy(_._2)
+    }
+    val types = ev.map(_._2).distinct.sorted
+    def hasPair(seq: Array[(String, Long)], a: String, b: String): Boolean =
+      seq.exists { case (ta, tsa) =>
+        ta == a && seq.exists { case (tb, tsb) => tb == b && tsb > tsa }
+      }
+    def hasTriple(seq: Array[(String, Long)], a: String, b: String, c: String): Boolean =
+      seq.exists { case (ta, tsa) =>
+        ta == a && seq.exists { case (tb, tsb) =>
+          tb == b && tsb > tsa && seq.exists { case (tc, tsc) => tc == c && tsc > tsb }
+        }
+      }
+    val expected = (for {
+      a <- types; b <- types
+      n = byUser.count { case (_, s) => hasPair(s, a, b) } if n > 0
+    } yield (s"pair", s"$a>$b", n.toLong)).toSet ++ (for {
+      a <- types; b <- types; c <- types
+      n = byUser.count { case (_, s) => hasTriple(s, a, b, c) } if n > 0
+    } yield (s"triple", s"$a>$b>$c", n.toLong)).toSet
+    val got = OlapQueries
+      .qSeqPatterns(spark, SfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == expected, s"missing: ${expected diff got}; extra: ${got diff expected}")
+  }
+
   test("mix-shift bridge: the three effects reconstruct delta per segment") {
     graft.queries.StatsQueries
       .qMixShift(spark, SfDir)

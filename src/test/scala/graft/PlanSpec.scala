@@ -245,6 +245,11 @@ class PlanSpec extends SparkSpec {
       "q_ann_recall_pq", // same brute-force exact arm + PQ route (q_ann_pq's products)
       "q_ann_recall_ivf", // same brute-force exact arm + quantizer product
       "q_ann_recall_mips", // brute-force exact-dot arm (evaluation op)
+      "q_ann_ivfpq", // bounded queries×quantizer product (the q_ann_ivf shape)
+      "q_ann_recall_ivfpq", // brute-force exact arm + the q_ann_ivfpq products
+      "q_ivf_probe_curve", // brute-force exact arm + queries×quantizer ranks
+                           // + one-row query-count normalizer
+      "q_seq_patterns", // one-row distinct-user total broadcast
       "q_rolling_active", // one-row day-bounds broadcast
       "q_stickiness", // same one-row day-bounds broadcast as q_rolling_active
       "q_lift_table", // 10-decile grid × one-row totals + the non-equi
@@ -315,6 +320,7 @@ class PlanSpec extends SparkSpec {
     "q_fdr_bh" -> "BH step-up over the per-source p-value family (|sources| rows)",
     "q_granger" -> "lag alignment over the paired daily series (calendar-days rows)",
     "q_heaps_law" -> "fit over the 10-point prefix-vocabulary grid",
+    "q_ivf_probe_curve" -> "cumulative hits over the 8-row probe grid (one row per quantizer cell)",
     "q_kruskal_wallis" -> "midranks via the distinct-cent histogram (value-alphabet rows, never row-sorted corpus)",
     "q_ks_test" -> "CDF step over the distinct-value histogram (value-alphabet rows)",
     "q_lift_table" -> "cumulative gains over the 10-decile grid",
