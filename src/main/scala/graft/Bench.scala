@@ -58,7 +58,8 @@ object Bench {
     "q_ann_topk", "q_ann_lsh", "q_ann_mips", "q_ann_filtered", "q_ann_ivf", "q_ann_ivf_stored",
     "q_hard_negatives",
     "q_ann_recall", "q_ann_recall_pq", "q_ann_recall_ivf", "q_ann_recall_mips",
-    "q_ann_pq", "q_ann_ivfpq", "q_ann_recall_ivfpq", "q_ivf_probe_curve",
+    "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_stored", "q_ann_recall_ivfpq",
+    "q_ivf_probe_curve",
     "q_seq_patterns",
     "q_lang_id", "q_text_quality", "q_gopher_rules", "q_token_count", "q_domain_report",
     "q_url_dedup", "q_mirror_detect", "q_lang_purity",
@@ -103,10 +104,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Deep-decade probes size shuffle partitions ∝ data — the rule a
+    // real deployment follows (fixed partitions over 100× the rows
+    // makes every per-partition hash build / sort run 100× oversized).
+    // Default stays = cores for the comparable four-leg board.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // n-scaling joins (the PPJoin prefix/freq joins) are UNHINTED:
+      // sort-merge in the static plan (spills — survives any decade),
+      // converted back to the fast shuffled-hash join at runtime only
+      // when AQE measures every partition's map output under this
+      // threshold. A pinned shuffle_hash hint here OOM'd at sf100
+      // ("Can't acquire 256 MiB to build hash relation").
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       // local single-file tables: smaller splits so the scan stage uses
       // the cores (the 128m default gives these files 1-3 tasks). A real
       // cluster against TB-scale inputs keeps the default.
@@ -160,10 +174,14 @@ object Bench {
       val g0 = gcMsNow()
       val c0 = cpuNsNow()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      // a FAILED pass must never record a wall time: a fast failure
+      // would masquerade as the best-of minimum (observed: an OOM'd
+      // sf100 pass recorded 0.011 s over a successful 229 s pass)
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val wall = (System.nanoTime() - t0) / 1e9
-      if (wall < times(i)) {
+      if (ok && wall < times(i)) {
         times(i) = wall
         gcMs(i) = gcMsNow() - g0
         cpuMs(i) = (cpuNsNow() - c0) / 1000000L
@@ -302,7 +320,11 @@ object Bench {
       } else None
 
     val results =
-      names.zip(times) ++ storeNames.zip(storeTimes).filter(p => keep(p._1))
+      (names.zip(times) ++ storeNames.zip(storeTimes).filter(p => keep(p._1)))
+        // a metric with NO successful pass reports 0.0 — the
+        // established failed/placeholder convention (scaling_table.py
+        // treats non-positive timings as unusable), never MaxValue
+        .map { case (k, v) => (k, if (v == Double.MaxValue) 0.0 else v) }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

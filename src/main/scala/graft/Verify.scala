@@ -24,6 +24,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // runtime SMJ→SHJ conversion for the unhinted n-scaling joins
+      // (see Bench.scala / Dedup.ngramJaccard)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as ns-Long, normalized

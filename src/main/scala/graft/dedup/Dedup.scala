@@ -68,6 +68,41 @@ object Dedup {
       .groupBy(md5(col(text)).as("h"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Docs-per-shuffle-partition at or below which the PPJoin's
+    * n-scaling joins keep the PINNED shuffle-hash build. The pin is
+    * safe iff the PER-PARTITION build fits the per-task execution
+    * budget — a property of docs/partitions, not of the corpus alone —
+    * so the fence scales with `spark.sql.shuffle.partitions` exactly
+    * as a real deployment does (partitions ∝ data). Measured on
+    * 19 GiB × 32 tasks: GOOD at 15.6k docs/partition (sf10/32, the
+    * whole four-leg board), OOM at 156k (sf100/32: "Can't acquire
+    * 256 MiB to build hash relation" — a hash build cannot spill);
+    * 32k is 2× the measured-good density and 5× under the measured
+    * wall. Past the fence the joins run unhinted — sort-merge
+    * (spills, completes) with AQE's
+    * maxShuffledHashJoinLocalMapThreshold converting partitions that
+    * fit back to the hash join at runtime. The
+    * [[SimhashNarrowFenceDocs]] convention applied to a join strategy
+    * instead of a geometry. */
+  val ShjDocsPerPartitionFence = 32000L
+
+  /** The [[ShjDocsPerPartitionFence]] decision as a reusable join
+    * decorator: pin `shuffle_hash` while the per-partition share of
+    * `nDocs` fits the measured budget, identity past it (the planner
+    * then picks spillable sort-merge, AQE converting back where
+    * runtime map sizes fit). Shared by every corpus-scaling pinned
+    * join in the dedup/winnow family. */
+  def shjPinned(
+      nRows: Long,
+      session: org.apache.spark.sql.SparkSession,
+      fencePerPartition: Long = ShjDocsPerPartitionFence): DataFrame => DataFrame = {
+    val parts =
+      session.conf.get("spark.sql.shuffle.partitions", "200").toLong.max(1L)
+    if (nRows <= fencePerPartition * parts)
+      df => df.hint("shuffle_hash")
+    else identity
+  }
+
   /** Pairwise n-gram Jaccard ≥ `threshold` with prefix filtering
     * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07):
     * under a global shingle order, any pair with `J(A,B) ≥ t` shares a
@@ -84,10 +119,12 @@ object Dedup {
     * cut Spark re-reads and re-shingles the corpus per consumer. On a
     * real cluster configure a session checkpoint dir so every cut is a
     * RELIABLE checkpoint (executor loss would kill localCheckpoint
-    * blocks). The candidate self-join is
-    * hinted shuffle_hash like [[minhashLsh]]: a broadcast there blocks
-    * ShuffleExchange reuse and recomputes the whole prefix pipeline
-    * per side. */
+    * blocks). The candidate self-join is shuffle-hash like
+    * [[minhashLsh]] — but only below [[ShjBuildFenceDocs]]: the build
+    * side grows ∝ corpus and a hash relation cannot spill, so past the
+    * fence the joins run UNHINTED (sort-merge statically; AQE's
+    * maxShuffledHashJoinLocalMapThreshold converts partitions that
+    * fit back to the hash join at runtime). */
   def ngramJaccard(
       docs: DataFrame,
       id: String = "doc_id",
@@ -116,11 +153,16 @@ object Dedup {
     val ex = sh
       .select(col(id), explode(col("s")).as("shingle"))
       .select(col(id), Hashing.md5Long(col("shingle")).as("h"))
+    // Join-strategy fence for the two n-scaling joins below (freq probe
+    // + prefix self-join): see [[ShjDocsPerPartitionFence]]. The count
+    // is one pass over the caller-materialized shingle table — noise
+    // next to the joins it steers.
+    val pinned = shjPinned(sh.count(), sh.sparkSession)
     // prefix length: the sz - ceil(t*sz) + 1 globally-RAREST shingles of
     // each doc (AllPairs' document-frequency order): rare shingles make
     // small candidate buckets, so the prefix join output stays minimal.
-    // shuffle_hash: freq is distinct-shingle-sized — too big to
-    // broadcast at corpus scale.
+    // freq is distinct-shingle-sized — too big to broadcast at corpus
+    // scale.
     val freq = ex.groupBy("h").agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(id).orderBy("f", "h")
     // Every derived bound below (prefix length, size ratio, overlap α)
@@ -136,13 +178,13 @@ object Dedup {
     // materialize it too, so the self-join's two sides read one computed
     // table instead of re-running the freq join + window per side.
     val prefix = ex
-      .join(freq.hint("shuffle_hash"), "h")
+      .join(pinned(freq), "h")
       .withColumn("pos", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(id)))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
       .select(col(id), col("h"), col("pos"), col("sz"))
       .transform(Materialize.cut)
-      .hint("shuffle_hash")
+      .transform(pinned)
     // Candidate pruning beyond the prefix bucket (PPJoin, Xiao et al.,
     // "Efficient Similarity Joins for Near Duplicate Detection", WWW'08):
     // J ≥ t implies t·max(|A|,|B|) ≤ min(|A|,|B|) (size filter) and

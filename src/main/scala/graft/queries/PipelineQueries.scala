@@ -808,6 +808,28 @@ object PipelineQueries {
         shortlist = PqShortlist)
       .transform(sortSmall(_, "query_id", "rank"))
 
+  /** IVF-PQ against a PERSISTED index — the combined route's full
+    * serving story: quantizer + cell-partitioned raw `lists/` + a
+    * cell-partitioned ~16-byte `codes/` tier + the persisted codebook,
+    * built ONCE per process+dataset ([[Ann.ivfPqBuild]]); probes prune
+    * BOTH tiers to the probed cells' files and retrain nothing
+    * ([[Ann.ivfPqProbe]]). Same quantizer, codebook, and tie rules as
+    * [[qAnnIvfPq]] → identical results, checked by the identical
+    * oracle (the q_ann_ivf_stored convention). */
+  def qAnnIvfPqStored(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ivfpq_${ivfRunToken}_${Hashing.md5LongJvm(d)}").getAbsolutePath
+    ivfStoredBuilt.computeIfAbsent(
+      path,
+      p => { Ann.ivfPqBuild(corpusSide(s, d), ivfCents(s, d), pqCb(s, d), p); p })
+    Ann
+      .ivfPqProbe(
+        s, path, querySide(s, d),
+        k = PqK, nProbe = IvfPqProbes, shortlist = PqShortlist)
+      .transform(sortSmall(_, "query_id", "rank"))
+  }
+
   /** Recall@5 of the combined IVF-PQ route vs exact brute force — the
     * compounded-loss readout (cell pruning CAN drop a true neighbor the
     * PQ shortlist would have kept, and vice versa; a deployment tunes
@@ -2957,25 +2979,44 @@ object PipelineQueries {
     * both join sides), so it is materialized ONCE — without the cut the
     * token-hash selection scan runs three times. */
   def qWinnow(s: SparkSession, d: String): DataFrame = {
-    val fp = Dedup
-      .winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)
-      .select(col("doc_id"), col("fp"))
-      .distinct()
-      .transform(graft.operators.Materialize.cut(_))
-    val rare = fp
-      .groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 64)
-      .select("fp")
-    val kept = fp.join(rare.hint("shuffle_hash"), "fp")
+    val (kept, pinned) = winnowKept(s, d)
     kept
       .select(col("fp"), col("doc_id").as("a_id"))
-      .join(kept.select(col("fp"), col("doc_id").as("b_id")).hint("shuffle_hash"), "fp")
+      .join(pinned(kept.select(col("fp"), col("doc_id").as("b_id"))), "fp")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared_fps"))
       .orderBy(col("shared_fps").desc, col("a_id"), col("b_id"))
       .limit(20)
+  }
+
+  /** The shared winnow posting table of [[qWinnow]]/[[qWinnowEval]]:
+    * per-doc distinct selected fingerprints, df ≤ 64 stop-fingerprint
+    * rule applied, materialized once — paired with the
+    * [[Dedup.shjPinned]] decision for its n-scaling joins (the
+    * fingerprint tables grow ∝ corpus, so the pinned non-spillable
+    * hash build holds only while the per-partition share fits — the
+    * sf100 lesson). */
+  private def winnowKept(
+      s: SparkSession,
+      d: String): (DataFrame, DataFrame => DataFrame) = {
+    val fp = Dedup
+      .winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+      .transform(graft.operators.Materialize.cut(_))
+    // fence in FP-ROW units (≈ 2/(w+1) of tokens, ~40 rows/doc here):
+    // measured GOOD at 625k fp rows/partition (sf10 at 32 partitions,
+    // the whole board), hash-build OOM by 6.25M (sf100/32); 1.25M is
+    // 2× the measured-good density, 5× under the wall — the same
+    // margins as Dedup.ShjDocsPerPartitionFence in its unit
+    val pinned = Dedup.shjPinned(fp.count(), s, fencePerPartition = 1250000L)
+    val rare = fp
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64)
+      .select("fp")
+    (fp.join(pinned(rare), "fp"), pinned)
   }
 
   /** Minimum shared winnowed fingerprints for [[qWinnowEval]]'s
@@ -2993,20 +3034,10 @@ object PipelineQueries {
     * Same one-scan eval shape; the posting join is the q_winnow plan
     * without its top-20 head. */
   def qWinnowEval(s: SparkSession, d: String): DataFrame = {
-    val fp = Dedup
-      .winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)
-      .select(col("doc_id"), col("fp"))
-      .distinct()
-      .transform(graft.operators.Materialize.cut(_))
-    val rare = fp
-      .groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 64)
-      .select("fp")
-    val kept = fp.join(rare.hint("shuffle_hash"), "fp")
+    val (kept, pinned) = winnowKept(s, d)
     val cand = kept
       .select(col("fp"), col("doc_id").as("a_id"))
-      .join(kept.select(col("fp"), col("doc_id").as("b_id")).hint("shuffle_hash"), "fp")
+      .join(pinned(kept.select(col("fp"), col("doc_id").as("b_id"))), "fp")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared"))
@@ -4597,6 +4628,7 @@ object PipelineQueries {
     "q_ann_recall_ivf" -> qAnnRecallIvf _,
     "q_ann_recall_mips" -> qAnnRecallMips _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
+    "q_ann_ivfpq_stored" -> qAnnIvfPqStored _,
     "q_ann_recall_ivfpq" -> qAnnRecallIvfPq _,
     "q_ivf_probe_curve" -> qIvfProbeCurve _,
     "q_ann_lsh" -> qAnnLsh _,
@@ -5490,6 +5522,14 @@ object PipelineQueries {
     // combined IVF-PQ route: the PQ codebook/codes CTEs + the IVF
     // quantizer replay, ADC restricted to the probed cells
     "q_ann_ivfpq" ->
+      s"""WITH $IvfPqOracleCtes
+         |SELECT query_id, rank, neighbor_id, cos, adc
+         |FROM ivfpqtop
+         |ORDER BY query_id, rank""".stripMargin,
+    // the stored-index probe replays the SAME quantizer + codebook +
+    // assignment as the inline combined route — identical results by
+    // construction (the q_ann_ivf_stored convention), identical oracle
+    "q_ann_ivfpq_stored" ->
       s"""WITH $IvfPqOracleCtes
          |SELECT query_id, rank, neighbor_id, cos, adc
          |FROM ivfpqtop

@@ -469,6 +469,116 @@ object Ann {
       extraCols = Seq("adc"))
   }
 
+  /** Persist the combined IVF-PQ index under `path`: the [[ivfBuild]]
+    * layout (`centroids/` + cell-partitioned `lists/` of raw vectors,
+    * the rerank tier) plus `codes/` — the PQ codes partitioned by the
+    * SAME `cent_id` (the ~16-byte-per-vector tier an ADC probe actually
+    * scans) — and `codebook/` (`(sub_id, code, cent_v)` rows) so a
+    * probe rebuilds the identical literal-CASE scoring plan with no
+    * retraining. Both data tiers share one assignment pass, so a
+    * vector's codes and its raw row always sit in the same cell. */
+  def ivfPqBuild(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      cb: PqCodebook,
+      path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned =
+      nearestCells(corpus, broadcast(centroids), "neighbor_id", "c_v", "c_nrm", 1)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
+    pqEncode(assigned, cb, carry = Seq("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cb.cents.zipWithIndex
+      .flatMap { case (subs, j) => subs.zipWithIndex.map { case (v, c) => (j, c, v) } }
+      .toDF("sub_id", "code", "cent_v")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Incrementally add `batch` (corpus-shaped) to a stored IVF-PQ
+    * index: assign against the STORED quantizer and encode against the
+    * STORED codebook — appended vectors land in exactly the cells, and
+    * carry exactly the codes, a fresh build would give them (the
+    * [[ivfAppend]] contract extended to the codes tier). */
+  def ivfPqAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = ivfPqCodebook(spark, path)
+    val assigned =
+      nearestCells(batch, broadcast(cents), "neighbor_id", "c_v", "c_nrm", 1)
+    assigned.write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+    pqEncode(assigned, cb, carry = Seq("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted codebook back into the driver-side literal form
+    * (m·ks rows — a control-plane collect, the [[pqCodebook]]
+    * convention). */
+  def ivfPqCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebook = {
+    val rows = spark.read
+      .parquet(s"$path/codebook")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toVector))
+    val m = rows.map(_._1).max + 1
+    val cents = Vector.tabulate(m)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3).toVector)
+    PqCodebook(m, cents.head.head.size, cents)
+  }
+
+  /** Probe a persisted IVF-PQ index — the full combined-route serving
+    * shape: queries route through the stored quantizer; the ADC scan
+    * reads ONLY the probed cells' `codes/` partitions (literal IN
+    * filter → partition pruning, ~16 B/vector); the exact rerank
+    * touches raw vectors for shortlist·|Q| rows out of the probed
+    * `lists/` partitions. Identical results to [[ivfPqTopKWith]] over
+    * the same corpus + centroids + codebook (shortlist members live in
+    * probed cells by construction, so pruning `lists/` to the probed
+    * set loses nothing). */
+  def ivfPqProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 2,
+      shortlist: Int = 20): DataFrame = {
+    val cb = ivfPqCodebook(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = nearestCells(queries, broadcast(cents), "query_id", "q_v", "q_nrm", nProbe)
+      .select("query_id", "cent_id")
+    val probed = q.select("cent_id").distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val codes = spark.read
+      .parquet(s"$path/codes")
+      .where(col("cent_id").isin(probed: _*))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val ws = Window
+      .partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = broadcast(q.join(queries, "query_id"))
+      .join(codes.hint("shuffle_hash"), "cent_id")
+      .withColumn("adc", adcDotCol(cb) / VectorFns.safeDen(col("q_nrm"), col("recon_nrm")))
+      .select("query_id", "neighbor_id", "adc")
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "neighbor_id", "adc")
+    val lists = spark.read
+      .parquet(s"$path/lists")
+      .where(col("cent_id").isin(probed: _*))
+      .select("neighbor_id", "c_v", "c_nrm")
+    rankTopK(
+      lists
+        .join(broadcast(short.join(queries, "query_id")), "neighbor_id")
+        .withColumn("cos", cos)
+        .withColumn("adc", round(col("adc"), 6)),
+      k,
+      extraCols = Seq("adc"))
+  }
+
   /** Assign each row to its `keep` argmax-cosine centroids (ties to the
     * lower cent_id): the shared cell-assignment step of the inline IVF
     * query, the persisted index build, the incremental append, AND the

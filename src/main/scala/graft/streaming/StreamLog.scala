@@ -831,6 +831,74 @@ object StreamLog {
       }
   }
 
+  final case class SeqPatternState(
+      mn: Map[String, Long],
+      tab: Map[String, Long],
+      emitted: Seq[String])
+  final case class SeqPatternHit(user_id: Long, kind: String, pattern: String)
+
+  /** Streaming gap-allowed sequential-pattern detection — the live twin
+    * of [[graft.queries.OlapQueries.qSeqPatterns]]: per user, emit each
+    * length-2/3 type pattern `a>b(>c)` the FIRST time the user's stream
+    * contains it as a subsequence (strictly increasing timestamps, other
+    * types free to fall in between). Support counts are then one
+    * downstream `count(distinct user)` per pattern — the batch query's
+    * numbers, maintained incrementally.
+    *
+    * State per user is ALPHABET-bounded, never stream-bounded: per-type
+    * first-seen timestamps (≤ |types|; the batch algebra's max side is
+    * not needed live — a triple closes the moment its c arrives), the
+    * earliest-b-after-first-a witness map (≤ |types|²), and the
+    * emitted-pattern set (≤ |types|² + |types|³) — the same min/max +
+    * greedy-witness algebra the batch query runs, carried as state
+    * instead of re-derived. Rows within a
+    * micro-batch are processed in (timestamp, type) order for cross-run
+    * determinism; on ORDERED per-user delivery the union of emissions
+    * over ANY micro-batch split equals the batch query's supported
+    * (user, pattern) set exactly (spec-asserted) — a late-arriving
+    * out-of-order event shares the bounded-state CEP caveat
+    * [[patternMonitor]] documents (a witness before the retained
+    * min/max frontier cannot retro-form). */
+  def seqPatternMonitor(
+      events: Dataset[(Long, String, Long)]): Dataset[SeqPatternHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeqPatternState, SeqPatternHit](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SeqPatternState]) =>
+          val st = state.getOption.getOrElse(
+            SeqPatternState(Map.empty, Map.empty, Nil))
+          var mn = st.mn
+          var tab = st.tab
+          val emitted = scala.collection.mutable.Set[String](st.emitted: _*)
+          val out = Seq.newBuilder[SeqPatternHit]
+          def emit(kind: String, pattern: String): Unit =
+            if (emitted.add(pattern)) out += SeqPatternHit(user, kind, pattern)
+          rows.map(r => (r._3, r._2)).toArray.sorted.foreach { case (ts, t) =>
+            // this event as the closing c of a>b>c: any witness pair
+            // whose earliest-b sits strictly before it
+            tab.foreach { case (pair, tAb) =>
+              if (tAb < ts) emit("triple", s"$pair>$t")
+            }
+            // this event as the closing b of a>b: any type first seen
+            // strictly before it; the first such b IS the greedy
+            // witness (in-order processing), recorded once
+            mn.foreach { case (a, mnA) =>
+              if (mnA < ts) {
+                val pair = s"$a>$t"
+                emit("pair", pair)
+                if (!tab.contains(pair)) tab = tab.updated(pair, ts)
+              }
+            }
+            if (!mn.contains(t)) mn = mn.updated(t, ts)
+          }
+          state.update(SeqPatternState(mn, tab, emitted.toSeq))
+          out.result().iterator
+      }
+  }
+
   final case class DebounceState(lastKeptUs: Long)
 
   /** True (kept-based) debounce: per key, emit an event only if it

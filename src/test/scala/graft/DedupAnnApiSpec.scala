@@ -890,6 +890,36 @@ class DedupAnnApiSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ: probe equals the inline route; append encodes like a fresh build") {
+    val qs = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val full = embs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val base = full.filter(col("neighbor_id") < 100)
+    val rest = full.filter(col("neighbor_id") >= 100)
+    val cents = embs.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+    val cb = Ann.pqTrain(full, 8, 8, 64, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    Ann.ivfPqBuild(base, cents, cb, dir)
+    // the persisted codebook round-trips bit-identically
+    assert(Ann.ivfPqCodebook(spark, dir).cents == cb.cents)
+    // stored probe ≡ inline combined route over the same base corpus
+    assert(
+      rows(Ann.ivfPqProbe(spark, dir, qs, k = 5, nProbe = 2, shortlist = 20)) ==
+        rows(Ann.ivfPqTopKWith(qs, base, cents, cb, k = 5, nProbe = 2, shortlist = 20)))
+    // append assigns + encodes through the STORED quantizer/codebook:
+    // the probe now matches the inline route over the UNION corpus
+    Ann.ivfPqAppend(spark, rest, dir)
+    assert(
+      rows(Ann.ivfPqProbe(spark, dir, qs, k = 5, nProbe = 2, shortlist = 20)) ==
+        rows(Ann.ivfPqTopKWith(qs, full, cents, cb, k = 5, nProbe = 2, shortlist = 20)))
+  }
+
   test("ivf probe curve: monotone, exact at full probes, and consistent with the recall row") {
     import graft.queries.PipelineQueries
     val curve = PipelineQueries.qIvfProbeCurve(spark, SfDir)

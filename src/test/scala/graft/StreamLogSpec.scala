@@ -731,6 +731,67 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seqPatternMonitor: emission union across any split equals the batch subsequence set") {
+    val mem = MemoryStream[(Long, String, Long)](spark)
+    val q = StreamLog
+      .seqPatternMonitor(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("seq_out")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1: a<b<c plus a same-timestamp b (strictness check);
+      // user 2: c first (no a>..>c), repeats of a (a>a pair);
+      // the split lands MID-user-1 so the witness map must carry
+      val batch1 = Seq(
+        (1L, "a", 100L), (1L, "b", 100L), // same ts: never a pair
+        (1L, "b", 200L),
+        (2L, "c", 50L), (2L, "a", 60L))
+      val batch2 = Seq(
+        (1L, "c", 300L), (1L, "a", 400L),
+        (2L, "a", 70L), (2L, "b", 90L))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark
+        .sql("SELECT user_id, kind, pattern FROM seq_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // no duplicate emissions across batches
+      assert(got.length == got.distinct.length, "duplicate pattern emission")
+      // ground truth: literal subsequence scan with strict timestamps
+      val all = batch1 ++ batch2
+      val types = all.map(_._2).distinct.sorted
+      def seqOf(u: Long) = all.filter(_._1 == u).map(t => (t._2, t._3))
+      def hasPair(u: Long, a: String, b: String) = {
+        val s = seqOf(u)
+        s.exists { case (ta, tsa) =>
+          ta == a && s.exists { case (tb, tsb) => tb == b && tsb > tsa }
+        }
+      }
+      def hasTriple(u: Long, a: String, b: String, c: String) = {
+        val s = seqOf(u)
+        s.exists { case (ta, tsa) =>
+          ta == a && s.exists { case (tb, tsb) =>
+            tb == b && tsb > tsa && s.exists { case (tc, tsc) => tc == c && tsc > tsb }
+          }
+        }
+      }
+      val expected = (for {
+        u <- Seq(1L, 2L); a <- types; b <- types if hasPair(u, a, b)
+      } yield (u, "pair", s"$a>$b")).toSet ++ (for {
+        u <- Seq(1L, 2L); a <- types; b <- types; c <- types if hasTriple(u, a, b, c)
+      } yield (u, "triple", s"$a>$b>$c")).toSet
+      assert(
+        got.toSet == expected,
+        s"missing: ${expected diff got.toSet}; extra: ${got.toSet diff expected}")
+      // the strictness case really is excluded: user 1's a@100/b@100
+      assert(!got.contains((1L, "pair", "b>a")) || hasPair(1L, "b", "a"))
+    } finally q.stop()
+  }
+
   test("debounce keeps gap-from-last-KEPT semantics across micro-batches") {
     val mem = MemoryStream[(String, Long)](spark)
     val q = StreamLog
