@@ -320,13 +320,16 @@ object Bench {
       } else None
 
     val results =
-      (names.zip(times) ++ storeNames.zip(storeTimes).filter(p => keep(p._1)))
-        // a metric with NO successful pass reports 0.0 — the
-        // established failed/placeholder convention (scaling_table.py
-        // treats non-positive timings as unusable), never MaxValue
-        .map { case (k, v) => (k, if (v == Double.MaxValue) 0.0 else v) }
+      names.zip(times) ++ storeNames.zip(storeTimes).filter(p => keep(p._1))
+    // a metric with NO successful pass reports JSON null (and its name in
+    // "failed") — an explicit failure marker, never a 0.0 a reader could
+    // mistake for a sub-millisecond timing (scaling_table.py /
+    // diff_bench.py both drop null/non-positive entries as unusable)
+    val failed = results.collect { case (k, v) if v == Double.MaxValue => k }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" + (if (v == Double.MaxValue) "null" else f"$v%.3f")
+      }
       .mkString("{", ",", "}")
     val auxNames = names ++ storeNames.filter(keep)
     val gcJson = auxNames
@@ -337,7 +340,7 @@ object Bench {
       .zip(cpuMs ++ storeNames.zipWithIndex.filter(p => keep(p._1)).map(p => storeCpuMs(p._2)))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v != Double.MaxValue => v }.sum
     // Full per-query map goes to a file: with ~100 metrics the one-line
     // form is several KB and the driver's tail capture truncates its
     // FRONT, leaving unparseable JSON (BENCH_r03 "parsed": null). The
@@ -346,8 +349,11 @@ object Bench {
     // gc_ms / cpu_ms are ADDITIVE parallel maps from the best-of pass.
     val kcJson =
       kcoreConverged.map(v => s""","kcore_converged":$v""").getOrElse("")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"cpu_ms":$cpuJson$kcJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"cpu_ms":$cpuJson$kcJson$failedJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

@@ -120,7 +120,7 @@ object Dedup {
     * real cluster configure a session checkpoint dir so every cut is a
     * RELIABLE checkpoint (executor loss would kill localCheckpoint
     * blocks). The candidate self-join is shuffle-hash like
-    * [[minhashLsh]] — but only below [[ShjBuildFenceDocs]]: the build
+    * [[minhashLsh]] — but only below [[ShjDocsPerPartitionFence]]: the build
     * side grows ∝ corpus and a hash relation cannot spill, so past the
     * fence the joins run UNHINTED (sort-merge statically; AQE's
     * maxShuffledHashJoinLocalMapThreshold converts partitions that

@@ -467,11 +467,19 @@ object OlapQueries {
       .groupBy("user_id", "t")
       .agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
       .transform(graft.operators.Materialize.cut)
+    // The three user-keyed joins below have corpus-∝ build sides (mm is
+    // user×type-sized, ev is the events table itself) — exactly the
+    // non-spillable pinned-SHJ class Dedup fences: keep the fast hash
+    // build only while the per-partition share fits the measured budget,
+    // otherwise run unhinted (spillable SMJ, AQE converting back where
+    // runtime map sizes fit). Fence unit = events rows, the LARGEST of
+    // the three build sides (one metadata-cheap count).
+    val pinned = graft.dedup.Dedup.shjPinned(ev.count(), s)
     val nu = ev.agg(count_distinct(col("user_id")).as("n_total"))
     val pairs = mm
       .select(col("user_id"), col("t").as("ta"), col("mn"))
       .join(
-        mm.select(col("user_id"), col("t").as("tb"), col("mx")).hint("shuffle_hash"),
+        pinned(mm.select(col("user_id"), col("t").as("tb"), col("mx"))),
         "user_id")
       .filter(col("mn") < col("mx"))
       .groupBy("ta", "tb")
@@ -480,14 +488,14 @@ object OlapQueries {
     val tab = mm
       .select(col("user_id"), col("t").as("ta"), col("mn"))
       .join(
-        ev.select(col("user_id"), col("t").as("tb"), col("ts_us")).hint("shuffle_hash"),
+        pinned(ev.select(col("user_id"), col("t").as("tb"), col("ts_us"))),
         "user_id")
       .filter(col("ts_us") > col("mn"))
       .groupBy("user_id", "ta", "tb")
       .agg(min("ts_us").as("t_ab"))
     val triples = tab
       .join(
-        mm.select(col("user_id"), col("t").as("tc"), col("mx")).hint("shuffle_hash"),
+        pinned(mm.select(col("user_id"), col("t").as("tc"), col("mx"))),
         "user_id")
       .filter(col("t_ab") < col("mx"))
       .groupBy("ta", "tb", "tc")

@@ -654,6 +654,22 @@ object PipelineQueries {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "")
 
+  /** Tmpdir hygiene: the stored indexes are process-scoped scratch
+    * (keyed pid@host), so delete them at JVM exit — without this every
+    * bench/verify process leaves orphaned `graft_ivf_*` /
+    * `graft_ivfpq_*` trees under java.io.tmpdir. Best-effort (kill -9
+    * skips the hook; the pid@host token keeps a stale leftover from
+    * ever colliding with a live run). Referenced (hence registered)
+    * by the first stored-index build of the process. */
+  private lazy val ivfStoredCleanupHook: Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ivfStoredBuilt.keySet().forEach(p => rm(new java.io.File(p)))))
+  }
+
   /** IVF ANN against a PERSISTED index — the serving shape at 100 TB:
     * [[Ann.ivfBuild]] writes the quantizer + cell-partitioned lists to
     * parquet ONCE PER PROCESS+DATASET (first call builds, later calls
@@ -666,6 +682,7 @@ object PipelineQueries {
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       s"graft_ivf_${ivfRunToken}_${Hashing.md5LongJvm(d)}").getAbsolutePath
+    ivfStoredCleanupHook
     ivfStoredBuilt.computeIfAbsent(
       path,
       p => { Ann.ivfBuild(corpusSide(s, d), ivfCents(s, d), p); p })
@@ -820,6 +837,7 @@ object PipelineQueries {
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       s"graft_ivfpq_${ivfRunToken}_${Hashing.md5LongJvm(d)}").getAbsolutePath
+    ivfStoredCleanupHook
     ivfStoredBuilt.computeIfAbsent(
       path,
       p => { Ann.ivfPqBuild(corpusSide(s, d), ivfCents(s, d), pqCb(s, d), p); p })

@@ -40,14 +40,18 @@ class SurveySyncSpec extends AnyFunSuite {
     "q_dedup_clusters" // clustering fixpoint measured inside q_pipeline_e2e
   )
 
-  private lazy val surveyKeys: Seq[String] = {
+  private lazy val surveySection: String = {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
       java.nio.charset.StandardCharsets.UTF_8)
     val start = text.indexOf("## §2 ")
     val end = text.indexOf("## §3 ")
     assert(start >= 0 && end > start, "SURVEY.md §2/§3 headers not found")
-    val section = text.substring(start, end)
+    text.substring(start, end)
+  }
+
+  private lazy val surveyKeys: Seq[String] = {
+    val section = surveySection
     // registry keys are `q1_agg`-style backticked tokens in the LAST
     // (correctness) column of each checklist row; description-cell prose
     // legitimately cross-references other keys, so only the final cell
@@ -60,6 +64,18 @@ class SurveySyncSpec extends AnyFunSuite {
         cells.lastOption.toSeq.flatMap(c => key.findAllMatchIn(c).map(_.group(1)))
       }
       .toSeq
+  }
+
+  test("§2 row ids are unique (the cross-reference currency of the evidence chain)") {
+    // the id is the first cell of each checklist row ("| 86f | …"); two
+    // rows once shared 86f and the collision survived a whole round —
+    // this keeps the class dead
+    val ids = surveySection.linesIterator
+      .filter(l => l.startsWith("|") && !l.startsWith("|--") && !l.startsWith("| #"))
+      .flatMap(_.split("\\|").map(_.trim).find(_.nonEmpty))
+      .toSeq
+    val dup = ids.groupBy(identity).collect { case (id, v) if v.size > 1 => s"$id(${v.size})" }
+    assert(dup.isEmpty, s"duplicate §2 row ids: ${dup.toSeq.sorted.mkString(", ")}")
   }
 
   test("every §2 checklist key is a registered query") {

@@ -32,7 +32,10 @@ def load_queries(path):
     q = d.get("queries")
     if not isinstance(q, dict) or not q:
         raise SystemExit(f"{path}: no 'queries' map (is this a BENCH_FULL-style file?)")
-    return {k: float(v) for k, v in q.items()}
+    # null = the metric had no successful pass (Bench's explicit failure
+    # marker); treat it as absent so it surfaces in the new/removed lists
+    # instead of crashing float() or polluting ratios
+    return {k: float(v) for k, v in q.items() if v is not None}
 
 
 def main():
