@@ -723,19 +723,21 @@ object Ann {
       .map(r => r.getLong(0) -> r.getLong(1))
       .toIndexedSeq
 
-  /** Crash recovery for [[ivfMaintain]]'s swap window: delete list
-    * partitions whose `cent_id` is absent from the stored quantizer.
-    * A crash between the sub-cell append and the hot-partition delete
-    * leaves exactly such orphans — either the new sub-cells (crash
-    * BEFORE the quantizer swap: the hot partition still holds every
-    * member, so the orphans are a discardable partial split) or the
-    * already-re-homed hot partitions (crash AFTER the swap: the
-    * quantizer routes to the sub-cells, so the orphans are the
-    * leftover old copies). Probes are correct THROUGHOUT the window —
-    * routing is quantizer-driven and the literal IN filter never reads
-    * a partition whose id the quantizer lacks — but orphans
-    * double-count members in [[ivfImbalance]]/[[cellCounts]], so
-    * [[ivfMaintain]] runs this first. Returns the deleted cell ids. */
+  /** Crash recovery for [[ivfMaintain]]'s swap window: delete data
+    * partitions whose `cent_id` is absent from the stored quantizer —
+    * in `lists/` and, when the index is the two-tier IVF-PQ layout
+    * ([[ivfPqBuild]]), in `codes/` too. A crash between the sub-cell
+    * append and the hot-partition delete leaves exactly such orphans —
+    * either the new sub-cells (crash BEFORE the quantizer swap: the hot
+    * partition still holds every member, so the orphans are a
+    * discardable partial split) or the already-re-homed hot partitions
+    * (crash AFTER the swap: the quantizer routes to the sub-cells, so
+    * the orphans are the leftover old copies). Probes are correct
+    * THROUGHOUT the window — routing is quantizer-driven and the
+    * literal IN filter never reads a partition whose id the quantizer
+    * lacks — but orphans double-count members in
+    * [[ivfImbalance]]/[[cellCounts]], so [[ivfMaintain]] runs this
+    * first. Returns the deleted cell ids (distinct across tiers). */
   def ivfRecover(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
     val known = spark.read
       .parquet(s"$path/centroids")
@@ -743,12 +745,24 @@ object Ann {
       .collect()
       .map(_.getLong(0))
       .toSet // k rows — control plane
+    (recoverTier(spark, path, "lists", known) ++
+      recoverTier(spark, path, "codes", known)).distinct.sorted
+  }
+
+  /** One tier of [[ivfRecover]]: drop `cent_id=` partitions under
+    * `$path/$tier` absent from `known`. Missing tier = no-op (a plain
+    * IVF index has no `codes/`). */
+  private def recoverTier(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      tier: String,
+      known: Set[Long]): Seq[Long] = {
     val conf = spark.sessionState.newHadoopConf()
-    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val fs = lists.getFileSystem(conf)
-    if (!fs.exists(lists)) return Nil
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$tier")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
     val orphans = fs
-      .listStatus(lists)
+      .listStatus(dir)
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("cent_id=") => s.stripPrefix("cent_id=").toLong }
@@ -756,7 +770,7 @@ object Ann {
       .sorted
       .toIndexedSeq
     orphans.foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cent_id=$id"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$tier/cent_id=$id"), true)
       ()
     }
     orphans
@@ -810,7 +824,12 @@ object Ann {
     *     a crash mid-overwrite.
     *
     * Wire this to the [[ivfImbalance]] readout after append batches:
-    * `if (ivfImbalance(s, p) > fence) ivfMaintain(s, p, fence)`. */
+    * `if (ivfImbalance(s, p) > fence) ivfMaintain(s, p, fence)`.
+    *
+    * Two-tier ([[ivfPqBuild]]) indexes are AUTO-DETECTED: when
+    * `$path/codes` exists this delegates to [[ivfPqMaintain]], so a
+    * caller holding an IVF-PQ index can never strand its codes tier by
+    * reaching for the plain-IVF entry point. */
   def ivfMaintain(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -818,6 +837,75 @@ object Ann {
       splitInto: Int = 0,
       iters: Int = 2,
       dim: Int = 64): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    if (codes.getFileSystem(conf).exists(codes))
+      ivfPqMaintain(spark, path, fence, splitInto, iters, dim)
+    else maintainCore(spark, path, fence, splitInto, iters, dim, None)
+  }
+
+  /** [[ivfMaintain]] for the two-tier IVF-PQ layout ([[ivfPqBuild]]):
+    * hot cells split exactly as the plain-IVF maintenance does (the
+    * quantizer and the raw `lists/` tier are shared machinery), and the
+    * split cells' `codes/` partitions are re-homed in the same pass.
+    * Because the codes are raw-vector against the FROZEN global
+    * codebook (cell-independent by design — see [[ivfPqTopKWith]]), a
+    * split never changes a single code value: the re-home re-derives
+    * each moved row's codes from its raw vector with [[pqEncode]]
+    * (byte-identical values, spec-asserted), which is cheaper than
+    * joining the old code rows against the new assignment — the raw
+    * rows are already in hand from the lists split, so the codes write
+    * is one extra pure projection over data already read, no extra
+    * shuffle, no extra scan. Cold cells stay bit-identical in BOTH
+    * tiers; crash recovery ([[ivfRecover]]) covers both tiers; the
+    * delete order is lists-then-codes AFTER the quantizer swap, so the
+    * route-then-scan invariant holds throughout the window on both
+    * tiers. Returns true iff maintenance ran. */
+  def ivfPqMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fence: Double = 2.0,
+      splitInto: Int = 0,
+      iters: Int = 2,
+      dim: Int = 64): Boolean =
+    maintainCore(
+      spark, path, fence, splitInto, iters, dim,
+      Some(ivfPqCodebook(spark, path)))
+
+  /** [[ivfPqAppend]] with the maintenance fence wired in — the
+    * [[ivfAppendMaintained]] contract on the two-tier index: after the
+    * batch lands in both tiers, run [[ivfPqMaintain]] rounds while
+    * [[ivfImbalance]] stays tripped. This is the self-balancing ingest
+    * loop the production serving index runs — skewed
+    * [[ivfPqAppend]]-only traffic otherwise grows hot cells unbounded
+    * (exactly the gap the plain-IVF loop closed). Returns true iff any
+    * maintenance ran. */
+  def ivfPqAppendMaintained(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      fence: Double = 2.0,
+      splitInto: Int = 0,
+      iters: Int = 2,
+      dim: Int = 64,
+      maxRounds: Int = 4): Boolean = {
+    ivfPqAppend(spark, batch, path)
+    var rounds = 0
+    while (rounds < maxRounds && ivfImbalance(spark, path) > fence &&
+      ivfPqMaintain(spark, path, fence, splitInto, iters, dim)) rounds += 1
+    rounds > 0
+  }
+
+  /** The shared hot-cell split ([[ivfMaintain]]'s contract); `cbOpt`
+    * adds the codes-tier re-home for two-tier indexes. */
+  private def maintainCore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fence: Double,
+      splitInto: Int,
+      iters: Int,
+      dim: Int,
+      cbOpt: Option[PqCodebook]): Boolean = {
     import spark.implicits._
     require(
       fence > 1.0 && (splitInto == 0 || splitInto >= 2),
@@ -922,6 +1010,14 @@ object Ann {
       .select("neighbor_id", "c_v", "c_nrm", "cent_id")
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
 
+    // two-tier re-home: the moved rows' codes are a pure projection of
+    // the raw vectors under the FROZEN codebook — identical values to
+    // the pre-split rows, new cent_id partitioning (see ivfPqMaintain)
+    cbOpt.foreach { cb =>
+      pqEncode(assign(centsDf(subs)), cb, carry = Seq("cent_id"))
+        .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
+    }
+
     // quantizer swap: drop the hot centroids, add the sub-centroids
     val kept = centroids.where(!col("cent_id").isin(hot: _*))
     val added = subs.map { case (_, id, v, nrm) => (id, v, nrm) }
@@ -934,10 +1030,13 @@ object Ann {
       .write.mode("overwrite").parquet(s"$path/centroids")
 
     // old hot partitions go LAST — their members are already re-homed
+    // (both tiers for the IVF-PQ layout; a crash between the two loops
+    // leaves quantizer-absent orphans that ivfRecover deletes)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    hot.foreach { hotId =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cent_id=$hotId"), true)
+    val tiers = "lists" +: cbOpt.map(_ => "codes").toSeq
+    for (tier <- tiers; hotId <- hot) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$tier/cent_id=$hotId"), true)
       ()
     }
     true

@@ -1132,4 +1132,119 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/lists/cent_id=88").exists)
     assert(probe() == before)
   }
+
+  test("ivfPqMaintain: two-tier split re-homes codes byte-equal, cold cells bit-identical in BOTH tiers") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.toSeq
+    def corpusDf(rows: Seq[(Long, Seq[Double])]) = Ann.withNorm(
+      rows.toDF("neighbor_id", "c_v"), "c_v", "c_nrm")
+    // the ivfMaintain fixture: four unit-axis centroids, cell 1's region
+    // has two sub-directions so the split target is well-defined
+    val cents = Seq(
+      (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 1, 0)), (4L, vec(0, 0, 0, 1)))
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_nrm", VectorFns.norm(col("cent_v")))
+    val dirA = (id: Long, eps: Double) => id -> vec(1, 0.3 + eps, 0, 0)
+    val dirB = (id: Long, eps: Double) => id -> vec(1, 0, 0.3 + eps, 0)
+    val base = Seq(
+      dirA(1L, 0.0), dirB(2L, 0.0), dirA(3L, 0.01), dirB(4L, 0.01),
+      5L -> vec(0, 1, 0.01, 0), 6L -> vec(0, 1, 0.02, 0),
+      7L -> vec(0, 1, 0.03, 0), 8L -> vec(0, 1, 0.04, 0),
+      9L -> vec(0, 0.01, 1, 0), 10L -> vec(0, 0.02, 1, 0),
+      11L -> vec(0, 0.03, 1, 0), 12L -> vec(0, 0.04, 1, 0),
+      13L -> vec(0, 0, 0.01, 1), 14L -> vec(0, 0, 0.02, 1),
+      15L -> vec(0, 0, 0.03, 1), 16L -> vec(0, 0, 0.04, 1))
+    val skew =
+      (101L to 110L).map(i => dirA(i, 0.001 * (i - 101))) ++
+        (111L to 120L).map(i => dirB(i, 0.001 * (i - 111)))
+    val cb = Ann.pqTrain(corpusDf(base), m = 2, ks = 2, dim = 4, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_maint").toString
+    Ann.ivfPqBuild(corpusDf(base), cents, cb, path)
+    Ann.ivfPqAppend(spark, corpusDf(skew), path)
+    assert(Ann.ivfImbalance(spark, path) > 2.0) // cell 1: 24 of 36
+
+    def codeRows() = spark.read.parquet(s"$path/codes")
+      .select(
+        col("neighbor_id"), col("k0"), col("k1"), col("recon_nrm"),
+        col("cent_id").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)), r.getLong(4)))
+      .toMap
+    def fileState(tier: String, cell: Long) = {
+      val dir = new java.io.File(s"$path/$tier/cent_id=$cell")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val codesBefore = codeRows()
+    val coldListsBefore = fileState("lists", 3L)
+    val coldCodesBefore = fileState("codes", 3L)
+    def probe(q: Seq[Double], nProbe: Int, k: Int = 5) = {
+      val qDf = Ann.withNorm(Seq(0L -> q).toDF("query_id", "q_v"), "q_v", "q_nrm")
+      // shortlist covers every candidate, so the ADC stage never drops a
+      // true neighbor and the exact rerank makes the probe comparable to
+      // brute force over the probed cells
+      Ann.ivfPqProbe(spark, path, qDf, k = k, nProbe = nProbe, shortlist = 1000)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    }
+    val coldQuery = vec(0, 0, 1, 0.05)
+    val coldBefore = probe(coldQuery, nProbe = 1)
+
+    // the plain entry point AUTO-DETECTS the codes tier and delegates —
+    // reaching for ivfMaintain on an IVF-PQ index can no longer strand codes
+    assert(Ann.ivfMaintain(spark, path, fence = 2.0, splitInto = 2, iters = 2, dim = 4))
+    assert(Ann.ivfImbalance(spark, path) < 2.0)
+    assert(!Ann.ivfPqMaintain(spark, path, fence = 2.0, splitInto = 2, iters = 2, dim = 4))
+
+    // hot partitions gone in BOTH tiers; cold cells bit-identical in BOTH
+    assert(!new java.io.File(s"$path/lists/cent_id=1").exists)
+    assert(!new java.io.File(s"$path/codes/cent_id=1").exists)
+    assert(fileState("lists", 3L) == coldListsBefore)
+    assert(fileState("codes", 3L) == coldCodesBefore)
+    assert(probe(coldQuery, nProbe = 1) == coldBefore)
+
+    // member set preserved exactly and CONSISTENT across tiers
+    val listIds = spark.read.parquet(s"$path/lists").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(listIds.sorted == (base.map(_._1) ++ skew.map(_._1)).sorted)
+    val codesAfter = codeRows()
+    assert(codesAfter.keySet == listIds.toSet)
+    // the split re-partitioned the codes, it never re-encoded them: every
+    // row's (k0, k1, recon_nrm) is byte-equal to its pre-split value
+    assert(codesAfter.forall { case (id, (code, _)) => codesBefore(id)._1 == code })
+    // a moved member's codes row lives in the same NEW cell as its raw row
+    val listCells = spark.read.parquet(s"$path/lists")
+      .select(col("neighbor_id"), col("cent_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codesAfter.forall { case (id, (_, cell)) => listCells(id) == cell })
+
+    // recall preserved in the hot region: probing both sub-cells matches
+    // exact brute force over the full corpus
+    val hotQ = Ann.withNorm(
+      Seq(0L -> vec(1.0, 0.15, 0.15, 0.0)).toDF("query_id", "q_v"), "q_v", "q_nrm")
+    val brute = Ann.bruteForceTopK(hotQ, corpusDf(base ++ skew), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(probe(vec(1, 0.15, 0.15, 0), nProbe = 2, k = 5).map(t => (t._1, t._2)) == brute)
+
+    // the wired ingest loop: a balanced batch appends without
+    // maintenance; a skewed surge trips the fence and self-balances
+    val calm = corpusDf(Seq(301L -> vec(0, 1, 0.05, 0), 302L -> vec(0, 0, 0.05, 1)))
+    assert(!Ann.ivfPqAppendMaintained(spark, calm, path, fence = 2.0, iters = 2, dim = 4))
+    val surge = corpusDf((401L to 460L).map(i => dirA(i, 0.0001 * (i - 401))))
+    assert(Ann.ivfPqAppendMaintained(spark, surge, path, fence = 2.0, iters = 2, dim = 4),
+      "a skewed surge must trip the fence and rebalance in the same call")
+    assert(Ann.ivfImbalance(spark, path) < 2.0)
+    val allIds = (base.map(_._1) ++ skew.map(_._1) ++ Seq(301L, 302L) ++ (401L to 460L)).sorted
+    assert(spark.read.parquet(s"$path/lists").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSeq.sorted == allIds)
+    assert(codeRows().keySet == allIds.toSet)
+
+    // crash-window orphans recover on the codes tier too
+    spark.read.parquet(s"$path/codes").where(col("cent_id") === 3)
+      .select("neighbor_id", "k0", "k1", "recon_nrm")
+      .write.parquet(s"$path/codes/cent_id=777")
+    assert(Ann.ivfRecover(spark, path) == Seq(777L))
+    assert(!new java.io.File(s"$path/codes/cent_id=777").exists)
+    assert(Ann.ivfRecover(spark, path).isEmpty)
+  }
 }
