@@ -99,6 +99,7 @@ object Bench {
     "q_ewma_chart", "q_jonckheere", "q_friedman", "q_did", "q_croston",
     "q_ccnet_buckets", "q_contam_overlap", "q_ivf_balance", "q_common_neighbors", "q_common_neighbors_wide",
     "q_jl_project", "q_simhash_eval", "q_simhash_eval_wide",
+    "q_simhash_eval_sampled",
     "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {

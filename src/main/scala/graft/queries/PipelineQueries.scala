@@ -182,13 +182,14 @@ object PipelineQueries {
 
   /** 120-bit signature CTEs (`wsims(doc_id, sim_lo, sim_hi)`) — both
     * 60-bit halves replayed off ONE md5 per token, like the Spark-side
-    * [[graft.functions.expressions.SimhashTokensWide]] fold. */
-  private def simhashWideSimsCtes: String = {
+    * [[graft.functions.expressions.SimhashTokensWide]] fold. `base` is
+    * the doc relation (parameterized for the sampled eval). */
+  private def simhashWideSimsCtes(base: String = "documents"): String = {
     val hl = Hashing.duckMd5Long("tok")
     val hh = Hashing.duckMd5LongHi("tok")
     s"""wtoksx AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
-       |  FROM documents),
+       |  FROM $base),
        |whx AS (SELECT doc_id, $hl AS hl, $hh AS hh FROM wtoksx),
        |wbits AS (
        |  SELECT doc_id, j,
@@ -2174,6 +2175,94 @@ object PipelineQueries {
               (col("tp").cast("double") / col("n_cand").cast("double") +
                 col("tp").cast("double") / col("n_exact").cast("double"))))
           .otherwise(lit(0.0d)).as("f1"))
+  }
+
+  /** Expected ground-truth-pair budget of the SAMPLED eval: the doc
+    * sample keeps ≈ √([[EvalSampleBudget]]·n) docs, so the expected
+    * number of ground-truth pairs surviving the sample — pairs thin
+    * QUADRATICALLY under doc sampling, both endpoints must survive —
+    * stays ≈ pairRate·[[EvalSampleBudget]], CONSTANT at every corpus
+    * decade. That makes the exact arm's cost ∝ (√n)^1.44 ≈ n^0.72 —
+    * sublinear, where the full exact arm is the measured n^1.44
+    * scale-killer (BENCH_SCALING.md eval-family disposition). */
+  val EvalSampleBudget = 2000.0d
+
+  /** The deterministic hash-bucket cutoff (out of
+    * [[graft.operators.Sampling.hashBucket]]'s 10000 buckets) that keeps
+    * ≈ √([[EvalSampleBudget]]·n) docs: `ceil(10000·√(B/n))`, capped at
+    * everything. Pure double arithmetic (one divide, one IEEE sqrt, one
+    * ceil) so the DuckDB oracle derives the identical cutoff from its
+    * own `count(*)`. */
+  def evalSampleCut(nDocs: Long): Long =
+    if (nDocs <= 0L) 10000L
+    else
+      math.min(
+        10000L,
+        math.ceil(10000.0d * math.sqrt(EvalSampleBudget / nDocs.toDouble)).toLong)
+
+  /** SAMPLED ground-truth eval — the affordable-at-any-decade arm of
+    * [[qSimhashEvalWide]]: a deterministic md5 doc-sample
+    * ([[graft.operators.Sampling.hashBucket]], cutoff
+    * [[evalSampleCut]]) upstream of the SAME wide-simhash candidates +
+    * exact 3-shingle-Jaccard ≥ 0.5 confusion fold, reporting
+    * precision/recall plus a 95% binomial CI on recall. Both membership
+    * predicates are PAIRWISE (a pair's candidacy and its ground truth
+    * depend only on its two docs), so the sampled confusion is exactly
+    * the full-corpus confusion restricted to pairs whose endpoints both
+    * survive — recall_hat is a binomial draw of n_exact sampled
+    * ground-truth pairs from the full-population proportion, and the
+    * normal-approximation CI `r ± 1.96·√(r(1−r)/n_exact)` applies (the
+    * endpoint-sharing dependence makes it approximate; the spec asserts
+    * the full sf0.1 recall falls inside it). √n-sampling keeps the
+    * expected pair count CONSTANT per decade (see [[EvalSampleBudget]]),
+    * so geometry re-tuning gets a quality readout at the fifth decade
+    * where the exact arm exhausts scratch. Deterministic end to end →
+    * full DuckDB oracle. */
+  def qSimhashEvalSampled(s: SparkSession, d: String): DataFrame = {
+    Tokens.register(s)
+    val all = docs(s, d)
+    // one metadata-cheap count; the cutoff is driver-baked as a literal
+    // so the sample filter reaches the scan
+    val cut = evalSampleCut(all.count())
+    val toks = all
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < cut)
+      .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .transform(graft.operators.Materialize.cut)
+    val cand = Dedup
+      .simhashPairsWide(
+        Dedup.simhashSignaturesWide(toks, "doc_id", "tk"),
+        maxHamming = SimhashMaxHamming)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_cand", lit(true))
+    val exact = Dedup
+      .ngramJaccardFromShingled(
+        Dedup.shingledFromTokens(toks, "doc_id", "tk", k = 3),
+        "doc_id",
+        threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_exact", lit(true))
+    val ne = col("n_exact").cast("double")
+    val p = col("tp").cast("double") / col("n_cand").cast("double")
+    val r = col("tp").cast("double") / ne
+    val half = lit(1.96d) * sqrt(r * (lit(1.0d) - r) / ne)
+    cand
+      .join(exact, Seq("a_id", "b_id"), "full_outer")
+      .select(
+        coalesce(col("in_cand"), lit(false)).as("in_cand"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      .agg(
+        sum(when(col("in_cand"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("in_cand") && col("in_exact"), 1L).otherwise(0L)).as("tp"))
+      .select(
+        col("n_cand"),
+        col("n_exact"),
+        col("tp"),
+        floor6(p).as("precision"),
+        floor6(r).as("recall"),
+        floor6(greatest(lit(0.0d), r - half)).as("recall_lo"),
+        floor6(least(lit(1.0d), r + half)).as("recall_hi"))
   }
 
   /** Pairwise cosine similarity between per-label embedding CENTROIDS
@@ -4698,6 +4787,7 @@ object PipelineQueries {
     "q_jl_project" -> qJlProject _,
     "q_simhash_eval" -> qSimhashEval _,
     "q_simhash_eval_wide" -> qSimhashEvalWide _,
+    "q_simhash_eval_sampled" -> qSimhashEvalSampled _,
     "q_bm25" -> qBm25 _,
     "q_rrf_fusion" -> qRrfFusion _,
     "q_pii_audit" -> qPiiAudit _,
@@ -5280,7 +5370,7 @@ object PipelineQueries {
          |ORDER BY a_id, b_id""".stripMargin
     },
     "q_dedup_simhash_wide" ->
-      s"""WITH $simhashWideSimsCtes,
+      s"""WITH ${simhashWideSimsCtes()},
          |${simhashWidePairCtes("wspairs")}
          |SELECT a_id, b_id, hamming FROM wspairs
          |ORDER BY a_id, b_id""".stripMargin,
@@ -6222,7 +6312,7 @@ object PipelineQueries {
     // wide-eval replay: the 120-bit sims + even-band pair CTEs, the
     // same shingle ground truth, the same confusion fold.
     "q_simhash_eval_wide" ->
-      s"""WITH $simhashWideSimsCtes,
+      s"""WITH ${simhashWideSimsCtes()},
          |${simhashWidePairCtes("spairs")},
          |${shingleCtes("documents", "")},
          |ngx AS (SELECT doc_id, sz, ${Hashing.duckMd5Long("shingle")} AS h FROM ex),
@@ -6251,6 +6341,53 @@ object PipelineQueries {
          |                (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) + CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
          |       ELSE 0.0 END AS f1
          |FROM agg""".stripMargin,
+    // sampled-eval replay: the identical wide-candidate + shingle
+    // ground-truth fold over the √n hash-sample; the cutoff re-derives
+    // from count(*) with the same IEEE divide/sqrt/ceil as evalSampleCut
+    "q_simhash_eval_sampled" -> {
+      val idh = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |cutv AS (
+         |  SELECT CASE WHEN n <= 0 THEN CAST(10000 AS BIGINT)
+         |              ELSE least(CAST(10000 AS BIGINT),
+         |                         CAST(ceil(10000.0 * sqrt($EvalSampleBudget / CAST(n AS DOUBLE))) AS BIGINT))
+         |         END AS cut
+         |  FROM nd),
+         |sdocs AS (SELECT d.* FROM documents d, cutv WHERE $idh % 10000 < cutv.cut),
+         |${simhashWideSimsCtes("sdocs")},
+         |${simhashWidePairCtes("spairs")},
+         |${shingleCtes("sdocs", "")},
+         |ngx AS (SELECT doc_id, sz, ${Hashing.duckMd5Long("shingle")} AS h FROM ex),
+         |common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
+         |  FROM ngx a JOIN ngx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |epairs AS (
+         |  SELECT a_id, b_id FROM common
+         |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.5),
+         |conf AS (
+         |  SELECT coalesce(s.a_id, e.a_id) AS a_id,
+         |         (s.a_id IS NOT NULL) AS in_cand, (e.a_id IS NOT NULL) AS in_exact
+         |  FROM spairs s FULL OUTER JOIN epairs e
+         |    ON s.a_id = e.a_id AND s.b_id = e.b_id),
+         |agg AS (
+         |  SELECT CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |         CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |         CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM conf),
+         |sel AS (
+         |  SELECT n_cand, n_exact, tp,
+         |         CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) AS p,
+         |         CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS r,
+         |         CAST(1.96 AS DOUBLE) * sqrt(CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) * (1.0 - CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)) AS half
+         |  FROM agg)
+         |SELECT n_cand, n_exact, tp,
+         |       floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision,
+         |       floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall,
+         |       floor(greatest(0.0, r - half) * 1000000.0 + 0.5) / 1000000.0 AS recall_lo,
+         |       floor(least(1.0, r + half) * 1000000.0 + 0.5) / 1000000.0 AS recall_hi
+         |FROM sel""".stripMargin
+    },
     "q_jl_project" ->
       s"""WITH qvs AS (
          |  SELECT vec_id,
@@ -6325,7 +6462,7 @@ object PipelineQueries {
          |FROM agg ORDER BY common DESC, aa_sum DESC, a_id, b_id LIMIT 20""".stripMargin
     },
     "q_common_neighbors_wide" ->
-      s"""WITH $simhashWideSimsCtes,
+      s"""WITH ${simhashWideSimsCtes()},
          |${simhashWidePairCtes("wmpairs")},
          |adj AS (SELECT a_id AS w, b_id AS v FROM wmpairs UNION ALL SELECT b_id, a_id FROM wmpairs),
          |deg AS (

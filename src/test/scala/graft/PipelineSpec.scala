@@ -688,4 +688,33 @@ class PipelineSpec extends SparkSpec {
       "text_nonempty" -> ((2L, 1L, false)),
       "lang_accepted" -> ((2L, 1L, false))))
   }
+
+  test("evalSampleCut: √n rule — whole corpus at/below the budget, monotone shrink above") {
+    import PipelineQueries.evalSampleCut
+    assert(evalSampleCut(0L) == 10000L)
+    assert(evalSampleCut(500L) == 10000L) // below budget: sample everything
+    assert(evalSampleCut(2000L) == 10000L) // boundary: √(B/n) = 1
+    assert(evalSampleCut(5000L) == 6325L) // ceil(10000·√0.4)
+    assert(evalSampleCut(5000000L) == 200L) // fifth decade: 2% of docs
+    val cuts = Seq(2000L, 5000L, 50000L, 500000L, 5000000L).map(evalSampleCut)
+    assert(cuts == cuts.sorted.reverse, s"cut must shrink with corpus size: $cuts")
+  }
+
+  test("sampled-eval CI brackets the full-corpus recall at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    // (n_cand, n_exact, tp, precision, recall, recall_lo, recall_hi)
+    val s = PipelineQueries.qSimhashEvalSampled(spark, dir).head()
+    val nExact = s.getLong(1)
+    val lo = s.getDouble(5)
+    val hi = s.getDouble(6)
+    assert(nExact > 30L, s"√n budget must keep a usable pair count, got $nExact")
+    assert(lo < hi && lo >= 0.0 && hi <= 1.0)
+    // the estimator's whole point: the cheap sampled arm's CI contains
+    // the expensive full-corpus ground-truth recall
+    val fullRecall = PipelineQueries.qSimhashEvalWide(spark, dir).head().getDouble(4)
+    assert(
+      lo <= fullRecall && fullRecall <= hi,
+      s"full recall $fullRecall outside sampled CI [$lo, $hi]")
+  }
 }
