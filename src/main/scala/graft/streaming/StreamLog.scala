@@ -415,6 +415,70 @@ object StreamLog {
       }
   }
 
+  final case class CrostonState(z: Double, q: Double, gap: Long, nd: Long)
+  final case class CrostonPoint(
+      space: String,
+      t: Long,
+      value: Long,
+      sizeSmooth: Double,
+      intervalSmooth: Double,
+      rateForecast: Double,
+      nDemand: Long)
+
+  /** Streaming twin of the batch `q_croston` intermittent-demand
+    * forecaster ([[graft.queries.StatsQueries.qCroston]], Croston 1972)
+    * — the last forecaster in the batch/stream parity family: per key,
+    * demand SIZE z and demand INTERVAL q are smoothed separately on
+    * demand arrivals only, and the live forecast is the rate z/q a
+    * plain EMA systematically over-forecasts right after each arrival.
+    * Input is the DENSE counted series (the same windowed hourly count
+    * aggregation the batch query folds, zeros included): a zero-count
+    * row grows the open interval exactly like the batch fold's gap
+    * counter and emits nothing (no smoothed value changes); a demand
+    * row seeds (z = c, q = gap+1) on first demand, then replays the
+    * batch CASE tree z ← α·c + (1−α)z, q ← α·(gap+1) + (1−α)q with the
+    * exact-binary α = 1/4 — the identical IEEE operation order, so on
+    * the same ordered series the emitted (size_smooth, interval_smooth,
+    * rate_forecast) match the batch columns bit-for-bit at every demand
+    * point (spec-asserted across micro-batch splits cutting inside a
+    * zero run AND before the seed). State is two doubles + two longs
+    * per key — bounded, no timeout; rows within a micro-batch fold in
+    * (t, count) order for cross-run determinism. The batch query emits
+    * only the final state; the stream emits the trajectory — the live
+    * demand-pipeline form a batch re-fold cannot serve. */
+  def crostonStream(
+      points: Dataset[(String, Long, Long)],
+      alpha: Double = 0.25): Dataset[CrostonPoint] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CrostonState, CrostonPoint](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (space, rows, state: GroupState[CrostonState]) =>
+          var st = state.getOption.getOrElse(CrostonState(0.0, 0.0, 0L, 0L))
+          val out = Seq.newBuilder[CrostonPoint]
+          rows.map(r => (r._2, r._3)).toArray.sorted.foreach { case (t, c) =>
+            if (c == 0L) st = CrostonState(st.z, st.q, st.gap + 1L, st.nd)
+            else {
+              st =
+                if (st.nd == 0L)
+                  // first demand: seed size with it, interval with its position
+                  CrostonState(c.toDouble, (st.gap + 1L).toDouble, 0L, 1L)
+                else
+                  CrostonState(
+                    alpha * c.toDouble + (1 - alpha) * st.z,
+                    alpha * (st.gap + 1L).toDouble + (1 - alpha) * st.q,
+                    0L,
+                    st.nd + 1L)
+              out += CrostonPoint(space, t, c, st.z, st.q, st.z / st.q, st.nd)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaChartState(n: Long, z: Double)
   final case class EwmaChartSignal(
       space: String,

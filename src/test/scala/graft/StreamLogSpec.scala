@@ -504,6 +504,65 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crostonStream: seeds on first demand, grows intervals through zero hours, bit-equal to the batch fold across splits") {
+    val mem = MemoryStream[(String, Long, Long)](spark)
+    val q = StreamLog
+      .crostonStream(mem.toDS(), alpha = 0.25)
+      .writeStream
+      .format("memory")
+      .queryName("croston_out")
+      .outputMode("append")
+      .start()
+    try {
+      // intermittent demand over 12 dense hours; splits cut BEFORE the
+      // seed (batch 1 is all zeros) and INSIDE a zero run (batch 2 ends
+      // mid-gap), so both state phases cross micro-batch boundaries
+      val counts = Seq[Long](0, 0, 3, 0, 0, 0, 2, 5, 0, 1, 0, 0)
+      val pts = counts.zipWithIndex.map { case (c, i) => ("sku1", i.toLong, c) }
+      mem.addData(pts.take(2): _*)
+      q.processAllAvailable()
+      // no demand yet: nothing emitted, but the gap is accumulating
+      assert(spark.sql("SELECT * FROM croston_out").count() == 0)
+      mem.addData(pts.slice(2, 6): _*)
+      mem.addData(("sku2", 0L, 4L)) // independent key seeds on its own
+      q.processAllAvailable()
+      mem.addData(pts.drop(6): _*)
+      q.processAllAvailable()
+      // local replication of the batch qCroston aggregate CASE tree
+      // (StatsQueries.scala) — the identical IEEE operation order
+      var (z, qq, gap, nd) = (0.0, 0.0, 0L, 0L)
+      val expected = Seq.newBuilder[(Double, Double, Double, Long)]
+      counts.foreach { c =>
+        if (c == 0L) gap += 1
+        else {
+          if (nd == 0L) { z = c.toDouble; qq = (gap + 1L).toDouble; nd = 1L }
+          else {
+            z = 0.25 * c.toDouble + 0.75 * z
+            qq = 0.25 * (gap + 1L).toDouble + 0.75 * qq
+            nd += 1
+          }
+          gap = 0L
+          expected += ((z, qq, z / qq, nd))
+        }
+      }
+      val exp = expected.result()
+      val rows = spark
+        .sql("""SELECT sizeSmooth, intervalSmooth, rateForecast, nDemand
+                FROM croston_out WHERE space = 'sku1' ORDER BY nDemand""")
+        .collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      assert(rows == exp) // bit-equal trajectory, not approx
+      // seed row: size = first demand, interval = its 1-based position
+      assert(rows.head == ((3.0, 3.0, 1.0, 1L)))
+      // the other key seeded independently (first hour, no gap)
+      val sk2 = spark
+        .sql("SELECT sizeSmooth, intervalSmooth FROM croston_out WHERE space = 'sku2'")
+        .collect()
+      assert(sk2.length == 1 && sk2.head.getDouble(0) == 4.0 && sk2.head.getDouble(1) == 1.0)
+    } finally q.stop()
+  }
+
   test("thetaStream: exact OLS statistics, split-invariant folds, batch parity at published rounding") {
     val mem = MemoryStream[(String, Long, Double)](spark)
     val q = StreamLog
