@@ -866,6 +866,53 @@ object PipelineQueries {
         nProbe = IvfPqProbes,
         shortlist = PqShortlist))
 
+  /** Planted distribution shift for the codebook-staleness eval: a
+    * constant +[[DriftShift]] added to EVERY dimension — ≈ 4σ of the
+    * synthetic embeddings' per-dim spread, the "the upstream encoder
+    * changed" scenario. Deterministic and elementwise, so the DuckDB
+    * oracle replays it with one `list_transform`. */
+  val DriftShift = 0.5d
+
+  /** Id offset that keeps the drifted twin rows distinct from their
+    * originals in the union corpus. */
+  val DriftIdOffset = 1000000L
+
+  /** Recall@5 of the IVF-PQ route over an index AFTER a planted
+    * distribution-shifted append — the codebook-staleness readout
+    * behind [[graft.similarity.Ann.IvfPqRetrainFence]]: quantizer and
+    * codebook stay FROZEN at build time (trained on the original corpus
+    * only, exactly what [[graft.similarity.Ann.ivfPqAppend]] does),
+    * while the serving corpus is original ∪ shifted twins and the
+    * queries live in the shifted region. The number says what silent
+    * drift costs the route — compare against q_ann_recall_ivfpq (the
+    * same fold on same-distribution data) before trusting append-only
+    * ingest under encoder churn; past the fence, retrain. Deterministic
+    * end to end → full DuckDB oracle. */
+  def qAnnRecallIvfPqDrift(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusSide(s, d)
+    val drift = corpus
+      .select(
+        (col("neighbor_id") + DriftIdOffset).as("neighbor_id"),
+        transform(col("c_v"), x => x + lit(DriftShift)).as("c_v"))
+      .withColumn("c_nrm", VectorFns.norm(col("c_v")))
+    val serving = corpus.select("neighbor_id", "c_v", "c_nrm").unionByName(drift)
+    val dq = querySide(s, d)
+      .select(
+        col("query_id"),
+        transform(col("q_v"), x => x + lit(DriftShift)).as("q_v"))
+      .withColumn("q_nrm", VectorFns.norm(col("q_v")))
+    recallReport(
+      Ann.bruteForceTopK(dq, serving, k = PqK),
+      Ann.ivfPqTopKWith(
+        dq,
+        serving,
+        ivfCents(s, d),
+        pqCb(s, d),
+        k = PqK,
+        nProbe = IvfPqProbes,
+        shortlist = PqShortlist))
+  }
+
   /** Recall@5 as a FUNCTION of nProbe (1..[[IvfCentroids]]) — the IVF
     * tuning curve a deployment reads before fixing its probe budget
     * (each probe buys latency; the curve says what it buys in recall).
@@ -4737,6 +4784,7 @@ object PipelineQueries {
     "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_ann_ivfpq_stored" -> qAnnIvfPqStored _,
     "q_ann_recall_ivfpq" -> qAnnRecallIvfPq _,
+    "q_ann_recall_ivfpq_drift" -> qAnnRecallIvfPqDrift _,
     "q_ivf_probe_curve" -> qIvfProbeCurve _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_mips" -> qAnnMips _,
@@ -5646,6 +5694,101 @@ object PipelineQueries {
       s"""WITH $IvfPqOracleCtes,
          |$ExactCosTop5Cte
          |${recallSelect("ivfpqtop")}""".stripMargin,
+    // codebook-staleness eval: PqOracleCtes trains the codebook on the
+    // ORIGINAL corp (the frozen build), then the d-prefixed chain
+    // re-runs the whole combined route over the shifted union corpus
+    // with shifted queries — encode, quantizer routing, ADC, shortlist,
+    // exact rerank, recall fold
+    "q_ann_recall_ivfpq_drift" -> {
+      val sd = EmbDim / PqM
+      val rPivot = (0 until PqM)
+        .map(j => s"max(CASE WHEN sub_id = $j THEN cent_sq END) AS r$j")
+        .mkString(", ")
+      val rSum = (0 until PqM).map(j => s"r$j").mkString(" + ")
+      val dPivot = (0 until PqM)
+        .map(j => s"max(CASE WHEN sub_id = $j THEN dv END) AS d$j")
+        .mkString(", ")
+      val dSum = (0 until PqM).map(j => s"d$j").mkString(" + ")
+      s"""WITH $PqOracleCtes,
+         |dcorp0 AS (
+         |  SELECT neighbor_id + $DriftIdOffset AS neighbor_id,
+         |         list_transform(c_v, x -> x + $DriftShift) AS c_v
+         |  FROM corp),
+         |dcorp AS (SELECT neighbor_id, c_v, sqrt(list_dot_product(c_v, c_v)) AS c_nrm FROM dcorp0),
+         |scorp AS (
+         |  SELECT neighbor_id, c_v, c_nrm FROM corp
+         |  UNION ALL
+         |  SELECT neighbor_id, c_v, c_nrm FROM dcorp),
+         |dqs0 AS (SELECT query_id, list_transform(q_v, x -> x + $DriftShift) AS q_v FROM qs),
+         |dqs AS (SELECT query_id, q_v, sqrt(list_dot_product(q_v, q_v)) AS q_nrm FROM dqs0),
+         |dpcents AS (SELECT vec_id AS cent_id, v AS cent_v, nrm AS cent_nrm
+         |            FROM n WHERE vec_id >= 10 AND vec_id < ${10 + IvfCentroids}),
+         |dsc AS (
+         |  SELECT c.neighbor_id, b.sub_id, b.cent_id, b.cent_sq,
+         |         b.cent_sq - 2 * list_dot_product(list_slice(c.c_v, b.sub_id * $sd + 1, b.sub_id * $sd + $sd), b.cent_v) AS score
+         |  FROM scorp c CROSS JOIN cb b),
+         |dcodes AS (
+         |  SELECT neighbor_id, sub_id, cent_id, cent_sq FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id, sub_id ORDER BY score ASC, cent_id ASC) AS rk FROM dsc)
+         |  WHERE rk = 1),
+         |drec AS (
+         |  SELECT neighbor_id, sqrt($rSum) AS recon_nrm FROM (
+         |    SELECT neighbor_id, $rPivot FROM dcodes GROUP BY neighbor_id)),
+         |dpqn AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, c.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY list_dot_product(q.q_v, c.cent_v) / greatest(q.q_nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
+         |    FROM dqs q CROSS JOIN dpcents c)
+         |  WHERE cent_rank <= $IvfPqProbes),
+         |dpcn AS (
+         |  SELECT neighbor_id, cent_id FROM (
+         |    SELECT x.neighbor_id, c.cent_id,
+         |           ROW_NUMBER() OVER (PARTITION BY x.neighbor_id
+         |             ORDER BY list_dot_product(x.c_v, c.cent_v) / greatest(x.c_nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
+         |    FROM scorp x CROSS JOIN dpcents c)
+         |  WHERE cent_rank <= 1),
+         |dcand AS (SELECT q.query_id, c.neighbor_id FROM dpqn q JOIN dpcn c USING (cent_id)),
+         |ddp AS (
+         |  SELECT a.query_id, a.neighbor_id, cd.sub_id,
+         |         list_dot_product(list_slice(q.q_v, cd.sub_id * $sd + 1, cd.sub_id * $sd + $sd), b.cent_v) AS dv
+         |  FROM dcand a JOIN dqs q USING (query_id)
+         |    JOIN dcodes cd ON cd.neighbor_id = a.neighbor_id
+         |    JOIN cb b ON b.sub_id = cd.sub_id AND b.cent_id = cd.cent_id),
+         |dadc AS (
+         |  SELECT query_id, neighbor_id, $dSum AS adcdot FROM (
+         |    SELECT query_id, neighbor_id, $dPivot FROM ddp GROUP BY query_id, neighbor_id)),
+         |dscored AS (
+         |  SELECT a.query_id, a.neighbor_id, a.adcdot / greatest(q.q_nrm * r.recon_nrm, 1e-300) AS adc
+         |  FROM dadc a JOIN dqs q USING (query_id) JOIN drec r USING (neighbor_id)),
+         |dshort AS (
+         |  SELECT query_id, neighbor_id, adc FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS srk FROM dscored)
+         |  WHERE srk <= $PqShortlist),
+         |drr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.q_v, c.c_v) / greatest(q.q_nrm * c.c_nrm, 1e-300), 6) AS cos
+         |  FROM dshort s JOIN dqs q USING (query_id) JOIN scorp c ON c.neighbor_id = s.neighbor_id),
+         |dtop AS (
+         |  SELECT query_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+         |         neighbor_id, cos
+         |  FROM drr
+         |  QUALIFY rank <= $PqK),
+         |dexact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |             round(list_dot_product(q.q_v, c.c_v) / greatest(q.q_nrm * c.c_nrm, 1e-300), 6) DESC, c.neighbor_id) AS rank
+         |    FROM dqs q CROSS JOIN scorp c)
+         |  WHERE rank <= 5)
+         |SELECT x.query_id, count(*) AS n_hits,
+         |       round(CAST(count(*) AS DOUBLE) / 5.0, 6) AS recall_at_5
+         |FROM dexact x JOIN dtop a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
+    },
     "q_ivf_probe_curve" -> IvfProbeCurveSql,
     "q_lang_id" ->
       s"""WITH t AS (

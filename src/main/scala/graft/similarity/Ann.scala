@@ -278,6 +278,66 @@ object Ann {
     PqCodebook(m, subDim, cents)
   }
 
+  /** Mean squared PQ reconstruction error of `corpus` under `cb` — the
+    * codebook-quality number: per vector,
+    * `err² = Σ_j ‖sub_j − cent_{k_j}‖²` with `k_j` the [[pqEncode]]
+    * argmin code, computed WITHOUT materializing codes — since the
+    * argmin objective is `score = cent_sq − 2⟨sub, cent⟩`, the chosen
+    * code's squared error is `‖sub‖² + min_score`, so
+    * `err² = ‖v‖² + Σ_j min_j score_j` (one codegen'd projection + one
+    * scalar aggregate with map-side partials — a linear pass, nothing
+    * reaches the driver but one double). Returns 0.0 on an empty
+    * corpus. */
+  def pqDistortion(corpus: DataFrame, cb: PqCodebook): Double = {
+    val scoreArrs = (0 until cb.m).map { j =>
+      val sub = slice(col("c_v"), j * cb.subDim + 1, cb.subDim)
+      array((0 until cb.ks).map(c =>
+        lit(cb.centSq(j)(c)) -
+          lit(2.0) * VectorFns.dot(sub, typedLit(cb.cents(j)(c)))): _*)
+        .as(s"sc$j")
+    }
+    val err2 = (0 until cb.m)
+      .map(j => array_min(col(s"sc$j")))
+      .foldLeft(col("c_nrm") * col("c_nrm"))(_ + _)
+    val r = corpus
+      .select(col("c_nrm") +: scoreArrs: _*)
+      .select(err2.as("e"))
+      .agg(avg("e"))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Codebook-staleness fence for a stored IVF-PQ index — the retrain
+    * twin of the [[ivfImbalance]] cell-skew fence: [[ivfPqStaleness]]
+    * above this means the FROZEN codebook ([[ivfPqBuild]] trains once;
+    * [[ivfPqAppend]] never retrains) no longer represents incoming
+    * batches, so ADC scores stop discriminating and route recall decays
+    * silently (measured: a planted 4σ per-dim shift reads ≫ this fence
+    * while same-distribution batches read ≈ 1; see the
+    * q_ann_recall_ivfpq_drift eval row for what stale recall looks
+    * like). Past the fence, retrain + rebuild:
+    * `pqTrain(union) → ivfPqBuild` — codes are cheap to re-derive (one
+    * linear encode pass), the raw `lists/` tier moves unchanged. */
+  val IvfPqRetrainFence = 4.0d
+
+  /** How stale the stored codebook is for `batch` (corpus-shaped):
+    * `pqDistortion(batch, stored cb) / build-time distortion` (the
+    * denominator is persisted by [[ivfPqBuild]] under `stats/`). ≈ 1
+    * for same-distribution batches; grows with distribution shift —
+    * fence with [[IvfPqRetrainFence]]. One linear pass over the batch
+    * plus a one-row stats read. */
+  def ivfPqStaleness(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame): Double = {
+    val cb = ivfPqCodebook(spark, path)
+    val build = spark.read.parquet(s"$path/stats").head().getDouble(0)
+    val cur = pqDistortion(batch, cb)
+    if (build > 0.0) cur / build
+    else if (cur == 0.0) 1.0
+    else Double.PositiveInfinity
+  }
+
   /** PQ-encode the corpus: `(neighbor_id, k0..k{m-1}, recon_nrm)` — the
     * 100 TB representation. Codes are `m` small ints + one double
     * (~16 B/vector vs 512 B raw for 64 dims): the ADC scan reads ONLY
@@ -495,6 +555,12 @@ object Ann {
       .toDF("sub_id", "code", "cent_v")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
+    // build-time codebook distortion: the [[ivfPqStaleness]] baseline
+    // (one extra linear pass at build time — build runs once)
+    Seq(pqDistortion(corpus, cb))
+      .toDF("build_distortion")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Incrementally add `batch` (corpus-shaped) to a stored IVF-PQ

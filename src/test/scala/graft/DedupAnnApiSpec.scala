@@ -1133,6 +1133,35 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(probe() == before)
   }
 
+  test("ivfPqStaleness: ~1 on same-distribution batches, trips the retrain fence on a planted shift") {
+    val corpus = embs.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val same = embs.filter(col("vec_id") >= 300)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cents = embs.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+    val cb = Ann.pqTrain(corpus, 8, 8, 64, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_stale").toString
+    Ann.ivfPqBuild(corpus, cents, cb, dir)
+    // a held-out batch from the SAME distribution reads ≈ 1 — append-only
+    // ingest stays under the fence
+    val sSame = Ann.ivfPqStaleness(spark, dir, same)
+    assert(sSame > 0.3 && sSame < 3.0, s"same-distribution staleness $sSame should be ~1")
+    assert(sSame < Ann.IvfPqRetrainFence)
+    // the q_ann_recall_ivfpq_drift shift (+0.5/dim ≈ 4σ) trips it
+    val shifted = same
+      .select(
+        col("neighbor_id"),
+        org.apache.spark.sql.functions.transform(col("c_v"), x => x + lit(0.5d)).as("c_v"))
+      .withColumn("c_nrm", VectorFns.norm(col("c_v")))
+    val sShift = Ann.ivfPqStaleness(spark, dir, shifted)
+    assert(
+      sShift > Ann.IvfPqRetrainFence,
+      s"planted 4-sigma shift must trip the retrain fence, got $sShift")
+    // degenerate corners: empty batch distorts nothing
+    assert(Ann.pqDistortion(corpus.limit(0), cb) == 0.0)
+  }
+
   test("ivfPqMaintain: two-tier split re-homes codes byte-equal, cold cells bit-identical in BOTH tiers") {
     import spark.implicits._
     def vec(xs: Double*) = xs.toSeq

@@ -248,6 +248,7 @@ class PlanSpec extends SparkSpec {
       "q_ann_ivfpq", // bounded queries×quantizer product (the q_ann_ivf shape)
       "q_ann_ivfpq_stored", // same bounded queries×quantizer product
       "q_ann_recall_ivfpq", // brute-force exact arm + the q_ann_ivfpq products
+      "q_ann_recall_ivfpq_drift", // same products over the shifted union corpus
       "q_ivf_probe_curve", // brute-force exact arm + queries×quantizer ranks
                            // + one-row query-count normalizer
       "q_seq_patterns", // one-row distinct-user total broadcast
