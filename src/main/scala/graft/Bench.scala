@@ -106,12 +106,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Deep-decade probes size shuffle partitions ∝ data — the rule a
-    // real deployment follows (fixed partitions over 100× the rows
-    // makes every per-partition hash build / sort run 100× oversized).
-    // Default stays = cores for the comparable four-leg board.
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Shuffle partitions ∝ input bytes by default (fixed partitions over
+    // 100× the rows make every per-partition hash build / sort run 100×
+    // oversized — the measured sf100 OOM class): one metadata walk of
+    // the input dir, floor = cores, so the whole four-leg board
+    // (sf0.01…sf10) keeps its measured all-cores plans and the 19 GiB
+    // fifth decade lands at ≥ the probe convention's 256 without anyone
+    // knowing the env var. The env var stays as the explicit override.
+    val shufflePartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      graft.operators.AutoPartitions
+        .derive(graft.operators.AutoPartitions.dirBytes(sfDir), cpus.toInt)
+        .toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -21,9 +21,16 @@ object Verify {
       sys.exit(1)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partitions ∝ input bytes, floor = cores (see Bench.scala — the
+    // same rule, so a deep-decade verify run is sized like its bench)
+    val shufflePartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      graft.operators.AutoPartitions
+        .derive(graft.operators.AutoPartitions.dirBytes(sfDir), cpus.toInt)
+        .toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // runtime SMJ→SHJ conversion for the unhinted n-scaling joins
       // (see Bench.scala / Dedup.ngramJaccard)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")

@@ -700,6 +700,25 @@ class PipelineSpec extends SparkSpec {
     assert(cuts == cuts.sorted.reverse, s"cut must shrink with corpus size: $cuts")
   }
 
+  test("AutoPartitions: board SFs keep the core count, the 19 GiB fifth decade meets the probe convention") {
+    import graft.operators.AutoPartitions._
+    // the measured four-leg board (sf0.01 ≈ 1.9 MB … sf10 ≈ 1.9 GB at
+    // 32 cores): plans unchanged — partitions stay at the core count
+    assert(derive(1877762L, 32) == 32)
+    assert(derive(17508506L, 32) == 32)
+    assert(derive(1900000000L, 32) == 32)
+    // the 5M-doc / ~19 GiB fifth decade picks at least the probe
+    // convention's 256 (SPARK_GRAFT_SHUFFLE_PARTITIONS=256 at sf100)
+    assert(derive(19L * 1024 * 1024 * 1024, 32) >= 256)
+    // monotone in bytes, floored at cores, capped
+    val seq = Seq(0L, 1L << 20, 1L << 30, 1L << 34, 1L << 40, 1L << 50).map(derive(_, 32))
+    assert(seq == seq.sorted)
+    assert(seq.head == 32 && seq.last == MaxPartitions)
+    // a real input dir measures > 0; a missing one degrades to the floor
+    assert(dirBytes("/root/testdata/sf0.01") > 0L)
+    assert(dirBytes("/nonexistent/graft") == 0L && derive(0L, 32) == 32)
+  }
+
   test("sampled-eval CI brackets the full-corpus recall at sf0.1") {
     val dir = "/root/testdata/sf0.1"
     assume(new java.io.File(s"$dir/documents.parquet").exists)
