@@ -67,7 +67,8 @@ object Bench {
     "q_normalize",
     "q_vocab_topk",
     "q_inverted_index", "q_bm25", "q_rrf_fusion", "q_pii_audit", "q_journeys",
-    "q_tfidf_terms", "q_fingerprint", "q_winnow", "q_winnow_eval", "q_repetition", "q_ngram_counts",
+    "q_tfidf_terms", "q_fingerprint", "q_winnow", "q_winnow_eval",
+    "q_winnow_eval_sampled", "q_repetition", "q_ngram_counts",
     "q_heavy_hitters", "q_cms_counts", "q_passage_dedup", "q_line_dedup", "q_dup_rank",
     "q_quality_model", "q_score_auc", "q_corpus_shuffle", "q_quantize_embed", "q_html_strip",
     "q_profile", "q_source_overlap", "q_source_divergence", "q_script_profile", "q_lm_score",

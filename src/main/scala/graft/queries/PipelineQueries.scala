@@ -45,6 +45,50 @@ object PipelineQueries {
 
   private val ShingleCte = "WITH " + shingleCtes("documents", "").stripMargin
 
+  /** Sampled-docs CTEs (`nd`/`cutv`/`sdocs`) for the sampled
+    * ground-truth evals: the √n hash-sample whose cutoff re-derives
+    * from `count(*)` with the same IEEE divide/sqrt/ceil as
+    * [[evalSampleCut]]. */
+  private def sampledDocsCtes: String = {
+    val idh = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
+    s"""nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |cutv AS (
+       |  SELECT CASE WHEN n <= 0 THEN CAST(10000 AS BIGINT)
+       |              ELSE least(CAST(10000 AS BIGINT),
+       |                         CAST(ceil(10000.0 * sqrt($EvalSampleBudget / CAST(n AS DOUBLE))) AS BIGINT))
+       |         END AS cut
+       |  FROM nd),
+       |sdocs AS (SELECT d.* FROM documents d, cutv WHERE $idh % 10000 < cutv.cut)""".stripMargin
+  }
+
+  /** The sampled-eval confusion + CI tail ([[confusionWithCi]]'s SQL
+    * twin): pair full-outer join of `candRel`/`exactRel` (both
+    * `(a_id, b_id)`), one-row counts, precision/recall and the 95%
+    * binomial CI on recall with the identical IEEE operation order. */
+  private def sampledCiTailSql(candRel: String, exactRel: String): String =
+    s"""conf AS (
+       |  SELECT coalesce(s.a_id, e.a_id) AS a_id,
+       |         (s.a_id IS NOT NULL) AS in_cand, (e.a_id IS NOT NULL) AS in_exact
+       |  FROM $candRel s FULL OUTER JOIN $exactRel e
+       |    ON s.a_id = e.a_id AND s.b_id = e.b_id),
+       |agg AS (
+       |  SELECT CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |         CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |         CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM conf),
+       |sel AS (
+       |  SELECT n_cand, n_exact, tp,
+       |         CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) AS p,
+       |         CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS r,
+       |         CAST(1.96 AS DOUBLE) * sqrt(CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) * (1.0 - CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)) AS half
+       |  FROM agg)
+       |SELECT n_cand, n_exact, tp,
+       |       floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision,
+       |       floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall,
+       |       floor(greatest(0.0, r - half) * 1000000.0 + 0.5) / 1000000.0 AS recall_lo,
+       |       floor(least(1.0, r + half) * 1000000.0 + 0.5) / 1000000.0 AS recall_hi
+       |FROM sel""".stripMargin
+
   // ---------------------------------------------------------------- dedup
   // Thin bindings of graft.dedup.Dedup / graft.similarity.Ann to the
   // driver's test tables — parameters fixed to the oracle's values, plus
@@ -2289,6 +2333,15 @@ object PipelineQueries {
         threshold = 0.5)
       .select(col("a_id"), col("b_id"))
       .withColumn("in_exact", lit(true))
+    confusionWithCi(cand, exact)
+  }
+
+  /** The sampled-eval confusion fold: full-outer pair join → one-row
+    * counts → precision/recall + the 95% normal-approximation binomial
+    * CI on recall (`r ± 1.96·√(r(1−r)/n_exact)`, clamped to [0, 1]) —
+    * shared by both sampled ground-truth arms so their statistics are
+    * definitionally identical. */
+  private def confusionWithCi(cand: DataFrame, exact: DataFrame): DataFrame = {
     val ne = col("n_exact").cast("double")
     val p = col("tp").cast("double") / col("n_cand").cast("double")
     val r = col("tp").cast("double") / ne
@@ -3153,9 +3206,17 @@ object PipelineQueries {
     * sf100 lesson). */
   private def winnowKept(
       s: SparkSession,
-      d: String): (DataFrame, DataFrame => DataFrame) = {
+      d: String): (DataFrame, DataFrame => DataFrame) =
+    winnowKeptFrom(docs(s, d), s)
+
+  /** [[winnowKept]] over an arbitrary doc relation — the seam the
+    * SAMPLED eval reuses (the df ≤ 64 stop rule is corpus-dependent, so
+    * the sampled eval applies the geometry AT the sampled corpus). */
+  private def winnowKeptFrom(
+      base: DataFrame,
+      s: SparkSession): (DataFrame, DataFrame => DataFrame) = {
     val fp = Dedup
-      .winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)
+      .winnowFingerprints(base, "doc_id", "text", k = 3, w = 4)
       .select(col("doc_id"), col("fp"))
       .distinct()
       .transform(graft.operators.Materialize.cut(_))
@@ -3225,6 +3286,40 @@ object PipelineQueries {
               (col("tp").cast("double") / col("n_cand").cast("double") +
                 col("tp").cast("double") / col("n_exact").cast("double"))))
           .otherwise(lit(0.0d)).as("f1"))
+  }
+
+  /** SAMPLED arm of [[qWinnowEval]] — the second of the two measured
+    * n^1.44 exact-ground-truth rows, fixed the same way as
+    * [[qSimhashEvalSampled]]: the √n md5 doc-sample ([[evalSampleCut]])
+    * upstream of the IDENTICAL winnow-candidate + exact-Jaccard
+    * confusion fold, reported with the 95% binomial CI on recall. One
+    * honesty note the simhash twin does not need: the df ≤ 64
+    * stop-fingerprint rule is CORPUS-dependent, so candidacy is not
+    * purely pairwise here — the sampled eval scores the winnow geometry
+    * AT the sampled corpus (the standard practice for
+    * corpus-dependent features), and the CI quantifies pair-sampling
+    * error conditional on that geometry. The shared exact arm — the
+    * whole measured cost — is the thing the sample buys down. */
+  def qWinnowEvalSampled(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val cut = evalSampleCut(all.count())
+    val sampled =
+      all.filter(graft.operators.Sampling.hashBucket(col("doc_id")) < cut)
+    val (kept, pinned) = winnowKeptFrom(sampled, s)
+    val cand = kept
+      .select(col("fp"), col("doc_id").as("a_id"))
+      .join(pinned(kept.select(col("fp"), col("doc_id").as("b_id"))), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowEvalMinShared)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_cand", lit(true))
+    val exact = Dedup
+      .ngramJaccard(sampled, k = 3, threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("in_exact", lit(true))
+    confusionWithCi(cand, exact)
   }
 
   /** Multimodal metadata rollup over the asset table (the codec-free
@@ -4807,6 +4902,7 @@ object PipelineQueries {
     "q_fingerprint" -> qFingerprint _,
     "q_winnow" -> qWinnow _,
     "q_winnow_eval" -> qWinnowEval _,
+    "q_winnow_eval_sampled" -> qWinnowEvalSampled _,
     "q_kmeans" -> qKmeans _,
     "q_semdedup" -> qSemdedup _,
     "q_dup_spans" -> qDupSpans _,
@@ -6487,16 +6583,8 @@ object PipelineQueries {
     // sampled-eval replay: the identical wide-candidate + shingle
     // ground-truth fold over the √n hash-sample; the cutoff re-derives
     // from count(*) with the same IEEE divide/sqrt/ceil as evalSampleCut
-    "q_simhash_eval_sampled" -> {
-      val idh = Hashing.duckMd5Long("CAST(doc_id AS VARCHAR)")
-      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         |cutv AS (
-         |  SELECT CASE WHEN n <= 0 THEN CAST(10000 AS BIGINT)
-         |              ELSE least(CAST(10000 AS BIGINT),
-         |                         CAST(ceil(10000.0 * sqrt($EvalSampleBudget / CAST(n AS DOUBLE))) AS BIGINT))
-         |         END AS cut
-         |  FROM nd),
-         |sdocs AS (SELECT d.* FROM documents d, cutv WHERE $idh % 10000 < cutv.cut),
+    "q_simhash_eval_sampled" ->
+      s"""WITH $sampledDocsCtes,
          |${simhashWideSimsCtes("sdocs")},
          |${simhashWidePairCtes("spairs")},
          |${shingleCtes("sdocs", "")},
@@ -6508,28 +6596,46 @@ object PipelineQueries {
          |epairs AS (
          |  SELECT a_id, b_id FROM common
          |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.5),
-         |conf AS (
-         |  SELECT coalesce(s.a_id, e.a_id) AS a_id,
-         |         (s.a_id IS NOT NULL) AS in_cand, (e.a_id IS NOT NULL) AS in_exact
-         |  FROM spairs s FULL OUTER JOIN epairs e
-         |    ON s.a_id = e.a_id AND s.b_id = e.b_id),
-         |agg AS (
-         |  SELECT CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
-         |         CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-         |         CAST(sum(CASE WHEN in_cand AND in_exact THEN 1 ELSE 0 END) AS BIGINT) AS tp
-         |  FROM conf),
-         |sel AS (
-         |  SELECT n_cand, n_exact, tp,
-         |         CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) AS p,
-         |         CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS r,
-         |         CAST(1.96 AS DOUBLE) * sqrt(CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) * (1.0 - CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)) AS half
-         |  FROM agg)
-         |SELECT n_cand, n_exact, tp,
-         |       floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision,
-         |       floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall,
-         |       floor(greatest(0.0, r - half) * 1000000.0 + 0.5) / 1000000.0 AS recall_lo,
-         |       floor(least(1.0, r + half) * 1000000.0 + 0.5) / 1000000.0 AS recall_hi
-         |FROM sel""".stripMargin
+         |${sampledCiTailSql("spairs", "epairs")}""".stripMargin,
+    // the winnow twin: q_winnow_eval's candidate CTEs over the SAME
+    // sampled docs (the df<=64 stop rule re-derives on the sample — the
+    // geometry is scored AT the sampled corpus), same CI tail
+    "q_winnow_eval_sampled" -> {
+      val h = Hashing.duckMd5Long("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")
+      val hs = Hashing.duckMd5Long("shingle")
+      s"""WITH $sampledDocsCtes,
+         |wtk AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+         |  FROM sdocs),
+         |whs AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, len(t) - 2), i -> $h) AS h
+         |  FROM wtk WHERE len(t) >= 3),
+         |wsel AS (
+         |  SELECT doc_id, h,
+         |         list_distinct(list_transform(generate_series(1, len(h) - 3), j ->
+         |           CAST(j + 4 AS BIGINT) -
+         |           list_position(list_reverse(h[j:j+3]), list_min(h[j:j+3])))) AS ps
+         |  FROM whs WHERE len(h) >= 4),
+         |wfp AS (
+         |  SELECT DISTINCT doc_id, h[CAST(p AS INTEGER)] AS fp
+         |  FROM (SELECT doc_id, h, unnest(ps) AS p FROM wsel)),
+         |wrare AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 64),
+         |cpairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM wfp a JOIN wfp b USING (fp) JOIN wrare USING (fp)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $WinnowEvalMinShared),
+         |${shingleCtes("sdocs", "")},
+         |ngx AS (SELECT doc_id, sz, $hs AS h FROM ex),
+         |common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz, count(*) AS c
+         |  FROM ngx a JOIN ngx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |epairs AS (
+         |  SELECT a_id, b_id FROM common
+         |  WHERE round(CAST(c AS DOUBLE) / (a_sz + b_sz - c), 6) >= 0.5),
+         |${sampledCiTailSql("cpairs", "epairs")}""".stripMargin
     },
     "q_jl_project" ->
       s"""WITH qvs AS (

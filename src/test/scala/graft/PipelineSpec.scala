@@ -735,5 +735,11 @@ class PipelineSpec extends SparkSpec {
     assert(
       lo <= fullRecall && fullRecall <= hi,
       s"full recall $fullRecall outside sampled CI [$lo, $hi]")
+    // the winnow twin (the other measured n^1.44 exact arm) brackets too
+    val w = PipelineQueries.qWinnowEvalSampled(spark, dir).head()
+    val wFull = PipelineQueries.qWinnowEval(spark, dir).head().getDouble(4)
+    assert(
+      w.getDouble(5) <= wFull && wFull <= w.getDouble(6),
+      s"full winnow recall $wFull outside sampled CI [${w.getDouble(5)}, ${w.getDouble(6)}]")
   }
 }
