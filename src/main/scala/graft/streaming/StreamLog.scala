@@ -1202,6 +1202,54 @@ object StreamLog {
     * markers and silently discard its own early batches as "replays".
     * Contract: a restart of the same logical pipeline reuses the same
     * (sinkId, checkpoint) pair; a NEW pipeline gets a new sinkId. */
+  /** Live vector-ingest sink for a persisted IVF-PQ index
+    * ([[graft.similarity.Ann.ivfPqBuild]]'s layout): every micro-batch
+    * of `(neighbor_id, c_v)` vectors appends through the STORED
+    * quantizer + codebook and runs the hot-cell maintenance fence in
+    * the same call ([[graft.similarity.Ann.ivfPqAppendMaintained]]) —
+    * the self-balancing serving-index loop as a Structured Streaming
+    * sink (the recommender shape: embeddings stream in, probes never
+    * retrain, skew never accumulates). Batch-replay fencing follows
+    * the [[appendSink]] marker idiom: a committed batch id is recorded
+    * under `_ingest_commits/` AFTER its append, so a post-restart
+    * replay of a committed batch is a no-op; the remaining duplicate
+    * window (crash BETWEEN append and marker) is parquet-append
+    * non-atomicity — the same at-least-once contract appendSink
+    * documents, with [[graft.similarity.Ann.ivfRecover]] keeping the
+    * index itself consistent through any maintenance crash. Codebook
+    * drift is the operator's axis: sample batches through
+    * [[graft.similarity.Ann.ivfPqStaleness]] and retrain past
+    * [[graft.similarity.Ann.IvfPqRetrainFence]]. */
+  def ivfPqIngest(
+      vectors: DataFrame,
+      path: String,
+      checkpoint: String,
+      fence: Double = 2.0,
+      splitInto: Int = 0,
+      iters: Int = 2,
+      dim: Int = 64,
+      maxRounds: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        val conf = session.sessionState.newHadoopConf()
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$path/_ingest_commits/batch-$batchId.done")
+        val fs = marker.getFileSystem(conf)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          graft.similarity.Ann.ivfPqAppendMaintained(
+            session,
+            graft.similarity.Ann.withNorm(batch, "c_v", "c_nrm"),
+            path, fence, splitInto, iters, dim, maxRounds)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
+
   def appendSink(
       entries: DataFrame,
       log: EventLog,

@@ -1133,6 +1133,62 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(probe() == before)
   }
 
+  test("ivfPqIngest: streamed batches land in both tiers, a surge self-balances inside the sink, commits are markered") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def vec(xs: Double*) = xs.toSeq
+    def corpusDf(rows: Seq[(Long, Seq[Double])]) = Ann.withNorm(
+      rows.toDF("neighbor_id", "c_v"), "c_v", "c_nrm")
+    val cents = Seq(
+      (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 1, 0)), (4L, vec(0, 0, 0, 1)))
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_nrm", VectorFns.norm(col("cent_v")))
+    val base = (1 to 4).flatMap(i =>
+      Seq.tabulate(4)(j =>
+        (i * 10L + j) -> Seq.tabulate(4)(k => if (k == i - 1) 1.0 else 0.01 * (j + 1))))
+    val cb = Ann.pqTrain(corpusDf(base), m = 2, ks = 2, dim = 4, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_ingest_ck").toString
+    Ann.ivfPqBuild(corpusDf(base), cents, cb, path)
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val q = graft.streaming.StreamLog.ivfPqIngest(
+      mem.toDS().toDF("neighbor_id", "c_v"),
+      path, ckpt, fence = 2.0, splitInto = 2, iters = 2, dim = 4)
+    try {
+      // calm batch: two vectors in different cells — appended, no split
+      mem.addData(Seq(301L -> vec(0, 1, 0.05, 0), 302L -> vec(0, 0, 0.05, 1)): _*)
+      q.processAllAvailable()
+      assert(Ann.ivfImbalance(spark, path) < 2.0)
+      def ids(tier: String) = spark.read.parquet(s"$path/$tier")
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(ids("lists").contains(301L) && ids("codes").contains(302L))
+      // a probe through the STORED index sees the streamed vector
+      val probeQ = Ann.withNorm(
+        Seq(0L -> vec(0.0, 1.0, 0.049, 0.0)).toDF("query_id", "q_v"), "q_v", "q_nrm")
+      val hits = Ann.ivfPqProbe(spark, path, probeQ, k = 3, nProbe = 1, shortlist = 100)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(hits.contains(301L), s"streamed vector not served: $hits")
+      // skewed surge into cell 1's region: the sink's wired maintenance
+      // restores balance within the same micro-batch
+      val surge = (401L to 440L).map(i =>
+        i -> vec(1, (if (i % 2 == 0) 0.3 else 0.0) + 0.0001 * (i - 401),
+          (if (i % 2 == 1) 0.3 else 0.0), 0))
+      mem.addData(surge: _*)
+      q.processAllAvailable()
+      assert(Ann.ivfImbalance(spark, path) < 2.0, "surge must self-balance inside the sink")
+      // nothing lost, tiers consistent
+      val expect = base.map(_._1).toSet ++ Set(301L, 302L) ++ (401L to 440L)
+      assert(ids("lists") == expect && ids("codes") == expect)
+      // committed batches are markered (the replay fence); ignore the
+      // local-FS .crc sidecars
+      val markers = new java.io.File(s"$path/_ingest_commits").listFiles()
+        .map(_.getName).filter(n => n.startsWith("batch-") && n.endsWith(".done"))
+      assert(markers.sorted.toSeq == Seq("batch-0.done", "batch-1.done"))
+    } finally q.stop()
+  }
+
   test("ivfPqStaleness: ~1 on same-distribution batches, trips the retrain fence on a planted shift") {
     val corpus = embs.filter(col("vec_id") >= 10 && col("vec_id") < 300)
       .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
