@@ -325,13 +325,29 @@ object Ann {
     * denominator is persisted by [[ivfPqBuild]] under `stats/`). ≈ 1
     * for same-distribution batches; grows with distribution shift —
     * fence with [[IvfPqRetrainFence]]. One linear pass over the batch
-    * plus a one-row stats read. */
+    * plus a one-row stats read. An index persisted before the stats
+    * tier existed degrades gracefully: the baseline is recomputed from
+    * the stored `lists/` raw vectors (one linear pass) and backfilled
+    * into `stats/` so the next readout is one row again. */
   def ivfPqStaleness(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       batch: DataFrame): Double = {
+    import spark.implicits._
     val cb = ivfPqCodebook(spark, path)
-    val build = spark.read.parquet(s"$path/stats").head().getDouble(0)
+    val conf = spark.sessionState.newHadoopConf()
+    val stats = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val build =
+      if (stats.getFileSystem(conf).exists(stats))
+        spark.read.parquet(s"$path/stats").head().getDouble(0)
+      else {
+        val b = pqDistortion(
+          spark.read.parquet(s"$path/lists").select("neighbor_id", "c_v", "c_nrm"),
+          cb)
+        Seq(b).toDF("build_distortion").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/stats")
+        b
+      }
     val cur = pqDistortion(batch, cb)
     if (build > 0.0) cur / build
     else if (cur == 0.0) 1.0

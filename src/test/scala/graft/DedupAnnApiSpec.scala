@@ -1216,6 +1216,14 @@ class DedupAnnApiSpec extends SparkSpec {
       s"planted 4-sigma shift must trip the retrain fence, got $sShift")
     // degenerate corners: empty batch distorts nothing
     assert(Ann.pqDistortion(corpus.limit(0), cb) == 0.0)
+    // pre-stats index (built before the stats tier existed): the
+    // baseline recomputes from lists/ and backfills, same verdicts
+    val hconf = spark.sessionState.newHadoopConf()
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    statsPath.getFileSystem(hconf).delete(statsPath, true)
+    val sLegacy = Ann.ivfPqStaleness(spark, dir, shifted)
+    assert(sLegacy > Ann.IvfPqRetrainFence)
+    assert(new java.io.File(s"$dir/stats").exists, "baseline must backfill")
   }
 
   test("ivfPqMaintain: two-tier split re-homes codes byte-equal, cold cells bit-identical in BOTH tiers") {
