@@ -756,17 +756,29 @@ final class PushNetMux private[log] (
           s.connect(new InetSocketAddress(host, port), 1000)
           current = s
           if (open.get()) {
+            // this session: auth first (re-dial re-auths with a fresh
+            // tokenFunc() evaluation) + mux mode on, written INSIDE the
+            // writer-publish lock — a concurrent subscribe()'s #sub
+            // could otherwise win the lock between the publish and the
+            // auth send and reach an auth-required server as the FIRST
+            // line (one counted rejection + a needless re-dial); the
+            // auth-before-anything ordering must hold against every
+            // client thread, not just this one. Channels re-register
+            // after, through the normal send path.
             writeLock.synchronized {
-              writer = new BufferedWriter(
+              val w = new BufferedWriter(
                 new OutputStreamWriter(s.getOutputStream, UTF_8))
+              try {
+                tokenFunc.foreach { tf =>
+                  w.write(PushNet.ctlAuth(tf())); w.newLine()
+                }
+                w.write(PushNet.CtlMux); w.newLine()
+                w.flush()
+              } catch { case NonFatal(_) => () } // broken dial: re-loop
+              writer = w
             }
             val in = new BufferedReader(
               new InputStreamReader(s.getInputStream, UTF_8))
-            // this session: auth first (re-dial re-auths with a fresh
-            // tokenFunc() evaluation), then mux mode on, then
-            // re-register every channel
-            tokenFunc.foreach(tf => send(PushNet.ctlAuth(tf())))
-            send(PushNet.CtlMux)
             channels.forEach { (_, ch) =>
               send(PushNet.ctlSub(ch.id, ch.space, ch.segment))
             }

@@ -1087,16 +1087,22 @@ object Ann {
     }
 
     // final assignment rides the SAME centroids that get stored, so
-    // member ↔ quantizer consistency holds by construction — ONE job
-    assign(centsDf(subs))
-      .select("neighbor_id", "c_v", "c_nrm", "cent_id")
+    // member ↔ quantizer consistency holds by construction — ONE job.
+    // Two-tier indexes materialize it once (hot-cell sized) so the
+    // codes write re-reads the cut, not the hot partitions.
+    val finalAssign0 =
+      assign(centsDf(subs)).select("neighbor_id", "c_v", "c_nrm", "cent_id")
+    val finalAssign =
+      if (cbOpt.isDefined) graft.operators.Materialize.cut(finalAssign0)
+      else finalAssign0
+    finalAssign
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
 
     // two-tier re-home: the moved rows' codes are a pure projection of
     // the raw vectors under the FROZEN codebook — identical values to
     // the pre-split rows, new cent_id partitioning (see ivfPqMaintain)
     cbOpt.foreach { cb =>
-      pqEncode(assign(centsDf(subs)), cb, carry = Seq("cent_id"))
+      pqEncode(finalAssign, cb, carry = Seq("cent_id"))
         .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
     }
 

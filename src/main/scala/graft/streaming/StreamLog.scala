@@ -1245,10 +1245,30 @@ object StreamLog {
             path, fence, splitInto, iters, dim, maxRounds)
           fs.mkdirs(marker.getParent)
           fs.create(marker, true).close()
+          // bounded metadata: a restart can only replay batches at/after
+          // the checkpoint's last uncommitted offset, so markers far in
+          // the past are dead weight — keep a generous window instead of
+          // one file per batch forever (millions at 100 TB ingest rates)
+          if (batchId >= IngestMarkerKeep)
+            fs.listStatus(marker.getParent).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith("batch-") && n.endsWith(".done") &&
+                n.stripPrefix("batch-").stripSuffix(".done").toLong <
+                  batchId - IngestMarkerKeep) {
+                fs.delete(st.getPath, false)
+                ()
+              }
+            }
           ()
         }
       }
       .start()
+
+  /** Commit markers retained behind the latest batch by [[ivfPqIngest]]
+    * — far more than any restart can replay (replay reaches back only
+    * to the checkpoint's last uncommitted batch), small enough that the
+    * marker listing stays a trivial metadata op forever. */
+  val IngestMarkerKeep = 1000L
 
   def appendSink(
       entries: DataFrame,

@@ -394,6 +394,10 @@ class PushNetSpec extends SparkSpec {
 
   test("auth: good tokens flow on subscriber, mux channels, and survive encoding") {
     val log = freshLog()
+    // rejectedCount == 0 below is strict on purpose: it caught a real
+    // ordering race (a concurrent subscribe()'s #sub slipping ahead of
+    // the mux session's #auth line under load) — fixed by writing auth
+    // inside the writer-publish lock
     val srv = PushNet.server(
       log, bindHost = "127.0.0.1", verify = Some(PushNet.tokenVerifier(Tok)))
     val subGot = mutable.Buffer.empty[SegmentStatus]
