@@ -315,9 +315,10 @@ object Ann {
     * silently (measured: a planted 4σ per-dim shift reads ≫ this fence
     * while same-distribution batches read ≈ 1; see the
     * q_ann_recall_ivfpq_drift eval row for what stale recall looks
-    * like). Past the fence, retrain + rebuild:
-    * `pqTrain(union) → ivfPqBuild` — codes are cheap to re-derive (one
-    * linear encode pass), the raw `lists/` tier moves unchanged. */
+    * like). Past the fence, [[ivfPqRetrain]]: retrain on the index's
+    * current corpus and re-encode ONLY the codes tier — the raw
+    * `lists/` tier and the quantizer are codebook-independent and never
+    * move. */
   val IvfPqRetrainFence = 4.0d
 
   /** How stale the stored codebook is for `batch` (corpus-shaped):
@@ -595,6 +596,55 @@ object Ann {
     assigned.write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
     pqEncode(assigned, cb, carry = Seq("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
+  }
+
+  /** The ACTION behind the [[IvfPqRetrainFence]]: retrain the codebook
+    * on the index's CURRENT corpus (the stored raw `lists/`, drifted
+    * appends included) and re-encode ONLY the `codes/` tier against it
+    * — the raw tier and the quantizer are codebook-independent, so a
+    * retrain never touches `centroids/` or `lists/` (vs a full
+    * [[ivfPqBuild]], which would rewrite the heavy raw tier for
+    * nothing). Refreshes `codebook/` and the `stats/` baseline, so the
+    * next [[ivfPqStaleness]] readout measures against the new book.
+    * Geometry (m, ks, dim) is carried over from the stored codebook;
+    * seeds/training follow [[pqTrain]]'s deterministic conventions over
+    * the stored rows.
+    *
+    * Consistency: the three tier writes (codes → codebook → stats) are
+    * not atomic as a group — run a retrain in a maintenance window (no
+    * concurrent probes/appends), or build into a fresh index directory
+    * and swap, exactly like the reference's offline compaction. A
+    * probe that races the window reads mixed ADC scores but NEVER
+    * wrong results (the final rerank is exact over raw vectors); an
+    * append that races it encodes against whichever book it loaded —
+    * re-run the retrain after. Returns the retrained codebook. */
+  def ivfPqRetrain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      iters: Int = 2): PqCodebook = {
+    import spark.implicits._
+    val old = ivfPqCodebook(spark, path)
+    val dim = old.m * old.subDim
+    val lists = spark.read
+      .parquet(s"$path/lists")
+      .select(
+        col("neighbor_id"),
+        col("c_v"),
+        col("c_nrm"),
+        col("cent_id").cast("long").as("cent_id"))
+    val cb = pqTrain(lists, old.m, old.ks, dim, iters)
+    pqEncode(lists, cb, carry = Seq("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
+    cb.cents.zipWithIndex
+      .flatMap { case (subs, j) => subs.zipWithIndex.map { case (v, c) => (j, c, v) } }
+      .toDF("sub_id", "code", "cent_v")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Seq(pqDistortion(lists, cb))
+      .toDF("build_distortion")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+    cb
   }
 
   /** Load a persisted codebook back into the driver-side literal form

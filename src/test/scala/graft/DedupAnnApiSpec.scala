@@ -1224,6 +1224,31 @@ class DedupAnnApiSpec extends SparkSpec {
     val sLegacy = Ann.ivfPqStaleness(spark, dir, shifted)
     assert(sLegacy > Ann.IvfPqRetrainFence)
     assert(new java.io.File(s"$dir/stats").exists, "baseline must backfill")
+
+    // the fence's ACTION closes the loop: append the drifted batch,
+    // retrain on the index's current corpus (codes tier only), and the
+    // same batch reads fresh against the new book
+    Ann.ivfPqAppend(spark, shifted, dir)
+    val pre = Ann.ivfPqStaleness(spark, dir, shifted)
+    assert(pre > Ann.IvfPqRetrainFence)
+    val newCb = Ann.ivfPqRetrain(spark, dir, iters = 2)
+    val post = Ann.ivfPqStaleness(spark, dir, shifted)
+    assert(post < pre, s"retrain must reduce staleness: $pre -> $post")
+    assert(post < Ann.IvfPqRetrainFence, s"retrained staleness $post must sit under the fence")
+    // raw tier + quantizer untouched; codes/codebook/stats refreshed and
+    // the stored probe equals the inline route under the NEW book
+    val qs = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val lists = spark.read.parquet(s"$dir/lists")
+      .select("neighbor_id", "c_v", "c_nrm")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(Ann.ivfPqCodebook(spark, dir).cents == newCb.cents)
+    assert(
+      rows(Ann.ivfPqProbe(spark, dir, qs, k = 5, nProbe = 2, shortlist = 20)) ==
+        rows(Ann.ivfPqTopKWith(qs, lists, cents, newCb, k = 5, nProbe = 2, shortlist = 20)))
   }
 
   test("ivfPqMaintain: two-tier split re-homes codes byte-equal, cold cells bit-identical in BOTH tiers") {
