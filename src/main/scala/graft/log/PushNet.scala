@@ -768,13 +768,16 @@ final class PushNetMux private[log] (
             writeLock.synchronized {
               val w = new BufferedWriter(
                 new OutputStreamWriter(s.getOutputStream, UTF_8))
-              try {
-                tokenFunc.foreach { tf =>
-                  w.write(PushNet.ctlAuth(tf())); w.newLine()
-                }
-                w.write(PushNet.CtlMux); w.newLine()
-                w.flush()
-              } catch { case NonFatal(_) => () } // broken dial: re-loop
+              // deliberately NOT caught: a tokenFunc() throw or a broken
+              // pipe here must propagate to the outer re-dial loop
+              // (fresh backoff, fresh token) — publishing a writer for a
+              // session that never authed/muxed would look healthy while
+              // every channel silently starves
+              tokenFunc.foreach { tf =>
+                w.write(PushNet.ctlAuth(tf())); w.newLine()
+              }
+              w.write(PushNet.CtlMux); w.newLine()
+              w.flush()
               writer = w
             }
             val in = new BufferedReader(

@@ -3248,9 +3248,15 @@ object PipelineQueries {
     * for the set-similarity duplicates the pipeline actually removes.
     * Same one-scan eval shape; the posting join is the q_winnow plan
     * without its top-20 head. */
-  def qWinnowEval(s: SparkSession, d: String): DataFrame = {
-    val (kept, pinned) = winnowKept(s, d)
-    val cand = kept
+  /** The winnow candidate-pair rule (pairs sharing ≥
+    * [[WinnowEvalMinShared]] winnowed fingerprints) over a
+    * [[winnowKeptFrom]] posting table — ONE definition for the full and
+    * sampled evals, so the sampled CI always brackets the SAME
+    * candidate rule it claims to estimate. */
+  private def winnowCandPairs(
+      kept: DataFrame,
+      pinned: DataFrame => DataFrame): DataFrame =
+    kept
       .select(col("fp"), col("doc_id").as("a_id"))
       .join(pinned(kept.select(col("fp"), col("doc_id").as("b_id"))), "fp")
       .filter(col("a_id") < col("b_id"))
@@ -3258,6 +3264,10 @@ object PipelineQueries {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= WinnowEvalMinShared)
       .select(col("a_id"), col("b_id"))
+
+  def qWinnowEval(s: SparkSession, d: String): DataFrame = {
+    val (kept, pinned) = winnowKept(s, d)
+    val cand = winnowCandPairs(kept, pinned)
       .withColumn("in_cand", lit(true))
     val exact = Dedup
       .ngramJaccard(docs(s, d), k = 3, threshold = 0.5)
@@ -3306,14 +3316,7 @@ object PipelineQueries {
     val sampled =
       all.filter(graft.operators.Sampling.hashBucket(col("doc_id")) < cut)
     val (kept, pinned) = winnowKeptFrom(sampled, s)
-    val cand = kept
-      .select(col("fp"), col("doc_id").as("a_id"))
-      .join(pinned(kept.select(col("fp"), col("doc_id").as("b_id"))), "fp")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= WinnowEvalMinShared)
-      .select(col("a_id"), col("b_id"))
+    val cand = winnowCandPairs(kept, pinned)
       .withColumn("in_cand", lit(true))
     val exact = Dedup
       .ngramJaccard(sampled, k = 3, threshold = 0.5)

@@ -189,6 +189,22 @@ object Ann {
     * the identical mean), divide once. */
   private val PqQ = 10000000L
 
+  /** Per-subspace argmin score arrays `sc0..sc{m-1}` over the `c_v`
+    * column (score = `cent_sq − 2⟨sub, cent⟩`, the [[pqEncode]] argmin
+    * objective — the subvector's own norm is constant across candidate
+    * centroids, so it drops out of the argmin): ONE definition shared
+    * by training ([[pqTrain]]), encoding ([[pqEncode]]), and the
+    * distortion readout ([[pqDistortion]]), so the three can never
+    * drift apart. */
+  private def scoreArrays(cb: PqCodebook): Seq[Column] =
+    (0 until cb.m).map { j =>
+      val sub = slice(col("c_v"), j * cb.subDim + 1, cb.subDim)
+      array((0 until cb.ks).map(c =>
+        lit(cb.centSq(j)(c)) -
+          lit(2.0) * VectorFns.dot(sub, typedLit(cb.cents(j)(c)))): _*)
+        .as(s"sc$j")
+    }
+
   /** Per-subspace Lloyd refinement of the PQ codebook — k-means in each
     * of the `m` subspaces (Jégou, Douze, Schmid, "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011, §III: the codebook IS a
@@ -215,14 +231,7 @@ object Ann {
       iters: Int = 2): PqCodebook = {
     var cb = pqCodebook(corpus, m, ks, dim)
     for (_ <- 0 until iters) {
-      val scoreArrs = (0 until cb.m).map { j =>
-        val sub = slice(col("c_v"), j * cb.subDim + 1, cb.subDim)
-        array((0 until cb.ks).map(c =>
-          lit(cb.centSq(j)(c)) -
-            lit(2.0) * VectorFns.dot(sub, typedLit(cb.cents(j)(c)))): _*)
-          .as(s"sc$j")
-      }
-      val withScores = corpus.select(col("c_v") +: scoreArrs: _*)
+      val withScores = corpus.select(col("c_v") +: scoreArrays(cb): _*)
       val partCols = (0 until cb.m).map { j =>
         struct(
           lit(j).as("sub_id"),
@@ -289,18 +298,11 @@ object Ann {
     * reaches the driver but one double). Returns 0.0 on an empty
     * corpus. */
   def pqDistortion(corpus: DataFrame, cb: PqCodebook): Double = {
-    val scoreArrs = (0 until cb.m).map { j =>
-      val sub = slice(col("c_v"), j * cb.subDim + 1, cb.subDim)
-      array((0 until cb.ks).map(c =>
-        lit(cb.centSq(j)(c)) -
-          lit(2.0) * VectorFns.dot(sub, typedLit(cb.cents(j)(c)))): _*)
-        .as(s"sc$j")
-    }
     val err2 = (0 until cb.m)
       .map(j => array_min(col(s"sc$j")))
       .foldLeft(col("c_nrm") * col("c_nrm"))(_ + _)
     val r = corpus
-      .select(col("c_nrm") +: scoreArrs: _*)
+      .select(col("c_nrm") +: scoreArrays(cb): _*)
       .select(err2.as("e"))
       .agg(avg("e"))
       .head()
@@ -329,7 +331,15 @@ object Ann {
     * plus a one-row stats read. An index persisted before the stats
     * tier existed degrades gracefully: the baseline is recomputed from
     * the stored `lists/` raw vectors (one linear pass) and backfilled
-    * into `stats/` so the next readout is one row again. */
+    * into `stats/` so the next readout is one row again. HONESTY NOTE
+    * for that fallback: the build-time corpus is gone, so the recomputed
+    * baseline is the CURRENT corpus's self-distortion — drift already
+    * absorbed by earlier appends is baked into it and invisible to the
+    * ratio (the fence re-arms against FUTURE drift only). If a legacy
+    * index may have drifted before its first readout, run
+    * [[ivfPqRetrain]] once instead: it realigns the codebook AND the
+    * baseline to the current corpus, which is the only honest zero
+    * point available. */
   def ivfPqStaleness(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -374,15 +384,8 @@ object Ann {
     * IVF `cent_id` for [[ivfPqTopKWith]]'s cell-partitioned codes). */
   def pqEncode(corpus: DataFrame, cb: PqCodebook, carry: Seq[String]): DataFrame = {
     val keep = ("neighbor_id" +: carry).map(col)
-    val scoreArrs = (0 until cb.m).map { j =>
-      val sub = slice(col("c_v"), j * cb.subDim + 1, cb.subDim)
-      array((0 until cb.ks).map(c =>
-        lit(cb.centSq(j)(c)) -
-          lit(2.0) * VectorFns.dot(sub, typedLit(cb.cents(j)(c)))): _*)
-        .as(s"sc$j")
-    }
     val withScores =
-      corpus.select(keep ++ scoreArrs: _*)
+      corpus.select(keep ++ scoreArrays(cb): _*)
     val codeCols = (0 until cb.m).map(j =>
       (array_position(col(s"sc$j"), array_min(col(s"sc$j"))) - 1)
         .cast("int")
@@ -565,16 +568,28 @@ object Ann {
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
     pqEncode(assigned, cb, carry = Seq("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
-    val spark = corpus.sparkSession
+    // build-time codebook distortion: the [[ivfPqStaleness]] baseline
+    // (one extra linear pass at build time — build runs once)
+    writeCodebookAndStats(corpus.sparkSession, path, cb, pqDistortion(corpus, cb))
+  }
+
+  /** Persist the codebook + distortion-baseline tiers (`codebook/` as
+    * `(sub_id, code, cent_v)` rows, `stats/` as the one-row baseline) —
+    * the layout [[ivfPqCodebook]]/[[ivfPqStaleness]] read back,
+    * single-sourced so [[ivfPqBuild]] and [[ivfPqRetrain]] can never
+    * write divergent schemas. */
+  private def writeCodebookAndStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cb: PqCodebook,
+      distortion: Double): Unit = {
     import spark.implicits._
     cb.cents.zipWithIndex
       .flatMap { case (subs, j) => subs.zipWithIndex.map { case (v, c) => (j, c, v) } }
       .toDF("sub_id", "code", "cent_v")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
-    // build-time codebook distortion: the [[ivfPqStaleness]] baseline
-    // (one extra linear pass at build time — build runs once)
-    Seq(pqDistortion(corpus, cb))
+    Seq(distortion)
       .toDF("build_distortion")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats")
@@ -635,15 +650,7 @@ object Ann {
     val cb = pqTrain(lists, old.m, old.ks, dim, iters)
     pqEncode(lists, cb, carry = Seq("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
-    cb.cents.zipWithIndex
-      .flatMap { case (subs, j) => subs.zipWithIndex.map { case (v, c) => (j, c, v) } }
-      .toDF("sub_id", "code", "cent_v")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebook")
-    Seq(pqDistortion(lists, cb))
-      .toDF("build_distortion")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/stats")
+    writeCodebookAndStats(spark, path, cb, pqDistortion(lists, cb))
     cb
   }
 

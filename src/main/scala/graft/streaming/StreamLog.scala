@@ -151,15 +151,6 @@ object StreamLog {
     * early stddev estimates are too noisy to gate on. */
   val AnomalyWarmup = 10L
 
-  /** Continuous anomaly monitor: per space, maintain running mean and
-    * variance with Welford's online recurrence and flag any value more
-    * than `k` estimated standard deviations from the running mean
-    * (z-score change detection over an unbounded stream). State is 24
-    * bytes per space — bounded, no timeout needed — and each anomaly is
-    * judged against the statistics of the values that PRECEDED it, so
-    * a level shift is flagged on arrival, then absorbed. Rows within a
-    * micro-batch are processed in (timestamp, value) order for
-    * cross-run determinism. */
   final case class EmaState(n: Long, ema: Double)
   final case class EmaPoint(
       space: String,
@@ -580,6 +571,15 @@ object StreamLog {
       }
   }
 
+  /** Continuous anomaly monitor: per space, maintain running mean and
+    * variance with Welford's online recurrence and flag any value more
+    * than `k` estimated standard deviations from the running mean
+    * (z-score change detection over an unbounded stream). State is 24
+    * bytes per space — bounded, no timeout needed — and each anomaly is
+    * judged against the statistics of the values that PRECEDED it, so
+    * a level shift is flagged on arrival, then absorbed. Rows within a
+    * micro-batch are processed in (timestamp, value) order for
+    * cross-run determinism. */
   def anomalyMonitor(
       points: Dataset[(String, Long, Double)],
       k: Double = 4.0): Dataset[Anomaly] = {
@@ -1202,74 +1202,6 @@ object StreamLog {
     * markers and silently discard its own early batches as "replays".
     * Contract: a restart of the same logical pipeline reuses the same
     * (sinkId, checkpoint) pair; a NEW pipeline gets a new sinkId. */
-  /** Live vector-ingest sink for a persisted IVF-PQ index
-    * ([[graft.similarity.Ann.ivfPqBuild]]'s layout): every micro-batch
-    * of `(neighbor_id, c_v)` vectors appends through the STORED
-    * quantizer + codebook and runs the hot-cell maintenance fence in
-    * the same call ([[graft.similarity.Ann.ivfPqAppendMaintained]]) —
-    * the self-balancing serving-index loop as a Structured Streaming
-    * sink (the recommender shape: embeddings stream in, probes never
-    * retrain, skew never accumulates). Batch-replay fencing follows
-    * the [[appendSink]] marker idiom: a committed batch id is recorded
-    * under `_ingest_commits/` AFTER its append, so a post-restart
-    * replay of a committed batch is a no-op; the remaining duplicate
-    * window (crash BETWEEN append and marker) is parquet-append
-    * non-atomicity — the same at-least-once contract appendSink
-    * documents, with [[graft.similarity.Ann.ivfRecover]] keeping the
-    * index itself consistent through any maintenance crash. Codebook
-    * drift is the operator's axis: sample batches through
-    * [[graft.similarity.Ann.ivfPqStaleness]] and retrain past
-    * [[graft.similarity.Ann.IvfPqRetrainFence]]. */
-  def ivfPqIngest(
-      vectors: DataFrame,
-      path: String,
-      checkpoint: String,
-      fence: Double = 2.0,
-      splitInto: Int = 0,
-      iters: Int = 2,
-      dim: Int = 64,
-      maxRounds: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val session = batch.sparkSession
-        val conf = session.sessionState.newHadoopConf()
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$path/_ingest_commits/batch-$batchId.done")
-        val fs = marker.getFileSystem(conf)
-        if (!fs.exists(marker) && !batch.isEmpty) {
-          graft.similarity.Ann.ivfPqAppendMaintained(
-            session,
-            graft.similarity.Ann.withNorm(batch, "c_v", "c_nrm"),
-            path, fence, splitInto, iters, dim, maxRounds)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker, true).close()
-          // bounded metadata: a restart can only replay batches at/after
-          // the checkpoint's last uncommitted offset, so markers far in
-          // the past are dead weight — keep a generous window instead of
-          // one file per batch forever (millions at 100 TB ingest rates)
-          if (batchId >= IngestMarkerKeep)
-            fs.listStatus(marker.getParent).foreach { st =>
-              val n = st.getPath.getName
-              if (n.startsWith("batch-") && n.endsWith(".done") &&
-                n.stripPrefix("batch-").stripSuffix(".done").toLong <
-                  batchId - IngestMarkerKeep) {
-                fs.delete(st.getPath, false)
-                ()
-              }
-            }
-          ()
-        }
-      }
-      .start()
-
-  /** Commit markers retained behind the latest batch by [[ivfPqIngest]]
-    * — far more than any restart can replay (replay reaches back only
-    * to the checkpoint's last uncommitted batch), small enough that the
-    * marker listing stays a trivial metadata op forever. */
-  val IngestMarkerKeep = 1000L
-
   def appendSink(
       entries: DataFrame,
       log: EventLog,
@@ -1346,4 +1278,72 @@ object StreamLog {
       }
       .start()
   }
+
+  /** Live vector-ingest sink for a persisted IVF-PQ index
+    * ([[graft.similarity.Ann.ivfPqBuild]]'s layout): every micro-batch
+    * of `(neighbor_id, c_v)` vectors appends through the STORED
+    * quantizer + codebook and runs the hot-cell maintenance fence in
+    * the same call ([[graft.similarity.Ann.ivfPqAppendMaintained]]) —
+    * the self-balancing serving-index loop as a Structured Streaming
+    * sink (the recommender shape: embeddings stream in, probes never
+    * retrain, skew never accumulates). Batch-replay fencing follows
+    * the [[appendSink]] marker idiom: a committed batch id is recorded
+    * under `_ingest_commits/` AFTER its append, so a post-restart
+    * replay of a committed batch is a no-op; the remaining duplicate
+    * window (crash BETWEEN append and marker) is parquet-append
+    * non-atomicity — the same at-least-once contract appendSink
+    * documents, with [[graft.similarity.Ann.ivfRecover]] keeping the
+    * index itself consistent through any maintenance crash. Codebook
+    * drift is the operator's axis: sample batches through
+    * [[graft.similarity.Ann.ivfPqStaleness]] and retrain past
+    * [[graft.similarity.Ann.IvfPqRetrainFence]]. */
+  def ivfPqIngest(
+      vectors: DataFrame,
+      path: String,
+      checkpoint: String,
+      fence: Double = 2.0,
+      splitInto: Int = 0,
+      iters: Int = 2,
+      dim: Int = 64,
+      maxRounds: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        val conf = session.sessionState.newHadoopConf()
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$path/_ingest_commits/batch-$batchId.done")
+        val fs = marker.getFileSystem(conf)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          graft.similarity.Ann.ivfPqAppendMaintained(
+            session,
+            graft.similarity.Ann.withNorm(batch, "c_v", "c_nrm"),
+            path, fence, splitInto, iters, dim, maxRounds)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+          // bounded metadata: a restart can only replay batches at/after
+          // the checkpoint's last uncommitted offset, so markers far in
+          // the past are dead weight — keep a generous window instead of
+          // one file per batch forever (millions at 100 TB ingest rates)
+          if (batchId >= IngestMarkerKeep)
+            fs.listStatus(marker.getParent).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith("batch-") && n.endsWith(".done") &&
+                n.stripPrefix("batch-").stripSuffix(".done").toLong <
+                  batchId - IngestMarkerKeep) {
+                fs.delete(st.getPath, false)
+                ()
+              }
+            }
+          ()
+        }
+      }
+      .start()
+
+  /** Commit markers retained behind the latest batch by [[ivfPqIngest]]
+    * — far more than any restart can replay (replay reaches back only
+    * to the checkpoint's last uncommitted batch), small enough that the
+    * marker listing stays a trivial metadata op forever. */
+  val IngestMarkerKeep = 1000L
 }
