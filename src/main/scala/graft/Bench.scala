@@ -60,7 +60,7 @@ object Bench {
     "q_ann_recall", "q_ann_recall_pq", "q_ann_recall_ivf", "q_ann_recall_mips",
     "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_stored", "q_ann_recall_ivfpq",
     "q_ann_recall_ivfpq_drift",
-    "q_ivf_probe_curve",
+    "q_ivf_probe_curve", "q_ivfpq_shortlist_curve",
     "q_seq_patterns",
     "q_lang_id", "q_text_quality", "q_gopher_rules", "q_token_count", "q_domain_report",
     "q_url_dedup", "q_mirror_detect", "q_lang_purity",

@@ -1005,6 +1005,66 @@ object PipelineQueries {
       .transform(sortSmall(_, "n_probe"))
   }
 
+  /** Shortlist sizes the IVF-PQ shortlist curve evaluates — fixed and
+    * replayed by the DuckDB oracle; contains [[PqShortlist]] so the
+    * curve pins the route's default. */
+  val IvfPqShortlistGrid = Seq(5, 10, 20, 40)
+
+  /** Recall@5 as a FUNCTION of the ADC shortlist size — the OTHER
+    * tuning axis of the combined route (q_ivf_probe_curve covers
+    * nProbe): each shortlist slot costs one raw-vector rerank row per
+    * query; the curve says what it buys in recall. ONE corpus pass
+    * ([[Ann.ivfPqScoredCandidates]] capped at the grid max): the
+    * route's top-5 at shortlist s is exactly the cosine top-5 among
+    * candidates with ADC rank ≤ s (the rerank is exact, so shortlist
+    * membership is all s changes), so the whole grid evaluates off the
+    * one materialized candidate table. Monotone by construction — a
+    * wider shortlist can only swap a true hit for another true hit
+    * (any displacer outranks a top-5 cosine, hence is itself top-5);
+    * at s = [[PqShortlist]] the hits equal q_ann_recall_ivfpq's
+    * aggregate (the route identity, spec-asserted). Deterministic →
+    * full DuckDB oracle. */
+  def qIvfPqShortlistCurve(s: SparkSession, d: String): DataFrame = {
+    val q = querySide(s, d)
+    val c = corpusSide(s, d)
+    val cand = Ann
+      .ivfPqScoredCandidates(
+        q, c, ivfCents(s, d), pqCb(s, d),
+        nProbe = IvfPqProbes, cap = IvfPqShortlistGrid.max)
+      .transform(graft.operators.Materialize.cut)
+    val exact = Ann
+      .bruteForceTopK(q, c, k = PqK)
+      .select("query_id", "neighbor_id")
+      .transform(graft.operators.Materialize.cut)
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    val perS = IvfPqShortlistGrid
+      .map { sl =>
+        val w = Window
+          .partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        val top = cand
+          .filter(col("srk") <= sl)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= PqK)
+          .select("query_id", "neighbor_id")
+        exact
+          .join(top, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(sl.toLong).as("shortlist"), col("n_hits"))
+      }
+      .reduce(_ unionByName _)
+    perS
+      .crossJoin(broadcast(nq))
+      .select(
+        col("shortlist"),
+        col("n_hits"),
+        round(
+          col("n_hits").cast("double") /
+            (lit(5.0d) * col("n_queries").cast("double")),
+          6).as("recall_at_5"))
+      .transform(sortSmall(_, "shortlist"))
+  }
+
   // ------------------------------------------------------------- text ops
 
   /** Tokens are projected once through the codegen'd [[Tokens]]
@@ -4884,6 +4944,7 @@ object PipelineQueries {
     "q_ann_recall_ivfpq" -> qAnnRecallIvfPq _,
     "q_ann_recall_ivfpq_drift" -> qAnnRecallIvfPqDrift _,
     "q_ivf_probe_curve" -> qIvfProbeCurve _,
+    "q_ivfpq_shortlist_curve" -> qIvfPqShortlistCurve _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_mips" -> qAnnMips _,
     "q_ann_filtered" -> qAnnFiltered _,
@@ -5889,6 +5950,42 @@ object PipelineQueries {
          |ORDER BY 1""".stripMargin
     },
     "q_ivf_probe_curve" -> IvfProbeCurveSql,
+    // the shortlist-axis twin: the combined-route candidate CTEs, ADC
+    // ranks, exact cosines for rows under the grid cap, one ranked
+    // top-5 + recall fold per grid value
+    "q_ivfpq_shortlist_curve" -> {
+      val cap = IvfPqShortlistGrid.max
+      val perS = IvfPqShortlistGrid
+        .map { sl =>
+          s"""  SELECT $sl AS shortlist, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM exact x JOIN (
+             |    SELECT query_id, neighbor_id FROM (
+             |      SELECT query_id, neighbor_id,
+             |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+             |      FROM pcosv WHERE sr <= $sl)
+             |    WHERE rk <= $PqK) a
+             |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin
+        }
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $IvfPqOracleCtes,
+         |$ExactCosTop5Cte,
+         |psr AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS sr
+         |  FROM pscored),
+         |pcosv AS (
+         |  SELECT p.query_id, p.neighbor_id, p.sr,
+         |         round(list_dot_product(q.q_v, c.c_v) / greatest(q.q_nrm * c.c_nrm, 1e-300), 6) AS cos
+         |  FROM psr p JOIN qs q USING (query_id) JOIN corp c ON c.neighbor_id = p.neighbor_id
+         |  WHERE p.sr <= $cap),
+         |nqv AS (SELECT count(*) AS n_queries FROM qs),
+         |hits AS (
+         |$perS)
+         |SELECT CAST(shortlist AS BIGINT) AS shortlist, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / (5.0 * n_queries), 6) AS recall_at_5
+         |FROM hits CROSS JOIN nqv
+         |ORDER BY shortlist""".stripMargin
+    },
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks

@@ -549,6 +549,45 @@ object Ann {
       extraCols = Seq("adc"))
   }
 
+  /** The combined route's scored candidate set, capped at ADC rank
+    * `cap` — the kernel behind the recall-vs-shortlist tuning curve:
+    * every (query, candidate) from the probed cells with its ADC
+    * shortlist rank `srk` (the [[ivfPqTopKWith]] window order: adc
+    * desc, ties to the lower neighbor) and its EXACT rounded cosine, so
+    * a consumer can evaluate ANY shortlist size ≤ cap from ONE corpus
+    * pass — the route's top-k at shortlist s is exactly the top-k by
+    * `cos` among rows with `srk ≤ s` (the rerank is exact, so shortlist
+    * membership is the only thing s changes). Same quantizer, codes,
+    * tie rules, and plan shape as the route itself; raw vectors are
+    * touched for ≤ cap·|Q| rows. */
+  def ivfPqScoredCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      cb: PqCodebook,
+      nProbe: Int = 2,
+      cap: Int = 40): DataFrame = {
+    val cents = broadcast(centroids)
+    val q = nearestCells(queries, cents, "query_id", "q_v", "q_nrm", nProbe)
+      .select("query_id", "cent_id")
+    val c = nearestCells(corpus, cents, "neighbor_id", "c_v", "c_nrm", 1)
+    val enc = pqEncode(c, cb, carry = Seq("cent_id"))
+    val ws = Window
+      .partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val capped = broadcast(q.join(queries, "query_id"))
+      .join(enc.hint("shuffle_hash"), "cent_id")
+      .withColumn("adc", adcDotCol(cb) / VectorFns.safeDen(col("q_nrm"), col("recon_nrm")))
+      .select("query_id", "neighbor_id", "adc")
+      .withColumn("srk", row_number().over(ws).cast("long"))
+      .filter(col("srk") <= cap)
+      .select("query_id", "neighbor_id", "srk")
+    corpus
+      .join(broadcast(capped.join(queries, "query_id")), "neighbor_id")
+      .withColumn("cos", cos)
+      .select("query_id", "neighbor_id", "srk", "cos")
+  }
+
   /** Persist the combined IVF-PQ index under `path`: the [[ivfBuild]]
     * layout (`centroids/` + cell-partitioned `lists/` of raw vectors,
     * the rerank tier) plus `codes/` — the PQ codes partitioned by the

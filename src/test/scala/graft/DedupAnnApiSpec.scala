@@ -945,6 +945,48 @@ class DedupAnnApiSpec extends SparkSpec {
       s"curve hits ${atDefault._2} vs recall-row hits $recallRow over $nq queries")
   }
 
+  test("ivfpq shortlist curve: monotone, consistent with the recall row, candidates replay the route") {
+    import graft.queries.PipelineQueries
+    val curve = PipelineQueries.qIvfPqShortlistCurve(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == PipelineQueries.IvfPqShortlistGrid.map(_.toLong))
+    // a wider shortlist can only swap a true hit for another true hit
+    curve.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2, s"curve regressed at ${b._1}")
+      case _           =>
+    }
+    // the curve's value at the route default equals the recall row's
+    // aggregate (the route identity)
+    val recallRow = PipelineQueries.qAnnRecallIvfPq(spark, SfDir)
+      .agg(sum("n_hits")).head().getLong(0)
+    val atDefault = curve.find(_._1 == PipelineQueries.PqShortlist.toLong).get
+    assert(atDefault._2 == recallRow)
+    // the kernel replays the route exactly: cosine top-5 among
+    // ADC-rank ≤ shortlist candidates == ivfPqTopKWith's pairs
+    val qs = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val cs = embs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cents = embs.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+    val cb = Ann.pqTrain(cs, 8, 8, 64, iters = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val fromKernel = Ann
+      .ivfPqScoredCandidates(qs, cs, cents, cb, nProbe = 2, cap = 20)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromRoute = Ann
+      .ivfPqTopKWith(qs, cs, cents, cb, k = 5, nProbe = 2, shortlist = 20)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromKernel == fromRoute)
+  }
+
   test("mipsLshTopK: empty corpus returns an empty result, not an NPE") {
     import spark.implicits._
     val qs = Ann.withNorm(

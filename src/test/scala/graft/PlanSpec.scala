@@ -251,6 +251,8 @@ class PlanSpec extends SparkSpec {
       "q_ann_recall_ivfpq_drift", // same products over the shifted union corpus
       "q_ivf_probe_curve", // brute-force exact arm + queries×quantizer ranks
                            // + one-row query-count normalizer
+      "q_ivfpq_shortlist_curve", // same exact arm + quantizer products
+                                 // + one-row query-count normalizer
       "q_seq_patterns", // one-row distinct-user total broadcast
       "q_rolling_active", // one-row day-bounds broadcast
       "q_stickiness", // same one-row day-bounds broadcast as q_rolling_active
