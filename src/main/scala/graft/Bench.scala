@@ -58,7 +58,8 @@ object Bench {
     "q_ann_topk", "q_ann_lsh", "q_ann_mips", "q_ann_filtered", "q_ann_ivf", "q_ann_ivf_stored",
     "q_hard_negatives",
     "q_ann_recall", "q_ann_recall_pq", "q_ann_recall_ivf", "q_ann_recall_mips",
-    "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_stored", "q_ann_recall_ivfpq",
+    "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_stored", "q_ann_ivfpq_deleted",
+    "q_ann_recall_ivfpq",
     "q_ann_recall_ivfpq_drift",
     "q_ivf_probe_curve", "q_ivfpq_shortlist_curve",
     "q_seq_patterns",
@@ -361,8 +362,16 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // standing annotation: store_peek_hot measures the warm-path peek
+    // and legitimately reads ~0.000 s (a driver-cache hit) — since the
+    // r13 null convention makes 0.0 look like a suspicious sentinel,
+    // say so in-band rather than in a doc nobody reads next to the JSON
+    val notesJson =
+      if (keep("store_peek_hot"))
+        ""","notes":{"store_peek_hot":"cache-hit: ~0s by design (warm driver peek), not a failure sentinel"}"""
+      else ""
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"cpu_ms":$cpuJson$kcJson$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"cpu_ms":$cpuJson$kcJson$failedJson$notesJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

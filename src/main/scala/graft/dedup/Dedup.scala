@@ -445,15 +445,53 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val shNew = shingled(newDocs, id, text, k).transform(Materialize.cut)
     val shCorpus = shingled(corpus, id, text, k).transform(Materialize.cut)
+    minhashLshAgainstTables(
+      shNew,
+      bandTable(shCorpus, id, numHashes, bands),
+      shCorpus,
+      id, numHashes, bands, threshold)
+  }
+
+  /** Public banded-signature builder over a shingled `(id, s)` table —
+    * the persistable corpus probe side of the incremental near-dup
+    * path: at scale the archive's band (and shingle) tables are built
+    * ONCE, appended per increment, and every future batch probes them
+    * without re-scanning archived documents
+    * ([[minhashLshAgainstTables]];
+    * [[graft.streaming.StreamLog.nearDupIngest]] is the live loop). */
+  def bandTable(
+      sh: DataFrame,
+      id: String = "doc_id",
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedSignatures(sh, id, numHashes, bands)
+  }
+
+  /** [[minhashLshAgainst]] with the corpus side passed as PREBUILT
+    * band + shingled tables (both id-keyed, append-only — persist them
+    * once and each increment costs the batch scan plus one bucket
+    * probe, the 100 TB shape the [[minhashLshAgainst]] scaladoc
+    * promises). The verify step prunes the corpus shingle read to
+    * candidate docs (semi-join on the materialized candidate table)
+    * before building hash sets, so verify traffic is
+    * candidate-proportional, not corpus-proportional. */
+  def minhashLshAgainstTables(
+      shNew: DataFrame,
+      corpusBands: DataFrame,
+      corpusShingles: DataFrame,
+      id: String = "doc_id",
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val cands = broadcast(
       bandedSignatures(shNew, id, numHashes, bands)
         .withColumnRenamed(id, "new_id"))
       .join(
-        bandedSignatures(shCorpus, id, numHashes, bands)
-          .withColumnRenamed(id, "dup_of"),
+        corpusBands.withColumnRenamed(id, "dup_of"),
         Seq("band_id", "band_hash"))
       // a batch doc whose id ALREADY EXISTS in the corpus (re-crawl of
       // a known page) would trivially band-match itself and come back
@@ -463,7 +501,9 @@ object Dedup {
       .select("new_id", "dup_of")
       .distinct()
       .transform(Materialize.cut)
-    jaccardVerify(cands, shNew, shCorpus, id, "new_id", "dup_of", threshold)
+    val shCand = corpusShingles
+      .join(cands.select(col("dup_of").as(id)), Seq(id), "left_semi")
+    jaccardVerify(cands, shNew, shCand, id, "new_id", "dup_of", threshold)
   }
 
   /** Per-doc SimHash over whitespace tokens (with multiplicity), `bits`

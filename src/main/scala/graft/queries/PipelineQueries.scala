@@ -83,10 +83,10 @@ object PipelineQueries {
        |         CAST(1.96 AS DOUBLE) * sqrt(CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) * (1.0 - CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)) AS half
        |  FROM agg)
        |SELECT n_cand, n_exact, tp,
-       |       floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision,
-       |       floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall,
-       |       floor(greatest(0.0, r - half) * 1000000.0 + 0.5) / 1000000.0 AS recall_lo,
-       |       floor(least(1.0, r + half) * 1000000.0 + 0.5) / 1000000.0 AS recall_hi
+       |       CASE WHEN n_cand > 0 THEN floor(p * 1000000.0 + 0.5) / 1000000.0 END AS precision,
+       |       CASE WHEN n_exact > 0 THEN floor(r * 1000000.0 + 0.5) / 1000000.0 END AS recall,
+       |       CASE WHEN n_exact > 0 THEN floor(greatest(0.0, r - half) * 1000000.0 + 0.5) / 1000000.0 END AS recall_lo,
+       |       CASE WHEN n_exact > 0 THEN floor(least(1.0, r + half) * 1000000.0 + 0.5) / 1000000.0 END AS recall_hi
        |FROM sel""".stripMargin
 
   // ---------------------------------------------------------------- dedup
@@ -893,6 +893,48 @@ object PipelineQueries {
       .transform(sortSmall(_, "query_id", "rank"))
   }
 
+  /** Modulus/residue of the planted deletion set for
+    * [[qAnnIvfPqDeleted]]: every corpus vector with
+    * `neighbor_id % AnnDeleteMod == AnnDeleteRem` is deleted — a
+    * deterministic ~14% spread across cells, so the delete touches
+    * several cells AND leaves several untouched (both contract halves
+    * exercised), and the DuckDB oracle derives the identical set. */
+  val AnnDeleteMod = 7L
+  val AnnDeleteRem = 3L
+
+  /** IVF-PQ probe AFTER vector deletion — the serving index's removal
+    * lifecycle ([[Ann.ivfPqDelete]]): a fresh two-tier index is built,
+    * the planted [[AnnDeleteMod]]-residue set is deleted (touched cells
+    * rewritten under fresh ids in BOTH tiers, quantizer re-keyed, cold
+    * cells untouched), and the standard probe runs against the result.
+    * Correctness claim the oracle checks: the probe equals the inline
+    * combined route over the corpus MINUS the deleted set — deleted
+    * vectors are out of candidacy entirely (not merely filtered from
+    * the output), so shortlist ranks re-close over survivors.
+    * Deterministic end to end → full DuckDB oracle. */
+  def qAnnIvfPqDeleted(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ivfpqdel_${ivfRunToken}_${Hashing.md5LongJvm(d)}").getAbsolutePath
+    ivfStoredCleanupHook
+    ivfStoredBuilt.computeIfAbsent(
+      path,
+      p => {
+        Ann.ivfPqBuild(corpusSide(s, d), ivfCents(s, d), pqCb(s, d), p)
+        Ann.ivfPqDelete(
+          s, p,
+          corpusSide(s, d)
+            .select("neighbor_id")
+            .filter(col("neighbor_id") % AnnDeleteMod === AnnDeleteRem))
+        p
+      })
+    Ann
+      .ivfPqProbe(
+        s, path, querySide(s, d),
+        k = PqK, nProbe = IvfPqProbes, shortlist = PqShortlist)
+      .transform(sortSmall(_, "query_id", "rank"))
+  }
+
   /** Recall@5 of the combined IVF-PQ route vs exact brute force — the
     * compounded-loss readout (cell pruning CAN drop a true neighbor the
     * PQ shortlist would have kept, and vice versa; a deployment tunes
@@ -934,6 +976,19 @@ object PipelineQueries {
     * end to end → full DuckDB oracle. */
   def qAnnRecallIvfPqDrift(s: SparkSession, d: String): DataFrame = {
     val corpus = corpusSide(s, d)
+    // collision fence: a corpus id at/past the offset would make a
+    // drifted twin's id DUPLICATE a real vector in the union serving
+    // corpus — and the oracle replays the identical collision, so the
+    // parity gate could never catch the silent corruption. One max
+    // aggregate (control plane) buys the loud failure instead.
+    val maxId = Option(corpus.agg(max(col("neighbor_id"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+      .getOrElse(0L)
+    require(
+      maxId < DriftIdOffset,
+      s"q_ann_recall_ivfpq_drift: max corpus id $maxId >= DriftIdOffset " +
+        s"$DriftIdOffset — drifted-twin ids would collide with real " +
+        "vectors; raise the offset past the corpus id range")
     val drift = corpus
       .select(
         (col("neighbor_id") + DriftIdOffset).as("neighbor_id"),
@@ -2229,8 +2284,44 @@ object PipelineQueries {
     * one-scan pattern — shingles re-derive exactly from the token
     * arrays via [[Dedup.shingledFromTokens]]); the full-outer
     * confusion fold is pair-table-sized. */
-  def qSimhashEval(s: SparkSession, d: String): DataFrame = {
+  /** Doc-count fence for the EXACT ground-truth eval arms
+    * ([[qSimhashEval]]/[[qSimhashEvalWide]]/[[qWinnowEval]]): their
+    * shared exact n-gram-Jaccard arm measures ≈ n^1.44
+    * (BENCH_SCALING.md eval-family disposition) and exhausts scratch at
+    * the fifth decade (5M docs), so past this many docs the full arms
+    * throw toward their √n-sampled twins
+    * ([[qSimhashEvalSampled]]/[[qWinnowEvalSampled]] — same confusion
+    * fold, CONSTANT expected pair budget per decade) instead of
+    * silently going superlinear. The [[Dedup.SimhashNarrowFenceDocs]]
+    * pattern; `fenceDocs = 0` on the fenced entry points opts out. */
+  val EvalExactFenceDocs = 1000000L
+
+  /** The shared fence check: one count (parquet-metadata cheap) against
+    * the budget, error naming the sampled twin. */
+  private def fenceExactEval(
+      all: DataFrame,
+      fenceDocs: Long,
+      key: String,
+      twin: String): Unit =
+    if (fenceDocs > 0L) {
+      val n = all.count()
+      require(
+        n <= fenceDocs,
+        s"$key: $n docs exceed the $fenceDocs-doc fence of the exact " +
+          "ground-truth arm (measured ~n^1.44 — the n-gram Jaccard " +
+          s"ground truth is all-candidate-pairs exact). Use $twin (the " +
+          "sampled twin: same confusion fold over a deterministic " +
+          "sqrt-n doc sample, constant pair budget per decade, 95% CI " +
+          "on recall), or pass fenceDocs = 0 to opt out.")
+    }
+
+  def qSimhashEval(s: SparkSession, d: String): DataFrame =
+    simhashEvalFenced(s, d, EvalExactFenceDocs)
+
+  /** [[qSimhashEval]] with an explicit fence budget (0 opts out). */
+  def simhashEvalFenced(s: SparkSession, d: String, fenceDocs: Long): DataFrame = {
     Tokens.register(s)
+    fenceExactEval(docs(s, d), fenceDocs, "q_simhash_eval", "q_simhash_eval_sampled")
     val toks = docs(s, d)
       .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
       .filter(size(col("tk")) > 0)
@@ -2284,8 +2375,17 @@ object PipelineQueries {
     * deployment needs before flipping the wide keys on. Same one-scan
     * shape as the narrow eval: ONE materialized token pass feeds the
     * wide signatures AND the shingle ground truth. */
-  def qSimhashEvalWide(s: SparkSession, d: String): DataFrame = {
+  def qSimhashEvalWide(s: SparkSession, d: String): DataFrame =
+    simhashEvalWideFenced(s, d, EvalExactFenceDocs)
+
+  /** [[qSimhashEvalWide]] with an explicit fence budget (0 opts out). */
+  def simhashEvalWideFenced(
+      s: SparkSession,
+      d: String,
+      fenceDocs: Long): DataFrame = {
     Tokens.register(s)
+    fenceExactEval(
+      docs(s, d), fenceDocs, "q_simhash_eval_wide", "q_simhash_eval_sampled")
     val toks = docs(s, d)
       .select(col("doc_id"), expr("graft_tokens(text)").as("tk"))
       .filter(size(col("tk")) > 0)
@@ -2419,10 +2519,17 @@ object PipelineQueries {
         col("n_cand"),
         col("n_exact"),
         col("tp"),
-        floor6(p).as("precision"),
-        floor6(r).as("recall"),
-        floor6(greatest(lit(0.0d), r - half)).as("recall_lo"),
-        floor6(least(lit(1.0d), r + half)).as("recall_hi"))
+        // zero-divisor guards (→ NULL on both engines): Spark's Divide
+        // yields NULL on /0 while DuckDB's IEEE doubles yield inf/NaN,
+        // so a degenerate sample (zero candidate or ground-truth pairs)
+        // would otherwise produce an engine-divergent row — the same
+        // reason qSimhashEvalWide's fold CASE-guards its f1
+        when(col("n_cand") > 0L, floor6(p)).as("precision"),
+        when(col("n_exact") > 0L, floor6(r)).as("recall"),
+        when(col("n_exact") > 0L, floor6(greatest(lit(0.0d), r - half)))
+          .as("recall_lo"),
+        when(col("n_exact") > 0L, floor6(least(lit(1.0d), r + half)))
+          .as("recall_hi"))
   }
 
   /** Pairwise cosine similarity between per-label embedding CENTROIDS
@@ -3325,7 +3432,13 @@ object PipelineQueries {
       .filter(col("shared") >= WinnowEvalMinShared)
       .select(col("a_id"), col("b_id"))
 
-  def qWinnowEval(s: SparkSession, d: String): DataFrame = {
+  def qWinnowEval(s: SparkSession, d: String): DataFrame =
+    winnowEvalFenced(s, d, EvalExactFenceDocs)
+
+  /** [[qWinnowEval]] with an explicit fence budget (0 opts out). */
+  def winnowEvalFenced(s: SparkSession, d: String, fenceDocs: Long): DataFrame = {
+    fenceExactEval(
+      docs(s, d), fenceDocs, "q_winnow_eval", "q_winnow_eval_sampled")
     val (kept, pinned) = winnowKept(s, d)
     val cand = winnowCandPairs(kept, pinned)
       .withColumn("in_cand", lit(true))
@@ -4941,6 +5054,7 @@ object PipelineQueries {
     "q_ann_recall_mips" -> qAnnRecallMips _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_ann_ivfpq_stored" -> qAnnIvfPqStored _,
+    "q_ann_ivfpq_deleted" -> qAnnIvfPqDeleted _,
     "q_ann_recall_ivfpq" -> qAnnRecallIvfPq _,
     "q_ann_recall_ivfpq_drift" -> qAnnRecallIvfPqDrift _,
     "q_ivf_probe_curve" -> qIvfProbeCurve _,
@@ -5345,7 +5459,16 @@ object PipelineQueries {
     * codes, the [[IvfOracleCtes]] quantizer replayed under `p`-prefixed
     * names, ADC restricted to the probed cells' candidates, shortlist,
     * exact rerank — the [[Ann.ivfPqTopKWith]] replay. */
-  private lazy val IvfPqOracleCtes: String = {
+  private lazy val IvfPqOracleCtes: String = ivfPqOracleCtesFor("")
+
+  /** [[IvfPqOracleCtes]] with an extra predicate on the CANDIDATE
+    * corpus (injected into the cell-assignment CTE `pcn`) — the
+    * deletion replay: a deleted vector is out of both stored tiers, so
+    * it can never become an ADC candidate; everything downstream
+    * (shortlist ranks, rerank, top-k) reorders exactly as the probe
+    * over the physically-smaller index does. Deletion re-keys cells
+    * without moving centroids, so routing CTEs are unchanged. */
+  private def ivfPqOracleCtesFor(candPred: String): String = {
     val sd = EmbDim / PqM
     val dPivot = (0 until PqM)
       .map(j => s"max(CASE WHEN sub_id = $j THEN d END) AS d$j")
@@ -5366,7 +5489,7 @@ object PipelineQueries {
        |    SELECT x.vec_id AS neighbor_id, c.cent_id,
        |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
        |             ORDER BY list_dot_product(x.v, c.cent_v) / greatest(x.nrm * c.cent_nrm, 1e-300) DESC, c.cent_id) AS cent_rank
-       |    FROM n x CROSS JOIN pcents c WHERE x.vec_id >= 10)
+       |    FROM n x CROSS JOIN pcents c WHERE x.vec_id >= 10 $candPred)
        |  WHERE cent_rank <= 1),
        |pcand AS (SELECT q.query_id, c.neighbor_id FROM pqn q JOIN pcn c USING (cent_id)),
        |pdp AS (
@@ -5847,6 +5970,16 @@ object PipelineQueries {
     // construction (the q_ann_ivf_stored convention), identical oracle
     "q_ann_ivfpq_stored" ->
       s"""WITH $IvfPqOracleCtes
+         |SELECT query_id, rank, neighbor_id, cos, adc
+         |FROM ivfpqtop
+         |ORDER BY query_id, rank""".stripMargin,
+    // deletion replay: the identical combined-route pipeline with the
+    // planted residue set excluded from CANDIDACY (see
+    // ivfPqOracleCtesFor) — deleted vectors are physically out of both
+    // stored tiers, so shortlist ranks re-close over the survivors
+    "q_ann_ivfpq_deleted" ->
+      s"""WITH ${ivfPqOracleCtesFor(
+             s"AND x.vec_id % $AnnDeleteMod <> $AnnDeleteRem")}
          |SELECT query_id, rank, neighbor_id, cos, adc
          |FROM ivfpqtop
          |ORDER BY query_id, rank""".stripMargin,

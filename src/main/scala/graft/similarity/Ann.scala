@@ -365,6 +365,185 @@ object Ann {
     else Double.PositiveInfinity
   }
 
+  /** Routing-quality fence — the quantizer twin of
+    * [[IvfPqRetrainFence]]: [[ivfQuantizerStaleness]] above this means
+    * the COARSE QUANTIZER no longer fits the stored corpus (drifted
+    * appends sit far from every centroid), so cell routing — which
+    * cells a query probes, which cell a vector lands in — degrades in a
+    * way no codebook retrain can repair ([[ivfPqRetrain]] refreshes ADC
+    * scoring only; the q_ann_recall_ivfpq_drift eval measures the
+    * residual: drifted recall recovers 2/50 vs 6/50 fresh because
+    * routing stays stale). Past this fence, [[ivfPqRebuild]] — the
+    * full-rebuild arm that re-trains the quantizer AND the codebook on
+    * the current corpus. Measured calibration on the synthetic
+    * embeddings: same-distribution appends read ≈ 1.02; the
+    * q_ann_recall_ivfpq_drift +0.5/dim (≈4σ) shift reads 3.8; a
+    * +0.25/dim half-shift — already enough to cost ~30% of nProbe=1
+    * routing recall (spec) — reads ≈ 1.7. The fence sits at 1.5:
+    * above append noise, below the mildest drift that measurably
+    * damages routing. */
+  val IvfRebuildFence = 1.5d
+
+  /** Mean assignment distortion of a stored index: avg over stored
+    * rows of `‖v − assigned centroid‖²` (expanded as
+    * `‖v‖² + ‖c‖² − 2⟨v,c⟩`, the [[pqDistortion]] MSE family applied
+    * to the coarse quantizer) — how well the quantizer REPRESENTS the
+    * corpus it routes. Assignment stays the stored argmax-cosine
+    * routing (the `cent_id` already on each row), so this measures the
+    * quantizer the probes actually use. MSE rather than cosine
+    * distance on purpose: an additive encoder shift moves every vector
+    * FAR from the centroids in L2 while barely changing angles
+    * (measured on the planted 4σ drift: MSE ratio 3.8, cosine ratio
+    * 1.03 — the cosine statistic is blind to exactly the drift this
+    * fence exists for). One linear pass over `lists/` joined to the
+    * broadcast (k-row) quantizer; nothing reaches the driver but one
+    * double. 0.0 on an empty index. */
+  def ivfAssignDistortion(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Double = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val r = spark.read
+      .parquet(s"$path/lists")
+      .select(col("c_v"), col("c_nrm"), col("cent_id").cast("long").as("cent_id"))
+      .join(broadcast(cents), "cent_id")
+      .select(
+        (col("c_nrm") * col("c_nrm") + col("cent_nrm") * col("cent_nrm") -
+          lit(2.0d) * VectorFns.dot(col("c_v"), col("cent_v"))).as("e"))
+      .agg(avg("e"))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** How stale the stored COARSE QUANTIZER is:
+    * `ivfAssignDistortion(now) / build-time assignment distortion`
+    * (baseline persisted by [[ivfBuild]]/[[ivfPqBuild]] under
+    * `qstats/`). ≈ 1 while appends match the build distribution; grows
+    * as drifted appends accumulate in cells whose centroids no longer
+    * represent them — fence with [[IvfRebuildFence]] and act with
+    * [[ivfPqRebuild]]. Pairs with [[ivfPqStaleness]] (codebook axis):
+    * a deployment reads BOTH — codebook-stale-only → [[ivfPqRetrain]]
+    * (cheap, codes tier only); quantizer-stale → rebuild.
+    *
+    * Legacy indexes (no `qstats/`) degrade exactly like
+    * [[ivfPqStaleness]]'s fallback: the baseline is recomputed from the
+    * CURRENT corpus and backfilled, so drift absorbed before the first
+    * readout is invisible — run [[ivfPqRebuild]] once for the only
+    * honest zero point. */
+  def ivfQuantizerStaleness(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Double = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val qstats = new org.apache.hadoop.fs.Path(s"$path/qstats")
+    val cur = ivfAssignDistortion(spark, path)
+    val build =
+      if (qstats.getFileSystem(conf).exists(qstats))
+        spark.read.parquet(s"$path/qstats").head().getDouble(0)
+      else {
+        Seq(cur).toDF("build_assign_distortion").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/qstats")
+        cur
+      }
+    if (build > 0.0) cur / build
+    else if (cur == 0.0) 1.0
+    else Double.PositiveInfinity
+  }
+
+  /** Persist the quantizer-quality baseline ([[ivfQuantizerStaleness]]'s
+    * denominator) — written by every build/rebuild, one row. */
+  private def writeQStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq(ivfAssignDistortion(spark, path))
+      .toDF("build_assign_distortion")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/qstats")
+  }
+
+  /** FULL index rebuild — the action behind [[IvfRebuildFence]], and
+    * the repair [[ivfPqRetrain]] cannot perform: re-train the coarse
+    * quantizer (k-means over the index's CURRENT corpus, k preserved,
+    * deterministic lowest-id seeds + `iters` Lloyd rounds — the
+    * [[ivfMaintain]] split conventions applied globally), re-train the
+    * codebook ([[pqTrain]] on the same corpus), re-assign every vector,
+    * and rewrite every tier (`centroids/ lists/ codes/ codebook/
+    * stats/ qstats/`) via [[ivfPqBuild]]. After a distribution shift
+    * this restores BOTH degraded axes: cell routing (queries in the
+    * drifted region reach cells that actually hold drifted vectors)
+    * and ADC scoring — the spec pins that the rebuilt index recovers
+    * recall the codes-only retrain cannot.
+    *
+    * Plain-IVF (single-tier) indexes are auto-detected and rebuilt
+    * without the codes/codebook tiers.
+    *
+    * Consistency contract = [[ivfPqRetrain]]'s, wider: every tier is
+    * rewritten, so run in a maintenance window (or rebuild into a
+    * fresh directory upstream and swap). The current corpus is
+    * materialized ([[graft.operators.Materialize.cut]]) before any
+    * tier is overwritten, so the rebuild never reads a tier it is
+    * rewriting. Cost: (iters + 2) corpus passes for the quantizer, the
+    * [[pqTrain]] passes, one full two-tier write — the
+    * once-per-drift-event price, not a serving-path cost. */
+  def ivfPqRebuild(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      iters: Int = 2): Unit = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val twoTier = codesPath.getFileSystem(conf).exists(codesPath)
+    val cbOld = if (twoTier) Some(ivfPqCodebook(spark, path)) else None
+    val k = spark.read.parquet(s"$path/centroids").count().toInt
+    // materialize the corpus OFF the tiers about to be overwritten
+    val corpus = graft.operators.Materialize.cut(
+      spark.read.parquet(s"$path/lists").select("neighbor_id", "c_v", "c_nrm"))
+    // deterministic global k-means: k lowest-id rows seed (the
+    // pqCodebook / maintainCore init convention), `iters` Lloyd rounds
+    // of argmax-cosine assignment + per-cell mean (each round: ONE
+    // corpus projection + ONE k-row aggregate — control plane only)
+    var cents: Seq[(Long, Seq[Double], Double)] = corpus
+      .orderBy("neighbor_id")
+      .limit(k)
+      .select("c_v")
+      .collect() // k rows — control plane
+      .zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Double](0)
+        (i.toLong, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+      .toIndexedSeq
+    require(cents.nonEmpty, s"ivfPqRebuild: empty index at $path")
+    val dim = cents.head._2.size
+    def centsDf = broadcast(cents.toDF("cent_id", "cent_v", "cent_nrm"))
+    for (_ <- 0 until iters) {
+      val dims = (1 to dim).map(j => avg(element_at(col("c_v"), j)).as(s"m$j"))
+      val means = nearestCells(corpus, centsDf, "neighbor_id", "c_v", "c_nrm", 1)
+        .groupBy("cent_id")
+        .agg(dims.head, dims.tail: _*)
+        .collect() // ≤ k rows — control plane
+        .map { r =>
+          val v = (1 to dim).map(j => r.getDouble(j))
+          r.getLong(0) ->
+            ((v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))))
+        }
+        .toMap
+      // a centroid that lost all members keeps its previous position
+      // (the pqTrain empty-cell rule)
+      cents = cents.map { case (id, v, nrm) =>
+        means.get(id).map { case (v2, n2) => (id, v2, n2) }
+          .getOrElse((id, v, nrm))
+      }
+    }
+    cbOld match {
+      case Some(old) =>
+        val cb = pqTrain(corpus, old.m, old.ks, old.m * old.subDim, iters)
+        ivfPqBuild(corpus, centsDf, cb, path)
+      case None =>
+        ivfBuild(corpus, centsDf, path)
+    }
+  }
+
   /** PQ-encode the corpus: `(neighbor_id, k0..k{m-1}, recon_nrm)` — the
     * 100 TB representation. Codes are `m` small ints + one double
     * (~16 B/vector vs 512 B raw for 64 dims): the ADC scan reads ONLY
@@ -610,6 +789,9 @@ object Ann {
     // build-time codebook distortion: the [[ivfPqStaleness]] baseline
     // (one extra linear pass at build time — build runs once)
     writeCodebookAndStats(corpus.sparkSession, path, cb, pqDistortion(corpus, cb))
+    // build-time assignment distortion: the [[ivfQuantizerStaleness]]
+    // baseline (same build-once economics)
+    writeQStats(corpus.sparkSession, path)
   }
 
   /** Persist the codebook + distortion-baseline tiers (`codebook/` as
@@ -650,6 +832,32 @@ object Ann {
     assigned.write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
     pqEncode(assigned, cb, carry = Seq("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
+  }
+
+  /** Stage `batch` (corpus-shaped, pre-normed) for a stored IVF-PQ
+    * index WITHOUT touching the live tiers: assignment + encoding
+    * against the STORED quantizer/codebook (exactly [[ivfPqAppend]]'s
+    * semantics) written to `$staging/lists` and `$staging/codes`
+    * (cent_id-partitioned, mode overwrite — a retried staging is a
+    * clean rewrite). The exactly-once ingest sink then PUBLISHES the
+    * staged files into the live tiers by per-file rename under
+    * deterministic batch-prefixed names — see
+    * [[graft.streaming.StreamLog.ivfPqIngest]] for the commit
+    * protocol. The assignment is materialized once so both tier
+    * writes read the same cut. */
+  def ivfPqStage(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      path: String,
+      staging: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = ivfPqCodebook(spark, path)
+    val assigned = graft.operators.Materialize.cut(
+      nearestCells(batch, broadcast(cents), "neighbor_id", "c_v", "c_nrm", 1))
+    assigned
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$staging/lists")
+    pqEncode(assigned, cb, carry = Seq("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$staging/codes")
   }
 
   /** The ACTION behind the [[IvfPqRetrainFence]]: retrain the codebook
@@ -833,6 +1041,9 @@ object Ann {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     nearestCells(corpus, broadcast(centroids), "neighbor_id", "c_v", "c_nrm", 1)
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
+    // build-time assignment distortion — the [[ivfQuantizerStaleness]]
+    // baseline (one extra linear pass; build runs once)
+    writeQStats(corpus.sparkSession, path)
   }
 
   /** Incrementally add `batch` (corpus-shaped: `neighbor_id, c_v,
@@ -1224,6 +1435,158 @@ object Ann {
       ()
     }
     true
+  }
+
+  /** Remove vectors from a stored index — the lifecycle twin of
+    * [[graft.log.EventLog.retain]] for the serving tier. Every dedup
+    * keep-one decision, quality filter, or GDPR erasure the pipeline
+    * performs upstream stays PROBE-VISIBLE until the index forgets it,
+    * and build/append/maintain/retrain can only grow the index; this is
+    * the removal op. `deletes` is a one-column `neighbor_id` set (any
+    * size — it joins against the lists scan, never the driver).
+    *
+    * Mechanics reuse the [[ivfMaintain]] swap machinery: the touched
+    * cells (one partition-pruned semi-join + a ≤ k-row collect) are
+    * REWRITTEN under fresh `cent_id`s with the SAME centroid vectors —
+    * survivors are re-keyed, the quantizer swaps the touched ids for
+    * the fresh ones (identical geometry, so future routing is
+    * unchanged), and only then are the old partitions dropped. Cells
+    * holding no deleted vector are never read and stay BIT-IDENTICAL.
+    * Two-tier ([[ivfPqBuild]]) layouts are AUTO-DETECTED: survivors'
+    * codes re-derive from their raw vectors under the FROZEN codebook
+    * ([[ivfPqMaintain]]'s re-home trick — byte-identical values), so
+    * both tiers stay consistent; [[ivfPqDelete]] is the explicit
+    * two-tier entry point.
+    *
+    * Crash safety is the maintenance contract: new partitions are
+    * quantizer-absent until the swap, old partitions quantizer-absent
+    * after it, and [[ivfRecover]] (run first here, and by every
+    * maintenance round) deletes whichever orphans a crash leaves — the
+    * op is idempotent under retry with the same `deletes` set. A probe
+    * racing the window serves the OLD cells: deletion becomes visible
+    * atomically at the quantizer swap.
+    *
+    * Scale: cost is one lists scan for the touch set (at 100 TB,
+    * pre-restrict `deletes` to known cells or run deletes batched —
+    * the scan amortizes over the batch) plus a rewrite of ONLY the
+    * touched partitions. Returns the old ids of the rewritten cells
+    * (empty when nothing matched). */
+  def ivfDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deletes: DataFrame): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    deleteCore(
+      spark, path, deletes,
+      if (codes.getFileSystem(conf).exists(codes))
+        Some(ivfPqCodebook(spark, path))
+      else None)
+  }
+
+  /** [[ivfDelete]] for the two-tier IVF-PQ layout — survivors rewrite
+    * in BOTH tiers ([[ivfDelete]] auto-detects the layout; this entry
+    * point just makes the two-tier intent explicit at call sites). */
+  def ivfPqDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deletes: DataFrame): Seq[Long] =
+    deleteCore(spark, path, deletes, Some(ivfPqCodebook(spark, path)))
+
+  /** The shared touched-cell rewrite behind [[ivfDelete]]/
+    * [[ivfPqDelete]] (`cbOpt` adds the codes-tier rewrite). */
+  private def deleteCore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deletes: DataFrame,
+      cbOpt: Option[PqCodebook]): Seq[Long] = {
+    import spark.implicits._
+    ivfRecover(spark, path) // idempotence: clear any prior crash's orphans
+    val del = deletes.select(col("neighbor_id")).distinct()
+    val lists = spark.read
+      .parquet(s"$path/lists")
+      .select(
+        col("neighbor_id"),
+        col("c_v"),
+        col("c_nrm"),
+        col("cent_id").cast("long").as("cent_id"))
+    // which cells hold a deleted vector: ≤ k rows — control plane
+    val touched = lists
+      .join(del, Seq("neighbor_id"), "left_semi")
+      .select("cent_id")
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+      .toIndexedSeq
+    if (touched.isEmpty) return Nil
+
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val knownIds = centroids
+      .select(col("cent_id").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+      .toIndexedSeq // k rows — control plane
+    val maxListId = cellCounts(spark, path).map(_._1).foldLeft(0L)(math.max)
+    val nextId = math.max(maxListId, knownIds.max) + 1L
+    // deterministic re-key: touched cells in ascending id order take
+    // contiguous fresh ids (the maintainCore allocation rule)
+    val rekey = touched.zipWithIndex.map { case (old, i) => (old, nextId + i) }
+    val rekeyDf = broadcast(rekey.toDF("cent_id", "new_id"))
+
+    // survivors: the touched partitions only (partition-pruned read),
+    // minus the delete set, re-keyed to the fresh cell ids. Two-tier
+    // layouts materialize the cut once so the codes write re-reads the
+    // survivor cut, not the hot partitions.
+    val survivors0 = lists
+      .where(col("cent_id").isin(touched: _*))
+      .join(del, Seq("neighbor_id"), "left_anti")
+      .join(rekeyDf, "cent_id")
+      .select(
+        col("neighbor_id"),
+        col("c_v"),
+        col("c_nrm"),
+        col("new_id").as("cent_id"))
+    val survivors =
+      if (cbOpt.isDefined) graft.operators.Materialize.cut(survivors0)
+      else survivors0
+    survivors
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+    cbOpt.foreach { cb =>
+      pqEncode(survivors, cb, carry = Seq("cent_id"))
+        .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
+    }
+
+    // quantizer swap: touched ids re-keyed, SAME centroid vectors —
+    // geometry unchanged, so routing and tie behavior are preserved
+    // for every future probe/append/maintain
+    val touchedSet = touched.toSet
+    val kept = centroids.where(!col("cent_id").isin(touched: _*))
+    val rekeyed = centroids
+      .where(col("cent_id").isin(touched: _*))
+      .join(rekeyDf.withColumnRenamed("new_id", "nid"), "cent_id")
+      .select(col("nid").as("cent_id"), col("cent_v"), col("cent_nrm"))
+    val merged = kept
+      .unionByName(rekeyed)
+      .collect()
+      .toIndexedSeq // k rows — control plane
+    spark
+      .createDataFrame(
+        spark.sparkContext.parallelize(merged, 1),
+        centroids.schema)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+
+    // old touched partitions go LAST (both tiers) — survivors are
+    // already re-homed; a crash in the window leaves quantizer-absent
+    // orphans that ivfRecover deletes
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tiers = "lists" +: cbOpt.map(_ => "codes").toSeq
+    for (tier <- tiers; oldId <- touchedSet.toSeq.sorted) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$tier/cent_id=$oldId"), true)
+      ()
+    }
+    touched
   }
 
   /** Probe a stored index: queries pick their `nProbe` nearest STORED

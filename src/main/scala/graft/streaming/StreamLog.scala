@@ -1158,6 +1158,132 @@ object StreamLog {
       .select("doc_id", "event_time", "clean_text", "score")
   }
 
+  /** Live NEAR-dup corpus ingest — [[prepareStream]] completed with the
+    * incremental near-dup stage the batch pipeline has always had
+    * ([[graft.pipeline.TrainingPipeline.prepare]] stage 3): without it,
+    * a streamed near-duplicate of an ARCHIVED doc (re-crawl with a
+    * tweaked boilerplate line, syndicated copy) sails straight through
+    * exact content-hash dedup into the corpus.
+    *
+    * Per micro-batch (after prepareStream's scrub/score/exact-dedup):
+    *
+    *  1. batch-internal near-dups collapse to their canonical min-id doc
+    *     ([[graft.dedup.Dedup.minhashLsh]] over the batch — batch-sized,
+    *     never corpus-sized — then clusters → keep-one);
+    *  2. survivors probe the ARCHIVE by the row-64 contract
+    *     ([[graft.dedup.Dedup.minhashLshAgainstTables]]): the batch's
+    *     banded signatures BROADCAST against the archive's persisted
+    *     band table — batch × corpus, never corpus × corpus, and the
+    *     archived docs are never re-shingled (the band/shingle tables
+    *     are part of the archive, appended as it grows);
+    *  3. kept docs append to `archive/docs`, and their shingle + band
+    *     rows append to `archive/shingles` / `archive/bands` — so the
+    *     NEXT batch probes an archive that already knows this one.
+    *
+    * Exactly-once: the three appends follow the [[appendSink]] staged
+    * publish (stage under `_neardup_staging/<sinkId>-batch-<id>/`, move
+    * files under deterministic prefixed names, touch the
+    * `_neardup_commits/` marker last; replay sweeps by prefix and
+    * republishes), and near-dup DECISIONS are deterministic given the
+    * archive state, so a replayed batch reproduces its own decisions
+    * exactly. `sinkId` namespaces the idempotence state — the
+    * (sinkId, checkpoint) reuse contract is [[appendSink]]'s.
+    *
+    * Archive layout: `docs/` `(doc_id, event_time, clean_text, score)`,
+    * `shingles/` `(doc_id, s)`, `bands/` `(doc_id, band_id,
+    * band_hash)`. Scale: batch bands broadcast (a micro-batch is small
+    * by nature); the archive band probe is one bucket equi-join;
+    * verify traffic prunes to candidate archive docs. Reference:
+    * fgrzl/streams has no dedup tier — this is the training-data
+    * surface (SURVEY §2c row 82's live pipeline completed with row
+    * 64's incremental contract). */
+  def nearDupIngest(
+      docs: DataFrame,
+      archive: String,
+      checkpoint: String,
+      sinkId: String = "neardup0",
+      watermark: String = "10 minutes",
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(
+      sinkId.nonEmpty && sinkId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"sinkId must be [A-Za-z0-9_-]+: '$sinkId'")
+    import graft.dedup.Dedup
+    prepareStream(docs, watermark).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.log.LogFs
+        import org.apache.hadoop.fs.{Path => HPath}
+        val session = batch.sparkSession
+        val conf = session.sessionState.newHadoopConf()
+        val fs = new HPath(archive).getFileSystem(conf)
+        val marker = s"$archive/_neardup_commits/$sinkId-batch-$batchId.done"
+        val staging = s"$archive/_neardup_staging/$sinkId-batch-$batchId"
+        val prefix = s"$sinkId-batch-$batchId-"
+        val tiers = Seq("docs", "shingles", "bands")
+        if (LogFs.exists(fs, marker)) {
+          LogFs.deleteRecursive(fs, staging) // committed replay: sweep
+        } else if (!batch.isEmpty) {
+          // half-published previous attempt: sweep this batch's
+          // prefixed files from the live tiers (gated on staging
+          // existence — the common path costs one exists())
+          if (LogFs.exists(fs, staging))
+            for (tier <- tiers if LogFs.exists(fs, s"$archive/$tier"))
+              fs.listStatus(new HPath(s"$archive/$tier"))
+                .filter(_.getPath.getName.startsWith(prefix))
+                .foreach(st => LogFs.deleteFile(fs, st.getPath))
+
+          // 1. batch-internal near-dup keep-one (batch-sized work)
+          val clusters = Dedup.duplicateClusters(
+            Dedup.minhashLsh(
+              batch, "doc_id", "clean_text", k, numHashes, bands, threshold))
+          val internal = Dedup.keepCanonical(batch, clusters)
+
+          // 2. survivors vs the archive: batch bands broadcast against
+          // the persisted corpus band table (row-64 contract)
+          val shSurv = graft.operators.Materialize.cut(
+            Dedup.shingled(internal, "doc_id", "clean_text", k))
+          val kept =
+            if (LogFs.exists(fs, s"$archive/bands")) {
+              val dupIds = Dedup
+                .minhashLshAgainstTables(
+                  shSurv,
+                  session.read.parquet(s"$archive/bands"),
+                  session.read.parquet(s"$archive/shingles"),
+                  "doc_id", numHashes, bands, threshold)
+                .select(col("new_id").as("doc_id"))
+                .distinct()
+              internal.join(dupIds, Seq("doc_id"), "left_anti")
+            } else internal
+
+          // 3. staged publish of docs + their shingle/band rows
+          val keptCut = graft.operators.Materialize.cut(kept)
+          val shKept = graft.operators.Materialize.cut(
+            shSurv.join(keptCut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          keptCut.write.mode("overwrite").parquet(s"$staging/docs")
+          shKept.write.mode("overwrite").parquet(s"$staging/shingles")
+          Dedup
+            .bandTable(shKept, "doc_id", numHashes, bands)
+            .write.mode("overwrite").parquet(s"$staging/bands")
+          val stagedBase = fs.makeQualified(new HPath(staging)).toString
+          LogFs.walkParquet(fs, staging).foreach { p =>
+            val rel =
+              p.getParent.toString.stripPrefix(stagedBase).stripPrefix("/")
+            LogFs.move(
+              fs, p, new HPath(s"$archive/$rel", s"$prefix${p.getName}"))
+          }
+          LogFs.touch(fs, marker)
+          LogFs.deleteRecursive(fs, staging)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Live subscription to a stored [[EventLog]]: a streaming DataFrame
     * of entries as they are committed (file-based tailing of the
     * space-partitioned log directory — the reference's
@@ -1281,65 +1407,140 @@ object StreamLog {
 
   /** Live vector-ingest sink for a persisted IVF-PQ index
     * ([[graft.similarity.Ann.ivfPqBuild]]'s layout): every micro-batch
-    * of `(neighbor_id, c_v)` vectors appends through the STORED
+    * of `(neighbor_id, c_v)` vectors lands through the STORED
     * quantizer + codebook and runs the hot-cell maintenance fence in
-    * the same call ([[graft.similarity.Ann.ivfPqAppendMaintained]]) —
-    * the self-balancing serving-index loop as a Structured Streaming
-    * sink (the recommender shape: embeddings stream in, probes never
-    * retrain, skew never accumulates). Batch-replay fencing follows
-    * the [[appendSink]] marker idiom: a committed batch id is recorded
-    * under `_ingest_commits/` AFTER its append, so a post-restart
-    * replay of a committed batch is a no-op; the remaining duplicate
-    * window (crash BETWEEN append and marker) is parquet-append
-    * non-atomicity — the same at-least-once contract appendSink
-    * documents, with [[graft.similarity.Ann.ivfRecover]] keeping the
-    * index itself consistent through any maintenance crash. Codebook
-    * drift is the operator's axis: sample batches through
+    * the same call — the self-balancing serving-index loop as a
+    * Structured Streaming sink (the recommender shape: embeddings
+    * stream in, probes never retrain, skew never accumulates).
+    *
+    * EXACTLY-ONCE, the [[appendSink]] protocol applied to both index
+    * tiers: the batch is STAGED under
+    * `_ingest_staging/<sinkId>-batch-<id>/{lists,codes}`
+    * ([[graft.similarity.Ann.ivfPqStage]]), every staged file is
+    * published into its live partition by rename under a deterministic
+    * `<sinkId>-batch-<id>-` prefix, and only then is the commit marker
+    * touched. A replayed committed batch is a no-op; a replay of a
+    * half-published batch first sweeps exactly this batch's prefixed
+    * files from the partitions the staged `cent_id=` dirs name (no
+    * index-wide listing), re-stages, and republishes — so each vector
+    * lands in each tier exactly once through any crash window, closing
+    * the append-then-marker duplicate gap the previous at-least-once
+    * contract documented. Maintenance runs AFTER the commit point
+    * (crash between marker and maintenance just defers the rebalance
+    * to the next batch's fence check;
+    * [[graft.similarity.Ann.ivfRecover]] keeps the index consistent
+    * through any maintenance crash).
+    *
+    * `sinkId` namespaces markers and staging exactly like
+    * [[appendSink]]'s: Structured Streaming batchIds restart at 0 for
+    * every NEW checkpoint, so a fresh checkpoint (or a second pipeline
+    * pointed at the same index) without its own sinkId would read the
+    * old pipeline's `batch-N.done` markers and silently drop its first
+    * N batches. Contract: a restart of the same logical pipeline
+    * reuses the same (sinkId, checkpoint) pair; a NEW pipeline gets a
+    * new sinkId.
+    *
+    * Codebook drift is the operator's axis: sample batches through
     * [[graft.similarity.Ann.ivfPqStaleness]] and retrain past
-    * [[graft.similarity.Ann.IvfPqRetrainFence]]. */
+    * [[graft.similarity.Ann.IvfPqRetrainFence]]; watch the quantizer
+    * axis with [[graft.similarity.Ann.ivfQuantizerStaleness]]. */
   def ivfPqIngest(
       vectors: DataFrame,
       path: String,
       checkpoint: String,
+      sinkId: String = "ivfpq0",
       fence: Double = 2.0,
       splitInto: Int = 0,
       iters: Int = 2,
       dim: Int = 64,
-      maxRounds: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+      maxRounds: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(
+      sinkId.nonEmpty && sinkId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"sinkId must be [A-Za-z0-9_-]+: '$sinkId'")
     vectors.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.log.LogFs
+        import org.apache.hadoop.fs.{Path => HPath}
         val session = batch.sparkSession
         val conf = session.sessionState.newHadoopConf()
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$path/_ingest_commits/batch-$batchId.done")
-        val fs = marker.getFileSystem(conf)
-        if (!fs.exists(marker) && !batch.isEmpty) {
-          graft.similarity.Ann.ivfPqAppendMaintained(
+        val fs = new HPath(path).getFileSystem(conf)
+        val marker = s"$path/_ingest_commits/$sinkId-batch-$batchId.done"
+        val staging = s"$path/_ingest_staging/$sinkId-batch-$batchId"
+        val prefix = s"$sinkId-batch-$batchId-"
+        if (LogFs.exists(fs, marker)) {
+          // committed replay: nothing to publish — but a crash between
+          // marker-touch and staging-cleanup leaves the staging dir
+          // behind, so sweep it here (the appendSink rule)
+          LogFs.deleteRecursive(fs, staging)
+        } else if (!batch.isEmpty) {
+          // A failed attempt can only have published files if it got
+          // past the staging write — in which case its staging dir
+          // still exists, and its cent_id= subdirs name EXACTLY the
+          // live partitions that may hold this batch's files (bounded
+          // sweep, no index-wide listing).
+          if (LogFs.exists(fs, staging))
+            for (tier <- Seq("lists", "codes")) {
+              val tdir = new HPath(s"$staging/$tier")
+              if (fs.exists(tdir))
+                fs.listStatus(tdir)
+                  .filter(_.isDirectory)
+                  .map(_.getPath.getName)
+                  .filter(_.startsWith("cent_id="))
+                  .foreach { cell =>
+                    val live = new HPath(s"$path/$tier/$cell")
+                    if (fs.exists(live))
+                      fs.listStatus(live)
+                        .filter(_.getPath.getName.startsWith(prefix))
+                        .foreach(st => LogFs.deleteFile(fs, st.getPath))
+                  }
+            }
+          graft.similarity.Ann.ivfPqStage(
             session,
             graft.similarity.Ann.withNorm(batch, "c_v", "c_nrm"),
-            path, fence, splitInto, iters, dim, maxRounds)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker, true).close()
+            path, staging)
+          // publish: move every staged file into its live partition
+          // under the deterministic prefixed name
+          val stagedBase = fs.makeQualified(new HPath(staging)).toString
+          LogFs.walkParquet(fs, staging).foreach { p =>
+            val rel =
+              p.getParent.toString.stripPrefix(stagedBase).stripPrefix("/")
+            LogFs.move(fs, p, new HPath(s"$path/$rel", s"$prefix${p.getName}"))
+          }
+          LogFs.touch(fs, marker)
+          LogFs.deleteRecursive(fs, staging)
+          // maintenance after the commit point — the self-balancing loop
+          var rounds = 0
+          while (rounds < maxRounds &&
+            graft.similarity.Ann.ivfImbalance(session, path) > fence &&
+            graft.similarity.Ann
+              .ivfPqMaintain(session, path, fence, splitInto, iters, dim))
+            rounds += 1
           // bounded metadata: a restart can only replay batches at/after
           // the checkpoint's last uncommitted offset, so markers far in
           // the past are dead weight — keep a generous window instead of
-          // one file per batch forever (millions at 100 TB ingest rates)
-          if (batchId >= IngestMarkerKeep)
-            fs.listStatus(marker.getParent).foreach { st =>
+          // one file per batch forever (millions at 100 TB ingest
+          // rates). Own sinkId only; unparseable names are skipped, not
+          // thrown on (one stray file must never fail the query).
+          val gcPrefix = s"$sinkId-batch-"
+          if (batchId >= IngestMarkerKeep &&
+            LogFs.exists(fs, s"$path/_ingest_commits"))
+            fs.listStatus(new HPath(s"$path/_ingest_commits")).foreach { st =>
               val n = st.getPath.getName
-              if (n.startsWith("batch-") && n.endsWith(".done") &&
-                n.stripPrefix("batch-").stripSuffix(".done").toLong <
-                  batchId - IngestMarkerKeep) {
-                fs.delete(st.getPath, false)
-                ()
-              }
+              if (n.startsWith(gcPrefix) && n.endsWith(".done"))
+                n.stripPrefix(gcPrefix).stripSuffix(".done").toLongOption match {
+                  case Some(id) if id < batchId - IngestMarkerKeep =>
+                    LogFs.deleteFile(fs, st.getPath)
+                  case _ => ()
+                }
             }
           ()
         }
       }
       .start()
+  }
 
   /** Commit markers retained behind the latest batch by [[ivfPqIngest]]
     * — far more than any restart can replay (replay reaches back only

@@ -1226,8 +1226,10 @@ class DedupAnnApiSpec extends SparkSpec {
       // committed batches are markered (the replay fence); ignore the
       // local-FS .crc sidecars
       val markers = new java.io.File(s"$path/_ingest_commits").listFiles()
-        .map(_.getName).filter(n => n.startsWith("batch-") && n.endsWith(".done"))
-      assert(markers.sorted.toSeq == Seq("batch-0.done", "batch-1.done"))
+        .map(_.getName)
+        .filter(n => n.startsWith("ivfpq0-batch-") && n.endsWith(".done"))
+      assert(markers.sorted.toSeq ==
+        Seq("ivfpq0-batch-0.done", "ivfpq0-batch-1.done"))
     } finally q.stop()
   }
 
@@ -1406,5 +1408,187 @@ class DedupAnnApiSpec extends SparkSpec {
     assert(Ann.ivfRecover(spark, path) == Seq(777L))
     assert(!new java.io.File(s"$path/codes/cent_id=777").exists)
     assert(Ann.ivfRecover(spark, path).isEmpty)
+  }
+
+  test("ivfPqDelete: probe excludes exactly the deleted ids, cold cells bit-identical in BOTH tiers, retry/crash idempotent") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.toSeq
+    def corpusDf(rows: Seq[(Long, Seq[Double])]) = Ann.withNorm(
+      rows.toDF("neighbor_id", "c_v"), "c_v", "c_nrm")
+    val cents = Seq(
+      (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 1, 0)), (4L, vec(0, 0, 0, 1)))
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_nrm", VectorFns.norm(col("cent_v")))
+    val base = (1 to 4).flatMap(i =>
+      Seq.tabulate(4)(j =>
+        (i * 10L + j) -> Seq.tabulate(4)(d => if (d == i - 1) 1.0 else 0.01 * (j + 1))))
+    val cb = Ann.pqTrain(corpusDf(base), m = 2, ks = 2, dim = 4, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+    Ann.ivfPqBuild(corpusDf(base), cents, cb, path)
+
+    def fileState(tier: String, cell: Long) = {
+      val dir = new java.io.File(s"$path/$tier/cent_id=$cell")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    }
+    def codeRows() = spark.read.parquet(s"$path/codes")
+      .select(
+        col("neighbor_id"), col("k0"), col("k1"), col("recon_nrm"),
+        col("cent_id").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)), r.getLong(4)))
+      .toMap
+    def listIds() = spark.read.parquet(s"$path/lists")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    def quant() = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id").cast("long"), col("cent_v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def probe(q: Seq[Double], nProbe: Int, k: Int = 5) = {
+      val qDf = Ann.withNorm(Seq(0L -> q).toDF("query_id", "q_v"), "q_v", "q_nrm")
+      Ann.ivfPqProbe(spark, path, qDf, k = k, nProbe = nProbe, shortlist = 1000)
+        .collect().map(_.getLong(2)).toSeq
+    }
+    val codesBefore = codeRows()
+    val coldLists3 = fileState("lists", 3L)
+    val coldCodes4 = fileState("codes", 4L)
+
+    // delete two of cell 1's members, one of cell 2's; 999 matches
+    // nothing (ignored); cells 3 and 4 are cold
+    val del = Seq(10L, 11L, 20L, 999L).toDF("neighbor_id")
+    assert(Ann.ivfPqDelete(spark, path, del) == Seq(1L, 2L))
+
+    // touched partitions dropped in BOTH tiers; survivors re-keyed under
+    // fresh ids carrying the SAME centroid vectors (routing unchanged)
+    assert(!new java.io.File(s"$path/lists/cent_id=1").exists)
+    assert(!new java.io.File(s"$path/codes/cent_id=1").exists)
+    assert(!new java.io.File(s"$path/lists/cent_id=2").exists)
+    assert(!new java.io.File(s"$path/codes/cent_id=2").exists)
+    val q1 = quant()
+    assert(q1.keySet == Set(3L, 4L, 5L, 6L))
+    assert(q1(5L) == vec(1, 0, 0, 0) && q1(6L) == vec(0, 1, 0, 0))
+    // cold cells bit-identical in both tiers
+    assert(fileState("lists", 3L) == coldLists3)
+    assert(fileState("codes", 4L) == coldCodes4)
+
+    // survivor set exact; codes byte-equal to their pre-delete values
+    // (re-derived under the FROZEN codebook) and tier-consistent
+    val expect = base.map(_._1).toSet -- Set(10L, 11L, 20L)
+    assert(listIds() == expect)
+    val codesAfter = codeRows()
+    assert(codesAfter.keySet == expect)
+    assert(codesAfter.forall { case (id, (code, _)) => codesBefore(id)._1 == code })
+
+    // the probe forgets exactly the deleted ids: cell 1's region now
+    // serves only its survivors, and the full-probe route equals brute
+    // force over the survivor corpus
+    val near1 = probe(vec(1, 0.05, 0, 0), nProbe = 1)
+    assert(near1.toSet == Set(12L, 13L))
+    val survivors = corpusDf(base.filter(t => expect(t._1)))
+    val qDf = Ann.withNorm(
+      Seq(0L -> vec(1.0, 0.3, 0.2, 0.1)).toDF("query_id", "q_v"), "q_v", "q_nrm")
+    val brute = Ann.bruteForceTopK(qDf, survivors, k = 5)
+      .collect().map(_.getLong(2)).toSeq
+    assert(probe(vec(1, 0.3, 0.2, 0.1), nProbe = 4) == brute)
+
+    // retry with the same delete set: nothing matches → no-op
+    assert(Ann.ivfPqDelete(spark, path, del).isEmpty)
+    assert(listIds() == expect)
+
+    // crash idempotence: a planted quantizer-absent orphan (the crash
+    // window's signature) is cleared by the recovery pass a delete runs
+    // first, and the delete itself proceeds correctly
+    spark.read.parquet(s"$path/lists").where(col("cent_id") === 3)
+      .select("neighbor_id", "c_v", "c_nrm")
+      .write.parquet(s"$path/lists/cent_id=88")
+    assert(Ann.ivfPqDelete(spark, path, Seq(30L).toDF("neighbor_id")) == Seq(3L))
+    assert(!new java.io.File(s"$path/lists/cent_id=88").exists)
+    assert(listIds() == expect - 30L)
+
+    // deleting an ENTIRE cell leaves an empty (partition-less) cell:
+    // probes routed there return nothing, everything else unaffected
+    assert(Ann.ivfPqDelete(
+      spark, path, Seq(40L, 41L, 42L, 43L).toDF("neighbor_id")).nonEmpty)
+    assert(probe(vec(0, 0, 0, 1), nProbe = 1).isEmpty)
+    assert(listIds() == expect - 30L -- Set(40L, 41L, 42L, 43L))
+    // auto-detect twin: ivfDelete on a two-tier index behaves as
+    // ivfPqDelete (both tiers stay consistent)
+    assert(Ann.ivfDelete(spark, path, Seq(31L).toDF("neighbor_id")).nonEmpty)
+    assert(codeRows().keySet == listIds())
+  }
+
+  test("ivfQuantizerStaleness trips on planted drift; ivfPqRebuild recovers recall the codes-only retrain cannot") {
+    val corpus = embs.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val same = embs.filter(col("vec_id") >= 300)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cents = embs.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"), col("nrm").as("cent_nrm"))
+    val cb = Ann.pqTrain(corpus, 8, 8, 64, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_rebuild").toString
+    Ann.ivfPqBuild(corpus, cents, cb, dir)
+    // fresh build reads exactly 1 (baseline == current)
+    assert(Ann.ivfQuantizerStaleness(spark, dir) == 1.0)
+    // same-distribution append stays under the rebuild fence
+    Ann.ivfPqAppend(spark, same, dir)
+    val sSame = Ann.ivfQuantizerStaleness(spark, dir)
+    assert(sSame < Ann.IvfRebuildFence, s"same-distribution staleness $sSame")
+    // the planted drift trips it: a +0.25/dim HALF of the
+    // q_ann_recall_ivfpq_drift shift — mild enough that the cloud
+    // straddles frozen-cell boundaries (the routing-damage regime)
+    // while already reading ~1.7 on the MSE ratio
+    val drifted = same.select(
+      (col("neighbor_id") + 100000L).as("neighbor_id"),
+      org.apache.spark.sql.functions.transform(col("c_v"), x => x + lit(0.25d)).as("c_v"))
+      .withColumn("c_nrm", VectorFns.norm(col("c_v")))
+    Ann.ivfPqAppend(spark, drifted, dir)
+    val sDrift = Ann.ivfQuantizerStaleness(spark, dir)
+    assert(
+      sDrift > Ann.IvfRebuildFence,
+      s"planted drift must trip the rebuild fence, got $sDrift")
+
+    // drifted queries against the stored corpus: recall@5 of the probe
+    // route vs exact brute force over EXACTLY the stored rows. The
+    // shortlist covers any probed cell, so the readout isolates the
+    // ROUTING axis (exact rerank recovers every admitted candidate):
+    // at nProbe = 1 the frozen quantizer splits the drifted cloud
+    // across cell boundaries its queries do not probe.
+    val dq = embs.filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.transform(col("v"), x => x + lit(0.25d)).as("q_v"))
+      .withColumn("q_nrm", VectorFns.norm(col("q_v")))
+    def recallHits(): Long = {
+      val stored = spark.read.parquet(s"$dir/lists")
+        .select("neighbor_id", "c_v", "c_nrm")
+      val exact = Ann.bruteForceTopK(dq, stored, k = 5)
+        .select("query_id", "neighbor_id")
+      val got = Ann.ivfPqProbe(spark, dir, dq, k = 5, nProbe = 1, shortlist = 1000)
+        .select("query_id", "neighbor_id")
+      exact.join(got, Seq("query_id", "neighbor_id"), "left_semi").count()
+    }
+    val stale = recallHits()
+    assert(stale < 45, s"fixture sanity: stale routing should lose hits, got $stale/50")
+    // codes-only retrain refreshes ADC scoring but NOT routing: the
+    // quantizer axis stays tripped and (shortlist ⊇ cell) the hit
+    // count is bit-identical — the retrain CANNOT touch this axis
+    Ann.ivfPqRetrain(spark, dir)
+    val afterRetrain = recallHits()
+    assert(afterRetrain == stale, s"retrain changed routing-only recall: $stale -> $afterRetrain")
+    assert(
+      Ann.ivfQuantizerStaleness(spark, dir) > Ann.IvfRebuildFence,
+      "codes-only retrain must not repair quantizer staleness")
+    // the full rebuild re-trains the quantizer on the current corpus:
+    // staleness re-arms at 1 and drifted-query recall recovers past
+    // both stale arms
+    Ann.ivfPqRebuild(spark, dir)
+    assert(Ann.ivfQuantizerStaleness(spark, dir) == 1.0)
+    val rebuilt = recallHits()
+    assert(
+      rebuilt > afterRetrain,
+      s"rebuild must recover recall: stale=$stale retrain=$afterRetrain rebuilt=$rebuilt")
+    // the rebuilt index still serves the whole corpus (nothing lost)
+    val n = spark.read.parquet(s"$dir/lists").count()
+    assert(n == corpus.count() + same.count() + drifted.count())
   }
 }

@@ -700,6 +700,27 @@ class PipelineSpec extends SparkSpec {
     assert(cuts == cuts.sorted.reverse, s"cut must shrink with corpus size: $cuts")
   }
 
+  test("exact eval arms fence oversized corpora toward the sampled twins; under-fence equals opt-out") {
+    // an under-sized budget trips each fence with an error naming the
+    // sampled twin (the SimhashNarrowFenceDocs pattern)
+    val e1 = intercept[IllegalArgumentException](
+      PipelineQueries.simhashEvalFenced(spark, SfDir, fenceDocs = 10))
+    assert(e1.getMessage.contains("q_simhash_eval_sampled"))
+    assert(e1.getMessage.contains("n^1.44"))
+    val e2 = intercept[IllegalArgumentException](
+      PipelineQueries.simhashEvalWideFenced(spark, SfDir, fenceDocs = 10))
+    assert(e2.getMessage.contains("q_simhash_eval_sampled"))
+    val e3 = intercept[IllegalArgumentException](
+      PipelineQueries.winnowEvalFenced(spark, SfDir, fenceDocs = 10))
+    assert(e3.getMessage.contains("q_winnow_eval_sampled"))
+    // under the fence the registered entry point ≡ explicit opt-out:
+    // the fence only ever adds the require, never changes a result
+    val fenced = PipelineQueries.qSimhashEvalWide(spark, SfDir).collect().toSeq
+    val optOut = PipelineQueries
+      .simhashEvalWideFenced(spark, SfDir, fenceDocs = 0L).collect().toSeq
+    assert(fenced == optOut)
+  }
+
   test("AutoPartitions: board SFs keep the core count, the 19 GiB fifth decade meets the probe convention") {
     import graft.operators.AutoPartitions._
     // the measured four-leg board (sf0.01 ≈ 1.9 MB … sf10 ≈ 1.9 GB at

@@ -247,6 +247,8 @@ class PlanSpec extends SparkSpec {
       "q_ann_recall_mips", // brute-force exact-dot arm (evaluation op)
       "q_ann_ivfpq", // bounded queries×quantizer product (the q_ann_ivf shape)
       "q_ann_ivfpq_stored", // same bounded queries×quantizer product
+      "q_ann_ivfpq_deleted", // the stored probe plan post-deletion —
+                             // same bounded queries×quantizer product
       "q_ann_recall_ivfpq", // brute-force exact arm + the q_ann_ivfpq products
       "q_ann_recall_ivfpq_drift", // same products over the shifted union corpus
       "q_ivf_probe_curve", // brute-force exact arm + queries×quantizer ranks

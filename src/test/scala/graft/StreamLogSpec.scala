@@ -197,6 +197,82 @@ class StreamLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIngest: planted near-dup of an ARCHIVED doc caught live; batch-internal pair collapses; batch-arm parity") {
+    import graft.dedup.Dedup
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val archive = Files.createTempDirectory("graft_neardup_arch").toString
+    val ckpt = Files.createTempDirectory("graft_neardup_ck").toString
+    // 20-token docs mixing stopwords and distinct nouns: they pass the
+    // quality model, and changing ONLY the last token leaves 3-shingle
+    // Jaccard at 17/19 ≈ 0.895 ≥ 0.8 — a NEAR dup (content hashes
+    // differ, so exact dedup alone would keep it)
+    def doc(tail: String, uniq: String) =
+      s"the $uniq alpha and beta of gamma is delta to epsilon " +
+        s"the zeta and eta of theta is iota to $tail"
+    val docA = doc("kappa", "first")
+    val docC = doc("lambda", "first") // near-dup of A, arrives LATER
+    val docB = "completely different words about seven yellow submarines " +
+      "sailing under nine crimson bridges toward quiet harbors at dawn tide"
+    val docD = "fresh material concerning twelve silver rivers crossing " +
+      "green valleys where old stone mills grind amber wheat all summer"
+    // E and F near-dup each other (one changed token) while sitting
+    // below threshold vs A (two changed tokens: 15/21 ≈ 0.714)
+    val docE = doc("sigma", "second")
+    val docF = doc("tau", "second")
+    val q = StreamLog.nearDupIngest(
+      mem.toDF().toDF("doc_id", "text", "event_time"), archive, ckpt)
+    try {
+      // batch 1: two distinct docs — both archived
+      mem.addData(
+        (1L, docA, ts("2024-01-01 00:00:00")),
+        (2L, docB, ts("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      def keptIds() = spark.read.parquet(s"$archive/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptIds() == Set(1L, 2L))
+      // batch 2: C near-dups archived A (caught LIVE against the
+      // persisted band table — exact dedup alone would have kept it);
+      // D is fresh; E and F near-dup EACH OTHER (0.894) but sit at
+      // 0.714 < 0.8 from A (two changed tokens), so the internal stage
+      // collapses F into canonical E and E itself survives the archive
+      mem.addData(
+        (3L, docC, ts("2024-01-01 00:01:00")),
+        (4L, docD, ts("2024-01-01 00:01:05")),
+        (5L, docE, ts("2024-01-01 00:01:10")),
+        (6L, docF, ts("2024-01-01 00:01:15")))
+      q.processAllAvailable()
+      assert(keptIds() == Set(1L, 2L, 4L, 5L))
+      // the archive's probe tables grew with exactly the kept docs
+      val bandIds = spark.read.parquet(s"$archive/bands")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      val shIds = spark.read.parquet(s"$archive/shingles")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(bandIds == Set(1L, 2L, 4L, 5L) && shIds == Set(1L, 2L, 4L, 5L))
+      // committed markers namespaced per sink — one per NON-EMPTY batch
+      // (the upstream watermark dedup inserts empty state-flush batches,
+      // so the two data batches need not have consecutive ids)
+      val markers = new java.io.File(s"$archive/_neardup_commits").listFiles()
+        .map(_.getName).filter(_.endsWith(".done")).sorted.toSeq
+      assert(
+        markers.size == 2 &&
+          markers.forall(_.matches("neardup0-batch-\\d+\\.done")),
+        s"expected two namespaced markers, got $markers")
+    } finally q.stop()
+    // batch-arm parity: the same docs through the batch composition
+    // (exact dedup is a no-op here — all contents distinct — then
+    // minhash keep-canonical) keeps the same ids, because arrival
+    // order here equals id order so "earliest archived wins" and
+    // "canonical min-id wins" coincide
+    val all = Seq(
+      (1L, docA), (2L, docB), (3L, docC), (4L, docD), (5L, docE), (6L, docF))
+      .toDF("doc_id", "text")
+    val batchKept = Dedup.keepCanonical(
+      all, Dedup.duplicateClusters(Dedup.minhashLsh(all)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(1L, 2L, 4L, 5L))
+  }
+
   test("prepareStream scrubs PII, drops junk, and dedups within the watermark") {
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)

@@ -201,4 +201,104 @@ class StreamRestartSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("ivfPqIngest is exactly-once through the publish/marker crash window; a second sinkId never drops batches") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    import graft.similarity.Ann
+    def vec(xs: Double*) = xs.toSeq
+    def corpusDf(rows: Seq[(Long, Seq[Double])]) = Ann.withNorm(
+      rows.toDF("neighbor_id", "c_v"), "c_v", "c_nrm")
+    val cents = Seq(
+      (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 1, 0)), (4L, vec(0, 0, 0, 1)))
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_nrm", VectorFns.norm(col("cent_v")))
+    val base = (1 to 4).flatMap(i =>
+      Seq.tabulate(3)(j =>
+        (i * 10L + j) -> Seq.tabulate(4)(d => if (d == i - 1) 1.0 else 0.01 * (j + 1))))
+    val cb = Ann.pqTrain(corpusDf(base), m = 2, ks = 2, dim = 4, iters = 1)
+    val path = Files.createTempDirectory("graft_ingest_eo").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_eo_ck").toString
+    Ann.ivfPqBuild(corpusDf(base), cents, cb, path)
+
+    def counts(tier: String) = spark.read.parquet(s"$path/$tier")
+      .groupBy("neighbor_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val q1 = StreamLog.ivfPqIngest(
+      mem.toDS().toDF("neighbor_id", "c_v"), path, ckpt, dim = 4)
+    val batch0 = Seq(301L -> vec(0, 1, 0.05, 0), 302L -> vec(0, 0, 0.05, 1))
+    try {
+      mem.addData(batch0: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(counts("lists").keySet.contains(301L))
+
+    // forge the EXACT crash-between-publish-and-marker state: published
+    // prefixed files present, staging dir present (its cent_id= subdirs
+    // name the touched partitions — files already moved out), marker
+    // absent, and the streaming commit log missing batch 0 so the
+    // restart REPLAYS it
+    def fsf(p: String) = new java.io.File(p)
+    assert(fsf(s"$path/_ingest_commits/ivfpq0-batch-0.done").delete())
+    for (tier <- Seq("lists", "codes")) {
+      val touched = fsf(s"$path/$tier").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cent_id="))
+        .filter(cell => fsf(s"$path/$tier/$cell").listFiles()
+          .exists(_.getName.startsWith("ivfpq0-batch-0-")))
+      touched.foreach(cell =>
+        fsf(s"$path/_ingest_staging/ivfpq0-batch-0/$tier/$cell").mkdirs())
+    }
+    assert(fsf(s"$ckpt/commits/0").delete())
+    Option(fsf(s"$ckpt/commits").listFiles()).foreach(
+      _.filter(_.getName == ".0.crc").foreach(_.delete()))
+
+    // restart from the same (sinkId, checkpoint): batch 0 replays, the
+    // sweep removes the half-published files, the republish lands each
+    // vector EXACTLY once in each tier
+    val q2 = StreamLog.ivfPqIngest(
+      mem.toDS().toDF("neighbor_id", "c_v"), path, ckpt, dim = 4)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val lc = counts("lists")
+    val cc = counts("codes")
+    assert(lc(301L) == 1L && lc(302L) == 1L, s"duplicate vectors in lists: $lc")
+    assert(cc(301L) == 1L && cc(302L) == 1L, s"duplicate vectors in codes: $cc")
+    assert(fsf(s"$path/_ingest_commits/ivfpq0-batch-0.done").exists)
+    assert(!fsf(s"$path/_ingest_staging/ivfpq0-batch-0").exists)
+
+    // a SECOND pipeline (fresh checkpoint, its own sinkId) against the
+    // same index starts at batchId 0 again — its first batch must LAND,
+    // not be discarded as a replay of the first pipeline's batch 0 (the
+    // trap sinkId namespacing exists to prevent)
+    val mem2 = MemoryStream[(Long, Seq[Double])](spark)
+    val ckpt2 = Files.createTempDirectory("graft_ingest_eo_ck2").toString
+    val q3 = StreamLog.ivfPqIngest(
+      mem2.toDS().toDF("neighbor_id", "c_v"), path, ckpt2,
+      sinkId = "ivfpq1", dim = 4)
+    try {
+      mem2.addData(Seq(401L -> vec(1, 0.05, 0, 0)): _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val lc2 = counts("lists")
+    assert(lc2.get(401L).contains(1L), s"second sinkId's batch dropped: $lc2")
+    assert(fsf(s"$path/_ingest_commits/ivfpq1-batch-0.done").exists)
+
+    // a stray non-numeric file in _ingest_commits must never break the
+    // sink (marker GC parses names tolerantly)
+    new java.io.FileOutputStream(
+      s"$path/_ingest_commits/ivfpq1-batch-junk.done").close()
+    val mem3 = MemoryStream[(Long, Seq[Double])](spark)
+    val ckpt3 = Files.createTempDirectory("graft_ingest_eo_ck3").toString
+    val q4 = StreamLog.ivfPqIngest(
+      mem3.toDS().toDF("neighbor_id", "c_v"), path, ckpt3,
+      sinkId = "ivfpq2", dim = 4)
+    try {
+      mem3.addData(Seq(402L -> vec(1, 0.06, 0, 0)): _*)
+      q4.processAllAvailable()
+    } finally q4.stop()
+    assert(counts("lists").get(402L).contains(1L))
+  }
 }

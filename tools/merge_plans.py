@@ -48,7 +48,11 @@ def main(dump, md, new_notes_path=None):
     missing = sorted(set(plans) - set(notes))
     if missing:
         sys.exit(f"no notes for new queries: {missing}")
-    header = re.sub(r"\d+ plans\.", f"{len(plans)} plans.", header)
+    # the header's count line reads "N plans (+ prose-only notes ...)" —
+    # match the bare word boundary, not a trailing dot, so the count can
+    # never silently drift again (the r12 bug: the old r"\d+ plans\."
+    # pattern matched nothing and the hand count went stale)
+    header = re.sub(r"\d+ plans\b", f"{len(plans)} plans", header)
     out = [header]
     for name in sorted(plans):
         out.append(f"## {name}\n\n_{notes[name]}_\n\n```\n{plans[name]}\n```\n")
