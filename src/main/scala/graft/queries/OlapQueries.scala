@@ -1367,23 +1367,33 @@ object OlapQueries {
         max(struct(col("ts_us"), col("event_id"), col("value")))
           .getField("value")
           .as("v"))
-      .transform(graft.operators.Materialize.cut)
-    val grid = perHour
-      .groupBy("user_id")
-      .agg(min("hour").as("h0"), max("hour").as("h1"))
-      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
-    val fillW = Window
-      .partitionBy("user_id")
-      .orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(perHour, Seq("user_id", "hour"), "left")
-      .withColumn("last_value", last(col("v"), ignoreNulls = true).over(fillW))
+    // r14 shape (same rewrite as [[qInterpolate]]): the forward-fill
+    // state is constant across each observation's gap span, so compute
+    // it at the observation rows (lead + one running frame over the
+    // TINY observed table) and EMIT the dense grid by exploding each
+    // span — the old explode-grid + left-join + dense-grid window pass
+    // (two grid-sized shuffles) disappears; rows and values identical.
+    val obsW = Window.partitionBy("user_id").orderBy("hour")
+    val obs = perHour
+      .withColumn("nh", lead(col("hour"), 1).over(obsW))
+      .withColumn(
+        "fv",
+        last(col("v"), ignoreNulls = true)
+          .over(obsW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    obs
       .select(
         col("user_id"),
-        (col("hour") * HourUs).as("hour_us"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("last_value"))
+        col("hour"),
+        col("n_events"),
+        col("fv"),
+        explode(expr("sequence(hour, coalesce(nh - 1, hour))")).as("g"))
+      .select(
+        col("user_id"),
+        (col("g") * HourUs).as("hour_us"),
+        when(col("g") === col("hour"), col("n_events"))
+          .otherwise(lit(0L))
+          .as("n_events"),
+        col("fv").as("last_value"))
       .orderBy("user_id", "hour_us")
   }
 
@@ -2172,47 +2182,65 @@ object OlapQueries {
         max(struct(col("ts_us"), col("event_id"), col("value")))
           .getField("value")
           .as("v"))
-      .transform(graft.operators.Materialize.cut)
-    val grid = perHour
-      .groupBy("user_id")
-      .agg(min("hour").as("h0"), max("hour").as("h1"))
-      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
-    // next-known (nh, nv) at the observed points: one lead() pass over
-    // the observation-sized table, NOT the dense grid
+    // r14 shape: every window runs on the OBSERVATION-sized table, and
+    // the dense grid is EMITTED (explode of each observation's gap span)
+    // instead of built-joined-and-window-filled. The old shape exploded
+    // a per-user [h0,h1] grid, left-joined the observations back on
+    // (user, hour), and forward-filled (pv, ph, nh, nv) with four
+    // running-frame windows OVER THE DENSE GRID — a grid-sized shuffle
+    // + sort + window pass. But (pv, ph, nh, nv) at a grid hour are BY
+    // DEFINITION constant across each observation's gap span [hour,
+    // next_hour-1], so they can be attached at the observation row
+    // (same four running frames, now over the tiny observed table) and
+    // carried into the span by the explode itself. The grid rows,
+    // their values, and the interpolation arithmetic are IDENTICAL —
+    // only the join and the dense-grid window pass disappear (measured
+    // 3.3 s → see OPTIMIZATION_r14.md; two grid-sized shuffles
+    // removed, which at 100 TB is the difference between shuffling the
+    // resampled output twice and not at all).
     val obsW = Window.partitionBy("user_id").orderBy("hour")
+    val back = obsW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obs = perHour
-      .withColumn("nh", lead(col("hour"), 1).over(obsW))
-      .withColumn("nv", lead(col("v"), 1).over(obsW))
-    val back = Window
-      .partitionBy("user_id")
-      .orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // forward-fill (pv, ph, nh, nv) from the last observed row at-or-
-    // before each grid hour — running frames only, one ordered pass
-    grid
-      .join(obs, Seq("user_id", "hour"), "left")
+      .withColumn("nh_all", lead(col("hour"), 1).over(obsW))
+      .withColumn("nv_all", lead(col("v"), 1).over(obsW))
+      // forward-filled fill-state at the observation rows: identical
+      // running frames to the old dense-grid fill (incl. the v-null
+      // guards, so a null-valued observation is carried over exactly as
+      // before — the span anchored at it interpolates from the last
+      // non-null observation's state)
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
       .withColumn(
         "ph",
         last(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(back))
       .withColumn(
         "nv",
-        last(when(col("v").isNotNull, col("nv")), ignoreNulls = true).over(back))
+        last(when(col("v").isNotNull, col("nv_all")), ignoreNulls = true).over(back))
       .withColumn(
         "nh",
-        last(when(col("v").isNotNull, col("nh")), ignoreNulls = true).over(back))
+        last(when(col("v").isNotNull, col("nh_all")), ignoreNulls = true).over(back))
+    // gap span of each observation: [hour, next observed hour) — the
+    // last observation contributes only itself, so per user the spans
+    // tile exactly the old sequence(min hour, max hour) grid
+    obs
       .select(
         col("user_id"),
-        (col("hour") * HourUs).as("hour_us"),
+        explode(expr("sequence(hour, coalesce(nh_all - 1, hour))")).as("g"),
+        col("pv"),
+        col("ph"),
+        col("nv"),
+        col("nh"))
+      .select(
+        col("user_id"),
+        (col("g") * HourUs).as("hour_us"),
         // deliberately UNROUNDED: both engines run the identical
         // fixed-order IEEE ops, so the raw double is bit-exact — while
         // round() is the one place they can diverge (Spark rounds the
         // exact binary value HALF_UP, DuckDB rounds the shortest decimal
         // repr, so interpolation midpoints like 47.00375 split)
-        when(col("hour") === col("ph"), col("pv"))
+        when(col("g") === col("ph"), col("pv"))
           .otherwise(
             col("pv") + (col("nv") - col("pv")) *
-              ((col("hour") - col("ph")).cast("double") /
+              ((col("g") - col("ph")).cast("double") /
                 (col("nh") - col("ph")).cast("double")))
           .as("v_interp"))
       .orderBy("user_id", "hour_us")
