@@ -131,8 +131,11 @@ object Dedup {
       text: String = "text",
       k: Int = 3,
       threshold: Double = 0.8): DataFrame =
-    ngramJaccardFromShingled(
-      shingled(docs, id, text, k).transform(Materialize.cut), id, threshold)
+    // no shingle-array cut here: the exploded HASH rows are the
+    // materialized spine now (ngramJaccardFromShingled cuts them), and
+    // sh is consumed exactly once to build it — checkpointing the
+    // string arrays too would only add a corpus-sized write
+    ngramJaccardFromShingled(shingled(docs, id, text, k), id, threshold)
 
   /** [[ngramJaccard]] over an ALREADY-MATERIALIZED shingle table — the
     * entry point for callers that reuse one shingle pass across several
@@ -142,22 +145,38 @@ object Dedup {
   def ngramJaccardFromShingled(
       sh: DataFrame,
       id: String,
-      threshold: Double): DataFrame = {
-    // The shingle string is dropped IMMEDIATELY after hashing: both big
-    // shuffles below (by h for the freq join, by id for the window) then
-    // move 16-byte (id, h) rows instead of full shingle text. The global
-    // order is (f, h) — consistent across docs because both are
-    // functions of the shingle; a 60-bit h collision (~2^-60 per
-    // distinct-shingle pair) could only inflate/deflate the candidate
-    // set, and the exact-Jaccard verification keeps the OUTPUT exact.
-    val ex = sh
+      threshold: Double): DataFrame =
+    ngramJaccardFromHashed(hashedShingles(sh, id), id, threshold)
+
+  /** Exploded per-shingle hash rows `(id, h)` from a shingled table,
+    * MATERIALIZED — the spine every PPJoin stage (df table, prefix,
+    * verification hash sets) reads instead of re-running
+    * explode+md5 per consumer (r14: the before-plans showed the
+    * explode+hash pass 4× per query — freq, prefix probe, and one per
+    * verify side). The shingle string is dropped IMMEDIATELY after
+    * hashing: every downstream shuffle moves 16-byte (id, h) rows
+    * instead of shingle text. A 60-bit h collision (~2^-60 per
+    * distinct-shingle pair) could only inflate/deflate the candidate
+    * set; the exact-Jaccard verification keeps the OUTPUT exact. */
+  def hashedShingles(sh: DataFrame, id: String): DataFrame =
+    sh
       .select(col(id), explode(col("s")).as("shingle"))
       .select(col(id), Hashing.md5Long(col("shingle")).as("h"))
-    // Join-strategy fence for the two n-scaling joins below (freq probe
-    // + prefix self-join): see [[ShjDocsPerPartitionFence]]. The count
-    // is one pass over the caller-materialized shingle table — noise
-    // next to the joins it steers.
-    val pinned = shjPinned(sh.count(), sh.sparkSession)
+      .transform(Materialize.cut)
+
+  /** [[ngramJaccardFromShingled]] over the materialized `(id, h)`
+    * spine — the entry point for callers that already hold one (the
+    * minhash/eval family shares it with the banding stages). */
+  def ngramJaccardFromHashed(
+      ex: DataFrame,
+      id: String,
+      threshold: Double): DataFrame = {
+    // The per-doc hash-set table doubles as the verification side and
+    // the doc count for the join-strategy fence ([[ShjDocsPerPartitionFence]]):
+    // built ONCE here (the before-plans showed two independent
+    // collect_list aggregations, one per verify side).
+    val hs = hashSetsFromHashed(ex, id)
+    val pinned = shjPinned(hs.count(), ex.sparkSession)
     // prefix length: the sz - ceil(t*sz) + 1 globally-RAREST shingles of
     // each doc (AllPairs' document-frequency order): rare shingles make
     // small candidate buckets, so the prefix join output stays minimal.
@@ -208,8 +227,18 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
       .transform(Materialize.cut)
-    jaccardVerify(cands, sh, sh, id, "a_id", "b_id", threshold)
+    jaccardVerifySets(cands, hs, hs, id, "a_id", "b_id", threshold)
   }
+
+  /** Per-doc 60-bit shingle hash SETS `(id, hs array<long>)` off the
+    * materialized `(id, h)` spine, themselves materialized — ONE
+    * aggregation serving both sides of every self-join verification
+    * (and the fence's doc count). */
+  def hashSetsFromHashed(ex: DataFrame, id: String): DataFrame =
+    ex
+      .groupBy(id)
+      .agg(collect_list(col("h")).as("hs"))
+      .transform(Materialize.cut)
 
   /** Exact-Jaccard verification of candidate pairs `(aKey, bKey)`
     * against two shingle tables (the same table twice for self-joins):
@@ -237,15 +266,39 @@ object Dedup {
       aKey: String,
       bKey: String,
       threshold: Double): DataFrame = {
-    def hashSets(sh: DataFrame, key: String, out: String) =
+    def hashSets(sh: DataFrame) =
       sh
-        .select(col(id).as(key), explode(col("s")).as("shingle"))
-        .select(col(key), Hashing.md5Long(col("shingle")).as("h"))
-        .groupBy(key)
-        .agg(collect_list(col("h")).as(out))
+        .select(col(id), explode(col("s")).as("shingle"))
+        .select(col(id), Hashing.md5Long(col("shingle")).as("h"))
+        .groupBy(id)
+        .agg(collect_list(col("h")).as("hs"))
+    if (shA eq shB) {
+      // self-join: ONE materialized set table serves both sides
+      // (uncut, the two join sides each re-run the aggregation — the
+      // r13 plans showed exactly that)
+      val hs = hashSets(shA).transform(Materialize.cut)
+      jaccardVerifySets(cands, hs, hs, id, aKey, bKey, threshold)
+    } else
+      jaccardVerifySets(
+        cands, hashSets(shA), hashSets(shB), id, aKey, bKey, threshold)
+  }
+
+  /** [[jaccardVerify]] over prebuilt per-doc hash-set tables (`(id,
+    * hs)`; pass `hsB = null` or the same reference to reuse one table
+    * for both sides of a self-join — the caller materializes it once
+    * instead of paying two collect_list aggregations). */
+  private def jaccardVerifySets(
+      cands: DataFrame,
+      hsA: DataFrame,
+      hsB: DataFrame,
+      id: String,
+      aKey: String,
+      bKey: String,
+      threshold: Double): DataFrame = {
+    val b = if (hsB == null) hsA else hsB
     cands
-      .join(hashSets(shA, aKey, "a_hs"), aKey)
-      .join(hashSets(shB, bKey, "b_hs"), bKey)
+      .join(hsA.select(col(id).as(aKey), col("hs").as("a_hs")), aKey)
+      .join(b.select(col(id).as(bKey), col("hs").as("b_hs")), bKey)
       .withColumn(
         "common",
         size(array_intersect(col("a_hs"), col("b_hs"))).cast("long"))
@@ -304,33 +357,91 @@ object Dedup {
       numHashes: Int): DataFrame = {
     val ex = sh
       .select(col(id), explode(col("s")).as("shingle"))
-      .select(
-        col(id),
-        Hashing.md5Long(col("shingle")).as("a"),
-        Hashing.md5Long2(col("shingle")).as("b"))
+      // one digest yields both family bases (codegen CSE shares the
+      // struct across the two field reads) — half the md5 work of
+      // hashing a and b independently
+      .select(col(id), Hashing.md5MinhashPair(col("shingle")).as("ab"))
+      .select(col(id), col("ab.a").as("a"), col("ab.b").as("b"))
     val mins = (0 until numHashes).map(i =>
       min(col("a") + lit(i.toLong) * col("b")).as(s"mh$i"))
     ex.groupBy(id).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash + LSH near-dup: `bands` band buckets (signature split evenly)
-    * generate candidates, exact Jaccard over the shingle sets verifies
-    * against `threshold`. The shingle table is materialized once
-    * ([[graft.operators.Materialize.cut]], same rationale and cluster
-    * caveat as [[ngramJaccard]]) and feeds both the signature
-    * aggregation and the two verification joins — one corpus scan
-    * total. */
-  /** Shared minhash front half: the materialized shingle table and the
-    * DISTINCT band-collision candidate pairs. */
-  private def minhashCore(
-      docs: DataFrame,
+  /** Exploded per-shingle hash PAIR rows `(id, h, h2)` from a shingled
+    * table, MATERIALIZED — the minhash-family spine: `h`/`h2` are the
+    * [[Hashing.md5MinhashPair]] family bases (h = the 60-bit
+    * [[Hashing.md5Long]], so the same spine feeds the signature
+    * aggregation, the PPJoin exact arm, AND the verification hash sets
+    * — one tokenize+shingle+hash pass per corpus where the r13 shape
+    * paid three). 24 bytes/row. */
+  def hashedShinglePairs(sh: DataFrame, id: String): DataFrame =
+    sh
+      .select(col(id), explode(col("s")).as("shingle"))
+      .select(col(id), Hashing.md5MinhashPair(col("shingle")).as("ab"))
+      .select(col(id), col("ab.a").as("h"), col("ab.b").as("h2"))
+      .transform(Materialize.cut)
+
+  /** [[minhashSignaturesFromShingled]] off the materialized `(id, h,
+    * h2)` spine — no re-shingle, no re-hash. */
+  def minhashSignaturesFromHashedPairs(
+      ex: DataFrame,
       id: String,
-      text: String,
-      k: Int,
+      numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(col("h") + lit(i.toLong) * col("h2")).as(s"mh$i"))
+    ex.groupBy(id).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded LSH rows off the `(id, h, h2)` spine (the
+    * [[bandedSignatures]] layout, same band hashes). */
+  private def bandedFromHashedPairs(
+      ex: DataFrame,
+      id: String,
       numHashes: Int,
-      bands: Int): (DataFrame, DataFrame) = {
-    val sh = shingled(docs, id, text, k).transform(Materialize.cut)
-    (sh, minhashCandidatesFromShingled(sh, id, numHashes, bands))
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { j =>
+      val sig = (0 until rowsPerBand)
+        .map(r => col(s"mh${rowsPerBand * j + r}").cast("string"))
+      struct(
+        lit(j).as("band_id"),
+        Hashing.md5Long(concat_ws(":", sig: _*)).as("band_hash"))
+    }
+    minhashSignaturesFromHashedPairs(ex, id, numHashes)
+      .select(col(id), explode(array(bandCols: _*)).as("b"))
+      .select(col(id), col("b.band_id"), col("b.band_hash"))
+  }
+
+  /** Band-collision candidate pairs off the materialized `(id, h, h2)`
+    * spine. */
+  def minhashCandidatesFromHashedPairs(
+      ex: DataFrame,
+      id: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // shuffle_hash: a broadcast band join would recompute the signature
+    // aggregation for the build side (Broadcast- and ShuffleExchange
+    // cannot reuse each other); shuffling both sides on the band key is
+    // also the only shape that survives when n_docs is too big to
+    // broadcast.
+    // materialized: the self-join's two sides otherwise each re-run the
+    // whole signature aggregation (no ReusedExchange across the x/y
+    // references) — at scale that doubles the most expensive stage. The
+    // cut table is (id, band_id, band_hash) — 24 bytes/row × bands.
+    val banded = bandedFromHashedPairs(ex, id, numHashes, bands)
+      .transform(Materialize.cut)
+      .hint("shuffle_hash")
+    banded
+      .as("x")
+      .join(
+        banded.as("y"),
+        col(s"x.band_id") === col(s"y.band_id") &&
+          col(s"x.band_hash") === col(s"y.band_hash") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
+      .distinct()
+      .transform(Materialize.cut)
   }
 
   /** Band-collision candidate pairs over an already-materialized
@@ -377,8 +488,16 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8): DataFrame =
-    minhashCore(docs, id, text, k, numHashes, bands)._2
+    minhashCandidatesFromHashedPairs(
+      hashedShinglePairs(shingled(docs, id, text, k), id),
+      id, numHashes, bands)
 
+  /** MinHash + LSH near-dup: `bands` band buckets (signature split
+    * evenly) generate candidates, exact Jaccard over the shingle-hash
+    * sets verifies against `threshold`. ONE corpus
+    * tokenize+shingle+hash pass total: the materialized `(id, h, h2)`
+    * spine ([[hashedShinglePairs]]) feeds the signature aggregation
+    * and the (materialized-once) verification hash sets. */
   def minhashLsh(
       docs: DataFrame,
       id: String = "doc_id",
@@ -387,8 +506,10 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val (sh, cands) = minhashCore(docs, id, text, k, numHashes, bands)
-    jaccardVerify(cands, sh, sh, id, "a_id", "b_id", threshold)
+    val ex = hashedShinglePairs(shingled(docs, id, text, k), id)
+    val cands = minhashCandidatesFromHashedPairs(ex, id, numHashes, bands)
+    val hs = hashSetsFromHashed(ex, id)
+    jaccardVerifySets(cands, hs, hs, id, "a_id", "b_id", threshold)
   }
 
   /** Per-document duplicate-span report — the span-granular view of
@@ -1504,8 +1625,13 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.9): DataFrame = {
     val eps = 1e-6
-    val sh = shingled(docs, id, text, k).transform(Materialize.cut)
-    val rows = sh
+    // no shingle-array cut: the hashed (id, sz, h) rows below are the
+    // only consumer, and they double as the verification hash-set
+    // source (r14 — the old shape checkpointed the string arrays AND
+    // intersected strings in the verify joins; the oracle counts
+    // common h's, so hash sets match it bit-for-bit and move 8-byte
+    // longs instead of shingle text)
+    val rows = shingled(docs, id, text, k)
       .select(
         col(id),
         size(col("s")).cast("long").as("sz"),
@@ -1543,15 +1669,24 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
       .transform(Materialize.cut)
+    // ONE materialized hash-set table serves both verify sides; the
+    // containment denominator is the distinct-shingle count sz (what
+    // the oracle divides by), carried alongside the set
+    val hs = rows
+      .groupBy(id)
+      .agg(first(col("sz")).as("sz"), collect_list(col("h")).as("hs"))
+      .transform(Materialize.cut)
     cands
-      .join(sh.select(col(id).as("a_id"), col("s").as("a_s")), "a_id")
-      .join(sh.select(col(id).as("b_id"), col("s").as("b_s")), "b_id")
+      .join(
+        hs.select(col(id).as("a_id"), col("sz").as("a_sz"), col("hs").as("a_hs")),
+        "a_id")
+      .join(hs.select(col(id).as("b_id"), col("hs").as("b_hs")), "b_id")
       .withColumn(
         "common",
-        size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
+        size(array_intersect(col("a_hs"), col("b_hs"))).cast("long"))
       .withColumn(
         "containment",
-        round(col("common").cast("double") / size(col("a_s")), 6))
+        round(col("common").cast("double") / col("a_sz"), 6))
       .filter(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), col("containment"))
   }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Deterministic, engine-portable hash family.
   *
@@ -15,8 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 60-bit non-negative hash of a string column. */
+  /** 60-bit non-negative hash of a string column. Computed by the fused
+    * digest-bytes expression ([[graft.functions.expressions.Md5Long60]])
+    * — bit-identical to the reference hex formulation
+    * `conv(substring(md5(c),1,15),16,10)` (spec-asserted parity), minus
+    * the per-row hex encode + substring copy + base-16 re-parse. */
   def md5Long(c: Column): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.Md5Long60(ColumnBridge.expression(c)))
+
+  /** The reference hex-string formulation of [[md5Long]] — kept for the
+    * parity spec that pins the fused expression to it. */
+  private[graft] def md5LongHex(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: h_i(x) = md5Long(i ~ ":" ~ x). Used as the minhash
@@ -29,6 +40,11 @@ object Hashing {
     * engine (DuckDB errors on overflow rather than wrapping). Used to
     * derive the minhash family `h_i = a + i·b` from one digest. */
   def md5Long2(c: Column): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.Md5Long40(ColumnBridge.expression(c)))
+
+  /** Reference hex formulation of [[md5Long2]] (parity spec only). */
+  private[graft] def md5Long2Hex(c: Column): Column =
     conv(substring(md5(c), 17, 10), 16, 10).cast("long")
 
   /** The UPPER 60-bit half of the md5 digest (hex chars 17–31) — an
@@ -36,7 +52,19 @@ object Hashing {
     * 120-bit fingerprint (wide simhash) costs exactly one md5 per
     * token in both engines. Same non-negative-int64 convention. */
   def md5LongHi(c: Column): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.Md5LongHi60(ColumnBridge.expression(c)))
+
+  /** Reference hex formulation of [[md5LongHi]] (parity spec only). */
+  private[graft] def md5LongHiHex(c: Column): Column =
     conv(substring(md5(c), 17, 15), 16, 10).cast("long")
+
+  /** Both minhash base hashes ([[md5Long]], [[md5Long2]]) as
+    * struct(a, b) off ONE digest — the per-shingle fast path of
+    * [[graft.dedup.Dedup.minhashSignaturesFromShingled]]. */
+  def md5MinhashPair(c: Column): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.Md5MinhashPair(ColumnBridge.expression(c)))
 
   /** JVM-side twin of [[md5LongHi]]: hex chars 17–31 are digest bytes
     * 8..15 big-endian shifted right a nibble (the exact mirror of

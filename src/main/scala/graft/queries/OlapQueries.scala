@@ -2465,6 +2465,11 @@ object OlapQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
       .transform(graft.operators.Materialize.cut)
+    // top-20 is decided by (n_both, pa, pb) ALONE, and the statistic
+    // joins below are 1:1 (every co-bought part has a support row), so
+    // the cut happens BEFORE them: TakeOrderedAndProject reduces the
+    // pair table to 20 rows map-side instead of shuffling the whole
+    // co-occurrence relation through two joins (r14, guide §2.3)
     val pairs = items
       .as("a")
       .join(
@@ -2472,6 +2477,8 @@ object OlapQueries {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("n_both"))
+      .orderBy(col("n_both").desc, col("pa"), col("pb"))
+      .limit(20)
     val partN = items.groupBy("pk").agg(count(lit(1)).as("n_part"))
     val tot = items.agg(count_distinct(col("ok")).as("n_orders"))
     pairs

@@ -134,18 +134,22 @@ object PipelineQueries {
       .select(col("a_id").as("doc_id"))
       .unionAll(pairs.select(col("b_id").as("doc_id")))
       .distinct()
-    val base = docs(s, d).select("doc_id", "source")
-    base
-      .join(dupIds, Seq("doc_id"), "left_semi")
+    // ONE corpus pass: a left join + conditional count replaces the
+    // r13 semi-join-then-right-join shape (which aggregated the doc
+    // table twice); zero-dup sources fall out of the same aggregate
+    docs(s, d)
+      .select("doc_id", "source")
+      .join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_dup"))
-      .join(base.groupBy("source").agg(count(lit(1)).as("n_docs")), Seq("source"), "right")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("dup")).as("n_dup"))
       .select(
         col("source"),
         col("n_docs"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("n_dup"),
         round(
-          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs").cast("double"),
+          col("n_dup").cast("double") / col("n_docs").cast("double"),
           6).as("dup_rate"))
       .transform(sortSmall(_, "source"))
   }
@@ -2242,17 +2246,18 @@ object PipelineQueries {
     * independently (shared-nothing by design — this query EVALUATES
     * one against the other). */
   def qLshEval(s: SparkSession, d: String): DataFrame = {
-    // ONE shingle pass feeds both the banding under test and the exact
-    // ground truth — the evaluation costs one corpus scan, not two
-    val sh = Dedup
-      .shingled(docs(s, d), "doc_id", "text", k = 3)
-      .transform(graft.operators.Materialize.cut)
+    // ONE shingle+hash pass feeds both the banding under test and the
+    // exact ground truth — the evaluation costs one corpus scan, not
+    // two (r14: the shared spine is the materialized (id, h, h2) hash
+    // rows, so neither arm re-tokenizes or re-hashes)
+    val ex = Dedup.hashedShinglePairs(
+      Dedup.shingled(docs(s, d), "doc_id", "text", k = 3), "doc_id")
     val cand = Dedup
-      .minhashCandidatesFromShingled(
-        sh, "doc_id", numHashes = MinhashSeeds, bands = MinhashBands)
+      .minhashCandidatesFromHashedPairs(
+        ex, "doc_id", numHashes = MinhashSeeds, bands = MinhashBands)
       .withColumn("in_cand", lit(true))
     val exact = Dedup
-      .ngramJaccardFromShingled(sh, "doc_id", threshold = 0.8)
+      .ngramJaccardFromHashed(ex, "doc_id", threshold = 0.8)
       .select(col("a_id"), col("b_id"))
       .withColumn("in_exact", lit(true))
     cand
@@ -3398,7 +3403,11 @@ object PipelineQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64)
       .select("fp")
-    (fp.join(pinned(rare), "fp"), pinned)
+    // materialized: the posting self-join's two sides otherwise EACH
+    // re-run the df aggregation + stop-fingerprint join (r14 — the
+    // before-plan carried the whole subtree twice)
+    (fp.join(pinned(rare), "fp").transform(graft.operators.Materialize.cut),
+      pinned)
   }
 
   /** Minimum shared winnowed fingerprints for [[qWinnowEval]]'s
@@ -3643,16 +3652,21 @@ object PipelineQueries {
         col("source"),
         size(expr("graft_tokens(text)")).cast("long").as("tok"))
       .join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+    // ONE rollup pass: the per-source rows and the ALL row are grand
+    // totals of the same integer sums (r14 — the old per-source +
+    // whole-table union tokenized and joined the corpus TWICE); long
+    // addition is associative, so the rolled-up totals are bit-equal
     base
-      .groupBy(col("source"))
+      .rollup(col("source"))
       .agg(
         sum("tok").as("total_tokens"),
-        sum(when(col("dup").isNotNull, col("tok")).otherwise(0L)).as("dup_tokens"))
-      .unionByName(
-        base.agg(
-          sum("tok").as("total_tokens"),
-          sum(when(col("dup").isNotNull, col("tok")).otherwise(0L)).as("dup_tokens"))
-          .select(lit("ALL").as("source"), col("total_tokens"), col("dup_tokens")))
+        sum(when(col("dup").isNotNull, col("tok")).otherwise(0L)).as("dup_tokens"),
+        grouping(col("source")).as("g"))
+      .select(
+        when(col("g") === 1, lit("ALL"))
+          .otherwise(col("source")).as("source"),
+        col("total_tokens"),
+        col("dup_tokens"))
       .select(
         col("source"),
         col("total_tokens"),

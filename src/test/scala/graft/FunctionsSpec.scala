@@ -17,6 +17,36 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(Hashing.md5Long(lit("hello"))).asInstanceOf[Long] >= 0L)
   }
 
+  test("fused md5 slice expressions match the hex-string formulations bit-for-bit") {
+    // the r14 fast path: Md5Long60/Md5Long40/Md5LongHi60/Md5MinhashPair
+    // hash digest bytes directly; pin them to the reference
+    // conv(substring(md5(x),…),16,10) formulations (the DuckDB-portable
+    // definition) over varied inputs incl. empty, unicode, long strings
+    val df = spark
+      .range(0, 500)
+      .selectExpr(
+        "concat('doc-', id, ' ', repeat('päylöad-', cast(id % 7 as int)), uuid()) as t")
+      .select(
+        col("t"),
+        Hashing.md5Long(col("t")).as("lo"),
+        Hashing.md5LongHex(col("t")).as("lo_ref"),
+        Hashing.md5Long2(col("t")).as("mid"),
+        Hashing.md5Long2Hex(col("t")).as("mid_ref"),
+        Hashing.md5LongHi(col("t")).as("hi"),
+        Hashing.md5LongHiHex(col("t")).as("hi_ref"),
+        Hashing.md5MinhashPair(col("t")).as("ab"))
+    assert(
+      df.filter(
+        col("lo") =!= col("lo_ref") || col("mid") =!= col("mid_ref") ||
+          col("hi") =!= col("hi_ref") || col("ab.a") =!= col("lo_ref") ||
+          col("ab.b") =!= col("mid_ref")).count() == 0L)
+    // edge inputs: empty string and null propagate like the originals
+    assert(
+      eval(Hashing.md5Long(lit(""))) == eval(Hashing.md5LongHex(lit(""))))
+    assert(eval(Hashing.md5Long(lit(null).cast("string"))) == null)
+    assert(eval(Hashing.md5MinhashPair(lit(null).cast("string"))) == null)
+  }
+
   test("wordShingles handles short and normal docs") {
     val sh = eval(
       TextFns.wordShingles(split(lit("a b c d"), " "), 3))

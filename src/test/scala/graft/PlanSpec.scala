@@ -464,12 +464,22 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange SinglePartition") == 1)
   }
 
-  test("q_interpolate: lead() on materialized observations + running-frame fills, no parquet re-scan") {
+  test("q_interpolate: fill state at observations, grid emitted by span explode, no grid join") {
+    // the r14 shape: pv/ph/nv/nh are constant across each observation's
+    // gap span, so they are computed on the OBSERVATION-sized table and
+    // the dense grid is emitted by exploding the spans — the grid-sized
+    // left join and the dense-grid window pass are gone
     val p = plan("q_interpolate")
-    assert(!p.contains("FileScan parquet"), "grid + fill must read the materialized perHour table")
+    assert(
+      count(p, "FileScan parquet") == 1,
+      "ONE corpus scan: perHour is inlined (single consumer, no cut) and nothing re-reads it")
     assert(p.contains("lead(hour"), "next-known must come from lead() at observed points")
-    assert(count(p, "BroadcastHashJoin") == 1, "observations broadcast onto the dense grid")
-    assert(count(p, "hashpartitioning(user_id") == 2, "one exchange per perHour consumer (lead + fill)")
+    assert(!p.contains("Join"), "no dense-grid join: spans carry the fill state")
+    assert(p.contains("explode(sequence(hour"), "dense grid comes from the span explode")
+    val uidExchanges = count(p, "hashpartitioning(user_id")
+    assert(
+      uidExchanges >= 1 && uidExchanges <= 2,
+      "at most one exchange per perHour consumer (lead + fill; planner may share one)")
   }
 
   test("q_ks_test: global CDF window rides the bucketed spine, never raw values") {
