@@ -1602,13 +1602,16 @@ object PipelineQueries {
           .when(col("sq") <= col("f2"), "middle")
           .otherwise("tail").as("bucket"),
         col("tokens"))
-    val perSource = bucketed
-      .groupBy("source")
-      .agg(sum("tokens").as("src_tokens"))
+    // ONE pass over the bucketed rows: src_tokens is the sum of the
+    // per-bucket sums (exact long addition), taken as a window over the
+    // |sources|×|buckets| rollup — the old per-source aggregate re-ran
+    // the whole score-join + corpus re-tokenize a second time (r14)
     bucketed
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
-      .join(perSource.hint("shuffle_hash"), "source")
+      .withColumn(
+        "src_tokens",
+        sum(col("tokens")).over(Window.partitionBy("source")))
       .select(
         col("source"),
         col("bucket"),
@@ -4541,19 +4544,29 @@ object PipelineQueries {
     * placement cannot change a bit of the result. */
   private def covPairSums(s: SparkSession, d: String): DataFrame = {
     val dim = EmbDim
+    // one PRIMITIVE long[2080] per row from the codegen'd kernel
+    // ([[graft.functions.expressions.QuantizedPairProducts]] — bit-equal
+    // quantization/products, spec-pinned) instead of 2080 struct
+    // allocations per row (r14: measured 24-72 s summed task time per
+    // pass at sf0.1, nearly all allocation); the (pos → j,k) map is a
+    // 2080-row broadcast literal joined AFTER the statistic-sized
+    // aggregate, so the hot explode carries a single int key
+    import s.implicits._
+    val posMap = (for { j <- 0 until dim; k <- j until dim } yield (j, k)).zipWithIndex
+      .map { case ((j, k), p) => (p, (j + 1).toLong, (k + 1).toLong) }
+      .toDF("pos", "j", "k")
     embs(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
-        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * $EmbFp.0) AS BIGINT))")
-          .as("qv"))
-      .select(
-        explode(expr(
-          s"flatten(transform(sequence(0, ${dim - 1}), j -> " +
-            s"transform(sequence(j, ${dim - 1}), k -> " +
-            "named_struct('j', j + 1, 'k', k + 1, 'p', qv[j] * qv[k]))))")).as("t"))
-      .select(col("t.j").as("j"), col("t.k").as("k"), col("t.p").as("p"))
-      .groupBy("j", "k")
+        posexplode(
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.expressions.QuantizedPairProducts(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+              EmbFp))).as(Seq("pos", "p")))
+      .groupBy("pos")
       .agg(sum(col("p").cast("decimal(38,0)")).as("s_jk"))
+      .join(broadcast(posMap), "pos")
+      .select(col("j").cast("int").as("j"), col("k").cast("int").as("k"), col("s_jk"))
   }
 
   /** Per-dimension sums + the vector count of the quantized embedding

@@ -47,6 +47,30 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(Hashing.md5MinhashPair(lit(null).cast("string"))) == null)
   }
 
+  test("graft_cov_products matches the SQL quantize/flatten formulation bit-for-bit") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.expressions.QuantizedPairProducts
+    val fp = 10000000L
+    val dim = 7
+    val df2 = spark
+      .range(0, 100)
+      .selectExpr(
+        s"transform(sequence(1, $dim), i -> CAST(sin(id * i * 0.37) * 2.5 AS FLOAT)) AS embedding")
+      .selectExpr(
+        "embedding",
+        s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * $fp.0) AS BIGINT)) AS qv")
+      .select(
+        ColumnBridge
+          .column(QuantizedPairProducts(ColumnBridge.expression(col("embedding")), fp))
+          .as("fast"),
+        expr(
+          s"flatten(transform(sequence(0, ${dim - 1}), j -> " +
+            s"transform(sequence(j, ${dim - 1}), k -> qv[j] * qv[k])))").as("ref"))
+    assert(df2.filter(not(col("fast") === col("ref"))).count() == 0L)
+    assert(
+      df2.selectExpr("size(fast)").head().getInt(0) == dim * (dim + 1) / 2)
+  }
+
   test("wordShingles handles short and normal docs") {
     val sh = eval(
       TextFns.wordShingles(split(lit("a b c d"), " "), 3))
